@@ -1,0 +1,46 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sanctions_data_pipeline_spark.plans import registry
+from sanctions_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    # warm the JVM/session on the smallest table once so q-to-q timings
+    # measure the query, not session startup
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    for name, qd in registry.headline_queries().items():
+        t0 = time.time()
+        df = qd.build(spark, sf_dir)
+        # noop sink materializes every column (count() would let Catalyst
+        # prune the aggregates away)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf != "?" else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

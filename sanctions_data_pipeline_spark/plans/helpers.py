@@ -1,0 +1,77 @@
+"""Cross-engine determinism helpers.
+
+Double-typed aggregates computed naively (``SUM(double)``) depend on
+partition/accumulation order, so a Spark result and a DuckDB oracle can
+differ in the last bits and fail a value-hash compare. All money/metric
+aggregations here go through decimal (exact, order-independent) and are
+cast to double only at the output edge — bit-identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Canonical decimal shapes: values (prices, quantities) are < 10^12 with
+# 2-4 meaningful decimals; rates (discount/tax) are < 1 with 4 decimals.
+VAL = "decimal(18,4)"
+RATE = "decimal(8,4)"
+
+
+def dval(col) -> Column:
+    return F.col(col).cast(VAL) if isinstance(col, str) else col.cast(VAL)
+
+
+def drate(col) -> Column:
+    return F.col(col).cast(RATE) if isinstance(col, str) else col.cast(RATE)
+
+
+def _as_exact_double(dec_agg: Column) -> Column:
+    """Exact decimal -> double, deterministically and identically across
+    engines.
+
+    A plain decimal->double cast is NOT portable: DuckDB computes
+    int128_unscaled * 10^-scale in float math (1-ulp off once the
+    unscaled value passes 2^53) while Spark's BigDecimal.doubleValue is
+    correctly rounded. Route through round-to-4dp -> scaled bigint ->
+    /10000.0: integer-exact on both sides, then one IEEE division both
+    engines perform identically. Exact while |value| < 2^53/10^4 ≈ 9e11.
+    """
+    return (F.round(dec_agg, 4) * 10000).cast("bigint") / F.lit(10000.0)
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Exact decimal sum, surfaced as a portable double."""
+    return _as_exact_double(F.sum(col)).alias(alias)
+
+
+def davg(col: Column, alias: str) -> Column:
+    """Order-independent average: exact decimal sum / count, in double."""
+    return (_as_exact_double(F.sum(col)) / F.count(F.lit(1))).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    """DuckDB fragment mirroring :func:`dsum`."""
+    return f"CAST(ROUND(SUM({expr}), 4) * 10000 AS BIGINT) / 10000.0 AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    """DuckDB fragment mirroring :func:`davg`."""
+    return f"CAST(ROUND(SUM({expr}), 4) * 10000 AS BIGINT) / 10000.0 / COUNT(*) AS {alias}"
+
+
+# Common SQL operand shapes (oracle side of dval/drate compositions)
+SQL_VAL = "CAST({} AS DECIMAL(18,4))"
+SQL_RATE = "CAST({} AS DECIMAL(8,4))"
+SQL_REVENUE = ("CAST(l_extendedprice AS DECIMAL(18,4))"
+               " * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))")
+
+
+def lcount(alias: str) -> Column:
+    return F.count(F.lit(1)).alias(alias)
+
+
+def ts_str(col, fmt: str = "yyyy-MM-dd") -> Column:
+    """Format a timestamp for output (never emit raw timestamps: Spark
+    session-TZ timestamps vs DuckDB naive timestamps hash differently)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, fmt)

@@ -1,0 +1,72 @@
+"""Sanity tests for the relational suite at sf0.001 (correctness vs the
+DuckDB oracle is covered by tools/check_oracle.py and the driver gate;
+these check shapes, invariants, and a few hand-verifiable facts)."""
+
+from __future__ import annotations
+
+from sanctions_data_pipeline_spark.plans import registry
+
+
+def _run(spark, sf_dir, name):
+    return registry.queries()[name](spark, sf_dir)
+
+
+def test_registry_has_all_relational_queries():
+    names = set(registry.queries())
+    expected = {
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+        "q6_forecast_revenue", "q_top_customers_window", "q_priority_pivot",
+        "q_rollup_sales", "q_semi_anti", "q_distinct_union",
+        "q_events_bucketed", "q_sessionize",
+    }
+    assert expected <= names
+
+
+def test_q1_shape_and_invariants(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q1_pricing_summary").collect()
+    assert 1 <= len(rows) <= 6  # at most |returnflag|x|linestatus|
+    for r in rows:
+        assert r.sum_charge >= r.sum_disc_price  # tax >= 0
+        assert r.sum_base_price >= r.sum_disc_price  # discount >= 0
+        assert r.count_order > 0
+
+
+def test_q3_topk_sorted(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q3_shipping_priority").collect()
+    assert len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_window_topk_bounded_per_group(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_top_customers_window").collect()
+    per_nation: dict[str, list] = {}
+    for r in rows:
+        per_nation.setdefault(r.n_name, []).append(r)
+    for name, grp in per_nation.items():
+        assert len(grp) <= 3
+        bals = [g.c_acctbal for g in grp]
+        assert bals == sorted(bals, reverse=True)
+
+
+def test_semi_anti_partition_customers(spark, sf_dir):
+    from sanctions_data_pipeline_spark.catalog import load_table
+    rows = _run(spark, sf_dir, "q_semi_anti").collect()
+    total = sum(r.n_with_orders + r.n_without_orders for r in rows)
+    assert total == load_table(spark, sf_dir, "customer").count()
+
+
+def test_sessionize_invariants(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_sessionize").collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.session_end_us >= r.session_start_us
+        assert r.n_events >= 1
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    assert df.count() >= 0
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
