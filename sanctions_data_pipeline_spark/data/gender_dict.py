@@ -1,0 +1,58 @@
+"""Built-in first-name -> gender dictionary (engine data).
+
+The reference uses the gender-guesser package's dictionary
+(main.py:541,780-787). This engine ships its own compact public-domain
+name list with the same lookup semantics: case-insensitive first-token
+match, 'female' wins only on an explicit female entry, everything else
+resolves Male (main.py:784).
+"""
+
+from __future__ import annotations
+
+FEMALE_NAMES = [
+    "aisha", "amina", "ana", "anna", "carmen", "elena", "emma", "fatima",
+    "hana", "irina", "isabel", "jamila", "julia", "khadija", "laila",
+    "laura", "leila", "lucia", "malika", "maria", "mariam", "marina",
+    "marta", "maryam", "monica", "nadia", "natalia", "nour", "olga",
+    "rania", "sara", "sarah", "sofia", "sonia", "svetlana", "tatiana",
+    "vera", "yasmin", "zahra", "zeinab",
+]
+
+MALE_NAMES = [
+    "abdul", "ahmad", "ahmed", "alexander", "ali", "andrei", "anton",
+    "boris", "carlos", "david", "dmitri", "hassan", "hussein", "ibrahim",
+    "igor", "ivan", "jamal", "john", "jose", "juan", "karim", "khalid",
+    "luis", "mahmoud", "marco", "mikhail", "mohamed", "mohammad",
+    "mohammed", "mustafa", "nikolai", "omar", "pavel", "pedro", "peter",
+    "rashid", "said", "salim", "samir", "sergei", "tariq", "umar",
+    "viktor", "vladimir", "yuri", "yusuf",
+]
+
+# Reference forced-male title / pattern lists (main.py:369-377)
+MALE_TITLES = [
+    "mullah", "maulavi", "mawlavi", "moulavi", "molvi", "qari", "ustad",
+    "imam", "amir", "haji", "hajji", "agha", "khan", "pir", "sardar",
+    "sayed", "sayyid", "syed", "janan agha",
+]
+MALE_NAME_PATTERNS = [
+    "gul ahmad", "gul ahmed", "abdul", "mohammad", "mohammed", "rahman",
+    "hakim", "hakimi", "ullah", "uddin", "ishakzai", "noorzai", "zai",
+]
+
+
+def rows() -> list[tuple[str, str]]:
+    return ([(n, "female") for n in FEMALE_NAMES]
+            + [(n, "male") for n in MALE_NAMES])
+
+
+def sql_values() -> str:
+    """DuckDB VALUES list: (name, gender)."""
+    vals = ", ".join(f"('{n}', '{g}')" for n, g in rows())
+    return f"(VALUES {vals})"
+
+
+def forced_male_regex() -> str:
+    """Substring-containment pattern over the lowercased name
+    (reference checks `t in n`, main.py:380-390)."""
+    pats = sorted(set(MALE_TITLES + MALE_NAME_PATTERNS))
+    return "(" + "|".join(pats) + ")"

@@ -1,0 +1,359 @@
+"""Sanctions-domain operator suite (SURVEY.md §2, block 2).
+
+Each query re-expresses one reference behavior (file:line cited per
+function) and is checked against a DuckDB oracle built from the SAME
+shared character tables / dictionaries, over either the synthetic star
+schema or the embedded sanctions fixture (which carries the accents,
+Cyrillic confusables, duplicate names and alias structures the synthetic
+tables lack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.data import sanctions_fixture as fx
+from sanctions_data_pipeline_spark.functions import address as adr
+from sanctions_data_pipeline_spark.functions import gender as g
+from sanctions_data_pipeline_spark.functions import names as nm
+from sanctions_data_pipeline_spark.functions.dates import reformat_dob, sql_reformat_dob
+from sanctions_data_pipeline_spark.operators.matching import (
+    build_variant_mapping, neighbor_fill, variant_match,
+)
+from sanctions_data_pipeline_spark.plans.registry import register
+
+
+def _clean_name(col):
+    """Reference clean_name (main.py:364-366): ws-collapse + title."""
+    return F.initcap(nm.normalize_ws(col))
+
+
+def _sql_clean_name(expr: str) -> str:
+    return nm.sql_title_case(nm.sql_normalize_ws(expr))
+
+
+# --------------------------------------------------------------------------
+# s_clean_names — clean_fullname + is_latin over a real (scalable) table
+# --------------------------------------------------------------------------
+@register("s_clean_names", oracle=f"""
+SELECT c_custkey,
+       {nm.sql_clean_fullname("c_name")} AS name_clean,
+       {nm.sql_is_latin_name("c_name")} AS is_latin
+FROM customer
+""")
+def s_clean_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        nm.clean_fullname(F.col("c_name")).alias("name_clean"),
+        nm.is_latin_name(F.col("c_name")).alias("is_latin"),
+    )
+
+
+# --------------------------------------------------------------------------
+# s_clean_fixture — same functions over accent/confusable-bearing names
+# --------------------------------------------------------------------------
+@register("s_clean_fixture", oracle=f"""
+WITH {fx.sql_cte("aliases")}
+SELECT entity_id, alias_idx,
+       {nm.sql_clean_fullname("whole_name")} AS name_clean,
+       {nm.sql_is_latin_name("whole_name")} AS is_latin
+FROM aliases
+""")
+def s_clean_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    al = fx.spark_df(spark, "aliases")
+    return al.select(
+        "entity_id", "alias_idx",
+        nm.clean_fullname(F.col("whole_name")).alias("name_clean"),
+        nm.is_latin_name(F.col("whole_name")).alias("is_latin"),
+    )
+
+
+# --------------------------------------------------------------------------
+# s_name_variants — the 3 normalized match keys (main.py:393-418)
+# --------------------------------------------------------------------------
+@register("s_name_variants", oracle=f"""
+WITH {fx.sql_cte("aliases")},
+vk AS (SELECT entity_id, alias_idx,
+              {nm.sql_variant_keys("whole_name")} AS v
+       FROM aliases)
+SELECT entity_id, alias_idx, CAST(i AS INT) AS variant_no, v[i] AS variant_key
+FROM vk, LATERAL (SELECT generate_subscripts(v, 1) AS i) s
+""")
+def s_name_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    al = fx.spark_df(spark, "aliases")
+    return al.select(
+        "entity_id", "alias_idx",
+        F.posexplode(nm.variant_keys(F.col("whole_name"))).alias("pos", "variant_key"),
+    ).select(
+        "entity_id", "alias_idx",
+        (F.col("pos") + 1).cast("int").alias("variant_no"),
+        "variant_key",
+    )
+
+
+# --------------------------------------------------------------------------
+# s_gender_infer — full precedence chain (main.py:369-390, 773-787)
+# --------------------------------------------------------------------------
+@register("s_gender_infer", oracle=f"""
+WITH {fx.sql_cte("aliases")},
+{g.sql_gender_cte()},
+lat AS (SELECT entity_id, alias_idx, whole_name FROM aliases
+        WHERE {nm.sql_is_latin_name("whole_name")}),
+sel AS (SELECT entity_id, min(alias_idx) AS sel_idx FROM lat GROUP BY entity_id),
+nmd AS (SELECT s.entity_id, s.sel_idx,
+               {_sql_clean_name("l.whole_name")} AS full_name
+        FROM sel s JOIN lat l
+          ON l.entity_id = s.entity_id AND l.alias_idx = s.sel_idx),
+att AS (SELECT a.entity_id, a.gender_attr,
+               ROW_NUMBER() OVER (PARTITION BY a.entity_id
+                                  ORDER BY a.alias_idx DESC) AS rn
+        FROM aliases a JOIN sel s ON a.entity_id = s.entity_id
+        WHERE a.alias_idx <= s.sel_idx AND a.gender_attr IS NOT NULL)
+SELECT n.entity_id, n.full_name,
+       {g.sql_infer_gender("n.full_name", "x.gender_attr")} AS gender
+FROM nmd n
+LEFT JOIN (SELECT entity_id, gender_attr FROM att WHERE rn = 1) x
+  ON n.entity_id = x.entity_id
+LEFT JOIN gdict ON {g.sql_first_name("n.full_name")} = gd_name
+""")
+def s_gender_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    al = fx.spark_df(spark, "aliases")
+    lat = al.filter(nm.is_latin_name(F.col("whole_name")))
+    sel = lat.groupBy("entity_id").agg(F.min("alias_idx").alias("sel_idx"))
+    named = (
+        sel.join(lat.select("entity_id", "alias_idx", "whole_name"),
+                 (lat.entity_id == sel.entity_id) & (lat.alias_idx == sel.sel_idx))
+        .select(sel.entity_id, "sel_idx", _clean_name(F.col("whole_name")).alias("full_name"))
+    )
+    # last gender attr seen up to the selected alias (reference keeps
+    # overwriting xml_gender_value until it breaks, main.py:589-595)
+    attw = W.partitionBy("entity_id").orderBy(F.desc("alias_idx"))
+    att = (
+        al.alias("a").join(sel.alias("s"),
+                           (F.col("a.entity_id") == F.col("s.entity_id"))
+                           & (F.col("a.alias_idx") <= F.col("s.sel_idx")))
+        .filter(F.col("a.gender_attr").isNotNull())
+        .select(F.col("a.entity_id").alias("entity_id"), "a.gender_attr", "a.alias_idx")
+        .withColumn("rn", F.row_number().over(attw))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", "gender_attr")
+    )
+    base = named.join(att, "entity_id", "left")
+    return g.infer_gender(base, "full_name", "gender_attr").select(
+        "entity_id", "full_name", "gender")
+
+
+# --------------------------------------------------------------------------
+# s_date_reformat — ISO -> dd-mm-yyyy (main.py:620-636)
+# --------------------------------------------------------------------------
+@register("s_date_reformat", oracle=f"""
+SELECT o_orderkey, {sql_reformat_dob("o_orderdate")} AS dob
+FROM orders
+""")
+def s_date_reformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", reformat_dob(F.col("o_orderdate")).alias("dob"))
+
+
+# --------------------------------------------------------------------------
+# s_variant_match — multi-variant priority match (main.py:421-522, 809-830)
+# --------------------------------------------------------------------------
+@register("s_variant_match", oracle=f"""
+WITH {fx.sql_cte("aliases")},
+{fx.sql_cte("pdf_entries")},
+pm0 AS (SELECT pdf_id,
+               'Number: ' || numbers || '; Programme: ' || programme AS rem2,
+               {nm.sql_variant_keys(_sql_clean_name("pdf_name"))} AS v
+        FROM pdf_entries),
+pmx AS (SELECT pdf_id, rem2, v[i] AS match_key
+        FROM pm0, LATERAL (SELECT generate_subscripts(v, 1) AS i) s
+        WHERE v[i] != ''),
+pmap AS (SELECT match_key, rem2 FROM
+         (SELECT match_key, rem2,
+                 ROW_NUMBER() OVER (PARTITION BY match_key ORDER BY pdf_id) AS rn
+          FROM pmx) WHERE rn = 1),
+cand0 AS (SELECT entity_id, alias_idx,
+                 {nm.sql_variant_keys(_sql_clean_name("whole_name"))} AS v
+          FROM aliases WHERE {nm.sql_is_latin_name("whole_name")}),
+candx AS (SELECT entity_id, alias_idx, CAST(i AS INT) AS vpos, v[i] AS match_key
+          FROM cand0, LATERAL (SELECT generate_subscripts(v, 1) AS i) s),
+hits AS (SELECT entity_id, rem2,
+                ROW_NUMBER() OVER (PARTITION BY entity_id
+                                   ORDER BY alias_idx, vpos) AS rn
+         FROM candx JOIN pmap USING (match_key))
+SELECT e.entity_id, COALESCE(h.rem2, '') AS rem2
+FROM (SELECT DISTINCT entity_id FROM aliases) e
+LEFT JOIN (SELECT entity_id, rem2 FROM hits WHERE rn = 1) h
+  ON e.entity_id = h.entity_id
+""")
+def s_variant_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    al = fx.spark_df(spark, "aliases")
+    pdf = fx.spark_df(spark, "pdf_entries").select(
+        "pdf_id",
+        _clean_name(F.col("pdf_name")).alias("pdf_name"),
+        F.concat(F.lit("Number: "), F.col("numbers"),
+                 F.lit("; Programme: "), F.col("programme")).alias("rem2"),
+    )
+    mapping = build_variant_mapping(pdf, "pdf_name", "pdf_id", "rem2")
+    candidates = (
+        al.filter(nm.is_latin_name(F.col("whole_name")))
+        .select("entity_id", "alias_idx",
+                _clean_name(F.col("whole_name")).alias("cand_name"))
+    )
+    hits = variant_match(candidates, ["entity_id"], "cand_name",
+                         "alias_idx", mapping, "rem2")
+    entities = al.select("entity_id").distinct()
+    return (
+        entities.join(hits, "entity_id", "left")
+        .select("entity_id", F.coalesce("rem2", F.lit("")).alias("rem2"))
+    )
+
+
+# --------------------------------------------------------------------------
+# s_neighbor_fill — duplicate-name propagation (main.py:950-993)
+# --------------------------------------------------------------------------
+@register("s_neighbor_fill", oracle=f"""
+WITH {fx.sql_cte("match_rows")},
+base AS (SELECT row_id, full_name, rem2_candidate,
+                nullif(rem2_candidate, '') AS cand,
+                COUNT(*) OVER (PARTITION BY full_name) AS n_occ
+         FROM match_rows),
+nb AS (SELECT *,
+              last_value(cand IGNORE NULLS) OVER
+                (ORDER BY row_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS prev_ne,
+              first_value(cand IGNORE NULLS) OVER
+                (ORDER BY row_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                AS next_ne
+       FROM base)
+SELECT row_id, full_name,
+       CASE WHEN full_name = 'UNKNOWN' THEN ''
+            WHEN n_occ = 1 THEN COALESCE(rem2_candidate, '')
+            WHEN prev_ne IS NOT NULL AND prev_ne = next_ne THEN prev_ne
+            ELSE '' END AS filled
+FROM nb
+""")
+def s_neighbor_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mr = fx.spark_df(spark, "match_rows")
+    return neighbor_fill(mr, "row_id", "full_name", "rem2_candidate").select(
+        "row_id", "full_name", "filled")
+
+
+# --------------------------------------------------------------------------
+# s_details_agg — ordered, ci-deduped, ';'-joined blocks (main.py:832-945)
+# --------------------------------------------------------------------------
+_FIELD_ORDER_SQL = ("CASE field WHEN 'Title' THEN 1 WHEN 'Birth date' THEN 2 "
+                    "WHEN 'Birth place' THEN 3 WHEN 'Citizenship' THEN 4 "
+                    "WHEN 'Remark' THEN 5 ELSE 6 END")
+
+
+@register("s_details_agg", oracle=f"""
+WITH {fx.sql_cte("details_items")},
+ded AS (SELECT entity_id, field, val, idx,
+               ROW_NUMBER() OVER (PARTITION BY entity_id, field, lower(val)
+                                  ORDER BY idx) AS rn
+        FROM details_items),
+pf AS (SELECT entity_id, field,
+              string_agg(val, ' / ' ORDER BY idx) AS vals,
+              {_FIELD_ORDER_SQL} AS forder
+       FROM ded WHERE rn = 1 GROUP BY entity_id, field)
+SELECT entity_id,
+       string_agg(field || ': ' || vals, '; ' ORDER BY forder) AS details
+FROM pf GROUP BY entity_id
+""")
+def s_details_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    di = fx.spark_df(spark, "details_items")
+    dw = W.partitionBy("entity_id", "field", F.lower("val")).orderBy("idx")
+    ded = di.withColumn("rn", F.row_number().over(dw)).filter(F.col("rn") == 1)
+    per_field = (
+        ded.groupBy("entity_id", "field")
+        .agg(F.expr("array_join(transform(array_sort(collect_list(struct(idx, val))),"
+                    " s -> s.val), ' / ')").alias("vals"))
+        .withColumn("forder", F.expr(_FIELD_ORDER_SQL))
+        .withColumn("block", F.concat(F.col("field"), F.lit(": "), F.col("vals")))
+    )
+    return (
+        per_field.groupBy("entity_id")
+        .agg(F.expr("array_join(transform(array_sort(collect_list(struct(forder, block))),"
+                    " s -> s.block), '; ')").alias("details"))
+    )
+
+
+# --------------------------------------------------------------------------
+# s_address_clean — token-filtered address normalization (main.py:639-755)
+# --------------------------------------------------------------------------
+def _sql_part(expr: str) -> str:
+    """ws-collapsed, comma-folded address part (main.py:742-750)."""
+    return nm.sql_normalize_ws(f"replace({expr}, ',', ' ')")
+
+
+def _spark_part(expr: str) -> str:
+    return f"trim(regexp_replace(replace({expr}, ',', ' '), '\\\\s+', ' '))"
+
+
+@register("s_address_clean", oracle=f"""
+WITH {fx.sql_cte("addresses")},
+per_addr AS (
+  SELECT entity_id, addr_idx,
+         concat_ws(' ',
+           CASE WHEN {adr.sql_valid_field("country")}
+                THEN {nm.sql_title_case(_sql_part("country"))} END,
+           CASE WHEN {adr.sql_valid_field("city")} THEN {_sql_part("city")} END,
+           CASE WHEN {adr.sql_valid_field("street")} THEN {_sql_part("street")} END,
+           CASE WHEN {adr.sql_valid_field("region")} THEN {_sql_part("region")} END,
+           CASE WHEN {adr.sql_valid_field("place")} THEN {_sql_part("place")} END,
+           CASE WHEN {adr.sql_valid_field("zipcode")} THEN {_sql_part("zipcode")} END
+         ) AS addr_str
+  FROM addresses),
+firsts AS (
+  SELECT entity_id,
+         CASE WHEN {adr.sql_valid_field("city")}
+              THEN {adr.sql_token_clean("city")} ELSE '' END AS city_clean,
+         CASE WHEN {adr.sql_valid_field("country")}
+              THEN {nm.sql_title_case("trim(country)")} ELSE '' END AS country_clean,
+         CASE WHEN {adr.sql_valid_field("region")}
+              THEN {adr.sql_token_clean("region")} ELSE '' END AS state_clean
+  FROM addresses WHERE addr_idx = 0)
+SELECT f.entity_id, f.city_clean, f.country_clean, f.state_clean,
+       COALESCE(a.address_all, '') AS address_all
+FROM firsts f
+LEFT JOIN (SELECT entity_id, string_agg(addr_str, '; ' ORDER BY addr_idx) AS address_all
+           FROM per_addr WHERE addr_str != '' GROUP BY entity_id) a
+  ON f.entity_id = a.entity_id
+""")
+def s_address_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ad = fx.spark_df(spark, "addresses")
+
+    def part(col_name: str):
+        return F.when(adr.valid_field(F.col(col_name)), F.expr(_spark_part(col_name)))
+
+    per_addr = ad.select(
+        "entity_id", "addr_idx",
+        F.concat_ws(" ",
+                    F.when(adr.valid_field(F.col("country")),
+                           F.initcap(F.expr(_spark_part("country")))),
+                    part("city"), part("street"), part("region"),
+                    part("place"), part("zipcode")).alias("addr_str"),
+    )
+    agg = (
+        per_addr.filter(F.col("addr_str") != "")
+        .groupBy("entity_id")
+        .agg(F.expr("array_join(transform(array_sort(collect_list(struct(addr_idx,"
+                    " addr_str))), s -> s.addr_str), '; ')").alias("address_all"))
+    )
+    firsts = ad.filter(F.col("addr_idx") == 0).select(
+        "entity_id",
+        F.when(adr.valid_field(F.col("city")), adr.token_clean("city"))
+         .otherwise("").alias("city_clean"),
+        F.when(adr.valid_field(F.col("country")), F.initcap(F.trim(F.col("country"))))
+         .otherwise("").alias("country_clean"),
+        F.when(adr.valid_field(F.col("region")), adr.token_clean("region"))
+         .otherwise("").alias("state_clean"),
+    )
+    return (
+        firsts.join(agg, "entity_id", "left")
+        .select("entity_id", "city_clean", "country_clean", "state_clean",
+                F.coalesce("address_all", F.lit("")).alias("address_all"))
+    )
