@@ -1,0 +1,76 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, fingerprinting. Pure column expressions with DuckDB mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny stopword profiles for the n-gram/stopword language heuristic.
+# (The synthetic corpus is English-ish word soup; the heuristic is the
+# operator under test, not a linguistics claim.)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+    "es": ["el", "la", "de", "y", "en", "es", "por", "con", "para", "un"],
+    "fr": ["le", "la", "de", "et", "est", "dans", "pour", "avec", "sur", "un"],
+}
+
+# BPE-ish token regex: letter runs, digit runs, single other glyphs
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+
+
+def predict_lang(col: Column) -> Column:
+    """argmax over stopword-profile scores, deterministic tiebreak by
+    language code order; 'und' (undetermined) when all scores are 0."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    out = F.when(best == 0, "und")
+    for lang in sorted(STOPWORDS):
+        out = out.when(scores[lang] == best, lang)
+    return out
+
+
+def sql_stopword_hits(expr: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    toks = (f"string_split(trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g')), ' ')")
+    return f"len(list_filter({toks}, t -> t IN ({words})))"
+
+
+def sql_predict_lang(expr: str) -> str:
+    scores = {lang: sql_stopword_hits(expr, lang) for lang in STOPWORDS}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "".join(
+        f" WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in sorted(STOPWORDS))
+    return f"CASE WHEN {best} = 0 THEN 'und'{whens} END"
+
+
+def ws_token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def regex_token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the ws/lower-normalized text (both
+    engines share md5); bucket prefix for partition-friendly joins."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))

@@ -184,7 +184,7 @@ def q_top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("n_name", "c_name", "c_acctbal", "c_custkey")
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .drop("c_custkey")
     )

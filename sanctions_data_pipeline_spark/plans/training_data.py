@@ -1,0 +1,239 @@
+"""Training-data-pipeline operator suite (SURVEY.md §2, block 3):
+dedup, similarity search, text analysis over documents/embeddings.
+
+Float discipline: all similarity math is sequential-fold double
+arithmetic mirrored exactly in the DuckDB oracles (list_inner_product),
+rounded to 6dp on both sides before thresholding/output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.operators import dedup as dd
+from sanctions_data_pipeline_spark.operators import similarity as sim
+from sanctions_data_pipeline_spark.operators import textstats as tx
+from sanctions_data_pipeline_spark.plans.registry import register
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_COS = ("round(list_inner_product({a}, {b}) / "
+        "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)")
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+@register("dd_exact", headline=True, oracle=f"""
+SELECT md5({_NORM}) AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+""")
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs)
+
+
+# --------------------------------------------------------------------------
+# n-gram (3-word shingle) Jaccard near-dup pairs, blocked by language
+# --------------------------------------------------------------------------
+@register("dd_ngram_jaccard", oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+), p AS (
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         round(len(list_intersect(a.sh, b.sh)) * 1.0
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT i, j, jac FROM p WHERE jac >= 0.5
+""")
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, ["lang"], threshold=0.5, k=3)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding (rows-only: banding recall is probabilistic, the
+# verified output is exact Jaccard but candidate coverage is not
+# SQL-expressible) — unit tests pin recall on the planted near-dups
+# --------------------------------------------------------------------------
+@register("dd_minhash_lsh", headline=True)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, n_hashes=32, bands=8, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# SimHash hamming pairs (rows-only: xxhash64 has no DuckDB twin)
+# --------------------------------------------------------------------------
+@register("dd_simhash")
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs, blocked by label
+# --------------------------------------------------------------------------
+@register("dd_embed_cosine", oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         {_COS.format(a="a.v", b="b.v")} AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT i, j, cos FROM p WHERE cos >= 0.4
+""")
+def dd_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_pairs(vecs, ["label"], threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# exact cosine top-k (brute force baseline)
+# --------------------------------------------------------------------------
+@register("sim_topk_bruteforce", headline=True, oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_COS.format(a="qv", b="v")} AS cos
+  FROM q, e WHERE e.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""")
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return (sim.brute_force_topk(queries, vecs, k=5)
+            .withColumn("rnk", F.col("rnk").cast("bigint")))
+
+
+# --------------------------------------------------------------------------
+# sign-LSH bucketed approximate top-k
+# --------------------------------------------------------------------------
+def _sql_bucket(v: str, n_bits: int = 8) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {v}[{i+1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits))
+    return f"({terms})"
+
+
+@register("sim_ann_lsh", oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_sql_bucket("v")} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         {_COS.format(a="qv", b="b.v")} AS cos
+  FROM q JOIN b USING (bucket) WHERE b.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""")
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return (sim.lsh_topk(queries, vecs, k=3, n_bits=8)
+            .withColumn("rnk", F.col("rnk").cast("bigint")))
+
+
+# --------------------------------------------------------------------------
+# language ID (stopword-profile heuristic)
+# --------------------------------------------------------------------------
+@register("tx_langid", headline=True, oracle=f"""
+SELECT doc_id, lang, {tx.sql_predict_lang("text")} AS pred_lang
+FROM documents
+""")
+def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang",
+                       tx.predict_lang(F.col("text")).alias("pred_lang"))
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+@register("tx_quality", oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         len({_TOKS}) AS n_tokens,
+         length(text) AS n_chars_calc,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         {tx.sql_stopword_hits("text", "en")} AS n_stop
+  FROM documents)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+       round(n_punct * 1.0 / n_chars_calc, 6) AS punct_ratio,
+       round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (1.0 - n_punct * 1.0 / n_chars_calc)
+             + 0.3 * least(n_stop * 5.0 / n_tokens, 1.0), 6) AS quality_score
+FROM m
+""")
+def tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = tx.ws_token_count(F.col("text"))
+    n_chars = F.length("text")
+    n_punct = tx.punct_count(F.col("text"))
+    n_stop = tx.stopword_hits(F.col("text"), "en")
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars_calc"),
+        F.round(n_punct * 1.0 / n_chars, 6).alias("punct_ratio"),
+        F.round(n_stop * 1.0 / n_tokens, 6).alias("stopword_ratio"),
+        F.round(0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+                + 0.3 * (1.0 - n_punct * 1.0 / n_chars)
+                + 0.3 * F.least(n_stop * 5.0 / n_tokens, F.lit(1.0)), 6)
+         .alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+# --------------------------------------------------------------------------
+@register("tx_tokens", oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{tx.TOKEN_RE}')) AS BIGINT) AS n_regex_tokens,
+       n_chars
+FROM documents
+""")
+def tx_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.ws_token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        tx.regex_token_count(F.col("text")).cast("bigint").alias("n_regex_tokens"),
+        "n_chars",
+    )
+
+
+# --------------------------------------------------------------------------
+# fingerprinting
+# --------------------------------------------------------------------------
+@register("tx_fingerprint", oracle=f"""
+SELECT doc_id, md5({_NORM}) AS fp, substr(md5({_NORM}), 1, 2) AS fp_bucket
+FROM documents
+""")
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = tx.fingerprint(F.col("text"))
+    return docs.select("doc_id", fp.alias("fp"),
+                       F.substring(fp, 1, 2).alias("fp_bucket"))
