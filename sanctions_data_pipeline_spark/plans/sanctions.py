@@ -282,6 +282,24 @@ def s_details_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pipeline_e2e — full XML (+ PDF text) -> analyst table (rows-only: the
+# input is the repo's XML/PDF fixtures, not SQL-visible parquet)
+# --------------------------------------------------------------------------
+@register("pipeline_e2e")
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from sanctions_data_pipeline_spark.pipeline import run_pipeline
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures")
+    with open(os.path.join(fixtures, "travel_ban.txt"), encoding="utf-8") as fh:
+        texts = spark.createDataFrame([("travel_ban.pdf", fh.read())],
+                                      "doc_path string, text string")
+    return run_pipeline(spark, os.path.join(fixtures, "feed.xml"), texts)
+
+
+# --------------------------------------------------------------------------
 # s_address_clean — token-filtered address normalization (main.py:639-755)
 # --------------------------------------------------------------------------
 def _sql_part(expr: str) -> str:

@@ -1,0 +1,93 @@
+"""PDF travel-ban document source.
+
+Decode (reference main.py:250-258, pdfplumber page-text extraction) is
+STUBBED: the PDF codec is not available in this environment, so
+``extract_pdf_text`` raises unless the caller supplies pre-extracted
+text. Everything downstream — entity chunking (main.py:261-283) and
+field parsing (main.py:421-522) — is real Spark and operates on a
+(doc_path, text) DataFrame from any text source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# chunk boundary: lookahead split on "Entity <N>" (main.py:263)
+_CHUNK_SPLIT_RE = r"(?=Entity\s+\d+\b)"
+
+
+def extract_pdf_text(spark, path: str) -> DataFrame:
+    """Real PDF decode — unavailable here (no pdfplumber/poppler in the
+    image). At deployment: binaryFile scan + a pandas-UDF page decoder.
+    """
+    try:
+        import pdfplumber  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "PDF decoding needs pdfplumber; feed pre-extracted text "
+            "DataFrames (doc_path string, text string) to chunk_entities "
+            "instead") from exc
+    raise NotImplementedError("wire pdfplumber via mapInPandas when available")
+
+
+def chunk_entities(texts: DataFrame, path_col: str = "doc_path",
+                   text_col: str = "text") -> DataFrame:
+    """Split document text into per-entity chunks (main.py:261-283):
+    lookahead-split on 'Entity N' boundaries, keep chunks that start
+    with 'entity' (ci), extract the Programme code (default GEN).
+
+    Output: (doc_path, chunk_idx, programme, chunk_text).
+    """
+    chunks = texts.select(
+        F.col(path_col).alias("doc_path"),
+        F.posexplode(F.split(F.col(text_col), _CHUNK_SPLIT_RE))
+         .alias("chunk_idx", "chunk_text"),
+    ).withColumn("chunk_text", F.trim(F.col("chunk_text")))
+    kept = chunks.filter(F.lower(F.col("chunk_text")).startswith("entity"))
+    programme = F.regexp_extract(
+        F.col("chunk_text"), r"(?i)Programme\s*[:\-]\s*([A-Za-z0-9]+)", 1)
+    return kept.select(
+        "doc_path", "chunk_idx",
+        F.when(programme != "", F.upper(programme)).otherwise("GEN").alias("programme"),
+        "chunk_text",
+    )
+
+
+def parse_chunk_fields(chunks: DataFrame) -> DataFrame:
+    """Parse Name/Alias, Number(s) and Programme from a chunk
+    (main.py:444-511). Inline values and next-line fallbacks are both
+    handled; multiple Number lines join with ' / '; the Programme keeps
+    the last '|'-separated part.
+
+    Output adds: pdf_name, numbers, programme_line, rem2.
+    """
+    txt = F.regexp_replace(
+        F.regexp_replace(F.col("chunk_text"), " ", " "), "\r", "\n")
+    # Name/Alias: inline value, else first non-blank following line
+    name_inline = F.regexp_extract(txt, r"(?i)Name/Alias\s*:[ \t]*(\S[^\n]*)", 1)
+    name_nextline = F.regexp_extract(
+        txt, r"(?i)Name/Alias\s*:[ \t]*\n\s*(\S[^\n]*)", 1)
+    raw_name = F.when(name_inline != "", name_inline).otherwise(name_nextline)
+    # truncate at an embedded following field label (main.py:456-461)
+    cut = F.split(raw_name,
+                  r"(?i)\b(title|function|birth information|birth date|"
+                  r"citizenship information|contact information|"
+                  r"identity information|address|remark|url|programme)\b\s*:")
+    pdf_name = F.trim(cut.getItem(0))
+    numbers = F.array_join(
+        F.expr(r"regexp_extract_all(chunk_text, '(?im)^\\s*Number\\s*:[ \\t]*(\\S[^\\n]*)', 1)"),
+        " / ")
+    prog_line = F.regexp_extract(txt, r"(?im)^\s*Programme\s*:[ \t]*(\S[^\n]*)", 1)
+    prog_last = F.trim(F.element_at(F.split(prog_line, r"\|"), -1))
+    rem2 = F.concat_ws(
+        "; ",
+        F.when(numbers != "", F.concat(F.lit("Number: "), numbers)),
+        F.when(prog_last != "", F.concat(F.lit("Programme: "), prog_last)),
+    )
+    return chunks.select(
+        "doc_path", "chunk_idx", "programme", "chunk_text",
+        pdf_name.alias("pdf_name"),
+        numbers.alias("numbers"),
+        prog_last.alias("programme_line"),
+        rem2.alias("rem2"),
+    )

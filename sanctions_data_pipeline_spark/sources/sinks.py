@@ -1,0 +1,31 @@
+"""Output sinks (reference writes one Excel workbook, main.py:1048).
+
+Parquet (partitionable, the at-scale default) and CSV are first-class;
+Excel needs openpyxl which is gated behind an import-try (absent in
+this environment) and only sensible for driver-sized results anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_output(df: DataFrame, path: str, fmt: str = "parquet",
+                 mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    if fmt == "xlsx":
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "xlsx sink needs openpyxl; write parquet/csv instead") from exc
+        df.toPandas().to_excel(path, index=False)
+        return
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+    else:
+        raise ValueError(f"unknown sink format {fmt!r}")

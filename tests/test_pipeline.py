@@ -1,0 +1,113 @@
+"""E2E pipeline tests on the XML + PDF-text fixtures, asserting the
+reference's documented behaviors (selected-name choice, gender chain,
+details blocks, variant match, neighbor fill)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sanctions_data_pipeline_spark.pipeline import OUTPUT_COLUMNS, run_pipeline
+from sanctions_data_pipeline_spark.sources.pdf_source import (
+    chunk_entities, extract_pdf_text, parse_chunk_fields,
+)
+from sanctions_data_pipeline_spark.sources.xml_source import entities_table, read_entities
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+XML = os.path.join(FIXTURES, "feed.xml")
+PDF_TXT = os.path.join(FIXTURES, "travel_ban.txt")
+
+
+def _pdf_texts(spark):
+    with open(PDF_TXT, encoding="utf-8") as fh:
+        return spark.createDataFrame([("travel_ban.pdf", fh.read())],
+                                     "doc_path string, text string")
+
+
+def test_xml_source_reads_entities(spark):
+    ents = entities_table(read_entities(spark, XML))
+    assert ents.count() == 6
+    first = ents.orderBy("eu_ref").first()
+    assert first.classification == "P"
+    assert [a.whole_name for a in first.aliases] == ["José García Moreno", "Pepe Garcia"]
+    assert first.birthdates[0].birthdate == "1965-01-12"
+
+
+def test_pdf_chunker_and_fields(spark):
+    fields = parse_chunk_fields(chunk_entities(_pdf_texts(spark))).orderBy("chunk_idx")
+    rows = fields.collect()
+    assert len(rows) == 3
+    by_name = {r.pdf_name: r for r in rows}
+    assert "Jose Garcia Moreno" in by_name
+    assert by_name["Jose Garcia Moreno"].rem2 == "Number: EU.1234.5; Programme: VEN"
+    # next-line name + multiple Number lines
+    assert by_name["Mohammed Aliyev"].rem2 == \
+        "Number: EU.2222.1 / EU.2222.2; Programme: SYR"
+    # embedded field label truncated from the name
+    assert by_name["Maria Lopez"].numbers == "EU.5555.0"
+
+
+def test_pdf_decode_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text(spark, "whatever.pdf")
+
+
+def test_pipeline_end_to_end(spark):
+    out = run_pipeline(spark, XML, _pdf_texts(spark)).orderBy("entity_seq")
+    rows = out.collect()
+    assert len(rows) == 6
+    assert list(out.columns) == ["entity_seq"] + OUTPUT_COLUMNS
+    r1, r2, r3, r4, r5, r6 = rows
+
+    # entity 1: selected first latin alias, cleaned + final accent fold
+    assert r1.FULL_NAME == "Jose Garcia Moreno"
+    assert r1.GENDER == "Male"              # explicit attr M
+    assert r1.DOB == "12-01-1965"
+    assert r1.NATIONALITIES == "Venezuela"
+    assert r1.ADD_CITY == "Caracas"         # 'City' token dropped
+    assert r1.STATE == "Distrito Capital"
+    assert "Venezuela Caracas City Av. Urdaneta 12 Distrito Capital 1010" in r1.ADDRESS
+    assert "Title: (EU) 2020/1" in r1.DETAILS
+    assert "Birth place: Caracas" in r1.DETAILS
+    assert "Citizenship: Colombia" in r1.DETAILS   # second distinct citizenship
+    assert "1966" in r1.DETAILS                    # year without full date
+    assert r1.REM2 == "Number: EU.1234.5; Programme: VEN"
+    assert r1.ALIAS == "Pepe Garcia"
+    assert r1.REM1 == "Designation: Minister of Finance"
+
+    # entity 2: first alias non-Latin -> second selected; gender attr on it
+    assert r2.FULL_NAME == "Mohammed Aliyev"
+    assert r2.GENDER == "Male"
+    assert r2.DOB == "05-03-1970"
+    assert "Birth date: 06-04-1971" in r2.DETAILS  # second full date only
+    assert r2.ADD_COUNTRY == ""                    # UNKNOWN country invalid
+    assert r2.REM1 == "Designation: Commander; Recruiter"
+    assert r2.REM2 == "Number: EU.2222.1 / EU.2222.2; Programme: SYR"
+
+    # entity 3: forced-male title; province token cleanup
+    assert r3.GENDER == "Male"
+    assert r3.ADD_CITY == "Kandahar"
+    assert r3.STATE == ""                          # 'Kandahar Province' collapses
+    assert "Title: Mullah / Haji" in r3.DETAILS
+
+    # entities 4+5: duplicate 'Maria Lopez' — per reference pass-2
+    # semantics a duplicate row ignores its OWN candidate and takes the
+    # nearest non-empty neighbors only when they agree; here prev is the
+    # SYR candidate / next is the VEN candidate (or nothing), so both
+    # stay empty (the reference would flag them red)
+    assert r4.FULL_NAME == "Maria Lopez" and r5.FULL_NAME == "Maria Lopez"
+    assert r4.GENDER == "Female"
+    assert r4.REM2 == "" and r5.REM2 == ""
+
+    # entity 6: no latin alias at all
+    assert r6.FULL_NAME == "UNKNOWN"
+    assert r6.CATEGORY == "UNKNOWN"
+    assert r6.DETAILS == ""                        # 'none' remark dropped
+
+
+def test_pipeline_without_pdf(spark):
+    out = run_pipeline(spark, XML)
+    assert out.count() == 6
+    assert all(r.REM2 == "" for r in out.collect())
