@@ -72,4 +72,12 @@ def _ensure_loaded() -> None:
         from sanctions_data_pipeline_spark.plans import training_data  # noqa: F401
     except ImportError:
         pass
+    try:
+        from sanctions_data_pipeline_spark.plans import streaming  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from sanctions_data_pipeline_spark.plans import multimodal  # noqa: F401
+    except ImportError:
+        pass
     _loaded = True

@@ -375,3 +375,49 @@ def s_address_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("entity_id", "city_clean", "country_clean", "state_clean",
                 F.coalesce("address_all", F.lit("")).alias("address_all"))
     )
+
+
+# --------------------------------------------------------------------------
+# xml_entity_extract / pdf_chunk_extract — source connectors over the
+# repo fixtures (rows-only: inputs are XML/text fixtures, not the
+# SQL-visible parquet tables; exact field values pinned in
+# tests/test_pipeline.py)
+# --------------------------------------------------------------------------
+def _fixture_path(name: str) -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures", name)
+
+
+@register("xml_entity_extract")
+def xml_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source -> typed entity table (reference main.py:149-180
+    splits the feed with a driver loop; this is one distributed scan)."""
+    from sanctions_data_pipeline_spark.sources.xml_source import (
+        entities_table, read_entities,
+    )
+
+    ents = entities_table(read_entities(spark, _fixture_path("feed.xml")))
+    return ents.select(
+        "eu_ref", "classification",
+        F.size("aliases").alias("n_aliases"),
+        F.size("birthdates").alias("n_birthdates"),
+        F.size("addresses").alias("n_addresses"),
+        F.size("citizenships").alias("n_citizenships"),
+    )
+
+
+@register("pdf_chunk_extract")
+def pdf_chunk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity chunker + field line-parser over extracted PDF text
+    (reference main.py:261-283, 421-522)."""
+    from sanctions_data_pipeline_spark.sources.pdf_source import (
+        chunk_entities, parse_chunk_fields,
+    )
+
+    with open(_fixture_path("travel_ban.txt"), encoding="utf-8") as fh:
+        texts = spark.createDataFrame([("travel_ban.pdf", fh.read())],
+                                      "doc_path string, text string")
+    return parse_chunk_fields(chunk_entities(texts)).select(
+        "doc_path", "chunk_idx", "programme", "pdf_name", "numbers", "rem2")

@@ -1,0 +1,73 @@
+"""Structured Streaming suite (SURVEY.md §2): watermarked tumbling and
+session-window aggregations, drained through ``availableNow`` into a
+memory sink so the driver's batch oracle can hash-compare them.
+
+In ``complete`` output mode over a bounded file source the streaming
+result equals the batch aggregation exactly, which is what the DuckDB
+oracles express. Append-mode watermark semantics (late-row drop, closed
+-window emission) are pinned by ``tests/test_streaming.py`` instead —
+they depend on trigger batch boundaries, which no batch SQL can mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sanctions_data_pipeline_spark.plans.helpers import sql_dsum
+from sanctions_data_pipeline_spark.plans.registry import register
+from sanctions_data_pipeline_spark.streaming.ops import (
+    read_events_stream, run_available_now, session_agg, tumbling_agg,
+)
+
+_DVAL = "CAST(value AS DECIMAL(18,4))"
+
+
+# --------------------------------------------------------------------------
+# st_tumbling — watermark + 1h tumbling window agg (streaming)
+# --------------------------------------------------------------------------
+@register("st_tumbling", oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum(_DVAL, "total_value")}
+FROM events
+GROUP BY 1, 2, 3
+""")
+def st_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(tumbling_agg(ev, "1 hour", watermark="2 hours"))
+
+
+# --------------------------------------------------------------------------
+# st_session — session_window (30 min gap) streaming agg. Spark's merge
+# is INCLUSIVE at the boundary (an event at exactly last_event + gap
+# extends the session — pinned by tests/test_streaming.py), so the
+# oracle's new-session predicate is strictly `> gap`.
+# --------------------------------------------------------------------------
+@register("st_session", oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+       COUNT(*) AS n_events,
+       {sql_dsum(_DVAL, "total_value")}
+FROM sessions
+GROUP BY user_id, session_seq
+""")
+def st_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(session_agg(ev, "30 minutes", watermark="2 hours"))

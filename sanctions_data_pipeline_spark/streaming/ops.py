@@ -1,0 +1,128 @@
+"""Structured Streaming operators: watermarked tumbling and session
+window aggregations over the ``events`` stream.
+
+Scale notes
+-----------
+- The aggregations are plain ``groupBy(window/session_window)`` —
+  Spark's stateful streaming agg with partial (map-side) combine; state
+  is partitioned by the grouping key across executors, so they scale
+  the same way the batch equivalents do.
+- Watermarks bound state: late rows beyond the delay are dropped and
+  closed windows are evicted, so state size is O(active windows), not
+  O(stream length).
+- The **memory sink** used by :func:`run_available_now` collects to the
+  driver and exists only for the test/driver harness; a deployment
+  writes ``format("parquet"|"kafka")`` with checkpointing. The
+  transformation DataFrames returned by :func:`tumbling_agg` /
+  :func:`session_agg` are sink-agnostic.
+
+The same builders run in batch mode (pass a batch DataFrame): Spark's
+``window``/``session_window`` functions are batch-executable, which is
+what the DuckDB oracles compare against.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sanctions_data_pipeline_spark.plans.helpers import dsum, dval, lcount
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """``readStream`` over the events parquet directory.
+
+    The file source needs an explicit schema; we take it from a batch
+    read (with ``nanosAsLong`` the TIMESTAMP(NANOS) column arrives as
+    bigint) and restore a micros timestamp exactly like the batch
+    catalog does.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # testdata ships events.parquet as a single FILE; FileStreamSource
+        # only streams directories (it pins basePath to the source path).
+        # Expose the file through a tempdir symlink — no copy, read-only.
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(d, "part-00000.parquet"))
+        path = d
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(path)
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def tumbling_agg(events: DataFrame, window_len: str = "1 hour",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count/sum per event_type (streaming or batch).
+
+    Output: (window_start, window_end: string, event_type, n_events,
+    total_value) — window bounds formatted so oracle-hash compares are
+    timezone-stable. (Exact COUNT DISTINCT is a batch-only agg — see
+    q_events_bucketed — streaming would need approx_count_distinct.)
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    win = F.window("ts", window_len)
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(
+            lcount("n_events"),
+            dsum(dval("value"), "total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes",
+                watermark: str = "2 hours") -> DataFrame:
+    """Session-window aggregation per user (streaming or batch).
+
+    ``session_window(ts, gap)`` merges events whose gaps are <= ``gap``
+    (inclusive at the boundary); the window end is last-event + gap
+    (both mirrored exactly in the DuckDB oracle).
+    Output: (user_id, session_start_us, session_end_us, n_events,
+    total_value).
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    sess = F.session_window("ts", gap)
+    return (
+        events.groupBy(sess.alias("s"), "user_id")
+        .agg(lcount("n_events"), dsum(dval("value"), "total_value"))
+        .select(
+            "user_id",
+            F.unix_micros("s.start").alias("session_start_us"),
+            F.unix_micros("s.end").alias("session_end_us"),
+            "n_events", "total_value",
+        )
+    )
+
+
+def run_available_now(sdf: DataFrame, output_mode: str = "complete",
+                      table_name: str | None = None) -> DataFrame:
+    """Drain a bounded stream through a memory sink and return the
+    result table (harness-only; see module docstring)."""
+    name = table_name or f"st_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

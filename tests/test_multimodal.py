@@ -1,0 +1,74 @@
+"""Multimodal binary-column plumbing: schema, Arrow batching through
+mapInPandas, deterministic fake decode pinned against a pure-Python
+recomputation, and honest stubs for the absent codecs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.multimodal.ops import (
+    DECODE_SCHEMA, _fake_decode, attach_media, decode_features,
+    resize_images, sample_frames,
+)
+
+
+def test_attach_media_schema(spark, sf_dir):
+    m = attach_media(load_table(spark, sf_dir, "documents"))
+    d = dict(m.dtypes)
+    assert d["media"] == "binary"
+    assert d["media_type"] == "string"
+    assert d["media_meta"].startswith("struct")
+
+
+def test_decode_matches_python_recomputation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    out = decode_features(attach_media(docs)).collect()
+    assert len(out) == 50
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        buf = texts[r["doc_id"]].encode("utf-8")
+        mtype = ("image", "audio", "video")[r["doc_id"] % 3]
+        w, h, nf, feats = _fake_decode(mtype, buf)
+        assert (r["media_type"], r["n_bytes"]) == (mtype, len(buf))
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        assert np.allclose(r["features"], feats)
+        assert abs(sum(feats) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_decode_is_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    a = decode_features(attach_media(docs)).collect()
+    b = decode_features(attach_media(docs.repartition(7))).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(map(tuple, a), key=lambda t: t[0]) == \
+           sorted(map(tuple, b), key=lambda t: t[0])
+
+
+def test_decode_plan_prunes_text_column(spark, sf_dir):
+    """The projection under mapInPandas must not ship `text`/`media_meta`
+    into Python — only (doc_id, media_type, media)."""
+    plan = decode_features(attach_media(
+        load_table(spark, sf_dir, "documents")))._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    (head, _, below) = plan.partition("MapInPandas")
+    assert "media_meta" not in below
+
+
+def test_real_codec_paths_are_honest_stubs(spark, sf_dir):
+    m = attach_media(load_table(spark, sf_dir, "documents").limit(1))
+    with pytest.raises(NotImplementedError):
+        decode_features(m, use_real_codecs=True)
+    with pytest.raises(NotImplementedError):
+        resize_images(m, 64, 64)
+    with pytest.raises(NotImplementedError):
+        sample_frames(m, every_n=10)
+
+
+def test_decode_schema_stable():
+    assert [f.name for f in DECODE_SCHEMA] == [
+        "doc_id", "media_type", "n_bytes", "width", "height", "n_frames",
+        "features"]

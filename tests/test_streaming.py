@@ -1,0 +1,89 @@
+"""Structured Streaming: complete-mode equivalence with batch, and
+append-mode watermark semantics (late-window suppression) that no batch
+oracle can express."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sanctions_data_pipeline_spark.streaming.ops import (
+    read_events_stream, run_available_now, session_agg, tumbling_agg,
+)
+from sanctions_data_pipeline_spark.catalog import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    got = run_available_now(
+        tumbling_agg(read_events_stream(spark, sf_dir), "1 hour"))
+    want = tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+    assert _rows(got) == _rows(want)
+
+
+def test_session_stream_matches_batch(spark, sf_dir):
+    got = run_available_now(
+        session_agg(read_events_stream(spark, sf_dir), "30 minutes"))
+    want = session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+    assert _rows(got) == _rows(want)
+
+
+def test_session_window_gap_boundary(spark, tmp_path):
+    """Spark merges INCLUSIVELY at the gap boundary: an event exactly
+    `gap` after the last one extends the session; only a strictly
+    larger gap opens a new one — pins the `>` in the DuckDB oracle."""
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0),
+         (1, "2024-01-01 00:30:00", 1.0),   # exactly 30m -> merges
+         (1, "2024-01-01 01:00:01", 1.0),   # 30m01s after -> NEW
+         (2, "2024-01-01 00:00:00", 1.0)],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value",
+             F.lit(0).alias("event_id"))
+    out = session_agg(ev, "30 minutes")
+    per_user = {r["user_id"]: r for r in
+                out.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert per_user[1]["n"] == 2 and per_user[2]["n"] == 1
+
+
+def test_append_watermark_suppresses_open_windows(spark, tmp_path):
+    """Two file-batches; append mode emits only windows closed by the
+    watermark learned from batch 1, never the still-open tail."""
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+    base = "2024-01-01 {:02d}:30:00"
+    mk = lambda hours: spark.createDataFrame(
+        [(h, base.format(h)) for h in hours], "event_id long, ts_s string"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"),
+             F.lit("t").alias("event_type"), F.lit(1.0).alias("value"))
+    # batch 1: hours 0..5 -> watermark after it = 05:30 - 1h = 04:30
+    mk(range(6)).coalesce(1).write.parquet(os.path.join(d, "b1"))
+    mk(range(6, 8)).coalesce(1).write.parquet(os.path.join(d, "b2"))
+
+    schema = spark.read.parquet(d + "/b1").schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1")
+           .parquet(d + "/*/"))
+    agg = (sdf.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count("*").alias("n"))
+           .select(F.date_format("w.start", "HH").alias("h"), "n"))
+    got = run_available_now(agg, output_mode="append")
+    hours = sorted(r["h"] for r in got.collect())
+    # every emitted window closed before some observed watermark; the
+    # final (hour 7, and hour 6 if files arrive in one listing) stays open
+    assert "07" not in hours
+    assert set(hours) <= {f"{h:02d}" for h in range(7)}
+    # windows 0..3 certainly closed by the batch-1 watermark (04:30)
+    assert {f"{h:02d}" for h in range(4)} <= set(hours)
+
+
+def test_registered_streaming_queries_have_oracles():
+    from sanctions_data_pipeline_spark.plans import registry
+
+    oracles = registry.oracle_sql()
+    assert "st_tumbling" in oracles and "st_session" in oracles
