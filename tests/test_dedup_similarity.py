@@ -77,3 +77,28 @@ def test_lsh_topk_subset_of_bucket(spark):
     bucket = {r.vec_id: r.b for r in keyed}
     for r in out:
         assert bucket[r.query_id] == bucket[r.neighbor_id]
+
+
+def test_simhash_fingerprints_match_expression_form(spark, sf_dir):
+    """The codegen'd explode+agg SimHash must equal the HOF expression
+    form bit-for-bit (it replaced it on the hot path)."""
+    from sanctions_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    a = {r["doc_id"]: r["sh"] for r in
+         docs.select("doc_id", dd.simhash(F.col("text")).alias("sh")).collect()}
+    b = {r["doc_id"]: r["sh"] for r in dd.simhash_fingerprints(docs).collect()}
+    assert a == b
+
+
+def test_let_binding_evaluates_once_and_correctly(spark):
+    """`let` pins one evaluation of an expensive expr; result unchanged."""
+    from sanctions_data_pipeline_spark.functions.hof import let
+
+    df = spark.range(5)
+    out = df.select(
+        let(F.col("id") * 2,
+            lambda v: F.transform(F.sequence(F.lit(1), F.lit(3)),
+                                  lambda j: v + j)).alias("a"))
+    assert [r["a"] for r in out.orderBy("id").collect()] == \
+           [[2 * i + j for j in (1, 2, 3)] for i in range(5)]
