@@ -22,9 +22,17 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
     spark = get_spark("bench")
     timings: dict[str, float] = {}
-    # warm the JVM/session on the smallest table once so q-to-q timings
-    # measure the query, not session startup
+    # warm the JVM/session once so q-to-q timings measure the query, not
+    # session startup: a scan, a codegen'd shuffle agg, and a broadcast
+    # join exercise the scan/exchange/codegen paths the queries use
+    from pyspark.sql import functions as F
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    warm = (spark.range(1_000_000)
+            .groupBy((F.col("id") % 64).alias("k"))
+            .agg(F.sum((F.col("id") * 2).cast("decimal(18,4)")).alias("s"),
+                 F.count(F.lit(1)).alias("c")))
+    warm.join(F.broadcast(spark.range(64).withColumnRenamed("id", "k")), "k") \
+        .write.format("noop").mode("overwrite").save()
     for name, qd in registry.headline_queries().items():
         t0 = time.time()
         df = qd.build(spark, sf_dir)
