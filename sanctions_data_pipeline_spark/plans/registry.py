@@ -80,4 +80,8 @@ def _ensure_loaded() -> None:
         from sanctions_data_pipeline_spark.plans import multimodal  # noqa: F401
     except ImportError:
         pass
+    try:
+        from sanctions_data_pipeline_spark.plans import temporal  # noqa: F401
+    except ImportError:
+        pass
     _loaded = True
