@@ -102,3 +102,104 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, n_bits: int = 8,
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: deterministic spherical k-means coarse
+# quantizer + cell-probed search. The Lloyd loop is driver-coordinated
+# like MLlib's KMeans — each iteration is one distributed assign +
+# component-mean aggregation whose result (n_centroids x dim doubles)
+# is tiny; the corpus itself never leaves executors.
+# ---------------------------------------------------------------------------
+
+def _unit(vec: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in vec))
+    return [x / n for x in vec] if n else list(vec)
+
+
+def _centroid_lit(c: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def assign_cells(base: DataFrame, cents_unit: list[list[float]],
+                 vec_col: str = "v") -> DataFrame:
+    """Nearest-centroid cell (1-based) by cosine. Centroids are
+    pre-normalized so the argmax over plain dot products equals the
+    cosine argmax (the row norm is a common positive factor); the dot
+    array is let-bound to evaluate once per row."""
+    from sanctions_data_pipeline_spark.functions.hof import let
+
+    dots = F.array(*[dot(F.col(vec_col), _centroid_lit(c))
+                     for c in cents_unit])
+    cell = let(dots, lambda d: F.array_position(d, F.array_max(d)))
+    return base.withColumn("cell", cell.cast("int"))
+
+
+def kmeans_fit(corpus: DataFrame, n_centroids: int = 16, n_iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic spherical k-means: seeds are the n_centroids rows
+    with the smallest xxhash64(id) (stable pseudo-random), then n_iters
+    Lloyd steps (cosine assign, component-mean update, re-normalize).
+    Cells that lose all members keep their previous centroid."""
+    base = corpus.select(F.col(id_col),
+                         as_double(F.col(vec_col)).alias("v"))
+    seeds = (base.orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+             .limit(n_centroids).collect())
+    cents = [_unit(list(r["v"])) for r in seeds]
+    for _ in range(n_iters):
+        means = (
+            assign_cells(base, cents)
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+        ).collect()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        cents = [
+            _unit([by_cell[cell][p] for p in sorted(by_cell[cell])])
+            if cell in by_cell else cents[cell - 1]
+            for cell in range(1, len(cents) + 1)
+        ]
+    return cents
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             n_centroids: int = 16, n_iters: int = 2, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: corpus rows live in their nearest-centroid cell;
+    each query probes its n_probe nearest cells only. At scale the
+    corpus side is written partitioned by cell so a probe reads
+    n_probe/n_centroids of the data; queries broadcast.
+    Output (query_id, neighbor_id, cos, rnk)."""
+    from sanctions_data_pipeline_spark.functions.hof import let
+
+    cents = kmeans_fit(corpus, n_centroids, n_iters, id_col, vec_col)
+    c = assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double(F.col(vec_col)).alias("cv")), cents, "cv")
+    scored_cells = F.array(*[
+        F.struct(dot(F.col("qv"), _centroid_lit(cc)).alias("d"),
+                 F.lit(i + 1).alias("cell"))
+        for i, cc in enumerate(cents)])
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("qv"))
+        .select(
+            "query_id", "qv",
+            F.explode(let(scored_cells, lambda s: F.slice(
+                F.reverse(F.array_sort(s)), 1, n_probe))).alias("p"))
+        .select("query_id", "qv", F.col("p.cell").alias("cell"))
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )

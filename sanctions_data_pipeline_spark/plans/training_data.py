@@ -237,3 +237,16 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = tx.fingerprint(F.col("text"))
     return docs.select("doc_id", fp.alias("fp"),
                        F.substring(fp, 1, 2).alias("fp_bucket"))
+
+
+# --------------------------------------------------------------------------
+# IVF ANN top-k (rows-only: the k-means coarse quantizer is iterative —
+# no SQL twin; recall vs brute force pinned in tests/test_ivf.py)
+# --------------------------------------------------------------------------
+@register("sim_ann_ivf")
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return (sim.ivf_topk(queries, vecs, k=5, n_centroids=16, n_iters=2,
+                         n_probe=4)
+            .withColumn("rnk", F.col("rnk").cast("bigint")))

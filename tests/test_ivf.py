@@ -1,0 +1,45 @@
+"""IVF ANN: determinism, neighbor validity, recall floor vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.operators import similarity as sim
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"], r["cos"]) for r in df.collect()}
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qs = vecs.filter(F.col("vec_id") < 10)
+    a = _pairs(sim.ivf_topk(qs, vecs, k=5, n_probe=4))
+    b = _pairs(sim.ivf_topk(qs.repartition(3), vecs.repartition(7), k=5,
+                            n_probe=4))
+    assert a == b and len(a) == 50
+
+
+def test_ivf_recall_floor_and_validity(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qs = vecs.filter(F.col("vec_id") < 10)
+    ivf = _pairs(sim.ivf_topk(qs, vecs, k=5, n_probe=4))
+    bf = _pairs(sim.brute_force_topk(qs, vecs, k=5))
+    # every IVF cos must equal the brute-force cos for that pair when
+    # present (scores are exact; only the candidate set is approximate)
+    bf_scores = {(q, n): c for q, n, c in bf}
+    for q, n, c in ivf:
+        if (q, n) in bf_scores:
+            assert c == bf_scores[(q, n)]
+    recall = len({(q, n) for q, n, _ in ivf} &
+                 {(q, n) for q, n, _ in bf}) / len(bf)
+    assert recall >= 0.4
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    cents = sim.kmeans_fit(df, n_centroids=4, n_iters=2)
+    assert len(cents) == 4 and all(len(c) == 2 for c in cents)
