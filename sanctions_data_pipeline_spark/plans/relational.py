@@ -383,3 +383,34 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dval("value"), "total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_skew_salted — two-stage salted aggregation for hot grouping keys.
+# events has only 5 event_type values, so at 100 TB a single-stage
+# groupBy(event_type) funnels everything through 5 reducers; salting
+# fans each hot key across 32 partial groups first and combines the 32
+# partials second, keeping every reducer busy. Decimal partials keep
+# the sum exact, so the result (and oracle) equal the unsalted agg.
+# --------------------------------------------------------------------------
+@register("q_skew_salted", oracle=f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {sql_dsum("CAST(value AS DECIMAL(18,4))", "total_value")}
+FROM events
+GROUP BY event_type
+""")
+def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import _as_exact_double
+
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(32)))
+        .groupBy("event_type", "_salt")
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.sum(dval("value")).alias("_v"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("_n").alias("n_events"),
+             _as_exact_double(F.sum("_v")).alias("total_value"))
+    )
