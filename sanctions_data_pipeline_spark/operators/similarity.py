@@ -30,18 +30,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _with_norm(df: DataFrame, vec: str, norm: str) -> DataFrame:
+    """Materialize sqrt(dot(v,v)) once per row. Join-side cosines then
+    cost ONE fold per pair instead of three; the arithmetic (sequential
+    fold + same sqrt) is bit-identical to computing the norms inline,
+    so oracle value-hashes are unaffected."""
+    return df.withColumn(norm, F.sqrt(dot(F.col(vec), F.col(vec))))
+
+
 def cosine_pairs(vecs: DataFrame, block_cols: list[str], threshold: float,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding near-dup: pairs within a blocking group with
-    cosine >= threshold. Output (i, j, cos)."""
-    v = vecs.select(*block_cols, F.col(id_col).alias("i"),
-                    as_double(F.col(vec_col)).alias("va"))
-    w = vecs.select(*block_cols, F.col(id_col).alias("j"),
-                    as_double(F.col(vec_col)).alias("vb"))
+    cosine >= threshold. Output (i, j, cos).
+
+    The quadratic term is bounded by the block size by construction; at
+    corpus scale compose the block key with an LSH/IVF cell (see
+    sign_lsh_key / assign_cells) to cap it."""
+    v = _with_norm(vecs.select(*block_cols, F.col(id_col).alias("i"),
+                               as_double(F.col(vec_col)).alias("va")),
+                   "va", "na")
+    w = _with_norm(vecs.select(*block_cols, F.col(id_col).alias("j"),
+                               as_double(F.col(vec_col)).alias("vb")),
+                   "vb", "nb")
     return (
         v.join(w, on=block_cols)
         .filter(F.col("i") < F.col("j"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("i", "j", "cos")
     )
@@ -52,13 +67,16 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     """Exact cosine top-k: broadcast the query set against the corpus,
     rank per query (ties broken by corpus id). Output
     (query_id, neighbor_id, cos, rnk)."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       as_double(F.col(vec_col)).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      as_double(F.col(vec_col)).alias("cv"))
+    q = _with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                  as_double(F.col(vec_col)).alias("qv")),
+                   "qv", "qn")
+    c = _with_norm(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                 as_double(F.col(vec_col)).alias("cv")),
+                   "cv", "cn")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos", F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -85,16 +103,21 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int, n_bits: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: queries probe only their own sign-LSH bucket.
     Output (query_id, neighbor_id, cos, rnk)."""
-    q = queries.select(F.col(id_col).alias("query_id"),
+    q = _with_norm(
+        queries.select(F.col(id_col).alias("query_id"),
                        as_double(F.col(vec_col)).alias("qv"),
-                       sign_lsh_key(as_double(F.col(vec_col)), n_bits).alias("bucket"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       sign_lsh_key(as_double(F.col(vec_col)), n_bits).alias("bucket")),
+        "qv", "qn")
+    c = _with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
                       as_double(F.col(vec_col)).alias("cv"),
-                      sign_lsh_key(as_double(F.col(vec_col)), n_bits).alias("bucket"))
+                      sign_lsh_key(as_double(F.col(vec_col)), n_bits).alias("bucket")),
+        "cv", "cn")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos", F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -177,25 +200,28 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
     cents = kmeans_fit(corpus, n_centroids, n_iters, id_col, vec_col)
     c = assign_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      as_double(F.col(vec_col)).alias("cv")), cents, "cv")
+        _with_norm(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                 as_double(F.col(vec_col)).alias("cv")),
+                   "cv", "cn"), cents, "cv")
     scored_cells = F.array(*[
         F.struct(dot(F.col("qv"), _centroid_lit(cc)).alias("d"),
                  F.lit(i + 1).alias("cell"))
         for i, cc in enumerate(cents)])
     probes = (
-        queries.select(F.col(id_col).alias("query_id"),
-                       as_double(F.col(vec_col)).alias("qv"))
+        _with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                  as_double(F.col(vec_col)).alias("qv")),
+                   "qv", "qn")
         .select(
-            "query_id", "qv",
+            "query_id", "qv", "qn",
             F.explode(let(scored_cells, lambda s: F.slice(
                 F.reverse(F.array_sort(s)), 1, n_probe))).alias("p"))
-        .select("query_id", "qv", F.col("p.cell").alias("cell"))
+        .select("query_id", "qv", "qn", F.col("p.cell").alias("cell"))
     )
     scored = (
         c.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos", F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

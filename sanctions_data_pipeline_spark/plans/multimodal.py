@@ -15,7 +15,7 @@ from sanctions_data_pipeline_spark.multimodal.ops import attach_media, decode_fe
 from sanctions_data_pipeline_spark.plans.registry import register
 
 
-@register("mm_decode")
+@register("mm_decode", headline=True)
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = decode_features(attach_media(docs))

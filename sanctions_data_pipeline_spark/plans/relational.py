@@ -393,7 +393,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partials second, keeping every reducer busy. Decimal partials keep
 # the sum exact, so the result (and oracle) equal the unsalted agg.
 # --------------------------------------------------------------------------
-@register("q_skew_salted", oracle=f"""
+@register("q_skew_salted", headline=True, oracle=f"""
 SELECT event_type, COUNT(*) AS n_events,
        {sql_dsum("CAST(value AS DECIMAL(18,4))", "total_value")}
 FROM events

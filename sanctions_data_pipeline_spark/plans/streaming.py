@@ -46,7 +46,7 @@ def st_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extends the session — pinned by tests/test_streaming.py), so the
 # oracle's new-session predicate is strictly `> gap`.
 # --------------------------------------------------------------------------
-@register("st_session", oracle=f"""
+@register("st_session", headline=True, oracle=f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN LAG(ts) OVER w IS NULL

@@ -24,7 +24,7 @@ from sanctions_data_pipeline_spark.plans.registry import register
 # q_asof_join — for each click, the user's most recent STRICTLY-prior
 # purchase (point-in-time state lookup)
 # --------------------------------------------------------------------------
-@register("q_asof_join", oracle="""
+@register("q_asof_join", headline=True, oracle="""
 WITH tagged AS (
   SELECT user_id, ts, event_id, NULL::BIGINT AS p_event_id,
          NULL::DOUBLE AS p_value, 0 AS kind
@@ -62,7 +62,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_range_join — clicks within the 5 minutes before each error (no
 # equi-key; bucketed range join, 2-bucket fan-out)
 # --------------------------------------------------------------------------
-@register("q_range_join", oracle="""
+@register("q_range_join", headline=True, oracle="""
 SELECT e.event_id, epoch_us(e.ts) AS ts_us, count(c.ts) AS n_clicks
 FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
 LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c

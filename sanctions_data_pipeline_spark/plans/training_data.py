@@ -39,7 +39,7 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # n-gram (3-word shingle) Jaccard near-dup pairs, blocked by language
 # --------------------------------------------------------------------------
-@register("dd_ngram_jaccard", oracle=f"""
+@register("dd_ngram_jaccard", headline=True, oracle=f"""
 WITH s AS (
   SELECT doc_id, lang,
          CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
@@ -74,7 +74,7 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SimHash hamming pairs (rows-only: xxhash64 has no DuckDB twin)
 # --------------------------------------------------------------------------
-@register("dd_simhash")
+@register("dd_simhash", headline=True)
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_pairs(docs, max_hamming=3)
@@ -131,7 +131,7 @@ def _sql_bucket(v: str, n_bits: int = 8) -> str:
     return f"({terms})"
 
 
-@register("sim_ann_lsh", oracle=f"""
+@register("sim_ann_lsh", headline=True, oracle=f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (SELECT vec_id, v, {_sql_bucket("v")} AS bucket FROM e),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
