@@ -414,3 +414,44 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("_n").alias("n_events"),
              _as_exact_double(F.sum("_v")).alias("total_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# q_cube_sales — full grouping-sets lattice (CUBE) over order
+# priority x status: all four grouping combinations in ONE pass over
+# the fact table (Catalyst expands the lattice map-side; one shuffle).
+# --------------------------------------------------------------------------
+@register("q_cube_sales", oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+       {sql_dsum("CAST(o_totalprice AS DECIMAL(18,4))", "total_price")},
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""")
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(dsum(dval("o_totalprice"), "total_price"), lcount("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q_approx_sketch — sketch aggregates: HyperLogLog++ distinct counts and
+# t-digest-style approximate quantiles. THE at-scale substitute for
+# exact COUNT(DISTINCT)/percentile: fixed-size mergeable sketch state
+# flows through the map-side combine, no per-key explosion, one narrow
+# shuffle of sketch buffers. Rows-only (sketch internals are
+# engine-specific); tests/test_relational.py pins accuracy vs exact.
+# --------------------------------------------------------------------------
+@register("q_approx_sketch")
+def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+            lcount("n_events"),
+        )
+    )

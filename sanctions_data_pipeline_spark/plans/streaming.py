@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from sanctions_data_pipeline_spark.plans.helpers import sql_dsum
 from sanctions_data_pipeline_spark.plans.registry import register
 from sanctions_data_pipeline_spark.streaming.ops import (
-    read_events_stream, run_available_now, session_agg, tumbling_agg,
+    dedup_hourly, read_events_stream, run_available_now, session_agg,
+    tumbling_agg, user_running_stats,
 )
 
 _DVAL = "CAST(value AS DECIMAL(18,4))"
@@ -71,3 +72,35 @@ GROUP BY user_id, session_seq
 def st_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return run_available_now(session_agg(ev, "30 minutes", watermark="2 hours"))
+
+
+# --------------------------------------------------------------------------
+# st_dedup — watermark-bounded streaming exact dedup
+# (dropDuplicatesWithinWatermark; state evicted past the horizon)
+# --------------------------------------------------------------------------
+@register("st_dedup", oracle="""
+SELECT DISTINCT user_id, event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour
+FROM events
+""")
+def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(dedup_hourly(ev, watermark="2 hours"),
+                             output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st_user_state — custom stateful operator (applyInPandasWithState):
+# per-user running count/max. Over the bounded availableNow stream the
+# final emission per user equals the batch aggregate, which the oracle
+# expresses; incremental multi-batch state updates are pinned by
+# tests/test_streaming.py.
+# --------------------------------------------------------------------------
+@register("st_user_state", oracle="""
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+""")
+def st_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(user_running_stats(ev), output_mode="append")

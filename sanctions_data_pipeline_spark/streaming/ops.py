@@ -112,6 +112,66 @@ def session_agg(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type, hour-bucket).
+
+    The streaming path uses ``dropDuplicatesWithinWatermark`` so the
+    dedup state is BOUNDED: a key is held only until the watermark
+    passes its event time, after which it is evicted — O(keys in the
+    watermark horizon) state, not O(stream length). Batch inputs take
+    the plain ``dropDuplicates`` path (same output set).
+    """
+    keyed = events.select(
+        "user_id", "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "ts",
+    )
+    if keyed.isStreaming:
+        keyed = (keyed.withWatermark("ts", watermark)
+                 .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"]))
+    else:
+        keyed = keyed.dropDuplicates(["user_id", "event_type", "hour"])
+    return keyed.select("user_id", "event_type", "hour")
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, max_value), emitted once per micro-batch that
+    touches the user.
+
+    This is the escape hatch for stateful logic ``groupBy().agg()``
+    cannot express (the aggregate here could, but the harness pins the
+    plumbing: Arrow-batched state access, typed state schema, per-group
+    iterator). State is partitioned by user across executors and is two
+    fixed-width fields per user — O(users) regardless of stream length.
+
+    Output: (user_id, n_events, max_value) — count and max only, both
+    bit-exact across engines (no order-dependent double sums).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, max_value double"
+    state_schema = "n bigint, mx double"
+
+    def update(key, pdfs, state):
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [int(key[0])], "n_events": [n], "max_value": [mx]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(update, out_schema, state_schema,
+                                "append", GroupStateTimeout.NoTimeout)
+    )
+
+
 def run_available_now(sdf: DataFrame, output_mode: str = "complete",
                       table_name: str | None = None) -> DataFrame:
     """Drain a bounded stream through a memory sink and return the

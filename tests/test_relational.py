@@ -70,3 +70,34 @@ def test_entry_contract(spark):
     assert df.count() >= 0
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
+
+
+def test_cube_lattice_complete(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["q_cube_sales"].build(spark, sf_dir).collect()
+    combos = {(r["o_orderpriority"] is None, r["o_orderstatus"] is None)
+              for r in rows}
+    assert combos == {(False, False), (False, True), (True, False), (True, True)}
+    [total] = [r for r in rows
+               if r["o_orderpriority"] is None and r["o_orderstatus"] is None]
+    import sanctions_data_pipeline_spark.catalog as cat
+    assert total["n_orders"] == cat.load_table(spark, sf_dir, "orders").count()
+
+
+def test_approx_sketch_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.plans.registry import REGISTRY
+    import sanctions_data_pipeline_spark.catalog as cat
+
+    got = {r["event_type"]: r
+           for r in REGISTRY["q_approx_sketch"].build(spark, sf_dir).collect()}
+    ev = cat.load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("u"),
+                 F.expr("percentile(value, 0.5)").alias("med")).collect()}
+    for et, e in exact.items():
+        assert abs(got[et]["approx_users"] - e["u"]) <= max(2, 0.05 * e["u"])
+        assert abs(got[et]["approx_median_value"] - e["med"]) <= \
+            0.1 * max(1.0, abs(e["med"]))
