@@ -1,0 +1,79 @@
+"""Physical-plan audit: pins the scale properties SURVEY §6 claims.
+
+Correctness tests prove the operators compute the right answer at
+sf0.001; these prove the PLANS are the ones that survive 100 TB —
+filters reach the parquet scan, projections prune columns, dim joins
+broadcast, and nothing silently degrades to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from sanctions_data_pipeline_spark.plans.registry import REGISTRY, queries
+
+queries()  # force lazy registry load before REGISTRY is inspected
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    p = plan_of(REGISTRY["q6_forecast_revenue"].build(spark, sf_dir))
+    assert "PushedFilters: [" in p
+    # at least one real predicate reached the reader (not just IsNotNull)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any(("GreaterThan" in ln or "LessThan" in ln or "EqualTo" in ln)
+               for ln in pushed), pushed
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir):
+    p = plan_of(REGISTRY["q1_pricing_summary"].build(spark, sf_dir))
+    schema_lines = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schema_lines, p
+    # q1 needs 7 lineitem columns; the 16-column scan would be wrong
+    line = schema_lines[0]
+    assert "l_comment" not in line and "l_orderkey" not in line
+    assert "l_quantity" in line and "l_returnflag" in line
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    p = plan_of(REGISTRY["q5_local_supplier"].build(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_whole_stage_codegen_covers_q1(spark, sf_dir):
+    # AQE wraps everything in AdaptiveSparkPlan and defers codegen to
+    # stage execution; disable it for the inspection only so the static
+    # plan shows its codegen subtrees.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan_of(REGISTRY["q1_pricing_summary"].build(spark, sf_dir),
+                    "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in p and "Found 0" not in p
+
+
+# Queries whose plans legitimately contain a non-equi broadcast join
+# (top-k similarity intentionally scores query x corpus / query x cell).
+_NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
+                "q_range_join", "q_asof_join"}
+
+
+@pytest.mark.parametrize("name", sorted(
+    n for n in REGISTRY if not n.startswith(("st_", "pipeline", "xml", "pdf"))))
+def test_no_unplanned_cartesian(spark, sf_dir, name):
+    df = queries()[name](spark, sf_dir)
+    p = plan_of(df, "simple")
+    assert "CartesianProduct" not in p, f"{name} degraded to cartesian"
+    if name not in _NON_EQUI_OK:
+        assert "BroadcastNestedLoopJoin" not in p, \
+            f"{name} has an unplanned non-equi join"
