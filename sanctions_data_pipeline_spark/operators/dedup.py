@@ -325,3 +325,62 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(pairs: DataFrame, src: str = "i", dst: str = "j",
+                         max_iters: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list -> (id, cluster_id),
+    cluster_id = min node id in the component. This is the "action" step
+    of dedup: near-dup PAIRS become duplicate GROUPS, from which one
+    canonical doc per group survives.
+
+    Algorithm: distributed min-label propagation with pointer jumping.
+    Each round every node takes the min label over itself and its
+    neighbors (one shuffle on the node key), then labels are compressed
+    one hop (label := label[label], a second self-join) — the path
+    halving makes convergence O(log diameter) rounds rather than
+    O(diameter), the same trick as large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Convergence is detected by the exact bigint sum of labels: labels
+    only ever decrease, so an unchanged sum means a fixed point. Each
+    round persists its label table and unpersists the previous one, so
+    lineage stays one-round deep and every shuffle is over (id, label)
+    long pairs — at 100 TB the label table is |V| * 16 bytes spread
+    across the cluster, and near-dup components have tiny diameters
+    (2-3 rounds in practice).
+    """
+    edges = (pairs.select(F.col(src).cast("long").alias("a"),
+                          F.col(dst).cast("long").alias("b"))
+             .unionAll(pairs.select(F.col(dst).cast("long").alias("a"),
+                                    F.col(src).cast("long").alias("b")))
+             .distinct()
+             .persist())
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .persist())
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    for _ in range(max_iters):
+        nbr_min = (edges.join(labels, edges.b == labels.id)
+                   .groupBy("a").agg(F.min("label").alias("nbr")))
+        stepped = (labels.join(nbr_min, labels.id == nbr_min.a, "left")
+                   .select(labels.id,
+                           F.least("label", F.coalesce("nbr", "label"))
+                            .alias("label")))
+        # pointer jumping: label := label-of-label
+        parents = stepped.select(F.col("id").alias("pid"),
+                                 F.col("label").alias("plabel"))
+        jumped = (stepped.join(parents, stepped.label == parents.pid, "left")
+                  .select(stepped.id,
+                          F.coalesce("plabel", "label").alias("label"))
+                  .persist())
+        cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = jumped
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -245,3 +245,139 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             lcount("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_gap_fill — time-series densification: per-event-type hourly buckets
+# with missing hours zero-filled over the global [min,max] hour range.
+# The grid is (|event_types| x |hours|) — tiny — generated with
+# sequence+explode and broadcast against the aggregated counts, so the
+# only fact-table shuffle is the bucket aggregation itself.
+# --------------------------------------------------------------------------
+@register("q_gap_fill", oracle=f"""
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), et AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM et, b
+), c AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n_events,
+         {sql_dsum("CAST(value AS DECIMAL(18,4))", "total_value")}
+  FROM events GROUP BY 1, 2
+)
+SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS bucket,
+       COALESCE(c.n_events, 0) AS n_events,
+       COALESCE(c.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+""")
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import ts_str
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = (ev.groupBy(F.col("event_type"), hour.alias("h"))
+              .agg(lcount("n_events"), dsum(dval("value"), "total_value")))
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                    F.date_trunc("hour", F.max("ts")).alias("h1"))
+    grid = (ev.select("event_type").distinct()
+            .crossJoin(F.broadcast(bounds))
+            .select("event_type",
+                    F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour")))
+                     .alias("h")))
+    return (grid.join(counts, ["event_type", "h"], "left")
+            .select("event_type",
+                    ts_str(F.col("h"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+                    F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+                    F.coalesce("total_value", F.lit(0.0)).alias("total_value")))
+
+
+# --------------------------------------------------------------------------
+# q_unpivot — wide->long melt of a per-segment metric table (the
+# DataFrame unpivot/stack operator). All melted values are doubles
+# derived from exact decimal aggs, so the long table hash-matches the
+# oracle's UNION ALL formulation.
+# --------------------------------------------------------------------------
+@register("q_unpivot", oracle=f"""
+WITH w AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         {sql_dsum("CAST(c_acctbal AS DECIMAL(18,4))", "total_acctbal")},
+         CAST(MIN(c_acctbal) AS DOUBLE) AS min_acctbal,
+         CAST(MAX(c_acctbal) AS DOUBLE) AS max_acctbal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM w
+UNION ALL
+SELECT c_mktsegment, 'total_acctbal', total_acctbal FROM w
+UNION ALL
+SELECT c_mktsegment, 'min_acctbal', min_acctbal FROM w
+UNION ALL
+SELECT c_mktsegment, 'max_acctbal', max_acctbal FROM w
+""")
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        dsum(dval("c_acctbal"), "total_acctbal"),
+        F.min("c_acctbal").cast("double").alias("min_acctbal"),
+        F.max("c_acctbal").cast("double").alias("max_acctbal"),
+    )
+    return wide.unpivot(
+        "c_mktsegment",
+        ["n_customers", "total_acctbal", "min_acctbal", "max_acctbal"],
+        "metric", "value")
+
+
+# --------------------------------------------------------------------------
+# q_stats_moments — per-group stddev + correlation computed from EXACT
+# moment sums (n, Sx, Sxx, Sy, Syy, Sxy as decimals/bigints), combined
+# into the textbook formulas in double at the edge. Naive
+# stddev()/corr() aggs are accumulation-order-dependent; moment sums
+# are exact and order-free, so both engines evaluate the identical
+# IEEE expression tree -> bit-identical results. One hash agg, six
+# map-side-combined sums.
+# --------------------------------------------------------------------------
+@register("q_stats_moments", oracle="""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) * 10000 AS BIGINT) / 10000.0 AS DOUBLE) AS sx,
+         CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))), 4) * 10000 AS BIGINT) / 10000.0 AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(props->>'k' AS INTEGER)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(props->>'k' AS BIGINT) * CAST(props->>'k' AS BIGINT)) AS DOUBLE) AS syy,
+         CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)) * CAST(props->>'k' AS INTEGER)), 4) * 10000 AS BIGINT) / 10000.0 AS DOUBLE) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS std_value,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_vk
+FROM m
+""")
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    x = dval("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _as_exact_double(F.sum(x)).alias("sx"),
+        _as_exact_double(F.sum(x * x)).alias("sxx"),
+        F.sum(k).cast("double").alias("sy"),
+        F.sum(k.cast("bigint") * k.cast("bigint")).cast("double").alias("syy"),
+        _as_exact_double(F.sum(x * k)).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_events"),
+        F.round(F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1)))), 6)
+         .alias("std_value"),
+        F.round((n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6)
+         .alias("corr_vk"),
+    )

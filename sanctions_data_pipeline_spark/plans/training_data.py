@@ -14,6 +14,7 @@ from sanctions_data_pipeline_spark.catalog import load_table
 from sanctions_data_pipeline_spark.operators import dedup as dd
 from sanctions_data_pipeline_spark.operators import similarity as sim
 from sanctions_data_pipeline_spark.operators import textstats as tx
+from sanctions_data_pipeline_spark.plans.helpers import lcount
 from sanctions_data_pipeline_spark.plans.registry import register
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -293,3 +294,104 @@ def tx_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("tfidf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# dd_cluster — near-dup pairs -> duplicate GROUPS via distributed
+# connected components (min-label propagation + pointer jumping), the
+# step that turns pair detection into an actionable keep/drop list.
+# Edges are the dd_ngram_jaccard pairs; cluster_id = min doc_id in the
+# component. Oracle: DuckDB recursive CTE computing min reachable id.
+# --------------------------------------------------------------------------
+@register("dd_cluster", headline=True, oracle=f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+), p AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+), e AS (
+  SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p
+), n AS (SELECT DISTINCT a AS id FROM e),
+reach AS (
+  SELECT id, id AS r FROM n
+  UNION
+  SELECT e.a AS id, reach.r FROM e JOIN reach ON e.b = reach.id
+)
+SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+""")
+def dd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, ["lang"], threshold=0.5, k=3)
+    return dd.connected_components(pairs)
+
+
+# --------------------------------------------------------------------------
+# tx_pii_redact — regex PII/number scrubbing: count + mask email
+# addresses and digit runs, fingerprint the redacted text. Pure
+# JVM-side regex expressions (whole-stage codegen, no Python); the
+# regexes stay in the RE2-compatible subset so the DuckDB oracle runs
+# the byte-identical patterns.
+# --------------------------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_NUM_RE = "[0-9]+"
+
+
+@register("tx_pii_redact", oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_NUM_RE}')) AS BIGINT) AS n_nums,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_NUM_RE}', '<NUM>', 'g')) AS redacted_hash
+FROM documents
+""")
+def tx_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _NUM_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+         .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_NUM_RE), 0))
+         .cast("bigint").alias("n_nums"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# tx_ngrams — corpus bigram counts (the n-gram LM / contamination-scan
+# primitive). The bigram explode happens map-side off the scan; only
+# (bigram, 1) pairs shuffle into a hash agg with map-side combine.
+# Threshold bounds output size.
+# --------------------------------------------------------------------------
+@register("tx_ngrams", oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+), bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram FROM idx
+)
+SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+FROM bg WHERE bigram <> ' ' GROUP BY bigram HAVING COUNT(*) >= 10
+""")
+def tx_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
+    bg = (toks.filter(F.size("t") >= 2)
+          .select("doc_id", F.explode(F.expr(
+              "transform(sequence(1, size(t) - 1),"
+              " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+              .alias("bigram"))
+          .filter(F.col("bigram") != " "))
+    return (bg.groupBy("bigram")
+            .agg(lcount("n"), F.countDistinct("doc_id").alias("n_docs"))
+            .filter(F.col("n") >= 10))

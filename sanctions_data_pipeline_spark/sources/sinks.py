@@ -29,3 +29,22 @@ def write_output(df: DataFrame, path: str, fmt: str = "parquet",
         writer.option("header", "true").csv(path)
     else:
         raise ValueError(f"unknown sink format {fmt!r}")
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 8, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    Two tables bucketed by the same key into the same bucket count
+    join WITHOUT a shuffle: each task zips bucket i with bucket i.
+    At 100 TB this is the difference between re-shuffling the fact
+    table on every join and paying the partitioning cost once at
+    write time — the standard layout for fact tables that are
+    repeatedly joined on the same key.
+    """
+    writer = (df.write.mode(mode).format("parquet")
+              .bucketBy(n_buckets, *bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -102,3 +102,68 @@ def test_let_binding_evaluates_once_and_correctly(spark):
                                   lambda j: v + j)).alias("a"))
     assert [r["a"] for r in out.orderBy("id").collect()] == \
            [[2 * i + j for j in (1, 2, 3)] for i in range(5)]
+
+
+def test_cluster_covers_pairs_and_min_label(spark, sf_dir):
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+    from sanctions_data_pipeline_spark.plans import registry
+
+    docs = __import__("sanctions_data_pipeline_spark.catalog",
+                      fromlist=["load_table"]).load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, ["lang"], threshold=0.5, k=3)
+    labels = {r.id: r.cluster_id
+              for r in registry.queries()["dd_cluster"](spark, sf_dir).collect()}
+    # every edge endpoint pair shares a cluster
+    for p in pairs.collect():
+        assert labels[p.i] == labels[p.j], (p.i, p.j)
+    # cluster_id is the min member id of its cluster
+    from collections import defaultdict
+    members = defaultdict(list)
+    for node, c in labels.items():
+        members[c].append(node)
+    for c, mem in members.items():
+        assert c == min(mem)
+
+
+def test_cluster_transitive_chain(spark):
+    # a chain a-b, b-c, c-d must collapse into ONE component even
+    # though a-d never appears as a pair (transitivity)
+    from sanctions_data_pipeline_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], "i long, j long")
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_pii_redact_masks_all_digits(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+    from sanctions_data_pipeline_spark.plans.training_data import (
+        _EMAIL_RE, _NUM_RE)
+
+    out = registry.queries()["tx_pii_redact"](spark, sf_dir)
+    assert out.select("doc_id").distinct().count() == out.count()
+    # pin the masking semantics on known text (the synthetic corpus has
+    # no digits/emails, so counts there are legitimately zero)
+    fix = spark.createDataFrame(
+        [("contact a.smith+x@ex.co or +44 20 7946 0958", 1)],
+        "text string, doc_id int")
+    row = fix.select(
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("ne"),
+        F.size(F.regexp_extract_all("text", F.lit(_NUM_RE), 0)).alias("nn"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _NUM_RE, "<NUM>").alias("red"),
+    ).collect()[0]
+    assert row.ne == 1 and row.nn == 4
+    assert row.red == "contact <EMAIL> or +<NUM> <NUM> <NUM> <NUM>"
+
+
+def test_ngrams_threshold(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+    rows = registry.queries()["tx_ngrams"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n >= 10
+        assert 1 <= r.n_docs <= r.n
+        assert " " in r.bigram

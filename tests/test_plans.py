@@ -66,8 +66,9 @@ def test_whole_stage_codegen_covers_q1(spark, sf_dir):
 # (top-k similarity intentionally scores query x corpus / query x cell).
 _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_range_join", "q_asof_join",
-                # intentional broadcast of a ONE-row scalar (corpus size)
-                "tx_tfidf"}
+                # intentional broadcast of a ONE-row scalar (corpus size /
+                # global hour bounds)
+                "tx_tfidf", "q_gap_fill"}
 
 
 @pytest.mark.parametrize("name", sorted(

@@ -97,3 +97,29 @@ def test_tfidf_scores(spark, sf_dir):
     for r in rows:
         assert r.tf >= 3 and r.df >= 1
         assert r.tfidf >= 0  # ln(nd/df) >= 0 since df <= nd
+
+
+def test_gap_fill_dense_grid(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_gap_fill")
+    # grid is dense: every event_type has the same number of buckets,
+    # and zero-filled rows exist (sf0.001 is sparse at hourly grain)
+    per_type = rows.groupBy("event_type").count().collect()
+    counts = {r["count"] for r in per_type}
+    assert len(counts) == 1
+    assert rows.filter((F.col("n_events") == 0)
+                       & (F.col("total_value") == 0.0)).count() > 0
+
+
+def test_unpivot_shape(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_unpivot").collect()
+    segs = {r.c_mktsegment for r in rows}
+    metrics = Counter(r.metric for r in rows)
+    assert set(metrics) == {"n_customers", "total_acctbal",
+                            "min_acctbal", "max_acctbal"}
+    assert all(v == len(segs) for v in metrics.values())
+
+
+def test_stats_moments_sane(spark, sf_dir):
+    for r in _run(spark, sf_dir, "q_stats_moments").collect():
+        assert r.std_value >= 0
+        assert -1.0 <= r.corr_vk <= 1.0
