@@ -345,36 +345,46 @@ def connected_components(pairs: DataFrame, src: str = "i", dst: str = "j",
     Convergence is detected by the exact bigint sum of labels: labels
     only ever decrease, so an unchanged sum means a fixed point. Each
     round persists its label table and unpersists the previous one, so
-    lineage stays one-round deep and every shuffle is over (id, label)
-    long pairs — at 100 TB the label table is |V| * 16 bytes spread
-    across the cluster, and near-dup components have tiny diameters
-    (2-3 rounds in practice).
+    AQE re-plans every round from MATERIALIZED stats (tiny label table
+    → broadcast join, coalesced partitions); lineage stays one round
+    deep and every shuffle is over (id, label) long pairs — at 100 TB
+    the label table is |V| * 16 bytes spread across the cluster, and
+    near-dup components have tiny diameters (2-3 rounds in practice).
+
+    Self-loops are folded into the edge list, so one join+agg computes
+    min(own label, neighbor labels) directly — no separate "combine
+    with self" join per round.
     """
-    edges = (pairs.select(F.col(src).cast("long").alias("a"),
-                          F.col(dst).cast("long").alias("b"))
-             .unionAll(pairs.select(F.col(dst).cast("long").alias("a"),
-                                    F.col(src).cast("long").alias("b")))
-             .distinct()
+    # sym is persisted so the (possibly expensive) pair-producing plan
+    # upstream runs exactly once — nodes, self-loops, and labels all
+    # read the cached symmetric edge list.
+    sym = (pairs.select(F.col(src).cast("long").alias("a"),
+                        F.col(dst).cast("long").alias("b"))
+           .unionAll(pairs.select(F.col(dst).cast("long").alias("a"),
+                                  F.col(src).cast("long").alias("b")))
+           .distinct()
+           .persist())
+    nodes = sym.select(F.col("a").alias("id")).distinct()
+    edges = (sym.unionAll(nodes.select(F.col("id").alias("a"),
+                                       F.col("id").alias("b")))
              .persist())
-    labels = (edges.select(F.col("a").alias("id")).distinct()
-              .withColumn("label", F.col("id"))
-              .persist())
+    labels = nodes.withColumn("label", F.col("id")).persist()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
-    for _ in range(max_iters):
-        nbr_min = (edges.join(labels, edges.b == labels.id)
-                   .groupBy("a").agg(F.min("label").alias("nbr")))
-        stepped = (labels.join(nbr_min, labels.id == nbr_min.a, "left")
-                   .select(labels.id,
-                           F.least("label", F.coalesce("nbr", "label"))
-                            .alias("label")))
-        # pointer jumping: label := label-of-label
+    def step(lab: DataFrame) -> DataFrame:
+        # min over self∪neighbors in ONE join+agg (self-loops in edges)
+        stepped = (edges.join(lab, edges.b == lab.id)
+                   .groupBy(edges.a.alias("id"))
+                   .agg(F.min("label").alias("label")))
+        # pointer jumping: label := label-of-label (path halving)
         parents = stepped.select(F.col("id").alias("pid"),
                                  F.col("label").alias("plabel"))
-        jumped = (stepped.join(parents, stepped.label == parents.pid, "left")
-                  .select(stepped.id,
-                          F.coalesce("plabel", "label").alias("label"))
-                  .persist())
+        return (stepped.join(parents, stepped.label == parents.pid, "left")
+                .select(stepped.id,
+                        F.coalesce("plabel", "label").alias("label")))
+
+    for _ in range(max_iters):
+        jumped = step(labels).persist()
         cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = jumped
@@ -382,5 +392,6 @@ def connected_components(pairs: DataFrame, src: str = "i", dst: str = "j",
             break
         prev_sum = cur_sum
 
+    sym.unpersist()
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -39,6 +39,10 @@ def get_spark(app_name: str = "sanctions_data_pipeline_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let AQE re-plan (coalesce / broadcast) inside cached plans —
+        # critical for iterative algorithms that persist per-round state
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         # the synthetic events table stores TIMESTAMP(NANOS); read as long
         # and convert in catalog.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
