@@ -395,3 +395,162 @@ def tx_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (bg.groupBy("bigram")
             .agg(lcount("n"), F.countDistinct("doc_id").alias("n_docs"))
             .filter(F.col("n") >= 10))
+
+
+# --------------------------------------------------------------------------
+# tt_split — deterministic train/valid/test split. The split is a pure
+# function of the stable doc_id (first 8 hex digits of md5 -> bucket
+# 0..99 -> 80/10/10), so it is reproducible across runs, engines and
+# cluster sizes, needs no shuffle at all (map-only, codegen), and new
+# documents never move existing ones between splits. This is the
+# standard leakage-safe split for training corpora (vs. rand(), which
+# is nondeterministic and partition-order-dependent).
+# --------------------------------------------------------------------------
+_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT)"
+
+
+@register("tt_split", oracle=f"""
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {_BUCKET} AS b FROM documents)
+""")
+def tt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("bigint") % 100)
+    return docs.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+         .alias("split"))
+
+
+# --------------------------------------------------------------------------
+# mix_sample — weighted mixture sampling: each source gets a sampling
+# rate from a (broadcast) weights dim, and a row survives iff its
+# deterministic per-row uniform u = md5(salt||doc_id)/2^32 < rate.
+# Map-only + broadcast hash join: no shuffle, reproducible sample,
+# exact per-source rate control — the core of training-mixture
+# construction (upsample rare sources, downsample dominant ones).
+# --------------------------------------------------------------------------
+_MIX_U = "(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+_MIX_WEIGHTS = [(f"src{i}", (i % 4 + 1) / 4.0) for i in range(20)]
+
+
+@register("mix_sample", oracle=f"""
+WITH w(source, rate) AS (VALUES {", ".join(f"('{s}', {r})" for s, r in _MIX_WEIGHTS)})
+SELECT d.doc_id, d.source
+FROM documents d JOIN w ON d.source = w.source
+WHERE {_MIX_U} < w.rate
+""")
+def mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(_MIX_WEIGHTS, "source string, rate double")
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit("mix:"),
+                                           F.col("doc_id").cast("string"))),
+                            1, 8), 16, 10)
+         .cast("bigint") / F.lit(4294967296.0))
+    return (docs.join(F.broadcast(weights), "source")
+            .filter(u < F.col("rate"))
+            .select("doc_id", "source"))
+
+
+# --------------------------------------------------------------------------
+# dp_pack — sequence packing: assign documents to fixed token-budget
+# training bins. Contiguous packing per language: docs ordered by
+# doc_id, bin = floor(running_tokens_before / budget) — one window
+# cumsum per lang partition (a single shuffle on lang), deterministic
+# and restart-stable. (True first-fit-decreasing packing is
+# order-dependent and inherently sequential; contiguous packing is the
+# standard distributed approximation — each bin overflows by at most
+# one document.)
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+
+
+@register("dp_pack", oracle=f"""
+WITH t AS (SELECT lang, doc_id, len({_TOKS}) AS ntok FROM documents),
+c AS (
+  SELECT lang, ntok,
+         SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - ntok AS cumb
+  FROM t
+)
+SELECT lang, CAST(FLOOR(cumb / {_PACK_BUDGET}.0) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS tokens
+FROM c GROUP BY lang, bin
+""")
+def dp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", "doc_id",
+                    F.size(tx.tokens(F.col("text"))).alias("ntok"))
+    w = Window.partitionBy("lang").orderBy("doc_id") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cumb = F.sum("ntok").over(w) - F.col("ntok")
+    return (t.withColumn("bin", F.floor(cumb / _PACK_BUDGET))
+            .groupBy("lang", "bin")
+            .agg(lcount("n_docs"),
+                 F.sum("ntok").cast("bigint").alias("tokens")))
+
+
+# --------------------------------------------------------------------------
+# emb_centroid — per-label embedding centroid (per-dimension mean).
+# posexplode fans each vector into (label, dim, val) rows map-side;
+# one hash agg with map-side combine computes every (label, dim) mean.
+# The classic building block for cluster assignment / outlier scoring
+# over an embedding corpus. dim is 1-based to match SQL subscripts.
+# --------------------------------------------------------------------------
+@register("emb_centroid", oracle="""
+SELECT label, i AS dim, round(avg(embedding[i]), 6) AS c
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, i
+""")
+def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (emb.select("label", F.posexplode("embedding").alias("p", "val"))
+            .groupBy("label", (F.col("p") + 1).alias("dim"))
+            .agg(F.round(F.avg("val"), 6).alias("c")))
+
+
+# --------------------------------------------------------------------------
+# dd_keep_canonical — the corpus AFTER near-dup removal: every document
+# except non-canonical members of near-dup clusters (canonical = min
+# doc_id per connected component of the Jaccard pair graph). The
+# "action" that turns clustering into a deliverable training corpus:
+# a left-anti join of the corpus against the (tiny) drop list.
+# --------------------------------------------------------------------------
+@register("dd_keep_canonical", oracle=f"""
+WITH RECURSIVE s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+), p AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+), e AS (
+  SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p
+), n AS (SELECT DISTINCT a AS id FROM e),
+reach AS (
+  SELECT id, id AS r FROM n
+  UNION
+  SELECT e.a AS id, reach.r FROM e JOIN reach ON e.b = reach.id
+), comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+""")
+def dd_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, ["lang"], threshold=0.5, k=3)
+    labels = dd.connected_components(pairs)
+    drop = labels.filter(F.col("id") != F.col("cluster_id")) \
+                 .select(F.col("id").alias("doc_id"))
+    return (docs.join(F.broadcast(drop), "doc_id", "left_anti")
+            .select("doc_id", "lang"))

@@ -1,0 +1,93 @@
+"""Training-data extension ops: deterministic split, mixture sampling,
+sequence packing, embedding centroids, canonical-corpus output."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sanctions_data_pipeline_spark.plans import registry
+
+
+def _run(spark, sf_dir, name):
+    return registry.queries()[name](spark, sf_dir)
+
+
+def test_tt_split_deterministic_and_proportional(spark, sf_dir):
+    a = {r.doc_id: r.split for r in _run(spark, sf_dir, "tt_split").collect()}
+    b = {r.doc_id: r.split for r in _run(spark, sf_dir, "tt_split").collect()}
+    assert a == b  # pure function of doc_id
+    n = len(a)
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) <= {"train", "valid", "test"}
+    assert c["train"] / n > 0.6  # 80% nominal, small-sample slack
+    assert c["test"] / n < 0.25
+
+
+def test_mix_sample_rates(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans.training_data import _MIX_WEIGHTS
+
+    docs = __import__("sanctions_data_pipeline_spark.catalog",
+                      fromlist=["load_table"]).load_table(spark, sf_dir, "documents")
+    totals = {r.source: r["count"]
+              for r in docs.groupBy("source").count().collect()}
+    kept = {r.source: r["count"]
+            for r in _run(spark, sf_dir, "mix_sample")
+            .groupBy("source").count().collect()}
+    rates = dict(_MIX_WEIGHTS)
+    for s, total in totals.items():
+        k = kept.get(s, 0)
+        assert k <= total
+        if rates[s] == 1.0:
+            assert k == total  # weight-1 sources survive whole
+        else:  # binomial(n=25, p) at sf0.001+: loose 3-sigma band
+            import math
+            sigma = math.sqrt(total * rates[s] * (1 - rates[s]))
+            assert abs(k - total * rates[s]) <= 4 * sigma + 1
+
+
+def test_dp_pack_conserves_tokens_and_bins_contiguous(spark, sf_dir):
+    rows = _run(spark, sf_dir, "dp_pack").collect()
+    docs = __import__("sanctions_data_pipeline_spark.catalog",
+                      fromlist=["load_table"]).load_table(spark, sf_dir, "documents")
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+    total = docs.select(F.sum(F.size(tx.tokens(F.col("text")))).alias("t")) \
+                .collect()[0].t
+    assert sum(r.tokens for r in rows) == total  # nothing dropped
+    from collections import defaultdict
+    bins = defaultdict(list)
+    for r in rows:
+        bins[r.lang].append(r.bin)
+    for lang, bs in bins.items():
+        assert sorted(bs) == list(range(len(bs)))  # contiguous 0..k
+
+
+def test_emb_centroid_shape_and_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "emb_centroid").collect()
+    emb = __import__("sanctions_data_pipeline_spark.catalog",
+                     fromlist=["load_table"]).load_table(spark, sf_dir, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    dim = len(emb.select("embedding").first().embedding)
+    assert len(rows) == n_labels * dim
+    assert {r.dim for r in rows} == set(range(1, dim + 1))
+    lo, hi = emb.select(
+        F.min(F.array_min("embedding")), F.max(F.array_max("embedding"))
+    ).first()
+    for r in rows:
+        assert lo - 1e-6 <= r.c <= hi + 1e-6
+
+
+def test_keep_canonical_partitions_corpus(spark, sf_dir):
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, ["lang"], threshold=0.5, k=3)
+    labels = {r.id: r.cluster_id
+              for r in dd.connected_components(pairs).collect()}
+    kept = {r.doc_id for r in _run(spark, sf_dir, "dd_keep_canonical").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    dropped = {i for i, c in labels.items() if i != c}
+    assert kept == all_ids - dropped
+    # every cluster's canonical member survives
+    assert all(c in kept for c in labels.values())
