@@ -381,3 +381,30 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6)
          .alias("corr_vk"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_upsert_latest — MERGE INTO semantics (SCD type-1, latest wins) as a
+# single hash agg: base = orders, change set = every 10th order marked
+# shipped with bumped priority. One shuffle on the merge key, max_by
+# picks the newest payload, n_versions counts how many versions met.
+# --------------------------------------------------------------------------
+@register("q_upsert_latest", oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN 'S' ELSE o_orderstatus END
+           AS o_orderstatus,
+       CASE WHEN o_orderkey % 10 = 0 THEN '1-URGENT' ELSE o_orderpriority END
+           AS o_orderpriority,
+       CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS n_versions
+FROM orders
+""")
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.merge import upsert_latest
+
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    updates = (orders.filter(F.col("o_orderkey") % 10 == 0)
+               .select("o_orderkey",
+                       F.lit("S").alias("o_orderstatus"),
+                       F.lit("1-URGENT").alias("o_orderpriority")))
+    return upsert_latest(orders, updates, ["o_orderkey"])

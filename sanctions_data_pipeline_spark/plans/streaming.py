@@ -125,3 +125,30 @@ def st_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer")
     return run_available_now(stream_static_enrich(ev, cust))
+
+
+# --------------------------------------------------------------------------
+# st_sliding — sliding-window (2h length, 1h slide) streaming agg: each
+# event lands in exactly two windows, whose starts are its floor-hour
+# and the hour before — which is what the oracle's unnest expresses.
+# --------------------------------------------------------------------------
+@register("st_sliding", oracle=f"""
+WITH x AS (
+  SELECT event_type, value,
+         unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum(_DVAL, "total_value")}
+FROM x GROUP BY 1, 2, 3
+""")
+def st_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.streaming.ops import sliding_agg
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(sliding_agg(ev, "2 hours", "1 hour",
+                                         watermark="2 hours"))

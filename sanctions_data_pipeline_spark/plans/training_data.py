@@ -554,3 +554,49 @@ def dd_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.col("id").alias("doc_id"))
     return (docs.join(F.broadcast(drop), "doc_id", "left_anti")
             .select("doc_id", "lang"))
+
+
+# --------------------------------------------------------------------------
+# tx_quality_filter — per-language quality gate: keep documents whose
+# quality score clears that language's 10th percentile. The per-lang
+# thresholds are a tiny agg broadcast back against the corpus — the
+# standard "drop the worst decile per language" corpus-filtering step,
+# with no second shuffle of the documents themselves. Scores and
+# thresholds are rounded to 6dp on both sides so the >= boundary is
+# engine-exact.
+# --------------------------------------------------------------------------
+_QSCORE = ("round(0.4 * least(len({toks}) / 100.0, 1.0)"
+           " + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text))"
+           " + 0.3 * least({stop} * 5.0 / len({toks}), 1.0), 6)")
+
+
+@register("tx_quality_filter", oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         {_QSCORE.format(toks=_TOKS, stop=tx.sql_stopword_hits("text", "en"))} AS quality_score
+  FROM documents
+), thr AS (
+  SELECT lang, round(quantile_cont(quality_score, 0.10), 6) AS p10
+  FROM q GROUP BY lang
+)
+SELECT q.doc_id, q.lang, q.quality_score
+FROM q JOIN thr ON q.lang = thr.lang
+WHERE q.quality_score >= thr.p10
+""")
+def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = tx.ws_token_count(F.col("text"))
+    n_chars = F.length("text")
+    n_punct = tx.punct_count(F.col("text"))
+    n_stop = tx.stopword_hits(F.col("text"), "en")
+    q = docs.select(
+        "doc_id", "lang",
+        F.round(0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+                + 0.3 * (1.0 - n_punct * 1.0 / n_chars)
+                + 0.3 * F.least(n_stop * 5.0 / n_tokens, F.lit(1.0)), 6)
+         .alias("quality_score"))
+    thr = q.groupBy("lang").agg(
+        F.round(F.percentile("quality_score", F.lit(0.10)), 6).alias("p10"))
+    return (q.join(F.broadcast(thr), "lang")
+            .filter(F.col("quality_score") >= F.col("p10"))
+            .select("doc_id", "lang", "quality_score"))

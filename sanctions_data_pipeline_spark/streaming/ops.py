@@ -204,3 +204,27 @@ def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
         joined.groupBy("c_mktsegment")
         .agg(lcount("n_events"), dsum(dval("value"), "total_value"))
     )
+
+
+def sliding_agg(events: DataFrame, window_len: str = "2 hours",
+                slide: str = "1 hour",
+                watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window count/sum per event_type (streaming or batch).
+
+    ``window(ts, len, slide)`` fans each event into len/slide
+    overlapping windows map-side (no extra shuffle vs tumbling); state
+    per key is len/slide times the tumbling equivalent, still bounded
+    by the watermark. Output mirrors :func:`tumbling_agg`.
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    win = F.window("ts", window_len, slide)
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(lcount("n_events"), dsum(dval("value"), "total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )

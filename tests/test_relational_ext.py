@@ -123,3 +123,26 @@ def test_stats_moments_sane(spark, sf_dir):
     for r in _run(spark, sf_dir, "q_stats_moments").collect():
         assert r.std_value >= 0
         assert -1.0 <= r.corr_vk <= 1.0
+
+
+def test_upsert_latest_inserts_and_replaces(spark):
+    from sanctions_data_pipeline_spark.operators.merge import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string")
+    upd = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k int, v string")
+    got = {r.k: (r.v, r.n_versions)
+           for r in upsert_latest(base, upd, ["k"]).collect()}
+    assert got == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1)}
+
+
+def test_quality_filter_drops_bottom_decile(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+
+    q = registry.queries()
+    kept = q["tx_quality_filter"](spark, sf_dir)
+    total = q["tx_quality"](spark, sf_dir).count()
+    n_kept = kept.count()
+    # drops at most ~10% per language (>= threshold keeps the boundary row)
+    assert 0.85 * total <= n_kept <= total

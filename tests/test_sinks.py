@@ -3,6 +3,7 @@ whose co-bucketed join runs WITHOUT a shuffle exchange."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -52,3 +53,45 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir):
+    import os
+
+    from sanctions_data_pipeline_spark.sources.sinks import compact_parquet
+
+    cust = load_table(spark, sf_dir, "customer")
+    src = tempfile.mkdtemp(prefix="sink_small_")
+    dst = tempfile.mkdtemp(prefix="sink_compact_")
+    try:
+        cust.repartition(24).write.mode("overwrite").parquet(src)
+        n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+        assert n_small == 24
+        n = compact_parquet(spark, src, dst, target_bytes=1 << 30)
+        n_out = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+        assert n == 1 and n_out == 1
+        assert spark.read.parquet(dst).count() == cust.count()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_xlsx_sink_gated(spark, sf_dir):
+    import pytest
+
+    from sanctions_data_pipeline_spark.sources.sinks import write_output
+
+    cust = load_table(spark, sf_dir, "customer").limit(5)
+    try:
+        import openpyxl  # noqa: F401
+        has_openpyxl = True
+    except ImportError:
+        has_openpyxl = False
+    if has_openpyxl:
+        out = tempfile.mktemp(suffix=".xlsx")
+        write_output(cust, out, fmt="xlsx")
+        assert os.path.exists(out)
+        os.remove(out)
+    else:
+        with pytest.raises(NotImplementedError):
+            write_output(cust, "/tmp/never.xlsx", fmt="xlsx")
