@@ -11,7 +11,7 @@ they depend on trigger batch boundaries, which no batch SQL can mirror.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sanctions_data_pipeline_spark.plans.helpers import sql_dsum
 from sanctions_data_pipeline_spark.plans.registry import register
@@ -152,3 +152,25 @@ def st_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return run_available_now(sliding_agg(ev, "2 hours", "1 hour",
                                          watermark="2 hours"))
+
+
+# --------------------------------------------------------------------------
+# st_stream_stream — watermarked stream-stream interval join (click →
+# same-user purchase within 30 min). Append mode; equals the batch
+# interval join the oracle expresses.
+# --------------------------------------------------------------------------
+@register("st_stream_stream", oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""")
+def st_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.streaming.ops import click_purchase_join
+
+    ev1 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    ev2 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return run_available_now(click_purchase_join(ev1, ev2),
+                             output_mode="append")

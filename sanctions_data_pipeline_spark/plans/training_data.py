@@ -600,3 +600,47 @@ def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (q.join(F.broadcast(thr), "lang")
             .filter(F.col("quality_score") >= F.col("p10"))
             .select("doc_id", "lang", "quality_score"))
+
+
+# --------------------------------------------------------------------------
+# tx_contamination — benchmark decontamination scan: score every corpus
+# document by how many distinct probe bigrams (from a deterministic
+# "benchmark" doc subset, doc_id % 97 == 0) it contains. The probe set
+# is tiny → broadcast; corpus bigrams explode map-side off the scan and
+# hash-join against the broadcast probes with NO corpus shuffle except
+# the per-doc count agg. This is the n-gram-overlap decontamination
+# pass every training pipeline runs against eval sets.
+# --------------------------------------------------------------------------
+_BIGRAMS_SPARK = ("transform(sequence(1, size(t) - 1),"
+                  " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+_BIGRAMS_DUCK = ("list_transform(range(1, len(t)),"
+                 " i -> t[i] || ' ' || t[i+1])")
+
+
+@register("tx_contamination", oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_distinct({_BIGRAMS_DUCK})) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+probes AS (
+  SELECT DISTINCT bigram FROM bg WHERE doc_id % 97 = 0
+)
+SELECT bg.doc_id, COUNT(*) AS n_hits
+FROM bg JOIN probes ON bg.bigram = probes.bigram
+WHERE bg.doc_id % 97 <> 0
+GROUP BY bg.doc_id
+""")
+def tx_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
+          .filter(F.size("t") >= 2)
+          .select("doc_id",
+                  F.explode(F.array_distinct(F.expr(_BIGRAMS_SPARK)))
+                   .alias("bigram")))
+    probes = (bg.filter(F.col("doc_id") % 97 == 0)
+              .select("bigram").distinct())
+    return (bg.filter(F.col("doc_id") % 97 != 0)
+            .join(F.broadcast(probes), "bigram")
+            .groupBy("doc_id")
+            .agg(lcount("n_hits")))

@@ -228,3 +228,36 @@ def sliding_agg(events: DataFrame, window_len: str = "2 hours",
             "event_type", "n_events", "total_value",
         )
     )
+
+
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
+                        horizon: str = "30 minutes",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each click matches same-user
+    purchases within ``horizon`` after it.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH sides, so Spark can evict join state past the horizon
+    — O(events in watermark window) state per side, the canonical
+    funnel/attribution join. Inner matches are emitted as soon as both
+    rows arrive (the watermark only gates state cleanup).
+    """
+    c = clicks.select(F.col("user_id"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id"))
+    p = purchases.select(F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("event_id").alias("purchase_id"))
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {horizon}")),
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+        .alias("delay_us"))

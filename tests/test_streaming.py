@@ -123,3 +123,27 @@ def test_user_state_incremental_across_batches(spark, tmp_path):
             by_user[r["user_id"]] = r
     assert by_user[1]["n_events"] == 3 and by_user[1]["max_value"] == 7.0
     assert by_user[2]["n_events"] == 1 and by_user[2]["max_value"] == 9.0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from sanctions_data_pipeline_spark.streaming.ops import click_purchase_join
+
+    ev1 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    ev2 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    got = run_available_now(click_purchase_join(ev1, ev2),
+                            output_mode="append")
+    bev = load_table(spark, sf_dir, "events")
+    want = click_purchase_join(bev.filter(F.col("event_type") == "click"),
+                               bev.filter(F.col("event_type") == "purchase"))
+    assert _rows(got) == _rows(want)
+    for r in got.collect():
+        assert 0 <= r.delay_us <= 30 * 60 * 1_000_000
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    from sanctions_data_pipeline_spark.streaming.ops import sliding_agg
+
+    got = run_available_now(
+        sliding_agg(read_events_stream(spark, sf_dir), "2 hours", "1 hour"))
+    want = sliding_agg(load_table(spark, sf_dir, "events"), "2 hours", "1 hour")
+    assert _rows(got) == _rows(want)

@@ -91,3 +91,11 @@ def test_keep_canonical_partitions_corpus(spark, sf_dir):
     assert kept == all_ids - dropped
     # every cluster's canonical member survives
     assert all(c in kept for c in labels.values())
+
+
+def test_contamination_excludes_probe_docs(spark, sf_dir):
+    rows = _run(spark, sf_dir, "tx_contamination").collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 97 != 0  # benchmark docs never scored
+        assert r.n_hits >= 1
