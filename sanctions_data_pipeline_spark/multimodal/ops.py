@@ -7,13 +7,14 @@ signatures, column pruning before the Python hop — is real and tested.
 The actual image/audio/video codecs are NOT available in this
 environment, so:
 
-- :func:`decode_features` uses a **deterministic fake decoder** (pure
-  numpy over the raw bytes) so tests can pin exact outputs; the real
-  codec hook is an explicit, clearly-marked stub.
-- :func:`resize_images` / :func:`sample_frames` raise
-  ``NotImplementedError`` unless PIL / a video codec is importable,
-  with signatures, output schemas, and batching identical to the real
-  thing.
+- :func:`decode_features`, :func:`resize_images` and
+  :func:`sample_frames` run **deterministic fake kernels** (pure
+  numpy/bytes math) by default so the full plumbing — projection
+  pruning, Arrow batching, binary outputs, 1→many frame fan-out —
+  executes for real and tests pin exact outputs.
+- Their ``use_real_codecs=True`` paths are explicit, clearly-marked
+  stubs that raise ``NotImplementedError`` until PIL / pyav exist in
+  the image, with signatures and schemas identical to the real thing.
 
 Scale notes: media bytes never leave the executor JVM except through
 Arrow record batches (zero-copy to pandas); per-row Python calls are
@@ -123,17 +124,41 @@ RESIZE_SCHEMA = T.StructType([
 ])
 
 
-def resize_images(media_df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize image payloads to (width, height). STUB: raises unless PIL
-    is importable — the mapInPandas shape is what a real build fills in."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "resize_images needs PIL (absent in this image)") from exc
+def resize_images(media_df: DataFrame, width: int, height: int,
+                  use_real_codecs: bool = False) -> DataFrame:
+    """Resize image payloads to (width, height), as Arrow-batched
+    ``mapInPandas``.
 
-    def _resize(batches):  # pragma: no cover - needs PIL
-        raise NotImplementedError("PIL resize over Arrow batches")
+    The fake kernel (default) is a deterministic nearest-neighbor byte
+    resample — every output payload is exactly ``width*height`` bytes
+    drawn from the input buffer — so the full plumbing (projection
+    pruning, Arrow batching, binary-out schema) runs and is pinned by
+    tests. ``use_real_codecs=True`` is the clearly-marked PIL stub.
+    """
+    if use_real_codecs:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "resize_images needs PIL (absent in this image)") from exc
+        raise NotImplementedError("wire PIL.Image.resize over Arrow batches")
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        m = width * height
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+                a = np.frombuffer(buf, dtype=np.uint8)
+                if a.size == 0:
+                    out = np.zeros(m, dtype=np.uint8)
+                else:
+                    idx = (np.arange(m, dtype=np.int64) * a.size) // m
+                    out = a[idx]
+                rows.append((doc_id, out.tobytes(), width, height))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA])
 
     return media_df.select("doc_id", "media").mapInPandas(_resize, RESIZE_SCHEMA)
 
@@ -145,16 +170,39 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
-def sample_frames(media_df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Sample every Nth video frame. STUB: raises unless a video codec
-    (pyav) is importable."""
-    try:
-        import av  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "sample_frames needs pyav (absent in this image)") from exc
+FAKE_FRAME_BYTES = 256
 
-    def _sample(batches):  # pragma: no cover - needs pyav
-        raise NotImplementedError("pyav frame iteration over Arrow batches")
+
+def sample_frames(media_df: DataFrame, every_n: int = 30,
+                  use_real_codecs: bool = False) -> DataFrame:
+    """Sample every Nth video frame, as Arrow-batched ``mapInPandas``
+    with 1→many row fan-out (one output row per sampled frame).
+
+    The fake kernel (default) treats the payload as fixed-size
+    ``FAKE_FRAME_BYTES`` chunks and emits chunks 0, N, 2N, … — so the
+    genuinely tricky plumbing (a mapInPandas that EXPLODES rows, frame
+    indices, binary frame payloads) runs for real and is pinned by
+    tests. ``use_real_codecs=True`` is the clearly-marked pyav stub.
+    """
+    if use_real_codecs:
+        try:
+            import av  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "sample_frames needs pyav (absent in this image)") from exc
+        raise NotImplementedError("wire pyav frame iteration over Arrow batches")
+
+    def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+                n_frames = max(1, -(-len(buf) // FAKE_FRAME_BYTES))
+                for fi in range(0, n_frames, every_n):
+                    rows.append((doc_id, fi,
+                                 bytes(buf[fi * FAKE_FRAME_BYTES:
+                                           (fi + 1) * FAKE_FRAME_BYTES])))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
 
     return media_df.select("doc_id", "media").mapInPandas(_sample, FRAME_SCHEMA)

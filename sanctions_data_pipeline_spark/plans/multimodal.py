@@ -25,3 +25,30 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6)
          .alias("feat_sum"),
     )
+
+
+@register("mm_resize")
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (rows-only): deterministic byte-resample
+    kernel inside the real mapInPandas pipeline; emits sizes + a
+    payload digest so the driver's rows-check pins determinism."""
+    from sanctions_data_pipeline_spark.multimodal.ops import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_images(attach_media(docs), 32, 8)
+    return out.select("doc_id", "width", "height",
+                      F.md5(F.col("media")).alias("payload_md5"))
+
+
+@register("mm_frames")
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (rows-only): 1→many mapInPandas
+    fan-out; emits per-doc sampled-frame counts + digest of the first
+    frame."""
+    from sanctions_data_pipeline_spark.multimodal.ops import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_media(docs), every_n=2)
+    return (frames.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_frames_sampled"),
+                 F.md5(F.min_by("frame", F.col("frame_idx"))).alias("first_frame_md5")))

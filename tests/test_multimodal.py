@@ -63,12 +63,41 @@ def test_real_codec_paths_are_honest_stubs(spark, sf_dir):
     with pytest.raises(NotImplementedError):
         decode_features(m, use_real_codecs=True)
     with pytest.raises(NotImplementedError):
-        resize_images(m, 64, 64)
+        resize_images(m, 64, 64, use_real_codecs=True)
     with pytest.raises(NotImplementedError):
-        sample_frames(m, every_n=10)
+        sample_frames(m, every_n=10, use_real_codecs=True)
 
 
 def test_decode_schema_stable():
     assert [f.name for f in DECODE_SCHEMA] == [
         "doc_id", "media_type", "n_bytes", "width", "height", "n_frames",
         "features"]
+
+
+def test_resize_fake_kernel_shapes(spark, sf_dir):
+    m = attach_media(load_table(spark, sf_dir, "documents"))
+    out = resize_images(m, 32, 8).collect()
+    assert len(out) == m.count()
+    for r in out:
+        assert len(r.media) == 32 * 8
+        assert (r.width, r.height) == (32, 8)
+    # deterministic: same input -> same bytes
+    again = {r.doc_id: r.media for r in resize_images(m, 32, 8).collect()}
+    assert all(again[r.doc_id] == r.media for r in out)
+
+
+def test_sample_frames_fan_out(spark, sf_dir):
+    from sanctions_data_pipeline_spark.multimodal.ops import FAKE_FRAME_BYTES
+
+    m = attach_media(load_table(spark, sf_dir, "documents"))
+    out = sample_frames(m, every_n=2).collect()
+    sizes = {r.doc_id: r.n for r in
+             m.select("doc_id", F.octet_length("media").alias("n")).collect()}
+    from collections import Counter
+    per_doc = Counter(r.doc_id for r in out)
+    for doc_id, nbytes in sizes.items():
+        n_frames = max(1, -(-nbytes // FAKE_FRAME_BYTES))
+        assert per_doc[doc_id] == -(-n_frames // 2)  # ceil(n_frames / every_n)
+    for r in out:
+        assert r.frame_idx % 2 == 0
+        assert 0 < len(r.frame) <= FAKE_FRAME_BYTES
