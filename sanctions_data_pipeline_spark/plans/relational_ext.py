@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from sanctions_data_pipeline_spark.catalog import load_table
 from sanctions_data_pipeline_spark.plans.helpers import (
-    _as_exact_double, dsum, dval, lcount, sql_dsum,
+    _as_exact_double, drate, dsum, dval, lcount, sql_dsum,
 )
 from sanctions_data_pipeline_spark.plans.registry import register
 
@@ -408,3 +408,107 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit("S").alias("o_orderstatus"),
                        F.lit("1-URGENT").alias("o_orderpriority")))
     return upsert_latest(orders, updates, ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# q13_custdist — TPC-H Q13 shape: LEFT OUTER join fact→dim with an
+# ON-clause filter, per-customer order counts, then the distribution
+# of those counts. Exercises null-generating outer join + double agg.
+# Expressed through the spark.sql SQL surface over registered temp
+# views (same Catalyst plan as the DataFrame API).
+# --------------------------------------------------------------------------
+@register("q13_custdist", oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""")
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """)
+
+
+# --------------------------------------------------------------------------
+# q19_disjunctive — TPC-H Q19 shape: revenue under an OR-of-ANDs
+# predicate spanning both join sides. Catalyst extracts the common
+# join key and pushes the single-side conjuncts (p_brand/p_size,
+# l_quantity bounds) below the join — the disjunction does NOT force
+# a cartesian or a full scan of either side.
+# --------------------------------------------------------------------------
+@register("q19_disjunctive", oracle=f"""
+SELECT {sql_dsum("CAST(l_extendedprice AS DECIMAL(18,4))"
+                 " * (1 - CAST(l_discount AS DECIMAL(8,4)))", "revenue")},
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+""")
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35)))
+    rev = dval("l_extendedprice") * (F.lit(1).cast("decimal(8,4)") - drate("l_discount"))
+    return joined.filter(pred).agg(dsum(rev, "revenue"), lcount("n_items"))
+
+
+# --------------------------------------------------------------------------
+# q21_sole_returner — TPC-H Q21 shape: semi + anti self-join on the
+# fact table. Suppliers whose 'R'-flagged line is in a multi-supplier
+# order where NO other supplier flagged 'R': EXISTS(other supplier in
+# order) AND NOT EXISTS(other supplier with 'R'). Both existence
+# probes are one self-join each on l_orderkey — no window, no
+# cartesian; AQE picks broadcast for the aggregated probe sides.
+# --------------------------------------------------------------------------
+@register("q21_sole_returner", oracle="""
+WITH r AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+), anysupp AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp FROM lineitem
+  GROUP BY l_orderkey
+), rsupp AS (
+  SELECT l_orderkey, COUNT(*) AS n_rsupp FROM r GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM r
+JOIN anysupp USING (l_orderkey)
+JOIN rsupp USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE anysupp.n_supp > 1 AND rsupp.n_rsupp = 1
+GROUP BY s.s_name
+""")
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    r = (li.filter(F.col("l_returnflag") == "R")
+         .select("l_orderkey", "l_suppkey").distinct())
+    anysupp = (li.groupBy("l_orderkey")
+               .agg(F.countDistinct("l_suppkey").alias("n_supp")))
+    rsupp = r.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rsupp"))
+    return (r.join(anysupp, "l_orderkey")
+            .join(rsupp, "l_orderkey")
+            .filter((F.col("n_supp") > 1) & (F.col("n_rsupp") == 1))
+            .join(sup, r.l_suppkey == sup.s_suppkey)
+            .groupBy("s_name")
+            .agg(lcount("numwait")))
