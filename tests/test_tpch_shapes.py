@@ -1,0 +1,88 @@
+"""Semantic pins for the second TPC-H-shape batch (sf0.001).
+Cross-engine value equality is covered by tools/check_oracle.py and the
+driver gate; these pin invariants the oracle compare can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.plans import registry
+
+
+def _run(spark, sf_dir, name):
+    return registry.queries()[name](spark, sf_dir)
+
+
+def test_q4_semi_join_never_exceeds_order_count(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q4_order_priority").collect()
+    orders = load_table(spark, sf_dir, "orders")
+    in_window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))).count()
+    assert sum(r.order_count for r in rows) <= in_window
+    assert all(r.order_count > 0 for r in rows)
+    # semi join must not fan out: priorities are distinct
+    names = [r.o_orderpriority for r in rows]
+    assert len(names) == len(set(names))
+
+
+def test_q7_bidirectional_nation_pair(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q7_volume_shipping").collect()
+    pairs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert pairs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_q8_share_bounded_and_no_nation_filter_loss(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q8_market_share").collect()
+    assert rows, "market-share query returned no years"
+    assert all(0.0 <= r.mkt_share <= 1.0 for r in rows)
+
+
+def test_q10_topk_is_deterministic_and_sorted(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q10_returned_items").collect()
+    assert len(rows) <= 20
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    again = _run(spark, sf_dir, "q10_returned_items").collect()
+    assert [(r.c_custkey, r.revenue) for r in rows] == \
+        [(r.c_custkey, r.revenue) for r in again]
+
+
+def test_q14_percentage_bounds(spark, sf_dir):
+    row = _run(spark, sf_dir, "q14_promo_revenue").collect()[0]
+    assert 0.0 <= row.promo_revenue <= 100.0
+
+
+def test_q18_threshold_respected(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q18_large_orders").collect()
+    assert all(r.sum_qty > 200 for r in rows)
+    # one output row per qualifying order
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_q18_probe_aggregates_before_join(spark, sf_dir):
+    # the lineitem aggregate must sit BELOW the joins in the physical
+    # plan, so the joins move orders-sized, not lineitem-sized, data
+    df = _run(spark, sf_dir, "q18_large_orders")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg_pos = plan.find("HashAggregate(keys=[l_orderkey")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # tree prints parents first: the agg must be a DESCENDANT of the join
+    assert join_pos < agg_pos
+    assert "partial_sum(cast(l_quantity" in plan  # map-side combine
+
+
+def test_q22_threshold_and_anti_join(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q22_idle_customers").collect()
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(F.avg("c_acctbal")).collect()[0][0]
+    # every contributing customer is above the positive average, so each
+    # segment's mean balance must exceed the global positive average
+    for r in rows:
+        assert r.numcust > 0
+        assert r.totacctbal / r.numcust > avg_bal
