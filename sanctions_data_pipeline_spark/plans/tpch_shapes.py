@@ -295,3 +295,69 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("c_mktsegment").alias("segment"))
             .agg(lcount("numcust"),
                  dsum(dval("c_acctbal"), "totacctbal")))
+
+
+# --------------------------------------------------------------------------
+# q15_top_supplier — Q15 shape: supplier(s) achieving the maximum
+# quarterly revenue. The max threshold is a 1-row aggregate broadcast
+# back onto the per-supplier revenue table (no driver collect, no
+# window over a global sort); revenue is decimal-exact so the equality
+# against the max is safe on both engines.
+# --------------------------------------------------------------------------
+@register("q15_top_supplier", oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dsum(SQL_REVENUE, "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (li.groupBy("l_suppkey")
+           .agg(dsum(_revenue(), "total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("_max_rev"))
+            .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+# --------------------------------------------------------------------------
+# q_window_navigation — navigation/distribution window functions not
+# exercised elsewhere: ntile, percent_rank, cume_dist, lead, lag. The
+# ordering key (c_acctbal, c_custkey) is UNIQUE, which makes ntile
+# deterministic (ntile depends on row order among ties, so a non-unique
+# sort key would be engine-dependent). Partitioned by market segment —
+# bounded cardinality, so each window sorts one segment's rows, never a
+# global sort.
+# --------------------------------------------------------------------------
+@register("q_window_navigation", oracle="""
+SELECT c_custkey, c_mktsegment AS segment,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       LEAD(c_custkey) OVER w AS next_cust,
+       c_acctbal - LAG(c_acctbal) OVER w AS bal_step
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""")
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lead("c_custkey").over(w).alias("next_cust"),
+        (F.col("c_acctbal") - F.lag("c_acctbal").over(w)).alias("bal_step"))

@@ -644,3 +644,109 @@ def tx_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(probes), "bigram")
             .groupBy("doc_id")
             .agg(lcount("n_hits")))
+
+
+# --------------------------------------------------------------------------
+# tx_repetition — Gopher-style repetition quality signals per document:
+# the fraction of tokens taken by the single most frequent token, and
+# the fraction of bigram occurrences that are repeats. High values on
+# either flag boilerplate/spam for corpus filtering.
+#
+# Scale: token/bigram explodes happen map-side off the scan; both
+# aggregations are keyed by (doc_id, gram) with map-side combine, so
+# the shuffled rows are (doc_id, gram, count) — bounded by distinct
+# grams per doc, not corpus size. Ratios are bigint/double single
+# divisions (engine-identical, partition-order independent).
+# --------------------------------------------------------------------------
+@register("tx_repetition", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+  WHERE len({_TOKS}) >= 2
+),
+uni AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+),
+uni_cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM uni GROUP BY doc_id, tok
+),
+uni_doc AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok FROM uni_cnt GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks
+),
+bg_cnt AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+),
+bg_doc AS (
+  SELECT doc_id,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c,
+         SUM(c) AS n_bg
+  FROM bg_cnt GROUP BY doc_id
+)
+SELECT u.doc_id,
+       u.top_c / CAST(u.n_tok AS DOUBLE) AS top_token_frac,
+       b.dup_c / CAST(b.n_bg AS DOUBLE) AS dup_bigram_frac
+FROM uni_doc u JOIN bg_doc b ON u.doc_id = b.doc_id
+""")
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
+            .filter(F.size("t") >= 2))
+    uni_doc = (toks.select("doc_id", F.explode("t").alias("tok"))
+               .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+               .groupBy("doc_id")
+               .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok")))
+    bg_expr = ("transform(sequence(1, size(t) - 1),"
+               " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+    bg_doc = (toks.select("doc_id", F.explode(F.expr(bg_expr)).alias("bigram"))
+              .groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+              .groupBy("doc_id")
+              .agg(F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                    .alias("dup_c"),
+                   F.sum("c").alias("n_bg")))
+    return (uni_doc.join(bg_doc, "doc_id")
+            .select("doc_id",
+                    (F.col("top_c") / F.col("n_tok").cast("double"))
+                    .alias("top_token_frac"),
+                    (F.col("dup_c") / F.col("n_bg").cast("double"))
+                    .alias("dup_bigram_frac")))
+
+
+# --------------------------------------------------------------------------
+# mix_temperature — temperature-based mixture reweighting: per-source
+# sampling weights proportional to count^(1/T) with T=2 (sqrt scaling),
+# the standard trick to up-weight small sources in a training mixture.
+#
+# Determinism: sqrt(count) is correctly rounded IEEE on both engines;
+# it is scaled to a bigint (floor(sqrt(c)*1e6)) BEFORE the sum, so the
+# normalizing total is an exact integer sum (partition-order
+# independent) and the weight is one bigint/double division. The total
+# is a 1-row aggregate broadcast-cross-joined back — no driver collect.
+# Map-only except the tiny per-source count agg.
+# --------------------------------------------------------------------------
+@register("mix_temperature", oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(FLOOR(SQRT(COUNT(*)) * 1000000) AS BIGINT) AS scaled_w
+  FROM documents GROUP BY source
+),
+total AS (SELECT SUM(scaled_w) AS tot FROM counts)
+SELECT source, n_docs,
+       scaled_w / CAST(tot AS DOUBLE) AS mix_weight
+FROM counts, total
+""")
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_docs"))
+              .withColumn("scaled_w",
+                          F.floor(F.sqrt(F.col("n_docs")) * 1000000)
+                           .cast("bigint")))
+    total = counts.agg(F.sum("scaled_w").alias("tot"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("source", "n_docs",
+                    (F.col("scaled_w") / F.col("tot").cast("double"))
+                    .alias("mix_weight")))

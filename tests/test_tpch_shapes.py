@@ -86,3 +86,42 @@ def test_q22_threshold_and_anti_join(spark, sf_dir):
     for r in rows:
         assert r.numcust > 0
         assert r.totacctbal / r.numcust > avg_bal
+
+
+def test_q15_all_rows_share_the_max(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q15_top_supplier").collect()
+    assert rows
+    assert len({r.total_revenue for r in rows}) == 1
+
+
+def test_window_navigation_invariants(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_window_navigation").collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.segment, []).append(r)
+    for seg, rs in by_seg.items():
+        assert {r.quartile for r in rs} <= {1, 2, 3, 4}
+        assert all(0.0 <= r.pct_rank <= 1.0 for r in rs)
+        assert all(0.0 < r.cume <= 1.0 for r in rs)
+        # exactly one row per segment has no successor
+        assert sum(1 for r in rs if r.next_cust is None) == 1
+        # quartiles are balanced to within one row
+        sizes = [sum(1 for r in rs if r.quartile == q) for q in (1, 2, 3, 4)]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_repetition_fracs_bounded(spark, sf_dir):
+    rows = _run(spark, sf_dir, "tx_repetition").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.top_token_frac <= 1.0
+        assert 0.0 <= r.dup_bigram_frac <= 1.0
+
+
+def test_mix_temperature_upweights_small_sources(spark, sf_dir):
+    rows = _run(spark, sf_dir, "mix_temperature").collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-9
+    # sqrt scaling: weight per doc decreases as source size increases
+    rows = sorted(rows, key=lambda r: r.n_docs)
+    per_doc = [r.mix_weight / r.n_docs for r in rows]
+    assert all(a >= b - 1e-12 for a, b in zip(per_doc, per_doc[1:]))
