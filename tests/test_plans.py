@@ -67,8 +67,10 @@ def test_whole_stage_codegen_covers_q1(spark, sf_dir):
 _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_range_join", "q_asof_join",
                 # intentional broadcast of a ONE-row scalar (corpus size /
-                # global hour bounds)
-                "tx_tfidf", "q_gap_fill"}
+                # global hour bounds / max revenue / balance threshold /
+                # mixture normalizer)
+                "tx_tfidf", "q_gap_fill", "q22_idle_customers",
+                "mix_temperature"}
 
 
 @pytest.mark.parametrize("name", sorted(
