@@ -78,3 +78,121 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                            window_us=300_000_000, agg_alias="n_clicks")
     return out.select("event_id", F.unix_micros("ts").alias("ts_us"),
                       "n_clicks")
+
+
+# --------------------------------------------------------------------------
+# q_scd2 — SCD-2 (slowly-changing-dimension type 2) history build: for
+# each customer, collapse the order-status sequence into change
+# intervals [valid_from, valid_to), valid_to NULL for the current one.
+# Two windows over the SAME (custkey | orderdate,orderkey) key — one
+# shuffle total, the second window reuses the first's partitioning.
+# The sort key includes o_orderkey so ties on date are deterministic.
+# Scale: partitioned by customer key (millions of small windows), never
+# a global sort.
+# --------------------------------------------------------------------------
+@register("q_scd2", oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+         LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev_status
+  FROM orders
+), changes AS (
+  SELECT * FROM ordered
+  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+)
+SELECT o_custkey, o_orderstatus AS status,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS valid_from,
+       STRFTIME(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                '%Y-%m-%d') AS valid_to
+FROM changes
+""")
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (orders
+               .withColumn("prev_status", F.lag("o_orderstatus").over(w))
+               .filter(F.col("prev_status").isNull()
+                       | (F.col("prev_status") != F.col("o_orderstatus"))))
+    return changes.select(
+        "o_custkey", F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd")
+         .alias("valid_to"))
+
+
+# --------------------------------------------------------------------------
+# q_funnel — ordered conversion funnel view -> click -> purchase: users
+# whose first view is followed by a click, then a purchase after that
+# click. Each stage is a per-user MIN aggregate joined forward (no
+# window, no self-cartesian); the three stage counts meet in 1-row
+# broadcast cross joins.
+# --------------------------------------------------------------------------
+@register("q_funnel", oracle="""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked,
+       (SELECT COUNT(*) FROM p) AS n_purchased
+""")
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min(us).alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click").alias("e")
+         .join(v, "user_id")
+         .filter(us > F.col("t_view"))
+         .groupBy("user_id").agg(F.min(us).alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase").alias("e")
+         .join(c, "user_id")
+         .filter(us > F.col("t_click"))
+         .groupBy("user_id").agg(F.min(us).alias("t_buy")))
+    return (v.agg(F.count(F.lit(1)).alias("n_viewed"))
+            .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked"))))
+            .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased")))))
+
+
+# --------------------------------------------------------------------------
+# q_retention — cohort retention: users grouped by first-seen day,
+# distinct-active counts per whole-week offset. One agg builds the
+# cohort table (user-keyed, |users| rows), joined back onto the fact
+# stream on the same user key — AQE broadcasts it while small and
+# falls back to a co-partitioned shuffle join when the user dimension
+# outgrows the broadcast threshold at scale.
+# --------------------------------------------------------------------------
+@register("q_retention", oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+)
+SELECT STRFTIME(DATE_TRUNC('day', f.t0), '%Y-%m-%d') AS cohort_day,
+       CAST(FLOOR(DATE_DIFF('day', CAST(f.t0 AS DATE), CAST(e.ts AS DATE))
+                  / 7) AS BIGINT) AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""")
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    return (ev.join(first_seen, "user_id")
+            .groupBy(
+                F.date_format(F.date_trunc("day", "t0"), "yyyy-MM-dd")
+                 .alias("cohort_day"),
+                F.floor(F.datediff(F.to_date("ts"), F.to_date("t0")) / F.lit(7))
+                 .alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("n_active")))

@@ -750,3 +750,82 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "n_docs",
                     (F.col("scaled_w") / F.col("tot").cast("double"))
                     .alias("mix_weight")))
+
+
+# --------------------------------------------------------------------------
+# emb_quantize — int8 scalar quantization of embedding vectors:
+# per-vector symmetric scale 127/max|x|, elementwise floor(x*scale+0.5)
+# (floor-form rounding is IEEE-identical across engines, unlike
+# round-half banker's variance). Map-only — zero shuffles; the scale is
+# let-bound so the HOF evaluates it once per row, not once per element.
+# Outputs are integer-exact (q_sum/q_max/q_min) plus the scale at 6dp.
+# --------------------------------------------------------------------------
+@register("emb_quantize", oracle="""
+WITH scaled AS (
+  SELECT vec_id, label, embedding,
+         127.0 / list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+  WHERE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+), q AS (
+  SELECT vec_id, label, scale,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
+  FROM scaled
+)
+SELECT vec_id, label, ROUND(scale, 6) AS scale_r,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       list_max(qv) AS q_max, list_min(qv) AS q_min
+FROM q
+""")
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.functions.hof import let
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+
+    def out(scale):
+        qv = F.transform("embedding",
+                         lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+                                    .cast("bigint"))
+        return F.struct(
+            F.round(scale, 6).alias("scale_r"),
+            F.aggregate(qv, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+             .alias("q_sum"),
+            F.array_max(qv).alias("q_max"),
+            F.array_min(qv).alias("q_min"))
+
+    return (emb.filter(absmax > 0)
+            .select("vec_id", "label",
+                    let(F.lit(127.0) / absmax, out).alias("o"))
+            .select("vec_id", "label", "o.scale_r", "o.q_sum", "o.q_max", "o.q_min"))
+
+
+# --------------------------------------------------------------------------
+# q_array_hof — array higher-order functions as first-class engine
+# surface: filter/transform/aggregate/exists over the embedding column,
+# entirely JVM-side (no Python). L2 norm and positive-mass are ordered
+# left-to-right folds, identical on both engines; rounded to 6dp like
+# every similarity score in this suite.
+# --------------------------------------------------------------------------
+@register("q_array_hof", oracle="""
+SELECT vec_id, label,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (acc, v) -> acc + v), 6) AS sq_norm,
+       CASE WHEN len(list_filter(embedding, x -> abs(x) > 0.25)) > 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS has_large_dim
+FROM embeddings
+""")
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    return emb.select(
+        "vec_id", "label",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v), 6)
+         .alias("sq_norm"),
+        F.when(F.exists("embedding", lambda x: F.abs(x) > F.lit(0.25)), 1)
+         .otherwise(0).cast("bigint").alias("has_large_dim"))

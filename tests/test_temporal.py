@@ -71,3 +71,40 @@ def test_range_join_zero_matches_kept(spark):
     right = _ts(spark, [("2024-06-01 00:00:00",)], "ts_s string")
     got = range_join_count(left, right, "ts", 300_000_000).collect()
     assert len(got) == 1 and got[0]["n_in_range"] == 0
+
+
+def _runq(spark, sf_dir, name):
+    from sanctions_data_pipeline_spark.plans import registry
+    return registry.queries()[name](spark, sf_dir)
+
+
+def test_scd2_intervals_chain_per_customer(spark, sf_dir):
+    rows = _runq(spark, sf_dir, "q_scd2").collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for cust, rs in by_cust.items():
+        rs = sorted(rs, key=lambda r: r.valid_from)
+        # exactly one open (current) interval per customer
+        assert sum(1 for r in rs if r.valid_to is None) == 1
+        assert rs[-1].valid_to is None
+        # consecutive intervals never share a status (they were collapsed)
+        for a, b in zip(rs, rs[1:]):
+            assert a.status != b.status or a.valid_from != b.valid_from
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    row = _runq(spark, sf_dir, "q_funnel").collect()[0]
+    assert row.n_viewed >= row.n_clicked >= row.n_purchased
+    assert row.n_purchased >= 0
+
+
+def test_retention_week0_covers_all_cohort_users(spark, sf_dir):
+    rows = _runq(spark, sf_dir, "q_retention").collect()
+    from sanctions_data_pipeline_spark.catalog import load_table
+    n_users = (load_table(spark, sf_dir, "events")
+               .select("user_id").distinct().count())
+    # every user is active in their own week 0
+    week0 = sum(r.n_active for r in rows if r.week_offset == 0)
+    assert week0 == n_users
+    assert all(r.week_offset >= 0 for r in rows)

@@ -99,3 +99,26 @@ def test_contamination_excludes_probe_docs(spark, sf_dir):
     for r in rows:
         assert r.doc_id % 97 != 0  # benchmark docs never scored
         assert r.n_hits >= 1
+
+
+def test_emb_quantize_int8_range_and_scale(spark, sf_dir):
+    rows = _run(spark, sf_dir, "emb_quantize").collect()
+    assert rows
+    for r in rows:
+        assert -128 <= r.q_min <= r.q_max <= 127
+        assert r.scale_r > 0
+        # symmetric quantization must reach the top of the range:
+        # the max-|x| element maps to +/-127
+        assert max(abs(r.q_min), abs(r.q_max)) == 127
+
+
+def test_array_hof_norm_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from sanctions_data_pipeline_spark.catalog import load_table
+    rows = {r.vec_id: r for r in _run(spark, sf_dir, "q_array_hof").collect()}
+    for e in load_table(spark, sf_dir, "embeddings").limit(20).collect():
+        v = np.array(e.embedding, dtype=np.float64)
+        r = rows[e.vec_id]
+        assert abs(r.sq_norm - float(v @ v)) < 1e-4
+        assert r.n_pos == int((v > 0).sum())
+        assert r.has_large_dim == int(bool((np.abs(v) > 0.25).any()))
