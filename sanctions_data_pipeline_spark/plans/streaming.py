@@ -174,3 +174,26 @@ def st_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev2 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
     return run_available_now(click_purchase_join(ev1, ev2),
                              output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st_foreach_upsert — foreachBatch MERGE sink: per-user latest state
+# maintained across micro-batches in a parquet state table. Over the
+# bounded source the final state equals the batch argmax-by-(ts,
+# event_id) per user, which the oracle expresses with ROW_NUMBER.
+# --------------------------------------------------------------------------
+@register("st_foreach_upsert", oracle="""
+SELECT user_id, last_ts_us, last_event_id, last_value
+FROM (
+  SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+         value AS last_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""")
+def st_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.streaming.ops import foreach_upsert_latest
+
+    return foreach_upsert_latest(spark, sf_dir)

@@ -829,3 +829,20 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("sq_norm"),
         F.when(F.exists("embedding", lambda x: F.abs(x) > F.lit(0.25)), 1)
          .otherwise(0).cast("bigint").alias("has_large_dim"))
+
+
+# --------------------------------------------------------------------------
+# emb_pca — distributed PCA spectrum of the embedding corpus: Gram
+# matrix accumulated as vectorized numpy partials per partition
+# (mapInPandas, Arrow batches), eigendecomposition of the tiny d×d
+# covariance on the driver. Rows-only: the spectrum is pinned against
+# a direct numpy PCA in tests/test_training_ext.py (float partials sum
+# in partition order, so bit-exact cross-engine hashing is not
+# meaningful here).
+# --------------------------------------------------------------------------
+@register("emb_pca")
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.pca import pca_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return spark.createDataFrame(pca_components(emb, k=8))

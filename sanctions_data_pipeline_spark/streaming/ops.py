@@ -261,3 +261,60 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
         "user_id", "click_id", "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
         .alias("delay_us"))
+
+
+def foreach_upsert_latest(spark: SparkSession, sf_dir: str,
+                          max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming MERGE sink: every micro-batch upserts per-user latest
+    state (ts, event_id, value) into a parquet state table via
+    ``foreachBatch``, the standard Structured-Streaming pattern for
+    sinks without native streaming MERGE support.
+
+    Each batch is first reduced per key (one shuffle over batch data
+    only), then merged against the CURRENT state with the same
+    deterministic (ts, event_id) comparator — so replaying a batch is
+    idempotent and batch boundaries never change the result. The state
+    swap is write-new-then-rename, the poor man's atomic commit; on a
+    real deployment the sink would be a table format with transactional
+    MERGE (the operator shape is identical).
+    """
+    import shutil
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    root = tempfile.mkdtemp(prefix="upsert_sink_")
+    state_path = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+
+    ord_key = F.struct(F.col("last_ts_us"), F.col("last_event_id"))
+    payload = F.struct("last_ts_us", "last_event_id", "last_value")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        newest = (batch_df
+                  .select("user_id",
+                          F.unix_micros("ts").alias("last_ts_us"),
+                          F.col("event_id").alias("last_event_id"),
+                          F.col("value").alias("last_value"))
+                  .groupBy("user_id")
+                  .agg(F.max_by(payload, ord_key).alias("_p"))
+                  .select("user_id", "_p.last_ts_us", "_p.last_event_id",
+                          "_p.last_value"))
+        if os.path.exists(state_path):
+            cur = s.read.parquet(state_path)
+            newest = (cur.unionByName(newest)
+                      .groupBy("user_id")
+                      .agg(F.max_by(payload, ord_key).alias("_p"))
+                      .select("user_id", "_p.last_ts_us", "_p.last_event_id",
+                              "_p.last_value"))
+        staged = os.path.join(root, f"state_new_{batch_id}")
+        newest.write.mode("overwrite").parquet(staged)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        os.rename(staged, state_path)
+
+    q = (ev.writeStream.foreachBatch(merge_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(state_path)

@@ -147,3 +147,25 @@ def test_sliding_stream_matches_batch(spark, sf_dir):
         sliding_agg(read_events_stream(spark, sf_dir), "2 hours", "1 hour"))
     want = sliding_agg(load_table(spark, sf_dir, "events"), "2 hours", "1 hour")
     assert _rows(got) == _rows(want)
+
+
+def test_foreach_upsert_multi_batch_equals_single_batch(spark, sf_dir, tmp_path):
+    """Splitting the source into many micro-batches must not change the
+    final upserted state (merge is associative + idempotent per key)."""
+    import os
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.streaming.ops import foreach_upsert_latest
+
+    # multi-file copy of events so maxFilesPerTrigger=1 forces >1 batch
+    src = load_table(spark, sf_dir, "events")
+    multi = str(tmp_path / "events.parquet")
+    src.repartition(4).write.mode("overwrite").parquet(multi)
+    n_files = sum(1 for f in os.listdir(multi) if f.endswith(".parquet"))
+    assert n_files >= 4
+
+    batched = {r.user_id: (r.last_ts_us, r.last_event_id, r.last_value)
+               for r in foreach_upsert_latest(
+                   spark, str(tmp_path), max_files_per_trigger=1).collect()}
+    single = {r.user_id: (r.last_ts_us, r.last_event_id, r.last_value)
+              for r in foreach_upsert_latest(spark, sf_dir).collect()}
+    assert batched == single

@@ -122,3 +122,17 @@ def test_array_hof_norm_matches_numpy(spark, sf_dir):
         assert abs(r.sq_norm - float(v @ v)) < 1e-4
         assert r.n_pos == int((v > 0).sum())
         assert r.has_large_dim == int(bool((np.abs(v) > 0.25).any()))
+
+
+def test_emb_pca_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from sanctions_data_pipeline_spark.catalog import load_table
+    rows = _run(spark, sf_dir, "emb_pca").collect()
+    m = np.vstack([r.embedding for r in
+                   load_table(spark, sf_dir, "embeddings").collect()]
+                  ).astype(np.float64)
+    cov = np.cov(m, rowvar=False, bias=True)
+    want = np.linalg.eigvalsh(cov)[::-1][:8]
+    got = np.array([r.eigenvalue for r in sorted(rows, key=lambda r: r.component)])
+    assert np.allclose(got, want, atol=1e-4)
+    assert all(a >= b for a, b in zip(got, got[1:]))  # descending spectrum
