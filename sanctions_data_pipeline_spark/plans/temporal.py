@@ -196,3 +196,37 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.datediff(F.to_date("ts"), F.to_date("t0")) / F.lit(7))
                  .alias("week_offset"))
             .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+# --------------------------------------------------------------------------
+# q_rollup_reuse — continuous-aggregate pattern: a DAILY aggregate
+# computed FROM the HOURLY pre-aggregate, not from raw events — the
+# hypertable/materialized-rollup trick that turns a 100 TB raw scan
+# into a re-aggregation of a table 4-6 orders of magnitude smaller.
+# Correctness requires the measures to be re-aggregable: counts sum,
+# and the value sum stays DECIMAL through both levels, cast to double
+# only at the daily edge.
+# --------------------------------------------------------------------------
+@register("q_rollup_reuse", oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,4))) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
+       SUM(n) AS n_events,
+       CAST(ROUND(SUM(v), 4) * 10000 AS BIGINT) / 10000.0 AS total_value
+FROM hourly GROUP BY 1, 2
+""")
+def q_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import _as_exact_double
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("value").cast("decimal(18,4)")).alias("v")))
+    return (hourly.groupBy(
+                F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+                "event_type")
+            .agg(F.sum("n").alias("n_events"),
+                 _as_exact_double(F.sum("v")).alias("total_value")))

@@ -846,3 +846,33 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return spark.createDataFrame(pca_components(emb, k=8))
+
+
+# --------------------------------------------------------------------------
+# dp_cap_per_source — per-source document cap (the "max N pages per
+# domain" corpus rule): keep a deterministic pseudo-random N per source
+# via md5-hash ranking, so the kept subset is stable across runs and
+# engines — no seed, no sampling variance. Scale: the window partitions
+# by source; a pathologically hot source is the known skew case and
+# would take the two-stage top-N (per-partition heap, then merge) —
+# noted rather than built because Spark's TakeOrderedAndProject covers
+# the global variant and the per-key heap falls out of groupBy+slice.
+# --------------------------------------------------------------------------
+@register("dp_cap_per_source", oracle="""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+""")
+def dp_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")),
+                                        "doc_id")
+    return (docs.select("doc_id", "source",
+                        F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 20)
+            .select("doc_id", "source"))

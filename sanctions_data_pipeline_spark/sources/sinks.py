@@ -25,6 +25,8 @@ def write_output(df: DataFrame, path: str, fmt: str = "parquet",
         writer = writer.partitionBy(*partition_by)
     if fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
     elif fmt == "csv":
         writer.option("header", "true").csv(path)
     else:

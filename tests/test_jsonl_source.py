@@ -56,3 +56,28 @@ def test_jsonl_roundtrip_compressed(spark, sf_dir, tmp_path):
     a = {r.doc_id: r.text for r in back.collect()}
     b = {r.doc_id: r.text for r in docs.collect()}
     assert a == b
+
+
+def test_csv_source_quarantines_malformed_rows(spark, tmp_path):
+    from sanctions_data_pipeline_spark.sources.csv_source import (
+        read_documents_csv, write_documents_csv)
+    from sanctions_data_pipeline_spark.sources.jsonl import split_corrupt
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,hello world,en,src1,11\n"
+        "2,bonjour,fr,src2,7\n"
+        "not_a_number,broken,xx,src3,oops\n")
+    df = read_documents_csv(spark, str(p))
+    clean, bad = split_corrupt(df)
+    assert clean.count() == 2
+    assert bad.count() == 1
+    assert "broken" in bad.collect()[0].raw_line
+    # round-trip: clean rows survive a compressed csv write+read
+    out = tmp_path / "out_csv"
+    write_documents_csv(clean, str(out))
+    back = read_documents_csv(spark, str(out))
+    clean2, bad2 = split_corrupt(back)
+    assert bad2.count() == 0
+    assert {r.doc_id for r in clean2.collect()} == {1, 2}

@@ -95,3 +95,15 @@ def test_xlsx_sink_gated(spark, sf_dir):
     else:
         with pytest.raises(NotImplementedError):
             write_output(cust, "/tmp/never.xlsx", fmt="xlsx")
+
+
+def test_orc_sink_round_trip(spark, sf_dir, tmp_path):
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.sources.sinks import write_output
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_orc")
+    write_output(docs, out, fmt="orc")
+    back = spark.read.orc(out)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)

@@ -108,3 +108,20 @@ def test_retention_week0_covers_all_cohort_users(spark, sf_dir):
     week0 = sum(r.n_active for r in rows if r.week_offset == 0)
     assert week0 == n_users
     assert all(r.week_offset >= 0 for r in rows)
+
+
+def test_rollup_reuse_equals_raw_daily_agg(spark, sf_dir):
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.plans.helpers import _as_exact_double
+    rows = {(r.day, r.event_type): (r.n_events, r.total_value)
+            for r in _runq(spark, sf_dir, "q_rollup_reuse").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    raw = {(r.day, r.event_type): (r.n_events, r.total_value)
+           for r in ev.groupBy(
+               F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+               "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                _as_exact_double(
+                    F.sum(F.col("value").cast("decimal(18,4)")))
+                .alias("total_value")).collect()}
+    assert rows == raw  # re-aggregation from the rollup is lossless

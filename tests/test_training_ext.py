@@ -136,3 +136,14 @@ def test_emb_pca_matches_numpy(spark, sf_dir):
     got = np.array([r.eigenvalue for r in sorted(rows, key=lambda r: r.component)])
     assert np.allclose(got, want, atol=1e-4)
     assert all(a >= b for a, b in zip(got, got[1:]))  # descending spectrum
+
+
+def test_cap_per_source_deterministic_and_bounded(spark, sf_dir):
+    a = sorted((r.source, r.doc_id)
+               for r in _run(spark, sf_dir, "dp_cap_per_source").collect())
+    b = sorted((r.source, r.doc_id)
+               for r in _run(spark, sf_dir, "dp_cap_per_source").collect())
+    assert a == b
+    from collections import Counter
+    per_src = Counter(s for s, _ in a)
+    assert all(v <= 20 for v in per_src.values())
