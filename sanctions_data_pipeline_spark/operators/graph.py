@@ -1,0 +1,71 @@
+"""Iterative graph algorithms on DataFrames (beyond connected
+components — see operators/dedup.py:connected_components for CC).
+
+PageRank here is the classic damped power iteration expressed as
+join+agg rounds. Scale shape per round: one shuffle joining the edge
+list with the (id, rank) table on src, one keyed agg on dst — both over
+long/double pairs, never over payload data. The rank table is persisted
+per round (lineage depth 1) so AQE replans from materialized sizes and
+broadcasts it while it fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iters: int = 8, damping: float = 0.85) -> DataFrame:
+    """Damped PageRank over a directed edge list -> (id, rank).
+
+    Assumes no dangling nodes (every node has out-degree >= 1) — true
+    for symmetric co-occurrence graphs, which is this operator's
+    intended input. Ranks sum to ~1 (up to float association order).
+    """
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst")).persist()
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct().persist())
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # pre-divide each edge's contribution weight once instead of per round
+    weighted = (e.join(outdeg, "src")
+                .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+                .persist())
+    weighted.count()  # materialize before the loop
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+    base = (1.0 - damping) / n
+    for _ in range(n_iters):
+        contribs = (weighted.join(ranks, weighted.src == ranks.id)
+                    .groupBy(F.col("dst").alias("nid"))
+                    .agg(F.sum(F.col("rank") * F.col("w")).alias("c")))
+        new_ranks = (nodes.join(contribs, nodes.id == contribs.nid, "left")
+                     .select("id",
+                             (F.lit(base)
+                              + F.lit(damping) * F.coalesce("c", F.lit(0.0)))
+                             .alias("rank"))
+                     .persist())
+        new_ranks.count()  # cut lineage; AQE sees materialized stats
+        ranks.unpersist()
+        ranks = new_ranks
+    e.unpersist()
+    weighted.unpersist()
+    return ranks
+
+
+def copurchase_edges(lineitem: DataFrame,
+                     order_col: str = "l_orderkey",
+                     item_col: str = "l_partkey") -> DataFrame:
+    """Symmetric item-item co-occurrence edges: two parts are linked if
+    they appear in the same order. The self-join fans out quadratically
+    in items-per-order — bounded small (TPC-H orders have <= 7 lines),
+    so the edge list is O(|lineitem| * lines_per_order), not O(n²).
+    """
+    a = lineitem.select(F.col(order_col).alias("o"),
+                        F.col(item_col).alias("src")).distinct()
+    b = lineitem.select(F.col(order_col).alias("o"),
+                        F.col(item_col).alias("dst")).distinct()
+    return (a.join(b, "o")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst").distinct())

@@ -876,3 +876,22 @@ def dp_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.row_number().over(w).alias("rn"))
             .filter(F.col("rn") <= 20)
             .select("doc_id", "source"))
+
+
+# --------------------------------------------------------------------------
+# pr_copurchase — damped PageRank over the part co-purchase graph
+# (parts linked when bought in the same order): the "importance in a
+# similarity graph" primitive for curriculum/centrality-weighted
+# sampling. Rows-only: float power iteration has no order-independent
+# exact form; tests pin it against a dense numpy power iteration.
+# --------------------------------------------------------------------------
+@register("pr_copurchase")
+def pr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.graph import (
+        copurchase_edges, pagerank)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # bound the graph so the demo is wieldy at any sf: parts < 200
+    li = li.filter(F.col("l_partkey") < 200)
+    return (pagerank(copurchase_edges(li), n_iters=8)
+            .select("id", F.round("rank", 8).alias("rank")))

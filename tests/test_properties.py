@@ -61,3 +61,34 @@ def test_normalize_ws_output_has_no_runs(spark, strings):
     for s in _eval(spark, strings, nm.normalize_ws):
         assert "  " not in s
         assert not s.startswith(" ") and not s.endswith(" ")
+
+
+@given(st.lists(st.lists(st.floats(min_value=-10, max_value=10,
+                                   allow_nan=False, width=32),
+                         min_size=4, max_size=8),
+                min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_quantization_error_bounded_by_half_step(spark, vecs):
+    """floor(x*scale+0.5) must never be off by more than half a
+    quantization step, and the extreme element must hit ±127."""
+    vecs = [v for v in vecs if max(abs(x) for x in v) > 1e-6]
+    if not vecs:
+        return
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.functions.hof import let
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)],
+                               "vec_id long, embedding array<float>")
+    absmax = F.array_max(F.transform("embedding",
+                                     lambda x: F.abs(x.cast("double"))))
+    qv = lambda scale: F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("bigint"))
+    rows = df.select("vec_id", "embedding",
+                     let(F.lit(127.0) / absmax, qv).alias("q")).collect()
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        scale = 127.0 / max(abs(x) for x in v)
+        for x, q in zip(v, r.q):
+            assert -128 <= q <= 127
+            assert abs(q / scale - x) <= (0.5 / scale) + 1e-9
+        assert max(abs(q) for q in r.q) == 127

@@ -147,3 +147,27 @@ def test_cap_per_source_deterministic_and_bounded(spark, sf_dir):
     from collections import Counter
     per_src = Counter(s for s, _ in a)
     assert all(v <= 20 for v in per_src.values())
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    import numpy as np
+    rows = {r.id: r.rank for r in _run(spark, sf_dir, "pr_copurchase").collect()}
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators.graph import copurchase_edges
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    edges = [(r.src, r.dst) for r in copurchase_edges(li).collect()]
+    ids = sorted({x for e in edges for x in e})
+    idx = {x: i for i, x in enumerate(ids)}
+    n = len(ids)
+    M = np.zeros((n, n))
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    for s, d in edges:
+        M[idx[d], idx[s]] = 1.0 / outdeg[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        r = (1 - 0.85) / n + 0.85 * (M @ r)
+    got = np.array([rows[x] for x in ids])
+    assert np.allclose(got, r, atol=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-6
