@@ -361,3 +361,60 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.lead("c_custkey").over(w).alias("next_cust"),
         (F.col("c_acctbal") - F.lag("c_acctbal").over(w)).alias("bal_step"))
+
+
+# --------------------------------------------------------------------------
+# q_multi_distinct — several COUNT(DISTINCT) over different columns in
+# ONE aggregate: Catalyst plans this with an Expand (one row replica
+# per distinct-set) feeding a single shuffle — not one job per
+# distinct. The mixed plain COUNT rides along for free. Per-group
+# output keyed by return flag (bounded cardinality).
+# --------------------------------------------------------------------------
+@register("q_multi_distinct", oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                 F.countDistinct("l_partkey").alias("n_part"),
+                 F.countDistinct("l_orderkey").alias("n_orders"),
+                 lcount("n_rows")))
+
+
+# --------------------------------------------------------------------------
+# q_nullsafe_join — null-safe equality join (<=> / IS NOT DISTINCT
+# FROM): NULL keys MATCH each other, unlike plain equi-join semantics
+# where NULL = NULL is unknown. Spark still plans <=> as a HASHED join
+# key (EqualNullSafe is a valid hash key, no nested-loop fallback).
+# Null keys are derived with NULLIF so the shape is exercised on data
+# that ships none.
+# --------------------------------------------------------------------------
+@register("q_nullsafe_join", oracle="""
+WITH o AS (
+  SELECT NULLIF(o_orderstatus, 'P') AS status_key, o_orderkey
+  FROM orders
+), d AS (
+  SELECT * FROM (VALUES ('O', 'open'), ('F', 'finished'),
+                        (NULL, 'pending')) AS t(status_key, status_name)
+)
+SELECT d.status_name, COUNT(o.o_orderkey) AS n_orders
+FROM o JOIN d ON o.status_key IS NOT DISTINCT FROM d.status_key
+GROUP BY d.status_name
+""")
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_key"),
+        "o_orderkey")
+    dim = F.broadcast(orders.sparkSession.createDataFrame(
+        [("O", "open"), ("F", "finished"), (None, "pending")],
+        "status_key string, status_name string"))
+    return (orders.join(dim, orders.status_key.eqNullSafe(dim.status_key))
+            .groupBy("status_name")
+            .agg(F.count("o_orderkey").alias("n_orders")))

@@ -125,3 +125,23 @@ def test_mix_temperature_upweights_small_sources(spark, sf_dir):
     rows = sorted(rows, key=lambda r: r.n_docs)
     per_doc = [r.mix_weight / r.n_docs for r in rows]
     assert all(a >= b - 1e-12 for a, b in zip(per_doc, per_doc[1:]))
+
+
+def test_multi_distinct_plans_expand_not_multiple_jobs(spark, sf_dir):
+    df = _run(spark, sf_dir, "q_multi_distinct")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan  # one shuffle via row replication
+    rows = {r.l_returnflag: r for r in df.collect()}
+    for r in rows.values():
+        assert r.n_supp <= r.n_rows and r.n_orders <= r.n_rows
+
+
+def test_nullsafe_join_matches_null_keys_and_stays_hashed(spark, sf_dir):
+    df = _run(spark, sf_dir, "q_nullsafe_join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # <=> is a hashable key
+    rows = {r.status_name: r.n_orders for r in df.collect()}
+    assert rows.get("pending", 0) > 0  # NULL keys matched NULL
+    from sanctions_data_pipeline_spark.catalog import load_table
+    orders = load_table(spark, sf_dir, "orders")
+    assert sum(rows.values()) == orders.count()  # partition of all rows
