@@ -68,9 +68,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q7_volume_shipping — Q7 shape: shipped revenue between two specific
 # nations, both directions, by ship year. Five-way join where nation
-# (twice) is broadcast and the nation filter prunes customer/supplier
-# BEFORE they reach the fact joins (Catalyst pushes the IN filters
-# through the join into both dim scans).
+# (twice) is broadcast. The pair disjunction spans both sides so
+# Catalyst cannot push it down itself; the IMPLIED per-side filters
+# (each nation ∈ {N1,N2}) are added explicitly, pruning supplier and
+# customer to 2/25 nations BEFORE they reach the fact joins — at scale
+# this shrinks the lineitem join output ~12× before the residual pair
+# check.
 # --------------------------------------------------------------------------
 @register("q7_volume_shipping", oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -92,17 +95,21 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation")
-    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
-                                   F.col("n_name").alias("supp_nation")))
-    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"),
-                                   F.col("n_name").alias("cust_nation")))
+    pair_nations = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = F.broadcast(pair_nations.select(F.col("n_nationkey").alias("sn_key"),
+                                         F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(pair_nations.select(F.col("n_nationkey").alias("cn_key"),
+                                         F.col("n_name").alias("cust_nation")))
     pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
-    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-            .join(cust, orders.o_custkey == cust.c_custkey)
-            .join(n1, sup.s_nationkey == F.col("sn_key"))
-            .join(n2, cust.c_nationkey == F.col("cn_key"))
+    # pre-prune the dims to the two nations BEFORE the fact joins
+    sup2 = F.broadcast(sup.join(n1, sup.s_nationkey == F.col("sn_key"))
+                       .select("s_suppkey", "supp_nation"))
+    cust2 = cust.join(n2, cust.c_nationkey == F.col("cn_key")) \
+                .select("c_custkey", "cust_nation")
+    return (li.join(sup2, li.l_suppkey == F.col("s_suppkey"))
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust2, orders.o_custkey == F.col("c_custkey"))
             .filter(pair)
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").cast("bigint").alias("l_year"))
