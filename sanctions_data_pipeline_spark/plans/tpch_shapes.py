@@ -425,3 +425,29 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (orders.join(dim, orders.status_key.eqNullSafe(dim.status_key))
             .groupBy("status_name")
             .agg(F.count("o_orderkey").alias("n_orders")))
+
+
+# --------------------------------------------------------------------------
+# q_pivot_native — the DataFrame pivot() API with EXPLICIT pivot values
+# (never inferred: value inference is an extra full scan — unacceptable
+# at 100 TB). Absent cells surface as NULL from pivot-count and are
+# coalesced to 0 to match SQL CASE-sum semantics.
+# --------------------------------------------------------------------------
+@register("q_pivot_native", oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+""")
+def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (orders.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.count(F.lit(1))))
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_pending"))

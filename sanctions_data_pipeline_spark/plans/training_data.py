@@ -895,3 +895,50 @@ def pr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = li.filter(F.col("l_partkey") < 200)
     return (pagerank(copurchase_edges(li), n_iters=8)
             .select("id", F.round("rank", 8).alias("rank")))
+
+
+# --------------------------------------------------------------------------
+# tx_keywords — per-document keyword extraction: top-3 terms by TF-IDF
+# with a deterministic (rounded score DESC, term) ranking. The ranking
+# window partitions by doc_id — the same key the tf aggregation
+# shuffled on, so Spark reuses the partitioning and the window adds
+# only a per-partition sort of tiny per-doc term lists.
+# --------------------------------------------------------------------------
+@register("tx_keywords", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * ln(CAST(nd AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""")
+def tx_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (tf.join(df_, "term")
+              .crossJoin(F.broadcast(nd))
+              .select("doc_id", "term",
+                      F.round(F.col("tf")
+                              * F.log(F.col("nd").cast("double") / F.col("df")), 6)
+                       .alias("tfidf")))
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= 3))

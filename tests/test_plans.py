@@ -69,8 +69,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # intentional broadcast of a ONE-row scalar (corpus size /
                 # global hour bounds / max revenue / balance threshold /
                 # mixture normalizer)
-                "tx_tfidf", "q_gap_fill", "q22_idle_customers",
-                "mix_temperature", "q_funnel"}
+                "tx_tfidf", "tx_keywords", "q_gap_fill",
+                "q22_idle_customers", "mix_temperature", "q_funnel"}
 
 
 @pytest.mark.parametrize("name", sorted(

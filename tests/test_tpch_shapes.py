@@ -145,3 +145,12 @@ def test_nullsafe_join_matches_null_keys_and_stays_hashed(spark, sf_dir):
     from sanctions_data_pipeline_spark.catalog import load_table
     orders = load_table(spark, sf_dir, "orders")
     assert sum(rows.values()) == orders.count()  # partition of all rows
+
+
+def test_pivot_native_partitions_counts(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_pivot_native").collect()
+    from sanctions_data_pipeline_spark.catalog import load_table
+    orders = load_table(spark, sf_dir, "orders")
+    total = sum(r.n_open + r.n_finished + r.n_pending for r in rows)
+    assert total == orders.count()
+    assert all(r.n_open >= 0 for r in rows)

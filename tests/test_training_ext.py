@@ -171,3 +171,15 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     got = np.array([rows[x] for x in ids])
     assert np.allclose(got, r, atol=1e-9)
     assert abs(got.sum() - 1.0) < 1e-6
+
+
+def test_keywords_ranked_and_capped(spark, sf_dir):
+    rows = _run(spark, sf_dir, "tx_keywords").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        assert len(rs) <= 3
+        rs = sorted(rs, key=lambda r: r.rnk)
+        scores = [r.tfidf for r in rs]
+        assert scores == sorted(scores, reverse=True)
