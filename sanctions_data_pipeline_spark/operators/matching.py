@@ -58,7 +58,8 @@ def variant_match(candidates: DataFrame, key_cols: list[str],
 
 
 def neighbor_fill(df: DataFrame, order_col: str, name_col: str,
-                  cand_col: str, out_col: str = "filled") -> DataFrame:
+                  cand_col: str, out_col: str = "filled",
+                  flag_col: str | None = None) -> DataFrame:
     """Reference second pass (main.py:950-993): rows whose name is
     unique keep their candidate; 'UNKNOWN' rows blank out; duplicate
     names take the nearest non-empty candidate BEFORE and AFTER in the
@@ -68,6 +69,11 @@ def neighbor_fill(df: DataFrame, order_col: str, name_col: str,
     windows here are unpartitioned (single-reducer). At 100 TB this
     operator is only meaningful per ordered shard; callers partition
     first (the E2E pipeline runs it per source file).
+
+    ``flag_col`` (if given) marks rows whose value came from NEIGHBOR
+    INFERENCE rather than their own candidate — the data-table
+    equivalent of the reference's red row fill (main.py:994-1040,
+    which colors inferred REM2 cells and propagates red to the row).
     """
     cand = F.when(F.col(cand_col) != "", F.col(cand_col))  # '' -> NULL
     w_all = W.orderBy(order_col)
@@ -82,4 +88,11 @@ def neighbor_fill(df: DataFrame, order_col: str, name_col: str,
         .when(prev_ne.isNotNull() & (prev_ne == next_ne), prev_ne)
         .otherwise(F.lit(""))
     )
-    return df.withColumn(out_col, filled)
+    out = df.withColumn(out_col, filled)
+    if flag_col:
+        inferred = ((F.col(name_col) != "UNKNOWN") & (n_occ > 1)
+                    & prev_ne.isNotNull() & (prev_ne == next_ne)
+                    & cand.isNull())
+        out = out.withColumn(
+            flag_col, F.when(inferred, 1).otherwise(0).cast("bigint"))
+    return out

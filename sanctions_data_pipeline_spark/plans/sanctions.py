@@ -232,13 +232,19 @@ SELECT row_id, full_name,
        CASE WHEN full_name = 'UNKNOWN' THEN ''
             WHEN n_occ = 1 THEN COALESCE(rem2_candidate, '')
             WHEN prev_ne IS NOT NULL AND prev_ne = next_ne THEN prev_ne
-            ELSE '' END AS filled
+            ELSE '' END AS filled,
+       CASE WHEN full_name <> 'UNKNOWN' AND n_occ > 1
+                 AND prev_ne IS NOT NULL AND prev_ne = next_ne
+                 AND cand IS NULL
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+            END AS was_inferred
 FROM nb
 """)
 def s_neighbor_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     mr = fx.spark_df(spark, "match_rows")
-    return neighbor_fill(mr, "row_id", "full_name", "rem2_candidate").select(
-        "row_id", "full_name", "filled")
+    return neighbor_fill(mr, "row_id", "full_name", "rem2_candidate",
+                         flag_col="was_inferred").select(
+        "row_id", "full_name", "filled", "was_inferred")
 
 
 # --------------------------------------------------------------------------
