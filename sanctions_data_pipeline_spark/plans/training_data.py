@@ -942,3 +942,18 @@ def tx_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rnk") <= 3))
+
+
+# --------------------------------------------------------------------------
+# tx_compress_ratio — zlib compressibility per document, the
+# repetition/boilerplate signal used alongside the Gopher rules.
+# Rows-only: deflate has no SQL twin; tests pin the values against
+# direct zlib on the same strings. Deterministic (fixed level, no
+# timestamps in the deflate stream).
+# --------------------------------------------------------------------------
+@register("tx_compress_ratio")
+def tx_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = tx.compression_ratio_udf()
+    return docs.select("doc_id", F.length("text").alias("n_chars_calc"),
+                       ratio(F.col("text")).alias("compress_ratio"))

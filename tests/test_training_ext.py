@@ -183,3 +183,18 @@ def test_keywords_ranked_and_capped(spark, sf_dir):
         rs = sorted(rs, key=lambda r: r.rnk)
         scores = [r.tfidf for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_compress_ratio_matches_direct_zlib(spark, sf_dir):
+    import zlib
+    from sanctions_data_pipeline_spark.catalog import load_table
+    got = {r.doc_id: r.compress_ratio
+           for r in _run(spark, sf_dir, "tx_compress_ratio").collect()}
+    for d in load_table(spark, sf_dir, "documents").limit(25).collect():
+        raw = d.text.encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        assert got[d.doc_id] == want
+    # repetitive word soup compresses well; tiny docs can exceed 1.0
+    # (zlib header overhead), but never by much
+    assert all(0.0 < v < 1.3 for v in got.values())
+    assert min(got.values()) < 0.6
