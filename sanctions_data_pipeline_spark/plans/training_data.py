@@ -957,3 +957,40 @@ def tx_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = tx.compression_ratio_udf()
     return docs.select("doc_id", F.length("text").alias("n_chars_calc"),
                        ratio(F.col("text")).alias("compress_ratio"))
+
+
+# --------------------------------------------------------------------------
+# ml_group_fit — per-group model fitting via groupBy().applyInPandas:
+# one OLS fit (token count ~ char count) per language, each group
+# handled by one vectorized numpy call. This is the grouped-training
+# primitive (per-segment calibration, per-language thresholds, ...);
+# state never leaves the executor and only (group, coefficients) rows
+# come back. Rows-only: pinned against driver-side numpy lstsq.
+# --------------------------------------------------------------------------
+@register("ml_group_fit")
+def ml_group_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "lang",
+        F.length("text").cast("double").alias("x"),
+        F.size(tx.tokens(F.col("text"))).cast("double").alias("y"))
+
+    def fit(pdf):
+        x, y = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+        a = np.vstack([x, np.ones_like(x)]).T
+        (slope, intercept), res, _, _ = np.linalg.lstsq(a, y, rcond=None)
+        return pd.DataFrame({
+            "lang": [pdf["lang"].iloc[0]],
+            "slope": [round(float(slope), 6)],
+            "intercept": [round(float(intercept), 6)],
+            "n_docs": [len(pdf)],
+        })
+
+    fit.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
+    return (feats.groupBy("lang")
+            .applyInPandas(fit,
+                           "lang string, slope double, intercept double, "
+                           "n_docs long"))

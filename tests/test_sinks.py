@@ -107,3 +107,23 @@ def test_orc_sink_round_trip(spark, sf_dir, tmp_path):
     back = spark.read.orc(out)
     assert back.count() == docs.count()
     assert set(back.columns) == set(docs.columns)
+
+
+def test_partitioned_write_prunes_partitions_at_read(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout + a partition-column filter must
+    show up as PartitionFilters on the scan (whole directories skipped),
+    not as a post-scan filter — THE mechanism that turns a 100 TB table
+    into a per-partition read."""
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.sources.sinks import write_output
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_output(docs, out, partition_by=["lang"])
+    back = spark.read.parquet(out).filter("lang = 'en'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(lang" in plan or "(lang" in plan.split(
+        "PartitionFilters")[1][:120]
+    n_en = docs.filter("lang = 'en'").count()
+    assert back.count() == n_en

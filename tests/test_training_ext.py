@@ -198,3 +198,25 @@ def test_compress_ratio_matches_direct_zlib(spark, sf_dir):
     # (zlib header overhead), but never by much
     assert all(0.0 < v < 1.3 for v in got.values())
     assert min(got.values()) < 0.6
+
+
+def test_group_fit_matches_driver_lstsq(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as FF
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+    rows = {r.lang: r for r in _run(spark, sf_dir, "ml_group_fit").collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", FF.length("text").cast("double").alias("x"),
+        FF.size(tx.tokens(FF.col("text"))).cast("double").alias("y")).collect()
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append((r.x, r.y))
+    for lang, pts in by_lang.items():
+        x = np.array([p[0] for p in pts]); y = np.array([p[1] for p in pts])
+        a = np.vstack([x, np.ones_like(x)]).T
+        (slope, intercept), *_ = np.linalg.lstsq(a, y, rcond=None)
+        assert abs(rows[lang].slope - round(float(slope), 6)) < 1e-6
+        assert rows[lang].n_docs == len(pts)
+        # tokens scale ~linearly with chars: slope must be positive
+        assert rows[lang].slope > 0
