@@ -230,3 +230,74 @@ def q_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type")
             .agg(F.sum("n").alias("n_events"),
                  _as_exact_double(F.sum("v")).alias("total_value")))
+
+
+# --------------------------------------------------------------------------
+# cg_asof_pandas — the SAME strict as-of join as q_asof_join, computed
+# through the other engine surface: cogroup().applyInPandas with a
+# per-user pandas merge_asof. Demonstrates the cogrouped-Pandas API and
+# pins it to the identical SQL oracle as the window implementation —
+# two independent execution paths, one semantics. Scale: cogroup
+# shuffles both sides once on user_id; each group is two small sorted
+# frames merged in C (pandas), no cross product.
+# --------------------------------------------------------------------------
+@register("cg_asof_pandas", oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, NULL::BIGINT AS p_event_id,
+         NULL::DOUBLE AS p_value, 0 AS kind
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, NULL, event_id, value, 1
+  FROM events WHERE event_type = 'purchase'
+), filled AS (
+  SELECT user_id, ts, event_id, kind,
+         last_value(p_event_id IGNORE NULLS) OVER w AS asof_p_event_id,
+         last_value(p_value IGNORE NULLS) OVER w AS asof_p_value
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, p_event_id, p_value
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       asof_p_event_id, round(asof_p_value, 6) AS asof_p_value
+FROM filled WHERE kind = 0
+""")
+def cg_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.unix_micros("ts").alias("p_ts_us"),
+                         F.col("event_id").alias("p_event_id"),
+                         F.round("value", 6).alias("p_value")))
+
+    def merge(left, right):
+        if not len(left):
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "ts_us": pd.Series(dtype="int64"),
+                                 "asof_p_event_id": pd.Series(dtype="Int64"),
+                                 "asof_p_value": pd.Series(dtype="float64")})
+        left = left.sort_values("ts_us")
+        # among equal purchase timestamps the LAST (max p_event_id) wins,
+        # matching the window oracle's ordering
+        right = right.sort_values(["p_ts_us", "p_event_id"])
+        out = pd.merge_asof(left, right.drop(columns=["user_id"]),
+                            left_on="ts_us", right_on="p_ts_us",
+                            allow_exact_matches=False)  # STRICTLY prior
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "user_id": out["user_id"].astype("int64"),
+            "ts_us": out["ts_us"].astype("int64"),
+            "asof_p_event_id": out["p_event_id"].astype("Int64"),
+            "asof_p_value": out["p_value"].astype("float64"),
+        })
+
+    merge.__annotations__ = {"left": pd.DataFrame, "right": pd.DataFrame,
+                             "return": pd.DataFrame}
+    return (clicks.groupBy("user_id")
+            .cogroup(purchases.groupBy("user_id"))
+            .applyInPandas(merge,
+                           "event_id long, user_id long, ts_us long, "
+                           "asof_p_event_id long, asof_p_value double"))

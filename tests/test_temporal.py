@@ -125,3 +125,13 @@ def test_rollup_reuse_equals_raw_daily_agg(spark, sf_dir):
                     F.sum(F.col("value").cast("decimal(18,4)")))
                 .alias("total_value")).collect()}
     assert rows == raw  # re-aggregation from the rollup is lossless
+
+
+def test_cogroup_asof_equals_window_asof(spark, sf_dir):
+    """Two independent implementations (cogrouped pandas merge_asof vs
+    union-merge window) must agree row-for-row."""
+    win = {(r.event_id): (r.asof_p_event_id, r.asof_p_value)
+           for r in _runq(spark, sf_dir, "q_asof_join").collect()}
+    cg = {(r.event_id): (r.asof_p_event_id, r.asof_p_value)
+          for r in _runq(spark, sf_dir, "cg_asof_pandas").collect()}
+    assert cg == win
