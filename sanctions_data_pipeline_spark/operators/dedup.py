@@ -357,12 +357,14 @@ def connected_components(pairs: DataFrame, src: str = "i", dst: str = "j",
     """
     # sym is persisted so the (possibly expensive) pair-producing plan
     # upstream runs exactly once — nodes, self-loops, and labels all
-    # read the cached symmetric edge list.
+    # read the cached symmetric edge list. NO distinct: duplicate edges
+    # are harmless under min-aggregation, and deduping here would
+    # shuffle the largest intermediate of the whole algorithm for
+    # nothing (pair producers already emit unique i<j pairs).
     sym = (pairs.select(F.col(src).cast("long").alias("a"),
                         F.col(dst).cast("long").alias("b"))
            .unionAll(pairs.select(F.col(dst).cast("long").alias("a"),
                                   F.col(src).cast("long").alias("b")))
-           .distinct()
            .persist())
     nodes = sym.select(F.col("a").alias("id")).distinct()
     edges = (sym.unionAll(nodes.select(F.col("id").alias("a"),
