@@ -451,3 +451,33 @@ def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("n_open"),
         F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("n_finished"),
         F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("n_pending"))
+
+
+# --------------------------------------------------------------------------
+# q_try_arith — ANSI-safe arithmetic/casting: try_cast turns malformed
+# input into NULL instead of failing the job (the difference between a
+# quarantine row and a dead 100 TB pipeline), try_divide absorbs
+# divide-by-zero. Malformed values are derived deterministically from
+# customer names (the digits-only suffix casts; the full name doesn't).
+# --------------------------------------------------------------------------
+@register("q_try_arith", oracle="""
+SELECT c_mktsegment AS segment,
+       COUNT(TRY_CAST(c_name AS BIGINT)) AS n_name_casts,
+       COUNT(TRY_CAST(REGEXP_EXTRACT(c_name, '[0-9]+$', 0) AS BIGINT))
+         AS n_suffix_casts,
+       CAST(SUM(CASE WHEN c_acctbal / NULLIF(FLOOR(c_acctbal), 0) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_div_nulls
+FROM customer
+GROUP BY c_mktsegment
+""")
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (cust.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.try_to_number(F.col("c_name"), F.lit("999999999")))
+                 .alias("n_name_casts"),
+                F.count(F.expr("try_cast(regexp_extract(c_name, '[0-9]+$', 0)"
+                               " AS bigint)")).alias("n_suffix_casts"),
+                F.sum(F.when(F.try_divide(F.col("c_acctbal"),
+                                          F.floor("c_acctbal")).isNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_div_nulls")))

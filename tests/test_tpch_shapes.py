@@ -154,3 +154,11 @@ def test_pivot_native_partitions_counts(spark, sf_dir):
     total = sum(r.n_open + r.n_finished + r.n_pending for r in rows)
     assert total == orders.count()
     assert all(r.n_open >= 0 for r in rows)
+
+
+def test_try_arith_absorbs_bad_casts(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_try_arith").collect()
+    for r in rows:
+        assert r.n_name_casts == 0          # full names never cast
+        assert r.n_suffix_casts >= 0        # digit suffixes may
+        assert r.n_div_nulls >= 0           # floor()==0 rows absorbed
