@@ -31,13 +31,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # deterministic, oracle-matching reads.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # untagged parquet timestamps (isAdjustedToUTC=false) should read as
+    # session-tz TIMESTAMP, matching DuckDB's naive-timestamp oracle view
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long
+        # events.ts as parquet TIMESTAMP(NANOS) — Spark reads it as long
         # (spark.sql.legacy.parquet.nanosAsLong); truncate to micros like
         # DuckDB's epoch_us does.
-        from pyspark.sql import functions as F
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        # belt-and-braces: a session we didn't build may have NTZ
+        # inference baked into an already-cached relation
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
