@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
     from sanctions_data_pipeline_spark.plans import relational  # noqa: F401
     from sanctions_data_pipeline_spark.plans import relational_ext  # noqa: F401
     from sanctions_data_pipeline_spark.plans import tpch_shapes  # noqa: F401
+    from sanctions_data_pipeline_spark.plans import tpch_shapes2  # noqa: F401
     try:
         from sanctions_data_pipeline_spark.plans import sanctions  # noqa: F401
     except ImportError:

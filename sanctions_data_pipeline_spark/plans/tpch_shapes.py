@@ -7,8 +7,8 @@ nation-pair volume (Q7), market-share ratio of conditional aggregates
 (Q14), HAVING-filtered fact self-aggregation feeding a join (Q18), and
 scalar-subquery threshold + anti-join (Q22). The synthetic lineitem
 lacks commit/receipt dates and partsupp, so Q4's lateness predicate is
-re-expressed on l_shipdate vs o_orderdate and Q2/Q11/Q16/Q20 are out of
-scope.
+re-expressed on l_shipdate vs o_orderdate; the partsupp-based shapes
+(Q2/Q9/Q11/Q12/Q16/Q20) are re-expressed in tpch_shapes2.py.
 
 Scale notes (100 TB): nation/region are always broadcast; Q18's big-order
 probe aggregates lineitem down to (orderkey) keys before any join, so the

@@ -70,7 +70,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # global hour bounds / max revenue / balance threshold /
                 # mixture normalizer)
                 "tx_tfidf", "tx_keywords", "q_gap_fill",
-                "q22_idle_customers", "mix_temperature", "q_funnel"}
+                "q22_idle_customers", "mix_temperature", "q_funnel",
+                "q11_important_parts", "q15_top_supplier"}
 
 
 @pytest.mark.parametrize("name", sorted(

