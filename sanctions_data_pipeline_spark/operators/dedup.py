@@ -371,28 +371,38 @@ def connected_components(pairs: DataFrame, src: str = "i", dst: str = "j",
                                        F.col("id").alias("b")))
              .persist())
     labels = nodes.withColumn("label", F.col("id")).persist()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
-    def step(lab: DataFrame) -> DataFrame:
+    # One Spark ACTION per round: materialize the propagated labels and
+    # their checksum together. The pointer-jump self-join reads the
+    # persisted `stepped` twice from cache (persisting first halves the
+    # round cost — otherwise the join+agg subtree runs once per side),
+    # and the jump itself stays LAZY: it is computed inside the next
+    # round's job, so a converged graph never pays for a final jump.
+    # Convergence: labels only ever decrease, and sums are non-
+    # increasing through step -> jump -> step, so an unchanged stepped-
+    # sum across consecutive rounds proves the fixed point.
+    prev_sum = None
+    to_release: list[DataFrame] = []
+    for _ in range(max_iters):
         # min over self∪neighbors in ONE join+agg (self-loops in edges)
-        stepped = (edges.join(lab, edges.b == lab.id)
+        stepped = (edges.join(labels, edges.b == labels.id)
                    .groupBy(edges.a.alias("id"))
-                   .agg(F.min("label").alias("label")))
+                   .agg(F.min("label").alias("label"))
+                   .persist())
+        cur_sum = stepped.agg(F.sum("label")).collect()[0][0]
+        for df in to_release:
+            df.unpersist()
+        to_release = [labels, stepped]
+        if cur_sum == prev_sum:
+            labels = stepped
+            break
+        prev_sum = cur_sum
         # pointer jumping: label := label-of-label (path halving)
         parents = stepped.select(F.col("id").alias("pid"),
                                  F.col("label").alias("plabel"))
-        return (stepped.join(parents, stepped.label == parents.pid, "left")
-                .select(stepped.id,
-                        F.coalesce("plabel", "label").alias("label")))
-
-    for _ in range(max_iters):
-        jumped = step(labels).persist()
-        cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = jumped
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        labels = (stepped.join(parents, stepped.label == parents.pid, "left")
+                  .select(stepped.id,
+                          F.coalesce("plabel", "label").alias("label")))
 
     sym.unpersist()
     edges.unpersist()
