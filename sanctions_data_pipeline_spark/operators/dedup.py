@@ -62,6 +62,22 @@ def shingle_hashes(text_col: Column, k: int = 3) -> Column:
         ))).otherwise(F.array().cast("array<bigint>")))
 
 
+def span_hashes(text_col: Column, k: int = 8) -> Column:
+    """All k-word span hashes WITH multiplicity (unlike shingle_hashes,
+    no array_distinct): the occurrence stream consumed by cross-document
+    span dedup, where a doc repeating its own span must count each
+    occurrence. Same let-bound token-hash chaining — one xxhash64 per
+    token plus one per span, no per-span string building."""
+    toks = F.split(normalized_text(text_col), " ")
+    return let(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        lambda th: F.when(F.size(th) >= k, F.transform(
+            F.sequence(F.lit(0), F.size(th) - k),
+            lambda i: F.xxhash64(*[F.element_at(th, i + 1 + off)
+                                   for off in range(k)]),
+        )).otherwise(F.array().cast("array<bigint>")))
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """|A∩B| / |A∪B| over distinct-element arrays (exact, int/int
     division in double — deterministic across engines)."""

@@ -994,3 +994,89 @@ def ml_group_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(fit,
                            "lang string, slope double, intercept double, "
                            "n_docs long"))
+
+
+# --------------------------------------------------------------------------
+# dd_span_dedup — cross-document duplicated-SPAN fraction (RefinedWeb /
+# "exact substring dedup" at 8-gram granularity): for every document,
+# the fraction of its 8-word span occurrences that also appear in at
+# least one OTHER document, plus a keep/drop verdict (drop when a
+# majority of spans are corpus-duplicated). Distinct from
+# tx_repetition, which measures WITHIN-doc repetition only.
+#
+# Scale: span hashes are 8-byte longs chained from per-token hashes in
+# one codegen'd projection (never span strings); the span-frequency agg
+# is the only corpus-wide shuffle and carries (hash, doc_id) pairs; the
+# per-doc rollup reuses the hash-partitioned exchange for the join
+# probe. This is exactly the shuffle profile of suffix-array-free exact
+# substring dedup at corpus scale.
+# --------------------------------------------------------------------------
+@register("dd_span_dedup", oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 6),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                               toks[i+4], toks[i+5], toks[i+6], toks[i+7])))
+           AS span
+  FROM t WHERE len(toks) >= 8
+), sdf AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY span
+)
+SELECT s.doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS dup_frac,
+       CAST(CASE WHEN 2 * SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) < COUNT(*)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s JOIN sdf USING (span)
+GROUP BY s.doc_id
+""")
+def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(dd.span_hashes(F.col("text"), 8)).alias("h"))
+    sdf = ex.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("bigint")
+    return (ex.join(sdf, "h")
+            .groupBy("doc_id")
+            .agg(lcount("n_spans"), dup.alias("n_dup_spans"))
+            .select("doc_id", "n_spans", "n_dup_spans",
+                    F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+                     .alias("dup_frac"),
+                    (2 * F.col("n_dup_spans") < F.col("n_spans"))
+                     .cast("bigint").alias("keep")))
+
+
+# --------------------------------------------------------------------------
+# dp_shuffle — deterministic global training-order shuffle + sharding:
+# every document gets a (shard, pos) address from portable md5 hashes,
+# so the training order is reproducible across runs, engines, and
+# cluster sizes (no rand(), no partition-order dependence). Two-hex-char
+# shards give 256 output streams; a real deployment widens the prefix
+# (3 chars -> 4096) so each shard's window sort stays executor-sized.
+# The only shuffle is the per-shard ROW_NUMBER sort — map-only shard
+# assignment, then one bounded-partition window.
+# --------------------------------------------------------------------------
+@register("dp_shuffle", oracle="""
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM (SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents)
+""")
+def dp_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    addressed = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("shard"),
+        F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+         .alias("h"))
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return (addressed
+            .select("doc_id", "shard",
+                    F.row_number().over(w).cast("bigint").alias("pos")))

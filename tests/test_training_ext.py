@@ -220,3 +220,47 @@ def test_group_fit_matches_driver_lstsq(spark, sf_dir):
         assert rows[lang].n_docs == len(pts)
         # tokens scale ~linearly with chars: slope must be positive
         assert rows[lang].slope > 0
+
+
+def test_span_dedup_fraction_bounds_and_exact_copies(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+    rows = registry.queries()["dd_span_dedup"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert abs(r.dup_frac - round(r.n_dup_spans / r.n_spans, 6)) < 1e-9
+        assert r.keep == (1 if 2 * r.n_dup_spans < r.n_spans else 0)
+
+
+def test_span_dedup_flags_injected_duplicate(spark):
+    from sanctions_data_pipeline_spark.plans import training_data  # noqa: F401
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+    from pyspark.sql import functions as F
+    text = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text + " tail"), (3, "completely different words " * 5)],
+        "doc_id long, text string")
+    ex = docs.select("doc_id", F.explode(dd.span_hashes(F.col("text"), 8)).alias("h"))
+    sdf = ex.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    per = (ex.join(sdf, "h").groupBy("doc_id")
+           .agg(F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("dup"),
+                F.count(F.lit(1)).alias("n")))
+    got = {r.doc_id: (r.dup, r.n) for r in per.collect()}
+    assert got[1][0] == got[1][1]          # doc1 fully covered by doc2
+    assert got[3][0] < got[3][1]           # unique doc mostly clean
+
+
+def test_dp_shuffle_is_a_permutation_and_deterministic(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+    q = registry.queries()["dp_shuffle"]
+    rows = q(spark, sf_dir).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))  # every doc addressed exactly once
+    # positions within a shard are 1..n contiguous
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = {(r.doc_id, r.shard, r.pos) for r in q(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
