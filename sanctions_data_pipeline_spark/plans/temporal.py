@@ -301,3 +301,37 @@ def cg_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(merge,
                            "event_id long, user_id long, ts_us long, "
                            "asof_p_event_id long, asof_p_value double"))
+
+
+# --------------------------------------------------------------------------
+# q_range_frame — time-RANGE window frame: per event, aggregates over
+# the trailing ONE HOUR of the same user's events (RANGE BETWEEN
+# INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) — a frame defined by the
+# ORDER-BY VALUE, not by row offsets, so simultaneous events are frame
+# peers and gaps shrink the frame. Complements q_moving_avg's
+# ROWS-frame. Spark's rangeBetween needs a numeric sort key, so the
+# frame runs over epoch microseconds with a literal hour radius; only
+# order-independent aggregates (count, max) are emitted, keeping the
+# output exact on both engines regardless of frame-internal
+# accumulation order. Scale: one shuffle on user_id; each partition
+# sorts its own user's events only.
+# --------------------------------------------------------------------------
+@register("q_range_frame", oracle="""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_events_1h,
+       MAX(value) OVER w AS max_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""")
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    w = (W.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-hour_us, 0))
+    return ev.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.max("value").over(w).alias("max_value_1h"))

@@ -135,3 +135,21 @@ def test_cogroup_asof_equals_window_asof(spark, sf_dir):
     cg = {(r.event_id): (r.asof_p_event_id, r.asof_p_value)
           for r in _runq(spark, sf_dir, "cg_asof_pandas").collect()}
     assert cg == win
+
+
+def test_range_frame_counts_trailing_hour_only(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+    rows = registry.queries()["q_range_frame"](spark, sf_dir).collect()
+    assert rows
+    # every event counts at least itself
+    assert all(r.n_events_1h >= 1 for r in rows)
+    # independently recompute one user's frame counts in python
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    uid, evs = max(by_user.items(), key=lambda kv: len(kv[1]))
+    evs = sorted(evs, key=lambda r: r.ts_us)
+    hour = 3_600_000_000
+    for r in evs:
+        expect = sum(1 for o in evs if r.ts_us - hour <= o.ts_us <= r.ts_us)
+        assert r.n_events_1h == expect
