@@ -1080,3 +1080,74 @@ def dp_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (addressed
             .select("doc_id", "shard",
                     F.row_number().over(w).cast("bigint").alias("pos")))
+
+
+# --------------------------------------------------------------------------
+# corpus_e2e — the END-TO-END corpus build, composed from the pieces
+# above and verified cross-engine as ONE query: exact dedup (min doc_id
+# per normalized-text hash) -> near-dup removal (ngram-Jaccard pairs ->
+# connected components -> keep cluster canonical) -> leakage-safe
+# deterministic split -> per-(split, lang) document and token counts.
+# This is the deliverable shape of a training-data pipeline: every
+# stage is shuffle-minimal (hash agg, prefix-filtered candidate join,
+# O(log d) label propagation, map-only split) and the final summary is
+# the only row-reducing aggregation.
+# --------------------------------------------------------------------------
+@register("corpus_e2e", oracle=f"""
+WITH RECURSIVE k AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+), d1 AS (
+  SELECT d.* FROM documents d JOIN k USING (doc_id)
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, lang, {_TOKS} AS t FROM d1)
+), p AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+), e AS (
+  SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p
+), n AS (SELECT DISTINCT a AS id FROM e),
+reach AS (
+  SELECT id, id AS r FROM n
+  UNION
+  SELECT e.a AS id, reach.r FROM e JOIN reach ON e.b = reach.id
+), comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+d2 AS (
+  SELECT * FROM d1
+  WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+)
+SELECT CASE WHEN {_BUCKET} < 80 THEN 'train'
+            WHEN {_BUCKET} < 90 THEN 'valid' ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+FROM d2
+GROUP BY 1, lang
+""")
+def corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # stage 1: exact dedup — survivors are min-doc_id per text hash
+    keepers = dd.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    d1 = docs.join(keepers, "doc_id", "left_semi")
+    # stage 2: near-dup removal on the survivors
+    pairs = dd.ngram_jaccard_pairs(d1, ["lang"], threshold=0.5, k=3)
+    comp = dd.connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("cluster_id")) \
+               .select(F.col("id").alias("doc_id"))
+    d2 = d1.join(drop, "doc_id", "left_anti")
+    # stage 3: leakage-safe deterministic split + summary
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("bigint") % 100)
+    return (d2.select(
+                F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+                 .alias("split"),
+                "lang",
+                F.size(tx.tokens(F.col("text"))).alias("n_toks"))
+            .groupBy("split", "lang")
+            .agg(lcount("n_docs"),
+                 F.sum("n_toks").cast("bigint").alias("n_tokens")))

@@ -264,3 +264,15 @@ def test_dp_shuffle_is_a_permutation_and_deterministic(spark, sf_dir):
         assert sorted(poss) == list(range(1, len(poss) + 1))
     again = {(r.doc_id, r.shard, r.pos) for r in q(spark, sf_dir).collect()}
     assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_corpus_e2e_counts_are_consistent(spark, sf_dir):
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.plans import registry
+    rows = registry.queries()["corpus_e2e"](spark, sf_dir).collect()
+    assert rows
+    n_in = load_table(spark, sf_dir, "documents").count()
+    n_out = sum(r.n_docs for r in rows)
+    assert 0 < n_out <= n_in                     # dedup only removes
+    assert {r.split for r in rows} <= {"train", "valid", "test"}
+    assert all(r.n_tokens >= r.n_docs for r in rows)
