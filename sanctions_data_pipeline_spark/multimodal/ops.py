@@ -206,3 +206,59 @@ def sample_frames(media_df: DataFrame, every_n: int = 30,
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
 
     return media_df.select("doc_id", "media").mapInPandas(_sample, FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("win_idx", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossings", T.IntegerType()),
+])
+
+
+def window_audio(media_df: DataFrame, frame_len: int = 256,
+                 hop_len: int = 128) -> DataFrame:
+    """Frame audio payloads into overlapping windows and extract RMS
+    energy + zero-crossing counts per window, as Arrow-batched
+    ``mapInPandas`` with 1→many fan-out.
+
+    Unlike the image/video kernels this needs NO codec: payloads are
+    interpreted as int16 mono PCM (the layout a real ingest would
+    produce), so the whole operator — windowing via numpy stride
+    tricks, per-window vectorized features, row explosion — is real
+    signal processing, not a stand-in. Only full windows are emitted;
+    docs shorter than one window produce no rows.
+
+    Scale: same profile as the other media ops — bytes cross into
+    Python once per Arrow batch, the projection below the hop prunes
+    to (doc_id, media), and output rows are ~32 bytes of features, so
+    the fan-out SHRINKS data volume ~8x rather than growing it.
+    """
+
+    def _win(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+                usable = (len(buf) // 2) * 2
+                pcm = np.frombuffer(buf[:usable], dtype="<i2")
+                if pcm.size < frame_len:
+                    continue
+                n_wins = 1 + (pcm.size - frame_len) // hop_len
+                idx = (np.arange(n_wins)[:, None] * hop_len
+                       + np.arange(frame_len)[None, :])
+                wins = pcm[idx].astype("float64")
+                rms = np.sqrt((wins * wins).mean(axis=1)).round(6)
+                signs = np.signbit(wins)
+                zcr = (signs[:, 1:] != signs[:, :-1]).sum(axis=1)
+                rows.extend(
+                    (doc_id, int(w), frame_len, float(rms[w]), int(zcr[w]))
+                    for w in range(n_wins))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_WINDOW_SCHEMA])
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        _win, AUDIO_WINDOW_SCHEMA)

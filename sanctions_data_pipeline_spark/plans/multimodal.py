@@ -52,3 +52,21 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (frames.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_frames_sampled"),
                  F.md5(F.min_by("frame", F.col("frame_idx"))).alias("first_frame_md5")))
+
+
+@register("mm_audio_windows")
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing (rows-only): int16-PCM interpretation of the
+    media payload framed into 256-sample windows at 128-sample hop,
+    RMS + zero-crossing features per window — real vectorized DSP (no
+    codec needed for raw PCM), pinned by an independent numpy
+    recomputation in tests. Emits a per-doc rollup so the driver's
+    rows-check is compact and deterministic."""
+    from sanctions_data_pipeline_spark.multimodal.ops import window_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    wins = window_audio(attach_media(docs), frame_len=256, hop_len=128)
+    return (wins.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+                 F.round(F.max("rms"), 6).alias("max_rms"),
+                 F.sum("zero_crossings").cast("bigint").alias("total_zc")))

@@ -101,3 +101,34 @@ def test_sample_frames_fan_out(spark, sf_dir):
     for r in out:
         assert r.frame_idx % 2 == 0
         assert 0 < len(r.frame) <= FAKE_FRAME_BYTES
+
+
+def test_window_audio_matches_numpy_recompute(spark):
+    import numpy as np
+    from sanctions_data_pipeline_spark.multimodal.ops import window_audio
+
+    rng = np.random.default_rng(7)
+    pcm = (rng.integers(-3000, 3000, size=1000)).astype("<i2")
+    short = np.zeros(100, dtype="<i2")  # shorter than one window
+    df = spark.createDataFrame(
+        [(1, bytearray(pcm.tobytes())), (2, bytearray(short.tobytes()))],
+        "doc_id long, media binary")
+    rows = window_audio(df, frame_len=256, hop_len=128).collect()
+    assert {r.doc_id for r in rows} == {1}  # short doc emits nothing
+    n_wins = 1 + (1000 - 256) // 128
+    assert len(rows) == n_wins
+    for r in rows:
+        w = pcm[r.win_idx * 128: r.win_idx * 128 + 256].astype("float64")
+        assert abs(r.rms - round(float(np.sqrt((w * w).mean())), 6)) < 1e-9
+        sb = np.signbit(w)
+        assert r.zero_crossings == int((sb[1:] != sb[:-1]).sum())
+
+
+def test_mm_audio_windows_rollup_is_deterministic(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+    q = registry.queries()["mm_audio_windows"]
+    a = {(r.doc_id, r.n_windows, r.max_rms, r.total_zc)
+         for r in q(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.n_windows, r.max_rms, r.total_zc)
+         for r in q(spark, sf_dir).collect()}
+    assert a == b and a
