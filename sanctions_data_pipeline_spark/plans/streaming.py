@@ -197,3 +197,22 @@ def st_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.streaming.ops import foreach_upsert_latest
 
     return foreach_upsert_latest(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# st_chained_windows — TWO stateful window aggregations chained in one
+# streaming query (15-min tumbling -> hourly re-agg), Spark's
+# multi-stateful-operator support. Rows-only: append mode emits coarse
+# windows as the PROPAGATED watermark passes them, and the exact
+# emission cutoff is an internal propagation policy (each downstream
+# operator is held back by the upstream window length) — so instead of
+# hardcoding that rule into SQL, tests pin every emitted row against
+# the batch two-level re-agg and check the emitted set is a clean
+# prefix of event time.
+# --------------------------------------------------------------------------
+@register("st_chained_windows")
+def st_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.streaming.ops import chained_window_agg
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(chained_window_agg(ev), output_mode="append")

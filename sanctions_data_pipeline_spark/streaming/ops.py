@@ -29,7 +29,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from sanctions_data_pipeline_spark.plans.helpers import dsum, dval, lcount
+from sanctions_data_pipeline_spark.plans.helpers import (
+    _as_exact_double, dsum, dval, lcount,
+)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
@@ -43,6 +45,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # untagged parquet timestamps must read as session-tz TIMESTAMP (not
+    # NTZ): unix_micros/watermark math downstream requires it, and the
+    # batch catalog reads the same way (see catalog.load_table)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
@@ -318,3 +324,35 @@ def foreach_upsert_latest(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.read.parquet(state_path)
+
+
+def chained_window_agg(events: DataFrame, inner: str = "15 minutes",
+                       outer: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """TWO chained stateful window aggregations in ONE streaming query
+    (Spark >= 3.5 multi-stateful-operator support): a fine tumbling agg
+    whose window column feeds a coarser re-aggregation — the streaming
+    form of the continuous-aggregate rollup (q_rollup_reuse), running
+    incrementally with bounded state.
+
+    Append mode is mandatory for chained aggs; finalized coarse windows
+    emit once the propagated watermark passes them (Spark holds each
+    downstream operator back by the upstream window length, so the tail
+    of the stream inside the horizon stays in state — tests pin the
+    emitted set against the batch equivalent rather than hardcoding the
+    propagation rule).
+
+    Scale: the coarse agg's input is the fine agg's output (already
+    |windows| x |types| rows, not |events|), so the second shuffle is
+    negligible; state is bounded by windows inside the watermark.
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    lvl1 = (events.groupBy(F.window("ts", inner).alias("w1"), "event_type")
+            .agg(lcount("n1"), F.sum(dval("value")).alias("v1")))
+    return (lvl1.groupBy(F.window(F.col("w1"), outer).alias("w2"), "event_type")
+            .agg(F.sum("n1").alias("n_events"),
+                 _as_exact_double(F.sum("v1")).alias("total_value"))
+            .select(F.date_format("w2.start", "yyyy-MM-dd HH:mm:ss")
+                     .alias("window_start"),
+                    "event_type", "n_events", "total_value"))

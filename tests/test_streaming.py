@@ -169,3 +169,25 @@ def test_foreach_upsert_multi_batch_equals_single_batch(spark, sf_dir, tmp_path)
     single = {r.user_id: (r.last_ts_us, r.last_event_id, r.last_value)
               for r in foreach_upsert_latest(spark, sf_dir).collect()}
     assert batched == single
+
+
+def test_chained_windows_match_batch_rollup_prefix(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.plans import registry
+    from sanctions_data_pipeline_spark.streaming.ops import chained_window_agg
+
+    got = registry.queries()["st_chained_windows"](spark, sf_dir).collect()
+    assert got, "chained streaming agg emitted nothing"
+    # batch twin of the same two-level rollup
+    batch = {(r.window_start, r.event_type): (r.n_events, r.total_value)
+             for r in chained_window_agg(
+                 load_table(spark, sf_dir, "events")).collect()}
+    emitted_starts = sorted({r.window_start for r in got})
+    for r in got:
+        assert batch[(r.window_start, r.event_type)] == (r.n_events, r.total_value)
+    # emission is a clean event-time prefix: every batch window strictly
+    # before the last emitted start was emitted too
+    all_starts = sorted({ws for ws, _ in batch})
+    cutoff = emitted_starts[-1]
+    assert [ws for ws in all_starts if ws <= cutoff] == emitted_starts
