@@ -10,6 +10,8 @@ tables lack).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from sanctions_data_pipeline_spark.catalog import load_table
@@ -469,3 +471,24 @@ def s_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# xml_pysource_split — the reference's feed-split step (main.py:149-180,
+# a driver loop writing entity{N}.xml temp files) as a CUSTOM PYTHON
+# DATA SOURCE (Spark 4 DataSource API): one row per sanctionEntity with
+# file provenance, partition-per-feed-file parallelism, streamed
+# ElementTree parse. Rows-only (input is the XML fixture, not parquet);
+# field values pinned by tests/test_pipeline.py.
+# --------------------------------------------------------------------------
+@register("xml_pysource_split")
+def xml_pysource_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.sources import python_datasource as pds
+
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures")
+    pds.register(spark)
+    df = (spark.read.format("sanctions_feed")
+          .option("path", os.path.join(fixtures, "feed.xml")).load())
+    return df.select("file", "entity_seq", "eu_ref", "subject_code",
+                     "n_aliases", F.length("xml").alias("xml_len"))

@@ -111,3 +111,30 @@ def test_pipeline_without_pdf(spark):
     out = run_pipeline(spark, XML)
     assert out.count() == 6
     assert all(r.REM2 == "" for r in out.collect())
+
+
+def test_python_datasource_splits_feed_with_provenance(spark):
+    import os
+    from sanctions_data_pipeline_spark.plans import registry
+    rows = registry.queries()["xml_pysource_split"](spark, "unused").collect()
+    assert [r.entity_seq for r in rows] == list(range(1, len(rows) + 1))
+    by_ref = {r.eu_ref: r for r in rows}
+    assert "EU.1.1" in by_ref and by_ref["EU.1.1"].n_aliases == 2
+    assert by_ref["EU.6.6"].subject_code == "enterprise"
+    assert all(r.file == "feed.xml" and r.xml_len > 50 for r in rows)
+
+
+def test_python_datasource_partitions_per_file(spark, tmp_path):
+    import shutil
+    from sanctions_data_pipeline_spark.sources import python_datasource as pds
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    for i in range(3):
+        shutil.copy(os.path.join(fixtures, "feed.xml"),
+                    tmp_path / f"snap{i}.xml")
+    pds.register(spark)
+    df = (spark.read.format("sanctions_feed")
+          .option("path", str(tmp_path)).load())
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 3 * 6
+    # per-file sequences restart: provenance + split both intact
+    assert df.filter("entity_seq = 1").count() == 3
