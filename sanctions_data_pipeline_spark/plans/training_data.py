@@ -1151,3 +1151,19 @@ def corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split", "lang")
             .agg(lcount("n_docs"),
                  F.sum("n_toks").cast("bigint").alias("n_tokens")))
+
+
+# --------------------------------------------------------------------------
+# sim_ann_pq — product-quantization ANN: vectors compressed to m uint8
+# codes (32x at d=64/m=8), ADC-scored against broadcast per-query
+# lookup tables, exactly re-ranked on true cosines. Rows-only: the PQ
+# codebooks come from a driver-trained bounded sample (FAISS-style),
+# which no SQL engine mirrors; recall against sim_topk_bruteforce and
+# determinism are pinned in tests/test_ivf.py.
+# --------------------------------------------------------------------------
+@register("sim_ann_pq")
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return (sim.pq_topk(queries, vecs, k=5, m=8, ksub=16, rerank=8)
+            .withColumn("rnk", F.col("rnk").cast("bigint")))

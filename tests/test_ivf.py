@@ -43,3 +43,41 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
         "vec_id long, embedding array<double>")
     cents = sim.kmeans_fit(df, n_centroids=4, n_iters=2)
     assert len(cents) == 4 and all(len(c) == 2 for c in cents)
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+    q = registry.queries()
+    pq = q["sim_ann_pq"](spark, sf_dir).collect()
+    bf = q["sim_topk_bruteforce"](spark, sf_dir).collect()
+    assert pq, "pq returned nothing"
+    got = {}
+    for r in pq:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    true = {}
+    for r in bf:
+        true.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(got.get(k, set()) & v) / len(v) for k, v in true.items()]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # exact re-rank: every returned cosine equals the true cosine from
+    # the brute-force run when the pair appears in both
+    bf_cos = {(r.query_id, r.neighbor_id): r.cos for r in bf}
+    for r in pq:
+        if (r.query_id, r.neighbor_id) in bf_cos:
+            assert abs(r.cos - bf_cos[(r.query_id, r.neighbor_id)]) < 1e-9
+    again = {(r.query_id, r.neighbor_id, r.cos, r.rnk)
+             for r in registry.queries()["sim_ann_pq"](spark, sf_dir).collect()}
+    assert again == {(r.query_id, r.neighbor_id, r.cos, r.rnk) for r in pq}
+
+
+def test_pq_codes_compress_32x(spark, sf_dir):
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators import similarity as sim
+    import numpy as np
+    vecs = load_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train_codebooks(vecs, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    assert np.isfinite(books).all()
+    # deterministic training: same sample -> same books
+    again = sim.pq_train_codebooks(vecs, m=8, ksub=16)
+    assert np.array_equal(books, again)
