@@ -1011,7 +1011,7 @@ def ml_group_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe. This is exactly the shuffle profile of suffix-array-free exact
 # substring dedup at corpus scale.
 # --------------------------------------------------------------------------
-@register("dd_span_dedup", oracle=f"""
+@register("dd_span_dedup", headline=True, oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (
   SELECT doc_id,
