@@ -219,3 +219,42 @@ def test_tws_runner_matches_apply_in_pandas_path(spark, sf_dir):
                          F.max("max_value").alias("max_value")))
     assert {tuple(r) for r in final.collect()} == \
         {tuple(r) for r in legacy_final.collect()}
+
+
+def test_file_sink_checkpoint_recovery_is_exactly_once(spark, sf_dir, tmp_path):
+    """Incremental processing across restarts: a parquet-sink stream
+    drains file 1, stops, a new input file lands, and a SECOND query
+    restarted from the same checkpoint processes ONLY the new file —
+    no duplicates, no loss (the file-source + checkpoint contract that
+    makes production streaming restartable)."""
+    import os
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    half = ev.count() // 2
+    indir = tmp_path / "in"; indir.mkdir()
+    outdir = str(tmp_path / "out"); ck = str(tmp_path / "ck")
+    ev.filter(F.col("event_id") < half).coalesce(1).write.parquet(
+        str(indir / "f1.parquet"))
+
+    schema = spark.read.parquet(str(indir / "f1.parquet")).schema
+
+    def drain():
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(str(indir) + "/*")
+             .writeStream.format("parquet")
+             .option("path", outdir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(outdir).count()
+    assert n1 == half
+    ev.filter(F.col("event_id") >= half).coalesce(1).write.parquet(
+        str(indir / "f2.parquet"))
+    drain()  # restart from the same checkpoint
+    out = spark.read.parquet(outdir)
+    assert out.count() == ev.count()                      # no loss
+    assert out.select("event_id").distinct().count() == ev.count()  # no dupes
