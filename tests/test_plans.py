@@ -83,3 +83,40 @@ def test_no_unplanned_cartesian(spark, sf_dir, name):
     if name not in _NON_EQUI_OK:
         assert "BroadcastNestedLoopJoin" not in p, \
             f"{name} has an unplanned non-equi join"
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """A 90%-hot-key join must come out of AQE with the fat partition
+    SPLIT (SortMergeJoin(skew=true) + 'coalesced and skewed' shuffle
+    read) — the runtime half of the engine's skew story (q_skew_salted
+    is the compile-time half). Thresholds are lowered so local-mode
+    data sizes trip the same code path a 100 TB partition would."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(500_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id"))
+             .alias("k"),
+            F.concat(F.lit("payload_payload_payload_payload_"),
+                     F.col("id").cast("string")).alias("pad"))
+        right = spark.range(50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv"))
+        df = left.join(right, "k")
+        assert df.count() > 0
+        df.foreach(lambda r: None)  # finalize THIS plan instance's AQE
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan.splitlines()[0]
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead split the fat partition
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
