@@ -512,3 +512,51 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(sup, r.l_suppkey == sup.s_suppkey)
             .groupBy("s_name")
             .agg(lcount("numwait")))
+
+
+# --------------------------------------------------------------------------
+# q_dq_audit — one-pass data-quality audit of the fact tables: row
+# counts, null counts, key uniqueness, and referential integrity
+# (lineitem rows whose order key has no parent order — counted via a
+# left anti join, never a driver-side check). Every metric is a plain
+# aggregate so the whole audit is two scans + one anti join; on a
+# cluster this is the pre-flight gate a 100 TB load runs before
+# publishing a snapshot.
+# --------------------------------------------------------------------------
+@register("q_dq_audit", oracle="""
+SELECT 'orders' AS tbl,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_custkey) AS n_null_keys,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_dup_keys,
+       CAST(0 AS BIGINT) AS n_orphans
+FROM orders
+UNION ALL
+SELECT 'lineitem',
+       COUNT(*),
+       COUNT(*) - COUNT(l_partkey),
+       CAST(0 AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+FROM lineitem
+""")
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_audit = orders.agg(
+        F.lit("orders").alias("tbl"),
+        lcount("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("n_null_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_dup_keys"),
+        F.lit(0).cast("bigint").alias("n_orphans"))
+    orphans = (li.join(orders.select("o_orderkey"),
+                       li.l_orderkey == F.col("o_orderkey"), "left_anti")
+               .agg(lcount("n")))
+    l_audit = (li.agg(
+        F.lit("lineitem").alias("tbl"),
+        lcount("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_partkey")).alias("n_null_keys"),
+        F.lit(0).cast("bigint").alias("n_dup_keys"))
+        .crossJoin(F.broadcast(orphans))
+        .withColumnRenamed("n", "n_orphans"))
+    return o_audit.unionByName(l_audit)

@@ -189,3 +189,27 @@ def test_q21_sole_returner_semantics(spark, sf_dir):
     for k, v in expect.items():
         want[sup[k]] += v
     assert {r.s_name: r.numwait for r in rows} == dict(want)
+
+
+def test_dq_audit_clean_fixture_and_shapes(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+    rows = {r.tbl: r for r in
+            registry.queries()["q_dq_audit"](spark, sf_dir).collect()}
+    assert set(rows) == {"orders", "lineitem"}
+    # the synthetic snapshot is referentially clean — the audit must
+    # agree (and would catch a generator regression)
+    assert rows["orders"].n_dup_keys == 0
+    assert rows["lineitem"].n_orphans == 0
+    assert rows["orders"].n_rows > 0 and rows["lineitem"].n_rows > 0
+
+
+def test_dq_audit_detects_planted_orphans(spark):
+    from pyspark.sql import functions as F
+    orders = spark.createDataFrame([(1, 10), (2, 20)],
+                                   "o_orderkey long, o_custkey long")
+    li = spark.createDataFrame([(1, 100), (1, 101), (99, 102)],
+                               "l_orderkey long, l_partkey long")
+    orphans = (li.join(orders.select("o_orderkey"),
+                       li.l_orderkey == F.col("o_orderkey"), "left_anti")
+               .count())
+    assert orphans == 1
