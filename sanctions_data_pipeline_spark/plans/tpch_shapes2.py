@@ -96,6 +96,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = (li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
             .join(F.broadcast(sup_eu.select("s_suppkey")),
                   li.l_suppkey == F.col("s_suppkey"))
+            # partition by l_partkey ALONE: hashpartitioning(partkey)
+            # satisfies the (partkey, suppkey) agg's clustering AND the
+            # window's, so the whole query runs on ONE exchange
+            # (verified by test_q2_window_reuses_agg_shuffle)
+            .repartition("l_partkey")
             .groupBy("l_partkey", "l_suppkey")
             .agg(F.min(dval("l_extendedprice")).alias("cost_dec")))
     min_dec = F.min("cost_dec").over(W.partitionBy("l_partkey"))

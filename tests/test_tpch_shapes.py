@@ -178,11 +178,14 @@ def test_q2_min_cost_is_group_minimum(spark, sf_dir):
 
 def test_q2_window_reuses_agg_shuffle(spark, sf_dir):
     df = _run(spark, sf_dir, "q2_min_cost_supplier")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # the window-min over the groupBy key must not introduce a second
-    # hash-partition exchange between the aggregate and the window
-    agg_pos = plan.find("HashAggregate")
-    assert "Window" in plan and agg_pos != -1
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "Window" in plan and "HashAggregate" in plan
+    # the pre-partition on l_partkey must serve the aggregate AND the
+    # window: exactly ONE hash-partition exchange in the whole plan
+    n_hash_exchanges = sum(1 for line in plan.splitlines()
+                           if "Exchange hashpartitioning" in line)
+    assert n_hash_exchanges == 1, plan
 
 
 def test_q9_profit_covers_only_widget_parts(spark, sf_dir):
