@@ -306,6 +306,10 @@ def q20_top_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
     q = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         # one hashpartitioning(l_partkey) serves the fine agg, the
+         # per-part rollup, AND the threshold join (all cluster on the
+         # part key) — same single-exchange trick as q2
+         .repartition("l_partkey")
          .groupBy("l_partkey", "l_suppkey")
          .agg(_scaled_bigint(F.sum(dval("l_quantity"))).alias("sq")))
     tot = (q.groupBy(F.col("l_partkey").alias("pk"))
