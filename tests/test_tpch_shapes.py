@@ -229,3 +229,13 @@ def test_q20_share_threshold_selects_strict_subset(spark, sf_dir):
     keys = [r.s_suppkey for r in rows]
     assert len(keys) == len(set(keys))  # semi join must not fan out
     assert len(keys) < load_table(spark, sf_dir, "supplier").count()
+
+
+def test_null_skew_bypass_keeps_nulls_out_of_the_join(spark, sf_dir):
+    from sanctions_data_pipeline_spark.catalog import load_table
+    rows = {r.status_name: r for r in
+            _run(spark, sf_dir, "q_null_skew_outer").collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    # the NULL bucket is exactly the 'O' majority and bypassed the join
+    assert rows[None].n_orders == orders.filter("o_orderstatus = 'O'").count()
+    assert sum(r.n_orders for r in rows.values()) == orders.count()
