@@ -1167,3 +1167,61 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = vecs.filter(F.col("vec_id") < 10)
     return (sim.pq_topk(queries, vecs, k=5, m=8, ksub=16, rerank=8)
             .withColumn("rnk", F.col("rnk").cast("bigint")))
+
+
+# --------------------------------------------------------------------------
+# tt_leakage_check — cross-split contamination audit: near-dup pairs
+# whose members landed in DIFFERENT splits (the leakage that inflates
+# eval scores, and the reason corpus_e2e dedups BEFORE splitting).
+# Counts pairs per (split_i, split_j) bucket; a clean pipeline shows
+# zero off-diagonal mass after near-dup removal. Reuses the exact
+# AllPairs Jaccard pair producer and the deterministic split. The
+# split map is CORPUS-sized, so it is never broadcast — the near-dup
+# PAIR list is the small side, and AQE broadcasts it into both probe
+# joins at runtime (the map-only split assignment never shuffles).
+# --------------------------------------------------------------------------
+@register("tt_leakage_check", oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+), p AS (
+  SELECT a.doc_id AS i, b.doc_id AS j
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN {_BUCKET} < 80 THEN 'train'
+              WHEN {_BUCKET} < 90 THEN 'valid' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT si.split AS split_i, sj.split AS split_j,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN si.split <> sj.split THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaks
+FROM p JOIN sp si ON p.i = si.doc_id
+       JOIN sp sj ON p.j = sj.doc_id
+GROUP BY si.split, sj.split
+""")
+def tt_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, ["lang"], threshold=0.5, k=3)
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("bigint") % 100)
+    splits = docs.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+         .alias("split"))
+    si = splits.select(F.col("doc_id").alias("i"),
+                       F.col("split").alias("split_i"))
+    sj = splits.select(F.col("doc_id").alias("j"),
+                       F.col("split").alias("split_j"))
+    return (pairs.join(si, "i").join(sj, "j")
+            .groupBy("split_i", "split_j")
+            .agg(lcount("n_pairs"),
+                 F.sum(F.when(F.col("split_i") != F.col("split_j"), 1)
+                        .otherwise(0)).cast("bigint").alias("n_leaks")))

@@ -276,3 +276,20 @@ def test_corpus_e2e_counts_are_consistent(spark, sf_dir):
     assert 0 < n_out <= n_in                     # dedup only removes
     assert {r.split for r in rows} <= {"train", "valid", "test"}
     assert all(r.n_tokens >= r.n_docs for r in rows)
+
+
+def test_leakage_check_agrees_with_pair_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+    from sanctions_data_pipeline_spark.plans import registry
+
+    rows = registry.queries()["tt_leakage_check"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_pairs = dd.ngram_jaccard_pairs(docs, ["lang"], threshold=0.5, k=3).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        expect = r.n_pairs if r.split_i != r.split_j else 0
+        assert r.n_leaks == expect
+    # and the e2e pipeline's dedup-before-split removes all leakage:
+    # pairs among corpus_e2e survivors would be zero by construction
