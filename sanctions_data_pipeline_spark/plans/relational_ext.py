@@ -560,3 +560,32 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(orphans))
         .withColumnRenamed("n", "n_orphans"))
     return o_audit.unionByName(l_audit)
+
+
+# --------------------------------------------------------------------------
+# q_variant_props — the same semi-structured extraction through Spark
+# 4's VARIANT type: parse_json once into a binary variant value, then
+# typed variant_get paths. Versus per-field get_json_object string
+# re-parsing, a VARIANT column parses each document ONCE and serves
+# every subsequent path from its binary encoding — at 100 TB with many
+# extracted fields that is the difference between k string parses and
+# one. Oracle: DuckDB's native JSON path semantics on the same rows.
+# --------------------------------------------------------------------------
+@register("q_variant_props", oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(props->>'k' AS INTEGER) * 2) AS BIGINT) AS sum_2k,
+       CAST(SUM(CASE WHEN CAST(props->>'k' AS INTEGER) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""")
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("pv", F.parse_json("props"))
+    k = F.variant_get("pv", "$.k", "int")
+    return (v.groupBy("event_type")
+            .agg(F.sum(k * 2).cast("bigint").alias("sum_2k"),
+                 F.sum(F.when(k > 50, 1).otherwise(0)).cast("bigint")
+                  .alias("n_hot"),
+                 lcount("n_events")))

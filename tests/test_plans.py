@@ -120,3 +120,36 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """With broadcast off (modeling a fact-fact join too big to
+    broadcast), Catalyst must inject a runtime bloom filter from the
+    selective orders side into the lineitem scan — rows that cannot
+    join are dropped BEFORE the shuffle, the 100 TB analogue of
+    shipping 4x less data into the exchange."""
+    from pyspark.sql import functions as F
+
+    from sanctions_data_pipeline_spark.catalog import load_table
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple")
+        assert "might_contain" in plan.lower(), plan[:1500]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
