@@ -92,3 +92,48 @@ def test_quantization_error_bounded_by_half_step(spark, vecs):
             assert -128 <= q <= 127
             assert abs(q / scale - x) <= (0.5 / scale) + 1e-9
         assert max(abs(q) for q in r.q) == 127
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=40),
+                min_size=1, max_size=8))
+def test_span_count_law(spark, texts):
+    """Every document yields exactly max(0, n_tokens - k + 1) k-spans
+    (with multiplicity), for the same whitespace normalization the
+    engine applies everywhere."""
+    from sanctions_data_pipeline_spark.operators.dedup import span_hashes
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    rows = df.select(
+        "doc_id",
+        F.size(F.split(normalized_text(F.col("text")), " ")).alias("n"),
+        F.size(span_hashes(F.col("text"), 4)).alias("n_spans")).collect()
+    for r in rows:
+        # normalized empty text still splits to [""] (one empty token)
+        expect = max(0, r.n - 4 + 1) if r.n >= 4 else 0
+        assert r.n_spans == expect
+
+
+def test_dp_shuffle_addresses_ignore_physical_partitioning(spark, sf_dir):
+    """The (shard, pos) address must be a pure function of doc_id —
+    identical under any input partitioning (the property that makes the
+    training order reproducible on any cluster size)."""
+    from sanctions_data_pipeline_spark.plans import registry
+
+    q = registry.queries()["dp_shuffle"]
+    base = {(r.doc_id, r.shard, r.pos) for r in q(spark, sf_dir).collect()}
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents").repartition(7)
+    addressed = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("shard"),
+        F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+         .alias("h"))
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    other = {(r.doc_id, r.shard, r.pos) for r in addressed.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("bigint").alias("pos")).collect()}
+    assert base == other
