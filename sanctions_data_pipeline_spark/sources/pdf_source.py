@@ -91,3 +91,30 @@ def parse_chunk_fields(chunks: DataFrame) -> DataFrame:
         prog_last.alias("programme_line"),
         rem2.alias("rem2"),
     )
+
+
+class ChunkEntitiesUDTF:
+    """The chunker as a Python UDTF (Spark 4): SQL-callable one-row →
+    many-rows expansion (``SELECT ... FROM texts, LATERAL
+    chunk_entities(text)``), row-identical to :func:`chunk_entities`.
+    The DataFrame form stays the hot path (codegen'd split/regexp);
+    the UDTF form exists for SQL-surface consumers and is registered
+    per-session via :func:`register_chunk_udtf`."""
+
+    def eval(self, text: str):
+        import re
+
+        for i, chunk in enumerate(re.split(r"(?=Entity\s+\d+\b)", text or "")):
+            c = chunk.strip(" ")  # Spark's trim() strips SPACES only
+            if c.lower().startswith("entity"):
+                m = re.search(r"(?i)Programme\s*[:\-]\s*([A-Za-z0-9]+)", c)
+                yield i, (m.group(1).upper() if m else "GEN"), c
+
+
+def register_chunk_udtf(spark) -> None:
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(
+        "chunk_entities",
+        udtf(ChunkEntitiesUDTF,
+             returnType="chunk_idx int, programme string, chunk_text string"))

@@ -138,3 +138,24 @@ def test_python_datasource_partitions_per_file(spark, tmp_path):
     assert df.count() == 3 * 6
     # per-file sequences restart: provenance + split both intact
     assert df.filter("entity_seq = 1").count() == 3
+
+
+def test_chunk_udtf_matches_dataframe_chunker(spark):
+    from sanctions_data_pipeline_spark.sources.pdf_source import (
+        chunk_entities, register_chunk_udtf,
+    )
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    with open(os.path.join(fixtures, "travel_ban.txt"), encoding="utf-8") as fh:
+        text = fh.read()
+    texts = spark.createDataFrame([("travel_ban.txt", text)],
+                                  "doc_path string, text string")
+    df_rows = {(r.chunk_idx, r.programme, r.chunk_text)
+               for r in chunk_entities(texts).collect()}
+    register_chunk_udtf(spark)
+    texts.createOrReplaceTempView("_udtf_texts")
+    sql_rows = {(r.chunk_idx, r.programme, r.chunk_text)
+                for r in spark.sql(
+                    "SELECT c.chunk_idx, c.programme, c.chunk_text "
+                    "FROM _udtf_texts, LATERAL chunk_entities(text) c"
+                ).collect()}
+    assert sql_rows == df_rows and sql_rows
