@@ -1225,3 +1225,28 @@ def tt_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(lcount("n_pairs"),
                  F.sum(F.when(F.col("split_i") != F.col("split_j"), 1)
                         .otherwise(0)).cast("bigint").alias("n_leaks")))
+
+
+# --------------------------------------------------------------------------
+# ml_logreg — distributed full-batch logistic regression (is the doc
+# English?) on length/token features: per-partition numpy gradient
+# partials via mapInPandas, driver update loop — the treeAggregate
+# shape MLlib's optimizers use, with per-iteration traffic of d+1
+# doubles per partition and the corpus never leaving executors.
+# Rows-only: pinned against a driver-side numpy recompute in
+# tests/test_training_ext.py.
+# --------------------------------------------------------------------------
+@register("ml_logreg")
+def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.optim import logreg_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        F.col("n_chars").cast("double").alias("f_chars"),
+        F.size(tx.tokens(F.col("text"))).cast("double").alias("f_tokens"))
+    w = logreg_fit(feats, "is_en", ["f_chars", "f_tokens"],
+                   n_iters=25, lr=0.5)
+    return spark.createDataFrame(
+        [(i, round(float(x), 6)) for i, x in enumerate(w)],
+        "pos int, weight double")

@@ -293,3 +293,36 @@ def test_leakage_check_agrees_with_pair_recompute(spark, sf_dir):
         assert r.n_leaks == expect
     # and the e2e pipeline's dedup-before-split removes all leakage:
     # pairs among corpus_e2e survivors would be zero by construction
+
+
+def test_logreg_matches_driver_recompute_and_learns(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+    from sanctions_data_pipeline_spark.operators.optim import logreg_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        F.col("n_chars").cast("double").alias("f_chars"),
+        F.size(tx.tokens(F.col("text"))).cast("double").alias("f_tokens"))
+    w = np.array(logreg_fit(feats, "is_en", ["f_chars", "f_tokens"],
+                            n_iters=25, lr=0.5))
+    # driver-side recompute on collected rows, same standardization
+    pdf = feats.toPandas()
+    x = pdf[["f_chars", "f_tokens"]].to_numpy()
+    y = pdf["is_en"].to_numpy().astype("float64")
+    mu, sd = x.mean(axis=0), np.maximum(x.std(axis=0), 1e-12)
+    xb = np.hstack([np.ones((len(x), 1)), (x - mu) / sd])
+    ww = np.zeros(3)
+    for _ in range(25):
+        p = 1.0 / (1.0 + np.exp(-(xb @ ww)))
+        ww -= 0.5 * (xb.T @ (p - y)) / len(y)
+    assert np.allclose(w, ww, atol=1e-6), (w, ww)
+    # the fit actually learned: lower log-loss than the zero model
+    p = 1.0 / (1.0 + np.exp(-(xb @ w)))
+    eps = 1e-12
+    loss = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).mean()
+    base = -np.log(0.5)
+    assert loss < base
