@@ -101,3 +101,16 @@ def test_approx_sketch_within_tolerance(spark, sf_dir):
         assert abs(got[et]["approx_users"] - e["u"]) <= max(2, 0.05 * e["u"])
         assert abs(got[et]["approx_median_value"] - e["med"]) <= \
             0.1 * max(1.0, abs(e["med"]))
+
+
+def test_catalog_reads_events_ts_as_session_timestamp(spark, sf_dir):
+    """Guard against testdata regeneration flipping events.ts to
+    TIMESTAMP_NTZ (micros, no tz flag) or nanos-as-long: the catalog
+    must always surface a session-tz timestamp, or every unix_micros/
+    watermark consumer breaks."""
+    from sanctions_data_pipeline_spark.catalog import load_table
+    df = load_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # and unix_micros works (the operation NTZ rejects)
+    from pyspark.sql import functions as F
+    assert df.select(F.unix_micros("ts")).first()[0] is not None
