@@ -139,3 +139,39 @@ def test_write_observed_counts_without_second_scan(spark, sf_dir, tmp_path):
     assert metrics["n_rows"] == docs.count()
     assert metrics["n_null_doc_id"] == 0
     assert spark.read.parquet(out).count() == metrics["n_rows"]
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(
+        spark, sf_dir, tmp_path):
+    """The incremental-reload contract: overwriting with partition
+    overwrite mode DYNAMIC replaces only the partitions present in the
+    written frame and leaves every sibling partition intact — the
+    difference between re-publishing one day and truncating the lake."""
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    out = str(tmp_path / "part_docs")
+    docs.write.partitionBy("lang").parquet(out)
+    before = {r.lang: r.cnt for r in spark.read.parquet(out)
+              .groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert len(before) > 1
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch = (docs.filter(F.col("lang") == "en")
+                 .limit(3).withColumn("n_chars", F.lit(-1)))
+        patch.write.mode("overwrite").partitionBy("lang").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    after = spark.read.parquet(out)
+    counts = {r.lang: r.cnt for r in after.groupBy("lang")
+              .agg(F.count("*").alias("cnt")).collect()}
+    assert counts["en"] == 3                      # touched: replaced
+    for lang, cnt in before.items():
+        if lang != "en":
+            assert counts[lang] == cnt            # untouched: intact
+    assert after.filter("n_chars = -1").count() == 3
