@@ -1250,3 +1250,51 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, round(float(x), 6)) for i, x in enumerate(w)],
         "pos int, weight double")
+
+
+# --------------------------------------------------------------------------
+# dp_pack_sequences — materialized training sequences: token ids per
+# doc (hash-vocab), docs concatenated WITH an EOD separator in a
+# deterministic md5 order, the concatenation sliced into fixed
+# 512-token windows. Packing happens within (lang, bucket-of-16-docs)
+# shards — the scale-correct form: per-shard arrays stay bounded
+# (~16 docs), so no task ever holds a language's whole corpus, exactly
+# how production packers shard before concatenating. JVM-side
+# throughout: transform/flatten/slice on arrays, one window rank +
+# one groupBy shuffle. Rows-only: window-length and token-conservation
+# invariants are pinned in tests (the hash-vocab ids have no SQL twin
+# cheap enough to matter).
+# --------------------------------------------------------------------------
+_EOD = 50_000  # one past the hash-vocab max id
+_SEQ_LEN = 512
+
+
+@register("dp_pack_sequences")
+def dp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = F.transform(tx.tokens(F.col("text")),
+                      lambda t: F.pmod(F.xxhash64(t), F.lit(_EOD)))
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")),
+                                      "doc_id")
+    ranked = docs.select(
+        "lang",
+        F.concat(ids, F.array(F.lit(_EOD).cast("bigint"))).alias("ids"),
+        ((F.row_number().over(w) - 1) / 16).cast("int").alias("bucket"),
+        (F.row_number().over(w) - 1).alias("rnk"))
+    packed = (ranked.groupBy("lang", "bucket")
+              .agg(F.flatten(F.expr(
+                  "transform(array_sort(collect_list(struct(rnk, ids))),"
+                  " x -> x.ids)")).alias("flat")))
+    n_win = F.ceil(F.size("flat") / F.lit(_SEQ_LEN)).cast("int")
+    wins = packed.select(
+        "lang", "bucket",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.slice("flat", i * _SEQ_LEN + 1, _SEQ_LEN)))
+         .alias("win_idx", "input_ids"))
+    return wins.select(
+        "lang", "bucket", "win_idx",
+        F.size("input_ids").alias("n_tokens"),
+        F.md5(F.cast("string", F.to_json("input_ids"))).alias("ids_md5"))

@@ -326,3 +326,33 @@ def test_logreg_matches_driver_recompute_and_learns(spark, sf_dir):
     loss = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).mean()
     base = -np.log(0.5)
     assert loss < base
+
+
+def test_pack_sequences_window_and_conservation_laws(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+    from sanctions_data_pipeline_spark.plans import registry
+
+    rows = registry.queries()["dp_pack_sequences"](spark, sf_dir).collect()
+    assert rows
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault((r.lang, r.bucket), []).append(r)
+    for (lang, bucket), ws in by_bucket.items():
+        ws = sorted(ws, key=lambda r: r.win_idx)
+        # contiguous window indices; all full except possibly the last
+        assert [w.win_idx for w in ws] == list(range(len(ws)))
+        assert all(w.n_tokens == 512 for w in ws[:-1])
+        assert 0 < ws[-1].n_tokens <= 512
+    # token conservation: total packed tokens == corpus tokens + 1 EOD/doc
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = docs.select(F.sum(F.size(tx.tokens(F.col("text")))).alias("n")) \
+                .collect()[0]["n"]
+    n_docs = docs.count()
+    assert sum(r.n_tokens for r in rows) == n_tok + n_docs
+    # determinism
+    again = {(r.lang, r.bucket, r.win_idx, r.ids_md5)
+             for r in registry.queries()["dp_pack_sequences"](
+                 spark, sf_dir).collect()}
+    assert again == {(r.lang, r.bucket, r.win_idx, r.ids_md5) for r in rows}
