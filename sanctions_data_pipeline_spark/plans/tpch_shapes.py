@@ -85,8 +85,8 @@ JOIN supplier ON s_suppkey = l_suppkey
 JOIN customer ON c_custkey = o_custkey
 JOIN nation n1 ON n1.n_nationkey = s_nationkey
 JOIN nation n2 ON n2.n_nationkey = c_nationkey
-WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
 GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l_shipdate) AS BIGINT)
 """)
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,13 +95,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation")
-    pair_nations = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    pair_nations = nation.filter(F.col("n_name").isin("NATION_3", "NATION_8"))
     n1 = F.broadcast(pair_nations.select(F.col("n_nationkey").alias("sn_key"),
                                          F.col("n_name").alias("supp_nation")))
     n2 = F.broadcast(pair_nations.select(F.col("n_nationkey").alias("cn_key"),
                                          F.col("n_name").alias("cust_nation")))
-    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    pair = (((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3")))
     # pre-prune the dims to the two nations BEFORE the fact joins
     sup2 = F.broadcast(sup.join(n1, sup.s_nationkey == F.col("sn_key"))
                        .select("s_suppkey", "supp_nation"))

@@ -30,7 +30,8 @@ def test_q4_semi_join_never_exceeds_order_count(spark, sf_dir):
 def test_q7_bidirectional_nation_pair(spark, sf_dir):
     rows = _run(spark, sf_dir, "q7_volume_shipping").collect()
     pairs = {(r.supp_nation, r.cust_nation) for r in rows}
-    assert pairs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert pairs <= {("NATION_3", "NATION_8"), ("NATION_8", "NATION_3")}
+    assert pairs, "nation pair empty at this scale factor"
     assert all(r.revenue > 0 for r in rows)
 
 
