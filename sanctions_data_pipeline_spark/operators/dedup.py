@@ -386,7 +386,17 @@ def connected_components(pairs: DataFrame, src: str = "i", dst: str = "j",
     edges = (sym.unionAll(nodes.select(F.col("id").alias("a"),
                                        F.col("id").alias("b")))
              .persist())
-    labels = nodes.withColumn("label", F.col("id")).persist()
+    # (initial labels are consumed exactly once, by the warm-start
+    # lineage below — nothing to persist)
+    labels = nodes.withColumn("label", F.col("id"))
+    # Warm start: one BLIND propagation folded lazily into the first
+    # measured round's lineage (no action, no extra materialization).
+    # Near-dup graphs have tiny diameters, so the first checksummed
+    # round then lands directly on the fixed point and the confirm
+    # round ends the loop — two actions total on the common path.
+    labels = (edges.join(labels, edges.b == labels.id)
+              .groupBy(edges.a.alias("id"))
+              .agg(F.min("label").alias("label")))
 
     # One Spark ACTION per round: materialize the propagated labels and
     # their checksum together. The pointer-jump self-join reads the
