@@ -153,3 +153,19 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", ["q4_order_priority", "q12_late_lines",
+                                  "q16_supplier_cnt"])
+def test_sql_surface_parity(spark, sf_dir, name):
+    """Third surface check: the (ANSI-subset) oracle SQL executed by
+    SPARK's own SQL engine must produce the same rows as the DataFrame
+    builder — users of the engine can freely mix spark.sql() with the
+    registry's DataFrame API."""
+    from sanctions_data_pipeline_spark.catalog import register_views
+    from sanctions_data_pipeline_spark.plans.registry import oracle_sql
+
+    register_views(spark, sf_dir)
+    df_rows = sorted(tuple(r) for r in queries()[name](spark, sf_dir).collect())
+    sql_rows = sorted(tuple(r) for r in spark.sql(oracle_sql()[name]).collect())
+    assert df_rows == sql_rows and df_rows
