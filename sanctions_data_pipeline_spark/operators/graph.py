@@ -69,3 +69,44 @@ def copurchase_edges(lineitem: DataFrame,
     return (a.join(b, "o")
             .filter(F.col("src") != F.col("dst"))
             .select("src", "dst").distinct())
+
+
+def bfs_layers(edges: DataFrame, seeds: DataFrame, max_hops: int = 6,
+               src: str = "src", dst: str = "dst",
+               id_col: str = "id") -> DataFrame:
+    """Multi-hop BFS: layer[v] = min hops from any seed (seeds are
+    layer 0; unreachable nodes are absent). Same execution contract as
+    connected_components: one join+agg per round over (long, int)
+    frontier rows, per-round persist so lineage stays one round deep
+    and AQE replans from materialized sizes, early exit when a round
+    adds no nodes. At 100 TB the frontier table is O(|V|) 12-byte rows
+    partitioned across the cluster; rounds are bounded by max_hops.
+
+    Output: (id, layer).
+    """
+    from pyspark.sql import functions as F
+
+    sym = (edges.select(F.col(src).cast("long").alias("a"),
+                        F.col(dst).cast("long").alias("b"))
+           .unionAll(edges.select(F.col(dst).cast("long").alias("a"),
+                                  F.col(src).cast("long").alias("b")))
+           .persist())
+    visited = (seeds.select(F.col(id_col).cast("long").alias("id"))
+               .distinct()
+               .withColumn("layer", F.lit(0)).persist())
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        grown = (sym.join(frontier, sym.a == frontier.id)
+                 .select(F.col("b").alias("id"))
+                 .distinct()
+                 .join(visited, "id", "left_anti")
+                 .withColumn("layer", F.lit(hop))
+                 .persist())
+        if not grown.take(1):
+            grown.unpersist()
+            break
+        nxt = visited.unionAll(grown).persist()
+        visited.unpersist()
+        visited, frontier = nxt, grown
+    sym.unpersist()
+    return visited

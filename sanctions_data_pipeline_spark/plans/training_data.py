@@ -1298,3 +1298,23 @@ def dp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "bucket", "win_idx",
         F.size("input_ids").alias("n_tokens"),
         F.md5(F.cast("string", F.to_json("input_ids"))).alias("ids_md5"))
+
+
+# --------------------------------------------------------------------------
+# gr_bfs_layers — multi-hop reachability over the part co-purchase
+# graph from the 3 lowest part ids: layer = min hops from any seed.
+# The "expand a seed set through a similarity graph" primitive
+# (active-learning / contamination-spread analyses). Rows-only: the
+# iterative frontier loop is pinned against a driver-side BFS on the
+# collected edge list in tests.
+# --------------------------------------------------------------------------
+@register("gr_bfs_layers")
+def gr_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.graph import (
+        bfs_layers, copurchase_edges)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    edges = copurchase_edges(li)
+    seeds = spark.range(3).select(F.col("id"))
+    return (bfs_layers(edges, seeds, max_hops=4, id_col="id")
+            .select("id", F.col("layer").cast("bigint").alias("layer")))

@@ -356,3 +356,29 @@ def test_pack_sequences_window_and_conservation_laws(spark, sf_dir):
              for r in registry.queries()["dp_pack_sequences"](
                  spark, sf_dir).collect()}
     assert again == {(r.lang, r.bucket, r.win_idx, r.ids_md5) for r in rows}
+
+
+def test_bfs_layers_match_driver_bfs(spark, sf_dir):
+    from collections import deque
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators.graph import copurchase_edges
+    from sanctions_data_pipeline_spark.plans import registry
+
+    got = {r.id: r.layer for r in
+           registry.queries()["gr_bfs_layers"](spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    adj = {}
+    for r in copurchase_edges(li).collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    expect, dq = {0: 0, 1: 0, 2: 0}, deque([(0, 0), (1, 0), (2, 0)])
+    while dq:
+        v, d = dq.popleft()
+        if d >= 4:
+            continue
+        for w in adj.get(v, ()):
+            if w not in expect:
+                expect[w] = d + 1
+                dq.append((w, d + 1))
+    assert got == expect and len(got) > 3
