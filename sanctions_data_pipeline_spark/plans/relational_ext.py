@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from sanctions_data_pipeline_spark.catalog import load_table
 from sanctions_data_pipeline_spark.plans.helpers import (
-    _as_exact_double, drate, dsum, dval, lcount, sql_dsum,
+    _as_exact_double, drate, dsum, dval, lcount, sql_dsum, ts_str,
 )
 from sanctions_data_pipeline_spark.plans.registry import register
 
@@ -589,3 +589,42 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(k > 50, 1).otherwise(0)).cast("bigint")
                   .alias("n_hot"),
                  lcount("n_events")))
+
+
+# --------------------------------------------------------------------------
+# q_keyset_page — keyset (seek) pagination: page 3 of the order list
+# ordered by (o_orderdate, o_orderkey), fetched as WHERE key > last-
+# seen-key LIMIT n. Unlike OFFSET pagination (which scans and discards
+# every earlier row — O(page_number) per page, unusable at 100 TB),
+# the seek predicate pushes to the scan and each page costs O(page).
+# The page-2 boundary key is computed inline the same way a client
+# would carry it (a 1-row broadcast, not a collect).
+# --------------------------------------------------------------------------
+@register("q_keyset_page", oracle="""
+WITH ordered AS (
+  SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderkey, o_date, o_totalprice
+FROM ordered WHERE rn > 40 AND rn <= 60
+""")
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    page = 20
+    # boundary = last key of page 2, exactly as a paging client would
+    # hold it; TakeOrderedAndProject keeps this a top-k, never a sort
+    boundary = (orders.orderBy("o_orderdate", "o_orderkey")
+                .limit(2 * page)
+                .groupBy()
+                .agg(F.max_by("o_orderdate", F.struct("o_orderdate", "o_orderkey"))
+                      .alias("b_date"),
+                     F.max_by("o_orderkey", F.struct("o_orderdate", "o_orderkey"))
+                      .alias("b_key")))
+    seek = orders.crossJoin(F.broadcast(boundary)).filter(
+        (F.col("o_orderdate") > F.col("b_date"))
+        | ((F.col("o_orderdate") == F.col("b_date"))
+           & (F.col("o_orderkey") > F.col("b_key"))))
+    return (seek.orderBy("o_orderdate", "o_orderkey").limit(page)
+            .select("o_orderkey",
+                    ts_str("o_orderdate").alias("o_date"), "o_totalprice"))

@@ -71,7 +71,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # mixture normalizer)
                 "tx_tfidf", "tx_keywords", "q_gap_fill",
                 "q22_idle_customers", "mix_temperature", "q_funnel",
-                "q11_important_parts", "q15_top_supplier", "q_dq_audit"}
+                "q11_important_parts", "q15_top_supplier", "q_dq_audit",
+                "q_keyset_page"}
 
 
 @pytest.mark.parametrize("name", sorted(

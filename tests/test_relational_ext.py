@@ -213,3 +213,21 @@ def test_dq_audit_detects_planted_orphans(spark):
                        li.l_orderkey == F.col("o_orderkey"), "left_anti")
                .count())
     assert orphans == 1
+
+
+def test_keyset_page_equals_offset_semantics_and_no_global_sort(spark, sf_dir):
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.plans import registry
+
+    rows = registry.queries()["q_keyset_page"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    # independent offset-window recompute
+    orders = load_table(spark, sf_dir, "orders").collect()
+    ordered = sorted(orders, key=lambda r: (r.o_orderdate, r.o_orderkey))
+    expect = [(r.o_orderkey) for r in ordered[40:60]]
+    assert [r.o_orderkey for r in rows] == expect
+    # the seek path must plan as top-k, not a global Sort+Exchange
+    df = registry.queries()["q_keyset_page"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "TakeOrderedAndProject" in plan
