@@ -1318,3 +1318,58 @@ def gr_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = spark.range(3).select(F.col("id"))
     return (bfs_layers(edges, seeds, max_hops=4, id_col="id")
             .select("id", F.col("layer").cast("bigint").alias("layer")))
+
+
+# --------------------------------------------------------------------------
+# emb_outliers — per-label embedding outliers: the 5 vectors farthest
+# (lowest cosine) from their OWN label's centroid. Composes
+# emb_centroid: per-dim means are rounded to 6dp FIRST on both engines
+# (making the joined centroid bit-identical cross-engine), then the
+# sequential-fold cosine is exact, so the ranking needs no tolerance.
+# The data-cleaning primitive for mislabeled/corrupt embedding rows.
+# Scale: centroids are |labels| x d rows (broadcast); scoring is
+# map-side; the only shuffles are the centroid agg and the per-label
+# top-k window over bounded label cardinality.
+# --------------------------------------------------------------------------
+@register("emb_outliers", oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cm AS (
+  SELECT label, i AS pos, round(avg(embedding[i]), 6) AS m
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  GROUP BY label, i
+), c AS (
+  SELECT label, list(m ORDER BY pos) AS cent FROM cm GROUP BY label
+), scored AS (
+  SELECT e.vec_id, e.label,
+         {_COS.format(a="e.v", b="c.cent")} AS cos
+  FROM e JOIN c USING (label)
+)
+SELECT label, vec_id, cos, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY cos, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+""")
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (emb.select("label", F.posexplode("embedding").alias("p", "val"))
+            .groupBy("label", (F.col("p") + 1).alias("dim"))
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("label")
+            .agg(F.expr("transform(array_sort(collect_list(struct(dim, m))),"
+                        " x -> x.m)").alias("cent")))
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scored = (emb.join(F.broadcast(cent), "label")
+              .select("label", "vec_id",
+                      F.round(sim.dot(v, F.col("cent"))
+                              / (F.sqrt(sim.dot(v, v))
+                                 * F.sqrt(sim.dot(F.col("cent"), F.col("cent")))),
+                              6).alias("cos")))
+    w = W.partitionBy("label").orderBy("cos", "vec_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("label", "vec_id", "cos",
+                    F.col("rnk").cast("bigint").alias("rnk")))

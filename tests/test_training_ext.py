@@ -382,3 +382,18 @@ def test_bfs_layers_match_driver_bfs(spark, sf_dir):
                 expect[w] = d + 1
                 dq.append((w, d + 1))
     assert got == expect and len(got) > 3
+
+
+def test_emb_outliers_are_the_label_minima(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+    rows = registry.queries()["emb_outliers"](spark, sf_dir).collect()
+    assert rows
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        rs = sorted(rs, key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cos for r in rs]
+        assert cosines == sorted(cosines)  # farthest first
+        assert all(-1.0 <= c <= 1.0 for c in cosines)
