@@ -1373,3 +1373,40 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= 5)
             .select("label", "vec_id", "cos",
                     F.col("rnk").cast("bigint").alias("rnk")))
+
+
+# --------------------------------------------------------------------------
+# mix_dedup_priority — cross-SOURCE dedup with source priority: when
+# the same normalized content appears in several sources, keep the
+# copy from the most-trusted source (lower priority rank wins; doc_id
+# breaks ties), the curated-beats-crawl rule every corpus merge needs.
+# One min_by hash agg — single shuffle on the content hash, map-side
+# combine; the priority map is a tiny broadcast dim.
+# --------------------------------------------------------------------------
+_SRC_PRIO = [(f"src{i}", (7 * i + 3) % 20) for i in range(20)]
+
+
+@register("mix_dedup_priority", oracle=f"""
+WITH prio(source, prio) AS (VALUES {", ".join(f"('{s}', {p})" for s, p in _SRC_PRIO)}),
+h AS (
+  SELECT d.doc_id, d.source, p.prio,
+         md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS text_hash
+  FROM documents d JOIN prio p ON d.source = p.source
+)
+SELECT text_hash,
+       MIN(lpad(CAST(prio AS VARCHAR), 2, '0') || ':'
+           || lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS win_key,
+       COUNT(*) AS n_copies
+FROM h GROUP BY text_hash
+""")
+def mix_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prio = F.broadcast(docs.sparkSession.createDataFrame(
+        _SRC_PRIO, "source string, prio int"))
+    h = docs.join(prio, "source").select(
+        F.md5(dd.normalized_text(F.col("text"))).alias("text_hash"),
+        F.concat(F.lpad(F.col("prio").cast("string"), 2, "0"), F.lit(":"),
+                 F.lpad(F.col("doc_id").cast("string"), 12, "0"))
+         .alias("win_key"))
+    return (h.groupBy("text_hash")
+            .agg(F.min("win_key").alias("win_key"), lcount("n_copies")))

@@ -397,3 +397,27 @@ def test_emb_outliers_are_the_label_minima(spark, sf_dir):
         cosines = [r.cos for r in rs]
         assert cosines == sorted(cosines)  # farthest first
         assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_priority_dedup_prefers_trusted_source(spark):
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+    docs = spark.createDataFrame(
+        [(1, "same words here", "src0"),   # prio 3
+         (2, "same words here", "src1"),   # prio 10
+         (3, "unique text", "src1")],
+        "doc_id long, text string, source string")
+    prio = spark.createDataFrame([("src0", 3), ("src1", 10)],
+                                 "source string, prio int")
+    h = docs.join(prio, "source").select(
+        F.md5(dd.normalized_text(F.col("text"))).alias("text_hash"),
+        F.concat(F.lpad(F.col("prio").cast("string"), 2, "0"), F.lit(":"),
+                 F.lpad(F.col("doc_id").cast("string"), 12, "0"))
+         .alias("win_key"))
+    rows = {r.text_hash: r for r in
+            h.groupBy("text_hash")
+             .agg(F.min("win_key").alias("win_key"),
+                  F.count(F.lit(1)).alias("n")).collect()}
+    dup = [r for r in rows.values() if r.n == 2][0]
+    assert dup.win_key.startswith("03:")          # trusted source won
+    assert dup.win_key.endswith("000000000001")   # its doc kept
