@@ -1410,3 +1410,39 @@ def mix_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("win_key"))
     return (h.groupBy("text_hash")
             .agg(F.min("win_key").alias("win_key"), lcount("n_copies")))
+
+
+# --------------------------------------------------------------------------
+# mix_epochs — epoch planning for a token budget: each source's target
+# share is weight/50 of a 1M-token budget; epochs = ceil(target /
+# source_tokens) says how many passes over the source the mixture
+# needs (the up-sampling repeat count small curated sources get).
+# Integer-exact ceiling division on both engines — no float budget
+# math. Map-side token count + one agg; weights broadcast.
+# --------------------------------------------------------------------------
+_EPOCH_BUDGET = 1_000_000
+_EPOCH_W = [(f"src{i}", i % 4 + 1) for i in range(20)]  # sum of weights = 50
+
+
+@register("mix_epochs", oracle=f"""
+WITH w(source, weight) AS (VALUES {", ".join(f"('{s}', {p})" for s, p in _EPOCH_W)}),
+tok AS (
+  SELECT d.source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents d GROUP BY d.source
+)
+SELECT t.source, t.n_tokens, w.weight,
+       (w.weight * {_EPOCH_BUDGET} + 50 * t.n_tokens - 1)
+         // (50 * t.n_tokens) AS epochs
+FROM tok t JOIN w ON t.source = w.source
+""")
+def mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = F.broadcast(docs.sparkSession.createDataFrame(
+        _EPOCH_W, "source string, weight int"))
+    tok = (docs.groupBy("source")
+           .agg(F.sum(F.size(tx.tokens(F.col("text")))).cast("bigint")
+                 .alias("n_tokens")))
+    epochs = F.expr(f"(weight * {_EPOCH_BUDGET}L + 50L * n_tokens - 1)"
+                    " div (50L * n_tokens)")
+    return (tok.join(weights, "source")
+            .select("source", "n_tokens", "weight", epochs.alias("epochs")))

@@ -421,3 +421,15 @@ def test_priority_dedup_prefers_trusted_source(spark):
     dup = [r for r in rows.values() if r.n == 2][0]
     assert dup.win_key.startswith("03:")          # trusted source won
     assert dup.win_key.endswith("000000000001")   # its doc kept
+
+
+def test_mix_epochs_meet_target_with_minimal_repeats(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+    rows = registry.queries()["mix_epochs"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        target_num = r.weight * 1_000_000       # target = num / 50 tokens
+        # enough: epochs * tokens >= target ; minimal: one fewer is short
+        assert 50 * r.epochs * r.n_tokens >= target_num
+        assert 50 * (r.epochs - 1) * r.n_tokens < target_num
+        assert r.epochs >= 1
