@@ -106,7 +106,10 @@ def bfs_layers(edges: DataFrame, seeds: DataFrame, max_hops: int = 6,
             grown.unpersist()
             break
         nxt = visited.unionAll(grown).persist()
+        nxt.count()  # materialize before releasing parents
         visited.unpersist()
+        if frontier is not visited:
+            frontier.unpersist()
         visited, frontier = nxt, grown
     sym.unpersist()
     return visited
