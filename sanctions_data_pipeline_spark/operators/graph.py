@@ -36,19 +36,32 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     weighted.count()  # materialize before the loop
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
     base = (1.0 - damping) / n
-    for _ in range(n_iters):
-        contribs = (weighted.join(ranks, weighted.src == ranks.id)
+
+    def step(r: DataFrame) -> DataFrame:
+        contribs = (weighted.join(r, weighted.src == r.id)
                     .groupBy(F.col("dst").alias("nid"))
                     .agg(F.sum(F.col("rank") * F.col("w")).alias("c")))
-        new_ranks = (nodes.join(contribs, nodes.id == contribs.nid, "left")
-                     .select("id",
-                             (F.lit(base)
-                              + F.lit(damping) * F.coalesce("c", F.lit(0.0)))
-                             .alias("rank"))
-                     .persist())
-        new_ranks.count()  # cut lineage; AQE sees materialized stats
+        return (nodes.join(contribs, nodes.id == contribs.nid, "left")
+                .select("id",
+                        (F.lit(base)
+                         + F.lit(damping) * F.coalesce("c", F.lit(0.0)))
+                        .alias("rank")))
+
+    # Two propagations per materialized checkpoint: lineage stays two
+    # rounds deep (still AQE-replannable from cached stats) and the
+    # action count halves — fixed job overhead dominates these
+    # long-skinny iterations far more than the data does.
+    done = 0
+    while done < n_iters:
+        span = min(2, n_iters - done)
+        chain = ranks
+        for _ in range(span):
+            chain = step(chain)
+        chain = chain.persist()
+        chain.count()  # cut lineage; AQE sees materialized stats
         ranks.unpersist()
-        ranks = new_ranks
+        ranks = chain
+        done += span
     e.unpersist()
     weighted.unpersist()
     return ranks
