@@ -335,3 +335,61 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
         F.count(F.lit(1)).over(w).alias("n_events_1h"),
         F.max("value").over(w).alias("max_value_1h"))
+
+
+# --------------------------------------------------------------------------
+# q_asof_forward — FORWARD as-of join: for each click, the EARLIEST
+# strictly-later purchase by the same user (the "next event after"
+# direction kdb/pandas asof searches support; q_asof_join covers
+# backward). Same union-merge trick, mirrored: purchases sort BEFORE
+# clicks at equal timestamps (kind asc), so a CURRENT ROW ->
+# UNBOUNDED FOLLOWING frame sees only strictly-later purchases, and
+# first_value IGNORE NULLS picks the earliest with a deterministic
+# (p_event_id, p_value) tie-break. One shuffle on user_id.
+# --------------------------------------------------------------------------
+@register("q_asof_forward", oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, NULL::BIGINT AS p_event_id,
+         NULL::DOUBLE AS p_value, 1 AS kind
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, NULL, event_id, value, 0
+  FROM events WHERE event_type = 'purchase'
+), filled AS (
+  SELECT user_id, ts, event_id, kind,
+         first_value(p_event_id IGNORE NULLS) OVER w AS next_p_event_id,
+         first_value(p_value IGNORE NULLS) OVER w AS next_p_value
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, p_event_id, p_value
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       next_p_event_id, round(next_p_value, 6) AS next_p_value
+FROM filled WHERE kind = 1
+""")
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(1).alias("kind"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"), F.lit(0).alias("kind"))
+    w = (W.partitionBy("user_id")
+         .orderBy("ts", "kind", "p_event_id", "p_value")
+         .rowsBetween(W.currentRow, W.unboundedFollowing))
+    merged = clicks.unionByName(purchases).select(
+        "event_id", "user_id", "ts", "kind",
+        F.first("p_event_id", ignorenulls=True).over(w)
+         .alias("next_p_event_id"),
+        F.first("p_value", ignorenulls=True).over(w).alias("next_p_value"))
+    return (merged.filter(F.col("kind") == 1)
+            .select("event_id", "user_id",
+                    F.unix_micros("ts").alias("ts_us"),
+                    "next_p_event_id",
+                    F.round("next_p_value", 6).alias("next_p_value")))

@@ -153,3 +153,29 @@ def test_range_frame_counts_trailing_hour_only(spark, sf_dir):
     for r in evs:
         expect = sum(1 for o in evs if r.ts_us - hour <= o.ts_us <= r.ts_us)
         assert r.n_events_1h == expect
+
+
+def test_asof_forward_is_strictly_later_and_earliest(spark, sf_dir):
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.plans import registry
+    from pyspark.sql import functions as F
+
+    rows = registry.queries()["q_asof_forward"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    purchases = {}
+    for r in (ev.filter(F.col("event_type") == "purchase")
+              .select("user_id", F.unix_micros("ts").alias("ts_us"),
+                      "event_id").collect()):
+        purchases.setdefault(r.user_id, []).append((r.ts_us, r.event_id))
+    matched = 0
+    for r in rows:
+        later = sorted(t for t in purchases.get(r.user_id, [])
+                       if t[0] > r.ts_us)
+        if r.next_p_event_id is None:
+            assert not later
+        else:
+            matched += 1
+            # earliest strictly-later purchase (event_id tie-break)
+            assert later[0][1] == r.next_p_event_id
+    assert matched > 0
