@@ -170,3 +170,22 @@ def test_sql_surface_parity(spark, sf_dir, name):
     df_rows = sorted(tuple(r) for r in queries()[name](spark, sf_dir).collect())
     sql_rows = sorted(tuple(r) for r in spark.sql(oracle_sql()[name]).collect())
     assert df_rows == sql_rows and df_rows
+
+
+def test_join_hints_steer_the_physical_strategy(spark, sf_dir):
+    """Hints are the manual override when stats mislead the planner at
+    scale: merge, shuffle_hash, and broadcast must each surface as the
+    corresponding physical join."""
+    from sanctions_data_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    cases = {
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "broadcast": "BroadcastHashJoin",
+    }
+    for hint, op in cases.items():
+        j = li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
+        p = plan_of(j, "simple")
+        assert op in p, f"hint {hint!r} did not plan {op}: {p[:800]}"

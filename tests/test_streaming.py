@@ -258,3 +258,54 @@ def test_file_sink_checkpoint_recovery_is_exactly_once(spark, sf_dir, tmp_path):
     out = spark.read.parquet(outdir)
     assert out.count() == ev.count()                      # no loss
     assert out.select("event_id").distinct().count() == ev.count()  # no dupes
+
+
+def test_watermark_drops_rows_later_than_the_horizon(spark, sf_dir, tmp_path):
+    """Concrete late-data proof: batch 1 establishes the watermark at
+    max(ts) - 10 minutes; batch 2 delivers an event OLDER than that
+    horizon plus a fresh one. The stale event must be DROPPED from the
+    windowed aggregation (state for its window was finalized), the
+    fresh one counted — the bounded-state bargain watermarks buy."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+
+    indir = tmp_path / "in"; indir.mkdir()
+    outdir = str(tmp_path / "out"); ck = str(tmp_path / "ck")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [(1, base + dt.timedelta(minutes=m)) for m in (0, 30)]
+    spark.createDataFrame(rows1, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(indir / "f1.parquet"))
+    schema = spark.read.parquet(str(indir / "f1.parquet")).schema
+
+    def drain():
+        agg = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(str(indir) + "/*")
+               .withWatermark("ts", "10 minutes")
+               .groupBy(F.window("ts", "10 minutes").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.date_format("w.start", "HH:mm").alias("ws"), "n"))
+        q = (agg.writeStream.format("parquet")
+             .option("path", outdir)
+             .outputMode("append")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = {}
+        for r in spark.read.parquet(outdir).collect():
+            out[r.ws] = out.get(r.ws, 0) + r.n
+        return out
+
+    drain()
+    # batch 2: one event far BEFORE the watermark (12:00 window, stale)
+    # and one after the stream's frontier (13:00, fresh)
+    rows2 = [(2, base + dt.timedelta(minutes=1)),
+             (3, base + dt.timedelta(minutes=60))]
+    spark.createDataFrame(rows2, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(indir / "f2.parquet"))
+    out = drain()
+    # the 12:00 window closed with ONLY the batch-1 event; the stale
+    # batch-2 event for that window never re-opened it
+    assert out.get("12:00") == 1, out
+    # nothing double-counted: total finalized events <= 3 (the stale
+    # one is gone for good)
+    assert sum(out.values()) <= 3
