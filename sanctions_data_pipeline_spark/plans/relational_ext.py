@@ -628,3 +628,43 @@ def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (seek.orderBy("o_orderdate", "o_orderkey").limit(page)
             .select("o_orderkey",
                     ts_str("o_orderdate").alias("o_date"), "o_totalprice"))
+
+
+# --------------------------------------------------------------------------
+# q_robust_stats — median + MAD (median absolute deviation), the
+# outlier threshold that survives heavy tails where mean/stddev break.
+# Two exact percentile passes: the global median is a 1-row broadcast
+# (never collected), the deviations re-aggregate against it. Exact
+# percentile math matches DuckDB's percentile_cont interpolation on
+# both engines; outputs rounded at the edge.
+# --------------------------------------------------------------------------
+@register("q_robust_stats", oracle="""
+WITH m AS (
+  SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS med
+  FROM customer
+)
+SELECT round(m.med, 6) AS median_bal,
+       round(percentile_cont(0.5) WITHIN GROUP
+             (ORDER BY ABS(c_acctbal - m.med)), 6) AS mad_bal,
+       CAST(SUM(CASE WHEN ABS(c_acctbal - m.med) >
+                          3 * (SELECT percentile_cont(0.5) WITHIN GROUP
+                               (ORDER BY ABS(c2.c_acctbal - m2.med))
+                               FROM customer c2, m m2)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM customer, m
+GROUP BY m.med
+""")
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    med = cust.agg(F.expr("percentile(c_acctbal, 0.5)").alias("med"))
+    dev = (cust.crossJoin(F.broadcast(med))
+           .select("c_acctbal", "med",
+                   F.abs(F.col("c_acctbal") - F.col("med")).alias("adev")))
+    mad = (dev.groupBy("med")
+           .agg(F.expr("percentile(adev, 0.5)").alias("mad")))
+    return (dev.join(F.broadcast(mad), "med")
+            .groupBy("med", "mad")
+            .agg(F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1)
+                        .otherwise(0)).cast("bigint").alias("n_outliers"))
+            .select(F.round("med", 6).alias("median_bal"),
+                    F.round("mad", 6).alias("mad_bal"), "n_outliers"))

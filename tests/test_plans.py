@@ -72,7 +72,7 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "tx_tfidf", "tx_keywords", "q_gap_fill",
                 "q22_idle_customers", "mix_temperature", "q_funnel",
                 "q11_important_parts", "q15_top_supplier", "q_dq_audit",
-                "q_keyset_page"}
+                "q_keyset_page", "q_robust_stats"}
 
 
 @pytest.mark.parametrize("name", sorted(

@@ -231,3 +231,17 @@ def test_keyset_page_equals_offset_semantics_and_no_global_sort(spark, sf_dir):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_robust_stats_invariants(spark, sf_dir):
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.plans import registry
+    row = registry.queries()["q_robust_stats"](spark, sf_dir).collect()[0]
+    cust = load_table(spark, sf_dir, "customer")
+    vals = sorted(r.c_acctbal for r in cust.select("c_acctbal").collect())
+    import statistics
+    assert abs(row.median_bal - round(statistics.median(vals), 6)) < 1e-6
+    assert row.mad_bal > 0
+    n_out = sum(1 for v in vals
+                if abs(v - row.median_bal) > 3 * row.mad_bal)
+    assert row.n_outliers == n_out
