@@ -668,3 +668,39 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(0)).cast("bigint").alias("n_outliers"))
             .select(F.round("med", 6).alias("median_bal"),
                     F.round("mad", 6).alias("mad_bal"), "n_outliers"))
+
+
+# --------------------------------------------------------------------------
+# q_period_over_period — month-over-month revenue: monthly exact sums,
+# then lag + growth ratio over the (tiny, bounded) month sequence.
+# Both operands of the single division are exact scaled doubles, so
+# the ratio is bit-identical cross-engine; the window runs over ~84
+# month rows — the pre-aggregate-then-window shape that keeps the
+# window sort off the fact table entirely.
+# --------------------------------------------------------------------------
+@register("q_period_over_period", oracle="""
+WITH m AS (
+  SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS tot_s
+  FROM orders GROUP BY 1
+)
+SELECT month, tot_s / 10000.0 AS revenue,
+       LAG(tot_s) OVER (ORDER BY month) / 10000.0 AS prev_revenue,
+       round(CAST(tot_s AS DOUBLE)
+             / CAST(LAG(tot_s) OVER (ORDER BY month) AS DOUBLE), 6) AS growth
+FROM m
+""")
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                              .alias("month"))
+               .agg((F.round(F.sum(dval("o_totalprice")), 4) * 10000)
+                    .cast("bigint").alias("tot_s")))
+    w = W.orderBy("month")
+    return monthly.select(
+        "month",
+        (F.col("tot_s") / F.lit(10000.0)).alias("revenue"),
+        (F.lag("tot_s").over(w) / F.lit(10000.0)).alias("prev_revenue"),
+        F.round(F.col("tot_s").cast("double")
+                / F.lag("tot_s").over(w).cast("double"), 6).alias("growth"))

@@ -245,3 +245,14 @@ def test_robust_stats_invariants(spark, sf_dir):
     n_out = sum(1 for v in vals
                 if abs(v - row.median_bal) > 3 * row.mad_bal)
     assert row.n_outliers == n_out
+
+
+def test_period_over_period_chain_is_consistent(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+    rows = sorted(registry.queries()["q_period_over_period"](
+        spark, sf_dir).collect(), key=lambda r: r.month)
+    assert rows and rows[0].prev_revenue is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.prev_revenue == prev.revenue  # lag chain intact
+        if cur.growth is not None:
+            assert cur.growth > 0
