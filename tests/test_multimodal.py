@@ -148,3 +148,17 @@ def test_map_in_arrow_decode_matches_pandas_path(spark, sf_dir):
     a = {key(r) for r in decode_features(media).collect()}
     b = {key(r) for r in decode_features_arrow(media).collect()}
     assert a == b and a
+
+
+def test_binary_file_source_reads_media_bytes(spark, tmp_path):
+    """binaryFile is the real ingest path attach_media stands in for:
+    (path, modificationTime, length, content) rows with the exact file
+    bytes, filterable by glob before any byte is read."""
+    payload = bytes(range(256))
+    (tmp_path / "a.bin").write_bytes(payload)
+    (tmp_path / "b.txt").write_bytes(b"not media")
+    df = (spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bin").load(str(tmp_path)))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].length == 256 and bytes(rows[0].content) == payload

@@ -309,3 +309,19 @@ def test_watermark_drops_rows_later_than_the_horizon(spark, sf_dir, tmp_path):
     # nothing double-counted: total finalized events <= 3 (the stale
     # one is gone for good)
     assert sum(out.values()) <= 3
+
+
+def test_rate_micro_batch_source_produces_deterministic_batches(spark):
+    """The rate-micro-batch source is the load-generator for streaming
+    rehearsals: fixed rowsPerBatch, deterministic (value, timestamp)
+    rows — one triggered batch must yield exactly that many rows."""
+    import uuid
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("rate-micro-batch")
+         .option("rowsPerBatch", 10).load()
+         .writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    assert len(rows) == 10
+    assert sorted(r.value for r in rows) == list(range(10))
