@@ -189,3 +189,15 @@ def test_join_hints_steer_the_physical_strategy(spark, sf_dir):
         j = li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
         p = plan_of(j, "simple")
         assert op in p, f"hint {hint!r} did not plan {op}: {p[:800]}"
+
+
+def test_dp_shuffle_scan_prunes_the_text_column(spark, sf_dir):
+    """dp_shuffle addresses documents purely by doc_id; its parquet
+    scan must not read `text` (the corpus's dominant bytes) — the
+    difference between scanning 8 bytes/row and the whole 100 TB."""
+    df = queries()["dp_shuffle"](spark, sf_dir)
+    p = plan_of(df)
+    schema_lines = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    assert all("text" not in ln for ln in schema_lines), schema_lines
+    assert any("doc_id" in ln for ln in schema_lines)
