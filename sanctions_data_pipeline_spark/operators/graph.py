@@ -107,22 +107,43 @@ def bfs_layers(edges: DataFrame, seeds: DataFrame, max_hops: int = 6,
     visited = (seeds.select(F.col(id_col).cast("long").alias("id"))
                .distinct()
                .withColumn("layer", F.lit(0)).persist())
+    n_visited = visited.count()
     frontier = visited
-    for hop in range(1, max_hops + 1):
-        grown = (sym.join(frontier, sym.a == frontier.id)
-                 .select(F.col("b").alias("id"))
-                 .distinct()
-                 .join(visited, "id", "left_anti")
-                 .withColumn("layer", F.lit(hop))
-                 .persist())
-        if not grown.take(1):
-            grown.unpersist()
+
+    def grow(fr: DataFrame, vis: DataFrame, hop: int) -> DataFrame:
+        return (sym.join(fr, sym.a == fr.id)
+                .select(F.col("b").alias("id"))
+                .distinct()
+                .join(vis, "id", "left_anti")
+                .withColumn("layer", F.lit(hop)))
+
+    # Two hops per materialized checkpoint (same action-halving as
+    # pagerank/connected components): the second hop lazily excludes
+    # the first hop's additions, ONE count on the merged set both
+    # materializes it and detects convergence by size delta. Growing
+    # an already-empty frontier is a no-op join — cheaper than an
+    # extra per-hop action.
+    hop = 1
+    while hop <= max_hops:
+        g1 = grow(frontier, visited, hop)
+        if hop + 1 <= max_hops:
+            g2 = grow(g1, visited.unionAll(g1), hop + 1)
+            added = g1.unionAll(g2)
+        else:
+            g2, added = None, g1
+        nxt = visited.unionAll(added).persist()
+        n_next = nxt.count()
+        if n_next == n_visited:
+            nxt.unpersist()
             break
-        nxt = visited.unionAll(grown).persist()
-        nxt.count()  # materialize before releasing parents
         visited.unpersist()
         if frontier is not visited:
             frontier.unpersist()
-        visited, frontier = nxt, grown
+        # next frontier: the DEEPEST newly-added layer (rows of the
+        # shallower layer have already expanded inside this chain)
+        new_frontier = (nxt.filter(F.col("layer") == (hop + 1 if g2 is not None
+                                                      else hop)).persist())
+        visited, frontier, n_visited = nxt, new_frontier, n_next
+        hop += 2 if g2 is not None else 1
     sym.unpersist()
     return visited
