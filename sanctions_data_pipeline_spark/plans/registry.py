@@ -57,34 +57,101 @@ def headline_queries() -> dict[str, QueryDef]:
 
 _loaded = False
 
+# Every module that registers queries. A failed import must surface as a
+# loud error naming the module (a silent `except ImportError: pass` here
+# once shrank the registry by 56 queries without anyone noticing).
+_PLAN_MODULES = (
+    "relational",
+    "relational_ext",
+    "tpch_shapes",
+    "tpch_shapes2",
+    "sanctions",
+    "training_data",
+    "streaming",
+    "multimodal",
+    "temporal",
+)
+
+# Queries already hash-verified by the round-1 driver (CORRECTNESS_r01.json).
+# The driver evaluates only the FIRST 50 registry entries per round, so
+# proven entries move to the back and never-evaluated ones to the front.
+_R01_PROVEN = frozenset({
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q_top_customers_window", "q_priority_pivot",
+    "q_rollup_sales", "q_semi_anti", "q_distinct_union", "q_events_bucketed",
+    "q_sessionize", "q_skew_salted", "q_cube_sales", "q_approx_sketch",
+    "q17_small_qty", "q_grouping_sets", "q_percentile", "q_moving_avg",
+    "q_argmax", "q_intersect_except", "q_json_props", "q_gap_fill",
+    "q_unpivot", "q_stats_moments", "q_upsert_latest", "q13_custdist",
+    "q19_disjunctive", "q21_sole_returner", "q_dq_audit", "q_variant_props",
+    "q_keyset_page", "q_robust_stats", "q_period_over_period",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q10_returned_items", "q14_promo_revenue", "q18_large_orders",
+    "q22_idle_customers", "q15_top_supplier", "q_window_navigation",
+    "q_multi_distinct", "q_nullsafe_join", "q_pivot_native", "q_try_arith",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
+    "q12_late_lines",
+})
+
+# Explicit priority for the driver's 50-entry correctness window:
+# sanctions parity, temporal joins, relational stragglers, dedup,
+# similarity, streaming, top text ops. Names absent from the registry
+# are skipped; unlisted unproven names follow in registration order.
+_ORACLE_PRIORITY = (
+    # sanctions-domain (reference parity)
+    "s_clean_names", "s_clean_fixture", "s_name_variants", "s_gender_infer",
+    "s_date_reformat", "s_variant_match", "s_neighbor_fill", "s_details_agg",
+    "s_address_clean", "s_fuzzy_match", "xml_entity_extract",
+    "xml_pysource_split", "pdf_chunk_extract", "pipeline_e2e",
+    # temporal / as-of / interval
+    "q_asof_join", "cg_asof_pandas", "q_asof_forward", "q_range_join",
+    "q_range_frame", "q_scd2", "q_funnel", "q_retention", "q_rollup_reuse",
+    # relational stragglers
+    "q16_supplier_cnt", "q20_top_share_suppliers", "q_null_skew_outer",
+    "q_array_hof",
+    # dedup family
+    "dd_exact", "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash",
+    "dd_embed_cosine", "dd_cluster", "dd_keep_canonical", "dd_span_dedup",
+    # similarity search
+    "sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq",
+    # streaming
+    "st_tumbling", "st_session", "st_dedup", "st_user_state",
+    "st_stream_static", "st_sliding", "st_stream_stream",
+    "st_foreach_upsert", "st_chained_windows",
+    # text analysis (first of the tx_* family; rest follow in natural order)
+    "tx_langid",
+)
+
+
+def _reorder_registry() -> None:
+    """Rebuild REGISTRY dict order: priority list, other unproven, proven."""
+    front = [n for n in _ORACLE_PRIORITY if n in REGISTRY]
+    seen = set(front)
+    middle = [n for n in REGISTRY if n not in seen and n not in _R01_PROVEN]
+    back = [n for n in REGISTRY if n in _R01_PROVEN and n not in seen]
+    ordered = {n: REGISTRY[n] for n in (*front, *middle, *back)}
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
 
 def _ensure_loaded() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent, loud)."""
     global _loaded
     if _loaded:
         return
-    from sanctions_data_pipeline_spark.plans import relational  # noqa: F401
-    from sanctions_data_pipeline_spark.plans import relational_ext  # noqa: F401
-    from sanctions_data_pipeline_spark.plans import tpch_shapes  # noqa: F401
-    from sanctions_data_pipeline_spark.plans import tpch_shapes2  # noqa: F401
-    try:
-        from sanctions_data_pipeline_spark.plans import sanctions  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from sanctions_data_pipeline_spark.plans import training_data  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from sanctions_data_pipeline_spark.plans import streaming  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from sanctions_data_pipeline_spark.plans import multimodal  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from sanctions_data_pipeline_spark.plans import temporal  # noqa: F401
-    except ImportError:
-        pass
+    import importlib
+
+    errors: list[str] = []
+    for mod in _PLAN_MODULES:
+        try:
+            importlib.import_module(f"sanctions_data_pipeline_spark.plans.{mod}")
+        except Exception as exc:  # noqa: BLE001 - report, then fail loudly
+            errors.append(f"{mod}: {type(exc).__name__}: {exc}")
+    if errors:
+        raise ImportError(
+            "query registry is incomplete — plan module(s) failed to import "
+            "(their queries would silently vanish from the registry): "
+            + "; ".join(errors)
+        )
+    _reorder_registry()
     _loaded = True
