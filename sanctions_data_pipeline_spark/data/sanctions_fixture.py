@@ -64,6 +64,16 @@ MATCH_ROWS = [
     (10, "Fatima Noor", "Number: EU.6666.2; Programme: SOM"),
     (11, "Pyotr Yolkin", "Number: EU.9999.5; Programme: RUS"),
     (12, "Mullah Abdul Rahman", ""),
+    # cascade block (main.py:950-993 in-pass candidate overwrite): row 14
+    # fills with row 13/15's agreeing value, OVERWRITING its own
+    # candidate in the working array, so row 15 sees X on both sides of
+    # itself... but its next-original is row 16's Y -> stays empty. A
+    # one-shot window (reading only original candidates) would wrongly
+    # fill row 15 with Y (prev=row14's original Y, next=row16's Y).
+    (13, "Sergei Volkov", "Number: EU.7777.1; Programme: MLI"),
+    (14, "Sergei Volkov", "Number: EU.8888.3; Programme: BLR"),
+    (15, "Sergei Volkov", "Number: EU.7777.1; Programme: MLI"),
+    (16, "Amina Sow", "Number: EU.8888.3; Programme: BLR"),
 ]
 
 # (entity_id, field, val, idx)

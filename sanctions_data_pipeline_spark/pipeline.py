@@ -5,12 +5,13 @@ The reference iterates entity XML files on the driver and writes Excel
 cells one by one; here every per-entity step is an array expression over
 the typed entity row (no explode/reshuffle until the REM2 match), the
 PDF mapping is a broadcast dimension, and the only global-order step
-(duplicate neighbor-fill) is two window passes.
+(duplicate neighbor-fill, passes 2+3) runs as chunk-local sequential
+scans with exact boundary-state exchange — no unpartitioned window.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from sanctions_data_pipeline_spark.functions import names as nm
 from sanctions_data_pipeline_spark.functions.address import (
@@ -234,22 +235,13 @@ def match_rem2(fields: DataFrame, pdf_fields: DataFrame) -> DataFrame:
                          ["entity_seq"], "cand_name", "prio", mapping, "rem2")
     joined = fields.join(hits.withColumnRenamed("rem2", "rem2_candidate"),
                          "entity_seq", "left").fillna({"rem2_candidate": ""})
-    pass2 = neighbor_fill(joined, "entity_seq", "full_name",
-                          "rem2_candidate", out_col="rem2_p2")
-    # third pass (main.py:995-1028): duplicates still empty adopt the
-    # nearest non-empty FILLED values when prev == next
-    w_all = W.orderBy("entity_seq")
-    filled = F.when(F.col("rem2_p2") != "", F.col("rem2_p2"))
-    prev_ne = F.last(filled, ignorenulls=True).over(
-        w_all.rowsBetween(W.unboundedPreceding, -1))
-    next_ne = F.first(filled, ignorenulls=True).over(
-        w_all.rowsBetween(1, W.unboundedFollowing))
-    n_occ = F.count(F.lit(1)).over(W.partitionBy("full_name"))
-    rem2 = F.when(
-        (F.col("rem2_p2") == "") & (F.col("full_name") != "UNKNOWN") & (n_occ > 1)
-        & prev_ne.isNotNull() & (prev_ne == next_ne), prev_ne
-    ).otherwise(F.col("rem2_p2"))
-    return pass2.withColumn("rem2", rem2)
+    # passes 2+3 (main.py:950-1028), faithful sequential semantics
+    # (in-pass writes visible to later rows), distributed chunk scan;
+    # rem2_state carries the reference's yellow/red cell verdict
+    # (main.py:994-1047): filled | empty_unique | conflict.
+    return neighbor_fill(joined, "entity_seq", "full_name",
+                         "rem2_candidate", out_col="rem2",
+                         state_col="rem2_state", third_pass=True)
 
 
 def finalize(enriched: DataFrame) -> DataFrame:
@@ -273,12 +265,18 @@ def finalize(enriched: DataFrame) -> DataFrame:
         F.col("alias_list").alias("ALIAS"),
         F.col("rem1").alias("REM1"),
         F.col("rem2").alias("REM2"),
+        (F.coalesce(F.col("rem2_state"), F.lit("filled"))
+         if "rem2_state" in enriched.columns else F.lit("filled"))
+        .alias("REM2_STATE"),
         F.col("entity_seq"),
     )
     for col in OUTPUT_COLUMNS:
         if col not in out.columns:
             out = out.withColumn(col, F.lit(""))
-    return out.select("entity_seq", *OUTPUT_COLUMNS)
+    # REM2_STATE trails the 28 analyst columns: the reference's cell
+    # color channel (main.py:994-1047 — yellow 'empty_unique' vs red
+    # 'conflict'; a red REM2 cell propagates red to the whole row).
+    return out.select("entity_seq", *OUTPUT_COLUMNS, "REM2_STATE")
 
 
 def run_pipeline(spark, xml_path: str, pdf_texts: DataFrame | None = None) -> DataFrame:
@@ -289,6 +287,7 @@ def run_pipeline(spark, xml_path: str, pdf_texts: DataFrame | None = None) -> Da
         pdf_fields = parse_chunk_fields(chunk_entities(pdf_texts))
         fields = match_rem2(fields, pdf_fields)
     else:
-        fields = fields.withColumn("rem2", F.lit(""))
+        fields = (fields.withColumn("rem2", F.lit(""))
+                  .withColumn("rem2_state", F.lit("empty_unique")))
     gendered = infer_gender(fields, "full_name", "gender_attr")
     return finalize(gendered)

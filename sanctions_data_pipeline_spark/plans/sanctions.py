@@ -216,31 +216,49 @@ def s_variant_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # s_neighbor_fill — duplicate-name propagation (main.py:950-993)
 # --------------------------------------------------------------------------
+_NF_FILL = ("b.full_name <> 'UNKNOWN' AND b.n_occ > 1 AND s.carry <> '' "
+            "AND COALESCE(nx.next_ne, '') <> '' AND s.carry = nx.next_ne")
+
+# The oracle replays the reference's SEQUENTIAL row loop
+# (main.py:950-993) as a recursive CTE: the carry is the last non-empty
+# value in the WORKING array (fills overwrite candidates in place, so
+# later rows see them), while the next-scan reads ORIGINAL candidates
+# (rows to the right are unprocessed). A one-shot window over original
+# candidates diverges on the fixture's cascade block (rows 13-16).
 @register("s_neighbor_fill", oracle=f"""
-WITH {fx.sql_cte("match_rows")},
+WITH RECURSIVE {fx.sql_cte("match_rows")},
 base AS (SELECT row_id, full_name, rem2_candidate,
-                nullif(rem2_candidate, '') AS cand,
-                COUNT(*) OVER (PARTITION BY full_name) AS n_occ
+                COUNT(*) OVER (PARTITION BY full_name) AS n_occ,
+                ROW_NUMBER() OVER (ORDER BY row_id) AS rn
          FROM match_rows),
-nb AS (SELECT *,
-              last_value(cand IGNORE NULLS) OVER
-                (ORDER BY row_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                AS prev_ne,
-              first_value(cand IGNORE NULLS) OVER
-                (ORDER BY row_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-                AS next_ne
-       FROM base)
-SELECT row_id, full_name,
-       CASE WHEN full_name = 'UNKNOWN' THEN ''
-            WHEN n_occ = 1 THEN COALESCE(rem2_candidate, '')
-            WHEN prev_ne IS NOT NULL AND prev_ne = next_ne THEN prev_ne
-            ELSE '' END AS filled,
-       CASE WHEN full_name <> 'UNKNOWN' AND n_occ > 1
-                 AND prev_ne IS NOT NULL AND prev_ne = next_ne
-                 AND cand IS NULL
+nxt AS (SELECT b.rn,
+               (SELECT b2.rem2_candidate FROM base b2
+                WHERE b2.rn > b.rn AND b2.rem2_candidate <> ''
+                ORDER BY b2.rn LIMIT 1) AS next_ne
+        FROM base b),
+scan AS (
+  SELECT CAST(0 AS BIGINT) AS rn, '' AS carry,
+         CAST(NULL AS INTEGER) AS row_id, '' AS full_name,
+         '' AS rem2_candidate, '' AS filled
+  UNION ALL
+  SELECT b.rn,
+         CASE WHEN {_NF_FILL} THEN s.carry
+              WHEN b.rem2_candidate <> '' THEN b.rem2_candidate
+              ELSE s.carry END AS carry,
+         b.row_id, b.full_name, b.rem2_candidate,
+         CASE WHEN b.full_name = 'UNKNOWN' THEN ''
+              WHEN b.n_occ = 1 THEN COALESCE(b.rem2_candidate, '')
+              WHEN {_NF_FILL} THEN s.carry
+              ELSE '' END AS filled
+  FROM scan s
+  JOIN base b ON b.rn = s.rn + 1
+  LEFT JOIN nxt nx ON nx.rn = b.rn
+)
+SELECT row_id, full_name, filled,
+       CASE WHEN filled <> '' AND filled <> COALESCE(rem2_candidate, '')
             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
             END AS was_inferred
-FROM nb
+FROM scan WHERE rn > 0
 """)
 def s_neighbor_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     mr = fx.spark_df(spark, "match_rows")

@@ -58,7 +58,7 @@ def test_pipeline_end_to_end(spark):
     out = run_pipeline(spark, XML, _pdf_texts(spark)).orderBy("entity_seq")
     rows = out.collect()
     assert len(rows) == 6
-    assert list(out.columns) == ["entity_seq"] + OUTPUT_COLUMNS
+    assert list(out.columns) == ["entity_seq"] + OUTPUT_COLUMNS + ["REM2_STATE"]
     r1, r2, r3, r4, r5, r6 = rows
 
     # entity 1: selected first latin alias, cleaned + final accent fold

@@ -73,6 +73,98 @@ def test_neighbor_fill_reference_semantics(spark):
     assert got[8] == ""
 
 
+def _ref_passes(names, cands):
+    """Pure-python replay of the reference loops (main.py:950-1028):
+    pass 2 over candidates (fills overwrite the working array, visible
+    to later rows), pass 3 over cells (same in-place visibility)."""
+    total = len(names)
+    cands = list(cands)
+    cells = [None] * total
+    occ = {}
+    for x in names:
+        occ[x] = occ.get(x, 0) + 1
+
+    def scan(arr, idx, step):
+        j = idx + step
+        while 0 <= j < total:
+            if arr[j]:
+                return arr[j]
+            j += step
+        return ""
+
+    for idx in range(total):
+        fn, cand = names[idx], cands[idx]
+        if fn == "UNKNOWN":
+            cells[idx] = ""
+            continue
+        if occ[fn] == 1:
+            cells[idx] = cand or ""
+        else:
+            prev, nxt = scan(cands, idx, -1), scan(cands, idx, 1)
+            if prev and nxt and prev == nxt:
+                cells[idx] = prev
+                cands[idx] = prev
+            else:
+                cells[idx] = ""
+    for idx in range(total):
+        fn = names[idx]
+        if fn == "UNKNOWN" or cells[idx] or occ[fn] <= 1:
+            continue
+        prev, nxt = scan(cells, idx, -1), scan(cells, idx, 1)
+        if prev and nxt and prev == nxt:
+            cells[idx] = prev
+    return cells
+
+
+def _spark_passes(spark, names, cands):
+    rows = [(i + 1, n, c) for i, (n, c) in enumerate(zip(names, cands))]
+    df = spark.createDataFrame(rows, "row_id int, full_name string, cand string")
+    out = neighbor_fill(df, "row_id", "full_name", "cand",
+                        out_col="rem2", third_pass=True)
+    return [r.rem2 for r in out.orderBy("row_id").collect()]
+
+
+def test_neighbor_fill_cascade_matches_reference_loop(spark):
+    # pass-2 candidate-overwrite cascade: row 2 fills with X (its own Y
+    # is overwritten in the working array), so row 3 must NOT fill with
+    # Y the way a one-shot window over original candidates would
+    names = ["B", "B", "B", "A"]
+    cands = ["X", "Y", "X", "Y"]
+    assert _ref_passes(names, cands) == ["", "X", "", "Y"]
+    assert _spark_passes(spark, names, cands) == _ref_passes(names, cands)
+
+    # chain of 3+ adjacent empty duplicates between agreeing unique
+    # neighbors: every row in the chain fills
+    names = ["A", "D", "D", "D", "D", "E"]
+    cands = ["X", "", "", "", "", "X"]
+    ref = _ref_passes(names, cands)
+    assert ref == ["X", "X", "X", "X", "X", "X"]
+    assert _spark_passes(spark, names, cands) == ref
+
+    # pass-3-only fill: row 2's disagreeing candidate Q is overwritten
+    # with V during pass 2, so row 1 (which saw Q as its next CANDIDATE
+    # and stayed empty) fills in pass 3 from the agreeing CELLS
+    names = ["E", "T", "S", "E2", "S", "T"]
+    cands = ["V", "", "Q", "V", "", ""]
+    ref = _ref_passes(names, cands)
+    assert ref == ["V", "V", "V", "V", "", ""]
+    assert _spark_passes(spark, names, cands) == ref
+
+
+def test_neighbor_fill_randomized_vs_reference_loop(spark):
+    import random
+
+    rng = random.Random(977)
+    name_pool = ["A", "B", "C", "UNKNOWN"]
+    val_pool = ["", "", "X", "Y", "Z"]
+    for _ in range(12):
+        n = rng.randint(3, 24)
+        names = [rng.choice(name_pool) for _ in range(n)]
+        cands = [rng.choice(val_pool) for _ in range(n)]
+        assert _spark_passes(spark, names, cands) == _ref_passes(names, cands), \
+            (names, cands)
+
+
 def test_fixture_queries_run(spark):
     qs = registry.queries()
     for name in ["s_clean_fixture", "s_gender_infer", "s_variant_match",
