@@ -436,15 +436,15 @@ def xml_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("pdf_chunk_extract")
 def pdf_chunk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity chunker + field line-parser over extracted PDF text
-    (reference main.py:261-283, 421-522)."""
+    """PDF bytes -> text -> entity chunker + field line-parser
+    (reference main.py:250-258 page extraction, 261-283 chunking,
+    421-522 field parse). The decode is a binaryFile scan + vendored
+    extractor in mapInPandas — real PDF input, not pre-extracted text."""
     from sanctions_data_pipeline_spark.sources.pdf_source import (
-        chunk_entities, parse_chunk_fields,
+        chunk_entities, extract_pdf_text, parse_chunk_fields,
     )
 
-    with open(_fixture_path("travel_ban.txt"), encoding="utf-8") as fh:
-        texts = spark.createDataFrame([("travel_ban.pdf", fh.read())],
-                                      "doc_path string, text string")
+    texts = extract_pdf_text(spark, _fixture_path("travel_ban.pdf"))
     return parse_chunk_fields(chunk_entities(texts)).select(
         "doc_path", "chunk_idx", "programme", "pdf_name", "numbers", "rem2")
 

@@ -1,11 +1,12 @@
 """PDF travel-ban document source.
 
-Decode (reference main.py:250-258, pdfplumber page-text extraction) is
-STUBBED: the PDF codec is not available in this environment, so
-``extract_pdf_text`` raises unless the caller supplies pre-extracted
-text. Everything downstream — entity chunking (main.py:261-283) and
-field parsing (main.py:421-522) — is real Spark and operates on a
-(doc_path, text) DataFrame from any text source.
+Decode (reference main.py:250-258, per-page text extraction) runs
+distributed: a ``binaryFile`` scan of the PDF paths feeds an
+Arrow-batched ``mapInPandas`` decoder (vendored minimal extractor in
+:mod:`pdf_text`; ``pypdf`` preferred when importable). Everything
+downstream — entity chunking (main.py:261-283) and field parsing
+(main.py:421-522) — is plain Spark over a (doc_path, text) DataFrame,
+so any text source plugs in.
 """
 
 from __future__ import annotations
@@ -17,17 +18,31 @@ _CHUNK_SPLIT_RE = r"(?=Entity\s+\d+\b)"
 
 
 def extract_pdf_text(spark, path: str) -> DataFrame:
-    """Real PDF decode — unavailable here (no pdfplumber/poppler in the
-    image). At deployment: binaryFile scan + a pandas-UDF page decoder.
+    """PDF file(s) -> (doc_path, text), one row per document
+    (main.py:250-258 page-concat semantics).
+
+    The decode is per-file data parallel: each binaryFile row decodes
+    independently inside mapInPandas, so a directory of PDFs fans out
+    across executors; bytes never pass through the driver.
     """
-    try:
-        import pdfplumber  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "PDF decoding needs pdfplumber; feed pre-extracted text "
-            "DataFrames (doc_path string, text string) to chunk_entities "
-            "instead") from exc
-    raise NotImplementedError("wire pdfplumber via mapInPandas when available")
+    import pandas as pd
+
+    from sanctions_data_pipeline_spark.sources.pdf_text import (
+        extract_text_from_pdf_bytes,
+    )
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def decode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_path": [p.rsplit("/", 1)[-1] for p in pdf["path"]],
+                "text": [extract_text_from_pdf_bytes(b)
+                         for b in pdf["content"]],
+            })
+
+    return files.select("path", "content").mapInPandas(
+        decode, "doc_path string, text string")
 
 
 def chunk_entities(texts: DataFrame, path_col: str = "doc_path",
