@@ -317,29 +317,62 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     return counts.select(F.col(id_col), fp.alias("sh"))
 
 
+def simhash_chunk_keys(max_hamming: int = 3, n_bits: int = 64,
+                       col: str = "sh") -> list:
+    """Composite two-chunk bucket keys for exact hamming<=h search.
+
+    Multi-index pigeonhole, two-deep: split the fingerprint into
+    c = h + 2 chunks; h bit flips touch at most h chunks, leaving >= 2
+    untouched, so any pair within hamming <= h shares the EXACT value
+    of at least one (chunk_i, chunk_j) combination. Bucketing on all
+    C(c, 2) two-chunk composites widens the key space from 2^(64/c)
+    single-chunk values (65,536 at c=4 — quadratic blowup risk on
+    boilerplate-heavy corpora) to ~2^(2*64/c) composites (~2^26 at
+    c=5), at a replication cost of C(c,2) rows instead of c.
+
+    Returns one Column per combination: (val_i << width) | val_j.
+    """
+    c = max_hamming + 2
+    width = -(-n_bits // c)  # ceil: chunk widths cover all bits
+    offsets = [min(k * width, n_bits - 1) for k in range(c)]
+    widths = [min(width, n_bits - off) for off in offsets]
+
+    def chunk(k: int):
+        mask = (1 << widths[k]) - 1
+        return F.shiftright(F.col(col), offsets[k]).bitwiseAND(F.lit(mask))
+
+    return [
+        F.shiftleft(chunk(i), width).bitwiseOR(chunk(j))
+        for i in range(c) for j in range(i + 1, c)
+    ]
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, bucketed by 16-bit
-    chunks (a pair within hamming<=3 of a 64-bit hash shares at least
-    one of 4 chunks exactly — pigeonhole), verified with bit_count."""
+    """Near-dup pairs by SimHash hamming distance — EXACT for
+    hamming <= max_hamming via composite two-chunk pigeonhole buckets
+    (see :func:`simhash_chunk_keys`), verified with bit_count. The
+    self-join runs only within (combo_id, composite_val) buckets, whose
+    key space (~2^26 at h=3) keeps bucket populations bounded even when
+    a boilerplate-heavy corpus concentrates fingerprint mass."""
     sh = simhash_fingerprints(docs, id_col, text_col)
     chunked = sh.select(
         id_col, "sh",
-        F.posexplode(F.array(*[
-            F.shiftright(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
-            for c in range(4)
-        ])).alias("chunk_id", "chunk_val"),
+        F.posexplode(F.array(*simhash_chunk_keys(max_hamming)))
+         .alias("combo_id", "combo_val"),
     )
     left = chunked.select(F.col(id_col).alias("i"), F.col("sh").alias("sh_i"),
-                          "chunk_id", "chunk_val")
+                          "combo_id", "combo_val")
     right = chunked.select(F.col(id_col).alias("j"), F.col("sh").alias("sh_j"),
-                           "chunk_id", "chunk_val")
+                           "combo_id", "combo_val")
     return (
-        left.join(right, ["chunk_id", "chunk_val"])
+        left.join(right, ["combo_id", "combo_val"])
         .filter(F.col("i") < F.col("j"))
         .select("i", "j", F.bit_count(F.col("sh_i").bitwiseXOR(F.col("sh_j"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)  # before distinct: the
+        # dedup shuffle then carries only true near-dups, not every
+        # bucket collision replicated across C(c,2) combos
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 

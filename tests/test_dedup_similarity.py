@@ -53,6 +53,60 @@ def test_simhash_deterministic_and_dup_sensitive(spark):
     assert any(p.i == 1 and p.j == 2 and p.hamming == 0 for p in pairs)
 
 
+def test_simhash_composite_buckets_exact_vs_bruteforce(spark, sf_dir):
+    """Composite two-chunk pigeonhole bucketing finds EXACTLY the
+    brute-force hamming<=3 pair set on a real corpus sample."""
+    from sanctions_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    got = {(r.i, r.j, r.hamming)
+           for r in dd.simhash_pairs(docs, max_hamming=3).collect()}
+    fps = sorted((r["doc_id"], r["sh"])
+                 for r in dd.simhash_fingerprints(docs).collect())
+    want = set()
+    for a in range(len(fps)):
+        for b in range(a + 1, len(fps)):
+            h = bin((fps[a][1] ^ fps[b][1]) & (2 ** 64 - 1)).count("1")
+            if h <= 3:
+                want.add((fps[a][0], fps[b][0], h))
+    assert got == want
+
+
+def test_simhash_composite_bucket_width_bounded():
+    """Property: on a boilerplate-heavy fingerprint population (many
+    docs sharing whole 13-bit chunks), the composite two-chunk keys
+    keep max bucket population far below single-16-bit-chunk buckets,
+    and candidate-pair work shrinks accordingly."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(4242)
+    base = rng.getrandbits(64)
+    fps = []
+    for _ in range(4000):
+        fp = base
+        # perturb a random half of the fingerprint: single chunks often
+        # survive intact (boilerplate), full fingerprints rarely equal
+        for b in rng.sample(range(64), 20):
+            if rng.random() < 0.5:
+                fp ^= 1 << b
+        fps.append(fp)
+
+    def chunk(fp, k, width=13):
+        off = min(k * width, 63)
+        w = min(width, 64 - off)
+        return (fp >> off) & ((1 << w) - 1)
+
+    single = Counter((k, (fp >> (k * 16)) & 0xFFFF)
+                     for fp in fps for k in range(4))
+    combos = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    composite = Counter((ci, (chunk(fp, i) << 13) | chunk(fp, j))
+                        for fp in fps for ci, (i, j) in enumerate(combos))
+    pairs = lambda c: sum(n * (n - 1) // 2 for n in c.values())  # noqa: E731
+    assert max(composite.values()) * 4 <= max(single.values())
+    assert pairs(composite) * 4 <= pairs(single)
+
+
 def test_brute_force_topk_self_excluded_and_ranked(spark):
     vecs = load_table(spark, SF, "embeddings").limit(200)
     out = sim.brute_force_topk(vecs.filter(F.col("vec_id") < 3), vecs, k=4).collect()
