@@ -58,14 +58,95 @@ def test_decode_plan_prunes_text_column(spark, sf_dir):
     assert "media_meta" not in below
 
 
-def test_real_codec_paths_are_honest_stubs(spark, sf_dir):
+def _has(mod: str) -> bool:
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has("PIL"), reason="PIL present: real path active")
+def test_real_codec_paths_raise_without_pil(spark, sf_dir):
     m = attach_media(load_table(spark, sf_dir, "documents").limit(1))
     with pytest.raises(NotImplementedError):
-        decode_features(m, use_real_codecs=True)
-    with pytest.raises(NotImplementedError):
         resize_images(m, 64, 64, use_real_codecs=True)
+    img = m.withColumn("media_type", F.lit("image"))
+    with pytest.raises(Exception, match="PIL"):
+        decode_features(img, use_real_codecs=True).collect()
+
+
+@pytest.mark.skipif(_has("av"), reason="pyav present: real path active")
+def test_sample_frames_raises_without_pyav(spark, sf_dir):
+    m = attach_media(load_table(spark, sf_dir, "documents").limit(1))
     with pytest.raises(NotImplementedError):
         sample_frames(m, every_n=10, use_real_codecs=True)
+
+
+def test_real_audio_decode_is_real_dsp(spark):
+    """The real-codec AUDIO path needs no external codec (int16 PCM
+    numpy DSP), so it runs everywhere: amplitude-octile histogram."""
+    import numpy as np
+
+    pcm = np.array([0, 100, -200, 5000, -32768, 32767, 9000, -12], "<i2")
+    df = spark.createDataFrame([(1, "audio", bytearray(pcm.tobytes()))],
+                               "doc_id long, media_type string, media binary")
+    [r] = decode_features(df, use_real_codecs=True).collect()
+    assert (r.width, r.height, r.n_frames) == (0, 0, 1)
+    mag = np.minimum(np.abs(pcm.astype("int32")), 32767) >> 12
+    want = (np.bincount(mag, minlength=8) / pcm.size).round(6)
+    assert r.features == pytest.approx(list(want))
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="PIL not in this image")
+def test_pil_decode_and_resize_parity(spark):
+    """Where PIL exists the real path decodes actual image dimensions
+    and the resized raster equals PIL's own output byte-for-byte."""
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    raster = rng.integers(0, 255, size=(40, 60, 3), dtype=np.uint8)
+    buf = BytesIO()
+    Image.fromarray(raster, "RGB").save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, "image", bytearray(png))],
+                               "doc_id long, media_type string, media binary")
+    [r] = decode_features(df, use_real_codecs=True).collect()
+    assert (r.width, r.height, r.n_frames) == (60, 40, 1)
+    [rz] = resize_images(df, 16, 8, use_real_codecs=True).collect()
+    with Image.open(BytesIO(png)) as img:
+        want = np.asarray(img.convert("L").resize((16, 8), Image.NEAREST),
+                          dtype=np.uint8).tobytes()
+    assert bytes(rz.media) == want and len(want) == 16 * 8
+
+
+@pytest.mark.skipif(not _has("av"), reason="pyav not in this image")
+def test_pyav_frame_sampling_parity(spark):
+    from io import BytesIO
+
+    import av
+    import numpy as np
+
+    buf = BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=10)
+        stream.width, stream.height = 32, 24
+        stream.pix_fmt = "yuv420p"
+        for i in range(12):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((24, 32, 3), i * 20, dtype=np.uint8), format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    df = spark.createDataFrame([(1, "video", bytearray(buf.getvalue()))],
+                               "doc_id long, media_type string, media binary")
+    rows = sample_frames(df, every_n=5, use_real_codecs=True).collect()
+    assert [r.frame_idx for r in rows] == [0, 5, 10]
+    assert all(len(bytes(r.frame)) == 32 * 24 for r in rows)
 
 
 def test_decode_schema_stable():
