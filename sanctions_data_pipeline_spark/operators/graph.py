@@ -88,11 +88,13 @@ def bfs_layers(edges: DataFrame, seeds: DataFrame, max_hops: int = 6,
                src: str = "src", dst: str = "dst",
                id_col: str = "id") -> DataFrame:
     """Multi-hop BFS: layer[v] = min hops from any seed (seeds are
-    layer 0; unreachable nodes are absent). Same execution contract as
-    connected_components: one join+agg per round over (long, int)
-    frontier rows, per-round persist so lineage stays one round deep
-    and AQE replans from materialized sizes, early exit when a round
-    adds no nodes. At 100 TB the frontier table is O(|V|) 12-byte rows
+    layer 0; unreachable nodes are absent). Execution contract: TWO
+    hops are chained lazily per materialized checkpoint (the second
+    hop's anti-join excludes the first hop's additions inside the same
+    plan), so each round costs one persist+count action for two hops
+    of expansion; lineage stays one checkpoint deep and AQE replans
+    from materialized sizes. Early exit when a checkpoint adds no
+    nodes. At 100 TB the frontier table is O(|V|) 12-byte rows
     partitioned across the cluster; rounds are bounded by max_hops.
 
     Output: (id, layer).
@@ -135,6 +137,8 @@ def bfs_layers(edges: DataFrame, seeds: DataFrame, max_hops: int = 6,
         n_next = nxt.count()
         if n_next == n_visited:
             nxt.unpersist()
+            if frontier is not visited:
+                frontier.unpersist()
             break
         visited.unpersist()
         if frontier is not visited:

@@ -313,16 +313,12 @@ def s_details_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register("pipeline_e2e")
 def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from sanctions_data_pipeline_spark.pipeline import run_pipeline
 
-    fixtures = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures")
-    with open(os.path.join(fixtures, "travel_ban.txt"), encoding="utf-8") as fh:
+    with open(_fixture_path("travel_ban.txt"), encoding="utf-8") as fh:
         texts = spark.createDataFrame([("travel_ban.pdf", fh.read())],
                                       "doc_path string, text string")
-    return run_pipeline(spark, os.path.join(fixtures, "feed.xml"), texts)
+    return run_pipeline(spark, _fixture_path("feed.xml"), texts)
 
 
 # --------------------------------------------------------------------------
@@ -410,10 +406,9 @@ def s_address_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_pipeline.py)
 # --------------------------------------------------------------------------
 def _fixture_path(name: str) -> str:
-    import os
+    from sanctions_data_pipeline_spark.data.fixtures import fixture_path
 
-    return os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures", name)
+    return fixture_path(name)
 
 
 @register("xml_entity_extract")
@@ -503,10 +498,8 @@ def s_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def xml_pysource_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.sources import python_datasource as pds
 
-    fixtures = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures")
     pds.register(spark)
     df = (spark.read.format("sanctions_feed")
-          .option("path", os.path.join(fixtures, "feed.xml")).load())
+          .option("path", _fixture_path("feed.xml")).load())
     return df.select("file", "entity_seq", "eu_ref", "subject_code",
                      "n_aliases", F.length("xml").alias("xml_len"))

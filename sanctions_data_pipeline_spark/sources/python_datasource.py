@@ -67,8 +67,17 @@ class SanctionsFeedReader(DataSourceReader):
         fname = os.path.basename(partition.path)
         seq = 0
         # iterparse streams the file; entities are yielded and freed one
-        # at a time, so memory stays O(largest entity), not O(file)
-        for _, elem in ET.iterparse(partition.path, events=("end",)):
+        # at a time. elem.clear() empties the element but leaves it
+        # attached to the root, so we also prune completed children off
+        # the root — memory stays O(largest entity) even for one giant
+        # feed file, not O(entities seen so far).
+        root = None
+        for event, elem in ET.iterparse(partition.path,
+                                        events=("start", "end")):
+            if event == "start":
+                if root is None:
+                    root = elem
+                continue
             tag = elem.tag.rsplit("}", 1)[-1]
             if tag != "sanctionEntity":
                 continue
@@ -84,6 +93,8 @@ class SanctionsFeedReader(DataSourceReader):
                 ET.tostring(elem, encoding="unicode"),
             )
             elem.clear()
+            if root is not None:
+                del root[:]
 
 
 def register(spark) -> None:

@@ -14,9 +14,11 @@ from sanctions_data_pipeline_spark.sources.pdf_source import (
 )
 from sanctions_data_pipeline_spark.sources.xml_source import entities_table, read_entities
 
-FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
-XML = os.path.join(FIXTURES, "feed.xml")
-PDF_TXT = os.path.join(FIXTURES, "travel_ban.txt")
+from sanctions_data_pipeline_spark.data.fixtures import fixture_path
+
+FIXTURES = os.path.dirname(fixture_path("feed.xml"))
+XML = fixture_path("feed.xml")
+PDF_TXT = fixture_path("travel_ban.txt")
 
 
 def _pdf_texts(spark):
@@ -151,7 +153,7 @@ def test_python_datasource_splits_feed_with_provenance(spark):
 def test_python_datasource_partitions_per_file(spark, tmp_path):
     import shutil
     from sanctions_data_pipeline_spark.sources import python_datasource as pds
-    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    fixtures = FIXTURES
     for i in range(3):
         shutil.copy(os.path.join(fixtures, "feed.xml"),
                     tmp_path / f"snap{i}.xml")
@@ -168,7 +170,7 @@ def test_chunk_udtf_matches_dataframe_chunker(spark):
     from sanctions_data_pipeline_spark.sources.pdf_source import (
         chunk_entities, register_chunk_udtf,
     )
-    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    fixtures = FIXTURES
     with open(os.path.join(fixtures, "travel_ban.txt"), encoding="utf-8") as fh:
         text = fh.read()
     texts = spark.createDataFrame([("travel_ban.txt", text)],

@@ -1,4 +1,4 @@
-"""Generate tests/fixtures/travel_ban.pdf from travel_ban.txt.
+"""Generate the packaged travel_ban.pdf fixture from travel_ban.txt.
 
 Produces a classic-xref two-page PDF whose page 1 content stream is
 FlateDecode-compressed and page 2 uncompressed — covering both filter
@@ -81,7 +81,8 @@ def build_pdf(text: str) -> bytes:
 
 def main() -> None:
     fixtures = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "tests", "fixtures")
+        os.path.abspath(__file__))), "sanctions_data_pipeline_spark",
+        "data", "fixtures")
     with open(os.path.join(fixtures, "travel_ban.txt"), encoding="utf-8") as fh:
         text = fh.read()
     pdf = build_pdf(text)
