@@ -63,19 +63,39 @@ def shingle_hashes(text_col: Column, k: int = 3) -> Column:
 
 
 def span_hashes(text_col: Column, k: int = 8) -> Column:
-    """All k-word span hashes WITH multiplicity (unlike shingle_hashes,
-    no array_distinct): the occurrence stream consumed by cross-document
-    span dedup, where a doc repeating its own span must count each
-    occurrence. Same let-bound token-hash chaining — one xxhash64 per
-    token plus one per span, no per-span string building."""
+    """All k-word span fingerprints WITH multiplicity (unlike
+    shingle_hashes, no array_distinct): the occurrence stream consumed
+    by cross-document span dedup, where a doc repeating its own span
+    must count each occurrence. Let-bound token-hash chaining — two
+    xxhash64 per token plus two per span, no per-span string building.
+
+    Fingerprints are 128-bit struct<a,b> from two INDEPENDENT chains
+    (the second salts every hash with a literal): the oracle compares
+    literal span strings, and at the advertised ~10^12-span corpus
+    scale 64-bit birthday collisions (~thousands expected) would
+    silently inflate n_dup_spans; at 128 bits the expected collision
+    count is ~10^-15."""
     toks = F.split(normalized_text(text_col), " ")
+    salt = F.lit(-7046029254386353131)  # golden-ratio odd constant
+
+    def chain(th: Column, mix) -> Column:
+        return F.when(F.size(th) >= k, F.transform(
+            F.sequence(F.lit(0), F.size(th) - k),
+            lambda i: mix(*[F.element_at(th, i + 1 + off)
+                            for off in range(k)]),
+        )).otherwise(F.array().cast("array<bigint>"))
+
     return let(
         F.transform(toks, lambda t: F.xxhash64(t)),
-        lambda th: F.when(F.size(th) >= k, F.transform(
-            F.sequence(F.lit(0), F.size(th) - k),
-            lambda i: F.xxhash64(*[F.element_at(th, i + 1 + off)
-                                   for off in range(k)]),
-        )).otherwise(F.array().cast("array<bigint>")))
+        lambda th: let(
+            F.transform(toks, lambda t: F.xxhash64(salt, t)),
+            lambda th2: let(
+                chain(th, F.xxhash64),
+                lambda ha: let(
+                    chain(th2, lambda *c: F.xxhash64(salt, *c)),
+                    lambda hb: F.zip_with(
+                        ha, hb,
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")))))))
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -192,8 +192,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("l_partkey")
           .agg(_scaled_bigint(F.sum(dval("l_extendedprice"))).alias("value_s")))
     total = pv.agg(F.sum("value_s").alias("total_s"), lcount("n_parts"))
+    # cross-multiply as decimal(38,0): value_s is already ×10^4, so the
+    # int64 product overflows near 10^19 (≈ the 100 TB lineitem total);
+    # DuckDB silently widens to HUGEINT, Spark ANSI would throw.
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     return (pv.crossJoin(F.broadcast(total))
-            .filter(2 * F.col("value_s") * F.col("n_parts") > 3 * F.col("total_s"))
+            .filter(2 * dec(F.col("value_s")) * F.col("n_parts")
+                    > 3 * dec(F.col("total_s")))
             .select(F.col("l_partkey").alias("p_partkey"),
                     (F.col("value_s") / F.lit(10000.0)).alias("part_value")))
 
@@ -315,7 +320,8 @@ def q20_top_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = (q.groupBy(F.col("l_partkey").alias("pk"))
            .agg(F.sum("sq").alias("tq"), lcount("n_supp")))
     qual = (q.join(tot, q.l_partkey == tot.pk)
-            .filter(F.col("sq") * F.col("n_supp") > 2 * F.col("tq"))
+            .filter(F.col("sq").cast("decimal(38,0)") * F.col("n_supp")
+                    > 2 * F.col("tq").cast("decimal(38,0)"))
             .select("l_suppkey"))
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")

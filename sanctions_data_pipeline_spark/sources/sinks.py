@@ -33,6 +33,51 @@ def write_output(df: DataFrame, path: str, fmt: str = "parquet",
         raise ValueError(f"unknown sink format {fmt!r}")
 
 
+def write_xlsx_quality(df: DataFrame, path: str,
+                       state_col: str = "REM2_STATE",
+                       value_col: str = "REM2") -> None:
+    """Excel-parity sink with the reference's cell-level quality colors
+    (main.py:538-539, 962-1028): the ``value_col`` cell is filled
+    YELLOW (FFFF00) when ``state_col`` == 'empty_unique' (UNKNOWN name,
+    or unique name with no candidate) and RED (FF0000) when 'conflict'
+    (duplicate left empty after both fill passes); 'filled' cells get
+    no fill. UNKNOWN FULL_NAME/CATEGORY cells are yellow too
+    (main.py:582, 603). Driver-sized by design — Excel output is
+    bounded by the workbook format itself, so toPandas is the honest
+    plan, not a scale bug. Requires openpyxl."""
+    try:
+        from openpyxl import Workbook
+        from openpyxl.styles import PatternFill
+    except ImportError as exc:
+        raise NotImplementedError(
+            "xlsx quality sink needs openpyxl; write parquet/csv with the "
+            f"{state_col} column instead") from exc
+
+    yellow = PatternFill(start_color="FFFF00", end_color="FFFF00",
+                         fill_type="solid")
+    red = PatternFill(start_color="FF0000", end_color="FF0000",
+                      fill_type="solid")
+    pdf = df.toPandas()
+    cols = [c for c in pdf.columns if c != state_col]
+    wb = Workbook()
+    ws = wb.active
+    for j, c in enumerate(cols, start=1):
+        ws.cell(row=1, column=j, value=c)
+    vcol = cols.index(value_col) + 1 if value_col in cols else None
+    for i, (_, row) in enumerate(pdf.iterrows(), start=2):
+        for j, c in enumerate(cols, start=1):
+            cell = ws.cell(row=i, column=j, value=row[c])
+            if c in ("FULL_NAME", "CATEGORY") and row[c] == "UNKNOWN":
+                cell.fill = yellow
+        if vcol is not None and state_col in pdf.columns:
+            state = row[state_col]
+            if state == "empty_unique":
+                ws.cell(row=i, column=vcol).fill = yellow
+            elif state == "conflict":
+                ws.cell(row=i, column=vcol).fill = red
+    wb.save(path)
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int = 8, sort_cols: list[str] | None = None,
                    mode: str = "overwrite") -> None:

@@ -97,6 +97,44 @@ def test_xlsx_sink_gated(spark, sf_dir):
             write_output(cust, "/tmp/never.xlsx", fmt="xlsx")
 
 
+def test_xlsx_quality_sink_colors_cells(spark):
+    """Reference-parity Excel sink (main.py:538-539, 962-1028): yellow
+    on empty_unique REM2 / UNKNOWN names, red on conflict, none on
+    filled. Runs the real color assertion when openpyxl exists; pins
+    the loud gate otherwise."""
+    import pytest
+
+    from sanctions_data_pipeline_spark.sources.sinks import write_xlsx_quality
+
+    df = spark.createDataFrame(
+        [("Ana Diaz", "P", "Number: EU.1", "filled"),
+         ("Bob Ray", "P", "", "empty_unique"),
+         ("Bob Ray2", "P", "", "conflict"),
+         ("UNKNOWN", "UNKNOWN", "", "empty_unique")],
+        "FULL_NAME string, CATEGORY string, REM2 string, REM2_STATE string")
+    try:
+        import openpyxl
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            write_xlsx_quality(df, "/tmp/never_q.xlsx")
+        return
+    out = tempfile.mktemp(suffix=".xlsx")
+    try:
+        write_xlsx_quality(df, out)
+        ws = openpyxl.load_workbook(out).active
+        # header + REM2 col is C; states: row2 filled, row3 yellow,
+        # row4 red, row5 yellow (and A5/B5 yellow for UNKNOWN)
+        assert ws["C2"].fill.start_color.rgb[-6:] != "FFFF00"
+        assert ws["C3"].fill.start_color.rgb[-6:] == "FFFF00"
+        assert ws["C4"].fill.start_color.rgb[-6:] == "FF0000"
+        assert ws["C5"].fill.start_color.rgb[-6:] == "FFFF00"
+        assert ws["A5"].fill.start_color.rgb[-6:] == "FFFF00"
+        assert ws["B5"].fill.start_color.rgb[-6:] == "FFFF00"
+    finally:
+        if os.path.exists(out):
+            os.remove(out)
+
+
 def test_orc_sink_round_trip(spark, sf_dir, tmp_path):
     from sanctions_data_pipeline_spark.catalog import load_table
     from sanctions_data_pipeline_spark.sources.sinks import write_output
