@@ -1,0 +1,84 @@
+"""Injectable fetch layer: offline proof that the scrape entry point
+(reference main.py:72-146, 202-247) produces the same analyst table as
+the local-file path, using a fixture-backed transport."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sanctions_data_pipeline_spark.data.fixtures import fixture_path
+from sanctions_data_pipeline_spark.sources.fetch import (
+    discover_link, download_url_to_file, filename_from_headers,
+    run_scrape_pipeline, scrape_to_local,
+)
+
+PAGE = """<html><body>
+<a href="/static/app.css">style</a>
+<a href="/other/random.xml">decoy xml</a>
+<a href="/api/travelbans/file/20260814.xml">XML export</a>
+<a href="https://cdn.example.org/docs/manual.pdf">manual</a>
+<a href="/api/travelbans/file/notice.pdf">PDF</a>
+</body></html>"""
+
+
+def _fake_fetch(url: str):
+    if url == "https://example.org/main":
+        return PAGE.encode(), {}
+    if url.endswith("20260814.xml"):
+        with open(fixture_path("feed.xml"), "rb") as fh:
+            return fh.read(), {"Content-Disposition":
+                               'attachment; filename="feed.xml"'}
+    if url.endswith("notice.pdf"):
+        with open(fixture_path("travel_ban.pdf"), "rb") as fh:
+            return fh.read(), {"Content-Disposition":
+                               "attachment; filename*=UTF-8''travel_ban.pdf"}
+    raise AssertionError(f"unexpected fetch {url}")
+
+
+def test_discover_link_prefers_path_hints():
+    assert discover_link(PAGE, "https://example.org/main", ".xml",
+                         ("/travelbans/file/", "export")) == \
+        "https://example.org/api/travelbans/file/20260814.xml"
+    # hint match beats the earlier decoy AND the absolute cdn link
+    assert discover_link(PAGE, "https://example.org/main", ".pdf",
+                         ("travelbans",)) == \
+        "https://example.org/api/travelbans/file/notice.pdf"
+    # no hint match -> first suffix match in document order
+    assert discover_link(PAGE, "https://example.org/main", ".pdf") == \
+        "https://cdn.example.org/docs/manual.pdf"
+    with pytest.raises(RuntimeError):
+        discover_link(PAGE, "https://example.org/main", ".zip")
+
+
+def test_filename_cascade():
+    assert filename_from_headers(
+        "https://x/y/a.xml?v=1",
+        {"Content-Disposition": 'attachment; filename="srv.xml"'}) == "srv.xml"
+    assert filename_from_headers("https://x/y/a.xml?v=1", {}) == "a.xml"
+    assert filename_from_headers("https://x/", {}) == "downloaded_file"
+    assert filename_from_headers(
+        "https://x/f", {"content-disposition":
+                        'attachment; filename="..\\evil/p.xml"'}) == ".._evil_p.xml"
+
+
+def test_scrape_downloads_with_server_names(tmp_path):
+    got = scrape_to_local("https://example.org/main", str(tmp_path), _fake_fetch)
+    assert os.path.basename(got.xml_path) == "feed.xml"
+    assert os.path.basename(got.pdf_path) == "travel_ban.pdf"
+    with open(fixture_path("feed.xml"), "rb") as fh:
+        assert open(got.xml_path, "rb").read() == fh.read()
+
+
+def test_scrape_pipeline_matches_local_path(spark, tmp_path):
+    from sanctions_data_pipeline_spark.pipeline import run_pipeline
+    from sanctions_data_pipeline_spark.sources.pdf_source import extract_pdf_text
+
+    via_scrape = run_scrape_pipeline(
+        spark, "https://example.org/main", str(tmp_path), _fake_fetch)
+    via_local = run_pipeline(
+        spark, fixture_path("feed.xml"),
+        extract_pdf_text(spark, fixture_path("travel_ban.pdf")))
+    assert sorted(map(tuple, via_scrape.collect())) == \
+        sorted(map(tuple, via_local.collect()))
