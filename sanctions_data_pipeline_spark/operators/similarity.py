@@ -86,6 +86,102 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
+def range_search(queries: DataFrame, corpus: DataFrame, threshold: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All corpus neighbors with cosine >= threshold per query (the
+    radius/range-query twin of top-k — retrieval-augmented dedup and
+    contamination sweeps want 'everything this similar', not 'the best
+    k'). Queries broadcast; the corpus is scanned once, map-side, with
+    no shuffle at all — the cheapest possible shape at 100 TB.
+    Output (query_id, neighbor_id, cos)."""
+    q = _with_norm(queries.select(F.col(id_col).alias("query_id"),
+                                  as_double(F.col(vec_col)).alias("qv")),
+                   "qv", "qn")
+    c = _with_norm(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                 as_double(F.col(vec_col)).alias("cv")),
+                   "cv", "cn")
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+def knn_graph(vecs: DataFrame, k: int, block_cols: list[str] | None = None,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """k-nearest-neighbor graph over the WHOLE embedding set: each
+    node's top-k cosine neighbors (the substrate for graph-based
+    semantic clustering and SemDeDup-style pruning). Output
+    (src_id, dst_id, cos, rnk).
+
+    With ``block_cols`` the self-join runs within blocks only (the
+    scale path: pass an IVF cell or LSH bucket — exact within each
+    block, like FAISS IVF with n_probe=1). Without blocks it is the
+    exact quadratic baseline — only for corpus sizes where n² pairs
+    fit the cluster, same contract as sim_topk_bruteforce."""
+    on = block_cols or []
+    a = _with_norm(vecs.select(*on, F.col(id_col).alias("src_id"),
+                               as_double(F.col(vec_col)).alias("va")),
+                   "va", "na")
+    b = _with_norm(vecs.select(*on, F.col(id_col).alias("dst_id"),
+                               as_double(F.col(vec_col)).alias("vb")),
+                   "vb", "nb")
+    joined = (a.join(b, on=on) if on else a.crossJoin(b)).filter(
+        F.col("src_id") != F.col("dst_id"))
+    w = W.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("dst_id"))
+    return (
+        joined.withColumn("cos", F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src_id", "dst_id", "cos", "rnk")
+    )
+
+
+def semantic_dedup(vecs: DataFrame, threshold: float, n_centroids: int = 16,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster embeddings
+    with the deterministic spherical k-means coarse quantizer, find
+    within-cluster pairs with cosine >= threshold, and drop the member
+    of each pair FARTHER from its cluster centroid (keep the most
+    prototypical copy). Output (vec_id, cell, keep) for every input row.
+
+    Scale shape is identical to IVF indexing: k-means driver state is
+    centroids x dim, assignment is map-side, and the quadratic pair
+    join is bounded by cell population (grow n_centroids with the
+    corpus to hold cell size constant)."""
+    cents = kmeans_fit(vecs, n_centroids, id_col=id_col, vec_col=vec_col)
+    base = assign_cells(
+        vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")),
+        cents)
+    # distance-to-centroid, by cell (dot with unit centroid on unit-ish
+    # vectors; higher = more prototypical)
+    cent_arr = F.array(*[_centroid_lit(c) for c in cents])
+    scored = base.withColumn(
+        "cdot", F.round(dot(F.col("v"), F.element_at(cent_arr, F.col("cell")))
+                        / F.sqrt(dot(F.col("v"), F.col("v"))), 6))
+    pairs = cosine_pairs(scored.select("cell", F.col(id_col), F.col("v")),
+                         ["cell"], threshold, id_col=id_col, vec_col="v")
+    # a row is dropped if ANY over-threshold partner is more
+    # prototypical (ties broken toward the smaller id, which survives)
+    sc = scored.select(F.col(id_col).alias("__sid"), F.col("cdot"))
+    both = (pairs
+            .join(sc.withColumnRenamed("__sid", "i").withColumnRenamed("cdot", "di"), "i")
+            .join(sc.withColumnRenamed("__sid", "j").withColumnRenamed("cdot", "dj"), "j"))
+    losers = (both.select(
+        F.when((F.col("di") < F.col("dj"))
+               | ((F.col("di") == F.col("dj")) & (F.col("i") > F.col("j"))),
+               F.col("i")).otherwise(F.col("j")).alias(id_col))
+        .distinct())
+    return (scored.join(losers.withColumn("__drop", F.lit(1)), id_col, "left")
+            .select(id_col, "cell",
+                    F.when(F.col("__drop").isNull(), 1).otherwise(0)
+                     .cast("bigint").alias("keep")))
+
+
 def sign_lsh_key(vec: Column, n_bits: int = 8) -> Column:
     """Sign-projection LSH bucket: bit i = sign of component i.
     Deterministic and engine-portable (no random hyperplanes — at scale

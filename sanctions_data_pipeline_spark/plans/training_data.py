@@ -1446,3 +1446,153 @@ def mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " div (50L * n_tokens)")
     return (tok.join(weights, "source")
             .select("source", "n_tokens", "weight", epochs.alias("epochs")))
+
+
+# --------------------------------------------------------------------------
+# sim_range_search — radius query: ALL corpus neighbors with
+# cosine >= t per (broadcast) query. The retrieval shape contamination
+# sweeps and RAG-dedup want; zero shuffles — one map-side corpus scan.
+# --------------------------------------------------------------------------
+@register("sim_range_search", oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
+SELECT query_id, e.vec_id AS neighbor_id, {_COS.format(a="qv", b="v")} AS cos
+FROM q, e
+WHERE e.vec_id <> query_id AND {_COS.format(a="qv", b="v")} >= 0.35
+""")
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return sim.range_search(vecs.filter(F.col("vec_id") < 10), vecs, 0.35)
+
+
+# --------------------------------------------------------------------------
+# emb_knn_graph — k-NN graph over the whole embedding set (substrate
+# for graph clustering / SemDeDup pruning). Exact quadratic baseline
+# here; at corpus scale pass an IVF cell / LSH bucket as the block key
+# (see operators.similarity.knn_graph docstring).
+# --------------------------------------------------------------------------
+@register("emb_knn_graph", oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         {_COS.format(a="a.v", b="b.v")} AS cos
+  FROM e a, e b WHERE a.vec_id <> b.vec_id
+)
+SELECT src_id, dst_id, cos, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                               ORDER BY cos DESC, dst_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""")
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return (sim.knn_graph(vecs, k=3)
+            .withColumn("rnk", F.col("rnk").cast("bigint")))
+
+
+# --------------------------------------------------------------------------
+# emb_semantic_dedup — SemDeDup (Abbas et al., arXiv:2303.09540):
+# k-means cluster -> within-cluster cosine pairs -> keep the most
+# prototypical member of each over-threshold pair. Rows-only: the
+# k-means fit is not SQL-expressible; keep-semantics are pinned by
+# tests/test_dedup_similarity.py against hand-built clusters.
+# --------------------------------------------------------------------------
+@register("emb_semantic_dedup")
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(vecs, threshold=0.85, n_centroids=8)
+
+
+# --------------------------------------------------------------------------
+# tx_entropy — unigram token entropy + vocab size per document (the
+# classic low-entropy filter: SEO keyword stuffing and boilerplate
+# score near 0; natural prose near log2(vocab)). The entropy fold runs
+# over the SORTED per-token count list on both engines, so the double
+# accumulation order is identical and the value hash-compares exactly.
+# --------------------------------------------------------------------------
+@register("tx_entropy", oracle=f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok),
+a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab,
+             list_sort(list(CAST(cnt AS DOUBLE))) AS cl
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_vocab,
+       round(log2(n_tokens) - list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list_transform(cl, x -> x * log2(x))),
+               (acc, x) -> acc + x) / n_tokens, 6) AS entropy
+FROM a
+""")
+def tx_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+              .groupBy("doc_id", "tok").agg(lcount("cnt")))
+    ent_fold = F.aggregate(
+        F.array_sort(F.collect_list(F.col("cnt").cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x * F.log2(x))
+    return (counts.groupBy("doc_id")
+            .agg(F.sum("cnt").cast("bigint").alias("n_tokens"),
+                 lcount("n_vocab"),
+                 ent_fold.alias("__s"))
+            .select("doc_id", "n_tokens", "n_vocab",
+                    F.round(F.log2("n_tokens") - F.col("__s") / F.col("n_tokens"), 6)
+                     .alias("entropy")))
+
+
+# --------------------------------------------------------------------------
+# corpus_report — corpus-composition report per (source, lang): doc
+# counts, token totals, average length, and corpus share. The mixture
+# dashboard every data curation loop starts from; one partial-agg
+# shuffle, share via a broadcast scalar join.
+# --------------------------------------------------------------------------
+@register("corpus_report", oracle=f"""
+WITH g AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(sum_chars * 1.0 / n_docs, 6) AS avg_chars,
+       round(n_docs * 1.0 / (SELECT SUM(n_docs) FROM g), 6) AS doc_share
+FROM g
+""")
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = (docs.groupBy("source", "lang")
+         .agg(lcount("n_docs"),
+              F.sum(F.size(tx.tokens(F.col("text")))).cast("bigint")
+               .alias("n_tokens"),
+              F.sum("n_chars").cast("bigint").alias("sum_chars")))
+    total = g.agg(F.sum("n_docs").alias("__total"))
+    return (g.crossJoin(F.broadcast(total))
+            .select("source", "lang", "n_docs", "n_tokens",
+                    F.round(F.col("sum_chars") / F.col("n_docs"), 6)
+                     .alias("avg_chars"),
+                    F.round(F.col("n_docs") / F.col("__total"), 6)
+                     .alias("doc_share")))
+
+
+# --------------------------------------------------------------------------
+# dp_curriculum — curriculum phases by quality proxy: NTILE(4) over
+# (avg word length, doc_id). The global sort is a range-partitioned
+# exchange (Spark samples split points) — the standard distributed
+# total-order, no single reducer.
+# --------------------------------------------------------------------------
+@register("dp_curriculum", oracle=f"""
+SELECT doc_id,
+       round(n_chars * 1.0 / len({_TOKS}), 6) AS score,
+       CAST(NTILE(4) OVER (ORDER BY n_chars * 1.0 / len({_TOKS}), doc_id)
+            AS BIGINT) AS phase
+FROM documents
+""")
+def dp_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.col("n_chars") / F.size(tx.tokens(F.col("text")))
+    return (docs.select("doc_id", score.alias("__raw"))
+            .select("doc_id", F.round("__raw", 6).alias("score"),
+                    F.ntile(4).over(W.orderBy("__raw", "doc_id"))
+                     .cast("bigint").alias("phase")))

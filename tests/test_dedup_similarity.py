@@ -221,3 +221,69 @@ def test_ngrams_threshold(spark, sf_dir):
         assert r.n >= 10
         assert 1 <= r.n_docs <= r.n
         assert " " in r.bigram
+
+
+def test_range_search_matches_bruteforce_threshold(spark, sf_dir):
+    """range_search(t) == the cosine-filtered brute-force scores (same
+    fold arithmetic), and every returned cos clears the threshold."""
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = vecs.filter(F.col("vec_id") < 5)
+    got = {(r.query_id, r.neighbor_id, r.cos)
+           for r in sim.range_search(q, vecs, 0.3).collect()}
+    assert got and all(c >= 0.3 for _, _, c in got)
+    full = {(r.query_id, r.neighbor_id, r.cos)
+            for r in sim.brute_force_topk(q, vecs, k=10**9).collect()
+            if r.cos >= 0.3}
+    assert got == full
+
+
+def test_knn_graph_blocked_equals_full_within_blocks(spark, sf_dir):
+    """Blocked knn_graph == full knn_graph computed per block — the
+    scale path loses nothing inside its blocks."""
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    blocked = {(r.src_id, r.dst_id, r.rnk)
+               for r in sim.knn_graph(vecs, k=2, block_cols=["label"]).collect()}
+    per_block = set()
+    for lab in [r.label for r in vecs.select("label").distinct().collect()]:
+        sub = vecs.filter(F.col("label") == lab)
+        per_block |= {(r.src_id, r.dst_id, r.rnk)
+                      for r in sim.knn_graph(sub, k=2).collect()}
+    assert blocked == per_block and blocked
+
+
+def test_semantic_dedup_keeps_prototypical_member(spark):
+    """Hand-built clusters: two near-identical vectors -> the one
+    closer to its centroid survives; distinct vectors all survive;
+    every input row comes back exactly once."""
+    from sanctions_data_pipeline_spark.operators import similarity as sim
+
+    # tight near-dup trio (all pairwise cos > 0.99) + two orthogonal
+    # singletons; k=2 puts the trio in one cluster
+    rows = [
+        (1, [1.0, 0.00, 0.0, 0.0]),
+        (2, [1.0, 0.10, 0.0, 0.0]),
+        (3, [1.0, 0.05, 0.0, 0.0]),   # closest to the trio mean
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    res = sim.semantic_dedup(vecs, threshold=0.97, n_centroids=2).collect()
+    out = {r.vec_id: r.keep for r in res}
+    cells = {r.vec_id: r.cell for r in res}
+    assert len(out) == 5
+    assert out[10] == 1 and out[11] == 1
+    # the trio shares a cluster: exactly ONE survives (drop-if-any-
+    # more-prototypical keeps only the argmax centroid-dot member)
+    assert cells[1] == cells[2] == cells[3]
+    assert out[1] + out[2] + out[3] == 1
+    assert out[3] == 1  # v3 is nearest the trio centroid

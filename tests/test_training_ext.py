@@ -433,3 +433,39 @@ def test_mix_epochs_meet_target_with_minimal_repeats(spark, sf_dir):
         assert 50 * r.epochs * r.n_tokens >= target_num
         assert 50 * (r.epochs - 1) * r.n_tokens < target_num
         assert r.epochs >= 1
+
+
+def test_entropy_limits(spark):
+    """Entropy pins: all-same tokens -> 0; all-distinct -> log2(n)."""
+    import math
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a a a"), (2, "a b c d e f g h")],
+        "doc_id long, text string")
+    counts = (docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("t"))
+              .groupBy("doc_id", "t").count())
+    ent = (counts.groupBy("doc_id")
+           .agg((F.log2(F.sum("count"))
+                 - F.aggregate(F.array_sort(F.collect_list(F.col("count").cast("double"))),
+                               F.lit(0.0), lambda a, x: a + x * F.log2(x))
+                 / F.sum("count")).alias("e")))
+    got = {r.doc_id: r.e for r in ent.collect()}
+    assert abs(got[1] - 0.0) < 1e-12
+    assert abs(got[2] - math.log2(8)) < 1e-12
+
+
+def test_curriculum_phases_balanced(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans import registry
+
+    rows = registry.queries()["dp_curriculum"](spark, sf_dir).collect()
+    from collections import Counter
+    c = Counter(r.phase for r in rows)
+    assert set(c) == {1, 2, 3, 4}
+    assert max(c.values()) - min(c.values()) <= 1  # NTILE balance law
+    # phases are monotone in score
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r.phase, []).append(r.score)
+    assert max(by_phase[1]) <= min(by_phase[4])
