@@ -67,20 +67,22 @@ def _has(mod: str) -> bool:
 
 
 @pytest.mark.skipif(_has("PIL"), reason="PIL present: real path active")
-def test_real_codec_paths_raise_without_pil(spark, sf_dir):
+def test_real_image_path_without_pil_rejects_non_png(spark, sf_dir):
+    """No PIL: the vendored PNG decoder is the real path, and a
+    non-PNG payload fails loudly instead of decoding garbage."""
     m = attach_media(load_table(spark, sf_dir, "documents").limit(1))
-    with pytest.raises(NotImplementedError):
-        resize_images(m, 64, 64, use_real_codecs=True)
     img = m.withColumn("media_type", F.lit("image"))
-    with pytest.raises(Exception, match="PIL"):
+    with pytest.raises(Exception, match="PNG"):
         decode_features(img, use_real_codecs=True).collect()
+    with pytest.raises(Exception, match="PNG"):
+        resize_images(img, 64, 64, use_real_codecs=True).collect()
 
 
 @pytest.mark.skipif(_has("av"), reason="pyav present: real path active")
-def test_sample_frames_raises_without_pyav(spark, sf_dir):
+def test_real_video_path_without_pyav_rejects_non_y4m(spark, sf_dir):
     m = attach_media(load_table(spark, sf_dir, "documents").limit(1))
-    with pytest.raises(NotImplementedError):
-        sample_frames(m, every_n=10, use_real_codecs=True)
+    with pytest.raises(Exception, match="YUV4MPEG2"):
+        sample_frames(m, every_n=10, use_real_codecs=True).collect()
 
 
 def test_real_audio_decode_is_real_dsp(spark):
@@ -243,3 +245,172 @@ def test_binary_file_source_reads_media_bytes(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 1
     assert rows[0].length == 256 and bytes(rows[0].content) == payload
+
+
+# ---------------------------------------------------------------------------
+# vendored codecs: real PNG / WAV / Y4M paths run IN THIS IMAGE
+# ---------------------------------------------------------------------------
+
+def _png_all_filters(w=6, h=5):
+    """Hand-assemble an RGB PNG exercising scanline filters 0..4, plus
+    the reference raster it must decode to (independent unfilter)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for y in range(h):
+        line = px[y].ravel().astype(np.int32)
+        f = y % 5
+        raw.append(f)
+        out = np.zeros(w * 3, dtype=np.int32)
+        for i in range(w * 3):
+            left = line[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            out[i] = (line[i] - pred) & 0xFF
+        raw.extend(int(v) for v in out)
+        prev = line
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + \
+            struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = sig + chunk(b"IHDR", ihdr) + \
+        chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    luma = ((px[:, :, 0].astype(np.uint32) * 299
+             + px[:, :, 1].astype(np.uint32) * 587
+             + px[:, :, 2].astype(np.uint32) * 114) // 1000).astype(np.uint8)
+    return png, luma
+
+
+def test_vendored_png_decodes_all_filters():
+    from sanctions_data_pipeline_spark.multimodal import codecs
+
+    png, want = _png_all_filters()
+    w, h, gray = codecs.decode_png(png)
+    assert (w, h) == (6, 5)
+    assert (gray == want).all()
+
+
+def test_vendored_png_roundtrip():
+    import numpy as np
+
+    from sanctions_data_pipeline_spark.multimodal import codecs
+
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    w, h, back = codecs.decode_png(codecs.encode_png_gray(a))
+    assert (w, h) == (8, 8) and (back == a).all()
+
+
+def test_real_png_decode_through_spark(spark):
+    """decode_features(use_real_codecs=True) on real PNG bytes — runs
+    here with NO optional libs: vendored zlib decoder."""
+    import numpy as np
+
+    from sanctions_data_pipeline_spark.multimodal import codecs
+
+    a = np.tile(np.arange(32, dtype=np.uint8) * 8, (16, 1))
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(codecs.encode_png_gray(a)))],
+        "doc_id long, media_type string, media binary")
+    [r] = decode_features(df, use_real_codecs=True).collect()
+    assert (r.width, r.height, r.n_frames) == (32, 16, 1)
+    hist = np.bincount(a.ravel() >> 5, minlength=8) / a.size
+    assert r.features == pytest.approx(list(hist.round(6)))
+
+
+def test_real_png_resize_through_spark(spark):
+    import numpy as np
+
+    from sanctions_data_pipeline_spark.multimodal import codecs
+
+    a = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    df = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_png_gray(a)))],
+        "doc_id long, media binary")
+    [r] = resize_images(df, 4, 4, use_real_codecs=True).collect()
+    ys = (np.arange(4) * 16) // 4
+    want = a[np.ix_(ys, ys)].tobytes()
+    assert bytes(r.media) == want and (r.width, r.height) == (4, 4)
+
+
+def test_real_wav_decode_through_spark(spark):
+    """WAV container (written by stdlib wave) -> RIFF walk -> PCM DSP."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = np.array([0, 1000, -2000, 32767, -32768, 512], "<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(pcm.tobytes())
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(bio.getvalue()))],
+        "doc_id long, media_type string, media binary")
+    [r] = decode_features(df, use_real_codecs=True).collect()
+    mag = np.minimum(np.abs(pcm.astype("int32")), 32767) >> 12
+    want = (np.bincount(mag, minlength=8) / pcm.size).round(6)
+    assert r.features == pytest.approx(list(want))
+
+
+def test_real_y4m_frames_through_spark(spark):
+    import numpy as np
+
+    from sanctions_data_pipeline_spark.multimodal import codecs
+
+    frames = [np.full((4, 6), 10 * i, dtype=np.uint8) for i in range(5)]
+    buf = codecs.encode_y4m(frames)
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(buf))],
+        "doc_id long, media_type string, media binary")
+    # decode: dims + frame count from the container walk
+    [d] = decode_features(df, use_real_codecs=True).collect()
+    assert (d.width, d.height, d.n_frames) == (6, 4, 5)
+    # sampling: every 2nd frame, exact luma planes
+    rows = sorted(sample_frames(df, every_n=2, use_real_codecs=True).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    for r, i in zip(rows, (0, 2, 4)):
+        assert bytes(r.frame) == frames[i].tobytes()
+
+
+def test_wav_multichannel_takes_first_channel():
+    import io
+    import wave
+
+    import numpy as np
+
+    from sanctions_data_pipeline_spark.multimodal import codecs
+
+    stereo = np.array([[1, -1], [2, -2], [3, -3]], "<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(stereo.tobytes())
+    rate, mono = codecs.decode_wav_pcm(bio.getvalue())
+    assert rate == 8000 and mono.tolist() == [1, 2, 3]
