@@ -44,12 +44,16 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
     total = round(sum(timings.values()), 3)
+    try:
+        sf_out: float | str = float(sf)
+    except ValueError:  # scaled tiers like "0.1x3" (tools/scale_up.py)
+        sf_out = sf
     print(json.dumps({
         "metric": "headline_query_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf != "?" else sf,
+        "sf": sf_out,
     }))
 
 

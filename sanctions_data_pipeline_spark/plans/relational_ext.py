@@ -704,3 +704,60 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lag("tot_s").over(w) / F.lit(10000.0)).alias("prev_revenue"),
         F.round(F.col("tot_s").cast("double")
                 / F.lag("tot_s").over(w).cast("double"), 6).alias("growth"))
+
+
+# --------------------------------------------------------------------------
+# q_lateral_topk — correlated LATERAL subquery (SQL:1999 lateral
+# derived table, Spark 4 native): per nation, the top-2 customers by
+# balance via a correlated ordered-limit. Catalyst de-correlates this
+# into a ranked window under the hood — the surface is the point:
+# users port LATERAL queries verbatim.
+# --------------------------------------------------------------------------
+@register("q_lateral_topk", oracle="""
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t
+""")
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+    """)
+
+
+# --------------------------------------------------------------------------
+# q_window_distinct — COUNT(DISTINCT) OVER a window, which Spark does
+# not support natively: re-expressed with the dense_rank identity
+# (distinct count within a partition == max dense_rank), the standard
+# composition. One shuffle on the partition key serves both windows.
+# --------------------------------------------------------------------------
+@register("q_window_distinct", oracle="""
+SELECT DISTINCT o_custkey,
+       CAST(COUNT(DISTINCT o_orderpriority)
+            OVER (PARTITION BY o_custkey) AS BIGINT) AS n_priorities,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_custkey < 500
+""")
+def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    wp = W.partitionBy("o_custkey")
+    dr = F.dense_rank().over(wp.orderBy("o_orderpriority"))
+    return (orders
+            .withColumn("__dr", dr)
+            .withColumn("n_priorities", F.max("__dr").over(wp).cast("bigint"))
+            .withColumn("n_orders", F.count(F.lit(1)).over(wp).cast("bigint"))
+            .select("o_custkey", "n_priorities", "n_orders")
+            .distinct())
