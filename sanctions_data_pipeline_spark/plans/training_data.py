@@ -1596,3 +1596,59 @@ def dp_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.round("__raw", 6).alias("score"),
                     F.ntile(4).over(W.orderBy("__raw", "doc_id"))
                      .cast("bigint").alias("phase")))
+
+
+# --------------------------------------------------------------------------
+# dd_dup_regions — MAXIMAL duplicated substring regions per document
+# (the actionable form of exact-substring dedup, Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better": cut the
+# duplicated REGIONS, keep the rest). Duplicated 8-token spans chain
+# into maximal runs via gaps-and-islands on span positions; a region
+# of consecutive dup spans [s, e] covers tokens [s, e+7]. Only regions
+# >= 10 tokens survive (>= 3 chained spans). Shuffles carry (128-bit
+# fingerprint, doc, pos) rows — never text.
+# --------------------------------------------------------------------------
+@register("dd_dup_regions", oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, i - 1 AS pos,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                   toks[i+4], toks[i+5], toks[i+6], toks[i+7]) AS span
+  FROM t, LATERAL unnest(range(1, len(toks) - 6)) AS u(i)
+  WHERE len(toks) >= 8
+), sdf AS (
+  SELECT span FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM s JOIN sdf USING (span)
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + 7 AS BIGINT) AS end_tok,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS n_tokens
+FROM dup GROUP BY doc_id, grp
+HAVING MAX(pos) - MIN(pos) + 8 >= 10
+""")
+def dd_dup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(dd.span_hashes(F.col("text"), 8)).alias("pos", "h"))
+    dup_spans = (ex.groupBy("h")
+                 .agg(F.count_distinct("doc_id").alias("df"))
+                 .filter(F.col("df") >= 2)
+                 .select("h"))
+    dup = ex.join(dup_spans, "h").select("doc_id", "pos")
+    grp = F.col("pos") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("pos"))
+    return (dup.withColumn("__grp", grp)
+            .groupBy("doc_id", "__grp")
+            .agg(F.min("pos").alias("__s"), F.max("pos").alias("__e"))
+            .select("doc_id",
+                    F.col("__s").cast("bigint").alias("start_tok"),
+                    (F.col("__e") + 7).cast("bigint").alias("end_tok"),
+                    (F.col("__e") - F.col("__s") + 8).cast("bigint")
+                     .alias("n_tokens"))
+            .filter(F.col("n_tokens") >= 10))

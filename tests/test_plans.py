@@ -66,6 +66,11 @@ def test_whole_stage_codegen_covers_q1(spark, sf_dir):
 # (top-k similarity intentionally scores query x corpus / query x cell).
 _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_range_join", "q_asof_join",
+                # intentional broadcast scoring joins: radius query and
+                # the exact kNN-graph baseline (blocked form is equi)
+                "sim_range_search", "emb_knn_graph",
+                # one-row corpus-total broadcast
+                "corpus_report",
                 # intentional broadcast of a ONE-row scalar (corpus size /
                 # global hour bounds / max revenue / balance threshold /
                 # mixture normalizer)
