@@ -17,6 +17,7 @@ from sanctions_data_pipeline_spark.catalog import load_table
 from sanctions_data_pipeline_spark.operators.temporal import (
     asof_join, range_join_count,
 )
+from sanctions_data_pipeline_spark.plans.helpers import lcount
 from sanctions_data_pipeline_spark.plans.registry import register
 
 
@@ -393,3 +394,53 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.unix_micros("ts").alias("ts_us"),
                     "next_p_event_id",
                     F.round("next_p_value", 6).alias("next_p_value")))
+
+
+# --------------------------------------------------------------------------
+# q_interval_merge — interval coalescing (union of overlapping
+# validity windows): each event opens a 30-minute window per user;
+# overlapping/touching windows merge into maximal islands via the
+# running-max-end trick (one window shuffle on user_id, no self-join —
+# the O(n log n) distributed form of interval union).
+# --------------------------------------------------------------------------
+@register("q_interval_merge", oracle="""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts + INTERVAL 30 MINUTE) AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT user_id, CAST(MIN(s) AS BIGINT) AS start_us,
+       CAST(MAX(e) AS BIGINT) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands GROUP BY user_id, island
+""")
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        F.unix_micros(F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"))
+    w = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    brk = F.when(F.col("s") > prev_max_e, 1).otherwise(0)
+    return (iv.withColumn("__brk", brk)
+            .withColumn("__island",
+                        F.sum("__brk").over(w.rowsBetween(W.unboundedPreceding, 0)))
+            .groupBy("user_id", "__island")
+            .agg(F.min("s").cast("bigint").alias("start_us"),
+                 F.max("e").cast("bigint").alias("end_us"),
+                 lcount("n_events"))
+            .drop("__island"))

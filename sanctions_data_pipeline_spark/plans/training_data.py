@@ -1652,3 +1652,45 @@ def dd_dup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("__e") - F.col("__s") + 8).cast("bigint")
                      .alias("n_tokens"))
             .filter(F.col("n_tokens") >= 10))
+
+
+# --------------------------------------------------------------------------
+# dd_containment — ASYMMETRIC near-dup: |Si ∩ Sj| / |Si| >= t finds
+# documents wholly contained in a larger one (quote-lift / concat
+# duplication that symmetric Jaccard misses: a 100-token doc pasted
+# into a 10k-token doc has tiny Jaccard but containment 1.0).
+# Candidates come from the shared-shingle inverted index within a
+# lang block — the pair shuffle carries (shingle-hash, doc) rows, the
+# match count is one agg, and set sizes broadcast back; no n² join.
+# --------------------------------------------------------------------------
+@register("dd_containment", oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+)
+SELECT a.doc_id AS i, b.doc_id AS j,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6)
+         AS containment
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE len(a.sh) > 0
+  AND round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) >= 0.9
+""")
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang",
+        F.explode(dd.shingle_hashes(F.col("text"), 3)).alias("h"))
+    sizes = sh.groupBy(F.col("doc_id").alias("__sd")).agg(lcount("__n"))
+    a = sh.select(F.col("lang"), F.col("doc_id").alias("i"), "h")
+    b = sh.select(F.col("lang"), F.col("doc_id").alias("j"), "h")
+    inter = (a.join(b, ["lang", "h"])
+             .filter(F.col("i") != F.col("j"))
+             .groupBy("i", "j").agg(lcount("__m")))
+    return (inter.join(F.broadcast(sizes), inter.i == sizes.__sd)
+            .select("i", "j",
+                    F.round(F.col("__m") / F.col("__n"), 6).alias("containment"))
+            .filter(F.col("containment") >= 0.9))
