@@ -137,3 +137,37 @@ def test_dp_shuffle_addresses_ignore_physical_partitioning(spark, sf_dir):
         "doc_id", "shard",
         F.row_number().over(w).cast("bigint").alias("pos")).collect()}
     assert base == other
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+                min_size=1, max_size=40))
+@settings(**_SETTINGS)
+def test_interval_merge_laws(spark, points):
+    """Interval-union laws on the q_interval_merge kernel: islands per
+    user are disjoint AND non-touching, every input interval lies
+    inside exactly one island, and n_events partitions the inputs."""
+    from pyspark.sql import Window as W
+
+    L = 30  # interval length
+    iv = spark.createDataFrame(
+        [(u, s, s + L) for u, s in points], "user_id int, s long, e long")
+    w = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    brk = F.when(F.col("s") > prev_max, 1).otherwise(0)
+    out = (iv.withColumn("__brk", brk)
+           .withColumn("__i", F.sum("__brk").over(
+               w.rowsBetween(W.unboundedPreceding, 0)))
+           .groupBy("user_id", "__i")
+           .agg(F.min("s").alias("start"), F.max("e").alias("end"),
+                F.count(F.lit(1)).alias("n")))
+    islands: dict[int, list] = {}
+    for r in out.collect():
+        islands.setdefault(r.user_id, []).append((r.start, r.end, r.n))
+    for u, isl in islands.items():
+        isl.sort()
+        for (s1, e1, _), (s2, e2, _) in zip(isl, isl[1:]):
+            assert e1 < s2  # strictly disjoint, gap preserved
+        mine = [(s, s + L) for uu, s in points if uu == u]
+        assert sum(n for _, _, n in isl) == len(mine)
+        for s, e in mine:
+            assert sum(1 for si, ei, _ in isl if si <= s and e <= ei) == 1
