@@ -503,3 +503,31 @@ def xml_pysource_split(spark: SparkSession, sf_dir: str) -> DataFrame:
           .option("path", _fixture_path("feed.xml")).load())
     return df.select("file", "entity_seq", "eu_ref", "subject_code",
                      "n_aliases", F.length("xml").alias("xml_len"))
+
+
+# --------------------------------------------------------------------------
+# xml_stream_split — the feed-split step as an INCREMENTAL stream
+# (Spark 4 Python streaming data source, sources/python_datasource.py
+# SanctionsFeedStreamReader): new snapshot files enter per micro-batch
+# with monotone {"files_done"} offsets and deterministic replay.
+# Rows-only; incremental-arrival + checkpoint-resume semantics pinned
+# by tests/test_pipeline.py::test_streaming_datasource_incremental_arrival.
+# --------------------------------------------------------------------------
+@register("xml_stream_split")
+def xml_stream_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from sanctions_data_pipeline_spark.sources import python_datasource as pds
+    from sanctions_data_pipeline_spark.streaming.ops import run_available_now
+
+    feed_dir = tempfile.mkdtemp(prefix="feed_stream_")
+    shutil.copy(_fixture_path("feed.xml"), os.path.join(feed_dir, "snap1.xml"))
+    pds.register_stream(spark)
+    sdf = (spark.readStream.format("sanctions_feed_stream")
+           .option("path", feed_dir).load())
+    out = run_available_now(
+        sdf.selectExpr("file", "entity_seq", "eu_ref", "subject_code",
+                       "n_aliases", "length(xml) AS xml_len"),
+        output_mode="append")
+    return out

@@ -185,3 +185,45 @@ def test_chunk_udtf_matches_dataframe_chunker(spark):
                     "FROM _udtf_texts, LATERAL chunk_entities(text) c"
                 ).collect()}
     assert sql_rows == df_rows and sql_rows
+
+
+def test_streaming_datasource_incremental_arrival(spark, tmp_path):
+    """Spark 4 Python STREAMING data source: only newly-arrived feed
+    files enter each micro-batch; offsets advance monotonically and a
+    second availableNow run resumes from the checkpoint."""
+    import shutil
+
+    from sanctions_data_pipeline_spark.sources import python_datasource as pds
+
+    feed_dir = tmp_path / "feeds"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    feed_dir.mkdir()
+    shutil.copy(XML, feed_dir / "snap_2026_01.xml")
+
+    pds.register_stream(spark)
+
+    def run_once() -> None:
+        q = (spark.readStream.format("sanctions_feed_stream")
+             .option("path", str(feed_dir)).load()
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 6
+    assert {r.file for r in first.select("file").distinct().collect()} == \
+        {"snap_2026_01.xml"}
+
+    # second snapshot arrives; resumed query ingests ONLY the new file
+    shutil.copy(XML, feed_dir / "snap_2026_02.xml")
+    run_once()
+    again = spark.read.parquet(out)
+    assert again.count() == 12
+    per_file = {r.file: r.n for r in
+                again.groupBy("file").agg(F.count("*").alias("n")).collect()}
+    assert per_file == {"snap_2026_01.xml": 6, "snap_2026_02.xml": 6}
+    # entity split + provenance intact per file
+    assert again.filter("entity_seq = 1").count() == 2
