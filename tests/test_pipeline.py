@@ -227,3 +227,26 @@ def test_streaming_datasource_incremental_arrival(spark, tmp_path):
     assert per_file == {"snap_2026_01.xml": 6, "snap_2026_02.xml": 6}
     # entity split + provenance intact per file
     assert again.filter("entity_seq = 1").count() == 2
+
+
+def test_corrupt_entity_yields_unknown_row(spark, tmp_path):
+    """Reference parity (main.py:553-567): a sanctionEntity that fails
+    to parse still produces an output row with FULL_NAME=UNKNOWN and
+    an empty-unique REM2 verdict — the PERMISSIVE XML scan nulls the
+    fields instead of dropping the record or killing the job."""
+    feed = tmp_path / "feed_bad.xml"
+    with open(XML, encoding="utf-8") as fh:
+        xml = fh.read()
+    # corrupt one entity: unparseable attribute structure but balanced
+    # tags (a fully unbalanced doc would be the reference's whole-file
+    # failure, which also maps to UNKNOWN rows)
+    xml = xml.replace("</export>",
+                      "<sanctionEntity euReferenceNumber=\"EU.9.9\">"
+                      "<nameAlias wholeName=123e/><broken>&&&</broken>"
+                      "</sanctionEntity></export>")
+    feed.write_text(xml, encoding="utf-8")
+    out = run_pipeline(spark, str(feed)).orderBy("entity_seq").collect()
+    assert len(out) == 7
+    bad = out[-1]
+    assert bad.FULL_NAME == "UNKNOWN"
+    assert bad.REM2 == "" and bad.REM2_STATE == "empty_unique"
