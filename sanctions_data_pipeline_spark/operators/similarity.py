@@ -130,7 +130,10 @@ def knn_graph(vecs: DataFrame, k: int, block_cols: list[str] | None = None,
                    "vb", "nb")
     joined = (a.join(b, on=on) if on else a.crossJoin(b)).filter(
         F.col("src_id") != F.col("dst_id"))
-    w = W.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("dst_id"))
+    # rank within (block, src): under multi-probe replication a src
+    # appears in several blocks, and each block must yield its own
+    # exact top-k (the caller re-ranks the union)
+    w = W.partitionBy(*on, "src_id").orderBy(F.desc("cos"), F.asc("dst_id"))
     return (
         joined.withColumn("cos", F.round(
             dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
@@ -254,6 +257,47 @@ def assign_cells(base: DataFrame, cents_unit: list[list[float]],
                      for c in cents_unit])
     cell = let(dots, lambda d: F.array_position(d, F.array_max(d)))
     return base.withColumn("cell", cell.cast("int"))
+
+
+def assign_cells_multi(base: DataFrame, cents_unit: list[list[float]],
+                       n_probe: int = 2, vec_col: str = "v") -> DataFrame:
+    """Replicate each row into its n_probe nearest cells (IVF
+    multi-probe on the INDEX side): two vectors meet if any of their
+    probed cells coincide, which repairs most boundary-straddling
+    neighbor pairs that single-cell blocking severs. Replication
+    factor is exactly n_probe."""
+    from sanctions_data_pipeline_spark.functions.hof import let
+
+    scored = F.array(*[
+        F.struct(dot(F.col(vec_col), _centroid_lit(c)).alias("d"),
+                 F.lit(i + 1).alias("cell"))
+        for i, c in enumerate(cents_unit)])
+    probes = let(scored, lambda s: F.slice(
+        F.reverse(F.array_sort(s)), 1, n_probe))
+    return (base.withColumn("__p", F.explode(probes))
+            .withColumn("cell", F.col("__p.cell").cast("int"))
+            .drop("__p"))
+
+
+def knn_graph_ivf(vecs: DataFrame, k: int, n_centroids: int = 8,
+                  n_probe: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Scale path of :func:`knn_graph`: deterministic k-means cells,
+    multi-probe membership, exact scoring within each cell, then a
+    global per-source re-rank over the candidate union (duplicates
+    from shared cells collapse before ranking). Quadratic work is
+    bounded by (cell population × n_probe²); grow n_centroids with the
+    corpus to hold cell size constant."""
+    cents = kmeans_fit(vecs, n_centroids, id_col=id_col, vec_col=vec_col)
+    celled = assign_cells_multi(
+        vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")),
+        cents, n_probe)
+    cand = (knn_graph(celled, k, block_cols=["cell"],
+                      id_col=id_col, vec_col="v")
+            .select("src_id", "dst_id", "cos").distinct())
+    w = W.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("dst_id"))
+    return (cand.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
 
 
 def kmeans_fit(corpus: DataFrame, n_centroids: int = 16, n_iters: int = 2,

@@ -1694,3 +1694,17 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("i", "j",
                     F.round(F.col("__m") / F.col("__n"), 6).alias("containment"))
             .filter(F.col("containment") >= 0.9))
+
+
+# --------------------------------------------------------------------------
+# emb_knn_graph_ivf — the SCALE path of the kNN graph: block the
+# self-join by IVF cell (deterministic k-means), exact within each
+# cell. Rows-only (k-means cells aren't SQL-expressible); recall vs
+# the exact graph and block-equivalence are pinned in
+# tests/test_dedup_similarity.py.
+# --------------------------------------------------------------------------
+@register("emb_knn_graph_ivf")
+def emb_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return (sim.knn_graph_ivf(vecs, k=3, n_centroids=8, n_probe=3)
+            .withColumn("rnk", F.col("rnk").cast("bigint")))

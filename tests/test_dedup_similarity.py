@@ -287,3 +287,17 @@ def test_semantic_dedup_keeps_prototypical_member(spark):
     assert cells[1] == cells[2] == cells[3]
     assert out[1] + out[2] + out[3] == 1
     assert out[3] == 1  # v3 is nearest the trio centroid
+
+
+def test_knn_graph_ivf_recall_against_exact(spark, sf_dir):
+    """IVF-celled kNN graph: every node keeps k in-cell neighbors, and
+    recall@3 vs the exact graph is high on clustered embeddings (the
+    corpus labels are genuine clusters, so cells align with them)."""
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.plans import registry
+
+    qs = registry.queries()
+    exact = {(r.src_id, r.dst_id) for r in qs["emb_knn_graph"](spark, sf_dir).collect()}
+    ivf = {(r.src_id, r.dst_id) for r in qs["emb_knn_graph_ivf"](spark, sf_dir).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.8, recall
