@@ -250,3 +250,38 @@ def test_corrupt_entity_yields_unknown_row(spark, tmp_path):
     bad = out[-1]
     assert bad.FULL_NAME == "UNKNOWN"
     assert bad.REM2 == "" and bad.REM2_STATE == "empty_unique"
+
+
+def test_polymorphic_udtf_schema_from_constant(spark, sf_dir):
+    """Spark 4 UDTF analyze(): output schema derives from the constant
+    keys argument at plan time — requested keys become real typed
+    columns over the events props blob."""
+    import pytest
+
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.functions.udtf_analyze import (
+        register_parse_kv,
+    )
+
+    register_parse_kv(spark)
+    load_table(spark, sf_dir, "events").limit(50) \
+        .createOrReplaceTempView("_ev_kv")
+    out = spark.sql(
+        "SELECT e.event_id, t.* FROM _ev_kv e, LATERAL parse_kv(e.props, 'k') t")
+    assert out.columns == ["event_id", "k"]
+    rows = out.collect()
+    assert len(rows) == 50
+    import json
+    want = {r.event_id: json.loads(r.props).get("k")
+            for r in spark.table("_ev_kv").collect()}
+    got = {r.event_id: None if r.k is None else int(r.k) for r in rows}
+    assert got == {k: v for k, v in want.items()}
+    # different constant -> different schema, same registration
+    out2 = spark.sql(
+        "SELECT t.* FROM _ev_kv e, LATERAL parse_kv(e.props, 'k,missing') t")
+    assert out2.columns == ["k", "missing"]
+    assert all(r.missing is None for r in out2.collect())
+    # non-constant keys argument fails at ANALYSIS time, loudly
+    with pytest.raises(Exception, match="constant|NON_LITERAL|literal"):
+        spark.sql("SELECT t.* FROM _ev_kv e, "
+                  "LATERAL parse_kv(e.props, e.props) t").collect()
