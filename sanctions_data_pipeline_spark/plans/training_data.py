@@ -1708,3 +1708,85 @@ def emb_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     return (sim.knn_graph_ivf(vecs, k=3, n_centroids=8, n_probe=3)
             .withColumn("rnk", F.col("rnk").cast("bigint")))
+
+
+# --------------------------------------------------------------------------
+# dp_balanced_shards — token-balanced shard assignment: rank docs by
+# token count desc, place round-robin in SNAKE order (shard sequence
+# 0..S-1, S-1..0, ...) so each pass pairs a heavy doc with a light
+# slot — the deterministic distributed stand-in for first-fit-
+# decreasing (within ~1 max-doc of perfect balance). One global sort
+# (range-partitioned), map-only placement.
+# --------------------------------------------------------------------------
+_N_SHARDS = 8
+
+
+@register("dp_balanced_shards", oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (ORDER BY len({_TOKS}) DESC, doc_id) - 1 AS rk
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN (rk // {_N_SHARDS}) % 2 = 0
+                 THEN rk % {_N_SHARDS}
+                 ELSE {_N_SHARDS} - 1 - (rk % {_N_SHARDS}) END AS BIGINT)
+         AS shard
+FROM ranked
+""")
+def dp_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tx.tokens(F.col("text"))).cast("bigint")
+    ranked = docs.select("doc_id", n_tok.alias("n_tokens")).withColumn(
+        "__rk", F.row_number().over(
+            W.orderBy(F.desc("n_tokens"), F.asc("doc_id"))) - 1)
+    fwd = F.col("__rk") % _N_SHARDS
+    shard = F.when((F.col("__rk") / _N_SHARDS).cast("long") % 2 == 0, fwd) \
+             .otherwise(_N_SHARDS - 1 - fwd)
+    return ranked.select("doc_id", "n_tokens",
+                         shard.cast("bigint").alias("shard"))
+
+
+# --------------------------------------------------------------------------
+# gr_triangle_count — triangles per node over the co-purchase graph
+# (community-density signal). Edge-iterator algorithm: orient each
+# edge low->high, join wedges on the middle vertex, close them against
+# the oriented edge list — the shuffle carries (long, long) edges
+# only, never adjacency lists, and each triangle counts exactly once.
+# --------------------------------------------------------------------------
+@register("gr_triangle_count", oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_orderkey < 2000
+), e0 AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL SELECT c FROM tri)
+GROUP BY node
+""")
+def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 2000)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select("o", F.col("p").alias("v"))
+    e0 = (a.join(b, "o").filter(F.col("u") < F.col("v"))
+          .select("u", "v").distinct())
+    e1 = e0.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e0.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e0.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (e1.join(e2, "b").join(e3, ["a", "c"]))
+    nodes = (tri.select(F.col("a").alias("node"))
+             .unionAll(tri.select(F.col("b").alias("node")))
+             .unionAll(tri.select(F.col("c").alias("node"))))
+    return nodes.groupBy("node").agg(lcount("n_triangles"))

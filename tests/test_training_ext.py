@@ -469,3 +469,43 @@ def test_curriculum_phases_balanced(spark, sf_dir):
     for r in rows:
         by_phase.setdefault(r.phase, []).append(r.score)
     assert max(by_phase[1]) <= min(by_phase[4])
+
+
+def test_balanced_shards_balance_law(spark, sf_dir):
+    """Snake placement: shard token totals spread within ~2 max-doc
+    sizes, and every shard gets ceil/floor(n/S) docs."""
+    from collections import defaultdict
+
+    from sanctions_data_pipeline_spark.plans import registry
+
+    rows = registry.queries()["dp_balanced_shards"](spark, sf_dir).collect()
+    tot = defaultdict(int)
+    cnt = defaultdict(int)
+    for r in rows:
+        tot[r.shard] += r.n_tokens
+        cnt[r.shard] += 1
+    assert len(tot) == 8
+    assert max(cnt.values()) - min(cnt.values()) <= 1
+    max_doc = max(r.n_tokens for r in rows)
+    assert max(tot.values()) - min(tot.values()) <= 2 * max_doc
+
+
+def test_triangle_count_small_graph(spark):
+    """Pinned: K4 minus one edge -> two triangles sharing an edge."""
+    from pyspark.sql import functions as F
+
+    # orders: o1={1,2,3}, o2={1,3,4} -> edges of two triangles
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (2, 1), (2, 3), (2, 4)],
+        "l_orderkey long, l_partkey long")
+    sf_fake = li  # reuse plan body inline
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e0 = (a.join(b, "l_orderkey").filter(F.col("u") < F.col("v"))
+          .select("u", "v").distinct())
+    e1 = e0.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e0.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e0.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    triangles = {(r.a, r.b, r.c) for r in tri.collect()}
+    assert triangles == {(1, 2, 3), (1, 3, 4)}
