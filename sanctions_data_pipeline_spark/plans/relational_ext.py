@@ -761,3 +761,28 @@ def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_orders", F.count(F.lit(1)).over(wp).cast("bigint"))
             .select("o_custkey", "n_priorities", "n_orders")
             .distinct())
+
+
+# --------------------------------------------------------------------------
+# q_sketch_merge — mergeable distinct-count sketches (DataSketches
+# HLL, Spark 3.5+): per-event-type user sketches REAGGREGATE to the
+# global estimate by unioning sketch BLOBS, never re-scanning raw
+# rows. This is the at-scale rollup contract (daily sketches -> any
+# period) that plain approx_count_distinct cannot provide. Rows-only:
+# DuckDB's HLL is a different implementation; estimates and the
+# merge-vs-direct identity are pinned in tests/test_relational_ext.py.
+# --------------------------------------------------------------------------
+@register("q_sketch_merge")
+def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = (ev.groupBy("event_type")
+           .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+                F.count_distinct("user_id").alias("exact_users")))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"))
+    return (per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+        F.col("exact_users").cast("bigint").alias("exact_users"))
+        .crossJoin(F.broadcast(
+            merged.select(F.col("est_total").cast("bigint").alias("est_total")))))

@@ -256,3 +256,23 @@ def test_period_over_period_chain_is_consistent(spark, sf_dir):
         assert cur.prev_revenue == prev.revenue  # lag chain intact
         if cur.growth is not None:
             assert cur.growth > 0
+
+
+def test_sketch_merge_identity_and_accuracy(spark, sf_dir):
+    """HLL sketches: per-type estimates within 2% of exact at lgk=14,
+    and the union-of-sketches estimate equals the estimate of the
+    direct global sketch (merge identity — the rollup contract)."""
+    from pyspark.sql import functions as F
+
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.plans import registry
+
+    rows = registry.queries()["q_sketch_merge"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.est_users - r.exact_users) <= max(2, r.exact_users * 0.02)
+    ev = load_table(spark, sf_dir, "events")
+    direct = ev.agg(F.hll_sketch_estimate(
+        F.hll_sketch_agg("user_id", F.lit(14))).cast("bigint").alias("d")) \
+        .collect()[0].d
+    assert {r.est_total for r in rows} == {direct}
