@@ -786,3 +786,56 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_users").cast("bigint").alias("exact_users"))
         .crossJoin(F.broadcast(
             merged.select(F.col("est_total").cast("bigint").alias("est_total")))))
+
+
+# --------------------------------------------------------------------------
+# q_cdc_diff — change-data-capture between two snapshots of a keyed
+# table: FULL OUTER join on the key, null-safe value compare, rows
+# classified insert / delete / update (unchanged rows drop out). The
+# daily-snapshot diff every warehouse pipeline runs; one shuffle per
+# side on the key, comparison fully codegen'd. Snapshots are derived
+# deterministically from orders: NEW shifts the key window and bumps
+# the priority of a deterministic subset (real updates).
+# --------------------------------------------------------------------------
+@register("q_cdc_diff", oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_orderpriority AS prio
+  FROM orders WHERE o_orderkey < 3000
+), new AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CASE WHEN o_orderkey % 10 = 0 THEN '0-BUMPED' ELSE o_orderpriority
+         END AS prio
+  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 4000
+)
+SELECT COALESCE(o.k, n.k) AS k,
+       CASE WHEN o.k IS NULL THEN 'insert'
+            WHEN n.k IS NULL THEN 'delete'
+            ELSE 'update' END AS change
+FROM old o FULL OUTER JOIN new n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL
+   OR o.status IS DISTINCT FROM n.status
+   OR o.prio IS DISTINCT FROM n.prio
+""")
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = (orders.filter(F.col("o_orderkey") < 3000)
+           .select(F.col("o_orderkey").alias("k"),
+                   F.col("o_orderstatus").alias("status"),
+                   F.col("o_orderpriority").alias("prio")))
+    new = (orders.filter((F.col("o_orderkey") >= 1000)
+                         & (F.col("o_orderkey") < 4000))
+           .select(F.col("o_orderkey").alias("k"),
+                   F.col("o_orderstatus").alias("status"),
+                   F.when(F.col("o_orderkey") % 10 == 0, F.lit("0-BUMPED"))
+                    .otherwise(F.col("o_orderpriority")).alias("prio")))
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    changed = (F.col("o.k").isNull() | F.col("n.k").isNull()
+               | ~F.col("o.status").eqNullSafe(F.col("n.status"))
+               | ~F.col("o.prio").eqNullSafe(F.col("n.prio")))
+    change = (F.when(F.col("o.k").isNull(), "insert")
+              .when(F.col("n.k").isNull(), "delete")
+              .otherwise("update"))
+    return (joined.filter(changed)
+            .select(F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+                    change.alias("change")))
