@@ -486,3 +486,71 @@ def connected_components(pairs: DataFrame, src: str = "i", dst: str = "j",
     sym.unpersist()
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dup_regions(docs: DataFrame, k: int = 8, min_tokens: int = 10,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Maximal duplicated substring regions per document (Lee et al.
+    2022 exact-substring dedup, the cut-list form): duplicated k-token
+    spans (128-bit fingerprints, df >= 2 docs) chain into maximal runs
+    via gaps-and-islands on span positions; a run of spans [s, e]
+    covers tokens [s, e + k - 1]; runs shorter than min_tokens drop.
+    Shuffles carry (fingerprint, doc, pos) rows — never text.
+    Output (doc_id, start_tok, end_tok, n_tokens), positions 0-based
+    over the normalized token stream."""
+    from pyspark.sql import Window as W
+
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(span_hashes(F.col(text_col), k)).alias("pos", "h"))
+    dup_spans = (ex.groupBy("h")
+                 .agg(F.count_distinct("doc_id").alias("df"))
+                 .filter(F.col("df") >= 2)
+                 .select("h"))
+    dup = ex.join(dup_spans, "h").select("doc_id", "pos")
+    grp = F.col("pos") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("pos"))
+    return (dup.withColumn("__grp", grp)
+            .groupBy("doc_id", "__grp")
+            .agg(F.min("pos").alias("__s"), F.max("pos").alias("__e"))
+            .select("doc_id",
+                    F.col("__s").cast("bigint").alias("start_tok"),
+                    (F.col("__e") + k - 1).cast("bigint").alias("end_tok"),
+                    (F.col("__e") - F.col("__s") + k).cast("bigint")
+                     .alias("n_tokens"))
+            .filter(F.col("n_tokens") >= min_tokens))
+
+
+def cut_regions(docs: DataFrame, k: int = 8, min_tokens: int = 10,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Apply the :func:`dup_regions` cut list: re-emit text with the
+    duplicated regions excised (token-level surgery as higher-order
+    expressions — no Python, one region agg + one join beyond the
+    region computation). Output (doc_id, n_tokens_before, clean_text,
+    n_tokens_after)."""
+    regions = (dup_regions(docs, k, min_tokens, id_col, text_col)
+               .groupBy("doc_id")
+               .agg(F.collect_list(F.struct("start_tok", "end_tok"))
+                     .alias("__regs")))
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    kept = F.filter(
+        F.zip_with(toks,
+                   F.sequence(F.lit(0), F.size(toks) - 1),
+                   lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda p: ~F.exists("__regs",
+                            lambda r: (p["i"] >= r["start_tok"])
+                            & (p["i"] <= r["end_tok"])))
+    return (docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            .join(regions, "doc_id", "left")
+            .withColumn("__regs", F.coalesce(
+                "__regs",
+                F.expr("array()").cast(
+                    "array<struct<start_tok:bigint,end_tok:bigint>>")))
+            .select(
+                "doc_id",
+                F.size(toks).cast("bigint").alias("n_tokens_before"),
+                F.array_join(F.transform(kept, lambda p: p["t"]), " ")
+                 .alias("clean_text"))
+            .withColumn("n_tokens_after",
+                        F.size(F.split(F.col("clean_text"), " "))
+                         .cast("bigint")))

@@ -1630,28 +1630,8 @@ FROM dup GROUP BY doc_id, grp
 HAVING MAX(pos) - MIN(pos) + 8 >= 10
 """)
 def dd_dup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = load_table(spark, sf_dir, "documents")
-    ex = docs.select(
-        "doc_id",
-        F.posexplode(dd.span_hashes(F.col("text"), 8)).alias("pos", "h"))
-    dup_spans = (ex.groupBy("h")
-                 .agg(F.count_distinct("doc_id").alias("df"))
-                 .filter(F.col("df") >= 2)
-                 .select("h"))
-    dup = ex.join(dup_spans, "h").select("doc_id", "pos")
-    grp = F.col("pos") - F.row_number().over(
-        W.partitionBy("doc_id").orderBy("pos"))
-    return (dup.withColumn("__grp", grp)
-            .groupBy("doc_id", "__grp")
-            .agg(F.min("pos").alias("__s"), F.max("pos").alias("__e"))
-            .select("doc_id",
-                    F.col("__s").cast("bigint").alias("start_tok"),
-                    (F.col("__e") + 7).cast("bigint").alias("end_tok"),
-                    (F.col("__e") - F.col("__s") + 8).cast("bigint")
-                     .alias("n_tokens"))
-            .filter(F.col("n_tokens") >= 10))
+    return dd.dup_regions(docs)
 
 
 # --------------------------------------------------------------------------
@@ -1790,3 +1770,19 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              .unionAll(tri.select(F.col("b").alias("node")))
              .unionAll(tri.select(F.col("c").alias("node"))))
     return nodes.groupBy("node").agg(lcount("n_triangles"))
+
+
+# --------------------------------------------------------------------------
+# dd_cut_regions — APPLY the dd_dup_regions cut list: re-emit each
+# document's text with duplicated regions excised (the Lee et al. 2022
+# action step). Regions collect per doc (few per doc by construction),
+# the token filter is a higher-order expression over the split token
+# array — no Python, no shuffle beyond the region agg + one broadcast-
+# able join. Rows-only: token-index surgery in portable SQL obscures
+# more than it proves; exact cut semantics pinned in
+# tests/test_training_ext.py against a planted duplicate.
+# --------------------------------------------------------------------------
+@register("dd_cut_regions")
+def dd_cut_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.cut_regions(docs)

@@ -509,3 +509,27 @@ def test_triangle_count_small_graph(spark):
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
     triangles = {(r.a, r.b, r.c) for r in tri.collect()}
     assert triangles == {(1, 2, 3), (1, 3, 4)}
+
+
+def test_cut_regions_excises_planted_duplicate(spark):
+    """Two docs share a planted 12-token run: dup_regions marks the
+    run in both docs (and nothing in the unique doc), cut_regions
+    removes exactly those tokens and leaves the rest verbatim."""
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+
+    shared = " ".join(f"dup{i}" for i in range(12))
+    a_pre, a_post = "alpha beta gamma", "delta epsilon"
+    b_pre, b_post = "one two", "three four five"
+    docs = spark.createDataFrame(
+        [(1, f"{a_pre} {shared} {a_post}"),
+         (2, f"{b_pre} {shared} {b_post}"),
+         (3, "entirely unique words with no repeats at all here")],
+        "doc_id long, text string")
+    regs = {(r.doc_id, r.start_tok, r.end_tok)
+            for r in dd.dup_regions(docs).collect()}
+    assert regs == {(1, 3, 14), (2, 2, 13)}
+    out = {r.doc_id: r for r in dd.cut_regions(docs).collect()}
+    assert out[1].clean_text == f"{a_pre} {a_post}"
+    assert out[2].clean_text == f"{b_pre} {b_post}"
+    assert out[3].clean_text == "entirely unique words with no repeats at all here"
+    assert out[1].n_tokens_before == 17 and out[1].n_tokens_after == 5
