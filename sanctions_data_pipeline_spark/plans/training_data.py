@@ -1786,3 +1786,47 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_cut_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.cut_regions(docs)
+
+
+# --------------------------------------------------------------------------
+# tok_vocab — corpus vocabulary for tokenizer training: term + doc
+# frequency per token, rank by frequency, and the cumulative coverage
+# share each rank adds (the curve that picks vocab size: rank r's
+# cum_share says what fraction of all token OCCURRENCES the top-r
+# vocabulary covers — 1 - cum_share is the OOV mass). One explode +
+# two aggs; the rank/cumsum window runs over the (small) vocabulary,
+# not the corpus. Integer-exact: shares are bigint/bigint divisions.
+# --------------------------------------------------------------------------
+@register("tok_vocab", oracle=f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+v AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM t GROUP BY tok
+), tot AS (SELECT SUM(tf) AS total FROM v)
+SELECT tok, tf, df,
+       CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rank,
+       round(SUM(tf) OVER (ORDER BY tf DESC, tok
+                           ROWS UNBOUNDED PRECEDING)
+             * 1.0 / (SELECT total FROM tot), 6) AS cum_share
+FROM v
+QUALIFY rank <= 100
+""")
+def tok_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = (docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+         .groupBy("tok")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"),
+              F.count_distinct("doc_id").cast("bigint").alias("df")))
+    total = v.agg(F.sum("tf").alias("__total"))
+    w = W.orderBy(F.desc("tf"), F.asc("tok"))
+    return (v.crossJoin(F.broadcast(total))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .withColumn("cum_share",
+                        F.round(F.sum("tf").over(
+                            w.rowsBetween(W.unboundedPreceding, 0))
+                            / F.col("__total"), 6))
+            .filter(F.col("rank") <= 100)
+            .select("tok", "tf", "df", "rank", "cum_share"))
