@@ -1830,3 +1830,56 @@ def tok_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("__total"), 6))
             .filter(F.col("rank") <= 100)
             .select("tok", "tf", "df", "rank", "cum_share"))
+
+
+# --------------------------------------------------------------------------
+# sim_recall_eval — ANN quality as a QUERY: recall@3 of the sign-LSH
+# index against exact brute force, per query vector. The evaluation
+# loop every ANN deployment runs before trusting an index, expressed
+# as two subplans + one anti-joined count — no driver-side eval code.
+# --------------------------------------------------------------------------
+@register("sim_recall_eval", oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_sql_bucket("v")} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_COS.format(a="qv", b="v")} DESC,
+                                       e.vec_id) AS rnk
+    FROM q, e WHERE e.vec_id <> query_id
+  ) WHERE rnk <= 3
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_COS.format(a="qv", b="b.v")} DESC,
+                                       b.vec_id) AS rnk
+    FROM q JOIN b USING (bucket) WHERE b.vec_id <> query_id
+  ) WHERE rnk <= 3
+)
+SELECT x.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       round(COUNT(a.neighbor_id) * 1.0 / COUNT(*), 6) AS recall
+FROM exact x LEFT JOIN approx a
+  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+GROUP BY x.query_id
+""")
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = vecs.filter(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(q, vecs, k=3).select("query_id", "neighbor_id")
+    approx = (sim.lsh_topk(q, vecs, k=3, n_bits=8)
+              .select("query_id", F.col("neighbor_id").alias("__an")))
+    joined = exact.join(
+        approx, (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.__an), "left") \
+        .select(exact.query_id, "neighbor_id", "__an")
+    return (joined.groupBy("query_id")
+            .agg(F.count("__an").cast("bigint").alias("n_hit"),
+                 lcount("n_true"))
+            .select("query_id", "n_hit", "n_true",
+                    F.round(F.col("n_hit") / F.col("n_true"), 6)
+                     .alias("recall")))
