@@ -1883,3 +1883,89 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "n_hit", "n_true",
                     F.round(F.col("n_hit") / F.col("n_true"), 6)
                      .alias("recall")))
+
+
+# --------------------------------------------------------------------------
+# tx_js_divergence — corpus drift monitor: Jensen-Shannon divergence
+# between the token distributions of two corpus slices (en vs rest)
+# over the top-50 global vocabulary + an OOV bucket. The number a
+# curation loop watches to catch mixture drift between snapshots.
+# Portability: per-term contributions fold in SORTED term order on
+# both engines, so the double accumulation is bit-identical.
+# --------------------------------------------------------------------------
+@register("tx_js_divergence", oracle=f"""
+WITH t AS (
+  SELECT CASE WHEN lang = 'en' THEN 'p' ELSE 'q' END AS side,
+         unnest({_TOKS}) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+    FROM t GROUP BY tok
+  ) WHERE rk <= 50
+), bucketed AS (
+  SELECT side,
+         CASE WHEN tok IN (SELECT tok FROM vocab) THEN tok
+              ELSE CHR(1) || 'OOV' END AS term,
+         COUNT(*) AS c
+  FROM t GROUP BY 1, 2
+), tot AS (
+  SELECT side, SUM(c) AS n FROM bucketed GROUP BY side
+), dist AS (
+  SELECT term,
+         MAX(CASE WHEN side = 'p' THEN c * 1.0 /
+             (SELECT n FROM tot WHERE side = 'p') ELSE 0 END) AS p,
+         MAX(CASE WHEN side = 'q' THEN c * 1.0 /
+             (SELECT n FROM tot WHERE side = 'q') ELSE 0 END) AS q
+  FROM bucketed GROUP BY term
+), contrib AS (
+  SELECT term,
+         0.5 * (CASE WHEN p > 0 THEN p * log2(2 * p / (p + q)) ELSE 0 END)
+       + 0.5 * (CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END)
+           AS c
+  FROM dist
+)
+SELECT round(list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list({{'t': term, 'c': c}})),
+                          x -> x.c)),
+         (a, b) -> a + b), 6) AS jsd
+FROM contrib
+""")
+def tx_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.when(F.col("lang") == "en", "p").otherwise("q").alias("side"),
+        F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    vocab = (t.groupBy("tok").agg(lcount("__c"))
+             .withColumn("__rk", F.row_number().over(
+                 W.orderBy(F.desc("__c"), F.asc("tok"))))
+             .filter(F.col("__rk") <= 50).select("tok"))
+    bucketed = (t.join(F.broadcast(vocab.withColumn("__inv", F.lit(1))),
+                       "tok", "left")
+                .select("side",
+                        F.when(F.col("__inv").isNotNull(), F.col("tok"))
+                         .otherwise(F.concat(F.lit("\x01"), F.lit("OOV")))
+                         .alias("term"))
+                .groupBy("side", "term").agg(lcount("c")))
+    tot = bucketed.groupBy("side").agg(F.sum("c").alias("n"))
+    dist = (bucketed.join(tot, "side")
+            .groupBy("term")
+            .agg(F.max(F.when(F.col("side") == "p",
+                              F.col("c") / F.col("n")).otherwise(0.0)).alias("p"),
+                 F.max(F.when(F.col("side") == "q",
+                              F.col("c") / F.col("n")).otherwise(0.0)).alias("q")))
+    m = F.col("p") + F.col("q")
+    contrib = dist.select(
+        "term",
+        (0.5 * F.when(F.col("p") > 0,
+                      F.col("p") * F.log2(2 * F.col("p") / m)).otherwise(0.0)
+         + 0.5 * F.when(F.col("q") > 0,
+                        F.col("q") * F.log2(2 * F.col("q") / m)).otherwise(0.0)
+         ).alias("c"))
+    fold = F.aggregate(
+        F.expr("transform(array_sort(collect_list(struct(term, c))), x -> x.c)"),
+        F.lit(0.0), lambda a, b: a + b)
+    return contrib.agg(F.round(fold, 6).alias("jsd"))
