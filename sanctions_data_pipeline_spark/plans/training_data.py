@@ -1969,3 +1969,38 @@ def tx_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(array_sort(collect_list(struct(term, c))), x -> x.c)"),
         F.lit(0.0), lambda a, b: a + b)
     return contrib.agg(F.round(fold, 6).alias("jsd"))
+
+
+# --------------------------------------------------------------------------
+# tt_stratified_split — EXACT stratified holdout: within each lang
+# stratum, rank docs by a deterministic md5 and hold out the first
+# 20% (floor) — per-stratum proportions are exact by construction,
+# unlike hash-threshold splits whose proportions only converge. One
+# rank window per stratum (shuffle on lang), map-only assignment.
+# --------------------------------------------------------------------------
+@register("tt_stratified_split", oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rk <= n // 5 THEN 'test' ELSE 'train' END AS split
+FROM ranked
+""")
+def tt_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")),
+                                      "doc_id")
+    return (docs.select(
+        "doc_id", "lang",
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("__n"))
+        .select("doc_id", "lang",
+                F.when(F.col("__rk") <= (F.col("__n") / 5).cast("long"),
+                       "test").otherwise("train").alias("split")))

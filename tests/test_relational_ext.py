@@ -276,3 +276,31 @@ def test_sketch_merge_identity_and_accuracy(spark, sf_dir):
         F.hll_sketch_agg("user_id", F.lit(14))).cast("bigint").alias("d")) \
         .collect()[0].d
     assert {r.est_total for r in rows} == {direct}
+
+
+def test_q11_cross_multiply_survives_extreme_magnitudes(spark):
+    """Regression pin for the decimal(38,0) cross-multiply: at 100 TB
+    magnitudes (value_s ~ 7e17, already x10^4-scaled) the int64
+    product 2 * value_s * n_parts would overflow; the decimal path
+    must neither error nor wrap."""
+    from pyspark.sql import functions as F
+
+    big = 7 * 10 ** 17
+    pv = spark.createDataFrame(
+        [(1, big), (2, 11), (3, 13)], "l_partkey long, value_s long")
+    total = pv.agg(F.sum("value_s").alias("total_s"),
+                   F.count(F.lit(1)).alias("n_parts"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    out = (pv.crossJoin(F.broadcast(total))
+           .filter(2 * dec(F.col("value_s")) * F.col("n_parts")
+                   > 3 * dec(F.col("total_s")))
+           .select("l_partkey"))
+    # 2 * 7e17 * 3 = 4.2e18 — representable, but a second doubling
+    # (the 100 TB total) would wrap int64; decimals compute exactly.
+    # Prove the decimal result matches exact (arbitrary-precision)
+    # Python arithmetic on the same inputs.
+    rows = pv.collect()
+    tot = sum(r.value_s for r in rows)
+    want = {r.l_partkey for r in rows if 2 * r.value_s * 3 > 3 * tot}
+    got = {r.l_partkey for r in out.collect()}
+    assert got == want == {1}
