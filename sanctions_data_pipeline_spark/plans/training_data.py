@@ -2004,3 +2004,90 @@ def tt_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang",
                 F.when(F.col("__rk") <= (F.col("__n") / 5).cast("long"),
                        "test").otherwise("train").alias("split")))
+
+
+# --------------------------------------------------------------------------
+# ml_naive_bayes — multinomial Naive Bayes lang classifier as PURE
+# relational algebra: train (class priors + Laplace-smoothed token
+# likelihoods) and predict (argmax of summed log-likelihoods) are all
+# joins/aggs — no driver-side model object, no Python math. The
+# log-prob sum per (doc, class) folds in sorted token order and scores
+# round to 6dp before the argmax, so Spark and DuckDB pick identical
+# classes. Resubstitution accuracy rides along as is_correct.
+# --------------------------------------------------------------------------
+@register("ml_naive_bayes", oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, tok, COUNT(*) AS m
+  FROM (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, lang, tok
+), classes AS (SELECT DISTINCT lang AS c FROM documents),
+ct AS (SELECT lang AS c, tok, CAST(SUM(m) AS BIGINT) AS cnt
+       FROM t GROUP BY lang, tok),
+tot AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS n_c FROM ct GROUP BY c),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM t),
+prior AS (SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS nd
+          FROM documents GROUP BY lang),
+ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+contrib AS (
+  SELECT t.doc_id, t.lang AS true_lang, cl.c, t.tok,
+         t.m * (ln(COALESCE(ct.cnt, 0) + 1)
+                - ln(tot.n_c + (SELECT v FROM vocab))) AS w
+  FROM t CROSS JOIN classes cl
+  LEFT JOIN ct ON ct.c = cl.c AND ct.tok = t.tok
+  JOIN tot ON tot.c = cl.c
+), score AS (
+  SELECT doc_id, true_lang, contrib.c AS c,
+         round(list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(list_sort(list({{'t': tok, 'w': w}})),
+                                  x -> x.w)),
+                 (a, b) -> a + b)
+               + ln(prior.nd * 1.0 / (SELECT n FROM ndocs)), 6) AS s
+  FROM contrib JOIN prior ON prior.c = contrib.c
+  GROUP BY doc_id, true_lang, contrib.c, prior.nd
+)
+SELECT doc_id, true_lang, c AS pred_lang,
+       CAST(CASE WHEN c = true_lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, c) AS rk FROM score)
+WHERE rk = 1
+""")
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = (docs.select("doc_id", "lang",
+                     F.explode(tx.tokens(F.col("text"))).alias("tok"))
+         .groupBy("doc_id", "lang", "tok").agg(lcount("m")))
+    classes = docs.select(F.col("lang").alias("c")).distinct()
+    ct = (t.groupBy(F.col("lang").alias("c"), "tok")
+          .agg(F.sum("m").cast("bigint").alias("cnt")))
+    tot = ct.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("n_c"))
+    vocab = t.select("tok").distinct().agg(lcount("__v"))
+    prior = docs.groupBy(F.col("lang").alias("c")).agg(lcount("nd"))
+    ndocs = docs.agg(lcount("__n"))
+    contrib = (t.crossJoin(F.broadcast(classes))
+               .join(ct, ["c", "tok"], "left")
+               .join(F.broadcast(tot), "c")
+               .crossJoin(F.broadcast(vocab))
+               .select("doc_id", F.col("lang").alias("true_lang"), "c", "tok",
+                       (F.col("m") * (F.log(F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                                      - F.log(F.col("n_c") + F.col("__v"))))
+                        .alias("w")))
+    fold = F.aggregate(
+        F.expr("transform(array_sort(collect_list(struct(tok, w))), x -> x.w)"),
+        F.lit(0.0), lambda a, b: a + b)
+    score = (contrib.groupBy("doc_id", "true_lang", "c")
+             .agg(fold.alias("__s"))
+             .join(F.broadcast(prior), "c")
+             .crossJoin(F.broadcast(ndocs))
+             .select("doc_id", "true_lang", "c",
+                     F.round(F.col("__s")
+                             + F.log(F.col("nd") / F.col("__n")), 6)
+                      .alias("s")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("c"))
+    return (score.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("doc_id", "true_lang", F.col("c").alias("pred_lang"),
+                    F.when(F.col("c") == F.col("true_lang"), 1).otherwise(0)
+                     .cast("bigint").alias("is_correct")))

@@ -533,3 +533,18 @@ def test_cut_regions_excises_planted_duplicate(spark):
     assert out[2].clean_text == f"{b_pre} {b_post}"
     assert out[3].clean_text == "entirely unique words with no repeats at all here"
     assert out[1].n_tokens_before == 17 and out[1].n_tokens_after == 5
+
+
+def test_naive_bayes_beats_chance(spark, sf_dir):
+    """Relational NB: resubstitution accuracy beats the 5-class prior
+    baseline on the synthetic corpus (signal is weak by construction;
+    correctness itself is oracle-proven)."""
+    from pyspark.sql import functions as F
+
+    from sanctions_data_pipeline_spark.plans import registry
+
+    df = registry.queries()["ml_naive_bayes"](spark, sf_dir)
+    acc = df.agg(F.avg("is_correct")).collect()[0][0]
+    assert acc >= 0.3, acc
+    # every doc classified exactly once
+    assert df.count() == df.select("doc_id").distinct().count()
