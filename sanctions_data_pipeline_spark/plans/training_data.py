@@ -2091,3 +2091,106 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "true_lang", F.col("c").alias("pred_lang"),
                     F.when(F.col("c") == F.col("true_lang"), 1).otherwise(0)
                      .cast("bigint").alias("is_correct")))
+
+
+# --------------------------------------------------------------------------
+# dp_doc_chunks — split long documents into fixed-size token chunks
+# with overlap (context-window prep): chunk starts stride by
+# (size - overlap), the tail chunk keeps its full span by clamping,
+# text is re-materialized per chunk via slice — map-only fan-out, no
+# shuffle at all until a downstream op needs one.
+# --------------------------------------------------------------------------
+_CHUNK, _OVERLAP = 40, 8
+
+
+@register("dp_doc_chunks", oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(0, GREATEST(len(toks) - {_OVERLAP}, 1),
+                           {_CHUNK} - {_OVERLAP})) AS BIGINT) AS s
+  FROM t
+)
+SELECT doc_id, CAST(s / ({_CHUNK} - {_OVERLAP}) AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, s + 1, s + {_CHUNK}), ' ') AS chunk_text,
+       CAST(LEAST(len(toks) - s, {_CHUNK}) AS BIGINT) AS n_tokens
+FROM starts WHERE s < len(toks)
+""")
+def dp_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stride = _CHUNK - _OVERLAP
+    toks = tx.tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - _OVERLAP - 1, F.lit(0)),
+        F.lit(stride))
+    ex = docs.select("doc_id", toks.alias("__toks"),
+                     F.explode(starts).alias("s")).filter(
+        F.col("s") < F.size("__toks"))
+    return ex.select(
+        "doc_id",
+        (F.col("s") / stride).cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("__toks", F.col("s") + 1, _CHUNK))
+         .alias("chunk_text"),
+        F.least(F.size("__toks") - F.col("s"), F.lit(_CHUNK))
+         .cast("bigint").alias("n_tokens"))
+
+
+# --------------------------------------------------------------------------
+# emb_matryoshka_eval — Matryoshka-style dimension truncation: slice
+# embeddings to a prefix (64 -> 16 dims), re-rank neighbors in the
+# truncated space, and measure recall@3 against full-dimension exact
+# top-k — the storage/accuracy dial modern embedding stacks tune,
+# fully SQL-oracled like sim_recall_eval.
+# --------------------------------------------------------------------------
+@register("emb_matryoshka_eval", oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_slice(v, 1, 16) AS sv FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, sv AS qsv FROM s WHERE vec_id < 20),
+full_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, s.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_COS.format(a="qv", b="s.v")} DESC,
+                                       s.vec_id) AS rnk
+    FROM q, s WHERE s.vec_id <> query_id
+  ) WHERE rnk <= 3
+), trunc_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, s.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_COS.format(a="qsv", b="s.sv")} DESC,
+                                       s.vec_id) AS rnk
+    FROM q, s WHERE s.vec_id <> query_id
+  ) WHERE rnk <= 3
+)
+SELECT f.query_id,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       round(COUNT(t.neighbor_id) * 1.0 / COUNT(*), 6) AS recall
+FROM full_k f LEFT JOIN trunc_k t
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY f.query_id
+""")
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    sliced = vecs.select(
+        "vec_id", "embedding",
+        F.slice(sim.as_double(F.col("embedding")), 1, 16).alias("__sv"))
+    q = sliced.filter(F.col("vec_id") < 20)
+    full_k = (sim.brute_force_topk(q, sliced, k=3)
+              .select("query_id", "neighbor_id"))
+    trunc_k = (sim.brute_force_topk(
+        q.select("vec_id", F.col("__sv").alias("embedding")),
+        sliced.select("vec_id", F.col("__sv").alias("embedding")), k=3)
+        .select("query_id", F.col("neighbor_id").alias("__tn")))
+    joined = full_k.join(
+        trunc_k, (full_k.query_id == trunc_k.query_id)
+        & (full_k.neighbor_id == trunc_k.__tn), "left") \
+        .select(full_k.query_id, "neighbor_id", "__tn")
+    return (joined.groupBy("query_id")
+            .agg(F.count("__tn").cast("bigint").alias("n_hit"),
+                 lcount("n_true"))
+            .select("query_id", "n_hit", "n_true",
+                    F.round(F.col("n_hit") / F.col("n_true"), 6)
+                     .alias("recall")))
