@@ -70,7 +70,10 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # the exact kNN-graph baseline (blocked form is equi)
                 "sim_range_search", "emb_knn_graph",
                 # one-row corpus-total broadcast
-                "corpus_report",
+                "corpus_report", "tok_vocab", "q_sketch_merge",
+                # ANN/eval scoring joins (query x corpus by design) and
+                # the NB class cross (|classes| = 5 broadcast)
+                "sim_recall_eval", "emb_matryoshka_eval", "ml_naive_bayes",
                 # intentional broadcast of a ONE-row scalar (corpus size /
                 # global hour bounds / max revenue / balance threshold /
                 # mixture normalizer)
