@@ -839,3 +839,85 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.filter(changed)
             .select(F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
                     change.alias("change")))
+
+
+# --------------------------------------------------------------------------
+# q_ewma — exponential smoothing per user over event values, exact:
+# the recurrence y_t = a*x_t + (1-a)*y_{t-1} is a sequential fold, so
+# it runs as aggregate() over the per-user time-sorted value list —
+# the standard distributed shape for bounded-cardinality groups (one
+# shuffle on user_id; a group's history folds inside one task). Both
+# engines fold the identical sorted list, so doubles match exactly.
+# --------------------------------------------------------------------------
+@register("q_ewma", oracle="""
+WITH s AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list({'t': epoch_us(ts), 'e': event_id, 'v': value})),
+           x -> x.v) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+       round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+FROM s
+""")
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vals = F.expr(
+        "transform(array_sort(collect_list(struct(unix_micros(ts) AS t,"
+        " event_id AS e, value AS v))), x -> x.v)")
+    # fold seeded with the first element (DuckDB list_reduce semantics)
+    ewma = F.expr(
+        "aggregate(slice(__vals, 2, size(__vals)), __vals[0],"
+        " (acc, x) -> CAST(0.3 * x + 0.7 * acc AS DOUBLE))")
+    return (ev.groupBy("user_id").agg(vals.alias("__vals"))
+            .select("user_id",
+                    F.size("__vals").cast("bigint").alias("n_events"),
+                    F.round(ewma, 6).alias("ewma")))
+
+
+# --------------------------------------------------------------------------
+# q_mode_stat — deterministic per-group mode: most frequent value,
+# ties to the smallest value (plain mode() is tie-nondeterministic on
+# both engines, so both sides rank (count desc, value asc)).
+# --------------------------------------------------------------------------
+@register("q_mode_stat", oracle="""
+SELECT event_type, v AS mode_value, CAST(c AS BIGINT) AS n FROM (
+  SELECT event_type, v, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, v) AS rk
+  FROM (SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS v, COUNT(*) AS c
+        FROM events GROUP BY event_type, CAST(FLOOR(value) AS BIGINT))
+) WHERE rk = 1
+""")
+def q_mode_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    counted = (ev.groupBy("event_type",
+                          F.floor("value").cast("bigint").alias("v"))
+               .agg(lcount("c")))
+    w = W.partitionBy("event_type").orderBy(F.desc("c"), F.asc("v"))
+    return (counted.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("event_type", F.col("v").alias("mode_value"),
+                    F.col("c").cast("bigint").alias("n")))
+
+
+# --------------------------------------------------------------------------
+# q_histogram — fixed-bin value histogram per event type (10 bins over
+# [0, 10)): one groupBy over (type, bin) — the map-side-combinable
+# shape; bin edges are constants so the entire bucketing codegens.
+# --------------------------------------------------------------------------
+@register("q_histogram", oracle="""
+SELECT event_type,
+       CAST(LEAST(FLOOR(value), 9) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type, CAST(LEAST(FLOOR(value), 9) AS BIGINT)
+""")
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = F.least(F.floor("value"), F.lit(9)).cast("bigint")
+    return (ev.groupBy("event_type", b.alias("bin"))
+            .agg(lcount("n")))
