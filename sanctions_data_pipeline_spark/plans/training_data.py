@@ -2194,3 +2194,84 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "n_hit", "n_true",
                     F.round(F.col("n_hit") / F.col("n_true"), 6)
                      .alias("recall")))
+
+
+# --------------------------------------------------------------------------
+# mix_weighted_sample — weighted sampling without replacement
+# (Efraimidis-Spirakis A-Res): key = u^(1/w) with u a DETERMINISTIC
+# md5-derived uniform — reproducible across runs/engines/partitions,
+# no rand(). Top-100 keys win. The standard quality-weighted corpus
+# subsampling primitive; one map-side key computation + one top-k.
+# Weight = n_chars (longer docs proportionally likelier).
+# --------------------------------------------------------------------------
+@register("mix_weighted_sample", oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13))
+               AS BIGINT) + 1.0) / 4503599627370497.0 AS u,
+         CAST(n_chars AS DOUBLE) AS w
+  FROM documents
+)
+SELECT doc_id, round(pow(u, 1.0 / w), 6) AS sample_key FROM (
+  SELECT doc_id, u, w,
+         ROW_NUMBER() OVER (ORDER BY pow(u, 1.0 / w) DESC, doc_id) AS rk
+  FROM keyed
+) WHERE rk <= 100
+""")
+def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 13 hex chars -> [0, 2^52); +1 over 2^52+1 keeps u in (0, 1)
+    u = ((F.conv(F.substring(F.md5(F.concat(F.lit("ws:"),
+                                            F.col("doc_id").cast("string"))),
+                             1, 13), 16, 10).cast("double") + 1.0)
+         / F.lit(4503599627370497.0))
+    key = F.pow(u, 1.0 / F.col("n_chars").cast("double"))
+    w = W.orderBy(F.desc("__key"), F.asc("doc_id"))
+    return (docs.select("doc_id", key.alias("__key"))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= 100)
+            .select("doc_id", F.round("__key", 6).alias("sample_key")))
+
+
+# --------------------------------------------------------------------------
+# pr_item_cosine — item-item association strength over the co-purchase
+# graph: Salton cosine cooc(i,j) / sqrt(deg(i) * deg(j)) — the
+# first-line "customers also bought" scorer. Co-occurrence counts and
+# degrees come from two aggs over the same order-item projection; the
+# normalization join broadcasts the (small) degree table.
+# --------------------------------------------------------------------------
+@register("pr_item_cosine", oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_orderkey < 4000
+), cooc AS (
+  SELECT a.p AS i, b.p AS j, CAST(COUNT(*) AS BIGINT) AS c
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+), deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM li GROUP BY p
+)
+SELECT i, j, c, round(c / sqrt(di.d * dj.d), 6) AS cosine
+FROM (SELECT cooc.i, cooc.j, cooc.c FROM cooc) cooc
+JOIN deg di ON di.p = cooc.i JOIN deg dj ON dj.p = cooc.j
+""")
+def pr_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 4000)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    a = li.select("o", F.col("p").alias("i"))
+    b = li.select("o", F.col("p").alias("j"))
+    cooc = (a.join(b, "o").filter(F.col("i") < F.col("j"))
+            .groupBy("i", "j").agg(lcount("c"))
+            .filter(F.col("c") >= 2))
+    deg = li.groupBy(F.col("p")).agg(lcount("d"))
+    di = deg.select(F.col("p").alias("i"), F.col("d").alias("__di"))
+    dj = deg.select(F.col("p").alias("j"), F.col("d").alias("__dj"))
+    return (cooc.join(F.broadcast(di), "i").join(F.broadcast(dj), "j")
+            .select("i", "j", F.col("c").cast("bigint").alias("c"),
+                    F.round(F.col("c")
+                            / F.sqrt(F.col("__di") * F.col("__dj")), 6)
+                     .alias("cosine")))
