@@ -531,3 +531,115 @@ def xml_stream_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_aliases", "length(xml) AS xml_len"),
         output_mode="append")
     return out
+
+
+# --------------------------------------------------------------------------
+# s_watchlist_screen — the DOWNSTREAM use of the analyst table: screen
+# an incoming name list against the sanctions watchlist. Tier 1 is an
+# exact variant-key hit (any of the 3 normalized keys, the reference's
+# own match rule); tier 2 is a fuzzy levenshtein<=2 match blocked by
+# (first letter, length band) so the quadratic term stays inside tiny
+# blocks. The screening list derives deterministically from the
+# fixture (clean + typo'd copies) plus customer-name decoys that must
+# NOT match. Highest-severity tier wins per (screened name, entity).
+# --------------------------------------------------------------------------
+@register("s_watchlist_screen", oracle=f"""
+WITH {fx.sql_cte("aliases")},
+wl AS (
+  SELECT entity_id, {nm.sql_clean_fullname("whole_name")} AS wname
+  FROM aliases WHERE {nm.sql_is_latin_name("whole_name")}
+),
+screen0 AS (
+  SELECT 'clean:' || CAST(entity_id AS VARCHAR) || ':'
+         || CAST(alias_idx AS VARCHAR) AS probe_id,
+         {nm.sql_clean_fullname("whole_name")} AS pname
+  FROM aliases WHERE {nm.sql_is_latin_name("whole_name")}
+  UNION ALL
+  SELECT 'typo:' || CAST(entity_id AS VARCHAR) || ':'
+         || CAST(alias_idx AS VARCHAR),
+         substr({nm.sql_clean_fullname("whole_name")}, 1, 1)
+         || substr({nm.sql_clean_fullname("whole_name")}, 3)
+  FROM aliases WHERE {nm.sql_is_latin_name("whole_name")}
+    AND length({nm.sql_clean_fullname("whole_name")}) > 4
+  UNION ALL
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+         {nm.sql_clean_fullname("c_name")}
+  FROM customer WHERE c_custkey <= 200
+),
+vkeys AS (
+  SELECT probe_id, pname, unnest({nm.sql_variant_keys("pname")}) AS vk
+  FROM screen0
+),
+wkeys AS (
+  SELECT entity_id, wname, unnest({nm.sql_variant_keys("wname")}) AS vk
+  FROM wl
+),
+exact_hits AS (
+  SELECT DISTINCT v.probe_id, w.entity_id, 'variant' AS match_type
+  FROM vkeys v JOIN wkeys w ON v.vk = w.vk AND v.vk <> ''
+),
+fuzzy_hits AS (
+  SELECT DISTINCT s.probe_id, w.entity_id, 'fuzzy' AS match_type
+  FROM screen0 s JOIN wl w
+    ON substr(s.pname, 1, 1) = substr(w.wname, 1, 1)
+   AND abs(length(s.pname) - length(w.wname)) <= 2
+  WHERE levenshtein(s.pname, w.wname) BETWEEN 1 AND 2
+),
+ranked AS (
+  SELECT probe_id, entity_id, match_type,
+         ROW_NUMBER() OVER (PARTITION BY probe_id, entity_id
+                            ORDER BY CASE match_type WHEN 'variant' THEN 0
+                                     ELSE 1 END) AS rk
+  FROM (SELECT * FROM exact_hits UNION ALL SELECT * FROM fuzzy_hits)
+)
+SELECT probe_id, CAST(entity_id AS BIGINT) AS entity_id, match_type
+FROM ranked WHERE rk = 1
+""")
+def s_watchlist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    al = fx.spark_df(spark, "aliases")
+    lat = al.filter(nm.is_latin_name(F.col("whole_name")))
+    wl = lat.select("entity_id",
+                    nm.clean_fullname(F.col("whole_name")).alias("wname"))
+    clean = lat.select(
+        F.concat(F.lit("clean:"), F.col("entity_id").cast("string"),
+                 F.lit(":"), F.col("alias_idx").cast("string")).alias("probe_id"),
+        nm.clean_fullname(F.col("whole_name")).alias("pname"))
+    base = nm.clean_fullname(F.col("whole_name"))
+    # typo probe: drop the 2nd character of the cleaned name
+    typo = (lat.filter(F.length(base) > 4)
+            .select(
+                F.concat(F.lit("typo:"), F.col("entity_id").cast("string"),
+                         F.lit(":"), F.col("alias_idx").cast("string"))
+                 .alias("probe_id"),
+                F.concat(F.substring(base, 1, 1),
+                         F.substring(base, 3, 10_000)).alias("pname")))
+    decoys = (cust.filter(F.col("c_custkey") <= 200)
+              .select(F.concat(F.lit("cust:"),
+                               F.col("c_custkey").cast("string")).alias("probe_id"),
+                      nm.clean_fullname(F.col("c_name")).alias("pname")))
+    screen = clean.unionAll(typo).unionAll(decoys)
+    vkeys = screen.select(
+        "probe_id", "pname",
+        F.explode(nm.variant_keys(F.col("pname"))).alias("vk")) \
+        .filter(F.col("vk") != "")
+    wkeys = wl.select(
+        "entity_id", "wname",
+        F.explode(nm.variant_keys(F.col("wname"))).alias("vk"))
+    exact_hits = (vkeys.join(F.broadcast(wkeys), "vk")
+                  .select("probe_id", "entity_id",
+                          F.lit("variant").alias("match_type")).distinct())
+    fuzzy = (screen.join(
+        F.broadcast(wl),
+        (F.substring(F.col("pname"), 1, 1) == F.substring(F.col("wname"), 1, 1))
+        & (F.abs(F.length("pname") - F.length("wname")) <= 2))
+        .filter(F.levenshtein(F.col("pname"), F.col("wname")).between(1, 2))
+        .select("probe_id", "entity_id",
+                F.lit("fuzzy").alias("match_type")).distinct())
+    both = exact_hits.unionAll(fuzzy)
+    w = W.partitionBy("probe_id", "entity_id").orderBy(
+        F.when(F.col("match_type") == "variant", 0).otherwise(1))
+    return (both.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("probe_id", F.col("entity_id").cast("bigint"),
+                    "match_type"))

@@ -170,3 +170,25 @@ def test_fixture_queries_run(spark):
     for name in ["s_clean_fixture", "s_gender_infer", "s_variant_match",
                  "s_neighbor_fill", "s_details_agg", "s_address_clean"]:
         assert qs[name](spark, "/root/testdata/sf0.001").count() > 0
+
+
+def test_watchlist_screen_tiers_and_decoys(spark, sf_dir):
+    """Screening: every clean probe variant-matches its own entity,
+    typo probes surface as fuzzy hits, and customer-name decoys never
+    match at all."""
+    from sanctions_data_pipeline_spark.plans import registry
+
+    rows = registry.queries()["s_watchlist_screen"](spark, sf_dir).collect()
+    assert rows
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert not any(p.startswith("cust:") for p in by_probe), "decoy matched"
+    for p, hits in by_probe.items():
+        if p.startswith("clean:"):
+            ent = int(p.split(":")[1])
+            mine = [h for h in hits if h.entity_id == ent]
+            assert mine and mine[0].match_type == "variant", p
+    typo_types = {h.match_type for p, hs in by_probe.items()
+                  if p.startswith("typo:") for h in hs}
+    assert "fuzzy" in typo_types
