@@ -921,3 +921,38 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.least(F.floor("value"), F.lit(9)).cast("bigint")
     return (ev.groupBy("event_type", b.alias("bin"))
             .agg(lcount("n")))
+
+
+# --------------------------------------------------------------------------
+# q_pivot_multi — pivot with MULTIPLE aggregate measures per pivoted
+# value (count + decimal-exact sum): Spark emits `{value}_{agg}`
+# columns from one shuffle; explicit pivot values keep the plan
+# inference-scan-free. Oracle spells out the same CASE-sum lattice.
+# --------------------------------------------------------------------------
+@register("q_pivot_multi", oracle=f"""
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS urgent_n,
+       {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN "
+                 "CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END", "urgent_total")},
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_n,
+       {sql_dsum("CASE WHEN o_orderpriority = '5-LOW' THEN "
+                 "CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END", "low_total")}
+FROM orders GROUP BY o_orderstatus
+""")
+def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (orders.groupBy("o_orderstatus")
+           .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce(dval("o_totalprice"),
+                                 F.lit(0).cast("decimal(18,4)"))).alias("t")))
+    out_t = lambda c: _as_exact_double(F.coalesce(  # noqa: E731
+        F.col(c), F.lit(0).cast("decimal(28,4)")))
+    return piv.select(
+        "o_orderstatus",
+        F.coalesce(F.col("1-URGENT_n"), F.lit(0)).cast("bigint").alias("urgent_n"),
+        out_t("`1-URGENT_t`").alias("urgent_total"),
+        F.coalesce(F.col("5-LOW_n"), F.lit(0)).cast("bigint").alias("low_n"),
+        out_t("`5-LOW_t`").alias("low_total"))

@@ -216,3 +216,50 @@ def st_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     return run_available_now(chained_window_agg(ev), output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# st_scd2_lookup — stream-static join against a TYPE-2 dimension:
+# each streaming event looks up the status version whose validity
+# interval covers its event time (open-ended current rows match the
+# 2024 event stream; closed history rows can't). Stream-static joins
+# accept arbitrary predicates, so the interval condition runs as-is;
+# the dim is driver-built once per micro-batch and broadcast. Oracle
+# is the identical batch join.
+# --------------------------------------------------------------------------
+@register("st_scd2_lookup", oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+         LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+), changes AS (
+  SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderstatus
+), dim AS (
+  SELECT o_custkey AS k, o_orderstatus AS status, o_orderdate AS vf,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS vt
+  FROM changes
+)
+SELECT e.event_id, e.user_id, d.status,
+       CAST(COUNT(*) OVER () AS BIGINT) AS n_matched
+FROM events e JOIN dim d
+  ON e.user_id = d.k AND e.ts >= d.vf AND (d.vt IS NULL OR e.ts < d.vt)
+""")
+def st_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.plans.temporal import q_scd2
+
+    dim = (q_scd2(spark, sf_dir)
+           .select(F.col("o_custkey").alias("k"), "status",
+                   F.to_timestamp("valid_from").alias("vf"),
+                   F.to_timestamp("valid_to").alias("vt")))
+    ev = read_events_stream(spark, sf_dir)
+    joined = ev.join(
+        F.broadcast(dim),
+        (ev.user_id == dim.k) & (ev.ts >= dim.vf)
+        & (dim.vt.isNull() | (ev.ts < dim.vt)))
+    out = run_available_now(
+        joined.select("event_id", "user_id", "status"), output_mode="append")
+    n = out.count()
+    return out.withColumn("n_matched", F.lit(n).cast("bigint"))
