@@ -956,3 +956,51 @@ def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_t("`1-URGENT_t`").alias("urgent_total"),
         F.coalesce(F.col("5-LOW_n"), F.lit(0)).cast("bigint").alias("low_n"),
         out_t("`5-LOW_t`").alias("low_total"))
+
+
+# --------------------------------------------------------------------------
+# q_new_returning — growth analytics: per day, events from NEW vs
+# RETURNING users plus the cumulative distinct-user count. First-seen
+# day per user is one agg; the daily rollup joins it back (broadcast —
+# the user dim is tiny relative to events); the cumulative curve is a
+# window over the (small) day table, not the event stream.
+# --------------------------------------------------------------------------
+@register("q_new_returning", oracle="""
+WITH fs AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), daily AS (
+  SELECT CAST(e.ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                       THEN 1 ELSE 0 END) AS BIGINT) AS new_events,
+         CAST(SUM(CASE WHEN CAST(e.ts AS DATE) <> f.first_day
+                       THEN 1 ELSE 0 END) AS BIGINT) AS returning_events,
+         CAST(COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                                  THEN e.user_id END) AS BIGINT) AS new_users
+  FROM events e JOIN fs f ON e.user_id = f.user_id
+  GROUP BY CAST(e.ts AS DATE)
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day, new_events, returning_events,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM daily
+""")
+def q_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    fs = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    joined = ev.join(F.broadcast(fs), "user_id")
+    is_new = day == F.col("first_day")
+    daily = (joined.groupBy(day.alias("day"))
+             .agg(F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint")
+                   .alias("new_events"),
+                  F.sum(F.when(~is_new, 1).otherwise(0)).cast("bigint")
+                   .alias("returning_events"),
+                  F.count_distinct(F.when(is_new, F.col("user_id")))
+                   .cast("bigint").alias("new_users")))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_events", "returning_events",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users")))

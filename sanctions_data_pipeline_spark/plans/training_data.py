@@ -2275,3 +2275,27 @@ def pr_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("c")
                             / F.sqrt(F.col("__di") * F.col("__dj")), 6)
                      .alias("cosine")))
+
+
+# --------------------------------------------------------------------------
+# dd_lsh_tuning — the MinHash banding S-curve as a TABLE: for each
+# (bands b, rows r) split of a 32-hash signature and each similarity
+# s, the candidate probability 1 - (1 - s^r)^b. The principled way to
+# pick banding for a target threshold (MMDS ch.3) — pure expression
+# lattice, no data scan at all.
+# --------------------------------------------------------------------------
+@register("dd_lsh_tuning", oracle="""
+WITH params(b, r) AS (VALUES (4, 8), (8, 4), (16, 2), (32, 1)),
+sims AS (SELECT unnest(range(1, 20)) * 0.05 AS s)
+SELECT b, r, round(s, 2) AS s,
+       round(1 - pow(1 - pow(s, r), b), 6) AS p_candidate
+FROM params, sims
+""")
+def dd_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    params = spark.createDataFrame([(4, 8), (8, 4), (16, 2), (32, 1)],
+                                   "b int, r int")
+    sims = spark.range(1, 20).select((F.col("id") * 0.05).alias("s"))
+    return (params.crossJoin(sims)
+            .select("b", "r", F.round("s", 2).alias("s"),
+                    F.round(1 - F.pow(1 - F.pow("s", "r"), "b"), 6)
+                     .alias("p_candidate")))
