@@ -2299,3 +2299,137 @@ def dd_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("b", "r", F.round("s", 2).alias("s"),
                     F.round(1 - F.pow(1 - F.pow("s", "r"), "b"), 6)
                      .alias("p_candidate")))
+
+
+# --------------------------------------------------------------------------
+# tx_filter_verdict — the ASSEMBLED corpus gate: every doc gets one
+# keep/drop verdict with the first failing rule named, combining the
+# C4-ish length band, Gopher repetition caps, and the per-lang p10
+# quality floor (each rule also exists as its own audited query). One
+# pass over tokens feeds all token-derived rules; the per-lang
+# thresholds broadcast.
+# --------------------------------------------------------------------------
+@register("tx_filter_verdict", oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang, {_TOKS} AS t,
+         {_QSCORE.format(toks=_TOKS, stop=tx.sql_stopword_hits("text", "en"))}
+           AS q
+  FROM documents
+), rep AS (
+  SELECT doc_id,
+         MAX(c) * 1.0 / SUM(c) AS top_frac
+  FROM (SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM base) GROUP BY doc_id, tok)
+  GROUP BY doc_id
+), thr AS (
+  SELECT lang, round(quantile_cont(q, 0.10), 6) AS p10 FROM base GROUP BY lang
+)
+SELECT b.doc_id,
+       CASE WHEN len(b.t) < 10 THEN 'too_short'
+            WHEN len(b.t) > 1000 THEN 'too_long'
+            WHEN r.top_frac > 0.2 THEN 'repetitive'
+            WHEN b.q < t.p10 THEN 'low_quality'
+            ELSE 'keep' END AS verdict,
+       CAST(CASE WHEN len(b.t) BETWEEN 10 AND 1000 AND r.top_frac <= 0.2
+                  AND b.q >= t.p10 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM base b JOIN rep r ON b.doc_id = r.doc_id
+JOIN thr t ON b.lang = t.lang
+""")
+def tx_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = tx.ws_token_count(F.col("text"))
+    n_chars = F.length("text")
+    n_punct = tx.punct_count(F.col("text"))
+    n_stop = tx.stopword_hits(F.col("text"), "en")
+    qscore = F.round(0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+                     + 0.3 * (1.0 - n_punct * 1.0 / n_chars)
+                     + 0.3 * F.least(n_stop * 5.0 / n_tokens, F.lit(1.0)), 6)
+    base = docs.select(
+        "doc_id", "lang", tx.tokens(F.col("text")).alias("t"),
+        qscore.alias("q"))
+    rep = (base.select("doc_id", F.explode("t").alias("tok"))
+           .groupBy("doc_id", "tok").agg(lcount("c"))
+           .groupBy("doc_id")
+           .agg((F.max("c") / F.sum("c")).alias("top_frac")))
+    thr = (base.groupBy("lang")
+           .agg(F.round(F.expr("percentile_cont(0.10) WITHIN GROUP"
+                               " (ORDER BY q)"), 6).alias("p10")))
+    n = F.size("t")
+    verdict = (F.when(n < 10, "too_short")
+               .when(n > 1000, "too_long")
+               .when(F.col("top_frac") > 0.2, "repetitive")
+               .when(F.col("q") < F.col("p10"), "low_quality")
+               .otherwise("keep"))
+    keep = (n.between(10, 1000) & (F.col("top_frac") <= 0.2)
+            & (F.col("q") >= F.col("p10")))
+    return (base.join(rep, "doc_id").join(F.broadcast(thr), "lang")
+            .select("doc_id", verdict.alias("verdict"),
+                    keep.cast("bigint").alias("keep")))
+
+
+# --------------------------------------------------------------------------
+# mix_epoch_materialize — turn the mix_epochs plan into the actual
+# training stream: each source's docs repeat epoch-many times with an
+# epoch_no column (explode over sequence — map-side fan-out; the
+# per-source epoch table broadcasts).
+# --------------------------------------------------------------------------
+@register("mix_epoch_materialize", oracle=f"""
+WITH w(source, weight) AS (VALUES {", ".join(f"('{s}', {p})" for s, p in _EPOCH_W)}),
+tok AS (
+  SELECT d.source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents d GROUP BY d.source
+), ep AS (
+  SELECT t.source,
+         (w.weight * {_EPOCH_BUDGET} + 50 * t.n_tokens - 1)
+           // (50 * t.n_tokens) AS epochs
+  FROM tok t JOIN w ON t.source = w.source
+)
+SELECT d.doc_id, CAST(e.i AS BIGINT) AS epoch_no
+FROM documents d JOIN ep ON d.source = ep.source,
+LATERAL unnest(range(1, epochs + 1)) AS e(i)
+""")
+def mix_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = F.broadcast(docs.sparkSession.createDataFrame(
+        _EPOCH_W, "source string, weight int"))
+    tok = (docs.groupBy("source")
+           .agg(F.sum(F.size(tx.tokens(F.col("text")))).cast("bigint")
+                 .alias("n_tokens")))
+    epochs = F.expr(f"(weight * {_EPOCH_BUDGET}L + 50L * n_tokens - 1)"
+                    " div (50L * n_tokens)")
+    ep = tok.join(weights, "source").select("source", epochs.alias("epochs"))
+    return (docs.join(F.broadcast(ep), "source")
+            .select("doc_id",
+                    F.explode(F.sequence(F.lit(1), F.col("epochs")))
+                     .alias("epoch_no"))
+            .select("doc_id", F.col("epoch_no").cast("bigint")
+                    .alias("epoch_no")))
+
+
+# --------------------------------------------------------------------------
+# dd_threshold_sweep — dedup operating-point curve: embedding pair
+# cosines (blocked by label) bucketed against candidate thresholds in
+# one pass — how many pairs each threshold would flag, the number you
+# look at before committing a dedup run. Pairs compute ONCE; the sweep
+# is a literal-lattice rollup.
+# --------------------------------------------------------------------------
+@register("dd_threshold_sweep", oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+p AS (
+  SELECT {_COS.format(a="a.v", b="b.v")} AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+), t AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS thr)
+SELECT round(thr, 2) AS threshold,
+       CAST(SUM(CASE WHEN cos >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+FROM t, p GROUP BY thr
+""")
+def dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_pairs(vecs, ["label"], threshold=-1.0)
+    thr = spark.createDataFrame([(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)],
+                                "thr double")
+    return (pairs.crossJoin(F.broadcast(thr))
+            .groupBy(F.round("thr", 2).alias("threshold"))
+            .agg(F.sum(F.when(F.col("cos") >= F.col("thr"), 1).otherwise(0))
+                  .cast("bigint").alias("n_pairs")))
