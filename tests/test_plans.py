@@ -74,8 +74,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # ANN/eval scoring joins (query x corpus by design) and
                 # the NB class cross (|classes| = 5 broadcast)
                 "sim_recall_eval", "emb_matryoshka_eval", "ml_naive_bayes",
-                # literal parameter-lattice cross (4 x 19 rows, no scan)
-                "dd_lsh_tuning",
+                # literal parameter-lattice crosses (no corpus scan on
+                # the lattice side)
+                "dd_lsh_tuning", "dd_threshold_sweep",
                 # intentional broadcast of a ONE-row scalar (corpus size /
                 # global hour bounds / max revenue / balance threshold /
                 # mixture normalizer)
