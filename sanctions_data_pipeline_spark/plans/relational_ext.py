@@ -1004,3 +1004,33 @@ def q_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "new_events", "returning_events",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users")))
+
+
+# --------------------------------------------------------------------------
+# q_rank_functions — the remaining rank-family windows in one pass:
+# percent_rank, cume_dist, and nth_value(2) per nation over customer
+# balances — one shuffle serves all three (same partition+order).
+# --------------------------------------------------------------------------
+@register("q_rank_functions", oracle="""
+SELECT c_custkey, c_nationkey,
+       round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       round(CUME_DIST() OVER w, 6) AS cume,
+       NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS second_richest
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+""")
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"),
+                                             F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey", "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 2).over(
+            w.rowsBetween(W.unboundedPreceding, 0)).alias("second_richest"))

@@ -2433,3 +2433,26 @@ def dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.round("thr", 2).alias("threshold"))
             .agg(F.sum(F.when(F.col("cos") >= F.col("thr"), 1).otherwise(0))
                   .cast("bigint").alias("n_pairs")))
+
+
+# --------------------------------------------------------------------------
+# tx_langid_eval — langid quality as a confusion MATRIX query: the
+# stopword-profile classifier's predictions against the corpus labels,
+# (true_lang, pred_lang, n) cells. Same evaluate-inside-the-engine
+# pattern as sim_recall_eval.
+# --------------------------------------------------------------------------
+@register("tx_langid_eval", oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS true_lang,
+         {tx.sql_predict_lang("text")} AS pred_lang
+  FROM documents
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM scored GROUP BY true_lang, pred_lang
+""")
+def tx_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(F.col("lang").alias("true_lang"),
+                        tx.predict_lang(F.col("text")).alias("pred_lang"))
+            .groupBy("true_lang", "pred_lang")
+            .agg(lcount("n")))
