@@ -67,6 +67,7 @@ _PLAN_MODULES = (
     "tpch_shapes2",
     "sanctions",
     "training_data",
+    "training_data2",
     "streaming",
     "multimodal",
     "temporal",

@@ -1034,3 +1034,72 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("c_custkey", 2).over(
             w.rowsBetween(W.unboundedPreceding, 0)).alias("second_richest"))
+
+
+# --------------------------------------------------------------------------
+# q_bitmap_rollup — EXACT mergeable distinct-count rollup via Spark's
+# bitmap aggregates (bitmap_construct_agg / bitmap_count, Spark 3.5+):
+# daily distinct users computed as per-(day, bitmap-bucket) bitmaps that
+# sum to the exact distinct — the mergeable-rollup pattern (HLL's exact
+# sibling). The bitmap blobs are the materialization a continuous
+# aggregate would store; re-aggregating a coarser period ORs bitmaps
+# instead of rescanning raw events. The oracle only sees the final
+# exact counts (COUNT(DISTINCT)) — bitmaps are engine machinery.
+# Scale: shuffle carries (day, bucket, 4KB-bitmap) rows — one per
+# 32768-id bucket per day — regardless of event count; map-side
+# partial bitmap_construct_agg absorbs the raw volume.
+# --------------------------------------------------------------------------
+@register("q_bitmap_rollup", oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""")
+def q_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+    per_bucket = (ev.groupBy("day", F.bitmap_bucket_number("user_id")
+                             .alias("bucket"))
+                  .agg(F.bitmap_construct_agg(
+                      F.bitmap_bit_position("user_id")).alias("bm"),
+                      lcount("n_ev")))
+    return (per_bucket.groupBy("day")
+            .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users"),
+                 F.sum("n_ev").cast("bigint").alias("n_events")))
+
+
+# --------------------------------------------------------------------------
+# q_recursive_walk — WITH RECURSIVE hierarchy walk (Spark 4 recursive
+# CTE, SPARK-24497): customers form a synthetic tree (parent(c) =
+# c_custkey / 10, custkey < 10 are roots), the recursion computes each
+# node's depth and root, then rolls up per depth — the org-chart /
+# BOM-explosion shape. Identical SQL on both engines; the recursion
+# terminates structurally (custkey shrinks by 10x per level).
+# Scale: each recursion level is one self-join on the (bounded) new
+# frontier — the engine's native fixpoint operator, not a driver loop.
+# --------------------------------------------------------------------------
+_REC_SQL = """
+WITH RECURSIVE walk(custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, w.root, w.depth + 1
+  FROM customer c JOIN walk w ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = w.custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+       CAST(MIN(custkey) AS BIGINT) AS min_key,
+       CAST(MAX(custkey) AS BIGINT) AS max_key
+FROM walk GROUP BY depth
+"""
+
+
+@register("q_recursive_walk", oracle=_REC_SQL)
+def q_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REC_SQL).select(
+        F.col("depth").cast("bigint").alias("depth"),
+        "n_nodes", "n_roots", "min_key", "max_key")

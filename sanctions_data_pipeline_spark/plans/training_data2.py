@@ -1,0 +1,280 @@
+"""Corpus-modeling & retrieval extensions (SURVEY.md §2, block 3 cont.):
+n-gram LM perplexity filtering, late-interaction multi-vector scoring,
+community detection, and batching-efficiency accounting.
+
+Same float discipline as ``training_data.py``: every cross-engine
+double is produced by a strictly sequential fold over a sorted array
+(identical accumulation order in Spark and DuckDB), rounded to 6dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.operators import similarity as sim
+from sanctions_data_pipeline_spark.operators import textstats as tx
+from sanctions_data_pipeline_spark.plans.helpers import lcount
+from sanctions_data_pipeline_spark.plans.registry import register
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+# ---------------------------------------------------------------------------
+# tx_perplexity — CCNet-style n-gram LM quality filter: train an add-one
+# bigram language model ON the corpus itself (top-V vocabulary, the rest
+# mapped to <unk>), then score every document's bigram log-likelihood and
+# surface perplexity. Low-ppl docs are fluent/common, high-ppl docs are
+# noise — the classic LM filter (Wenzek et al., CCNet, LREC 2020).
+#
+# Scale design: the vocabulary is capped at V (deterministic rank by
+# count desc, token asc) so the LM tables are bounded regardless of
+# corpus size; vocab + unigram tables broadcast; the only corpus-wide
+# shuffles are the bigram count agg and the doc-bigram→LM join, both on
+# (w1, w2) hash keys with map-side partial aggregation. The per-doc
+# log-prob sum is a sorted sequential fold → bit-identical in DuckDB.
+# ---------------------------------------------------------------------------
+_PPL_V = 40  # vocab cap (small corpus; the point is the <unk> plumbing)
+
+_PPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+    FROM toks GROUP BY tok
+  ) WHERE r <= {_PPL_V}
+),
+arr AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+bg0 AS (
+  SELECT doc_id, t[i] AS w1r, t[i+1] AS w2r
+  FROM arr, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN v1.tok IS NULL THEN '<unk>' ELSE w1r END AS w1,
+         CASE WHEN v2.tok IS NULL THEN '<unk>' ELSE w2r END AS w2
+  FROM bg0 LEFT JOIN vocab v1 ON bg0.w1r = v1.tok
+           LEFT JOIN vocab v2 ON bg0.w2r = v2.tok
+),
+c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c2 GROUP BY w1),
+vsz AS (SELECT count(*) + 1 AS v FROM vocab),
+scored AS (
+  SELECT b.doc_id,
+         log2((c2.c12 + 1.0) / (c1.c1 + (SELECT v FROM vsz))) AS lp
+  FROM bg b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+            JOIN c1 ON b.w1 = c1.w1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(pow(2.0, -list_aggregate(list_sort(list(lp)), 'sum') / count(*)), 6)
+         AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("tx_perplexity", oracle=_PPL_ORACLE)
+def tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
+
+    vocab = (toks.select(F.explode("t").alias("tok"))
+             .groupBy("tok").agg(lcount("cnt"))
+             .withColumn("r", F.row_number().over(
+                 W.orderBy(F.col("cnt").desc(), F.col("tok"))))
+             .filter(F.col("r") <= _PPL_V)
+             .select("tok"))
+    # vocab is bounded (<= V rows) — collect once, broadcast as a literal
+    # set so the <unk> mapping is a map-side array op, not a join.
+    vocab_list = [r.tok for r in vocab.collect()]
+    vset = F.array(*[F.lit(t) for t in vocab_list])
+
+    mapped = toks.select(
+        "doc_id",
+        F.transform(F.col("t"),
+                    lambda x: F.when(F.array_contains(vset, x), x)
+                               .otherwise(F.lit("<unk>"))).alias("t"))
+
+    bg = (mapped.filter(F.size("t") >= 2)
+          .select("doc_id", F.explode(F.expr(
+              "transform(sequence(0, size(t) - 2), "
+              "i -> struct(t[i] as w1, t[i+1] as w2))")).alias("b"))
+          .select("doc_id", "b.w1", "b.w2"))
+
+    c2 = bg.groupBy("w1", "w2").agg(lcount("c12"))
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = F.lit(len(vocab_list) + 1)  # +1 for <unk>
+
+    # c2/c1 are bounded by the vocab cap ((V+1)^2 and V+1 rows) — both
+    # broadcast, so scoring is entirely map-side against the corpus scan.
+    scored = (bg.join(F.broadcast(c2), ["w1", "w2"])
+              .join(F.broadcast(c1), "w1")
+              .select("doc_id",
+                      F.log2((F.col("c12") + F.lit(1.0)) / (F.col("c1") + v))
+                       .alias("lp")))
+    fold = F.aggregate(F.array_sort(F.collect_list("lp")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    return (scored.groupBy("doc_id")
+            .agg(lcount("n_bigrams"), fold.alias("__s"))
+            .select("doc_id", "n_bigrams",
+                    F.round(F.pow(F.lit(2.0),
+                                  -F.col("__s") / F.col("n_bigrams")), 6)
+                     .alias("ppl")))
+
+
+# ---------------------------------------------------------------------------
+# sim_maxsim — ColBERT-style late-interaction scoring (Khattab & Zaharia,
+# SIGIR 2020): a "document" is the SET of vectors sharing a label, the
+# query is label 0's vector set, and score(q, d) = Σ_{qv∈q} max_{dv∈d}
+# cos(qv, dv). Pure relational: broadcast the (small) query vectors
+# against the corpus scan, per-(qv, label) max, per-label sorted-fold
+# sum — no UDF, one shuffle on (label).
+#
+# Scale: query side broadcasts (queries are per-request small); the max
+# is map-side-combinable; at 100 TB the corpus scan is the only big
+# side and it never shuffles more than (qv_id, label, cos) rows.
+# ---------------------------------------------------------------------------
+_COS6 = ("round(list_inner_product({a}, {b}) / "
+         "(sqrt(list_inner_product({a}, {a})) * "
+         "sqrt(list_inner_product({b}, {b}))), 6)")
+
+_MAXSIM_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qv_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE label = 0
+),
+c AS (
+  SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings WHERE label <> 0
+),
+pairmax AS (
+  SELECT q.qv_id, c.label,
+         max({_COS6.format(a='q.qv', b='c.dv')}) AS m
+  FROM q, c GROUP BY q.qv_id, c.label
+)
+SELECT label,
+       round(list_aggregate(list_sort(list(m)), 'sum'), 6) AS maxsim
+FROM pairmax GROUP BY label
+"""
+
+
+@register("sim_maxsim", oracle=_MAXSIM_ORACLE)
+def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("label") == 0)
+         .select(F.col("vec_id").alias("qv_id"),
+                 sim.as_double(F.col("embedding")).alias("qv")))
+    c = (emb.filter(F.col("label") != 0)
+         .select("label", sim.as_double(F.col("embedding")).alias("dv")))
+    pairmax = (c.crossJoin(F.broadcast(q))
+               .select("qv_id", "label",
+                       F.round(sim.cosine(F.col("qv"), F.col("dv")), 6)
+                        .alias("cos"))
+               .groupBy("qv_id", "label").agg(F.max("cos").alias("m")))
+    fold = F.aggregate(F.array_sort(F.collect_list("m")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    return (pairmax.groupBy("label")
+            .agg(F.round(fold, 6).alias("maxsim")))
+
+
+# ---------------------------------------------------------------------------
+# gr_label_prop — community detection by synchronous label propagation
+# (Raghavan et al. 2007) over the co-purchase graph, made fully
+# deterministic: each round every node adopts the most frequent label
+# among its neighbors (ties → smallest label), all nodes update
+# simultaneously, fixed round count. Rows-only (iterative, not
+# SQL-expressible); pytest replays the identical rounds in pure Python.
+#
+# Scale: per-round state is (node, label) longs; each round is one
+# shuffle join on node + one (node, label) count agg + one max_by —
+# the same bounded-lineage loop discipline as dd_cluster/pr_copurchase
+# (persist per round, unpersist the previous round's table).
+# ---------------------------------------------------------------------------
+@register("gr_label_prop")
+def gr_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    # sparsify: keep pairs co-purchased in >= 3 orders, otherwise the
+    # dense co-occurrence graph collapses to one community in round 1
+    a = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("src")).distinct()
+    b = a.withColumnRenamed("src", "dst")
+    edges = (a.join(b, "o").filter(F.col("src") != F.col("dst"))
+             .groupBy("src", "dst").agg(lcount("w"))
+             .filter(F.col("w") >= 3).select("src", "dst"))
+    sym = edges.persist()
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .persist())
+    labels.count()
+    for _ in range(4):
+        votes = (sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy("src", "label").agg(lcount("cnt")))
+        nxt = (votes.groupBy("src")
+               .agg(F.min_by(
+                   "label",
+                   F.struct((-F.col("cnt")).alias("nc"),
+                            F.col("label").alias("lb"))).alias("label"))
+               .withColumnRenamed("src", "node")
+               .persist())
+        nxt.count()
+        labels.unpersist()
+        labels = nxt
+    sym.unpersist()  # labels is materialized; result depends only on it
+    return (labels.groupBy("label")
+            .agg(lcount("community_size"))
+            .select(F.col("label").alias("community"), "community_size"))
+
+
+# ---------------------------------------------------------------------------
+# dp_length_buckets — batching-efficiency accounting: assign every doc a
+# power-of-two token-length bucket and report, per bucket, the padding
+# waste of batching within the bucket (pad to bucket max) vs padding the
+# whole corpus to the global max. The standard length-bucketing dial a
+# training-data pipeline tunes before sharding. Map-only bucket assign,
+# one partial-agg shuffle + broadcast global scalar.
+# ---------------------------------------------------------------------------
+_LB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len({_TOKS}) AS n_tok,
+         CAST(pow(2, ceil(log2(greatest(len({_TOKS}), 1)))) AS BIGINT)
+           AS bucket
+  FROM documents
+),
+g AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         CAST(max(n_tok) AS BIGINT) AS max_tok
+  FROM d GROUP BY bucket
+)
+SELECT bucket, n_docs, sum_tok,
+       CAST(n_docs * max_tok - sum_tok AS BIGINT) AS pad_bucketed,
+       CAST(n_docs * (SELECT max(max_tok) FROM g) - sum_tok AS BIGINT)
+         AS pad_global
+FROM g
+"""
+
+
+@register("dp_length_buckets", oracle=_LB_ORACLE)
+def dp_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tx.tokens(F.col("text")))
+    d = docs.select(
+        "doc_id", n_tok.alias("n_tok"),
+        F.pow(F.lit(2), F.ceil(F.log2(F.greatest(n_tok, F.lit(1)))))
+         .cast("bigint").alias("bucket"))
+    g = (d.groupBy("bucket")
+         .agg(lcount("n_docs"),
+              F.sum("n_tok").cast("bigint").alias("sum_tok"),
+              F.max("n_tok").cast("bigint").alias("max_tok")))
+    gmax = g.agg(F.max("max_tok").alias("__gmax"))
+    return (g.crossJoin(F.broadcast(gmax))
+            .select("bucket", "n_docs", "sum_tok",
+                    (F.col("n_docs") * F.col("max_tok") - F.col("sum_tok"))
+                    .cast("bigint").alias("pad_bucketed"),
+                    (F.col("n_docs") * F.col("__gmax") - F.col("sum_tok"))
+                    .cast("bigint").alias("pad_global")))

@@ -1,0 +1,150 @@
+"""Round-2 extension ops: bigram-LM perplexity, MaxSim late interaction,
+label-propagation communities, length buckets, bitmap rollups."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.plans import registry
+
+
+def _run(spark, sf_dir, name):
+    return registry.queries()[name](spark, sf_dir)
+
+
+def test_tx_perplexity_matches_direct_python(spark, sf_dir):
+    from collections import Counter
+    from sanctions_data_pipeline_spark.plans.training_data2 import _PPL_V
+
+    got = {r.doc_id: (r.n_bigrams, r.ppl)
+           for r in _run(spark, sf_dir, "tx_perplexity").collect()}
+
+    docs = {r.doc_id: r.text.lower().split()
+            for r in load_table(spark, sf_dir, "documents").collect()}
+    tokc = Counter(t for ts in docs.values() for t in ts)
+    vocab = {t for t, _ in sorted(tokc.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:_PPL_V]}
+    mapped = {d: [t if t in vocab else "<unk>" for t in ts]
+              for d, ts in docs.items()}
+    c2: Counter = Counter()
+    for ts in mapped.values():
+        c2.update(zip(ts, ts[1:]))
+    c1: Counter = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    v = len(vocab) + 1
+    for d, ts in mapped.items():
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            assert d not in got
+            continue
+        lps = sorted(math.log2((c2[b] + 1.0) / (c1[b[0]] + v)) for b in bgs)
+        s = 0.0
+        for x in lps:
+            s += x
+        ppl = round(2.0 ** (-s / len(bgs)), 6)
+        n, g = got[d]
+        assert n == len(bgs)
+        assert abs(g - ppl) < 1e-6, (d, g, ppl)
+
+
+def test_sim_maxsim_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    q = [np.array(r.embedding, dtype=np.float64) for r in rows if r.label == 0]
+    by_label: dict = {}
+    for r in rows:
+        if r.label != 0:
+            by_label.setdefault(r.label, []).append(
+                np.array(r.embedding, dtype=np.float64))
+
+    def cos(a, b):
+        # sequential fold == np.dot for these sizes within 6dp rounding
+        return round(float(np.dot(a, b) /
+                           (math.sqrt(np.dot(a, a)) * math.sqrt(np.dot(b, b)))), 6)
+
+    expect = {}
+    for lab, dvs in by_label.items():
+        ms = sorted(max(cos(qv, dv) for dv in dvs) for qv in q)
+        s = 0.0
+        for x in ms:
+            s += x
+        expect[lab] = round(s, 6)
+
+    got = {r.label: r.maxsim for r in _run(spark, sf_dir, "sim_maxsim").collect()}
+    assert set(got) == set(expect)
+    for lab in expect:
+        assert abs(got[lab] - expect[lab]) < 2e-6, (lab, got[lab], expect[lab])
+        assert got[lab] <= len(q) + 1e-9  # each term is a cosine <= 1
+
+
+def test_gr_label_prop_matches_python_replay(spark, sf_dir):
+    got = {r.community: r.community_size
+           for r in _run(spark, sf_dir, "gr_label_prop").collect()}
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_partkey") < 200)
+          .select("l_orderkey", "l_partkey").distinct().collect())
+    from collections import Counter, defaultdict
+    orders = defaultdict(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+    w: Counter = Counter()
+    for parts in orders.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    w[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), c in w.items():
+        if c >= 3:
+            adj[a].add(b)
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        nxt = {}
+        for n in adj:
+            votes = Counter(labels[m] for m in adj[n])
+            # most frequent, ties -> smallest label
+            nxt[n] = min(votes, key=lambda l: (-votes[l], l))
+        labels = nxt
+    expect = Counter(labels.values())
+    assert got == dict(expect)
+    assert len(got) > 3  # sparsified graph keeps multiple communities
+
+
+def test_dp_length_buckets_invariants(spark, sf_dir):
+    rows = _run(spark, sf_dir, "dp_length_buckets").collect()
+    assert rows
+    for r in rows:
+        assert r.bucket & (r.bucket - 1) == 0  # power of two
+        assert 0 <= r.pad_bucketed <= r.pad_global
+    # bucketed padding strictly beats global padding somewhere
+    assert any(r.pad_bucketed < r.pad_global for r in rows)
+
+
+def test_q_bitmap_rollup_equals_exact_distinct(spark, sf_dir):
+    got = {r.day: (r.n_users, r.n_events)
+           for r in _run(spark, sf_dir, "q_bitmap_rollup").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.day: (r.n_users, r.n_events) for r in
+             ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+               .agg(F.countDistinct("user_id").alias("n_users"),
+                    F.count(F.lit(1)).alias("n_events")).collect()}
+    assert got == exact
+
+
+def test_q_recursive_walk_depths(spark, sf_dir):
+    rows = {r.depth: r for r in _run(spark, sf_dir, "q_recursive_walk").collect()}
+    assert rows[0].n_nodes == 10 and rows[0].min_key == 0  # roots 0..9
+    # every non-root level's keys sit in [10^d, 10^(d+1))
+    for d, r in rows.items():
+        if d > 0:
+            assert r.min_key >= 10 ** d and r.max_key < 10 ** (d + 1)
+    # total node count == customer count
+    from sanctions_data_pipeline_spark.catalog import load_table
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_nodes for r in rows.values()) == n_cust
