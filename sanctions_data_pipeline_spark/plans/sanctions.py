@@ -643,3 +643,32 @@ def s_watchlist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("__rk") == 1)
             .select("probe_id", F.col("entity_id").cast("bigint"),
                     "match_type"))
+
+
+# --------------------------------------------------------------------------
+# xml_xpath_extract — the SAME per-entity fields re-derived from the raw
+# entity XML through Spark's JVM xpath functions (xpath_string /
+# xpath_int with local-name() to stay namespace-agnostic), side by side
+# with the Python DataSource's iterparse values. A cross-path parity
+# surface (like cg_asof_pandas vs q_asof_join): two independent parsers
+# must agree on every entity. JVM xpath is the scale path — codegen'd,
+# no Python boundary — once the feed is split into per-entity rows.
+# Rows-only (XML fixture input); equality of the *_x twins is pinned by
+# tests/test_training_ext2.py.
+# --------------------------------------------------------------------------
+@register("xml_xpath_extract")
+def xml_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.sources import python_datasource as pds
+
+    pds.register(spark)
+    df = (spark.read.format("sanctions_feed")
+          .option("path", _fixture_path("feed.xml")).load())
+    ent = "/*[local-name()='sanctionEntity']"
+    return df.select(
+        "entity_seq", "eu_ref", "subject_code", "n_aliases",
+        F.xpath_string("xml", F.lit(f"{ent}/@euReferenceNumber"))
+         .alias("eu_ref_x"),
+        F.xpath_string("xml", F.lit(f"{ent}/*[local-name()='subjectType']/@code"))
+         .alias("subject_code_x"),
+        F.xpath_int("xml", F.lit(f"count({ent}/*[local-name()='nameAlias'])"))
+         .cast("int").alias("n_aliases_x"))

@@ -278,3 +278,76 @@ def dp_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("bigint").alias("pad_bucketed"),
                     (F.col("n_docs") * F.col("__gmax") - F.col("sum_tok"))
                     .cast("bigint").alias("pad_global")))
+
+
+# ---------------------------------------------------------------------------
+# q_cms_topk — Count-Min-Sketch as RELATIONAL algebra (Cormode &
+# Muthukrishnan 2005), fully cross-engine-exact: d=4 hash rows × w=64
+# buckets, portable md5-derived hashes, cell counts via one groupBy,
+# point estimates = min over rows of the probed cell. Output compares
+# the CMS estimate to the exact count for the corpus's true top-10
+# tokens — the over-estimate bound (est >= exact, est <= exact + eps*N)
+# is visible in the result itself.
+# Scale: the sketch is d×w cells regardless of corpus size (the agg is
+# map-side-combinable to 256 cells); the probe side touches d rows per
+# probed token. The mergeability HLL/bitmap rollups show elsewhere
+# applies here too: cell counts sum across shards.
+# ---------------------------------------------------------------------------
+_CMS_D, _CMS_W = 4, 64
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok
+),
+top10 AS (
+  SELECT tok, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, tok LIMIT 10
+),
+rows_ AS (SELECT unnest(range({_CMS_D})) AS d),
+cells AS (
+  SELECT d,
+         ('0x' || substr(md5(d || ':' || tok), 1, 8))::BIGINT % {_CMS_W}
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cell
+  FROM toks, rows_ GROUP BY 1, 2
+),
+probe AS (
+  SELECT t.tok, t.exact_cnt, min(c.cell) AS cms_est
+  FROM top10 t
+  JOIN rows_ r ON TRUE
+  JOIN cells c
+    ON c.d = r.d
+   AND c.bucket = ('0x' || substr(md5(r.d || ':' || t.tok), 1, 8))::BIGINT
+                  % {_CMS_W}
+  GROUP BY t.tok, t.exact_cnt
+)
+SELECT tok, exact_cnt, cms_est FROM probe
+"""
+
+
+@register("q_cms_topk", oracle=_CMS_ORACLE)
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    exact = toks.groupBy("tok").agg(lcount("exact_cnt"))
+    top10 = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(10)
+
+    rows_ = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
+
+    def bucket(d_col, tok_col):
+        return (F.conv(F.substring(F.md5(F.concat_ws(":", d_col, tok_col)),
+                                   1, 8), 16, 10)
+                .cast("bigint") % _CMS_W)
+
+    cells = (toks.crossJoin(F.broadcast(rows_))
+             .groupBy("d", bucket(F.col("d"), F.col("tok")).alias("bucket"))
+             .agg(lcount("cell")))
+    probes = (top10.crossJoin(F.broadcast(rows_))
+              .select("tok", "exact_cnt", "d",
+                      bucket(F.col("d"), F.col("tok")).alias("bucket")))
+    return (probes.join(F.broadcast(cells), ["d", "bucket"])
+            .groupBy("tok", "exact_cnt")
+            .agg(F.min("cell").alias("cms_est")))

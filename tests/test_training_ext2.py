@@ -148,3 +148,21 @@ def test_q_recursive_walk_depths(spark, sf_dir):
     from sanctions_data_pipeline_spark.catalog import load_table
     n_cust = load_table(spark, sf_dir, "customer").count()
     assert sum(r.n_nodes for r in rows.values()) == n_cust
+
+
+def test_q_cms_topk_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_cms_topk").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt  # CMS never underestimates
+    # d=4 independent rows: at least one probe should be collision-free
+    assert any(r.cms_est == r.exact_cnt for r in rows)
+
+
+def test_xml_xpath_matches_python_datasource(spark, sf_dir):
+    rows = _run(spark, sf_dir, "xml_xpath_extract").collect()
+    assert rows
+    for r in rows:
+        assert r.eu_ref_x == r.eu_ref, r
+        assert r.subject_code_x == r.subject_code, r
+        assert r.n_aliases_x == r.n_aliases, r
