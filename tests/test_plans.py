@@ -74,6 +74,10 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # ANN/eval scoring joins (query x corpus by design) and
                 # the NB class cross (|classes| = 5 broadcast)
                 "sim_recall_eval", "emb_matryoshka_eval", "ml_naive_bayes",
+                # MaxSim late interaction: query-set x corpus by design
+                "sim_maxsim",
+                # literal d-row hash-row lattice cross (CMS)
+                "q_cms_topk",
                 # literal parameter-lattice crosses (no corpus scan on
                 # the lattice side)
                 "dd_lsh_tuning", "dd_threshold_sweep",
@@ -83,7 +87,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "tx_tfidf", "tx_keywords", "q_gap_fill",
                 "q22_idle_customers", "mix_temperature", "q_funnel",
                 "q11_important_parts", "q15_top_supplier", "q_dq_audit",
-                "q_keyset_page", "q_robust_stats"}
+                "q_keyset_page", "q_robust_stats",
+                # one-row global-max broadcast (padding accounting)
+                "dp_length_buckets"}
 
 
 @pytest.mark.parametrize("name", sorted(
