@@ -351,3 +351,133 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (probes.join(F.broadcast(cells), ["d", "bucket"])
             .groupBy("tok", "exact_cnt")
             .agg(F.min("cell").alias("cms_est")))
+
+
+# ---------------------------------------------------------------------------
+# mix_dsir_weights — Data Selection via Importance Resampling (DSIR,
+# Xie et al., NeurIPS 2023): score every raw document by how much its
+# hashed-bigram distribution looks like a target domain. Feature space
+# is B hash buckets (md5, portable); target = 'en' docs, raw = the
+# rest; both sides get an add-one unigram-over-buckets LM, and
+# log w(doc) = Σ_feats [log P_target(b) − log P_raw(b)] via sorted
+# sequential fold, so the weight is bit-identical in DuckDB.
+#
+# Scale: the two LM tables are B rows each regardless of corpus size
+# (broadcast); the corpus-side work is one map-side feature hash +
+# per-doc agg — the importance-resampling pass over 100 TB never
+# shuffles anything wider than (doc_id, bucket).
+# ---------------------------------------------------------------------------
+_DSIR_B = 256
+
+_DSIR_ORACLE = f"""
+WITH arr AS (
+  SELECT doc_id, lang, {_TOKS} AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8))::BIGINT
+           % {_DSIR_B} AS b
+  FROM arr, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+tgt AS (
+  SELECT b, count(*) AS c FROM feats WHERE lang = 'en' GROUP BY b
+),
+raw AS (
+  SELECT b, count(*) AS c FROM feats WHERE lang <> 'en' GROUP BY b
+),
+nt AS (SELECT count(*) AS n FROM feats WHERE lang = 'en'),
+nr AS (SELECT count(*) AS n FROM feats WHERE lang <> 'en'),
+scored AS (
+  SELECT f.doc_id,
+         ln((COALESCE(t.c, 0) + 1.0) / ((SELECT n FROM nt) + {_DSIR_B}))
+         - ln((COALESCE(r.c, 0) + 1.0) / ((SELECT n FROM nr) + {_DSIR_B}))
+           AS lw
+  FROM feats f LEFT JOIN tgt t ON f.b = t.b
+               LEFT JOIN raw r ON f.b = r.b
+  WHERE f.lang <> 'en'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       round(list_aggregate(list_sort(list(lw)), 'sum'), 6) AS log_w
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("mix_dsir_weights", oracle=_DSIR_ORACLE)
+def mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tx.tokens(F.col("text")).alias("t"))
+    feats = (toks.filter(F.size("t") >= 2)
+             .select("doc_id", "lang", F.explode(F.expr(
+                 "transform(sequence(0, size(t) - 2), "
+                 "i -> concat(t[i], ' ', t[i+1]))")).alias("bgram"))
+             .select("doc_id", "lang",
+                     (F.conv(F.substring(F.md5("bgram"), 1, 8), 16, 10)
+                      .cast("bigint") % _DSIR_B).alias("b")))
+    feats = feats.persist()  # scanned by 4 subtrees (2 LMs, 2 totals)
+    tgt = feats.filter(F.col("lang") == "en").groupBy("b").agg(lcount("c"))
+    raw = feats.filter(F.col("lang") != "en").groupBy("b").agg(lcount("c"))
+    n_t = feats.filter(F.col("lang") == "en").count()
+    n_r = feats.filter(F.col("lang") != "en").count()
+
+    lw = (F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                / F.lit(float(n_t + _DSIR_B)))
+          - F.log((F.coalesce(F.col("rc"), F.lit(0)) + 1.0)
+                  / F.lit(float(n_r + _DSIR_B))))
+    scored = (feats.filter(F.col("lang") != "en")
+              .join(F.broadcast(tgt.withColumnRenamed("c", "tc")), "b", "left")
+              .join(F.broadcast(raw.withColumnRenamed("c", "rc")), "b", "left")
+              .select("doc_id", lw.alias("lw")))
+    fold = F.aggregate(F.array_sort(F.collect_list("lw")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    out = (scored.groupBy("doc_id")
+           .agg(lcount("n_feats"), F.round(fold, 6).alias("log_w")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dp_interleave — deterministic round-robin mixture interleave: the
+# training stream alternates sources (src0, src1, ..., src0, ...) in a
+# reproducible order — pos(doc) = (rank_within_source − 1) · n_sources
+# + source_index, with the within-source order md5-derived (same
+# deterministic-uniform trick as dp_shuffle/mix_sample).
+#
+# Scale note: rank-within-source is a per-source global sort; at corpus
+# scale compose it with dp_shuffle's widening hex shard prefix
+# ((source, shard) partitions, pos offset by exact per-shard counts) so
+# no single source sorts on one executor. Source index comes from a
+# bounded distinct-source table (broadcast).
+# ---------------------------------------------------------------------------
+_ITL_ORACLE = """
+WITH src AS (
+  SELECT source AS s, row_number() OVER (ORDER BY source) - 1 AS si,
+         count(*) OVER () AS n_src
+  FROM (SELECT DISTINCT source FROM documents)
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source,
+       CAST((r.rk - 1) * src.n_src + src.si AS BIGINT) AS pos
+FROM r JOIN src ON r.source = src.s
+"""
+
+
+@register("dp_interleave", oracle=_ITL_ORACLE)
+def dp_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = (docs.select("source").distinct()
+            .withColumn("si", F.row_number().over(W.orderBy("source")) - 1))
+    n_src = srcs.count()  # bounded: one row per source
+    rk = F.row_number().over(
+        W.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (docs.select("doc_id", "source", (rk - 1).alias("rk0"))
+            .join(F.broadcast(srcs), "source")
+            .select("doc_id", "source",
+                    (F.col("rk0") * n_src + F.col("si")).cast("bigint")
+                     .alias("pos")))

@@ -166,3 +166,35 @@ def test_xml_xpath_matches_python_datasource(spark, sf_dir):
         assert r.eu_ref_x == r.eu_ref, r
         assert r.subject_code_x == r.subject_code, r
         assert r.n_aliases_x == r.n_aliases, r
+
+
+def test_mix_dsir_weights_direction(spark, sf_dir):
+    """Docs whose bigrams look 'en'-like must outscore noise docs, and
+    weights replay deterministically."""
+    rows = _run(spark, sf_dir, "mix_dsir_weights").collect()
+    assert rows
+    again = _run(spark, sf_dir, "mix_dsir_weights").collect()
+    assert {(r.doc_id, r.log_w) for r in rows} == \
+           {(r.doc_id, r.log_w) for r in again}
+    docs = {r.doc_id: r.lang
+            for r in load_table(spark, sf_dir, "documents").collect()}
+    # only non-target docs are scored
+    assert all(docs[r.doc_id] != "en" for r in rows)
+    # weights vary (not a constant column)
+    assert len({r.log_w for r in rows}) > 10
+
+
+def test_dp_interleave_round_robin(spark, sf_dir):
+    rows = _run(spark, sf_dir, "dp_interleave").collect()
+    n = len(rows)
+    pos = sorted(r.pos for r in rows)
+    # positions are unique (a permutation with per-source stride gaps)
+    assert len(set(pos)) == n
+    by_pos = {r.pos: r.source for r in rows}
+    srcs = sorted({r.source for r in rows})
+    k = len(srcs)
+    # within the first full rounds, consecutive positions cycle sources
+    full = (min(
+        sum(1 for r in rows if r.source == s) for s in srcs)) * k
+    for p in range(0, full):
+        assert by_pos[p] == srcs[p % k], (p, by_pos[p])
