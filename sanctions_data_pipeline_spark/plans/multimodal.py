@@ -70,3 +70,66 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_windows"),
                  F.round(F.max("rms"), 6).alias("max_rms"),
                  F.sum("zero_crossings").cast("bigint").alias("total_zc")))
+
+
+@register("mm_phash")
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs — the multimodal member of
+    the dedup family. Per doc, a REAL PNG round-trip (text bytes tiled
+    to a 64x64 gray raster -> vendored spec-conformant PNG encode ->
+    decode) feeds an average-hash: 8x8 block means thresholded at the
+    image mean -> 64-bit fingerprint. Pairs within hamming<=4 come from
+    the SAME composite two-chunk pigeonhole buckets as dd_simhash
+    (operators/dedup.py:simhash_chunk_keys) — exact, never quadratic.
+
+    Scale: the mapInPandas stage is one Arrow-batched pass (image bytes
+    never shuffle); the self-join shuffles only (combo, bucket, 8-byte
+    hash) rows. Rows-only: pytest pins exact-duplicate docs to
+    hamming=0 pairs and replays a hash in pure python.
+    """
+    from sanctions_data_pipeline_spark.operators.dedup import simhash_chunk_keys
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ahash(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sanctions_data_pipeline_spark.multimodal import codecs
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                a = np.resize(raw, (64, 64))  # tile/truncate raster
+                png = codecs.encode_png_gray(a)
+                _w, _h, gray = codecs.decode_png(png)
+                blocks = gray.astype("float64").reshape(8, 8, 8, 8).mean(axis=(1, 3))
+                bits = (blocks > blocks.mean()).ravel()
+                ph = 0
+                for b in bits:
+                    ph = (ph << 1) | int(b)
+                if ph >= 1 << 63:
+                    ph -= 1 << 64
+                out.append((int(doc_id), ph))
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    hashed = docs.select("doc_id", "text").mapInPandas(
+        ahash, "doc_id long, phash long")
+    chunked = hashed.select(
+        "doc_id", "phash",
+        F.posexplode(F.array(*simhash_chunk_keys(4, col="phash")))
+         .alias("combo_id", "combo_val"))
+    left = chunked.select(F.col("doc_id").alias("i"),
+                          F.col("phash").alias("ph_i"),
+                          "combo_id", "combo_val")
+    right = chunked.select(F.col("doc_id").alias("j"),
+                           F.col("phash").alias("ph_j"),
+                           "combo_id", "combo_val")
+    return (left.join(right, ["combo_id", "combo_val"])
+            .filter(F.col("i") < F.col("j"))
+            .select("i", "j",
+                    F.bit_count(F.col("ph_i").bitwiseXOR(F.col("ph_j")))
+                     .alias("hamming"))
+            .filter(F.col("hamming") <= 4)
+            .distinct())

@@ -414,3 +414,39 @@ def test_wav_multichannel_takes_first_channel():
         wf.writeframes(stereo.tobytes())
     rate, mono = codecs.decode_wav_pcm(bio.getvalue())
     assert rate == 8000 and mono.tolist() == [1, 2, 3]
+
+
+def test_mm_phash_pairs_exact_dups_and_replays(spark, sf_dir):
+    import numpy as np
+
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.multimodal import codecs
+    from sanctions_data_pipeline_spark.plans import registry
+
+    pairs = {(r.i, r.j): r.hamming for r in
+             registry.queries()["mm_phash"](spark, sf_dir).collect()}
+    assert pairs  # synthetic corpus contains near-dups
+
+    docs = {r.doc_id: r.text
+            for r in load_table(spark, sf_dir, "documents").collect()}
+
+    def ahash(text: str) -> int:
+        raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        a = np.resize(raw, (64, 64))
+        _w, _h, gray = codecs.decode_png(codecs.encode_png_gray(a))
+        blocks = gray.astype("float64").reshape(8, 8, 8, 8).mean(axis=(1, 3))
+        ph = 0
+        for b in (blocks > blocks.mean()).ravel():
+            ph = (ph << 1) | int(b)
+        return ph - (1 << 64) if ph >= 1 << 63 else ph
+
+    # python replay agrees on every reported pair's hamming
+    for (i, j), h in pairs.items():
+        assert bin(ahash(docs[i]) ^ ahash(docs[j])).count("1") == h
+    # exact text duplicates must surface as hamming-0 pairs
+    by_text: dict = {}
+    for d, t in docs.items():
+        by_text.setdefault(t, []).append(d)
+    for ds in by_text.values():
+        for a_, b_ in zip(sorted(ds), sorted(ds)[1:]):
+            assert pairs.get((a_, b_)) == 0, (a_, b_)
