@@ -481,3 +481,128 @@ def dp_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source",
                     (F.col("rk0") * n_src + F.col("si")).cast("bigint")
                      .alias("pos")))
+
+
+# ---------------------------------------------------------------------------
+# sim_hard_negatives — contrastive-pair mining for retrieval training
+# (e.g. DPR, Karpukhin et al. 2020): for each query vector, the best
+# SAME-label neighbor (positive) and the best OTHER-label neighbor
+# (hard negative), ranked by exact cosine with deterministic
+# tie-breaks. One broadcast scoring pass + two rank windows that share
+# the same (qv_id) shuffle.
+# Scale: queries broadcast; the corpus never shuffles more than
+# (qv_id, vec_id, cos) rows; per-query top-1 is map-side combinable
+# via the rank window over the bounded qv_id partition count.
+# ---------------------------------------------------------------------------
+_HN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qv_id, label AS qlabel,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.qv_id, q.qlabel, c.vec_id, c.label,
+         {_COS6.format(a='q.qv', b='c.dv')} AS cos
+  FROM q, c WHERE c.vec_id <> q.qv_id
+),
+pos AS (
+  SELECT qv_id, vec_id AS pos_id, cos AS pos_cos,
+         row_number() OVER (PARTITION BY qv_id ORDER BY cos DESC, vec_id) AS r
+  FROM scored WHERE label = qlabel
+),
+neg AS (
+  SELECT qv_id, vec_id AS neg_id, cos AS neg_cos,
+         row_number() OVER (PARTITION BY qv_id ORDER BY cos DESC, vec_id) AS r
+  FROM scored WHERE label <> qlabel
+)
+SELECT p.qv_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+FROM pos p JOIN neg n ON p.qv_id = n.qv_id AND p.r = 1 AND n.r = 1
+"""
+
+
+@register("sim_hard_negatives", oracle=_HN_ORACLE)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qv_id"),
+                 F.col("label").alias("qlabel"),
+                 sim.as_double(F.col("embedding")).alias("qv")))
+    c = emb.select("vec_id", "label",
+                   sim.as_double(F.col("embedding")).alias("dv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("qv_id"))
+              .select("qv_id", "qlabel", "vec_id", "label",
+                      F.round(sim.cosine(F.col("qv"), F.col("dv")), 6)
+                       .alias("cos")))
+    w = W.partitionBy("qv_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    pos = (scored.filter(F.col("label") == F.col("qlabel"))
+           .withColumn("r", F.row_number().over(w)).filter("r = 1")
+           .select("qv_id", F.col("vec_id").alias("pos_id"),
+                   F.col("cos").alias("pos_cos")))
+    neg = (scored.filter(F.col("label") != F.col("qlabel"))
+           .withColumn("r", F.row_number().over(w)).filter("r = 1")
+           .select("qv_id", F.col("vec_id").alias("neg_id"),
+                   F.col("cos").alias("neg_cos")))
+    return pos.join(neg, "qv_id")
+
+
+# ---------------------------------------------------------------------------
+# tok_bpe_merges — tokenizer TRAINING in-engine: learn the first R BPE
+# merges (Sennrich et al., ACL 2016) over the corpus vocabulary. Each
+# round is one weighted adjacent-pair count over the (distinct word,
+# count) table, a 1-row argmax collect, and a lazy higher-order-fold
+# re-segmentation (greedy left-to-right merge, exactly BPE's rule).
+# Rows-only: pytest replays the identical algorithm in pure python.
+#
+# Scale: the iterating table is the DISTINCT vocabulary (~10^7 rows at
+# web scale, not the corpus); per-round shuffle carries (sym_a, sym_b,
+# count); driver state is one (pair, count) row per round. Same
+# persist/unpersist round discipline as connected components.
+# ---------------------------------------------------------------------------
+_BPE_ROUNDS = 5
+
+
+@register("tok_bpe_merges")
+def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+             .groupBy("w").agg(lcount("cnt"))
+             .select(F.concat(F.split("w", ""),
+                              F.array(F.lit("</w>"))).alias("s"),
+                     "cnt")
+             .persist())
+    words.count()
+
+    merges = []
+    for rnd in range(_BPE_ROUNDS):
+        pairs = (words.select(F.explode(F.expr(
+            "transform(sequence(0, size(s) - 2), "
+            "i -> struct(s[i] as a, s[i+1] as b))")).alias("p"), "cnt")
+            .groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n")))
+        best = (pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1).collect())
+        if not best:
+            break
+        a, b, n = best[0].a, best[0].b, int(best[0].n)
+        merges.append((rnd + 1, a, b, n))
+        ab = a + b
+        fold = F.aggregate(
+            F.col("s"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(ab)))
+            ).otherwise(F.concat(acc, F.array(x))))
+        nxt = words.select(fold.alias("s"), "cnt").persist()
+        nxt.count()
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint")

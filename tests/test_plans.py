@@ -76,6 +76,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "sim_recall_eval", "emb_matryoshka_eval", "ml_naive_bayes",
                 # MaxSim late interaction: query-set x corpus by design
                 "sim_maxsim",
+                # DPR hard-negative mining: query x corpus scoring cross
+                "sim_hard_negatives",
                 # literal d-row hash-row lattice cross (CMS)
                 "q_cms_topk",
                 # literal parameter-lattice crosses (no corpus scan on

@@ -198,3 +198,50 @@ def test_dp_interleave_round_robin(spark, sf_dir):
         sum(1 for r in rows if r.source == s) for s in srcs)) * k
     for p in range(0, full):
         assert by_pos[p] == srcs[p % k], (p, by_pos[p])
+
+
+def test_sim_hard_negatives_semantics(spark, sf_dir):
+    rows = {r.qv_id: r for r in
+            _run(spark, sf_dir, "sim_hard_negatives").collect()}
+    assert len(rows) == 5
+    emb = {r.vec_id: (r.label, r.embedding)
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    for qv_id, r in rows.items():
+        qlabel = emb[qv_id][0]
+        assert emb[r.pos_id][0] == qlabel          # positive shares label
+        assert emb[r.neg_id][0] != qlabel          # negative crosses label
+        assert r.pos_id != qv_id and r.neg_id != qv_id
+
+
+def test_tok_bpe_merges_matches_python_bpe(spark, sf_dir):
+    from collections import Counter
+    from sanctions_data_pipeline_spark.plans.training_data2 import _BPE_ROUNDS
+
+    got = [(r.merge_rank, r.left, r.right, r.pair_count)
+           for r in _run(spark, sf_dir, "tok_bpe_merges")
+           .orderBy("merge_rank").collect()]
+    assert len(got) == _BPE_ROUNDS
+
+    wc = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        wc.update(r.text.lower().split())
+    words = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+    expect = []
+    for rnd in range(_BPE_ROUNDS):
+        pc: Counter = Counter()
+        for s, c in words.items():
+            for x, y in zip(s, s[1:]):
+                pc[(x, y)] += c
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rnd + 1, a, b, n))
+        nw = {}
+        for s, c in words.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            nw[tuple(out)] = nw.get(tuple(out), 0) + c
+        words = nw
+    assert got == expect
