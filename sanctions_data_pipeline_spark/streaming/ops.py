@@ -183,15 +183,28 @@ def run_available_now(sdf: DataFrame, output_mode: str = "complete",
     """Drain a bounded stream through a memory sink and return the
     result table (harness-only; see module docstring)."""
     name = table_name or f"st_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    spark = sdf.sparkSession
+    # Stateful streaming pins one state store per shuffle partition for
+    # the life of the checkpoint. These are FRESH bounded drains (new
+    # checkpoint every call), so scope the partition count down: 8
+    # state stores instead of 32 cuts per-micro-batch fixed cost with
+    # identical results (aggs are exact and partition-order-free). A
+    # deployment sizes this to its key cardinality before first start.
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    scoped = min(int(prev), 8)
+    spark.conf.set("spark.sql.shuffle.partitions", str(scoped))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
