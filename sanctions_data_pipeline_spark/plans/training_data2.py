@@ -414,19 +414,30 @@ def mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", "lang",
                      (F.conv(F.substring(F.md5("bgram"), 1, 8), 16, 10)
                       .cast("bigint") % _DSIR_B).alias("b")))
-    feats = feats.persist()  # scanned by 4 subtrees (2 LMs, 2 totals)
-    tgt = feats.filter(F.col("lang") == "en").groupBy("b").agg(lcount("c"))
-    raw = feats.filter(F.col("lang") != "en").groupBy("b").agg(lcount("c"))
-    n_t = feats.filter(F.col("lang") == "en").count()
-    n_r = feats.filter(F.col("lang") != "en").count()
+    # BOTH LMs in one corpus pass: group by (is_target, bucket) and
+    # collect — the result is bounded by 2*B rows, so the tables live
+    # on the driver and rejoin as broadcast literals. Two total scans
+    # of the map-only feats projection (LM build + scoring), no persist
+    # to leak, totals derived from the same collected counts.
+    lm = {(r.is_t, r.b): r.c for r in
+          feats.groupBy((F.col("lang") == "en").alias("is_t"), "b")
+               .agg(lcount("c")).collect()}
+    n_t = sum(c for (t, _), c in lm.items() if t)
+    n_r = sum(c for (t, _), c in lm.items() if not t)
+    tgt = spark.createDataFrame(
+        [(b, c) for (t, b), c in lm.items() if t] or [(0, 0)],
+        "b bigint, tc bigint")
+    raw = spark.createDataFrame(
+        [(b, c) for (t, b), c in lm.items() if not t] or [(0, 0)],
+        "b bigint, rc bigint")
 
     lw = (F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
                 / F.lit(float(n_t + _DSIR_B)))
           - F.log((F.coalesce(F.col("rc"), F.lit(0)) + 1.0)
                   / F.lit(float(n_r + _DSIR_B))))
     scored = (feats.filter(F.col("lang") != "en")
-              .join(F.broadcast(tgt.withColumnRenamed("c", "tc")), "b", "left")
-              .join(F.broadcast(raw.withColumnRenamed("c", "rc")), "b", "left")
+              .join(F.broadcast(tgt), "b", "left")
+              .join(F.broadcast(raw), "b", "left")
               .select("doc_id", lw.alias("lw")))
     fold = F.aggregate(F.array_sort(F.collect_list("lw")),
                        F.lit(0.0), lambda acc, x: acc + x)
