@@ -1103,3 +1103,40 @@ def q_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_REC_SQL).select(
         F.col("depth").cast("bigint").alias("depth"),
         "n_nodes", "n_roots", "min_key", "max_key")
+
+
+# --------------------------------------------------------------------------
+# q_transpose — DataFrame.transpose (Spark 4 API): flip a bounded
+# per-language metrics table so languages become columns and metrics
+# become rows (the dashboard orientation). Transpose is a driver-side
+# pivot of an already-aggregated BOUNDED table — the big scan happens
+# before it, so the op is scale-free. Oracle rebuilds the same shape
+# with conditional aggregation over explicit language columns.
+# --------------------------------------------------------------------------
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+_TRANSPOSE_ORACLE = f"""
+WITH g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang
+)
+SELECT 'n_docs' AS key,
+       {", ".join(f"(SELECT n_docs FROM g WHERE lang = '{l}') AS {l}"
+                  for l in _LANGS)}
+UNION ALL
+SELECT 'n_chars' AS key,
+       {", ".join(f"(SELECT n_chars FROM g WHERE lang = '{l}') AS {l}"
+                  for l in _LANGS)}
+"""
+
+
+@register("q_transpose", oracle=_TRANSPOSE_ORACLE)
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = (docs.filter(F.col("lang").isin(*_LANGS))
+         .groupBy("lang")
+         .agg(lcount("n_docs"),
+              F.sum("n_chars").cast("bigint").alias("n_chars"))
+         .orderBy("lang"))
+    return g.transpose()
