@@ -106,3 +106,20 @@ def compression_ratio_udf():
     # attach real Series annotations instead
     _ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf(_ratio, "double")
+
+
+def adjacent_pairs(col: Column) -> Column:
+    """Adjacent-token pairs of an array column as array<struct<w1,w2>>.
+
+    Centralizes the bounds handling: arrays shorter than 2 yield an
+    empty array (sequence(0, -1) would otherwise produce [0, -1] under
+    Spark's step inference and index out of bounds in ANSI mode).
+    """
+    import pyspark.sql.functions as F
+
+    return F.when(
+        F.size(col) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(col) - 2),
+                    lambda i: F.struct(F.element_at(col, i + 1).alias("w1"),
+                                       F.element_at(col, i + 2).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))

@@ -114,8 +114,11 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((int(doc_id), ph))
             yield pd.DataFrame(out, columns=["doc_id", "phash"])
 
-    hashed = docs.select("doc_id", "text").mapInPandas(
-        ahash, "doc_id long, phash long")
+    hashed = (docs.filter(F.col("text").isNotNull())  # NULL text would
+              # all hash the same raster -> bogus hamming-0 pairs AND a
+              # quadratic bucket; drop like the other dedup operators
+              .select("doc_id", "text")
+              .mapInPandas(ahash, "doc_id long, phash long"))
     chunked = hashed.select(
         "doc_id", "phash",
         F.posexplode(F.array(*simhash_chunk_keys(4, col="phash")))

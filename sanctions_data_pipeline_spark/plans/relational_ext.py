@@ -1134,9 +1134,13 @@ SELECT 'n_chars' AS key,
 @register("q_transpose", oracle=_TRANSPOSE_ORACLE)
 def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    g = (docs.filter(F.col("lang").isin(*_LANGS))
-         .groupBy("lang")
-         .agg(lcount("n_docs"),
-              F.sum("n_chars").cast("bigint").alias("n_chars"))
-         .orderBy("lang"))
+    agg = (docs.filter(F.col("lang").isin(*_LANGS))
+           .groupBy("lang")
+           .agg(lcount("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("n_chars")))
+    # anchor on the full language list so a language with zero docs
+    # still yields its (NULL-valued) column — schema parity with the
+    # oracle's fixed column set on any corpus slice
+    langs = spark.createDataFrame([(l,) for l in _LANGS], "lang string")
+    g = langs.join(agg, "lang", "left").orderBy("lang")
     return g.transpose()

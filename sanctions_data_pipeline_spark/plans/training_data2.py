@@ -83,11 +83,13 @@ def tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
 
+    # top-V via orderBy().limit() — a parallel TakeOrdered, NOT a
+    # row_number over an unpartitioned window (which would sort the
+    # whole distinct vocabulary on one executor at corpus scale).
     vocab = (toks.select(F.explode("t").alias("tok"))
              .groupBy("tok").agg(lcount("cnt"))
-             .withColumn("r", F.row_number().over(
-                 W.orderBy(F.col("cnt").desc(), F.col("tok"))))
-             .filter(F.col("r") <= _PPL_V)
+             .orderBy(F.col("cnt").desc(), F.col("tok"))
+             .limit(_PPL_V)
              .select("tok"))
     # vocab is bounded (<= V rows) — collect once, broadcast as a literal
     # set so the <unk> mapping is a map-side array op, not a join.
@@ -100,10 +102,8 @@ def tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda x: F.when(F.array_contains(vset, x), x)
                                .otherwise(F.lit("<unk>"))).alias("t"))
 
-    bg = (mapped.filter(F.size("t") >= 2)
-          .select("doc_id", F.explode(F.expr(
-              "transform(sequence(0, size(t) - 2), "
-              "i -> struct(t[i] as w1, t[i+1] as w2))")).alias("b"))
+    bg = (mapped.select("doc_id",
+                        F.explode(tx.adjacent_pairs(F.col("t"))).alias("b"))
           .select("doc_id", "b.w1", "b.w2"))
 
     c2 = bg.groupBy("w1", "w2").agg(lcount("c12"))
@@ -241,8 +241,12 @@ def gr_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LB_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, len({_TOKS}) AS n_tok,
-         CAST(pow(2, ceil(log2(greatest(len({_TOKS}), 1)))) AS BIGINT)
-           AS bucket
+         -- smallest power of two >= n via INTEGER bit-length arithmetic:
+         -- float log2 is engine-divergent at exact powers of two
+         -- (Spark's LOG2 = ln(x)/ln(2) rounds 2^29 up)
+         CASE WHEN len({_TOKS}) <= 1 THEN 1
+              ELSE CAST(pow(2, length(bin(len({_TOKS}) - 1))) AS BIGINT)
+         END AS bucket
   FROM documents
 ),
 g AS (
@@ -263,10 +267,13 @@ FROM g
 def dp_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(tx.tokens(F.col("text")))
+    # integer bit-length bucket (see oracle comment: float log2 is
+    # engine-divergent exactly at powers of two)
+    bucket = F.when(n_tok <= 1, F.lit(1)).otherwise(
+        F.pow(F.lit(2), F.length(F.bin((n_tok - 1).cast("bigint"))))
+         .cast("bigint"))
     d = docs.select(
-        "doc_id", n_tok.alias("n_tok"),
-        F.pow(F.lit(2), F.ceil(F.log2(F.greatest(n_tok, F.lit(1)))))
-         .cast("bigint").alias("bucket"))
+        "doc_id", n_tok.alias("n_tok"), bucket.alias("bucket"))
     g = (d.groupBy("bucket")
          .agg(lcount("n_docs"),
               F.sum("n_tok").cast("bigint").alias("sum_tok"),
@@ -407,10 +414,10 @@ FROM scored GROUP BY doc_id
 def mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "lang", tx.tokens(F.col("text")).alias("t"))
-    feats = (toks.filter(F.size("t") >= 2)
-             .select("doc_id", "lang", F.explode(F.expr(
-                 "transform(sequence(0, size(t) - 2), "
-                 "i -> concat(t[i], ' ', t[i+1]))")).alias("bgram"))
+    feats = (toks.select("doc_id", "lang",
+                         F.explode(tx.adjacent_pairs(F.col("t"))).alias("p"))
+             .select("doc_id", "lang",
+                     F.concat_ws(" ", "p.w1", "p.w2").alias("bgram"))
              .select("doc_id", "lang",
                      (F.conv(F.substring(F.md5("bgram"), 1, 8), 16, 10)
                       .cast("bigint") % _DSIR_B).alias("b")))
@@ -590,10 +597,12 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merges = []
     for rnd in range(_BPE_ROUNDS):
-        pairs = (words.select(F.explode(F.expr(
-            "transform(sequence(0, size(s) - 2), "
-            "i -> struct(s[i] as a, s[i+1] as b))")).alias("p"), "cnt")
-            .groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n")))
+        # adjacent_pairs yields [] for words merged down to ONE symbol
+        # (s[i+1] on a size-1 array would throw under ANSI mode)
+        pairs = (words.select(F.explode(tx.adjacent_pairs(F.col("s")))
+                              .alias("p"), "cnt")
+                 .groupBy(F.col("p.w1").alias("a"), F.col("p.w2").alias("b"))
+                 .agg(F.sum("cnt").alias("n")))
         best = (pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
                 .limit(1).collect())
         if not best:

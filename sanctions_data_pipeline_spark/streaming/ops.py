@@ -190,7 +190,10 @@ def run_available_now(sdf: DataFrame, output_mode: str = "complete",
     # state stores instead of 32 cuts per-micro-batch fixed cost with
     # identical results (aggs are exact and partition-order-free). A
     # deployment sizes this to its key cardinality before first start.
-    prev = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    # no fallback arg: conf.get without one returns the session's
+    # EFFECTIVE value (e.g. the 200 default on an untuned session), so
+    # the finally-restore below never rewrites the session config
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     scoped = min(int(prev), 8)
     spark.conf.set("spark.sql.shuffle.partitions", str(scoped))
     try:

@@ -245,3 +245,23 @@ def test_tok_bpe_merges_matches_python_bpe(spark, sf_dir):
             nw[tuple(out)] = nw.get(tuple(out), 0) + c
         words = nw
     assert got == expect
+
+
+def test_tok_bpe_merges_survives_single_symbol_words(spark, tmp_path):
+    """Regression: once a one-char word merges with </w> it becomes a
+    SINGLE symbol; the next round's pair stage must yield no pairs for
+    it instead of indexing past the array (ANSI INVALID_ARRAY_INDEX)."""
+    import os
+    d = str(tmp_path / "sf_tiny")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "a a a a a b", "en", "s", 11),
+         (2, "a a a a", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"), mode="overwrite")
+
+    from sanctions_data_pipeline_spark.plans import registry
+    rows = (registry.queries()["tok_bpe_merges"](spark, d)
+            .orderBy("merge_rank").collect())
+    assert rows[0].left == "a" and rows[0].right == "</w>"  # forces size-1
+    assert len(rows) >= 2  # later rounds ran without ANSI index errors
