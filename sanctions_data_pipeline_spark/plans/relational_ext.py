@@ -1013,8 +1013,10 @@ def q_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register("q_rank_functions", oracle="""
 SELECT c_custkey, c_nationkey,
-       round(PERCENT_RANK() OVER w, 6) AS pct_rank,
-       round(CUME_DIST() OVER w, 6) AS cume,
+       CAST(FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) AS BIGINT)
+         / 1000000.0 AS pct_rank,
+       CAST(FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) AS BIGINT)
+         / 1000000.0 AS cume,
        NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
                                      ORDER BY c_acctbal DESC, c_custkey
                                      ROWS BETWEEN UNBOUNDED PRECEDING
@@ -1028,10 +1030,19 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"),
                                              F.asc("c_custkey"))
+
+    # floor(x*1e6 + 0.5) instead of round(x, 6): the rank ratios land
+    # EXACTLY on .5 ulp boundaries (they are small-integer quotients),
+    # where Spark's HALF_UP and DuckDB's float round disagree (seen at
+    # sf0.1: 3/15000 rows off by 1e-6). floor of the identical IEEE
+    # double is deterministic on both engines.
+    def r6(c):
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
     return cust.select(
         "c_custkey", "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
         F.nth_value("c_custkey", 2).over(
             w.rowsBetween(W.unboundedPreceding, 0)).alias("second_richest"))
 
