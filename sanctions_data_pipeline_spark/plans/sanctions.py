@@ -672,3 +672,77 @@ def xml_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("subject_code_x"),
         F.xpath_int("xml", F.lit(f"count({ent}/*[local-name()='nameAlias'])"))
          .cast("int").alias("n_aliases_x"))
+
+
+# --------------------------------------------------------------------------
+# st_watchlist_screen — the screening tier as a STREAM: an onboarding
+# feed of names (fixture aliases + customer decoys, materialized to
+# parquet and read back with readStream) joins the broadcast watchlist
+# variant keys per micro-batch. Stateless stream-static join → append
+# mode, no watermark needed; at 100 TB/day of onboarding events the
+# watchlist side stays a broadcast dim and the stream never shuffles.
+# Oracle: the identical tier-1 match computed relationally in DuckDB.
+# --------------------------------------------------------------------------
+@register("st_watchlist_screen", oracle=f"""
+WITH {fx.sql_cte("aliases")},
+wl AS (
+  SELECT entity_id, {nm.sql_clean_fullname("whole_name")} AS wname
+  FROM aliases WHERE {nm.sql_is_latin_name("whole_name")}
+),
+wkeys AS (
+  SELECT DISTINCT entity_id, unnest({nm.sql_variant_keys("wname")}) AS vk
+  FROM wl
+),
+probes AS (
+  SELECT 'alias:' || CAST(entity_id AS VARCHAR) || ':'
+         || CAST(alias_idx AS VARCHAR) AS probe_id,
+         {nm.sql_clean_fullname("whole_name")} AS pname
+  FROM aliases WHERE {nm.sql_is_latin_name("whole_name")}
+  UNION ALL
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+         {nm.sql_clean_fullname("c_name")}
+  FROM customer WHERE c_custkey <= 200
+),
+pkeys AS (
+  SELECT probe_id, unnest({nm.sql_variant_keys("pname")}) AS vk FROM probes
+)
+SELECT DISTINCT probe_id, CAST(entity_id AS BIGINT) AS entity_id
+FROM pkeys JOIN wkeys USING (vk) WHERE vk <> ''
+""")
+def st_watchlist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sanctions_data_pipeline_spark.streaming.ops import run_available_now
+
+    al = fx.spark_df(spark, "aliases")
+    lat = al.filter(nm.is_latin_name(F.col("whole_name")))
+    wl = lat.select("entity_id",
+                    nm.clean_fullname(F.col("whole_name")).alias("wname"))
+    wkeys = (wl.select("entity_id", F.explode(nm.variant_keys(F.col("wname")))
+                       .alias("vk"))
+             .filter(F.col("vk") != "").distinct())
+
+    cust = load_table(spark, sf_dir, "customer")
+    probes = (lat.select(
+        F.concat(F.lit("alias:"), F.col("entity_id").cast("string"),
+                 F.lit(":"), F.col("alias_idx").cast("string"))
+         .alias("probe_id"),
+        nm.clean_fullname(F.col("whole_name")).alias("pname"))
+        .unionAll(cust.filter(F.col("c_custkey") <= 200).select(
+            F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+             .alias("probe_id"),
+            nm.clean_fullname(F.col("c_name")).alias("pname"))))
+    feed_dir = tempfile.mkdtemp(prefix="onboard_feed_")
+    probes.write.mode("overwrite").parquet(feed_dir)
+
+    stream = spark.readStream.schema("probe_id string, pname string") \
+        .parquet(feed_dir)
+    hits = (stream.select("probe_id",
+                          F.explode(nm.variant_keys(F.col("pname")))
+                           .alias("vk"))
+            .filter(F.col("vk") != "")
+            .join(F.broadcast(wkeys), "vk")
+            .select("probe_id", F.col("entity_id").cast("long")
+                    .alias("entity_id")))
+    out = run_available_now(hits, output_mode="append")
+    return out.distinct()

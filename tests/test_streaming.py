@@ -325,3 +325,19 @@ def test_rate_micro_batch_source_produces_deterministic_batches(spark):
     rows = spark.table(name).collect()
     assert len(rows) == 10
     assert sorted(r.value for r in rows) == list(range(10))
+
+
+def test_st_watchlist_screen_hits_and_decoys(spark, sf_dir):
+    """Every latin fixture alias must self-match its entity through the
+    stream; customer decoys must produce no hits."""
+    from sanctions_data_pipeline_spark.plans import registry
+
+    rows = registry.queries()["st_watchlist_screen"](spark, sf_dir).collect()
+    assert rows
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, set()).add(r.entity_id)
+    assert all(not p.startswith("cust:") for p in by_probe)  # decoys clean
+    for p, ents in by_probe.items():
+        _, eid, _ = p.split(":")
+        assert int(eid) in ents  # alias finds its own entity
