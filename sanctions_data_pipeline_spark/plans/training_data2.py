@@ -626,3 +626,95 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     words.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count bigint")
+
+
+# ---------------------------------------------------------------------------
+# dd_winnow — winnowing document fingerprints (Schleimer, Wilkerson &
+# Aiken, SIGMOD 2003 — the MOSS algorithm): positional k-gram hashes,
+# a sliding window of w consecutive hashes selects each window's MIN,
+# and the distinct selected hashes form the fingerprint set. Guarantee:
+# any shared run of >= w + k - 1 tokens shares at least one
+# fingerprint. Pairs share >= _WIN_MIN_SHARED fingerprints, scored by
+# containment of the smaller set.
+#
+# Portable md5-derived hashes → the whole pipeline (selection windows
+# included) is cross-engine exact SQL. Scale: fingerprints are ~1/w of
+# k-gram positions; the only corpus-wide shuffles carry (doc, pos,
+# 8-byte hash) and the inverted-index join's fan-out is bounded by
+# fingerprint document frequency (cap hot fingerprints like AllPairs
+# stop-shingles if a boilerplate corpus needs it).
+# ---------------------------------------------------------------------------
+_WIN_K, _WIN_W, _WIN_MIN_SHARED = 3, 4, 5
+
+_WINNOW_ORACLE = f"""
+WITH arr AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+kg AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))
+           ::BIGINT AS h,
+         len(t) - {_WIN_K} + 1 AS n_kg
+  FROM arr, unnest(range(1, len(t) - {_WIN_K} + 2)) AS u(i)
+  WHERE len(t) >= {_WIN_K}
+),
+sel AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos, n_kg,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {_WIN_W - 1} FOLLOWING) AS fp
+    FROM kg
+  ) WHERE pos <= n_kg - {_WIN_W} + 1
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM sel GROUP BY 1),
+cnt AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS shared
+  FROM sel a JOIN sel b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i, j, shared,
+       round(shared * 1.0 / least(si.nfp, sj.nfp), 6) AS sim
+FROM cnt JOIN sizes si ON si.doc_id = i
+         JOIN sizes sj ON sj.doc_id = j
+WHERE shared >= {_WIN_MIN_SHARED}
+"""
+
+
+@register("dd_winnow", oracle=_WINNOW_ORACLE)
+def dd_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
+    k, w = _WIN_K, _WIN_W
+
+    kg = (toks.filter(F.size("t") >= k)
+          .select("doc_id", "t", (F.size("t") - k + 1).alias("n_kg"),
+                  F.posexplode(F.expr(
+                      f"transform(sequence(0, size(t) - {k}), "
+                      f"i -> concat_ws(' ', {', '.join(f't[i + {o}]' for o in range(k))}))"
+                  )).alias("pos", "kgram"))
+          .select("doc_id", "n_kg", (F.col("pos") + 1).alias("pos"),
+                  (F.conv(F.substring(F.md5("kgram"), 1, 15), 16, 10)
+                   .cast("bigint")).alias("h")))
+
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (kg.select("doc_id", "pos", "n_kg",
+                     F.min("h").over(win).alias("fp"))
+           .filter(F.col("pos") <= F.col("n_kg") - w + 1)
+           .select("doc_id", "fp").distinct())
+
+    sizes = sel.groupBy("doc_id").agg(lcount("nfp"))
+    a = sel.select(F.col("doc_id").alias("i"), "fp")
+    b = sel.select(F.col("doc_id").alias("j"), "fp")
+    cnt = (a.join(b, "fp").filter(F.col("i") < F.col("j"))
+           .groupBy("i", "j").agg(lcount("shared"))
+           .filter(F.col("shared") >= _WIN_MIN_SHARED))
+    return (cnt
+            .join(F.broadcast(sizes.select(F.col("doc_id").alias("i"),
+                                           F.col("nfp").alias("si"))), "i")
+            .join(F.broadcast(sizes.select(F.col("doc_id").alias("j"),
+                                           F.col("nfp").alias("sj"))), "j")
+            .select("i", "j", "shared",
+                    F.round(F.col("shared") / F.least("si", "sj"), 6)
+                     .alias("sim")))

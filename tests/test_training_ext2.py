@@ -265,3 +265,49 @@ def test_tok_bpe_merges_survives_single_symbol_words(spark, tmp_path):
             .orderBy("merge_rank").collect())
     assert rows[0].left == "a" and rows[0].right == "</w>"  # forces size-1
     assert len(rows) >= 2  # later rounds ran without ANSI index errors
+
+
+def test_dd_winnow_guarantee_and_replay(spark, sf_dir):
+    """The COMPLETE winnowing pair set (ids, shared counts, sims) must
+    equal a pure-python replay of the algorithm over the corpus."""
+    import hashlib
+
+    from sanctions_data_pipeline_spark.plans.training_data2 import (
+        _WIN_K, _WIN_W)
+
+    pairs = {(r.i, r.j): (r.shared, r.sim) for r in
+             _run(spark, sf_dir, "dd_winnow").collect()}
+    assert pairs
+    docs = {r.doc_id: r.text.lower().split()
+            for r in load_table(spark, sf_dir, "documents").collect()}
+
+    def fingerprints(toks):
+        if len(toks) < _WIN_K:
+            return set()
+        hs = []
+        for i in range(len(toks) - _WIN_K + 1):
+            kgram = " ".join(toks[i:i + _WIN_K])
+            hs.append(int(hashlib.md5(kgram.encode()).hexdigest()[:15], 16))
+        return {min(hs[i:i + _WIN_W])
+                for i in range(len(hs) - _WIN_W + 1)}
+
+    # full replay: the COMPLETE pair set (ids, shared counts, sims)
+    # matches a pure-python winnowing of the corpus
+    fps = {d: fingerprints(t) for d, t in docs.items()}
+    expect = {}
+    ids = sorted(fps)
+    inv: dict = {}
+    for d, s in fps.items():
+        for h in s:
+            inv.setdefault(h, []).append(d)
+    shared_cnt: dict = {}
+    for h, ds in inv.items():
+        ds = sorted(ds)
+        for x in range(len(ds)):
+            for y in range(x + 1, len(ds)):
+                shared_cnt[(ds[x], ds[y])] = \
+                    shared_cnt.get((ds[x], ds[y]), 0) + 1
+    for (a, b), c in shared_cnt.items():
+        if c >= 5:
+            expect[(a, b)] = (c, round(c / min(len(fps[a]), len(fps[b])), 6))
+    assert pairs == expect
