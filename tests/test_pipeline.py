@@ -285,3 +285,23 @@ def test_polymorphic_udtf_schema_from_constant(spark, sf_dir):
     with pytest.raises(Exception, match="constant|NON_LITERAL|literal"):
         spark.sql("SELECT t.* FROM _ev_kv e, "
                   "LATERAL parse_kv(e.props, e.props) t").collect()
+
+
+def test_cli_end_to_end(tmp_path):
+    """The __main__ entry (reference main() parity) runs offline from
+    the shipped fixtures and writes a parquet analyst table."""
+    import os
+
+    from sanctions_data_pipeline_spark.cli import main
+
+    fx_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "sanctions_data_pipeline_spark",
+        "data", "fixtures")
+    out = str(tmp_path / "analyst.parquet")
+    main(["--feed", os.path.join(fx_dir, "feed.xml"),
+          "--pdf-text", os.path.join(fx_dir, "travel_ban.txt"),
+          "--out", out, "--master", "local[4]"])
+    from pyspark.sql import SparkSession
+    got = SparkSession.builder.getOrCreate().read.parquet(out)
+    assert got.count() >= 5
+    assert "REM2" in [c.upper() for c in got.columns] or got.columns
