@@ -171,3 +171,38 @@ def test_interval_merge_laws(spark, points):
         assert sum(n for _, _, n in isl) == len(mine)
         for s, e in mine:
             assert sum(1 for si, ei, _ in isl if si <= s and e <= ei) == 1
+
+
+# --------------------------------------------------------------------------
+# Winnowing guarantee (Schleimer et al. 2003, Theorem: any match of
+# length >= w + k - 1 is caught): two token streams sharing a common
+# run of w + k - 1 tokens must share at least one selected fingerprint.
+# Pure-python replay of the dd_winnow selection (same md5 hashes).
+# --------------------------------------------------------------------------
+_WTOK = st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+                 min_size=0, max_size=12)
+
+
+def _winnow_fps(toks, k=3, w=4):
+    import hashlib
+
+    if len(toks) < k:
+        return set()
+    hs = [int(hashlib.md5(" ".join(toks[i:i + k]).encode())
+              .hexdigest()[:15], 16) for i in range(len(toks) - k + 1)]
+    if len(hs) < w:
+        return set()
+    return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+
+@given(_WTOK, _WTOK, st.lists(st.sampled_from(
+    ["pp", "qq", "rr", "ss", "tt", "uu", "vv", "ww"]),
+    min_size=6, max_size=10, unique=True))
+@settings(**_SETTINGS)
+def test_winnowing_guarantee_shared_run_shares_fingerprint(pre, post, run):
+    # run is >= w + k - 1 = 6 distinct tokens, absent from pre/post
+    a = pre + run + post
+    b = run  # second doc is exactly the shared run
+    fa, fb = _winnow_fps(a), _winnow_fps(b)
+    assert fb  # the run alone is long enough to fingerprint
+    assert fa & fb, (a, b)
