@@ -1155,3 +1155,45 @@ def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = spark.createDataFrame([(l,) for l in _LANGS], "lang string")
     g = langs.join(agg, "lang", "left").orderBy("lang")
     return g.transpose()
+
+
+# --------------------------------------------------------------------------
+# q_markov_transitions — user-journey transition matrix: per user,
+# events ordered by (ts, event_id) pair into consecutive (from, to)
+# event-type transitions; global counts + row-normalized probabilities.
+# One window shuffle on user_id (lag), one bounded agg — the classic
+# clickstream Markov model, exact int/int probability both engines.
+# --------------------------------------------------------------------------
+@register("q_markov_transitions", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM t
+""")
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id"))
+         .alias("prev_type"))
+    t = (seq.filter(F.col("prev_type").isNotNull())
+         .groupBy(F.col("prev_type").alias("from_type"),
+                  F.col("event_type").alias("to_type"))
+         .agg(lcount("n")))
+    wf = W.partitionBy("from_type")
+    return t.select("from_type", "to_type", "n",
+                    F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"))

@@ -718,3 +718,76 @@ def dd_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("i", "j", "shared",
                     F.round(F.col("shared") / F.least("si", "sj"), 6)
                      .alias("sim")))
+
+
+# ---------------------------------------------------------------------------
+# gr_link_predict — link prediction by neighbor Jaccard (common
+# neighbors / union) on the co-purchase graph: for node pairs NOT yet
+# linked, score = |N(a) ∩ N(b)| / (deg(a) + deg(b) − |∩|). The wedge
+# join (a—m—b through shared neighbor m) enumerates candidates, an
+# anti join removes existing edges, exact int/int division scores.
+# Scale: wedge fan-out is Σ deg(m)² — bounded by capping hot
+# intermediate nodes (same discipline as gr_triangle_count's oriented
+# wedges); shuffles carry (long, long) pairs only.
+# ---------------------------------------------------------------------------
+_LP_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_partkey < 150
+),
+e AS (
+  SELECT a.p AS src, b.p AS dst
+  FROM li a JOIN li b USING (o)
+  WHERE a.p <> b.p
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+wedge AS (
+  SELECT e1.src AS a, e2.src AS b, CAST(count(*) AS BIGINT) AS common
+  FROM e e1 JOIN e e2 ON e1.dst = e2.dst
+  WHERE e1.src < e2.src
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT w.a, w.b, w.common FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.b)
+)
+SELECT a, b, common,
+       round(common * 1.0 / (da.d + db.d - common), 6) AS jaccard
+FROM cand JOIN deg da ON da.node = a
+          JOIN deg db ON db.node = b
+WHERE common >= 2
+"""
+
+
+@register("gr_link_predict", oracle=_LP_ORACLE)
+def gr_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_partkey") < 150)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    b = li.withColumnRenamed("p", "p2")
+    e = (li.join(b, "o").filter(F.col("p") != F.col("p2"))
+         .groupBy(F.col("p").alias("src"), F.col("p2").alias("dst"))
+         .agg(lcount("w")).filter(F.col("w") >= 2).select("src", "dst"))
+    # no persist: the four consumers (deg, both wedge sides, anti join)
+    # sit in ONE plan, so ReuseExchange serves them from a single
+    # materialization of e's aggregation exchange
+    deg = e.groupBy(F.col("src").alias("node")).agg(lcount("d"))
+    e1 = e.select(F.col("src").alias("a"), "dst")
+    e2 = e.select(F.col("src").alias("b"), "dst")
+    wedge = (e1.join(e2, "dst").filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(lcount("common")))
+    cand = wedge.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"], "left_anti")
+    out = (cand.filter(F.col("common") >= 2)
+           .join(F.broadcast(deg.select(F.col("node").alias("a"),
+                                        F.col("d").alias("da"))), "a")
+           .join(F.broadcast(deg.select(F.col("node").alias("b"),
+                                        F.col("d").alias("db"))), "b")
+           .select("a", "b", "common",
+                   F.round(F.col("common")
+                           / (F.col("da") + F.col("db") - F.col("common")), 6)
+                    .alias("jaccard")))
+    return out

@@ -311,3 +311,43 @@ def test_dd_winnow_guarantee_and_replay(spark, sf_dir):
         if c >= 5:
             expect[(a, b)] = (c, round(c / min(len(fps[a]), len(fps[b])), 6))
     assert pairs == expect
+
+
+def test_q_markov_transitions_probabilities(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_markov_transitions").collect()
+    assert rows
+    from collections import defaultdict
+    by_from = defaultdict(float)
+    for r in rows:
+        assert 0 < r.p <= 1
+        by_from[r.from_type] += r.p
+    for ft, total in by_from.items():
+        assert abs(total - 1.0) < 1e-4, (ft, total)  # rows sum to 1
+
+
+def test_gr_link_predict_excludes_existing_edges(spark, sf_dir):
+    rows = _run(spark, sf_dir, "gr_link_predict").collect()
+    assert rows
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_partkey") < 150)
+          .select("l_orderkey", "l_partkey").distinct().collect())
+    from collections import Counter, defaultdict
+    orders = defaultdict(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+    w: Counter = Counter()
+    for parts in orders.values():
+        for x in parts:
+            for y in parts:
+                if x != y:
+                    w[(x, y)] += 1
+    edges = {p for p, c in w.items() if c >= 2}
+    adj = defaultdict(set)
+    for (x, y) in edges:
+        adj[x].add(y)
+    for r in rows:
+        assert (r.a, r.b) not in edges  # predicted links are NEW
+        common = len(adj[r.a] & adj[r.b])
+        assert common == r.common
+        expect = round(common / (len(adj[r.a]) + len(adj[r.b]) - common), 6)
+        assert abs(r.jaccard - expect) < 1e-9
