@@ -44,6 +44,8 @@ class ParseKV:
             d = json.loads(props) if props else {}
         except (ValueError, TypeError):
             d = {}
+        if not isinstance(d, dict):
+            d = {}  # valid JSON scalar/array ('3', '[1]', 'true') has no keys
         yield tuple(None if d.get(k) is None else str(d.get(k))
                     for k in self._keys)
 

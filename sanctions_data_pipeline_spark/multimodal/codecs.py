@@ -171,14 +171,28 @@ def parse_y4m(buf: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("not a YUV4MPEG2 stream")
     nl = buf.index(b"\n")
     w = h = None
+    cspace = b"420"  # Y4M default when no C token present
     for tok in buf[:nl].split(b" ")[1:]:
         if tok[:1] == b"W":
             w = int(tok[1:])
         elif tok[:1] == b"H":
             h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cspace = tok[1:]
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
-    frame_len = w * h + 2 * ((w // 2) * (h // 2))  # 4:2:0 planar
+    # size the chroma planes from the colorspace token — assuming 4:2:0
+    # for a C422/C444 stream would land the frame walk mid-payload
+    if cspace.startswith(b"420"):
+        frame_len = w * h + 2 * ((w // 2) * (h // 2))
+    elif cspace.startswith(b"422"):
+        frame_len = w * h + 2 * ((w // 2) * h)
+    elif cspace.startswith(b"444"):
+        frame_len = 3 * w * h
+    elif cspace.startswith(b"mono"):
+        frame_len = w * h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cspace!r}")
     offsets, pos = [], nl + 1
     while pos < len(buf):
         fnl = buf.index(b"\n", pos)

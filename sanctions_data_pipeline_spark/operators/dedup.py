@@ -353,16 +353,25 @@ def simhash_chunk_keys(max_hamming: int = 3, n_bits: int = 64,
     Returns one Column per combination: (val_i << width) | val_j.
     """
     c = max_hamming + 2
-    width = -(-n_bits // c)  # ceil: chunk widths cover all bits
-    offsets = [min(k * width, n_bits - 1) for k in range(c)]
-    widths = [min(width, n_bits - off) for off in offsets]
+    if c > n_bits:
+        raise ValueError(f"max_hamming={max_hamming} needs {c} chunks, "
+                         f"more than n_bits={n_bits}")
+    # DISJOINT partition of the bits (variable widths, never clamped
+    # offsets): ceil-width chunks with clamping would overlap once
+    # c*width > n_bits (max_hamming >= 7 at 64 bits), and a flip in an
+    # overlapped bit touches two chunks — silently voiding the
+    # pigeonhole exactness guarantee.
+    base, rem = divmod(n_bits, c)
+    widths = [base + 1 if k < rem else base for k in range(c)]
+    offsets = [sum(widths[:k]) for k in range(c)]
+    shift = widths[0]  # max chunk width -> (v_i << shift | v_j) injective
 
     def chunk(k: int):
         mask = (1 << widths[k]) - 1
         return F.shiftright(F.col(col), offsets[k]).bitwiseAND(F.lit(mask))
 
     return [
-        F.shiftleft(chunk(i), width).bitwiseOR(chunk(j))
+        F.shiftleft(chunk(i), shift).bitwiseOR(chunk(j))
         for i in range(c) for j in range(i + 1, c)
     ]
 
@@ -550,7 +559,8 @@ def cut_regions(docs: DataFrame, k: int = 8, min_tokens: int = 10,
                 "doc_id",
                 F.size(toks).cast("bigint").alias("n_tokens_before"),
                 F.array_join(F.transform(kept, lambda p: p["t"]), " ")
-                 .alias("clean_text"))
-            .withColumn("n_tokens_after",
-                        F.size(F.split(F.col("clean_text"), " "))
-                         .cast("bigint")))
+                 .alias("clean_text"),
+                # count the kept array, NOT a re-split of clean_text:
+                # split('') yields [""] (size 1), which would credit a
+                # fully-excised doc with one phantom token
+                F.size(kept).cast("bigint").alias("n_tokens_after")))

@@ -123,3 +123,22 @@ def adjacent_pairs(col: Column) -> Column:
                     lambda i: F.struct(F.element_at(col, i + 1).alias("w1"),
                                        F.element_at(col, i + 2).alias("w2")))
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def quality_score(text: Column) -> Column:
+    """The corpus quality score, 6dp: 0.4·min(tokens/100, 1)
+    + 0.3·(1 − punct_ratio) + 0.3·min(5·stopwords/tokens, 1).
+
+    SINGLE Python source for tx_quality / tx_quality_filter /
+    tx_filter_verdict (the SQL twin is plans/training_data._QSCORE) —
+    the weights must change here and there together, nowhere else.
+    """
+    import pyspark.sql.functions as F
+
+    n_tokens = ws_token_count(text)
+    n_chars = F.length(text)
+    n_punct = punct_count(text)
+    n_stop = stopword_hits(text, "en")
+    return F.round(0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+                   + 0.3 * (1.0 - n_punct * 1.0 / n_chars)
+                   + 0.3 * F.least(n_stop * 5.0 / n_tokens, F.lit(1.0)), 6)

@@ -199,10 +199,7 @@ def tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_chars.cast("bigint").alias("n_chars_calc"),
         F.round(n_punct * 1.0 / n_chars, 6).alias("punct_ratio"),
         F.round(n_stop * 1.0 / n_tokens, 6).alias("stopword_ratio"),
-        F.round(0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
-                + 0.3 * (1.0 - n_punct * 1.0 / n_chars)
-                + 0.3 * F.least(n_stop * 5.0 / n_tokens, F.lit(1.0)), 6)
-         .alias("quality_score"),
+        tx.quality_score(F.col("text")).alias("quality_score"),
     )
 
 
@@ -585,16 +582,9 @@ WHERE q.quality_score >= thr.p10
 """)
 def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = tx.ws_token_count(F.col("text"))
-    n_chars = F.length("text")
-    n_punct = tx.punct_count(F.col("text"))
-    n_stop = tx.stopword_hits(F.col("text"), "en")
     q = docs.select(
         "doc_id", "lang",
-        F.round(0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
-                + 0.3 * (1.0 - n_punct * 1.0 / n_chars)
-                + 0.3 * F.least(n_stop * 5.0 / n_tokens, F.lit(1.0)), 6)
-         .alias("quality_score"))
+        tx.quality_score(F.col("text")).alias("quality_score"))
     thr = q.groupBy("lang").agg(
         F.round(F.percentile("quality_score", F.lit(0.10)), 6).alias("p10"))
     return (q.join(F.broadcast(thr), "lang")
@@ -2337,13 +2327,7 @@ JOIN thr t ON b.lang = t.lang
 """)
 def tx_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = tx.ws_token_count(F.col("text"))
-    n_chars = F.length("text")
-    n_punct = tx.punct_count(F.col("text"))
-    n_stop = tx.stopword_hits(F.col("text"), "en")
-    qscore = F.round(0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
-                     + 0.3 * (1.0 - n_punct * 1.0 / n_chars)
-                     + 0.3 * F.least(n_stop * 5.0 / n_tokens, F.lit(1.0)), 6)
+    qscore = tx.quality_score(F.col("text"))
     base = docs.select(
         "doc_id", "lang", tx.tokens(F.col("text")).alias("t"),
         qscore.alias("q"))

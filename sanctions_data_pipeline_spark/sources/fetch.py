@@ -94,11 +94,13 @@ def discover_link(html: str, base_url: str, suffix: str,
         href = next((h for h, hl in lower if suffix in hl), None)
     if href is None:
         raise RuntimeError(f"Could not find {suffix} link on the page.")
-    if href.startswith("/"):
-        m = re.match(r"(https?://[^/]+)", base_url)
-        if m:
-            href = m.group(1) + href
-    return href
+    # urljoin handles every href shape correctly: absolute (returned
+    # as-is), root-relative, plain relative, and protocol-relative
+    # ('//host/...' — a hand-rolled startswith('/') check would mangle
+    # that into scheme+host+'//host/...')
+    from urllib.parse import urljoin
+
+    return urljoin(base_url, href)
 
 
 @dataclass(frozen=True)

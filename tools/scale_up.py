@@ -5,8 +5,8 @@ Then:  SPARK_GRAFT_SF_DIR=/tmp/sf0.1x3 python bench.py
 
 This is a MEASUREMENT harness, not synthetic test data: every copy k
 is the driver-generated tables verbatim with primary/foreign keys
-shifted by k * stride (stride = a power of ten above the table's max
-key), so referential integrity, skew shape, duplicate structure, and
+shifted by k * stride (ONE global power of ten above the max key in
+any table, so cross-table joins stay consistent within each copy), so referential integrity, skew shape, duplicate structure, and
 value distributions are preserved exactly while row counts scale K×.
 Oracle correctness still runs on the pristine sf dirs only.
 
@@ -49,11 +49,23 @@ SHIFT_COLS = {
 }
 
 
-def _stride(df, cols) -> int:
-    if not cols:
-        return 0
-    mx = df.agg(*[F.max(c).alias(c) for c in cols]).collect()[0]
-    top = max(int(v or 0) for v in mx)
+def _global_stride(spark, src: str) -> int:
+    """ONE stride shared by every shifted key column across all tables.
+
+    A per-table stride breaks referential integrity: orders' stride
+    (derived from o_orderkey magnitude) would shift o_custkey by a
+    different amount than customer's c_custkey, so copy k's orders
+    would join no customer. One global power of ten above the maximum
+    key anywhere keeps each copy a self-contained consistent universe
+    (dims region/nation stay shared — their keys are never shifted).
+    """
+    top = 0
+    for table, cols in SHIFT_COLS.items():
+        if not cols:
+            continue
+        df = load_table(spark, src, table)
+        mx = df.agg(*[F.max(c).alias(c) for c in cols]).collect()[0]
+        top = max(top, max(int(v or 0) for v in mx))
     s = 1
     while s <= top:
         s *= 10
@@ -63,12 +75,12 @@ def _stride(df, cols) -> int:
 def scale_up(src: str, dst: str, k: int) -> None:
     spark = get_spark("scale_up")
     os.makedirs(dst, exist_ok=True)
+    stride = _global_stride(spark, src)
     for table, cols in SHIFT_COLS.items():
         df = load_table(spark, src, table)
         if not cols or k == 1:
             out = df
         else:
-            stride = _stride(df, cols)
             copies = [df] + [
                 df.select(*[
                     (F.col(c) + F.lit(i * stride)).alias(c)
