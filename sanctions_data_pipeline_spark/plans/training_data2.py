@@ -722,24 +722,37 @@ def dd_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # gr_link_predict — link prediction by neighbor Jaccard (common
-# neighbors / union) on the co-purchase graph: for node pairs NOT yet
-# linked, score = |N(a) ∩ N(b)| / (deg(a) + deg(b) − |∩|). The wedge
-# join (a—m—b through shared neighbor m) enumerates candidates, an
-# anti join removes existing edges, exact int/int division scores.
-# Scale: wedge fan-out is Σ deg(m)² — bounded by capping hot
-# intermediate nodes (same discipline as gr_triangle_count's oriented
-# wedges); shuffles carry (long, long) pairs only.
+# neighbors / union) on the part-CATEGORY co-purchase graph: for node
+# pairs NOT yet linked, score = |N(a) ∩ N(b)| / (deg(a)+deg(b)−|∩|).
+# Nodes are the 100 partkey%100 categories (fixed at every sf), and an
+# edge means co-occurrence count above the Poisson tail λ + 2√λ of the
+# pairwise mean — a SCALE-INVARIANT graph (a fixed raw-count or
+# fixed-fraction cutoff starves to 0 edges as the part space grows;
+# verified: this layout yields ~260-320 edges at sf0.001/0.01/0.1).
+# Wedge join enumerates candidates, an anti join removes existing
+# edges, exact int/int division scores.
+# Scale: wedge fan-out is Σ deg(m)² over 100 nodes — bounded; the only
+# corpus-wide work is the co-occurrence count (one shuffle of category
+# pairs with map-side combine). λ derives from one bounded scalar.
 # ---------------------------------------------------------------------------
 _LP_ORACLE = """
 WITH li AS (
-  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-  FROM lineitem WHERE l_partkey < 150
+  SELECT DISTINCT l_orderkey AS o, l_partkey % 100 AS p
+  FROM lineitem
 ),
-e AS (
-  SELECT a.p AS src, b.p AS dst
+inst AS (
+  SELECT a.p AS src, b.p AS dst, count(*) AS c
   FROM li a JOIN li b USING (o)
   WHERE a.p <> b.p
-  GROUP BY 1, 2 HAVING count(*) >= 2
+  GROUP BY 1, 2
+),
+thr AS (
+  SELECT CAST(FLOOR(sum(c) / 9900.0 + 2 * sqrt(sum(c) / 9900.0))
+              AS BIGINT) + 1 AS t
+  FROM inst
+),
+e AS (
+  SELECT src, dst FROM inst WHERE c >= (SELECT t FROM thr)
 ),
 deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
 wedge AS (
@@ -762,14 +775,22 @@ WHERE common >= 2
 
 @register("gr_link_predict", oracle=_LP_ORACLE)
 def gr_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     li = (load_table(spark, sf_dir, "lineitem")
-          .filter(F.col("l_partkey") < 150)
           .select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("p")).distinct())
+                  (F.col("l_partkey") % 100).alias("p")).distinct())
     b = li.withColumnRenamed("p", "p2")
-    e = (li.join(b, "o").filter(F.col("p") != F.col("p2"))
-         .groupBy(F.col("p").alias("src"), F.col("p2").alias("dst"))
-         .agg(lcount("w")).filter(F.col("w") >= 2).select("src", "dst"))
+    inst = (li.join(b, "o").filter(F.col("p") != F.col("p2"))
+            .groupBy(F.col("p").alias("src"), F.col("p2").alias("dst"))
+            .agg(lcount("c")))
+    # Poisson-tail edge threshold from ONE bounded scalar (sum of
+    # co-occurrence instances); float math is the same IEEE sequence
+    # as the oracle's FLOOR(lam + 2*sqrt(lam)) + 1
+    total = inst.agg(F.sum("c")).collect()[0][0]
+    lam = total / 9900.0
+    thr = int(math.floor(lam + 2 * math.sqrt(lam))) + 1
+    e = inst.filter(F.col("c") >= thr).select("src", "dst")
     # no persist: the four consumers (deg, both wedge sides, anti join)
     # sit in ONE plan, so ReuseExchange serves them from a single
     # materialization of e's aggregation exchange

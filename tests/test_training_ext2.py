@@ -328,20 +328,24 @@ def test_q_markov_transitions_probabilities(spark, sf_dir):
 def test_gr_link_predict_excludes_existing_edges(spark, sf_dir):
     rows = _run(spark, sf_dir, "gr_link_predict").collect()
     assert rows
+    import math
+
     li = (load_table(spark, sf_dir, "lineitem")
-          .filter(F.col("l_partkey") < 150)
-          .select("l_orderkey", "l_partkey").distinct().collect())
+          .select("l_orderkey", (F.col("l_partkey") % 100).alias("p"))
+          .distinct().collect())
     from collections import Counter, defaultdict
     orders = defaultdict(set)
     for r in li:
-        orders[r.l_orderkey].add(r.l_partkey)
+        orders[r.l_orderkey].add(r.p)
     w: Counter = Counter()
     for parts in orders.values():
         for x in parts:
             for y in parts:
                 if x != y:
                     w[(x, y)] += 1
-    edges = {p for p, c in w.items() if c >= 2}
+    lam = sum(w.values()) / 9900.0
+    thr = int(math.floor(lam + 2 * math.sqrt(lam))) + 1
+    edges = {p for p, c in w.items() if c >= thr}
     adj = defaultdict(set)
     for (x, y) in edges:
         adj[x].add(y)
