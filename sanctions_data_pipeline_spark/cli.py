@@ -61,14 +61,17 @@ def main(argv: list[str] | None = None) -> None:
                     [(args.pdf_text, fh.read())], "doc_path string, text string")
         table = run_pipeline(spark, args.feed, pdf_texts)
 
-    if args.out.endswith(".xlsx"):
-        sinks.write_xlsx_quality(table, args.out)
-    elif args.out.endswith(".csv"):
-        sinks.write_output(table, args.out, fmt="csv")
-    else:
-        sinks.write_output(table, args.out, fmt="parquet")
-    n = spark.read.parquet(args.out).count() if not args.out.endswith(
-        (".xlsx", ".csv")) else table.count()
+    table = table.persist()  # count + write share one pipeline run
+    try:
+        n = table.count()
+        if args.out.endswith(".xlsx"):
+            sinks.write_xlsx_quality(table, args.out)
+        elif args.out.endswith(".csv"):
+            sinks.write_output(table, args.out, fmt="csv")
+        else:
+            sinks.write_output(table, args.out, fmt="parquet")
+    finally:
+        table.unpersist()
     print(f"wrote {n} rows -> {args.out}")
 
 

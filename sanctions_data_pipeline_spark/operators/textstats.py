@@ -136,7 +136,10 @@ def quality_score(text: Column) -> Column:
     import pyspark.sql.functions as F
 
     n_tokens = ws_token_count(text)
-    n_chars = F.length(text)
+    # greatest(.., 1): empty text has length 0 and ANSI division by
+    # zero THROWS — an empty doc scores its length/stopword terms 0,
+    # not a crashed job (n_tokens is never 0: split('') -> [''])
+    n_chars = F.greatest(F.length(text), F.lit(1))
     n_punct = punct_count(text)
     n_stop = stopword_hits(text, "en")
     return F.round(0.4 * F.least(n_tokens / 100.0, F.lit(1.0))

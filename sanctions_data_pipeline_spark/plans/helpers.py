@@ -75,3 +75,17 @@ def ts_str(col, fmt: str = "yyyy-MM-dd") -> Column:
     session-TZ timestamps vs DuckDB naive timestamps hash differently)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, fmt)
+
+
+def pround6(col: Column) -> Column:
+    """Portable 6dp rounding for small-integer quotients: floor(x*1e6
+    + 0.5) over the identical IEEE double. F.round's HALF_UP and
+    DuckDB's float round disagree when the quotient lands exactly on a
+    .5 ulp boundary (seen at sf0.1 in q_rank_functions); pair with
+    :func:`sql_pround6` on the oracle side."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def sql_pround6(expr: str) -> str:
+    """DuckDB fragment mirroring :func:`pround6`."""
+    return f"CAST(FLOOR(({expr}) * 1000000 + 0.5) AS BIGINT) / 1000000.0"

@@ -1178,7 +1178,7 @@ t AS (
   GROUP BY 1, 2
 )
 SELECT from_type, to_type, n,
-       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+       CAST(FLOOR((n * 1.0 / sum(n) OVER (PARTITION BY from_type)) * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS p
 FROM t
 """)
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,5 +1195,9 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("event_type").alias("to_type"))
          .agg(lcount("n")))
     wf = W.partitionBy("from_type")
+    # pround6: HALF_UP round vs DuckDB float round diverge exactly at
+    # .5 ulp boundaries of small-int quotients (see q_rank_functions);
+    # both engines compute the SAME q = n/sum then floor(q*1e6 + 0.5)
+    from sanctions_data_pipeline_spark.plans.helpers import pround6
     return t.select("from_type", "to_type", "n",
-                    F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"))
+                    pround6(F.col("n") / F.sum("n").over(wf)).alias("p"))

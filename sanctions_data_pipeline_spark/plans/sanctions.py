@@ -732,17 +732,26 @@ def st_watchlist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
              .alias("probe_id"),
             nm.clean_fullname(F.col("c_name")).alias("pname"))))
-    feed_dir = tempfile.mkdtemp(prefix="onboard_feed_")
-    probes.write.mode("overwrite").parquet(feed_dir)
+    import shutil
 
-    stream = spark.readStream.schema("probe_id string, pname string") \
-        .parquet(feed_dir)
-    hits = (stream.select("probe_id",
-                          F.explode(nm.variant_keys(F.col("pname")))
-                           .alias("vk"))
-            .filter(F.col("vk") != "")
-            .join(F.broadcast(wkeys), "vk")
-            .select("probe_id", F.col("entity_id").cast("long")
-                    .alias("entity_id")))
-    out = run_available_now(hits, output_mode="append")
-    return out.distinct()
+    feed_dir = tempfile.mkdtemp(prefix="onboard_feed_")
+    try:
+        probes.write.mode("overwrite").parquet(feed_dir)
+
+        stream = spark.readStream.schema("probe_id string, pname string") \
+            .parquet(feed_dir)
+        hits = (stream.select("probe_id",
+                              F.explode(nm.variant_keys(F.col("pname")))
+                               .alias("vk"))
+                .filter(F.col("vk") != "")
+                .join(F.broadcast(wkeys), "vk")
+                .select("probe_id", F.col("entity_id").cast("long")
+                        .alias("entity_id")))
+        # drain fully into the memory sink, then localize the result so
+        # nothing references the feed dir before it is removed
+        out = run_available_now(hits, output_mode="append").distinct()
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema) if rows \
+            else spark.createDataFrame([], out.schema)
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)

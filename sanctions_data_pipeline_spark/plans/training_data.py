@@ -180,10 +180,10 @@ WITH m AS (
   FROM documents)
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
-       round(n_punct * 1.0 / n_chars_calc, 6) AS punct_ratio,
+       round(n_punct * 1.0 / greatest(n_chars_calc, 1), 6) AS punct_ratio,
        round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
        round(0.4 * least(n_tokens / 100.0, 1.0)
-             + 0.3 * (1.0 - n_punct * 1.0 / n_chars_calc)
+             + 0.3 * (1.0 - n_punct * 1.0 / greatest(n_chars_calc, 1))
              + 0.3 * least(n_stop * 5.0 / n_tokens, 1.0), 6) AS quality_score
 FROM m
 """)
@@ -191,13 +191,14 @@ def tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = tx.ws_token_count(F.col("text"))
     n_chars = F.length("text")
+    n_chars_safe = F.greatest(n_chars, F.lit(1))  # ANSI: 0-length text
     n_punct = tx.punct_count(F.col("text"))
     n_stop = tx.stopword_hits(F.col("text"), "en")
     return docs.select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),
         n_chars.cast("bigint").alias("n_chars_calc"),
-        F.round(n_punct * 1.0 / n_chars, 6).alias("punct_ratio"),
+        F.round(n_punct * 1.0 / n_chars_safe, 6).alias("punct_ratio"),
         F.round(n_stop * 1.0 / n_tokens, 6).alias("stopword_ratio"),
         tx.quality_score(F.col("text")).alias("quality_score"),
     )
@@ -563,7 +564,7 @@ def dd_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-exact.
 # --------------------------------------------------------------------------
 _QSCORE = ("round(0.4 * least(len({toks}) / 100.0, 1.0)"
-           " + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text))"
+           " + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / greatest(length(text), 1))"
            " + 0.3 * least({stop} * 5.0 / len({toks}), 1.0), 6)")
 
 

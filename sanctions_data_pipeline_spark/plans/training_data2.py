@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from sanctions_data_pipeline_spark.catalog import load_table
 from sanctions_data_pipeline_spark.operators import similarity as sim
 from sanctions_data_pipeline_spark.operators import textstats as tx
-from sanctions_data_pipeline_spark.plans.helpers import lcount
+from sanctions_data_pipeline_spark.plans.helpers import lcount, pround6
 from sanctions_data_pipeline_spark.plans.registry import register
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -494,7 +494,10 @@ def dp_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.row_number().over(
         W.partitionBy("source")
          .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
-    return (docs.select("doc_id", "source", (rk - 1).alias("rk0"))
+    # rk0 cast to bigint BEFORE the multiply: row_number is int and
+    # ANSI overflow throws once a source exceeds 2^31/n_src docs
+    return (docs.select("doc_id", "source",
+                        (rk - 1).cast("bigint").alias("rk0"))
             .join(F.broadcast(srcs), "source")
             .select("doc_id", "source",
                     (F.col("rk0") * n_src + F.col("si")).cast("bigint")
@@ -675,7 +678,8 @@ cnt AS (
   GROUP BY 1, 2
 )
 SELECT i, j, shared,
-       round(shared * 1.0 / least(si.nfp, sj.nfp), 6) AS sim
+       CAST(FLOOR((shared * 1.0 / least(si.nfp, sj.nfp)) * 1000000 + 0.5)
+            AS BIGINT) / 1000000.0 AS sim
 FROM cnt JOIN sizes si ON si.doc_id = i
          JOIN sizes sj ON sj.doc_id = j
 WHERE shared >= {_WIN_MIN_SHARED}
@@ -716,7 +720,7 @@ def dd_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(sizes.select(F.col("doc_id").alias("j"),
                                            F.col("nfp").alias("sj"))), "j")
             .select("i", "j", "shared",
-                    F.round(F.col("shared") / F.least("si", "sj"), 6)
+                    pround6(F.col("shared") / F.least("si", "sj"))
                      .alias("sim")))
 
 
@@ -766,7 +770,8 @@ cand AS (
   WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.b)
 )
 SELECT a, b, common,
-       round(common * 1.0 / (da.d + db.d - common), 6) AS jaccard
+       CAST(FLOOR((common * 1.0 / (da.d + db.d - common)) * 1000000 + 0.5)
+            AS BIGINT) / 1000000.0 AS jaccard
 FROM cand JOIN deg da ON da.node = a
           JOIN deg db ON db.node = b
 WHERE common >= 2
@@ -787,7 +792,7 @@ def gr_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Poisson-tail edge threshold from ONE bounded scalar (sum of
     # co-occurrence instances); float math is the same IEEE sequence
     # as the oracle's FLOOR(lam + 2*sqrt(lam)) + 1
-    total = inst.agg(F.sum("c")).collect()[0][0]
+    total = inst.agg(F.sum("c")).collect()[0][0] or 0  # None on empty
     lam = total / 9900.0
     thr = int(math.floor(lam + 2 * math.sqrt(lam))) + 1
     e = inst.filter(F.col("c") >= thr).select("src", "dst")
@@ -808,7 +813,7 @@ def gr_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(deg.select(F.col("node").alias("b"),
                                         F.col("d").alias("db"))), "b")
            .select("a", "b", "common",
-                   F.round(F.col("common")
-                           / (F.col("da") + F.col("db") - F.col("common")), 6)
+                   pround6(F.col("common")
+                           / (F.col("da") + F.col("db") - F.col("common")))
                     .alias("jaccard")))
     return out

@@ -304,4 +304,4 @@ def test_cli_end_to_end(tmp_path):
     from pyspark.sql import SparkSession
     got = SparkSession.builder.getOrCreate().read.parquet(out)
     assert got.count() >= 5
-    assert "REM2" in [c.upper() for c in got.columns] or got.columns
+    assert "REM2" in [c.upper() for c in got.columns]
