@@ -817,3 +817,61 @@ def gr_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / (F.col("da") + F.col("db") - F.col("common")))
                     .alias("jaccard")))
     return out
+
+
+# ---------------------------------------------------------------------------
+# dp_manifest — training-shard MANIFESTS: the artifact a dataloader
+# actually consumes. Composes dp_shuffle's deterministic (shard, pos)
+# addresses into one row per shard: doc count, token budget, and an
+# md5 digest of the position-ordered doc_id list (so a reader can
+# verify it consumed the exact planned order). One window shuffle
+# (shared with dp_shuffle's addressing) + one per-shard agg; the
+# digest folds over the ordered id strings — identical in DuckDB.
+# Scale: output is one row per shard (256 here, widening with the
+# hex-prefix like dp_shuffle); the digest string_agg is bounded by
+# shard size, which the widening prefix keeps executor-sized.
+# ---------------------------------------------------------------------------
+_MANIFEST_ORACLE = f"""
+WITH addr AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS h,
+         len({_TOKS}) AS n_tok
+  FROM documents
+),
+ordered AS (
+  SELECT shard, doc_id, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+  FROM addr
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+         AS ids_md5
+FROM ordered GROUP BY shard
+"""
+
+
+@register("dp_manifest", oracle=_MANIFEST_ORACLE)
+def dp_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    addr = docs.select(
+        "doc_id",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+         .alias("shard"),
+        F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+         .alias("h"),
+        F.size(tx.tokens(F.col("text"))).alias("n_tok"))
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    ordered = addr.select("shard", "doc_id", "n_tok",
+                          F.row_number().over(w).alias("pos"))
+    # position-ordered digest: sort the collected (pos, id) structs —
+    # deterministic regardless of partition arrival order
+    ids = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "doc_id"))),
+                    lambda s: s["doc_id"].cast("string")), ",")
+    return (ordered.groupBy("shard")
+            .agg(lcount("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens"),
+                 F.md5(ids).alias("ids_md5")))

@@ -355,3 +355,24 @@ def test_gr_link_predict_excludes_existing_edges(spark, sf_dir):
         assert common == r.common
         expect = round(common / (len(adj[r.a]) + len(adj[r.b]) - common), 6)
         assert abs(r.jaccard - expect) < 1e-9
+
+
+def test_dp_manifest_consistent_with_dp_shuffle(spark, sf_dir):
+    """Manifests must describe exactly dp_shuffle's plan: doc counts
+    per shard match, and each shard digest equals the md5 of the
+    pos-ordered id list replayed from dp_shuffle's output."""
+    import hashlib
+    from collections import defaultdict
+
+    man = {r.shard: r for r in _run(spark, sf_dir, "dp_manifest").collect()}
+    shuf = _run(spark, sf_dir, "dp_shuffle").collect()
+    by_shard = defaultdict(list)
+    for r in shuf:
+        by_shard[r.shard].append((r.pos, r.doc_id))
+    assert set(man) == set(by_shard)
+    total_docs = sum(r.n_docs for r in man.values())
+    assert total_docs == len(shuf)
+    for shard, rows in by_shard.items():
+        ids = ",".join(str(d) for _, d in sorted(rows))
+        assert man[shard].ids_md5 == hashlib.md5(ids.encode()).hexdigest()
+        assert man[shard].n_docs == len(rows)
