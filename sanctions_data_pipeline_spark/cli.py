@@ -42,8 +42,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default="local[*]")
     args = p.parse_args(argv)
 
-    spark = (SparkSession.builder.master(args.master)
-             .appName("sanctions_data_pipeline").getOrCreate())
+    if args.master.startswith("local["):
+        # tuned local session (AQE, UTC, Arrow, cores-sized shuffle
+        # partitions — a vanilla builder's 200 drags small local runs)
+        from sanctions_data_pipeline_spark.session import get_spark
+
+        cpus = args.master[len("local["):-1]
+        spark = get_spark("sanctions_data_pipeline",
+                          cpus=None if cpus == "*" else cpus)
+    else:
+        spark = (SparkSession.builder.master(args.master)
+                 .appName("sanctions_data_pipeline").getOrCreate())
 
     if args.scrape:
         from sanctions_data_pipeline_spark.sources.fetch import (

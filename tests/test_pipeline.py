@@ -305,3 +305,29 @@ def test_cli_end_to_end(tmp_path):
     got = SparkSession.builder.getOrCreate().read.parquet(out)
     assert got.count() >= 5
     assert "REM2" in [c.upper() for c in got.columns]
+
+
+def test_cli_binary_pdf_path_matches_pdf_text_path(tmp_path):
+    """--pdf (vendored binary extractor) and --pdf-text must produce
+    the same analyst table from the same fixture content."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    from sanctions_data_pipeline_spark.cli import main
+
+    fx = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "sanctions_data_pipeline_spark",
+        "data", "fixtures")
+    out_bin = str(tmp_path / "bin.parquet")
+    out_txt = str(tmp_path / "txt.parquet")
+    main(["--feed", os.path.join(fx, "feed.xml"),
+          "--pdf", os.path.join(fx, "travel_ban.pdf"),
+          "--out", out_bin, "--master", "local[4]"])
+    main(["--feed", os.path.join(fx, "feed.xml"),
+          "--pdf-text", os.path.join(fx, "travel_ban.txt"),
+          "--out", out_txt, "--master", "local[4]"])
+    spark = SparkSession.builder.getOrCreate()
+    a = sorted(map(str, spark.read.parquet(out_bin).collect()))
+    b = sorted(map(str, spark.read.parquet(out_txt).collect()))
+    assert a == b and len(a) >= 5
