@@ -220,3 +220,22 @@ def test_dp_shuffle_scan_prunes_the_text_column(spark, sf_dir):
     assert schema_lines
     assert all("text" not in ln for ln in schema_lines), schema_lines
     assert any("doc_id" in ln for ln in schema_lines)
+
+
+def test_registry_contract_invariants():
+    """Driver-contract guards: every entry callable, oracle SQL
+    non-trivial where present, headline set inside the registry, and
+    the correctness window populated with round-1-unverified entries."""
+    from sanctions_data_pipeline_spark.plans import registry as reg
+
+    qs = reg.queries()
+    os_ = reg.oracle_sql()
+    assert len(qs) >= 190 and len(os_) >= 160
+    assert set(os_) <= set(qs)
+    for name, sql in os_.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+    for name, qd in reg.headline_queries().items():
+        assert name in qs and qd.headline
+    # the driver's 50-entry window must contain no already-proven entry
+    window = list(qs)[:50]
+    assert not (set(window) & reg._R01_PROVEN)
