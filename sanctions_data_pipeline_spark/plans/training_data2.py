@@ -875,3 +875,61 @@ def dp_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(lcount("n_docs"),
                  F.sum("n_tok").cast("bigint").alias("n_tokens"),
                  F.md5(ids).alias("ids_md5")))
+
+
+# ---------------------------------------------------------------------------
+# mix_budget_fill — data selection under a token budget: rank the
+# corpus by quality (desc, doc_id tiebreak) and keep documents until
+# the budget is exhausted — greedy quality-first selection, the
+# standard "best N tokens" curation step. A doc is kept iff the budget
+# had room BEFORE it (cum_tok - n_tok < B), so exactly one doc may
+# straddle the boundary — deterministic on both engines.
+# Scale: the global order is a range-partitioned sort (Spark samples
+# split points — no single reducer, same as dp_curriculum); the
+# cumulative sum is one window pass over that order.
+# ---------------------------------------------------------------------------
+_BUDGET_TOKENS = 20_000
+
+_BF_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         round(0.4 * least(len({_TOKS}) / 100.0, 1.0)
+               + 0.3 * (1.0 - (length(text) - length(regexp_replace(text,
+                        '[^\\w\\s]', '', 'g'))) * 1.0
+                        / greatest(length(text), 1))
+               + 0.3 * least(len(list_filter({_TOKS},
+                        t -> t IN ('the','a','of','and','to','in','is',
+                                   'for','on','with'))) * 5.0
+                        / len({_TOKS}), 1.0), 6) AS score,
+         len({_TOKS}) AS n_tok
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, score, n_tok,
+         SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM scored
+)
+SELECT doc_id, score, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_tok AS BIGINT) AS cum_tok
+FROM ordered WHERE cum_tok - n_tok < {_BUDGET_TOKENS}
+"""
+
+
+@register("mix_budget_fill", oracle=_BF_ORACLE)
+def mix_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        tx.quality_score(F.col("text")).alias("score"),
+        F.size(tx.tokens(F.col("text"))).alias("n_tok"))
+    w = (W.orderBy(F.desc("score"), F.asc("doc_id"))
+         .rowsBetween(W.unboundedPreceding, 0))
+    ordered = scored.select(
+        "doc_id", "score", "n_tok",
+        F.sum("n_tok").over(w).alias("cum_tok"))
+    return (ordered
+            .filter(F.col("cum_tok") - F.col("n_tok") < _BUDGET_TOKENS)
+            .select("doc_id", "score",
+                    F.col("n_tok").cast("bigint").alias("n_tok"),
+                    F.col("cum_tok").cast("bigint").alias("cum_tok")))

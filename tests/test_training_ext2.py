@@ -376,3 +376,29 @@ def test_dp_manifest_consistent_with_dp_shuffle(spark, sf_dir):
         ids = ",".join(str(d) for _, d in sorted(rows))
         assert man[shard].ids_md5 == hashlib.md5(ids.encode()).hexdigest()
         assert man[shard].n_docs == len(rows)
+
+
+def test_mix_budget_fill_semantics(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans.training_data2 import (
+        _BUDGET_TOKENS)
+
+    rows = sorted(_run(spark, sf_dir, "mix_budget_fill").collect(),
+                  key=lambda r: r.cum_tok)
+    assert rows
+    # greedy order: scores non-increasing along the fill
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # every kept doc started under budget; all but the last fit fully
+    for r in rows[:-1]:
+        assert r.cum_tok - r.n_tok < _BUDGET_TOKENS
+        assert r.cum_tok <= _BUDGET_TOKENS or r is rows[-1]
+    # nothing better was skipped: kept set size matches a replay
+    docs = _run(spark, sf_dir, "tx_quality").collect()
+    ranked = sorted(((r.quality_score, r.doc_id, r.n_tokens) for r in docs),
+                    key=lambda t: (-t[0], t[1]))
+    cum, keep = 0, []
+    for s, d, n in ranked:
+        if cum < _BUDGET_TOKENS:
+            keep.append(d)
+        cum += n
+    assert {r.doc_id for r in rows} == set(keep)
