@@ -933,3 +933,76 @@ def mix_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "score",
                     F.col("n_tok").cast("bigint").alias("n_tok"),
                     F.col("cum_tok").cast("bigint").alias("cum_tok")))
+
+
+# ---------------------------------------------------------------------------
+# tt_kfold — deterministic k-fold cross-validation assignment (k=5):
+# fold = md5(doc_id) bucket, plus per-fold balance stats in the same
+# result (doc count, token share) so the split's health is visible in
+# one query. Map-only assignment (the same portable-hash discipline as
+# tt_split); the stats agg is bounded at k rows.
+# ---------------------------------------------------------------------------
+_KFOLD = 5
+
+_KFOLD_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('kfold:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              ::BIGINT % {_KFOLD} AS BIGINT) AS fold,
+         len({_TOKS}) AS n_tok
+  FROM documents
+)
+SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM a GROUP BY fold
+"""
+
+
+@register("tt_kfold", oracle=_KFOLD_ORACLE)
+def tt_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (F.conv(F.substring(F.md5(F.concat(F.lit("kfold:"),
+                                              F.col("doc_id").cast("string"))),
+                               1, 8), 16, 10)
+            .cast("bigint") % _KFOLD)
+    return (docs.select(fold.alias("fold"),
+                        F.size(tx.tokens(F.col("text"))).alias("n_tok"))
+            .groupBy("fold")
+            .agg(lcount("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("n_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# dd_dup_stats — duplication dashboard per source: exact-duplicate
+# group counts and the share of redundant copies, the first number a
+# curation loop reads before choosing a dedup strategy. One hash agg
+# over (source, text-hash) + one bounded per-source rollup.
+# ---------------------------------------------------------------------------
+_DUPSTATS_ORACLE = f"""
+WITH g AS (
+  SELECT source, md5({_NORM}) AS h, count(*) AS copies
+  FROM documents GROUP BY source, md5({_NORM})
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_unique_texts,
+       CAST(sum(copies) AS BIGINT) AS n_docs,
+       CAST(sum(copies) - count(*) AS BIGINT) AS n_redundant,
+       CAST(max(copies) AS BIGINT) AS max_copies
+FROM g GROUP BY source
+"""
+
+
+@register("dd_dup_stats", oracle=_DUPSTATS_ORACLE)
+def dd_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (docs.groupBy("source",
+                      F.md5(normalized_text(F.col("text"))).alias("h"))
+         .agg(lcount("copies")))
+    return (g.groupBy("source")
+            .agg(lcount("n_unique_texts"),
+                 F.sum("copies").cast("bigint").alias("n_docs"),
+                 (F.sum("copies") - F.count(F.lit(1))).cast("bigint")
+                  .alias("n_redundant"),
+                 F.max("copies").cast("bigint").alias("max_copies")))

@@ -402,3 +402,28 @@ def test_mix_budget_fill_semantics(spark, sf_dir):
             keep.append(d)
         cum += n
     assert {r.doc_id for r in rows} == set(keep)
+
+
+def test_tt_kfold_balance_and_coverage(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans.training_data2 import _KFOLD
+
+    rows = _run(spark, sf_dir, "tt_kfold").collect()
+    assert len(rows) == _KFOLD
+    n = sum(r.n_docs for r in rows)
+    assert n == load_table(spark, sf_dir, "documents").count()
+    # hash balance: no fold more than 2x the smallest
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) <= 2 * min(sizes)
+
+
+def test_dd_dup_stats_reconciles_with_dd_exact(spark, sf_dir):
+    stats = _run(spark, sf_dir, "dd_dup_stats").collect()
+    total_unique = sum(r.n_unique_texts for r in stats)
+    total_docs = sum(r.n_docs for r in stats)
+    assert total_docs == load_table(spark, sf_dir, "documents").count()
+    for r in stats:
+        assert r.n_redundant == r.n_docs - r.n_unique_texts
+        assert r.max_copies >= 1
+    # corpus-wide uniques can only be <= sum of per-source uniques
+    corpus_unique = _run(spark, sf_dir, "dd_exact").count()
+    assert corpus_unique <= total_unique
