@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--out", required=True, help="output path (.xlsx/.csv/parquet)")
     p.add_argument("--master", default="local[*]")
     args = p.parse_args(argv)
+    if args.scrape and (args.pdf or args.pdf_text):
+        # --pdf/--pdf-text are --feed companions; --scrape discovers and
+        # downloads its own PDF, so silently ignoring them would mislead
+        p.error("--pdf/--pdf-text only apply with --feed "
+                "(--scrape discovers its own PDF from the page)")
 
     if args.master.startswith("local["):
         # tuned local session (AQE, UTC, Arrow, cores-sized shuffle

@@ -114,9 +114,10 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((int(doc_id), ph))
             yield pd.DataFrame(out, columns=["doc_id", "phash"])
 
-    hashed = (docs.filter(F.col("text").isNotNull())  # NULL text would
-              # all hash the same raster -> bogus hamming-0 pairs AND a
-              # quadratic bucket; drop like the other dedup operators
+    hashed = (docs.filter(F.length("text") > 0)  # NULL or EMPTY text
+              # would all hash the same zero raster (np.resize of a
+              # 0-size buffer zero-fills) -> bogus hamming-0 pairs AND
+              # a quadratic bucket; drop like the other dedup operators
               .select("doc_id", "text")
               .mapInPandas(ahash, "doc_id long, phash long"))
     chunked = hashed.select(

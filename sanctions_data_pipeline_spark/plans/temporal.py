@@ -215,7 +215,10 @@ WITH hourly AS (
   FROM events GROUP BY 1, 2
 )
 SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
-       SUM(n) AS n_events,
+       -- DuckDB types SUM(BIGINT) as HUGEINT, which pandas renders as
+       -- float64 ("73.0") and the driver's value-hash then mismatches
+       -- Spark's bigint "73" (round-2 driver FAIL). Cast back to BIGINT.
+       CAST(SUM(n) AS BIGINT) AS n_events,
        CAST(ROUND(SUM(v), 4) * 10000 AS BIGINT) / 10000.0 AS total_value
 FROM hourly GROUP BY 1, 2
 """)

@@ -79,7 +79,8 @@ FROM scored GROUP BY doc_id
 
 
 @register("tx_perplexity", oracle=_PPL_ORACLE)
-def tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tx_perplexity(spark: SparkSession, sf_dir: str,
+                  vocab_cap: int = _PPL_V) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
 
@@ -89,22 +90,32 @@ def tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (toks.select(F.explode("t").alias("tok"))
              .groupBy("tok").agg(lcount("cnt"))
              .orderBy(F.col("cnt").desc(), F.col("tok"))
-             .limit(_PPL_V)
+             .limit(vocab_cap)
              .select("tok"))
-    # vocab is bounded (<= V rows) — collect once, broadcast as a literal
-    # set so the <unk> mapping is a map-side array op, not a join.
+    # vocab is bounded (<= V rows) — collect once (driver state is V
+    # strings), then re-ship it as a BROADCAST dimension. The <unk>
+    # mapping is two broadcast hash-join probes on the bigram stream —
+    # O(1) per token and a constant-size plan, where the previous
+    # F.array(*literals)/array_contains probe was O(V) per token with
+    # an expression tree that grew with V (a cliff at CCNet-scale
+    # V≈50k; this shape is flat from V=40 to V=50k).
     vocab_list = [r.tok for r in vocab.collect()]
-    vset = F.array(*[F.lit(t) for t in vocab_list])
+    vocab_df = spark.createDataFrame([(t,) for t in vocab_list] or [(None,)],
+                                     "tok string").filter(F.col("tok").isNotNull())
 
-    mapped = toks.select(
-        "doc_id",
-        F.transform(F.col("t"),
-                    lambda x: F.when(F.array_contains(vset, x), x)
-                               .otherwise(F.lit("<unk>"))).alias("t"))
-
-    bg = (mapped.select("doc_id",
-                        F.explode(tx.adjacent_pairs(F.col("t"))).alias("b"))
-          .select("doc_id", "b.w1", "b.w2"))
+    bg0 = (toks.select("doc_id",
+                       F.explode(tx.adjacent_pairs(F.col("t"))).alias("b"))
+           .select("doc_id", F.col("b.w1").alias("w1r"),
+                   F.col("b.w2").alias("w2r")))
+    v1 = vocab_df.select(F.col("tok").alias("w1r"), F.lit(True).alias("in1"))
+    v2 = vocab_df.select(F.col("tok").alias("w2r"), F.lit(True).alias("in2"))
+    bg = (bg0.join(F.broadcast(v1), "w1r", "left")
+          .join(F.broadcast(v2), "w2r", "left")
+          .select("doc_id",
+                  F.when(F.col("in1"), F.col("w1r"))
+                   .otherwise(F.lit("<unk>")).alias("w1"),
+                  F.when(F.col("in2"), F.col("w2r"))
+                   .otherwise(F.lit("<unk>")).alias("w2")))
 
     c2 = bg.groupBy("w1", "w2").agg(lcount("c12"))
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -413,7 +424,12 @@ FROM scored GROUP BY doc_id
 @register("mix_dsir_weights", oracle=_DSIR_ORACLE)
 def mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "lang", tx.tokens(F.col("text")).alias("t"))
+    # NULL lang must vanish from BOTH LMs, mirroring the oracle's
+    # lang = 'en' / lang <> 'en' predicates (which never match NULL);
+    # without this, (lang == 'en') is NULL and the driver-side `if t`
+    # would silently fold NULL-lang features into the raw LM.
+    toks = (docs.filter(F.col("lang").isNotNull())
+            .select("doc_id", "lang", tx.tokens(F.col("text")).alias("t")))
     feats = (toks.select("doc_id", "lang",
                          F.explode(tx.adjacent_pairs(F.col("t"))).alias("p"))
              .select("doc_id", "lang",

@@ -103,6 +103,37 @@ def discover_link(html: str, base_url: str, suffix: str,
     return urljoin(base_url, href)
 
 
+def playwright_page_fetch(url: str, timeout: int = 60) -> tuple[bytes, dict]:
+    """Rendering transport for the PAGE fetch: drive a headless browser
+    so links that only materialize via JS exist in the DOM we scan —
+    the reference's Playwright step (main.py:104-109, 207-212). Only
+    used for the landing page; file downloads stay on the raw
+    transport, mirroring the reference's browser-for-page /
+    requests-for-files split."""
+    from playwright.sync_api import sync_playwright  # noqa: I001 - gated
+
+    with sync_playwright() as p:
+        browser = p.chromium.launch()
+        try:
+            page = browser.new_page()
+            page.goto(url, timeout=timeout * 1000, wait_until="networkidle")
+            html = page.content()
+        finally:
+            browser.close()
+    return html.encode("utf-8"), {"content-type": "text/html"}
+
+
+def default_page_fetch(fetch: FetchFn = urllib_fetch) -> FetchFn:
+    """Feature-detected page transport (same gating pattern as the
+    pypdf/PIL upgrades): Playwright's rendering fetch when the package
+    is importable, else the raw transport's static HTML."""
+    try:
+        import playwright.sync_api  # noqa: F401
+    except ImportError:
+        return fetch
+    return playwright_page_fetch
+
+
 @dataclass(frozen=True)
 class ScrapeResult:
     xml_path: str
@@ -110,11 +141,16 @@ class ScrapeResult:
 
 
 def scrape_to_local(page_url: str, workdir: str,
-                    fetch: FetchFn = urllib_fetch) -> ScrapeResult:
+                    fetch: FetchFn = urllib_fetch,
+                    page_fetch: FetchFn | None = None) -> ScrapeResult:
     """Reference steps 0-1 (find + download XML and PDF) against any
     transport. The XML lands in ``workdir/xml``, the PDF in
-    ``workdir/pdf`` — same layout the reference builds."""
-    html_bytes, _ = fetch(page_url)
+    ``workdir/pdf`` — same layout the reference builds. The page is
+    fetched through ``page_fetch`` (defaults to the rendering transport
+    when Playwright is importable, else ``fetch``); the discovered
+    files always download through ``fetch``."""
+    page_fetch = page_fetch if page_fetch is not None else default_page_fetch(fetch)
+    html_bytes, _ = page_fetch(page_url)
     html = html_bytes.decode("utf-8", errors="replace")
     xml_url = discover_link(html, page_url, ".xml",
                             ("/travelbans/file/", "export"))

@@ -71,6 +71,47 @@ def test_scrape_downloads_with_server_names(tmp_path):
         assert open(got.xml_path, "rb").read() == fh.read()
 
 
+def test_scrape_renders_page_with_injected_renderer(tmp_path):
+    """JS-materialized links (reference main.py:104-109 drives
+    Playwright): the raw transport sees an empty page, the injected
+    rendering page_fetch sees the post-JS DOM — scrape must discover
+    from the rendered DOM while still downloading via the raw
+    transport."""
+    raw_calls = []
+
+    def raw(url):
+        raw_calls.append(url)
+        if url == "https://example.org/main":
+            # static HTML: links not yet materialized
+            return b"<html><body><div id=app></div></body></html>", {}
+        return _fake_fetch(url)
+
+    def rendering(url):
+        assert url == "https://example.org/main"
+        return PAGE.encode(), {"content-type": "text/html"}
+
+    got = scrape_to_local("https://example.org/main", str(tmp_path),
+                          fetch=raw, page_fetch=rendering)
+    assert os.path.basename(got.xml_path) == "feed.xml"
+    assert os.path.basename(got.pdf_path) == "travel_ban.pdf"
+    # downloads went through the RAW transport, page did not
+    assert "https://example.org/main" not in raw_calls
+    assert len(raw_calls) == 2
+
+
+def test_default_page_fetch_gates_on_playwright():
+    from sanctions_data_pipeline_spark.sources.fetch import (
+        default_page_fetch, playwright_page_fetch)
+
+    chosen = default_page_fetch(_fake_fetch)
+    try:
+        import playwright.sync_api  # noqa: F401
+        assert chosen is playwright_page_fetch
+    except ImportError:
+        # no browser in this image -> raw transport passthrough
+        assert chosen is _fake_fetch
+
+
 def test_scrape_pipeline_matches_local_path(spark, tmp_path):
     from sanctions_data_pipeline_spark.pipeline import run_pipeline
     from sanctions_data_pipeline_spark.sources.pdf_source import extract_pdf_text

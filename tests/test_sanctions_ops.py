@@ -27,6 +27,40 @@ def test_gender_precedence(spark):
     assert out == ["Male", "Female", "Male", "Male", "Female"]
 
 
+def test_gender_dictionary_breadth():
+    """Reference parity: main.py resolves step 3 through the
+    gender_guesser dataset (~40k names). The engine ships its own
+    public-knowledge dictionary — pin its size, its invariants (one
+    row per name, lowercase, apostrophe-free for the DuckDB VALUES
+    inlining) and its recall over an international sample of
+    sanction-list-style first names."""
+    from sanctions_data_pipeline_spark.data import gender_dict
+
+    rows = gender_dict.rows()
+    names = [n for n, _ in rows]
+    assert len(rows) >= 2500
+    assert len(names) == len(set(names))  # no fan-out in the broadcast join
+    assert all(n == n.lower() and "'" not in n for n in names)
+    genders = {g for _, g in rows}
+    assert genders == {"female", "male"}
+
+    sample_female = [
+        "maria", "fatima", "svetlana", "aisha", "yulia", "zeynep", "priya",
+        "amina", "natalya", "leila", "rosa", "ingrid", "keiko", "mariam",
+        "irina", "nadia", "valentina", "sara", "olga", "hanan",
+    ]
+    sample_male = [
+        "mohammed", "ivan", "jose", "ahmed", "vladimir", "juan", "ali",
+        "sergey", "mustafa", "dmitry", "hassan", "andrei", "carlos",
+        "abdullah", "mehmet", "igor", "omar", "rashid", "viktor", "tariq",
+    ]
+    dic = dict(rows)
+    fem_hits = sum(1 for n in sample_female if dic.get(n) == "female")
+    male_hits = sum(1 for n in sample_male if dic.get(n) == "male")
+    assert fem_hits >= 18, [n for n in sample_female if dic.get(n) != "female"]
+    assert male_hits >= 18, [n for n in sample_male if dic.get(n) != "male"]
+
+
 def test_variant_mapping_first_wins(spark):
     entries = spark.createDataFrame(
         [(2, "Jose Garcia", "v2"), (1, "José García", "v1")],

@@ -51,6 +51,28 @@ def test_tx_perplexity_matches_direct_python(spark, sf_dir):
         assert abs(g - ppl) < 1e-6, (d, g, ppl)
 
 
+def test_tx_perplexity_large_vocab_no_cliff(spark):
+    """V=5000 must run with the same flat plan as V=40 (broadcast-join
+    vocab, not a literal expression tree) — the round-2 verdict's
+    de-cliffing requirement. At this vocab cap the corpus's full token
+    set is in-vocab, so <unk> never fires and ppl is finite."""
+    import os
+
+    from sanctions_data_pipeline_spark.plans.training_data2 import tx_perplexity
+
+    big = "/root/testdata/sf0.01"
+    sf = big if os.path.isdir(big) else SF_SMOKE_FALLBACK
+    out = tx_perplexity(spark, sf, vocab_cap=5000)
+    rows = out.collect()
+    assert rows and all(r.ppl > 0 and r.n_bigrams > 0 for r in rows)
+    # plan shape: no array_contains / literal-array probe survives
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_contains" not in plan
+
+
+SF_SMOKE_FALLBACK = "/root/testdata/sf0.001"
+
+
 def test_sim_maxsim_matches_numpy(spark, sf_dir):
     import numpy as np
 

@@ -41,6 +41,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return rows
 
 
+def _same(x, y) -> bool:
+    """Dtype-STRICT value equality, mirroring the driver's value-hash.
+
+    The driver hashes a canonical rendering of each value, so an int 73
+    on one side and a float 73.0 on the other MISMATCH even though
+    ``73 == 73.0`` — that asymmetry is exactly how the round-2
+    q_rollup_reuse failure (DuckDB HUGEINT -> pandas float64) slipped
+    past the old ``==``-based comparator. Types must match before
+    values are compared; floats are bit-exact with NaN==NaN.
+    """
+    if x is None and y is None:
+        return True
+    if x is None or y is None:
+        return False
+    if type(x) is not type(y):
+        return False
+    if isinstance(x, float):
+        return (x != x and y != y) or x == y  # NaN-equal or bit-exact
+    return bool(x == y)
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -56,10 +77,7 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     first = None
     for a, b in zip(srows, drows):
         for x, y in zip(a, b):
-            ok = (x == y) or (x is None and y is None)
-            if not ok and isinstance(x, float) and isinstance(y, float):
-                ok = (x != x and y != y) or x == y  # NaN-equal or exact
-            if not ok:
+            if not _same(x, y):
                 n_bad += 1
                 if first is None:
                     first = (a, b)
