@@ -72,7 +72,7 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("zero_crossings").cast("bigint").alias("total_zc")))
 
 
-@register("mm_phash")
+@register("mm_phash", headline=True)
 def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup pairs — the multimodal member of
     the dedup family. Per doc, a REAL PNG round-trip (text bytes tiled

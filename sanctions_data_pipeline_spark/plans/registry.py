@@ -68,6 +68,7 @@ _PLAN_MODULES = (
     "sanctions",
     "training_data",
     "training_data2",
+    "training_data3",
     "streaming",
     "multimodal",
     "temporal",

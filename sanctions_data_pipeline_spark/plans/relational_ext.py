@@ -1106,7 +1106,7 @@ FROM walk GROUP BY depth
 """
 
 
-@register("q_recursive_walk", oracle=_REC_SQL)
+@register("q_recursive_walk", oracle=_REC_SQL, headline=True)
 def q_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.catalog import register_views
 

@@ -78,7 +78,7 @@ FROM scored GROUP BY doc_id
 """
 
 
-@register("tx_perplexity", oracle=_PPL_ORACLE)
+@register("tx_perplexity", oracle=_PPL_ORACLE, headline=True)
 def tx_perplexity(spark: SparkSession, sf_dir: str,
                   vocab_cap: int = _PPL_V) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -174,17 +174,25 @@ FROM pairmax GROUP BY label
 """
 
 
-@register("sim_maxsim", oracle=_MAXSIM_ORACLE)
+@register("sim_maxsim", oracle=_MAXSIM_ORACLE, headline=True)
 def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = (emb.filter(F.col("label") == 0)
-         .select(F.col("vec_id").alias("qv_id"),
-                 sim.as_double(F.col("embedding")).alias("qv")))
-    c = (emb.filter(F.col("label") != 0)
-         .select("label", sim.as_double(F.col("embedding")).alias("dv")))
+    # norms materialized ONCE per row (bit-identical arithmetic, see
+    # _with_norm): the q×corpus pair stage then runs one fold per pair
+    # (the dot) instead of three — at 100 TB that's the whole hot loop
+    q = sim._with_norm(
+        emb.filter(F.col("label") == 0)
+        .select(F.col("vec_id").alias("qv_id"),
+                sim.as_double(F.col("embedding")).alias("qv")),
+        "qv", "qn")
+    c = sim._with_norm(
+        emb.filter(F.col("label") != 0)
+        .select("label", sim.as_double(F.col("embedding")).alias("dv")),
+        "dv", "dn")
     pairmax = (c.crossJoin(F.broadcast(q))
                .select("qv_id", "label",
-                       F.round(sim.cosine(F.col("qv"), F.col("dv")), 6)
+                       F.round(sim.dot(F.col("qv"), F.col("dv"))
+                               / (F.col("qn") * F.col("dn")), 6)
                         .alias("cos"))
                .groupBy("qv_id", "label").agg(F.max("cos").alias("m")))
     fold = F.aggregate(F.array_sort(F.collect_list("m")),
@@ -564,16 +572,23 @@ FROM pos p JOIN neg n ON p.qv_id = n.qv_id AND p.r = 1 AND n.r = 1
 @register("sim_hard_negatives", oracle=_HN_ORACLE)
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = (emb.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("qv_id"),
-                 F.col("label").alias("qlabel"),
-                 sim.as_double(F.col("embedding")).alias("qv")))
-    c = emb.select("vec_id", "label",
-                   sim.as_double(F.col("embedding")).alias("dv"))
+    # norms once per row (bit-identical; see _with_norm) — the
+    # pair stage folds only the dot
+    q = sim._with_norm(
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qv_id"),
+                F.col("label").alias("qlabel"),
+                sim.as_double(F.col("embedding")).alias("qv")),
+        "qv", "qn")
+    c = sim._with_norm(
+        emb.select("vec_id", "label",
+                   sim.as_double(F.col("embedding")).alias("dv")),
+        "dv", "dn")
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("qv_id"))
               .select("qv_id", "qlabel", "vec_id", "label",
-                      F.round(sim.cosine(F.col("qv"), F.col("dv")), 6)
+                      F.round(sim.dot(F.col("qv"), F.col("dv"))
+                              / (F.col("qn") * F.col("dn")), 6)
                        .alias("cos")))
     w = W.partitionBy("qv_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     pos = (scored.filter(F.col("label") == F.col("qlabel"))
@@ -603,7 +618,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-@register("tok_bpe_merges")
+@register("tok_bpe_merges", headline=True)
 def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
@@ -702,7 +717,7 @@ WHERE shared >= {_WIN_MIN_SHARED}
 """
 
 
-@register("dd_winnow", oracle=_WINNOW_ORACLE)
+@register("dd_winnow", oracle=_WINNOW_ORACLE, headline=True)
 def dd_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))

@@ -285,12 +285,12 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
         .alias("delay_us"))
 
 
-def foreach_upsert_latest(spark: SparkSession, sf_dir: str,
-                          max_files_per_trigger: int | None = None) -> DataFrame:
-    """Streaming MERGE sink: every micro-batch upserts per-user latest
-    state (ts, event_id, value) into a parquet state table via
-    ``foreachBatch``, the standard Structured-Streaming pattern for
-    sinks without native streaming MERGE support.
+def start_upsert_latest_sink(ev: DataFrame, root: str):
+    """Start the foreachBatch MERGE sink over an events stream and
+    return the running StreamingQuery. State lives at ``root/state``,
+    the checkpoint at ``root/ckpt`` — restarting with the same ``root``
+    resumes from the checkpoint (and replays any batch whose commit
+    marker is missing, which the merge makes idempotent).
 
     Each batch is first reduced per key (one shuffle over batch data
     only), then merged against the CURRENT state with the same
@@ -302,10 +302,7 @@ def foreach_upsert_latest(spark: SparkSession, sf_dir: str,
     """
     import shutil
 
-    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
-    root = tempfile.mkdtemp(prefix="upsert_sink_")
     state_path = os.path.join(root, "state")
-    ckpt = os.path.join(root, "ckpt")
 
     ord_key = F.struct(F.col("last_ts_us"), F.col("last_event_id"))
     payload = F.struct("last_ts_us", "last_event_id", "last_value")
@@ -334,12 +331,22 @@ def foreach_upsert_latest(spark: SparkSession, sf_dir: str,
             shutil.rmtree(state_path)
         os.rename(staged, state_path)
 
-    q = (ev.writeStream.foreachBatch(merge_batch)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True)
-         .start())
+    return (ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start())
+
+
+def foreach_upsert_latest(spark: SparkSession, sf_dir: str,
+                          max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming MERGE sink over the events stream (see
+    :func:`start_upsert_latest_sink` for the merge/replay semantics);
+    drains everything available and returns the final state table."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    root = tempfile.mkdtemp(prefix="upsert_sink_")
+    q = start_upsert_latest_sink(ev, root)
     q.awaitTermination()
-    return spark.read.parquet(state_path)
+    return spark.read.parquet(os.path.join(root, "state"))
 
 
 def chained_window_agg(events: DataFrame, inner: str = "15 minutes",

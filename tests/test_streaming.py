@@ -171,6 +171,75 @@ def test_foreach_upsert_multi_batch_equals_single_batch(spark, sf_dir, tmp_path)
     assert batched == single
 
 
+def test_foreach_upsert_kill_resume_and_replay_idempotent(spark, sf_dir, tmp_path):
+    """Chaos-test the foreachBatch MERGE sink's checkpoint recovery
+    end-to-end: stop the query mid-stream after the first committed
+    batch, DELETE that batch's commit marker so the restart must replay
+    a batch whose side effects already landed in the state table, then
+    resume to completion. The (ts, event_id)-comparator merge makes the
+    replay idempotent, so the final state must be bit-identical to an
+    uninterrupted run."""
+    import os
+    import time
+
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.streaming.ops import (
+        foreach_upsert_latest, read_events_stream, start_upsert_latest_sink)
+
+    src = load_table(spark, sf_dir, "events")
+    multi = str(tmp_path / "events.parquet")
+    src.repartition(4).write.mode("overwrite").parquet(multi)
+
+    root = str(tmp_path / "sink")
+    os.makedirs(root)
+    commits = os.path.join(root, "ckpt", "commits")
+
+    def committed() -> list[str]:
+        if not os.path.isdir(commits):
+            return []
+        return sorted(f for f in os.listdir(commits) if not f.startswith("."))
+
+    # run 1: one file per trigger; kill once the first batch has committed
+    ev = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    q = start_upsert_latest_sink(ev, root)
+    deadline = time.time() + 120
+    while not committed() and time.time() < deadline:
+        time.sleep(0.2)
+    assert committed(), "no batch committed before the kill"
+    q.stop()
+    q.awaitTermination()
+    # stop() tears the query down asynchronously in parts; starting the
+    # resume while it still holds the checkpoint dir trips Spark's
+    # concurrent-checkpoint guard — wait for full deregistration
+    while any(aq.id == q.id for aq in spark.streams.active):
+        time.sleep(0.2)
+    n_done = len(committed())
+    assert n_done < 4, "stream finished before the kill; chaos point missed"
+
+    # forced replay: drop the newest commit marker — on restart Spark
+    # re-runs that batch even though its merge already hit the state dir.
+    # Also drop Hadoop's .N.crc checksum sidecar: a crash-before-commit
+    # leaves neither file, and a stale sidecar makes the replay's
+    # rename-into-place fail with FileAlreadyExists.
+    last = committed()[-1]
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # run 2: resume from the same checkpoint to completion
+    ev2 = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    q2 = start_upsert_latest_sink(ev2, root)
+    q2.awaitTermination()
+    assert len(committed()) == 4
+
+    resumed = {r.user_id: (r.last_ts_us, r.last_event_id, r.last_value)
+               for r in spark.read.parquet(os.path.join(root, "state")).collect()}
+    clean = {r.user_id: (r.last_ts_us, r.last_event_id, r.last_value)
+             for r in foreach_upsert_latest(spark, sf_dir).collect()}
+    assert resumed == clean
+
+
 def test_chained_windows_match_batch_rollup_prefix(spark, sf_dir):
     from pyspark.sql import functions as F
     from sanctions_data_pipeline_spark.catalog import load_table

@@ -1,0 +1,185 @@
+"""Round-3 extension ops: Gopher quality rules, soft dedup weights,
+PageRank, MMR diversification, k-means training surface — each pinned
+against an independent pure-python recomputation."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.plans import registry
+
+
+def _run(spark, sf_dir, name):
+    return registry.queries()[name](spark, sf_dir)
+
+
+def _toks(text: str) -> list[str]:
+    return re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+
+
+def test_tx_gopher_rules_matches_python(spark, sf_dir):
+    got = {r.doc_id: r for r in _run(spark, sf_dir, "tx_gopher_rules").collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    assert len(got) == len(docs)
+    for d in docs:
+        t = _toks(d.text)
+        n = len(t)
+        mwl = sum(len(w) for w in t) / n
+        swr = (d.text.count("#")
+               + (len(d.text) - len(d.text.replace("...", ""))) // 3) / n
+        alpha = sum(1 for w in t if re.search("[a-z]", w)) / n
+        n_stop = sum(1 for w in stops if w in t)
+        passes = (50 <= n <= 100000 and 3 <= mwl <= 10 and swr <= 0.1
+                  and alpha >= 0.8 and n_stop >= 2)
+        g = got[d.doc_id]
+        assert g.n_words == n
+        assert abs(g.mean_word_len - round(mwl, 6)) < 1e-9
+        assert abs(g.symbol_ratio - round(swr, 6)) < 1e-9
+        assert abs(g.alpha_ratio - round(alpha, 6)) < 1e-9
+        assert g.n_stopwords == n_stop
+        assert g.passes == passes, (d.doc_id, g)
+
+
+def test_tx_gopher_rules_discriminates(spark, tmp_path):
+    """The synthetic corpus's short word-soup docs all fail the real
+    Gopher thresholds (correctly), so prove discrimination on a crafted
+    corpus: a fluent 60-word doc passes, spam shapes each trip a
+    different rule."""
+    from sanctions_data_pipeline_spark.plans.training_data3 import tx_gopher_rules
+
+    fluent = ("the quick brown fox jumps over the lazy dog and then "
+              "runs off to find that one friend it used to have with "
+              "all the time in the world ") * 3  # 66 words, stopword-rich
+    short = "the cat and the hat"                      # < 50 words
+    symbols = "# ".join(["the and of that have with be to"] * 8)  # swr > 0.1
+    numeric = " ".join(["12345"] * 60) + " the and"    # alpha < 0.8
+    rows = [(1, fluent, "en", "s", len(fluent)),
+            (2, short, "en", "s", len(short)),
+            (3, symbols, "en", "s", len(symbols)),
+            (4, numeric, "en", "s", len(numeric))]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r.passes
+           for r in tx_gopher_rules(spark, str(tmp_path)).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_dd_soft_dedup_weights_sum_to_distinct_count(spark, sf_dir):
+    rows = _run(spark, sf_dir, "dd_soft_dedup").collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    from collections import Counter
+    norm = Counter(re.sub(r"\s+", " ", d.text.lower()).strip() for d in docs)
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert r.weight == round(1.0 / r.dup_count, 6)
+    # Σ weights == number of DISTINCT texts (each group contributes ~1)
+    total = sum(r.weight for r in rows)
+    assert abs(total - len(norm)) < 1e-3
+    assert max(r.dup_count for r in rows) == max(norm.values())
+
+
+def test_gr_pagerank_matches_power_iteration(spark, sf_dir):
+    got = {r.node: (r.degree, r.pagerank)
+           for r in _run(spark, sf_dir, "gr_pagerank").collect()}
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_partkey") < 200)
+          .select("l_orderkey", "l_partkey").distinct().collect())
+    from collections import Counter, defaultdict
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_orders: Counter = Counter()
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    pair_orders[(a, b)] += 1
+    edges = [(a, b) for (a, b), c in pair_orders.items() if c >= 3]
+    deg = Counter(a for a, _ in edges)
+    n = len(deg)
+    assert set(got) == set(deg)
+    pr = {v: 1.0 / n for v in deg}
+    for _ in range(2):
+        contribs = defaultdict(list)
+        for a, b in edges:
+            if a in pr:
+                contribs[b].append(pr[a] / deg[a])
+        pr = {v: 0.15 / n + 0.85 * math.fsum(sorted(cs))
+              for v, cs in contribs.items()}
+    for v, (d_, p_) in got.items():
+        assert d_ == deg[v]
+        assert abs(p_ - pr[v]) < 1e-6, (v, p_, pr[v])
+
+
+def test_sim_mmr_diversify_matches_greedy_replay(spark, sf_dir):
+    got = [(r.rank, r.vec_id, r.mmr)
+           for r in _run(spark, sf_dir, "sim_mmr_diversify")
+           .orderBy("rank").collect()]
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    q = min((r for r in emb if r.label == 0), key=lambda r: r.vec_id)
+    qv = [float(x) for x in q.embedding]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    cand = sorted(((r.vec_id, [float(x) for x in r.embedding])
+                   for r in emb if r.label != 0),
+                  key=lambda t: (-cos(qv, t[1]), t[0]))[:50]
+    lam, sel, expect = 0.7, [], []
+    pool = [(vid, v, cos(qv, v)) for vid, v in cand]
+    while pool and len(sel) < 10:
+        best = max(pool, key=lambda t: (
+            lam * t[2] - (1 - lam) * max((cos(t[1], s[1]) for s in sel),
+                                         default=0.0), -t[0]))
+        red = max((cos(best[1], s[1]) for s in sel), default=0.0)
+        sel.append(best)
+        pool.remove(best)
+        expect.append((len(sel), best[0],
+                       round(lam * best[2] - (1 - lam) * red, 6)))
+    assert [(r, v) for r, v, _ in got] == [(r, v) for r, v, _ in expect]
+    for (_, _, a), (_, _, b) in zip(got, expect):
+        assert abs(a - b) < 1e-6
+    # diversification actually reorders vs pure relevance
+    pure = [vid for vid, _, _ in
+            sorted(((vid, v, cos(qv, v)) for vid, v in cand),
+                   key=lambda t: (-t[2], t[0]))[:10]]
+    assert [v for _, v, _ in got] != pure or len(set(pure)) <= 1
+
+
+def test_emb_kmeans_train_cells_match_replay(spark, sf_dir):
+    from sanctions_data_pipeline_spark.operators.similarity import kmeans_fit
+
+    got = {r.cell: (r.n_members, r.mean_cos)
+           for r in _run(spark, sf_dir, "emb_kmeans_train").collect()}
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, 8)
+
+    rows = emb.collect()
+
+    def cos_to(c, v):
+        d = sum(x * y for x, y in zip(c, v))
+        return d / math.sqrt(sum(x * x for x in v))  # c is unit-norm
+
+    cells: dict[int, list[float]] = {}
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        dots = [sum(x * y for x, y in zip(c, v)) for c in cents]
+        cell = dots.index(max(dots)) + 1
+        cells.setdefault(cell, []).append(round(cos_to(cents[cell - 1], v), 6))
+    assert set(got) == set(cells)
+    for cell, vals in cells.items():
+        n, mc = got[cell]
+        assert n == len(vals)
+        assert abs(mc - round(math.fsum(sorted(vals)) / len(vals), 6)) < 1e-6
+    assert sum(n for n, _ in got.values()) == len(rows)
