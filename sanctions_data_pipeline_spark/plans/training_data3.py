@@ -142,6 +142,51 @@ def dd_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tt_dedup_aware_split — train/test split that can NEVER leak an exact
+# duplicate across the boundary: the split hash is computed on the
+# GROUP KEY (min doc_id among exact duplicates, via md5 of the
+# normalized text), so every member of a duplicate group lands on the
+# same side. The failure this prevents — test documents whose
+# near-copies sit in train — is precisely what tt_leakage_check
+# measures after the fact; this op makes it impossible by construction
+# for the exact-dup class.
+#
+# Scale: one hash-groupBy on the 16-byte text hash (the dd_exact
+# shuffle), then the same map-side md5-bucket split as tt_split keyed
+# on the group id instead of the row id.
+# ---------------------------------------------------------------------------
+_TTD_BUCKET = ("(('0x' || substr(md5('ttd:' || CAST(grp AS VARCHAR)), 1, 8))"
+               "::BIGINT % 100)")
+
+_TTD_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5({_NORM}) AS k FROM documents
+),
+g AS (SELECT k, min(doc_id) AS grp FROM h GROUP BY k)
+SELECT h.doc_id, CAST(g.grp AS BIGINT) AS group_id,
+       CASE WHEN {_TTD_BUCKET} < 80 THEN 'train'
+            WHEN {_TTD_BUCKET} < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM h JOIN g ON h.k = g.k
+"""
+
+
+@register("tt_dedup_aware_split", oracle=_TTD_ORACLE)
+def tt_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    h = docs.select("doc_id", F.md5(norm).alias("k"))
+    g = h.groupBy("k").agg(F.min("doc_id").alias("grp"))
+    b = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("ttd:"), F.col("grp").cast("string"))), 1, 8),
+        16, 10).cast("bigint") % 100)
+    return (h.join(g, "k")
+            .select("doc_id", F.col("grp").cast("bigint").alias("group_id"),
+                    F.when(b < 80, "train").when(b < 90, "valid")
+                     .otherwise("test").alias("split")))
+
+
+# ---------------------------------------------------------------------------
 # gr_pagerank — PageRank over the co-purchase graph (parts linked when
 # bought together in >= 3 orders, symmetric, so no dangling nodes).
 # Damping 0.85, uniform init 1/N, 2 power iterations; per-node

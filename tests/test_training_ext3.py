@@ -84,6 +84,49 @@ def test_dd_soft_dedup_weights_sum_to_distinct_count(spark, sf_dir):
     assert max(r.dup_count for r in rows) == max(norm.values())
 
 
+def test_tt_dedup_aware_split_never_splits_a_dup_group(spark, sf_dir):
+    rows = _run(spark, sf_dir, "tt_dedup_aware_split").collect()
+    docs = {d.doc_id: re.sub(r"\s+", " ", d.text.lower()).strip()
+            for d in load_table(spark, sf_dir, "documents").collect()}
+    assert len(rows) == len(docs)
+    by_text: dict[str, set] = {}
+    for r in rows:
+        by_text.setdefault(docs[r.doc_id], set()).add((r.group_id, r.split))
+    # every exact-duplicate group has ONE group id and ONE split side
+    for text, assignments in by_text.items():
+        assert len(assignments) == 1, (text[:40], assignments)
+    assert {r.split for r in rows} == {"train", "valid", "test"}
+
+
+def test_tt_dedup_aware_split_groups_dups_on_crafted_corpus(spark, tmp_path):
+    """sf0.001 has no exact duplicates, so force some: 30 base texts,
+    each duplicated 3x with different doc_ids (including ws/case
+    variants that normalize equal) — all copies must share group_id
+    and split side."""
+    from sanctions_data_pipeline_spark.plans.training_data3 import (
+        tt_dedup_aware_split)
+
+    rows = []
+    did = 0
+    for i in range(30):
+        base = f"some document number {i} with shared content"
+        for variant in (base, base.upper(), f"  {base}  "):
+            rows.append((did, variant, "en", "s", len(variant)))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = tt_dedup_aware_split(spark, str(tmp_path)).collect()
+    assert len(got) == 90
+    by_group: dict[int, set] = {}
+    for r in got:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    assert len(by_group) == 30          # 3 copies collapse to one group
+    assert all(len(s) == 1 for s in by_group.values())  # one side each
+    # group ids are the min doc_id of each triple
+    assert set(by_group) == {3 * i for i in range(30)}
+
+
 def test_gr_pagerank_matches_power_iteration(spark, sf_dir):
     got = {r.node: (r.degree, r.pagerank)
            for r in _run(spark, sf_dir, "gr_pagerank").collect()}
