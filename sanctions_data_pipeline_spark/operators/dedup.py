@@ -433,16 +433,21 @@ def connected_components(pairs: DataFrame, src: str = "i", dst: str = "j",
     min(own label, neighbor labels) directly — no separate "combine
     with self" join per round.
     """
-    # sym is persisted so the (possibly expensive) pair-producing plan
-    # upstream runs exactly once — nodes, self-loops, and labels all
-    # read the cached symmetric edge list. NO distinct: duplicate edges
-    # are harmless under min-aggregation, and deduping here would
-    # shuffle the largest intermediate of the whole algorithm for
-    # nothing (pair producers already emit unique i<j pairs).
-    sym = (pairs.select(F.col(src).cast("long").alias("a"),
-                        F.col(dst).cast("long").alias("b"))
-           .unionAll(pairs.select(F.col(dst).cast("long").alias("a"),
-                                  F.col(src).cast("long").alias("b")))
+    # The (possibly expensive) pair-producing plan is persisted FIRST:
+    # the symmetric edge list unions that plan twice, and Spark does
+    # not dedupe common subplans across union branches — without this
+    # persist, materializing `sym` runs the whole candidate-generation
+    # pipeline TWICE in one job (measured: dd_cluster at sf0.1 spent
+    # 2x3.2s producing the same 79 pairs). NO distinct on sym:
+    # duplicate edges are harmless under min-aggregation, and deduping
+    # here would shuffle the largest intermediate of the whole
+    # algorithm for nothing (pair producers already emit unique i<j
+    # pairs).
+    base = (pairs.select(F.col(src).cast("long").alias("a"),
+                         F.col(dst).cast("long").alias("b"))
+            .persist())
+    sym = (base.unionAll(base.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
            .persist())
     nodes = sym.select(F.col("a").alias("id")).distinct()
     edges = (sym.unionAll(nodes.select(F.col("id").alias("a"),
@@ -492,6 +497,7 @@ def connected_components(pairs: DataFrame, src: str = "i", dst: str = "j",
                   .select(stepped.id,
                           F.coalesce("plabel", "label").alias("label")))
 
+    base.unpersist()
     sym.unpersist()
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
