@@ -200,6 +200,30 @@ def test_sim_mmr_diversify_matches_greedy_replay(spark, sf_dir):
     assert [v for _, v, _ in got] != pure or len(set(pure)) <= 1
 
 
+def test_gr_pagerank_mass_conservation(spark, sf_dir):
+    """On a symmetric graph (no dangling nodes) every iteration
+    redistributes all probability mass: Σ pr = Σ [0.15/N + 0.85·(mass
+    flowing in)] = 0.15 + 0.85 = 1. The 6dp-rounded outputs must sum
+    to 1 within rounding slack."""
+    rows = _run(spark, sf_dir, "gr_pagerank").collect()
+    total = math.fsum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < len(rows) * 5e-7 + 1e-6, total
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_mmr_scores_monotone_nonincreasing_in_rank(spark, sf_dir):
+    """Greedy MMR picks the argmax each step over a shrinking pool
+    whose redundancy terms only grow — selected scores can tie but
+    never improve with rank."""
+    rows = sorted(_run(spark, sf_dir, "sim_mmr_diversify").collect(),
+                  key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    # rank-1 score is pure relevance (no redundancy term yet): it must
+    # be the global max; later scores may fluctuate but never beat it
+    assert all(rows[0].mmr >= r.mmr - 1e-9 for r in rows[1:])
+    assert len({r.vec_id for r in rows}) == len(rows)  # no repeats
+
+
 def test_emb_kmeans_train_cells_match_replay(spark, sf_dir):
     from sanctions_data_pipeline_spark.operators.similarity import kmeans_fit
 
