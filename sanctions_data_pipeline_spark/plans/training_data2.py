@@ -663,6 +663,60 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tok_bpe_encode — APPLY the learned BPE merges to the corpus (the
+# inference half of tok_bpe_merges): every word re-segments through the
+# merge list in training order (greedy left-to-right, exactly BPE's
+# rule), and each document reports its token-efficiency accounting —
+# the number the tokenizer team actually tracks (symbols/word before
+# vs after merging). Rows-only (depends on the trained merge list);
+# pytest replays train+encode in pure python.
+#
+# Scale: the merge list is bounded driver state (R rows); application
+# is R chained higher-order folds inside one map-side corpus pass —
+# no shuffle except the per-doc count agg.
+# ---------------------------------------------------------------------------
+@register("tok_bpe_encode")
+def tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = [(r.left, r.right)
+              for r in tok_bpe_merges(spark, sf_dir)
+              .orderBy("merge_rank").collect()]
+
+    docs = load_table(spark, sf_dir, "documents")
+    word = (docs.select("doc_id",
+                        F.explode(tx.tokens(F.col("text"))).alias("w"))
+            .select("doc_id",
+                    F.concat(F.split("w", ""),
+                             F.array(F.lit("</w>"))).alias("s")))
+    def apply_merge(a: str, b: str):
+        # closure factory: PySpark requires the HOF lambda to take
+        # exactly (acc, x) — defaults would inflate the arity check
+        ab = a + b
+
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(ab)))
+            ).otherwise(F.concat(acc, F.array(x)))
+        return step
+
+    col = F.col("s")
+    for a, b in merges:
+        col = F.aggregate(col, F.array().cast("array<string>"),
+                          apply_merge(a, b))
+    per_word = word.select(
+        "doc_id", F.size("s").alias("n_raw"), F.size(col).alias("n_enc"))
+    return (per_word.groupBy("doc_id")
+            .agg(lcount("n_words"),
+                 F.sum("n_raw").cast("bigint").alias("n_raw_symbols"),
+                 F.sum("n_enc").cast("bigint").alias("n_bpe_symbols"))
+            .withColumn("symbols_per_word",
+                        F.round(F.col("n_bpe_symbols").cast("double")
+                                / F.col("n_words"), 6)))
+
+
+# ---------------------------------------------------------------------------
 # dd_winnow — winnowing document fingerprints (Schleimer, Wilkerson &
 # Aiken, SIGMOD 2003 — the MOSS algorithm): positional k-gram hashes,
 # a sliding window of w consecutive hashes selects each window's MIN,

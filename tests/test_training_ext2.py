@@ -269,6 +269,75 @@ def test_tok_bpe_merges_matches_python_bpe(spark, sf_dir):
     assert got == expect
 
 
+def test_tok_bpe_encode_matches_python_replay(spark, sf_dir):
+    """tok_bpe_encode must equal a pure-python train+encode replay:
+    per doc, raw symbol count (chars + </w> per word) and post-merge
+    symbol count after applying the learned merges in rank order with
+    one greedy left-to-right scan each."""
+    import re
+    from collections import Counter
+    from sanctions_data_pipeline_spark.plans.training_data2 import _BPE_ROUNDS
+
+    # --- train (identical replay to test_tok_bpe_merges...) ---
+    texts = {r.doc_id: r.text
+             for r in load_table(spark, sf_dir, "documents").collect()}
+    tok = lambda t: re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+    wc = Counter()
+    for t in texts.values():
+        wc.update(tok(t))
+    words = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+    merges = []
+    for _ in range(_BPE_ROUNDS):
+        pc: Counter = Counter()
+        for s, c in words.items():
+            for x, y in zip(s, s[1:]):
+                pc[(x, y)] += c
+        (a, b), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        nw = {}
+        for s, c in words.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            nw[tuple(out)] = nw.get(tuple(out), 0) + c
+        words = nw
+
+    # --- encode each word through the merge list, cache per word ---
+    enc_len: dict[str, int] = {}
+
+    def encode_len(w: str) -> int:
+        if w not in enc_len:
+            s = list(w) + ["</w>"]
+            for a, b in merges:
+                out = []
+                for x in s:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                s = out
+            enc_len[w] = len(s)
+        return enc_len[w]
+
+    expect = {}
+    for doc_id, t in texts.items():
+        ws = tok(t)
+        n_raw = sum(len(w) + 1 for w in ws)
+        n_enc = sum(encode_len(w) for w in ws)
+        expect[doc_id] = (len(ws), n_raw, n_enc,
+                          round(n_enc / len(ws), 6))
+
+    got = {r.doc_id: (r.n_words, r.n_raw_symbols, r.n_bpe_symbols,
+                      r.symbols_per_word)
+           for r in _run(spark, sf_dir, "tok_bpe_encode").collect()}
+    assert got == expect
+    # merging must never grow a doc's symbol count
+    assert all(ne <= nr for _, nr, ne, _ in got.values())
+
+
 def test_tok_bpe_merges_survives_single_symbol_words(spark, tmp_path):
     """Regression: once a one-char word merges with </w> it becomes a
     SINGLE symbol; the next round's pair stage must yield no pairs for
