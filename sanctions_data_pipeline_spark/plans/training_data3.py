@@ -11,7 +11,7 @@ integers or a strictly sequential fold over a sorted array, rounded to
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from sanctions_data_pipeline_spark.catalog import load_table
 from sanctions_data_pipeline_spark.operators import similarity as sim
@@ -21,6 +21,9 @@ from sanctions_data_pipeline_spark.plans.registry import register
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
+_COS = ("round(list_inner_product({a}, {b}) / "
+        "(sqrt(list_inner_product({a}, {a})) * "
+        "sqrt(list_inner_product({b}, {b}))), 6)")
 
 # ---------------------------------------------------------------------------
 # tx_gopher_rules — the Gopher quality-filter rule set (Rae et al.
@@ -351,3 +354,371 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str,
     return (scored.groupBy("cell")
             .agg(lcount("n_members"),
                  F.round(fold / F.count(F.lit(1)), 6).alias("mean_cos")))
+
+
+# ---------------------------------------------------------------------------
+# dd_line_dedup — corpus-wide LINE-level exact dedup with keep-first
+# semantics (the C4 / RefinedWeb line-dedup pass: a boilerplate line
+# repeated across pages survives only at its first occurrence). The
+# synthetic corpus is single-line, so a "line" is an aligned window of
+# _LD_W tokens — the same chunking axis as dp_doc_chunks; on real data
+# the splitter is split(text, '\n') and everything downstream is
+# unchanged.
+#
+# Scale: chunks are md5-hashed map-side so the corpus-wide shuffle
+# carries (16-byte key, doc_id, idx) — never chunk text; keep-first is
+# the window-free groupBy(min struct)+join idiom shared with dd_exact,
+# so one skewed boilerplate line becomes one hot reduce key, not a
+# window partition holding every occurrence's full text.
+# ---------------------------------------------------------------------------
+_LD_W = 12
+
+_LD_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {_LD_W}.0) AS BIGINT))) AS idx
+  FROM t
+),
+k AS (
+  SELECT doc_id, idx,
+         md5(array_to_string(
+             list_slice(toks, idx * {_LD_W} + 1, idx * {_LD_W} + {_LD_W}),
+             ' ')) AS ck
+  FROM c
+),
+r AS (
+  SELECT doc_id, idx,
+         ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id, idx) AS rn
+  FROM k
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS removed_ratio
+FROM r GROUP BY doc_id
+"""
+
+
+@register("dd_line_dedup", oracle=_LD_ORACLE)
+def dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(_LD_W))).cast("long")
+    c = (t.select("doc_id", "toks",
+                  F.explode(F.sequence(F.lit(0).cast("long"),
+                                       n_chunks - 1)).alias("idx"))
+         .select("doc_id", "idx",
+                 F.md5(F.concat_ws(
+                     " ", F.slice(F.col("toks"),
+                                  (F.col("idx") * _LD_W + 1).cast("int"),
+                                  _LD_W))).alias("ck")))
+    first = c.groupBy("ck").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("idx"))).alias("first"))
+    kept = (c.join(first, "ck")
+            .withColumn("is_first",
+                        (F.col("doc_id") == F.col("first.doc_id"))
+                        & (F.col("idx") == F.col("first.idx"))))
+    return (kept.groupBy("doc_id")
+            .agg(lcount("n_chunks"),
+                 F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+                 .cast("bigint").alias("n_kept"),
+                 F.sum(F.when(~F.col("is_first"), 1).otherwise(0))
+                 .cast("bigint").alias("n_removed"))
+            .withColumn("removed_ratio",
+                        F.round(F.col("n_removed").cast("double")
+                                / F.col("n_chunks"), 6)))
+
+
+# ---------------------------------------------------------------------------
+# tx_bm25 — Okapi BM25 ranking (Robertson & Walker SIGIR'94; the
+# Lucene-variant idf ln(1 + (N-df+0.5)/(df+0.5))) for the corpus's
+# top-_BM25_Q highest-df terms as single-term queries: the lexical
+# retrieval half every contamination sweep / hard-negative miner needs
+# next to the embedding ANN ops.
+#
+# Cross-engine float rule: tf/df/dl/N are exact integers; avgdl is one
+# integer-sum / count division; the score expression is written as the
+# SAME operator tree on both engines (each node fully determined by
+# exact inputs), rounded 6dp before ranking so rank order can never
+# split on an ulp.
+#
+# Scale: df/tf are partial-aggregated map-side; the query-term list
+# (_BM25_Q rows) and the 1-row corpus stats broadcast, so scoring is a
+# map-side probe of the (term, doc) posting aggregate — no all-pairs.
+# ---------------------------------------------------------------------------
+_BM25_Q = 5          # query terms = top-Q df terms (df desc, term asc)
+_BM25_K = 10         # top-K docs per query
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+# identical operator tree on both sides: idf * (tf*(k1+1)) /
+# (tf + k1*((1-b) + b*(dl/avgdl)))
+_BM25_EXPR = (
+    "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
+    f" * (CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0})"
+    f" / (CAST(tf AS DOUBLE) + {_BM25_K1} * ({1.0 - _BM25_B}"
+    f" + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl)))")
+
+_BM25_BASE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM t),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+              CAST(min(dl) AS BIGINT) AS dl
+       FROM d GROUP BY term, doc_id),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+qterms AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT {_BM25_Q}),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(CAST(sum(len(toks)) AS BIGINT) AS DOUBLE)
+                 / count(*) AS avgdl
+          FROM t),
+scored AS (
+  SELECT q.term, tf.doc_id, tf.tf, tf.dl,
+         round({_BM25_EXPR}, 6) AS bm25
+  FROM qterms q JOIN tf ON tf.term = q.term, stats
+)
+"""
+
+_BM25_ORACLE = _BM25_BASE + f"""
+SELECT term, doc_id, tf, dl, bm25, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                               ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_BM25_K}
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, tf, dl, bm25) for the top-_BM25_Q df terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    d = t.select("doc_id", F.size("toks").alias("dl"),
+                 F.explode("toks").alias("term"))
+    tf = (d.groupBy("term", "doc_id")
+          .agg(lcount("tf"), F.min("dl").cast("bigint").alias("dl")))
+    df = tf.groupBy("term").agg(lcount("df"))
+    qterms = df.orderBy(F.desc("df"), F.asc("term")).limit(_BM25_Q)
+    stats = t.agg(
+        lcount("n_docs"),
+        (F.sum(F.size("toks")).cast("bigint").cast("double")
+         / F.count(F.lit(1))).alias("avgdl"))
+    return (tf.join(F.broadcast(qterms), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("bm25", F.round(F.expr(_BM25_EXPR), 6))
+            .select("term", "doc_id", "tf", "dl", "bm25"))
+
+
+@register("tx_bm25", oracle=_BM25_ORACLE)
+def tx_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    w = W.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= _BM25_K))
+
+
+# ---------------------------------------------------------------------------
+# sim_rrf_fusion — reciprocal-rank fusion (Cormack, Clarke & Buettcher
+# SIGIR'09): the standard hybrid-retrieval combiner. Two rankings per
+# query term — BM25 and raw term frequency — fuse as
+# 1/(k+r_a) + 1/(k+r_b) with k=60; the sum is two single divisions of
+# small exact integers evaluated in a fixed order, so it is
+# bit-identical across engines before the 6dp round.
+#
+# Scale: ranking inputs are the broadcast-bounded BM25 posting slice
+# above; the fusion itself is two window ranks + a map-side expression.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_TOP = 10
+
+_RRF_ORACLE = _BM25_BASE + f"""
+, ranked AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term
+                            ORDER BY bm25 DESC, doc_id) AS rank_bm25,
+         ROW_NUMBER() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id) AS rank_tf
+  FROM scored
+),
+fused AS (
+  SELECT term, doc_id,
+         CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+         CAST(rank_tf AS BIGINT) AS rank_tf,
+         round(1.0 / ({_RRF_K} + rank_bm25)
+               + 1.0 / ({_RRF_K} + rank_tf), 6) AS rrf_score
+  FROM ranked
+)
+SELECT term, doc_id, rank_bm25, rank_tf, rrf_score, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                               ORDER BY rrf_score DESC, doc_id) AS rnk
+  FROM fused
+) WHERE rnk <= {_RRF_TOP}
+"""
+
+
+@register("sim_rrf_fusion", oracle=_RRF_ORACLE)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    wb = W.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    wt = W.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    fused = (scored
+             .withColumn("rank_bm25", F.row_number().over(wb).cast("bigint"))
+             .withColumn("rank_tf", F.row_number().over(wt).cast("bigint"))
+             .withColumn("rrf_score", F.round(
+                 F.lit(1.0) / (_RRF_K + F.col("rank_bm25"))
+                 + F.lit(1.0) / (_RRF_K + F.col("rank_tf")), 6)))
+    wf = W.partitionBy("term").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (fused.withColumn("rnk", F.row_number().over(wf).cast("bigint"))
+            .filter(F.col("rnk") <= _RRF_TOP)
+            .select("term", "doc_id", "rank_bm25", "rank_tf",
+                    "rrf_score", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_hamming — binary sign-hash similarity (Charikar STOC'02 /
+# ITQ-style binarization): each 64-d float vector compresses to TWO
+# bigint words of sign bits (16 bytes instead of 512), candidates rank
+# by hamming distance via xor+popcount, and the survivors re-rank on
+# exact cosine. The third ANN family next to IVF (sim_ann_ivf) and
+# bucketed sign-LSH (sim_ann_lsh): here the compact code IS the index.
+#
+# Scale: packing is map-side; a 1000-executor scan ranks hamming on
+# 16-byte codes with two JVM popcount instructions per pair, so the
+# memory-bandwidth win vs float dot products is ~32x. Queries
+# broadcast; nothing shuffles but the top-k heap rows.
+# ---------------------------------------------------------------------------
+_HAM_K = 5
+
+
+def _sql_pack(v: str, lo: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {v}[{lo + i + 1}] >= 0 THEN CAST({1 << i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32))
+    return f"({terms})"
+
+
+def _spark_pack(v: str, lo: int):
+    return F.expr(
+        f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + (CASE WHEN element_at({v}, i + {lo + 1}) >= 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END))")
+
+
+_HAM_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, {_sql_pack("v", 0)} AS w0, {_sql_pack("v", 32)} AS w1
+      FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, w0 AS qw0, w1 AS qw1
+      FROM s WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, s.vec_id AS neighbor_id,
+         CAST(bit_count(xor(qw0, s.w0)) + bit_count(xor(qw1, s.w1))
+              AS BIGINT) AS hamming,
+         {_COS.format(a="qv", b="s.v")} AS cos
+  FROM q JOIN s ON s.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, hamming, cos, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY hamming, neighbor_id) AS rnk
+  FROM scored
+) WHERE rnk <= {_HAM_K}
+"""
+
+
+@register("sim_ann_hamming", oracle=_HAM_ORACLE)
+def sim_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = (emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+         .withColumn("w0", _spark_pack("v", 0))
+         .withColumn("w1", _spark_pack("v", 32)))
+    s = sim._with_norm(s, "v", "nv")
+    q = (s.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("nv").alias("qn"), F.col("w0").alias("qw0"),
+                 F.col("w1").alias("qw1")))
+    scored = (s.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+                       + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1"))))
+                      .cast("bigint").alias("hamming"),
+                      F.round(sim.dot(F.col("qv"), F.col("v"))
+                              / (F.col("qn") * F.col("nv")), 6).alias("cos")))
+    w = W.partitionBy("query_id").orderBy(F.asc("hamming"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= _HAM_K))
+
+
+# ---------------------------------------------------------------------------
+# dp_sft_format — SFT chat-template rendering with loss-mask offsets:
+# each document becomes a (prompt, response) pair — first
+# min(16, floor(n/2)) tokens prompt, remainder response — rendered
+# through a fixed chat template, with the CHARACTER span of the
+# response (the only region that takes loss in supervised fine-tuning)
+# reported as 1-based [loss_start, loss_end]. Downstream packers
+# (dp_pack / dp_pack_sequences) consume exactly this shape.
+#
+# Scale: pure map-side string algebra on one corpus scan — no shuffle,
+# no UDF; offsets are exact integer arithmetic so the mask never needs
+# re-tokenization downstream.
+# ---------------------------------------------------------------------------
+_SFT_MAX_PROMPT = 16
+_SFT_U = "<|user|>"
+_SFT_A = "<|assistant|>"
+_SFT_E = "<|end|>"
+
+_SFT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+p AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         least({_SFT_MAX_PROMPT},
+               greatest(1, CAST(floor(len(toks) / 2.0) AS BIGINT))) AS np
+  FROM t
+),
+sel AS (
+  SELECT doc_id,
+         CAST(np AS BIGINT) AS n_prompt_toks,
+         CAST(n - np AS BIGINT) AS n_response_toks,
+         array_to_string(list_slice(toks, 1, np), ' ') AS prompt,
+         array_to_string(list_slice(toks, np + 1, n), ' ') AS response
+  FROM p
+)
+SELECT doc_id, n_prompt_toks, n_response_toks,
+       '{_SFT_U}' || chr(10) || prompt || chr(10) || '{_SFT_A}' || chr(10)
+           || response || '{_SFT_E}' AS formatted,
+       CAST(length('{_SFT_U}') + 1 + length(prompt) + 1
+            + length('{_SFT_A}') + 1 + 1 AS BIGINT) AS loss_start,
+       CAST(length('{_SFT_U}') + 1 + length(prompt) + 1
+            + length('{_SFT_A}') + 1 + length(response) AS BIGINT) AS loss_end
+FROM sel
+"""
+
+
+@register("dp_sft_format", oracle=_SFT_ORACLE)
+def dp_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    p = t.select(
+        "doc_id", "toks", F.size("toks").alias("n"),
+        F.least(F.lit(_SFT_MAX_PROMPT),
+                F.greatest(F.lit(1), F.floor(F.size("toks") / 2)))
+        .cast("bigint").alias("np"))
+    sel = p.select(
+        "doc_id",
+        F.col("np").alias("n_prompt_toks"),
+        (F.col("n") - F.col("np")).cast("bigint").alias("n_response_toks"),
+        F.concat_ws(" ", F.slice("toks", 1, F.col("np").cast("int")))
+        .alias("prompt"),
+        F.concat_ws(" ", F.slice("toks", (F.col("np") + 1).cast("int"),
+                                 F.col("n").cast("int"))).alias("response"))
+    head_len = (F.lit(len(_SFT_U)) + 1 + F.length("prompt") + 1
+                + F.lit(len(_SFT_A)) + 1)
+    return sel.select(
+        "doc_id", "n_prompt_toks", "n_response_toks",
+        F.concat(F.lit(_SFT_U + "\n"), F.col("prompt"),
+                 F.lit("\n" + _SFT_A + "\n"), F.col("response"),
+                 F.lit(_SFT_E)).alias("formatted"),
+        (head_len + 1).cast("bigint").alias("loss_start"),
+        (head_len + F.length("response")).cast("bigint").alias("loss_end"))

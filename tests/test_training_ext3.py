@@ -250,3 +250,112 @@ def test_emb_kmeans_train_cells_match_replay(spark, sf_dir):
         assert n == len(vals)
         assert abs(mc - round(math.fsum(sorted(vals)) / len(vals), 6)) < 1e-6
     assert sum(n for n, _ in got.values()) == len(rows)
+
+
+def test_dd_line_dedup_matches_python_replay(spark, sf_dir):
+    """Keep-first chunk dedup must equal a pure-python replay: chunks
+    are aligned 12-token windows, a chunk survives iff it is the
+    (doc_id, idx)-minimal occurrence of its exact text."""
+    W = 12
+    docs = sorted(load_table(spark, sf_dir, "documents").collect(),
+                  key=lambda d: d.doc_id)
+    first_seen: set[str] = set()
+    expect = {}
+    for d in docs:          # doc_id asc == (doc_id, idx) lexicographic scan
+        t = _toks(d.text)
+        nch = (len(t) + W - 1) // W
+        kept = 0
+        for i in range(nch):
+            key = " ".join(t[i * W:(i + 1) * W])
+            if key not in first_seen:
+                first_seen.add(key)
+                kept += 1
+        expect[d.doc_id] = (nch, kept, nch - kept,
+                            round((nch - kept) / nch, 6))
+    got = {r.doc_id: (r.n_chunks, r.n_kept, r.n_removed, r.removed_ratio)
+           for r in _run(spark, sf_dir, "dd_line_dedup").collect()}
+    assert got == expect
+    # global invariant: kept chunks == distinct chunk keys in the corpus
+    assert sum(v[1] for v in got.values()) == len(first_seen)
+
+
+def test_tx_bm25_matches_python_replay(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").collect()
+    toks = {d.doc_id: _toks(d.text) for d in docs}
+    n_docs = len(toks)
+    avgdl = float(sum(len(t) for t in toks.values())) / n_docs
+    df: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    qterms = sorted(df, key=lambda w: (-df[w], w))[:5]
+    expect = {}
+    for term in qterms:
+        scored = []
+        for doc_id, t in toks.items():
+            tf = t.count(term)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (float(n_docs - df[term]) + 0.5)
+                           / (float(df[term]) + 0.5))
+            s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+                                                * (len(t) / avgdl)))
+            scored.append((round(s, 6), doc_id, tf, len(t)))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rnk, (s, doc_id, tf, dl) in enumerate(scored[:10], 1):
+            expect[(term, doc_id)] = (tf, dl, s, rnk)
+    got = {(r.term, r.doc_id): (r.tf, r.dl, r.bm25, r.rnk)
+           for r in _run(spark, sf_dir, "tx_bm25").collect()}
+    assert got == expect
+
+
+def test_sim_rrf_fusion_formula_and_ranks(spark, sf_dir):
+    rows = _run(spark, sf_dir, "sim_rrf_fusion").collect()
+    assert rows
+    per_term: dict[str, list] = {}
+    for r in rows:
+        assert r.rrf_score == round(1.0 / (60 + r.rank_bm25)
+                                    + 1.0 / (60 + r.rank_tf), 6)
+        per_term.setdefault(r.term, []).append(r)
+    for term, rs in per_term.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        # fused order is non-increasing in score
+        scores = [r.rrf_score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_sim_ann_hamming_matches_sign_mismatch_count(spark, sf_dir):
+    emb = {r.vec_id: [float(x) for x in r.embedding]
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    rows = _run(spark, sf_dir, "sim_ann_hamming").collect()
+    assert {r.query_id for r in rows} == set(range(10))
+    for r in rows:
+        q, c = emb[r.query_id], emb[r.neighbor_id]
+        expect = sum((a >= 0) != (b >= 0) for a, b in zip(q, c))
+        assert r.hamming == expect
+    # per query: exactly 5 rows ranked by (hamming, neighbor_id)
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert len(rs) == 5
+        keys = [(r.hamming, r.neighbor_id) for r in rs]
+        assert keys == sorted(keys)
+
+
+def test_dp_sft_format_mask_offsets_recover_response(spark, sf_dir):
+    """The [loss_start, loss_end] char span must slice exactly the
+    response out of the rendered template, for every document."""
+    docs = {d.doc_id: _toks(d.text)
+            for d in load_table(spark, sf_dir, "documents").collect()}
+    for r in _run(spark, sf_dir, "dp_sft_format").collect():
+        t = docs[r.doc_id]
+        np_ = min(16, max(1, len(t) // 2))
+        assert r.n_prompt_toks == np_
+        assert r.n_response_toks == len(t) - np_
+        response = " ".join(t[np_:])
+        assert r.formatted[r.loss_start - 1:r.loss_end] == response
+        assert r.formatted.startswith("<|user|>\n" + " ".join(t[:np_]))
+        assert r.formatted.endswith("<|end|>")
