@@ -71,3 +71,54 @@ def pca_components(emb: DataFrame, k: int = 8,
         "eigenvalue": np.round(top, 6),
         "explained_var": np.round(top / total, 6) if total else top * 0.0,
     })
+
+
+def _combined_moments(emb: DataFrame, col: str = "embedding"):
+    """(n, mu, cov) from one gram pass; partials are combined in a
+    SORTED order so the float accumulation is run-deterministic even
+    though ``collect`` returns partitions in arbitrary order."""
+    parts = sorted(gram_partials(emb, col).collect(),
+                   key=lambda p: (p["n"], tuple(p["s"])))
+    if not parts:
+        return 0, None, None
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    g = np.sum([np.asarray(p["g"]) for p in parts], axis=0)
+    d = s.shape[0]
+    mu = s / n
+    cov = g.reshape(d, d) / n - np.outer(mu, mu)
+    return n, mu, cov
+
+
+def whitening_model(emb: DataFrame, col: str = "embedding",
+                    eps: float = 1e-6):
+    """ZCA whitening transform from the covariance eigendecomposition:
+    W = V diag(1/sqrt(lam + eps)) V^T. Driver work is the d x d
+    eigensolve — model-sized, independent of row count (same contract
+    as :func:`pca_components`)."""
+    n, mu, cov = _combined_moments(emb, col)
+    if n == 0:
+        raise ValueError("empty embedding input")
+    lam, v = np.linalg.eigh(cov)
+    w = v @ np.diag(1.0 / np.sqrt(lam + eps)) @ v.T
+    return n, mu, cov, w
+
+
+def apply_whitening(emb: DataFrame, mu: np.ndarray, w: np.ndarray,
+                    col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """y = W (x - mu), vectorized per Arrow batch. The d x d transform
+    ships in the task closure (a few KB at d=64) — one map pass, no
+    shuffle."""
+    wt = w.T.copy()
+
+    def wh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[col].to_numpy()).astype(np.float64)
+            y = (m - mu) @ wt
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "y": list(y)})
+
+    return emb.select(id_col, col).mapInPandas(
+        wh, schema=f"{id_col} long, y array<double>")

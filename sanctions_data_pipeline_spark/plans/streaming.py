@@ -263,3 +263,48 @@ def st_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("event_id", "user_id", "status"), output_mode="append")
     n = out.count()
     return out.withColumn("n_matched", F.lit(n).cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# st_anomaly — streaming z-score window monitor: per (1h tumbling
+# window, event_type), exact-decimal n/mean/std/max and an outlier
+# flag (max > mean + 2σ). All three moments are map-side-combinable,
+# so streaming state per open window is O(1); in complete mode over
+# the bounded source it equals the batch aggregation the oracle
+# expresses.
+# --------------------------------------------------------------------------
+_SQ = f"({_DVAL} * {_DVAL})"
+_ZS_STATS = f"""
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                  '%Y-%m-%d %H:%M:%S') AS window_end,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(ROUND(SUM({_DVAL}), 4) * 10000 AS BIGINT) / 10000.0 AS s,
+         CAST(ROUND(SUM({_SQ}), 4) * 10000 AS BIGINT) / 10000.0 AS sq,
+         CAST(ROUND(MAX({_DVAL}), 4) * 10000 AS BIGINT) / 10000.0 AS mx
+  FROM events GROUP BY 1, 2, 3
+"""
+
+
+@register("st_anomaly", oracle=f"""
+WITH a AS ({_ZS_STATS})
+SELECT window_start, window_end, event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(s / n_events, 6) AS mean_value,
+       round(sqrt(greatest(sq / n_events
+                           - (s / n_events) * (s / n_events), 0.0)), 6)
+         AS std_value,
+       round(mx, 6) AS max_value,
+       (mx - s / n_events)
+         > 2.0 * sqrt(greatest(sq / n_events
+                               - (s / n_events) * (s / n_events), 0.0))
+         AS has_outlier
+FROM a
+""")
+def st_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.streaming.ops import zscore_window_agg
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_available_now(zscore_window_agg(ev, "1 hour",
+                                               watermark="2 hours"))

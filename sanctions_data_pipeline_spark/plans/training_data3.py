@@ -722,3 +722,73 @@ def dp_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(_SFT_E)).alias("formatted"),
         (head_len + 1).cast("bigint").alias("loss_start"),
         (head_len + F.length("response")).cast("bigint").alias("loss_end"))
+
+
+# ---------------------------------------------------------------------------
+# tx_ccnet_buckets — CCNet's head/middle/tail corpus split (Wenzek et
+# al., LREC 2020): documents ranked by LM perplexity divide into
+# terciles; "head" (lowest ppl) is the high-quality slice that
+# pretraining mixes upweight. Composes the tx_perplexity LM (bounded
+# broadcast tables) with the dp_curriculum global-NTILE idiom — the
+# range-partitioned total order, no single reducer; at real corpus
+# scale the cutoffs come from a sampled quantile with identical output
+# contract.
+# ---------------------------------------------------------------------------
+from sanctions_data_pipeline_spark.plans.training_data2 import _PPL_ORACLE
+
+_CCNET_ORACLE = f"""
+WITH p AS ({_PPL_ORACLE})
+SELECT doc_id, n_bigrams, ppl,
+       CAST(NTILE(3) OVER (ORDER BY ppl, doc_id) AS BIGINT) AS tercile,
+       CASE CAST(NTILE(3) OVER (ORDER BY ppl, doc_id) AS BIGINT)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM p
+"""
+
+
+@register("tx_ccnet_buckets", oracle=_CCNET_ORACLE)
+def tx_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.training_data2 import (
+        tx_perplexity)
+
+    p = tx_perplexity(spark, sf_dir)
+    t = F.ntile(3).over(W.orderBy("ppl", "doc_id")).cast("bigint")
+    return (p.withColumn("tercile", t)
+            .withColumn("bucket",
+                        F.when(F.col("tercile") == 1, "head")
+                        .when(F.col("tercile") == 2, "middle")
+                        .otherwise("tail")))
+
+
+# ---------------------------------------------------------------------------
+# emb_whiten — ZCA whitening of the embedding column (Bell & Sejnowski
+# 1997's zero-phase transform; the standard preprocessing before
+# similarity search / linear probes when dimensions are correlated):
+# one gram pass -> driver-side d x d eigensolve -> W = V L^-1/2 V^T ->
+# one map pass applying y = W(x - mu) -> second gram pass verifying the
+# result. Output per dimension: variance before vs after (after ~= 1
+# by construction). Rows-only (eigensolve is not SQL); pytest replays
+# the whole chain in numpy.
+#
+# Scale: both gram passes are partition-bounded partials (the emb_pca
+# contract — a few MB of driver state at d=64 x 1000 executors); the
+# transform broadcasts in task closures; nothing corpus-sized ever
+# reaches one node.
+# ---------------------------------------------------------------------------
+@register("emb_whiten")
+def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from sanctions_data_pipeline_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    _, mu, cov, w = pca.whitening_model(base, col="v")
+    wh = pca.apply_whitening(base, mu, w, col="v")
+    _, _, cov_after = pca._combined_moments(wh, col="y")
+    d = cov.shape[0]
+    rows = [(i, round(float(cov[i, i]), 6), round(float(cov_after[i, i]), 6))
+            for i in range(d)]
+    return spark.createDataFrame(
+        rows, "dim int, var_before double, var_after double")

@@ -440,3 +440,44 @@ def user_running_stats_tws(events: DataFrame) -> DataFrame:
         RunningStats(),
         "user_id bigint, n_events bigint, max_value double",
         "Update", "None")
+
+
+def zscore_window_agg(events: DataFrame, window_len: str = "1 hour",
+                      watermark: str = "2 hours",
+                      z: float = 2.0) -> DataFrame:
+    """Tumbling-window anomaly stats per event_type (streaming or
+    batch): n / mean / population-std from exact decimal sums (sum,
+    sum-of-squares, max), plus ``has_outlier`` — whether the window's
+    max value sits more than ``z`` standard deviations above its mean.
+    The streaming shape of the classic z-score monitor: all three
+    moments are map-side-combinable aggregates, so state per open
+    window is O(1) regardless of event volume.
+
+    Cross-engine float rule: every double derives from
+    ``_as_exact_double`` decimal sums through one identical operator
+    tree (division, multiply, sqrt), so the oracle hash-compares
+    bit-identically; mean/std round 6dp at the edge only.
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    win = F.window("ts", window_len)
+    v = dval("value")
+    agg = (events.groupBy(win.alias("w"), "event_type")
+           .agg(lcount("n_events"),
+                F.sum(v).alias("__s"),
+                F.sum(v * v).alias("__sq"),
+                F.max(v).alias("__mx")))
+    n = F.col("n_events")
+    s = _as_exact_double(F.col("__s"))
+    sq = _as_exact_double(F.col("__sq"))
+    mx = _as_exact_double(F.col("__mx"))
+    mean = s / n
+    var = F.greatest(sq / n - mean * mean, F.lit(0.0))
+    return agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "event_type", "n_events",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("std_value"),
+        F.round(mx, 6).alias("max_value"),
+        ((mx - mean) > F.lit(z) * F.sqrt(var)).alias("has_outlier"))

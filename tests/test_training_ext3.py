@@ -359,3 +359,83 @@ def test_dp_sft_format_mask_offsets_recover_response(spark, sf_dir):
         assert r.formatted[r.loss_start - 1:r.loss_end] == response
         assert r.formatted.startswith("<|user|>\n" + " ".join(t[:np_]))
         assert r.formatted.endswith("<|end|>")
+
+
+def test_tx_ccnet_buckets_are_ppl_terciles(spark, sf_dir):
+    """Tercile assignment must equal a python NTILE(3) replay over the
+    engine's own perplexity output, ordered by (ppl, doc_id)."""
+    ppl = sorted(((r.ppl, r.doc_id)
+                  for r in _run(spark, sf_dir, "tx_perplexity").collect()))
+    n = len(ppl)
+    expect = {}
+    for i, (_, doc_id) in enumerate(ppl):
+        # SQL NTILE: first (n % 3) buckets get ceil(n/3) rows
+        big, rem = divmod(n, 3)
+        t = 1 + (i // (big + 1) if i < (big + 1) * rem
+                 else rem + (i - (big + 1) * rem) // big)
+        expect[doc_id] = (t, {1: "head", 2: "middle", 3: "tail"}[t])
+    got = {r.doc_id: (r.tercile, r.bucket)
+           for r in _run(spark, sf_dir, "tx_ccnet_buckets").collect()}
+    assert got == expect
+    sizes = {}
+    for t, _ in got.values():
+        sizes[t] = sizes.get(t, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_st_anomaly_matches_exact_decimal_replay(spark, sf_dir):
+    """Window stats must equal an integer-exact replay of the decimal
+    pipeline (values at scale 4, squares at scale 8, half-up rounds),
+    including the outlier flag computed from unrounded doubles."""
+    import math as m
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    groups: dict[tuple, list[int]] = {}
+    for e in ev:
+        ws = e.ts.replace(minute=0, second=0, microsecond=0)
+        groups.setdefault((ws.strftime("%Y-%m-%d %H:%M:%S"), e.event_type),
+                          []).append(int(round(e.value * 10000)))
+    expect = {}
+    for (ws, et), vals in groups.items():
+        n = len(vals)
+        s = sum(vals) / 1e4                          # scale-4 sum, exact
+        sq_int = sum(v * v for v in vals)            # scale-8 sum, exact
+        sq = ((sq_int + 5000) // 10000) / 1e4        # ROUND(.,4) half-up
+        mx = max(vals) / 1e4
+        mean = s / n
+        var = max(sq / n - mean * mean, 0.0)
+        expect[(ws, et)] = (n, round(mean, 6), round(m.sqrt(var), 6),
+                            round(mx, 6),
+                            (mx - mean) > 2.0 * m.sqrt(var))
+    got = {(r.window_start, r.event_type):
+           (r.n_events, r.mean_value, r.std_value, r.max_value,
+            r.has_outlier)
+           for r in _run(spark, sf_dir, "st_anomaly").collect()}
+    assert set(got) == set(expect)
+    for k, (n, mean, std, mx, flag) in expect.items():
+        gn, gmean, gstd, gmx, gflag = got[k]
+        assert gn == n and gflag == flag and abs(gmx - mx) < 1e-9
+        assert abs(gmean - mean) < 1e-9 and abs(gstd - std) < 1e-9
+
+
+def test_emb_whiten_unit_variance_and_numpy_replay(spark, sf_dir):
+    import numpy as np
+
+    rows = {r.dim: (r.var_before, r.var_after)
+            for r in _run(spark, sf_dir, "emb_whiten").collect()}
+    assert len(rows) == 64
+    # whitening contract: every output dimension has variance ~= 1
+    for d, (vb, va) in rows.items():
+        assert abs(va - 1.0) < 1e-3, (d, va)
+    # full numpy replay of the chain
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    x = np.array([[float(v) for v in r.embedding] for r in emb])
+    mu = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mu, mu)
+    lam, v = np.linalg.eigh(cov)
+    w = v @ np.diag(1.0 / np.sqrt(lam + 1e-6)) @ v.T
+    y = (x - mu) @ w.T
+    cov_after = (y.T @ y) / len(y) - np.outer(y.mean(axis=0), y.mean(axis=0))
+    for d in range(64):
+        assert abs(rows[d][0] - cov[d, d]) < 1e-4
+        assert abs(rows[d][1] - cov_after[d, d]) < 1e-4
