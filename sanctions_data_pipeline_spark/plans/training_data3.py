@@ -792,3 +792,178 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(d)]
     return spark.createDataFrame(
         rows, "dim int, var_before double, var_after double")
+
+
+# ---------------------------------------------------------------------------
+# dp_fim_transform — fill-in-the-middle training transform (Bavarian et
+# al. 2022): for a deterministic fim_rate=50% of documents, two
+# hash-derived token cuts split the doc into (prefix, middle, suffix)
+# and the example renders in PSM order
+# <|fim_pre|>prefix<|fim_suf|>suffix<|fim_mid|>middle; the rest stay
+# autoregressive. Cuts are pure functions of doc_id (the tt_split md5
+# idiom), so the corpus transform is reproducible across runs, engines
+# and cluster sizes.
+#
+# Scale: map-only string/array algebra on one corpus scan — no
+# shuffle, no UDF, no state.
+# ---------------------------------------------------------------------------
+_FIM_RATE = 50  # percent of docs transformed
+
+_FIM_H = ("(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+          "::BIGINT)")
+
+_FIM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n,
+         ({_FIM_H.format(salt="fim0")} % 100) < {_FIM_RATE} AS is_fim,
+         {_FIM_H.format(salt="fim1")} AS h1,
+         {_FIM_H.format(salt="fim2")} AS h2
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n, is_fim,
+         least(h1 % (n + 1), h2 % (n + 1)) AS lo,
+         greatest(h1 % (n + 1), h2 % (n + 1)) AS hi
+  FROM t
+)
+SELECT doc_id, is_fim,
+       CAST(CASE WHEN is_fim THEN lo ELSE n END AS BIGINT) AS n_prefix,
+       CAST(CASE WHEN is_fim THEN hi - lo ELSE 0 END AS BIGINT) AS n_middle,
+       CAST(CASE WHEN is_fim THEN n - hi ELSE 0 END AS BIGINT) AS n_suffix,
+       -- DuckDB's array_to_string over an EMPTY slice is NULL (Spark's
+       -- concat_ws is '') — coalesce each piece
+       CASE WHEN is_fim THEN
+         '<|fim_pre|>'
+         || coalesce(array_to_string(list_slice(toks, 1, lo), ' '), '')
+         || '<|fim_suf|>'
+         || coalesce(array_to_string(list_slice(toks, hi + 1, n), ' '), '')
+         || '<|fim_mid|>'
+         || coalesce(array_to_string(list_slice(toks, lo + 1, hi), ' '), '')
+       ELSE array_to_string(toks, ' ') END AS formatted
+FROM c
+"""
+
+
+@register("dp_fim_transform", oracle=_FIM_ORACLE)
+def dp_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def h(salt: str):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt + ":"),
+                           F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("bigint"))
+
+    t = docs.select(
+        "doc_id", tx.tokens(F.col("text")).alias("toks"),
+        F.size(tx.tokens(F.col("text"))).alias("n"),
+        ((h("fim0") % 100) < _FIM_RATE).alias("is_fim"),
+        h("fim1").alias("h1"), h("fim2").alias("h2"))
+    c = t.select(
+        "doc_id", "toks", "n", "is_fim",
+        F.least(F.col("h1") % (F.col("n") + 1),
+                F.col("h2") % (F.col("n") + 1)).alias("lo"),
+        F.greatest(F.col("h1") % (F.col("n") + 1),
+                   F.col("h2") % (F.col("n") + 1)).alias("hi"))
+    join = F.concat_ws  # noqa: E731 - readability alias
+    fim_str = F.concat(
+        F.lit("<|fim_pre|>"),
+        join(" ", F.slice("toks", 1, F.col("lo").cast("int"))),
+        F.lit("<|fim_suf|>"),
+        join(" ", F.slice("toks", (F.col("hi") + 1).cast("int"),
+                          F.col("n").cast("int"))),
+        F.lit("<|fim_mid|>"),
+        join(" ", F.slice("toks", (F.col("lo") + 1).cast("int"),
+                          (F.col("hi") - F.col("lo")).cast("int"))))
+    return c.select(
+        "doc_id", "is_fim",
+        F.when(F.col("is_fim"), F.col("lo")).otherwise(F.col("n"))
+         .cast("bigint").alias("n_prefix"),
+        F.when(F.col("is_fim"), F.col("hi") - F.col("lo")).otherwise(0)
+         .cast("bigint").alias("n_middle"),
+        F.when(F.col("is_fim"), F.col("n") - F.col("hi")).otherwise(0)
+         .cast("bigint").alias("n_suffix"),
+        F.when(F.col("is_fim"), fim_str)
+         .otherwise(join(" ", F.col("toks"))).alias("formatted"))
+
+
+# ---------------------------------------------------------------------------
+# tt_bloom_contamination — Bloom-filter contamination probe, fully
+# relational (Bloom 1970; the constant-memory way to ask "did any test
+# document appear in training?" at 100 TB): the TRAIN split's text
+# hashes map to k=5 bit positions in an m=2^16 bloom space; the
+# DISTINCT set-bit table is bounded by m regardless of corpus size and
+# broadcasts; each TEST doc recomputes its k positions map-side and is
+# a bloom hit iff all k are set. ``exact_hit`` (a broadcast semi-join
+# on the full 16-byte hash) sits alongside so the op also measures its
+# own false-positive rate; bloom guarantees exact_hit => bloom_hit.
+#
+# Scale: the only corpus-wide work is two map passes and one
+# ≤m-row-bounded distinct; at bigger corpora m grows (still
+# broadcast-sized at 2^30 bits) while the probe stays k JVM hashes +
+# one broadcast join per side. No Python anywhere.
+# ---------------------------------------------------------------------------
+_BF_M = 1 << 16
+_BF_K = 5
+
+# 15 hex chars = 60 bits — exact in BIGINT on both engines
+_BF_POS = ("(('0x' || substr(md5('bf{i}:' || k), 1, 15))::BIGINT"
+           f" % {_BF_M})")
+
+_BF_SPLIT = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+             "::BIGINT % 100 AS INT)")
+
+_BF_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5({_NORM}) AS k, {_BF_SPLIT} AS b FROM documents
+),
+train AS (SELECT doc_id, k FROM h WHERE b < 80),
+test AS (SELECT doc_id, k FROM h WHERE b >= 90),
+bits AS (
+  SELECT DISTINCT pos FROM train,
+    UNNEST([{", ".join(_BF_POS.format(i=i) for i in range(_BF_K))}]) AS u(pos)
+),
+probes AS (
+  SELECT doc_id, k, unnest([{", ".join(_BF_POS.format(i=i)
+                                       for i in range(_BF_K))}]) AS pos
+  FROM test
+),
+bloom AS (
+  SELECT p.doc_id, bool_and(b.pos IS NOT NULL) AS bloom_hit
+  FROM probes p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id, bloom.bloom_hit,
+       EXISTS (SELECT 1 FROM train tr WHERE tr.k = t.k) AS exact_hit
+FROM test t JOIN bloom ON bloom.doc_id = t.doc_id
+"""
+
+
+@register("tt_bloom_contamination", oracle=_BF_ORACLE)
+def tt_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("bigint") % 100)
+    h = docs.select("doc_id", F.md5(norm).alias("k"), b.alias("b"))
+    train = h.filter(F.col("b") < 80).select("doc_id", "k")
+    test = h.filter(F.col("b") >= 90).select("doc_id", "k")
+
+    def pos(i: int):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"bf{i}:"), F.col("k"))), 1, 15), 16, 10)
+            .cast("bigint") % _BF_M)
+
+    pos_arr = F.array(*[pos(i) for i in range(_BF_K)])
+    bits = (train.select(F.explode(pos_arr).alias("pos")).distinct())
+    probes = test.select("doc_id", F.explode(pos_arr).alias("pos"))
+    bloom = (probes.join(F.broadcast(bits.withColumn("set", F.lit(True))),
+                         "pos", "left")
+             .groupBy("doc_id")
+             .agg(F.min(F.coalesce(F.col("set"), F.lit(False)))
+                  .alias("bloom_hit")))
+    exact = (test.join(F.broadcast(train.select("k").distinct()
+                                   .withColumn("e", F.lit(True))), "k", "left")
+             .select("doc_id", F.coalesce(F.col("e"), F.lit(False))
+                     .alias("exact_hit")))
+    return test.select("doc_id").join(bloom, "doc_id").join(exact, "doc_id")

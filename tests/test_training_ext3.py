@@ -439,3 +439,50 @@ def test_emb_whiten_unit_variance_and_numpy_replay(spark, sf_dir):
     for d in range(64):
         assert abs(rows[d][0] - cov[d, d]) < 1e-4
         assert abs(rows[d][1] - cov_after[d, d]) < 1e-4
+
+
+def test_dp_fim_transform_reassembles_and_rates(spark, sf_dir):
+    """PSM pieces must re-concatenate to the original token stream
+    (prefix+middle+suffix == doc), counts must agree, and the
+    hash-derived fim rate must be near 50%."""
+    docs = {d.doc_id: _toks(d.text)
+            for d in load_table(spark, sf_dir, "documents").collect()}
+    rows = _run(spark, sf_dir, "dp_fim_transform").collect()
+    assert len(rows) == len(docs)
+    n_fim = 0
+    for r in rows:
+        t = docs[r.doc_id]
+        assert r.n_prefix + r.n_middle + r.n_suffix == len(t)
+        if r.is_fim:
+            n_fim += 1
+            body = r.formatted
+            assert body.startswith("<|fim_pre|>")
+            pre, rest = body[len("<|fim_pre|>"):].split("<|fim_suf|>", 1)
+            suf, mid = rest.split("<|fim_mid|>", 1)
+            reorder = [w for w in (pre.split(" ") + mid.split(" ")
+                                   + suf.split(" ")) if w]
+            assert reorder == t
+            assert len([w for w in pre.split(" ") if w]) == r.n_prefix
+            assert len([w for w in mid.split(" ") if w]) == r.n_middle
+        else:
+            assert r.formatted == " ".join(t)
+            assert r.n_middle == 0 and r.n_suffix == 0
+    assert 0.35 < n_fim / len(rows) < 0.65
+
+
+def test_tt_bloom_contamination_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: every exact hit IS a bloom hit; the FP rate at
+    k=5, m=2^16 must be tiny; probes cover exactly the test split."""
+    rows = _run(spark, sf_dir, "tt_bloom_contamination").collect()
+    assert rows
+    splits = {r.doc_id: r.split
+              for r in _run(spark, sf_dir, "tt_split").collect()}
+    assert {r.doc_id for r in rows} == {d for d, s in splits.items()
+                                        if s == "test"}
+    fp = 0
+    for r in rows:
+        if r.exact_hit:
+            assert r.bloom_hit, f"false negative at doc {r.doc_id}"
+        elif r.bloom_hit:
+            fp += 1
+    assert fp / len(rows) < 0.05
