@@ -1,0 +1,117 @@
+"""Unigram-LM tokenizer segmentation (Kudo, ACL 2018) as pure Column
+algebra.
+
+The piece model is bounded driver state (tens of rows — same contract
+as the top-V vocab collect in tx_perplexity), shipped into the plan as
+a literal map piece -> -log(p). The Viterbi lattice over each word runs
+entirely inside JVM higher-order functions: one ``aggregate`` builds
+the dp/backpointer array left-to-right, a second walks the
+backpointers to emit the best segmentation. No Python executes per
+row, so the corpus pass is one map stage.
+
+At a real vocab size (32k pieces) the literal map becomes a broadcast
+join on (word, position-substring) instead — same lattice, the lookup
+moves from expression space to a hash probe; the registry form keeps
+the literal map because the trained model here is tiny by
+construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, functions as F
+
+_INF = 1.0e9  # cost of an out-of-vocab piece (never chosen if any path exists)
+
+MAX_PIECE_LEN = 4
+
+
+def _cost_map(model: dict[str, float]) -> Column:
+    """Literal map piece -> -log(p)."""
+    kv = []
+    for piece, p in sorted(model.items()):
+        kv.append(F.lit(piece))
+        kv.append(F.lit(-math.log(p)))
+    return F.create_map(*kv)
+
+
+def viterbi_pieces(word: Column, model: dict[str, float]) -> Column:
+    """array<string> of the min-cost segmentation of ``word`` into
+    model pieces (lengths 1..MAX_PIECE_LEN).
+
+    Tie rule (replayed bit-identically by tests): candidate piece
+    lengths are tried ascending and a longer piece replaces the
+    incumbent only on STRICTLY smaller cost — equal-cost lattices
+    resolve to the shortest piece ending at each position.
+    """
+    m = _cost_map(model)
+    n = F.length(word)
+
+    # dp pass: acc[i+1] = struct(cost, bp) for prefix length i
+    def step(acc, i):
+        best = None
+        for ln in range(1, MAX_PIECE_LEN + 1):
+            piece = F.substring(word, (i - ln + 1).cast("int"), ln)
+            # element_at on a missing map key is NULL -> out-of-vocab
+            c = (F.when(i - ln >= 0,
+                        F.element_at(acc, (i - ln + 1).cast("int"))["cost"]
+                        + F.coalesce(F.element_at(m, piece), F.lit(_INF)))
+                 .otherwise(F.lit(2.0 * _INF)))
+            cand = F.struct(c.alias("cost"), (i - ln).alias("bp"))
+            best = cand if best is None else (
+                F.when(cand["cost"] < best["cost"], cand).otherwise(best))
+        return F.concat(acc, F.array(best))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.array(F.struct(F.lit(0.0).alias("cost"),
+                         F.lit(-1).alias("bp"))),
+        step)
+
+    # backtrace pass: walk bp from position n down to 0, prepending the
+    # piece spelled by each hop; at most n hops, extra iterations no-op
+    def back(st, _):
+        pos = st["pos"]
+        bp = F.element_at(dp, (pos + 1).cast("int"))["bp"]
+        piece = F.substring(word, (bp + 1).cast("int"),
+                            (pos - bp).cast("int"))
+        return (F.when(pos > 0,
+                       F.struct(bp.alias("pos"),
+                                F.concat(F.array(piece),
+                                         st["pieces"]).alias("pieces")))
+                .otherwise(st))
+
+    walked = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(n.cast("long").alias("pos"),
+                 F.array().cast("array<string>").alias("pieces")),
+        back)
+    return walked["pieces"]
+
+
+def viterbi_pieces_py(word: str, model: dict[str, float]) -> list[str]:
+    """Pure-python replay of :func:`viterbi_pieces` (same tie rule) —
+    the test oracle."""
+    costs = {p: -math.log(v) for p, v in model.items()}
+    n = len(word)
+    dp: list[tuple[float, int]] = [(0.0, -1)]
+    for i in range(1, n + 1):
+        best: tuple[float, int] | None = None
+        for ln in range(1, MAX_PIECE_LEN + 1):
+            if i - ln < 0:
+                c, bp = 2.0 * _INF, i - ln
+            else:
+                piece = word[i - ln:i]
+                c = dp[i - ln][0] + costs.get(piece, _INF)
+                bp = i - ln
+            if best is None or c < best[0]:
+                best = (c, bp)
+        dp.append(best)
+    pieces: list[str] = []
+    pos = n
+    while pos > 0:
+        bp = dp[pos][1]
+        pieces.insert(0, word[bp:pos])
+        pos = bp
+    return pieces

@@ -967,3 +967,98 @@ def tt_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", F.coalesce(F.col("e"), F.lit(False))
                      .alias("exact_hit")))
     return test.select("doc_id").join(bloom, "doc_id").join(exact, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# tok_unigram_lm — unigram-LM tokenizer training (Kudo, ACL 2018; the
+# SentencePiece unigram algorithm), completing the in-engine tokenizer
+# trio (tok_vocab / tok_bpe_merges+encode / this): seed a piece
+# inventory from frequent substrings, then Viterbi-EM — E-step
+# segments every distinct word with the current model via a pure-HOF
+# dynamic-programming lattice (operators/unigram.py: one aggregate
+# builds dp+backpointers, one walks them; zero per-row Python), M-step
+# re-estimates piece probabilities from weighted segment counts.
+# Rows-only (iterative trainer); pytest replays seed+EM bit-identically
+# in pure python.
+#
+# Scale: E-step runs over the DISTINCT word inventory (the
+# tok_bpe_merges discipline) as one map stage per round; the model is
+# bounded driver state (seed cap + alphabet, the top-V vocab
+# contract); M-step counts are a bounded groupBy. At a 32k-piece real
+# vocab the literal cost map becomes a broadcast position-substring
+# join — same lattice (documented in operators/unigram.py).
+# ---------------------------------------------------------------------------
+_UNI_SEED = 40
+_UNI_ROUNDS = 2
+
+
+@register("tok_unigram_lm")
+def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import unigram as ug
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+             .groupBy("w").agg(lcount("c"))
+             .persist())
+    words.count()
+
+    # candidate substrings, lengths 1..MAX_PIECE_LEN, weighted by word
+    # count; sequence() guards keep short words from descending ranges
+    n = F.length("w")
+
+    def sub_of(ln: int):
+        # factory, not a defaulted lambda: a 2-arg lambda would be
+        # (element, index) to the HOF layer and shadow ln with the index
+        return lambda i: F.substring(F.col("w"), i.cast("int"), ln)
+
+    subs = []
+    for ln in range(1, ug.MAX_PIECE_LEN + 1):
+        subs.append(F.when(n >= ln, F.transform(
+            F.sequence(F.lit(1), n - ln + 1), sub_of(ln)))
+            .otherwise(F.array().cast("array<string>")))
+    cand = (words.select("c", F.explode(F.concat(*subs)).alias("piece"))
+            .groupBy("piece").agg(F.sum("c").alias("cnt")))
+
+    top = {r.piece: int(r.cnt)
+           for r in cand.orderBy(F.desc("cnt"), F.asc("piece"))
+           .limit(_UNI_SEED).collect()}
+    chars = {r.piece: int(r.cnt)
+             for r in cand.filter(F.length("piece") == 1).collect()}
+    seed = dict(top)
+    for p, c in chars.items():
+        seed.setdefault(p, c)
+
+    def normalize(vals: dict[str, float]) -> dict[str, float]:
+        tot = sum(vals.values())
+        return {p: v / tot for p, v in sorted(vals.items())}
+
+    model = normalize({p: float(c) for p, c in seed.items()})
+
+    vc: dict[str, int] = {}
+    for _ in range(_UNI_ROUNDS):
+        seg = words.select(
+            "c", F.explode(ug.viterbi_pieces(F.col("w"), model))
+            .alias("piece"))
+        vc = {r.piece: int(r.n)
+              for r in seg.groupBy("piece")
+              .agg(F.sum("c").alias("n")).collect()}
+        # M-step: multi-char pieces live only while used; single chars
+        # persist with add-one smoothing so every word stays segmentable
+        vals = {}
+        for p in model:
+            used = vc.get(p, 0)
+            if len(p) == 1:
+                vals[p] = float(used + 1)
+            elif used > 0:
+                vals[p] = float(used)
+        model = normalize(vals)
+    words.unpersist()
+
+    rows = sorted(((p, len(p), vc.get(p, 0), round(model[p], 6))
+                   for p in model),
+                  key=lambda r: (-r[2], r[0]))
+    out = [(i + 1, p, ln, c, pr)
+           for i, (p, ln, c, pr) in enumerate(rows)]
+    return spark.createDataFrame(
+        out, "rank int, piece string, piece_len int, n_uses bigint, "
+             "prob double")

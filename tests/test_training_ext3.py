@@ -486,3 +486,75 @@ def test_tt_bloom_contamination_no_false_negatives(spark, sf_dir):
         elif r.bloom_hit:
             fp += 1
     assert fp / len(rows) < 0.05
+
+
+def _unigram_replay(texts):
+    """Pure-python replay of tok_unigram_lm's seed + Viterbi-EM."""
+    from collections import Counter
+    from sanctions_data_pipeline_spark.operators import unigram as ug
+    from sanctions_data_pipeline_spark.plans.training_data3 import (
+        _UNI_ROUNDS, _UNI_SEED)
+
+    wc = Counter()
+    for t in texts:
+        wc.update(_toks(t))
+    cand: Counter = Counter()
+    for w, c in wc.items():
+        for ln in range(1, ug.MAX_PIECE_LEN + 1):
+            for i in range(len(w) - ln + 1):
+                cand[w[i:i + ln]] += c
+    top = dict(sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))
+               [:_UNI_SEED])
+    for p, c in cand.items():
+        if len(p) == 1:
+            top.setdefault(p, c)
+
+    def normalize(vals):
+        tot = sum(vals.values())
+        return {p: v / tot for p, v in sorted(vals.items())}
+
+    model = normalize({p: float(c) for p, c in top.items()})
+    vc: Counter = Counter()
+    for _ in range(_UNI_ROUNDS):
+        vc = Counter()
+        for w, c in wc.items():
+            for piece in ug.viterbi_pieces_py(w, model):
+                vc[piece] += c
+        vals = {}
+        for p in model:
+            used = vc.get(p, 0)
+            if len(p) == 1:
+                vals[p] = float(used + 1)
+            elif used > 0:
+                vals[p] = float(used)
+        model = normalize(vals)
+    return model, vc, wc
+
+
+def test_tok_unigram_lm_matches_python_em_replay(spark, sf_dir):
+    texts = [d.text
+             for d in load_table(spark, sf_dir, "documents").collect()]
+    model, vc, _ = _unigram_replay(texts)
+    expect = {p: (len(p), vc.get(p, 0), round(model[p], 6)) for p in model}
+    got = {r.piece: (r.piece_len, r.n_uses, r.prob)
+           for r in _run(spark, sf_dir, "tok_unigram_lm").collect()}
+    assert got == expect
+
+
+def test_viterbi_pieces_hof_equals_python_and_respells_word(spark, sf_dir):
+    """The HOF lattice must emit exactly the python DP's segmentation
+    for every distinct corpus word under the seed model, and pieces
+    must concatenate back to the word."""
+    from sanctions_data_pipeline_spark.operators import unigram as ug
+
+    texts = [d.text
+             for d in load_table(spark, sf_dir, "documents").collect()]
+    model, _, wc = _unigram_replay(texts)
+    words = sorted(wc)
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: list(r.p)
+           for r in df.select("w", ug.viterbi_pieces(F.col("w"), model)
+                              .alias("p")).collect()}
+    for w in words:
+        assert "".join(got[w]) == w
+        assert got[w] == ug.viterbi_pieces_py(w, model)
