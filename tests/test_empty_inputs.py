@@ -69,3 +69,45 @@ def test_registry_queries_tolerate_empty_documents(spark, sf_dir, tmp_path):
                  "tx_perplexity", "mix_dsir_weights", "dp_interleave"):
         rows = qs[name](spark, d).collect()
         assert rows == [] or all(r is not None for r in rows), name
+
+
+def test_new_round3_ops_tolerate_empty_documents(spark, sf_dir, tmp_path):
+    """The round-3 additions over documents must run (empty or
+    well-defined output) when the documents table is empty."""
+    import os
+
+    d = str(tmp_path / "sf_empty3")
+    os.makedirs(d, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(d, f"{t}.parquet"))
+    load_table(spark, sf_dir, "documents").limit(0).write.parquet(
+        os.path.join(d, "documents.parquet"), mode="overwrite")
+
+    from sanctions_data_pipeline_spark.plans import registry
+    qs = registry.queries()
+    for name in ("dd_line_dedup", "tx_bm25", "sim_rrf_fusion",
+                 "dp_sft_format", "dp_fim_transform", "tok_bpe_encode",
+                 "tt_bloom_contamination", "tx_ccnet_buckets"):
+        rows = qs[name](spark, d).collect()
+        assert rows == [], name
+    # trainers on an empty corpus: empty model, no crash
+    assert qs["tok_unigram_lm"](spark, d).collect() == []
+
+
+def test_dd_line_dedup_single_and_empty_text(spark, tmp_path):
+    import os
+    d = str(tmp_path / "sf_tiny_ld")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "one two", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"), mode="overwrite")
+    from sanctions_data_pipeline_spark.plans import registry
+    rows = {r.doc_id: r for r in
+            registry.queries()["dd_line_dedup"](spark, d).collect()}
+    # empty text tokenizes to [''] -> one 1-token chunk; both docs keep
+    assert rows[1].n_chunks == 1 and rows[1].n_removed == 0
+    assert rows[2].n_chunks == 1 and rows[2].n_kept == 1
