@@ -1062,3 +1062,229 @@ def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "rank int, piece string, piece_len int, n_uses bigint, "
              "prob double")
+
+
+# ---------------------------------------------------------------------------
+# gr_hits — HITS hubs & authorities (Kleinberg, JACM 1999) over the
+# same co-purchase edge table as gr_pagerank: authority(v) sums the
+# hub mass of v's in-neighbors, hub(u) sums the authority mass of u's
+# out-neighbors, L2-normalized each half-step. Two half-step pairs
+# unrolled so the oracle is exact; the loop form inherits the
+# dd_cluster persist-per-round discipline.
+#
+# Cross-engine float rule: iteration-0 authorities are exact integer
+# in-degrees; every later sum — per-node contributions AND the global
+# L2 norms — is a sorted sequential fold, and every normalization is
+# one division by a broadcast scalar, so the operator tree is
+# bit-identical on both engines.
+# ---------------------------------------------------------------------------
+_HITS_ORACLE = f"""
+WITH {_PR_EDGES},
+ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS d_in FROM edges GROUP BY dst),
+n1 AS (SELECT sqrt(CAST(CAST(list_aggregate(list_sort(list(d_in * d_in)),
+                                            'sum') AS BIGINT) AS DOUBLE))
+         AS z FROM ind),
+a1 AS (SELECT dst AS node, CAST(d_in AS DOUBLE) / (SELECT z FROM n1) AS a
+       FROM ind),
+h1r AS (
+  SELECT e.src AS node,
+         list_aggregate(list_sort(list(a1.a)), 'sum') AS h
+  FROM edges e JOIN a1 ON e.dst = a1.node GROUP BY e.src
+),
+nh AS (SELECT sqrt(list_aggregate(list_sort(list(h * h)), 'sum')) AS z
+       FROM h1r),
+h1 AS (SELECT node, h / (SELECT z FROM nh) AS h FROM h1r),
+a2r AS (
+  SELECT e.dst AS node,
+         list_aggregate(list_sort(list(h1.h)), 'sum') AS a
+  FROM edges e JOIN h1 ON e.src = h1.node GROUP BY e.dst
+),
+na AS (SELECT sqrt(list_aggregate(list_sort(list(a * a)), 'sum')) AS z
+       FROM a2r),
+a2 AS (SELECT node, a / (SELECT z FROM na) AS a FROM a2r)
+SELECT a2.node, round(a2.a, 6) AS authority,
+       round(coalesce(h1.h, 0.0), 6) AS hub,
+       ind.d_in
+FROM a2 JOIN ind ON a2.node = ind.dst
+        LEFT JOIN h1 ON a2.node = h1.node
+"""
+
+
+@register("gr_hits", oracle=_HITS_ORACLE)
+def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    co = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p")).distinct()
+    edges = (co.join(co.withColumnRenamed("p", "q"), "o")
+             .filter(F.col("p") != F.col("q"))
+             .groupBy(F.col("p").alias("src"), F.col("q").alias("dst"))
+             .agg(lcount("w")).filter(F.col("w") >= 3)
+             .select("src", "dst").persist())
+
+    def fold(col):
+        return F.aggregate(F.array_sort(F.collect_list(col)),
+                           F.lit(0.0), lambda a, x: a + x)
+
+    ind = edges.groupBy("dst").agg(lcount("d_in"))
+    # norm of the integer in-degree vector: exact bigint sum -> sqrt
+    n1 = ind.agg(F.sqrt((F.sum(F.col("d_in") * F.col("d_in")))
+                        .cast("bigint").cast("double")).alias("z"))
+    a1 = (ind.crossJoin(F.broadcast(n1))
+          .select(F.col("dst").alias("node"),
+                  (F.col("d_in").cast("double") / F.col("z")).alias("a")))
+    h1r = (edges.join(a1.withColumnRenamed("node", "dst"), "dst")
+           .groupBy(F.col("src").alias("node")).agg(fold("a").alias("h")))
+    nh = h1r.agg(F.sqrt(fold(F.col("h") * F.col("h"))).alias("z"))
+    h1 = (h1r.crossJoin(F.broadcast(nh))
+          .select("node", (F.col("h") / F.col("z")).alias("h")))
+    a2r = (edges.join(h1.withColumnRenamed("node", "src"), "src")
+           .groupBy(F.col("dst").alias("node")).agg(fold("h").alias("a")))
+    na = a2r.agg(F.sqrt(fold(F.col("a") * F.col("a"))).alias("z"))
+    a2 = (a2r.crossJoin(F.broadcast(na))
+          .select("node", (F.col("a") / F.col("z")).alias("a")))
+    return (a2.join(ind.withColumnRenamed("dst", "node"), "node")
+            .join(h1, "node", "left")
+            .select("node", F.round("a", 6).alias("authority"),
+                    F.round(F.coalesce(F.col("h"), F.lit(0.0)), 6)
+                    .alias("hub"),
+                    F.col("d_in").cast("bigint").alias("d_in")))
+
+
+# ---------------------------------------------------------------------------
+# q_attribution — first-touch / last-touch conversion attribution over
+# sessionized events (the classic marketing-analytics query): sessions
+# form with the q_sessionize 30-min-gap rule; every purchase attributes
+# to the session's FIRST event type (first touch) and to the event
+# immediately preceding it (last touch; 'direct' when the purchase
+# opens its session). Output: conversions + exact-decimal revenue per
+# (first_touch, last_touch) channel pair.
+#
+# Scale: both windows partition by user_id (the natural key — no
+# global window), the final rollup is a tiny grouped agg; decimal-
+# exact revenue via the dsum idiom.
+# ---------------------------------------------------------------------------
+_ATTR_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), touched AS (
+  SELECT event_type, value,
+         FIRST_VALUE(event_type) OVER s AS first_touch,
+         coalesce(LAG(event_type) OVER s, 'direct') AS last_touch
+  FROM sessions
+  WINDOW s AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+)
+SELECT first_touch, last_touch,
+       COUNT(*) AS n_conversions,
+       {{dsum}}
+FROM touched WHERE event_type = 'purchase'
+GROUP BY first_touch, last_touch
+""".format(dsum="CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) * 10000 "
+                "AS BIGINT) / 10000.0 AS revenue")
+
+
+@register("q_attribution", oracle=_ATTR_ORACLE)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import dsum, dval
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.unix_micros(F.col("ts"))
+                  - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+               1).otherwise(0))
+    sessions = flagged.withColumn(
+        "sid", F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, 0)))
+    s = W.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    touched = sessions.select(
+        "event_type", "value",
+        F.first("event_type").over(s).alias("first_touch"),
+        F.coalesce(F.lag("event_type").over(s), F.lit("direct"))
+        .alias("last_touch"))
+    return (touched.filter(F.col("event_type") == "purchase")
+            .groupBy("first_touch", "last_touch")
+            .agg(lcount("n_conversions"),
+                 dsum(dval("value"), "revenue")))
+
+
+# ---------------------------------------------------------------------------
+# tx_html_strip — HTML -> text extraction (the boilerplate-strip stage
+# every web-scraped corpus runs; cf. the C4/trafilatura pipelines and
+# the reference's own HTML scrape seam, main.py:104-212): drop
+# script/style blocks wholesale (including markup-looking content
+# inside them), strip residual tags, collapse whitespace, and surface
+# title + link inventory. The corpus is plain text, so each doc is
+# first WRAPPED in a deterministic page template in-query — the
+# extraction then has a known right answer and the oracle checks the
+# whole round trip.
+#
+# Scale: pure map-side regexp algebra (JVM codegen, no UDF) — one
+# corpus scan, no shuffle.
+# ---------------------------------------------------------------------------
+_HTML_BUILD = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>"
+    "<script>var x = 1 < 2;</script><style>.p {{ color: red }}</style>"
+    "</head><body><p>' || text || '</p>"
+    "<a href=\"/doc/' || CAST(doc_id + 1 AS VARCHAR) || '\">next</a>"
+    "<a href=\"/home\">home</a></body></html>'")
+
+_HTML_ORACLE = f"""
+WITH page AS (
+  SELECT doc_id, {_HTML_BUILD} AS html FROM documents
+),
+stripped AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             html,
+             '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS clean_text,
+         regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+         regexp_extract_all(html, 'href="([^"]*)"', 1) AS links
+  FROM page
+)
+SELECT doc_id, clean_text, title,
+       CAST(len(links) AS BIGINT) AS n_links,
+       links[1] AS first_link
+FROM stripped
+"""
+
+
+@register("tx_html_strip", oracle=_HTML_ORACLE)
+def tx_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = 1 < 2;</script>"
+              "<style>.p { color: red }</style></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><a href=\"/doc/"),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit("\">next</a><a href=\"/home\">home</a></body></html>"))
+    page = docs.select("doc_id", html.alias("html"))
+    clean = F.trim(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.regexp_replace(
+            F.col("html"), r"(?s)<script[^>]*>.*?</script>", " "),
+        r"(?s)<style[^>]*>.*?</style>", " "),
+        r"<[^>]+>", " "),
+        r"\s+", " "))
+    return page.select(
+        "doc_id", clean.alias("clean_text"),
+        F.regexp_extract("html", r"<title>([^<]*)</title>", 1).alias("title"),
+        F.size(F.regexp_extract_all("html", F.lit(r'href="([^"]*)"'), 1))
+        .cast("bigint").alias("n_links"),
+        F.element_at(F.regexp_extract_all("html", F.lit(r'href="([^"]*)"'), 1),
+                     1).alias("first_link"))

@@ -558,3 +558,91 @@ def test_viterbi_pieces_hof_equals_python_and_respells_word(spark, sf_dir):
     for w in words:
         assert "".join(got[w]) == w
         assert got[w] == ug.viterbi_pieces_py(w, model)
+
+
+def test_gr_hits_matches_python_replay(spark, sf_dir):
+    """HITS 2-iteration replay with identical sorted-fold float order."""
+    from collections import Counter, defaultdict
+    import math as m
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 200).select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    wc: Counter = Counter()
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    wc[(a, b)] += 1
+    edges = [(a, b) for (a, b), w in wc.items() if w >= 3]
+    ind: Counter = Counter(b for _, b in edges)
+    z1 = m.sqrt(float(sum(d * d for d in ind.values())))
+    a1 = {v: d / z1 for v, d in ind.items()}
+    h1r = {}
+    outn = defaultdict(list)
+    for u, v in edges:
+        outn[u].append(v)
+    for u, vs in outn.items():
+        h1r[u] = sum(sorted(a1[v] for v in vs if v in a1))
+    zh = m.sqrt(sum(sorted(h * h for h in h1r.values())))
+    h1 = {u: h / zh for u, h in h1r.items()}
+    inn = defaultdict(list)
+    for u, v in edges:
+        inn[v].append(u)
+    a2r = {v: sum(sorted(h1[u] for u in us if u in h1))
+           for v, us in inn.items()}
+    za = m.sqrt(sum(sorted(a * a for a in a2r.values())))
+    expect = {v: (round(a / za, 6), round(h1.get(v, 0.0), 6), ind[v])
+              for v, a in a2r.items()}
+    got = {r.node: (r.authority, r.hub, r.d_in)
+           for r in _run(spark, sf_dir, "gr_hits").collect()}
+    assert got == expect
+
+
+def test_q_attribution_matches_python_sessionization(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = sorted(load_table(spark, sf_dir, "events").collect(),
+                key=lambda e: (e.user_id, e.ts, e.event_id))
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append(e)
+    agg = defaultdict(lambda: [0, 0])   # (first, last) -> [n, cents*100]
+    for user, es in per_user.items():
+        prev_ts = None
+        session = []
+        for e in es:
+            if prev_ts is None or (e.ts - prev_ts).total_seconds() > 1800:
+                session = []
+            session.append(e)
+            prev_ts = e.ts
+            if e.event_type == "purchase":
+                first = session[0].event_type
+                last = (session[-2].event_type if len(session) > 1
+                        else "direct")
+                a = agg[(first, last)]
+                a[0] += 1
+                a[1] += int(round(e.value * 10000))
+    expect = {k: (n, v / 1e4) for k, (n, v) in agg.items()}
+    got = {(r.first_touch, r.last_touch): (r.n_conversions, r.revenue)
+           for r in _run(spark, sf_dir, "q_attribution").collect()}
+    assert set(got) == set(expect)
+    for k, (n, rev) in expect.items():
+        assert got[k][0] == n and abs(got[k][1] - rev) < 1e-9
+
+
+def test_tx_html_strip_round_trip(spark, sf_dir):
+    import re as _re
+
+    docs = {d.doc_id: d.text
+            for d in load_table(spark, sf_dir, "documents").collect()}
+    rows = _run(spark, sf_dir, "tx_html_strip").collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        body = _re.sub(r"\s+", " ", docs[r.doc_id]).strip()
+        assert r.clean_text == f"Doc {r.doc_id} {body} next home"
+        assert r.title == f"Doc {r.doc_id}"
+        assert r.n_links == 2
+        assert r.first_link == f"/doc/{r.doc_id + 1}"
