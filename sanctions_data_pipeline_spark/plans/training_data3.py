@@ -1288,3 +1288,73 @@ def tx_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_links"),
         F.element_at(F.regexp_extract_all("html", F.lit(r'href="([^"]*)"'), 1),
                      1).alias("first_link"))
+
+
+# ---------------------------------------------------------------------------
+# pr_implicit_als — one alternating-least-squares sweep of matrix
+# factorization over (customer, part, quantity) interactions (Koren,
+# Bell & Volinsky, IEEE Computer 2009 — the classic recommender
+# factorizer; completes the recommender family next to pr_copurchase /
+# pr_item_cosine): item factors initialize from a deterministic
+# doc-id/factor hash, the U-step solves each user's ridge normal
+# equations (YᵀY + λI)x = Yᵀr in closed form inside
+# groupBy(user).applyInPandas (one vectorized numpy solve per user,
+# the ml_group_fit contract), and the op reports per-user factor
+# norms + training RMSE. Rows-only; pytest replays users in numpy.
+#
+# Scale: the ITEM factor matrix is the broadcast model (items kept
+# bounded here; at real catalog sizes the I-step runs symmetrically
+# and both sides stay (entity, d)-shaped rows — nothing quadratic);
+# per-user state never leaves its executor.
+# ---------------------------------------------------------------------------
+_ALS_D = 4
+_ALS_LAMBDA = 0.1
+
+
+def _als_item_factors(items: list[int]) -> dict[int, list[float]]:
+    """Deterministic hash init in [-0.5, 0.5): same on driver & tests."""
+    import hashlib
+
+    out = {}
+    for p in items:
+        out[p] = [
+            int(hashlib.md5(f"als:{p}:{f}".encode()).hexdigest()[:8], 16)
+            % 1000 / 1000.0 - 0.5
+            for f in range(_ALS_D)]
+    return out
+
+
+@register("pr_implicit_als")
+def pr_implicit_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    orders = load_table(spark, sf_dir, "orders")
+    r = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .groupBy(F.col("o_custkey").alias("user_id"),
+                  F.col("l_partkey").alias("item_id"))
+         .agg(F.sum("l_quantity").cast("double").alias("rating")))
+
+    items = sorted(p.item_id for p in r.select("item_id").distinct().collect())
+    yfac = _als_item_factors(items)   # bounded model state, ships in closure
+    lam, d = _ALS_LAMBDA, _ALS_D
+
+    def solve(pdf):
+        ys = np.array([yfac[i] for i in pdf["item_id"]])
+        rv = pdf["rating"].to_numpy()
+        a = ys.T @ ys + lam * np.eye(d)
+        x = np.linalg.solve(a, ys.T @ rv)
+        pred = ys @ x
+        rmse = float(np.sqrt(np.mean((pred - rv) ** 2)))
+        return pd.DataFrame({
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_items": [len(pdf)],
+            "factor_norm": [round(float(np.linalg.norm(x)), 6)],
+            "rmse": [round(rmse, 6)],
+        })
+
+    solve.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
+    return (r.groupBy("user_id")
+            .applyInPandas(solve, "user_id long, n_items long, "
+                                  "factor_norm double, rmse double"))

@@ -646,3 +646,50 @@ def test_tx_html_strip_round_trip(spark, sf_dir):
         assert r.title == f"Doc {r.doc_id}"
         assert r.n_links == 2
         assert r.first_link == f"/doc/{r.doc_id + 1}"
+
+
+def test_pr_implicit_als_matches_numpy_replay(spark, sf_dir):
+    import numpy as np
+    from collections import defaultdict
+    from sanctions_data_pipeline_spark.plans.training_data3 import (
+        _ALS_D, _ALS_LAMBDA, _als_item_factors)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 200).collect()
+    orders = {o.o_orderkey: o.o_custkey
+              for o in load_table(spark, sf_dir, "orders").collect()}
+    ratings = defaultdict(float)
+    for r in li:
+        ratings[(orders[r.l_orderkey], r.l_partkey)] += float(r.l_quantity)
+    items = sorted({i for _, i in ratings})
+    yfac = _als_item_factors(items)
+    per_user = defaultdict(list)
+    for (u, i), v in ratings.items():
+        per_user[u].append((i, v))
+    expect = {}
+    for u, iv in per_user.items():
+        # pandas arrives grouped in item order per groupBy key ordering;
+        # ridge solve is order-independent up to float assoc — replicate
+        # by sorting on item_id, which matches the agg's deterministic
+        # content (values are equal regardless; tolerance below absorbs
+        # association differences)
+        iv.sort()
+        ys = np.array([yfac[i] for i, _ in iv])
+        rv = np.array([v for _, v in iv])
+        a = ys.T @ ys + _ALS_LAMBDA * np.eye(_ALS_D)
+        x = np.linalg.solve(a, ys.T @ rv)
+        rmse = float(np.sqrt(np.mean((ys @ x - rv) ** 2)))
+        expect[u] = (len(iv), float(np.linalg.norm(x)), rmse)
+    got = {r.user_id: (r.n_items, r.factor_norm, r.rmse)
+           for r in _run(spark, sf_dir, "pr_implicit_als").collect()}
+    assert set(got) == set(expect)
+    for u, (n, norm, rmse) in expect.items():
+        gn, gnorm, grmse = got[u]
+        assert gn == n
+        assert abs(gnorm - norm) < 1e-4 and abs(grmse - rmse) < 1e-4
+    # a solved factor model must beat the zero-factor baseline
+    # (pred=0 -> rmse = ||r||/sqrt(n)) for users with enough items
+    for u, iv in per_user.items():
+        if expect[u][0] >= 3:
+            base = float(np.sqrt(np.mean([v * v for _, v in iv])))
+            assert expect[u][2] < base
