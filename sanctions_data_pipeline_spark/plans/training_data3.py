@@ -491,7 +491,14 @@ SELECT term, doc_id, tf, dl, bm25, rnk FROM (
 
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(term, doc_id, tf, dl, bm25) for the top-_BM25_Q df terms."""
+    """(term, doc_id, tf, dl, bm25) for the top-_BM25_Q df terms.
+
+    Corpus passes: ONE to pick query terms + corpus stats (both bounded
+    driver state — Q rows and two scalars — re-shipped as a broadcast
+    dim / literals), ONE to score. Re-deriving the posting lineage per
+    branch would scan the corpus ~6 times; collecting the bounded
+    pieces keeps it at two passes, the honest minimum without
+    persisting the corpus-sized posting aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
     d = t.select("doc_id", F.size("toks").alias("dl"),
@@ -499,13 +506,15 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (d.groupBy("term", "doc_id")
           .agg(lcount("tf"), F.min("dl").cast("bigint").alias("dl")))
     df = tf.groupBy("term").agg(lcount("df"))
-    qterms = df.orderBy(F.desc("df"), F.asc("term")).limit(_BM25_Q)
-    stats = t.agg(
-        lcount("n_docs"),
-        (F.sum(F.size("toks")).cast("bigint").cast("double")
-         / F.count(F.lit(1))).alias("avgdl"))
+    qrows = [(r.term, int(r.df)) for r in
+             df.orderBy(F.desc("df"), F.asc("term")).limit(_BM25_Q).collect()]
+    n_docs, sum_dl = t.agg(
+        F.count(F.lit(1)), F.sum(F.size("toks")).cast("bigint")).collect()[0]
+    avgdl = float(sum_dl) / float(n_docs)  # one IEEE division of exact ints
+    qterms = spark.createDataFrame(qrows, "term string, df bigint")
     return (tf.join(F.broadcast(qterms), "term")
-            .crossJoin(F.broadcast(stats))
+            .withColumn("n_docs", F.lit(int(n_docs)).cast("bigint"))
+            .withColumn("avgdl", F.lit(avgdl))
             .withColumn("bm25", F.round(F.expr(_BM25_EXPR), 6))
             .select("term", "doc_id", "tf", "dl", "bm25"))
 
@@ -1120,28 +1129,35 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("p").alias("src"), F.col("q").alias("dst"))
              .agg(lcount("w")).filter(F.col("w") >= 3)
              .select("src", "dst").persist())
+    edges.count()  # materialize: every half-step reuses the cache, so
+    # the candidate pipeline runs once (the dd_cluster persist lesson)
 
     def fold(col):
         return F.aggregate(F.array_sort(F.collect_list(col)),
                            F.lit(0.0), lambda a, x: a + x)
 
-    ind = edges.groupBy("dst").agg(lcount("d_in"))
+    def scalar(df) -> float:
+        # each L2 norm is a 1-row Spark agg; collecting it as a lit
+        # (bounded driver state) keeps every later stage's lineage flat
+        # instead of re-deriving the whole graph per crossJoin branch
+        return float(df.collect()[0][0])
+
+    ind = edges.groupBy("dst").agg(lcount("d_in")).persist()
     # norm of the integer in-degree vector: exact bigint sum -> sqrt
-    n1 = ind.agg(F.sqrt((F.sum(F.col("d_in") * F.col("d_in")))
-                        .cast("bigint").cast("double")).alias("z"))
-    a1 = (ind.crossJoin(F.broadcast(n1))
-          .select(F.col("dst").alias("node"),
-                  (F.col("d_in").cast("double") / F.col("z")).alias("a")))
+    z1 = scalar(ind.agg(F.sqrt((F.sum(F.col("d_in") * F.col("d_in")))
+                               .cast("bigint").cast("double"))))
+    a1 = ind.select(F.col("dst").alias("node"),
+                    (F.col("d_in").cast("double") / F.lit(z1)).alias("a"))
     h1r = (edges.join(a1.withColumnRenamed("node", "dst"), "dst")
-           .groupBy(F.col("src").alias("node")).agg(fold("a").alias("h")))
-    nh = h1r.agg(F.sqrt(fold(F.col("h") * F.col("h"))).alias("z"))
-    h1 = (h1r.crossJoin(F.broadcast(nh))
-          .select("node", (F.col("h") / F.col("z")).alias("h")))
+           .groupBy(F.col("src").alias("node")).agg(fold("a").alias("h"))
+           .persist())
+    zh = scalar(h1r.agg(F.sqrt(fold(F.col("h") * F.col("h")))))
+    h1 = h1r.select("node", (F.col("h") / F.lit(zh)).alias("h")).persist()
     a2r = (edges.join(h1.withColumnRenamed("node", "src"), "src")
-           .groupBy(F.col("dst").alias("node")).agg(fold("h").alias("a")))
-    na = a2r.agg(F.sqrt(fold(F.col("a") * F.col("a"))).alias("z"))
-    a2 = (a2r.crossJoin(F.broadcast(na))
-          .select("node", (F.col("a") / F.col("z")).alias("a")))
+           .groupBy(F.col("dst").alias("node")).agg(fold("h").alias("a"))
+           .persist())
+    za = scalar(a2r.agg(F.sqrt(fold(F.col("a") * F.col("a")))))
+    a2 = a2r.select("node", (F.col("a") / F.lit(za)).alias("a"))
     return (a2.join(ind.withColumnRenamed("dst", "node"), "node")
             .join(h1, "node", "left")
             .select("node", F.round("a", 6).alias("authority"),
