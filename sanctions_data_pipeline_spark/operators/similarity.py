@@ -511,3 +511,103 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "cos", "rnk"))
+
+
+def ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int,
+               n_centroids: int = 8, n_probe: int = 2, m: int = 8,
+               ksub: int = 16, rerank: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF+PQ top-k — the canonical composed ANN index (the
+    IndexIVFPQ shape of Jégou et al., TPAMI 2011): coarse k-means cells
+    restrict WHICH codes each query scans (IVF, multi-probe on the
+    query side), PQ-ADC scores the surviving m-byte codes, and the
+    approximate top rerank*k re-rank on exact cosine.
+
+    Scale: combines both partial indexes' wins — the scan per query is
+    (corpus/n_centroids)*n_probe rows of m bytes instead of the whole
+    float corpus, so cost falls ~n_centroids/n_probe × 32 vs brute
+    force while recall stays bounded by the same two knobs measured in
+    sim_recall_eval.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = kmeans_fit(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    books = pq_train_codebooks(corpus, m=m, ksub=ksub,
+                               id_col=id_col, vec_col=vec_col)
+    mm, _, dsub = books.shape
+    bbooks = books
+
+    base = corpus.select(F.col(id_col).alias("i"),
+                         as_double(F.col(vec_col)).alias("v"))
+    celled = assign_cells(base, cents)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["v"].tolist(), dtype="float64")
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                               1e-12)
+            codes = np.empty((len(pdf), mm), dtype="int32")
+            for s in range(mm):
+                xs = vecs[:, s * dsub:(s + 1) * dsub]
+                d2 = ((xs[:, None, :] - bbooks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"neighbor_id": pdf["i"],
+                                "cell": pdf["cell"],
+                                "codes": list(codes.tolist())})
+
+    coded = celled.mapInPandas(
+        encode, "neighbor_id long, cell int, codes array<int>")
+
+    q_rows = (queries.select(F.col(id_col).alias("query_id"),
+                             as_double(F.col(vec_col)).alias("qv"))
+              .collect())  # queries are the SMALL side by contract
+    qpos = {int(r["query_id"]): i for i, r in enumerate(q_rows)}
+    qv = np.array([r["qv"] for r in q_rows], dtype="float64")
+    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    lut = np.stack([qv[:, s * dsub:(s + 1) * dsub] @ bbooks[s].T
+                    for s in range(mm)], axis=1)
+
+    qcells = assign_cells_multi(
+        queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("v")),
+        cents, n_probe).select("query_id", "cell")
+    # IVF restriction: each query scores only its probed cells' codes
+    cand_rows = coded.join(F.broadcast(qcells), "cell")
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype="int64")
+            qi = np.array([qpos[int(q)] for q in pdf["query_id"]])
+            approx = lut[qi[:, None], np.arange(mm)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "approx": approx})
+
+    cand = (cand_rows.select("query_id", "neighbor_id", "codes")
+            .mapInPandas(adc, "query_id long, neighbor_id long, approx double"))
+    n_cand = rerank * k
+    wq = W.partitionBy("query_id").orderBy(F.desc("approx"), "neighbor_id")
+    cand = (cand.withColumn("r", F.row_number().over(wq))
+            .filter(F.col("r") <= n_cand).drop("r", "approx"))
+
+    cv = _with_norm(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                  as_double(F.col(vec_col)).alias("cv")),
+                    "cv", "cn")
+    qdf = _with_norm(
+        queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("qv")), "qv", "qn")
+    scored = (cand.join(cv, "neighbor_id")
+              .join(F.broadcast(qdf), "query_id")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", F.round(
+                  dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                  6)))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos", "rnk"))

@@ -1374,3 +1374,20 @@ def pr_implicit_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (r.groupBy("user_id")
             .applyInPandas(solve, "user_id long, n_items long, "
                                   "factor_norm double, rmse double"))
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_ivfpq — the composed IVF+PQ index (Jégou et al. TPAMI 2011;
+# the FAISS IndexIVFPQ default), joining the two partial indexes the
+# engine already ships (sim_ann_ivf's coarse cells, sim_ann_pq's ADC
+# codes): per query, only the probed cells' m-byte codes are scored,
+# then exact-cosine re-rank. Rows-only (kmeans + codebooks are
+# iterative trainers); pytest pins recall@k against brute force.
+# ---------------------------------------------------------------------------
+@register("sim_ann_ivfpq")
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return (sim.ivfpq_topk(queries, vecs, k=5, n_centroids=16, n_probe=4,
+                           rerank=6)
+            .withColumn("rnk", F.col("rnk").cast("bigint")))
