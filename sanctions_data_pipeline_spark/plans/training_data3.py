@@ -510,6 +510,9 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
              df.orderBy(F.desc("df"), F.asc("term")).limit(_BM25_Q).collect()]
     n_docs, sum_dl = t.agg(
         F.count(F.lit(1)), F.sum(F.size("toks")).cast("bigint")).collect()[0]
+    if not n_docs or not qrows:   # empty corpus: no postings, no terms
+        return spark.createDataFrame(
+            [], "term string, doc_id long, tf bigint, dl bigint, bm25 double")
     avgdl = float(sum_dl) / float(n_docs)  # one IEEE division of exact ints
     qterms = spark.createDataFrame(qrows, "term string, df bigint")
     return (tf.join(F.broadcast(qterms), "term")

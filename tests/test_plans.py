@@ -65,6 +65,9 @@ def test_whole_stage_codegen_covers_q1(spark, sf_dir):
 # Queries whose plans legitimately contain a non-equi broadcast join
 # (top-k similarity intentionally scores query x corpus / query x cell).
 _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
+                # binary sign-hash ANN: the same intentional
+                # query x corpus broadcast scoring cross, on 16-byte codes
+                "sim_ann_hamming",
                 "q_range_join", "q_asof_join",
                 # intentional broadcast scoring joins: radius query and
                 # the exact kNN-graph baseline (blocked form is equi)
