@@ -402,7 +402,7 @@ FROM r GROUP BY doc_id
 """
 
 
-@register("dd_line_dedup", oracle=_LD_ORACLE)
+@register("dd_line_dedup", headline=True, oracle=_LD_ORACLE)
 def dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
@@ -522,7 +522,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("term", "doc_id", "tf", "dl", "bm25"))
 
 
-@register("tx_bm25", oracle=_BM25_ORACLE)
+@register("tx_bm25", headline=True, oracle=_BM25_ORACLE)
 def tx_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _bm25_scored(spark, sf_dir)
     w = W.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
@@ -569,7 +569,7 @@ SELECT term, doc_id, rank_bm25, rank_tf, rrf_score, rnk FROM (
 """
 
 
-@register("sim_rrf_fusion", oracle=_RRF_ORACLE)
+@register("sim_rrf_fusion", headline=True, oracle=_RRF_ORACLE)
 def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _bm25_scored(spark, sf_dir)
     wb = W.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
@@ -1004,7 +1004,7 @@ _UNI_SEED = 40
 _UNI_ROUNDS = 2
 
 
-@register("tok_unigram_lm")
+@register("tok_unigram_lm", headline=True)
 def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.operators import unigram as ug
 
@@ -1132,8 +1132,11 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("p").alias("src"), F.col("q").alias("dst"))
              .agg(lcount("w")).filter(F.col("w") >= 3)
              .select("src", "dst").persist())
-    edges.count()  # materialize: every half-step reuses the cache, so
-    # the candidate pipeline runs once (the dd_cluster persist lesson)
+    n_edges = edges.count()  # materialize: every half-step reuses the
+    # cache, so the candidate pipeline runs once (dd_cluster lesson)
+    if n_edges == 0:  # graph vanishes at some SFs (w>=3 co-occurrence)
+        return spark.createDataFrame(
+            [], "node long, authority double, hub double, d_in bigint")
 
     def fold(col):
         return F.aggregate(F.array_sort(F.collect_list(col)),
@@ -1211,7 +1214,7 @@ GROUP BY first_touch, last_touch
                 "AS BIGINT) / 10000.0 AS revenue")
 
 
-@register("q_attribution", oracle=_ATTR_ORACLE)
+@register("q_attribution", headline=True, oracle=_ATTR_ORACLE)
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.plans.helpers import dsum, dval
 
@@ -1387,7 +1390,7 @@ def pr_implicit_als(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then exact-cosine re-rank. Rows-only (kmeans + codebooks are
 # iterative trainers); pytest pins recall@k against brute force.
 # ---------------------------------------------------------------------------
-@register("sim_ann_ivfpq")
+@register("sim_ann_ivfpq", headline=True)
 def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 10)
