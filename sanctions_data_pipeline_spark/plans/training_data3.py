@@ -1397,3 +1397,135 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sim.ivfpq_topk(queries, vecs, k=5, n_centroids=16, n_probe=4,
                            rerank=6)
             .withColumn("rnk", F.col("rnk").cast("bigint")))
+
+
+# ---------------------------------------------------------------------------
+# q_time_weighted_avg — time-weighted average (TWAP) per user over the
+# irregular event stream: each observation holds until the next one,
+# so its weight is the gap to the user's next event (last event: zero
+# weight — half-open interval convention). The canonical downsampling
+# aggregate for irregular timeseries.
+#
+# Cross-engine float rule: weights are exact integer microseconds,
+# values go through the scale-4 decimal cast; the weighted sum is an
+# exact decimal x bigint product summed in decimal, surfaced by one
+# division of two exact numbers. Windows partition by user_id.
+# ---------------------------------------------------------------------------
+_TWAP_ORACLE = """
+WITH g AS (
+  SELECT user_id, value,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_holds,
+       CAST(sum(dt_us) AS BIGINT) AS total_us,
+       round(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)) * dt_us), 4)
+                       * 10000 AS BIGINT) AS DOUBLE) / 10000.0
+             / CAST(sum(dt_us) AS BIGINT), 6) AS twap
+FROM g WHERE dt_us IS NOT NULL AND dt_us > 0
+GROUP BY user_id
+"""
+
+
+@register("q_time_weighted_avg", oracle=_TWAP_ORACLE)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import dval
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", "value",
+        (F.lead(F.unix_micros(F.col("ts"))).over(w)
+         - F.unix_micros(F.col("ts"))).alias("dt_us"))
+    g = g.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    wsum = (F.round(F.sum(dval("value") * F.col("dt_us")), 4) * 10000) \
+        .cast("bigint").cast("double") / F.lit(10000.0)
+    return (g.groupBy("user_id")
+            .agg(lcount("n_holds"),
+                 F.sum("dt_us").cast("bigint").alias("total_us"),
+                 F.round(wsum / F.sum("dt_us").cast("bigint"), 6)
+                 .alias("twap")))
+
+
+# ---------------------------------------------------------------------------
+# q_ohlc_bars — OHLC candlestick bars (open/high/low/close) per
+# (1h window, event_type): open/close are the values at the min/max
+# (ts, event_id) — struct-ordered argmin/argmax, so ties at the bar
+# boundary resolve identically on both engines. The canonical
+# downsample for market/metric data.
+#
+# Scale: one map-side-combinable grouped agg — min/max of
+# (ts, event_id, value) structs and decimal min/max; no window, no
+# shuffle beyond the group-by.
+# ---------------------------------------------------------------------------
+_OHLC_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(ROUND(arg_min(CAST(value AS DECIMAL(18,4)),
+                          printf('%020d-%012d', epoch_us(ts), event_id)),
+                  4) * 10000 AS BIGINT)
+         / 10000.0 AS open,
+       CAST(ROUND(MAX(CAST(value AS DECIMAL(18,4))), 4) * 10000 AS BIGINT)
+         / 10000.0 AS high,
+       CAST(ROUND(MIN(CAST(value AS DECIMAL(18,4))), 4) * 10000 AS BIGINT)
+         / 10000.0 AS low,
+       CAST(ROUND(arg_max(CAST(value AS DECIMAL(18,4)),
+                          printf('%020d-%012d', epoch_us(ts), event_id)),
+                  4) * 10000 AS BIGINT)
+         / 10000.0 AS close
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q_ohlc_bars", oracle=_OHLC_ORACLE)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        _as_exact_double, dval)
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.format_string("%020d-%012d", F.unix_micros(F.col("ts")),
+                          F.col("event_id"))
+    return (ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"),
+                      "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        "event_type")
+        .agg(lcount("n_ticks"),
+             _as_exact_double(F.min_by(dval("value"), key)).alias("open"),
+             _as_exact_double(F.max(dval("value"))).alias("high"),
+             _as_exact_double(F.min(dval("value"))).alias("low"),
+             _as_exact_double(F.max_by(dval("value"), key)).alias("close")))
+
+
+# ---------------------------------------------------------------------------
+# dq_k_anonymity — k-anonymity audit over quasi-identifier columns
+# (Sweeney 2002; the governance check a training corpus with user
+# metadata needs before release): group documents by their
+# quasi-identifier tuple (lang, source), report each class size and
+# whether it violates k=5 — violating classes are the re-identifiable
+# ones a release would suppress or generalize.
+#
+# Scale: one map-side-combinable groupBy on the QI tuple; the audit
+# output is bounded by the QI domain, not the corpus.
+# ---------------------------------------------------------------------------
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS class_size,
+       count(*) < {_KANON_K} AS violates_k
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@register("dq_k_anonymity", oracle=_KANON_ORACLE)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("lang", "source")
+            .agg(lcount("class_size"))
+            .withColumn("violates_k", F.col("class_size") < _KANON_K))

@@ -693,3 +693,71 @@ def test_pr_implicit_als_matches_numpy_replay(spark, sf_dir):
         if expect[u][0] >= 3:
             base = float(np.sqrt(np.mean([v * v for _, v in iv])))
             assert expect[u][2] < base
+
+
+def test_q_time_weighted_avg_matches_integer_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = sorted(load_table(spark, sf_dir, "events").collect(),
+                key=lambda e: (e.user_id, e.ts, e.event_id))
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append(e)
+    expect = {}
+    for u, es in per_user.items():
+        holds = []
+        for a, b in zip(es, es[1:]):
+            td = b.ts - a.ts
+            dt = (td.days * 86_400_000_000 + td.seconds * 1_000_000
+                  + td.microseconds)   # exact integer microseconds
+            if dt > 0:
+                holds.append((int(round(a.value * 10000)), dt))
+        if not holds:
+            continue
+        tot = sum(dt for _, dt in holds)
+        wsum4 = sum(v * dt for v, dt in holds)      # scale-4 exact int
+        twap = (wsum4 / 1e4) / tot
+        expect[u] = (len(holds), tot, round(twap, 6))
+    got = {r.user_id: (r.n_holds, r.total_us, r.twap)
+           for r in _run(spark, sf_dir, "q_time_weighted_avg").collect()}
+    assert set(got) == set(expect)
+    for u, (n, tot, twap) in expect.items():
+        gn, gtot, gtwap = got[u]
+        assert gn == n and gtot == tot and abs(gtwap - twap) < 1e-9
+
+
+def test_q_ohlc_bars_semantics(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    bars = defaultdict(list)
+    for e in ev:
+        bs = e.ts.replace(minute=0, second=0, microsecond=0)
+        bars[(bs.strftime("%Y-%m-%d %H:%M:%S"), e.event_type)].append(e)
+    got = {(r.bar_start, r.event_type): r
+           for r in _run(spark, sf_dir, "q_ohlc_bars").collect()}
+    assert set(got) == set(bars)
+    for k, es in bars.items():
+        es.sort(key=lambda e: (e.ts, e.event_id))
+        r = got[k]
+        q4 = lambda v: round(int(round(v * 10000)) / 1e4, 4)
+        assert r.n_ticks == len(es)
+        assert r.open == q4(es[0].value)
+        assert r.close == q4(es[-1].value)
+        assert r.high == q4(max(e.value for e in es))
+        assert r.low == q4(min(e.value for e in es))
+        assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
+
+
+def test_dq_k_anonymity_class_accounting(spark, sf_dir):
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    classes = Counter((d.lang, d.source) for d in docs)
+    got = {(r.lang, r.source): (r.class_size, r.violates_k)
+           for r in _run(spark, sf_dir, "dq_k_anonymity").collect()}
+    assert set(got) == set(classes)
+    for k, n in classes.items():
+        assert got[k] == (n, n < 5)
+    # every document is in exactly one class
+    assert sum(n for n, _ in got.values()) == len(docs)
