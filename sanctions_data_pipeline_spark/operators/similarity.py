@@ -415,6 +415,81 @@ def pq_train_codebooks(corpus: DataFrame, m: int = 8, ksub: int = 16,
     return books
 
 
+def _pq_encode(df, books, extra_cols=()):
+    """Shared PQ encoder: ``df`` has (i, v[, extra...]); emits
+    (neighbor_id[, extra...], codes) with one vectorized Arrow pass.
+    Both pq_topk and ivfpq_topk encode through HERE so the norm guard
+    and argmin semantics can never diverge between the two indexes."""
+    import numpy as np
+    import pandas as pd
+
+    mm, _, dsub = books.shape
+    bbooks = books
+    extra = list(extra_cols)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["v"].tolist(), dtype="float64")
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                               1e-12)
+            codes = np.empty((len(pdf), mm), dtype="int32")
+            for sub in range(mm):
+                xs = vecs[:, sub * dsub:(sub + 1) * dsub]
+                d2 = ((xs[:, None, :] - bbooks[sub][None, :, :]) ** 2).sum(axis=2)
+                codes[:, sub] = d2.argmin(axis=1)
+            out = {"neighbor_id": pdf["i"]}
+            for c in extra:
+                out[c] = pdf[c]
+            out["codes"] = list(codes.tolist())
+            yield pd.DataFrame(out)
+
+    schema = ("neighbor_id long, "
+              + "".join(f"{c} int, " for c in extra) + "codes array<int>")
+    return df.mapInPandas(encode, schema)
+
+
+def _pq_query_lut(queries, books, id_col, vec_col):
+    """Collect the (small by contract) query side and build the ADC
+    lookup table lut[q, s, c] = dot(q_sub, centroid). Returns
+    (query_ids ndarray, lut ndarray)."""
+    import numpy as np
+
+    mm, _, dsub = books.shape
+    q_rows = (queries.select(F.col(id_col).alias("query_id"),
+                             as_double(F.col(vec_col)).alias("qv"))
+              .collect())
+    qids = np.array([r["query_id"] for r in q_rows])
+    qv = np.array([r["qv"] for r in q_rows], dtype="float64")
+    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    lut = np.stack([qv[:, sub * dsub:(sub + 1) * dsub] @ books[sub].T
+                    for sub in range(mm)], axis=1)
+    return qids, lut
+
+
+def _exact_cosine_rerank(cand, queries, corpus, k,
+                         id_col="vec_id", vec_col="embedding"):
+    """Shared exact re-rank: join approximate candidates back to real
+    vectors, score true cosine, keep top-k per query."""
+    cv = _with_norm(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                  as_double(F.col(vec_col)).alias("cv")),
+                    "cv", "cn")
+    qdf = _with_norm(
+        queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("qv")), "qv", "qn")
+    scored = (cand.join(cv, "neighbor_id")
+              .join(F.broadcast(qdf), "query_id")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", F.round(
+                  dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                  6)))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos", "rnk"))
+
+
 def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
             ksub: int = 16, rerank: int = 4,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -440,36 +515,13 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
 
     books = pq_train_codebooks(corpus, m=m, ksub=ksub,
                                id_col=id_col, vec_col=vec_col)
-    mm, kk, dsub = books.shape
-    bbooks = books  # closure capture
-
-    def encode(batches):
-        for pdf in batches:
-            vecs = np.array(pdf["v"].tolist(), dtype="float64")
-            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
-                               1e-12)
-            codes = np.empty((len(pdf), mm), dtype="int32")
-            for s in range(mm):
-                xs = vecs[:, s * dsub:(s + 1) * dsub]
-                d2 = ((xs[:, None, :] - bbooks[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame({"neighbor_id": pdf["i"],
-                                "codes": list(codes.tolist())})
-
-    coded = (corpus.select(F.col(id_col).alias("i"),
-                           as_double(F.col(vec_col)).alias("v"))
-             .mapInPandas(encode, "neighbor_id long, codes array<int>"))
-
-    q_rows = (queries.select(F.col(id_col).alias("query_id"),
-                             as_double(F.col(vec_col)).alias("qv"))
-              .collect())  # queries are the SMALL side by contract
-    qids = np.array([r["query_id"] for r in q_rows])
-    qv = np.array([r["qv"] for r in q_rows], dtype="float64")
-    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    mm = books.shape[0]
+    coded = _pq_encode(corpus.select(F.col(id_col).alias("i"),
+                                     as_double(F.col(vec_col)).alias("v")),
+                       books)
     # ADC LUT: lut[q, s, c] = dot(q_sub, centroid)  -> approx cosine is
     # sum over subspaces of lut[q, s, code[s]]
-    lut = np.stack([qv[:, s * dsub:(s + 1) * dsub] @ bbooks[s].T
-                    for s in range(mm)], axis=1)
+    qids, lut = _pq_query_lut(queries, books, id_col, vec_col)
     n_cand = rerank * k
 
     def score(batches):
@@ -494,23 +546,7 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 8,
     wq = W.partitionBy("query_id").orderBy(F.desc("approx"), "neighbor_id")
     cand = (cand.withColumn("r", F.row_number().over(wq))
             .filter(F.col("r") <= n_cand).drop("r", "approx"))
-    # EXACT re-rank on true vectors
-    cv = _with_norm(corpus.select(F.col(id_col).alias("neighbor_id"),
-                                  as_double(F.col(vec_col)).alias("cv")),
-                    "cv", "cn")
-    qdf = _with_norm(
-        queries.select(F.col(id_col).alias("query_id"),
-                       as_double(F.col(vec_col)).alias("qv")), "qv", "qn")
-    scored = (cand.join(cv, "neighbor_id")
-              .join(F.broadcast(qdf), "query_id")
-              .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cos", F.round(
-                  dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-                  6)))
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "neighbor_id", "cos", "rnk"))
+    return _exact_cosine_rerank(cand, queries, corpus, k, id_col, vec_col)
 
 
 def ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int,
@@ -535,40 +571,14 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int,
     cents = kmeans_fit(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
     books = pq_train_codebooks(corpus, m=m, ksub=ksub,
                                id_col=id_col, vec_col=vec_col)
-    mm, _, dsub = books.shape
-    bbooks = books
+    mm = books.shape[0]
 
     base = corpus.select(F.col(id_col).alias("i"),
                          as_double(F.col(vec_col)).alias("v"))
-    celled = assign_cells(base, cents)
-
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vecs = np.array(pdf["v"].tolist(), dtype="float64")
-            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
-                               1e-12)
-            codes = np.empty((len(pdf), mm), dtype="int32")
-            for s in range(mm):
-                xs = vecs[:, s * dsub:(s + 1) * dsub]
-                d2 = ((xs[:, None, :] - bbooks[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame({"neighbor_id": pdf["i"],
-                                "cell": pdf["cell"],
-                                "codes": list(codes.tolist())})
-
-    coded = celled.mapInPandas(
-        encode, "neighbor_id long, cell int, codes array<int>")
-
-    q_rows = (queries.select(F.col(id_col).alias("query_id"),
-                             as_double(F.col(vec_col)).alias("qv"))
-              .collect())  # queries are the SMALL side by contract
-    qpos = {int(r["query_id"]): i for i, r in enumerate(q_rows)}
-    qv = np.array([r["qv"] for r in q_rows], dtype="float64")
-    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
-    lut = np.stack([qv[:, s * dsub:(s + 1) * dsub] @ bbooks[s].T
-                    for s in range(mm)], axis=1)
+    coded = _pq_encode(assign_cells(base, cents), books,
+                       extra_cols=("cell",))
+    qids, lut = _pq_query_lut(queries, books, id_col, vec_col)
+    qpos = {int(q): i for i, q in enumerate(qids)}
 
     qcells = assign_cells_multi(
         queries.select(F.col(id_col).alias("query_id"),
@@ -594,20 +604,4 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int,
     wq = W.partitionBy("query_id").orderBy(F.desc("approx"), "neighbor_id")
     cand = (cand.withColumn("r", F.row_number().over(wq))
             .filter(F.col("r") <= n_cand).drop("r", "approx"))
-
-    cv = _with_norm(corpus.select(F.col(id_col).alias("neighbor_id"),
-                                  as_double(F.col(vec_col)).alias("cv")),
-                    "cv", "cn")
-    qdf = _with_norm(
-        queries.select(F.col(id_col).alias("query_id"),
-                       as_double(F.col(vec_col)).alias("qv")), "qv", "qn")
-    scored = (cand.join(cv, "neighbor_id")
-              .join(F.broadcast(qdf), "query_id")
-              .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cos", F.round(
-                  dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
-                  6)))
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "neighbor_id", "cos", "rnk"))
+    return _exact_cosine_rerank(cand, queries, corpus, k, id_col, vec_col)

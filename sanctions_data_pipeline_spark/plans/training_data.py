@@ -407,6 +407,14 @@ def tx_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT)"
 
 
+def split_bucket_col():
+    """Spark twin of _BUCKET: the canonical doc_id -> 0..99 split
+    bucket. Every op that must agree with tt_split's partition (e.g.
+    tt_bloom_contamination) imports THIS, never re-derives it."""
+    return (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                   16, 10).cast("bigint") % 100)
+
+
 @register("tt_split", oracle=f"""
 SELECT doc_id,
        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
@@ -415,8 +423,7 @@ FROM (SELECT doc_id, {_BUCKET} AS b FROM documents)
 """)
 def tt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-         .cast("bigint") % 100)
+    b = split_bucket_col()
     return docs.select(
         "doc_id",
         F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")

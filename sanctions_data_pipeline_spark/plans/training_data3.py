@@ -493,23 +493,29 @@ SELECT term, doc_id, tf, dl, bm25, rnk FROM (
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(term, doc_id, tf, dl, bm25) for the top-_BM25_Q df terms.
 
-    Corpus passes: ONE to pick query terms + corpus stats (both bounded
-    driver state — Q rows and two scalars — re-shipped as a broadcast
-    dim / literals), ONE to score. Re-deriving the posting lineage per
-    branch would scan the corpus ~6 times; collecting the bounded
-    pieces keeps it at two passes, the honest minimum without
-    persisting the corpus-sized posting aggregate."""
+    Corpus passes: ONE tokenize pass (persisted while the two bounded
+    driver collects — Q query-term rows and two corpus scalars — read
+    it), then ONE scoring pass over the re-derived postings. Collecting
+    the bounded pieces and re-shipping them as a broadcast dim/literals
+    keeps the plan at two corpus passes without persisting the
+    corpus-sized posting aggregate itself."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
-    d = t.select("doc_id", F.size("toks").alias("dl"),
-                 F.explode("toks").alias("term"))
-    tf = (d.groupBy("term", "doc_id")
-          .agg(lcount("tf"), F.min("dl").cast("bigint").alias("dl")))
-    df = tf.groupBy("term").agg(lcount("df"))
+
+    def postings(tok_df):
+        d = tok_df.select("doc_id", F.size("toks").alias("dl"),
+                          F.explode("toks").alias("term"))
+        return (d.groupBy("term", "doc_id")
+                .agg(lcount("tf"), F.min("dl").cast("bigint").alias("dl")))
+
+    tcached = t.persist()
+    df = postings(tcached).groupBy("term").agg(lcount("df"))
     qrows = [(r.term, int(r.df)) for r in
              df.orderBy(F.desc("df"), F.asc("term")).limit(_BM25_Q).collect()]
-    n_docs, sum_dl = t.agg(
+    n_docs, sum_dl = tcached.agg(
         F.count(F.lit(1)), F.sum(F.size("toks")).cast("bigint")).collect()[0]
+    tcached.unpersist()
+    tf = postings(t)  # scoring pass: re-derives from the (uncached) scan
     if not n_docs or not qrows:   # empty corpus: no postings, no terms
         return spark.createDataFrame(
             [], "term string, doc_id long, tf bigint, dl bigint, bm25 double")
@@ -694,7 +700,10 @@ sel AS (
          CAST(np AS BIGINT) AS n_prompt_toks,
          CAST(n - np AS BIGINT) AS n_response_toks,
          array_to_string(list_slice(toks, 1, np), ' ') AS prompt,
-         array_to_string(list_slice(toks, np + 1, n), ' ') AS response
+         -- DuckDB's array_to_string over an EMPTY slice is NULL (a
+         -- 1-token doc has no response); Spark's concat_ws gives ''
+         coalesce(array_to_string(list_slice(toks, np + 1, n), ' '), '')
+           AS response
   FROM p
 )
 SELECT doc_id, n_prompt_toks, n_response_toks,
@@ -922,8 +931,10 @@ _BF_K = 5
 _BF_POS = ("(('0x' || substr(md5('bf{i}:' || k), 1, 15))::BIGINT"
            f" % {_BF_M})")
 
-_BF_SPLIT = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
-             "::BIGINT % 100 AS INT)")
+# the canonical tt_split bucket rule, imported so the probe can never
+# audit a different train/test partition than the one tt_split makes
+from sanctions_data_pipeline_spark.plans.training_data import (  # noqa: E402
+    _BUCKET as _BF_SPLIT, split_bucket_col)
 
 _BF_ORACLE = f"""
 WITH h AS (
@@ -955,9 +966,8 @@ FROM test t JOIN bloom ON bloom.doc_id = t.doc_id
 def tt_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                16, 10).cast("bigint") % 100)
-    h = docs.select("doc_id", F.md5(norm).alias("k"), b.alias("b"))
+    h = docs.select("doc_id", F.md5(norm).alias("k"),
+                    split_bucket_col().alias("b"))
     train = h.filter(F.col("b") < 80).select("doc_id", "k")
     test = h.filter(F.col("b") >= 90).select("doc_id", "k")
 
@@ -1135,6 +1145,7 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.count()  # materialize: every half-step reuses the
     # cache, so the candidate pipeline runs once (dd_cluster lesson)
     if n_edges == 0:  # graph vanishes at some SFs (w>=3 co-occurrence)
+        edges.unpersist()
         return spark.createDataFrame(
             [], "node long, authority double, hub double, d_in bigint")
 
@@ -1164,12 +1175,20 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
            .persist())
     za = scalar(a2r.agg(F.sqrt(fold(F.col("a") * F.col("a")))))
     a2 = a2r.select("node", (F.col("a") / F.lit(za)).alias("a"))
-    return (a2.join(ind.withColumnRenamed("dst", "node"), "node")
-            .join(h1, "node", "left")
-            .select("node", F.round("a", 6).alias("authority"),
-                    F.round(F.coalesce(F.col("h"), F.lit(0.0)), 6)
-                    .alias("hub"),
-                    F.col("d_in").cast("bigint").alias("d_in")))
+    out = (a2.join(ind.withColumnRenamed("dst", "node"), "node")
+           .join(h1, "node", "left")
+           .select("node", F.round("a", 6).alias("authority"),
+                   F.round(F.coalesce(F.col("h"), F.lit(0.0)), 6)
+                   .alias("hub"),
+                   F.col("d_in").cast("bigint").alias("d_in")))
+    # the node domain is bounded by construction (l_partkey < 200), so
+    # materializing the result lets every per-invocation cache release
+    # instead of pinning executor storage for the session lifetime
+    rows = out.collect()
+    for c in (edges, ind, h1r, h1, a2r):
+        c.unpersist()
+    return spark.createDataFrame(
+        rows, "node long, authority double, hub double, d_in bigint")
 
 
 # ---------------------------------------------------------------------------

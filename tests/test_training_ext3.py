@@ -761,3 +761,34 @@ def test_dq_k_anonymity_class_accounting(spark, sf_dir):
         assert got[k] == (n, n < 5)
     # every document is in exactly one class
     assert sum(n for n, _ in got.values()) == len(docs)
+
+
+def test_dp_sft_format_one_token_doc_empty_response(spark, tmp_path):
+    """Regression (review find): a 1-token doc has an EMPTY response;
+    the mask must be the empty span and the oracle's DuckDB side
+    coalesces the empty slice (array_to_string([]) is NULL there)."""
+    import os
+    d = str(tmp_path / "sf_sft1")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "solo", "en", "s", 4), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"), mode="overwrite")
+    rows = {r.doc_id: r for r in
+            registry.queries()["dp_sft_format"](spark, d).collect()}
+    for doc_id, prompt in ((1, "solo"), (2, "")):
+        r = rows[doc_id]
+        assert r.n_prompt_toks == 1 and r.n_response_toks == 0
+        assert r.formatted == f"<|user|>\n{prompt}\n<|assistant|>\n<|end|>"
+        assert r.loss_end == r.loss_start - 1          # empty mask span
+        assert r.formatted[r.loss_start - 1:r.loss_end] == ""
+    # oracle parity on this degenerate corpus (the NULL-slice regression)
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{os.path.join(d, 'documents.parquet', '*.parquet')}'")
+    from sanctions_data_pipeline_spark.plans import registry as reg
+    duck = con.execute(reg.oracle_sql()["dp_sft_format"]).fetchall()
+    got = {r[0]: r for r in duck}
+    for doc_id in (1, 2):
+        assert got[doc_id][3] == rows[doc_id].formatted
