@@ -206,3 +206,31 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(pre, post, run):
     fa, fb = _winnow_fps(a), _winnow_fps(b)
     assert fb  # the run alone is long enough to fingerprint
     assert fa & fb, (a, b)
+
+
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=12),
+                min_size=1, max_size=15),
+       st.lists(st.text(alphabet="abcd", min_size=2, max_size=4),
+                min_size=0, max_size=8))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_unigram_viterbi_hof_lattice_laws(spark, words, pieces):
+    """For ANY piece model (all single chars + arbitrary multi-char
+    pieces, arbitrary positive weights), the JVM HOF lattice must (a)
+    agree exactly with the python DP and (b) emit pieces that
+    concatenate back to the word."""
+    from sanctions_data_pipeline_spark.operators import unigram as ug
+
+    vocab = {c: 1.0 for c in "abcd"}
+    for i, p in enumerate(pieces):
+        vocab[p] = float(2 + (i % 3))
+    tot = sum(vocab.values())
+    model = {p: v / tot for p, v in vocab.items()}
+
+    df = spark.createDataFrame([(w,) for w in set(words)], "w string")
+    got = {r.w: list(r.p)
+           for r in df.select("w", ug.viterbi_pieces(F.col("w"), model)
+                              .alias("p")).collect()}
+    for w in set(words):
+        assert "".join(got[w]) == w
+        assert got[w] == ug.viterbi_pieces_py(w, model)
