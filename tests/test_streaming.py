@@ -231,7 +231,15 @@ def test_foreach_upsert_kill_resume_and_replay_idempotent(spark, sf_dir, tmp_pat
     ev2 = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
     q2 = start_upsert_latest_sink(ev2, root)
     q2.awaitTermination()
-    assert len(committed()) == 4
+    # the stream must reach the final batch (all 4 source files
+    # consumed). The marker COUNT is interleaving-dependent: when the
+    # kill lands after batch N+1's offset is logged but before its
+    # commit, Spark resumes from batch N+1 (the offset log defines the
+    # restart point) and the deleted batch-N marker never reappears —
+    # its merge already landed in run 1 and the replayed batch's merge
+    # is idempotent, which the state equality below actually proves.
+    assert committed(), "resume committed nothing"
+    assert committed()[-1] == "3", committed()
 
     resumed = {r.user_id: (r.last_ts_us, r.last_event_id, r.last_value)
                for r in spark.read.parquet(os.path.join(root, "state")).collect()}
