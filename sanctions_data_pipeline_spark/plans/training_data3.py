@@ -1548,3 +1548,125 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.groupBy("lang", "source")
             .agg(lcount("class_size"))
             .withColumn("violates_k", F.col("class_size") < _KANON_K))
+
+
+# ---------------------------------------------------------------------------
+# mix_ccnet_sampling — the CCNet corpus-construction step itself
+# (Wenzek et al., LREC 2020, §'LM filtering'): head documents are kept
+# in full, middle at 50%, tail at 10% — composed from tx_ccnet_buckets'
+# perplexity terciles and the mix_sample deterministic per-row uniform
+# (md5 hash -> [0,1)), so the sampled corpus is reproducible across
+# runs, engines and cluster sizes.
+#
+# Scale: the tercile assignment inherits tx_ccnet_buckets' contract;
+# the sampling itself is a map-side hash compare against a 3-row
+# broadcast rate dim — no extra shuffle.
+# ---------------------------------------------------------------------------
+_CCS_RATES = (("head", 1.0), ("middle", 0.5), ("tail", 0.1))
+_CCS_U = ("(('0x' || substr(md5('ccnet:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+          "::BIGINT / 4294967296.0)")
+
+_CCS_ORACLE = f"""
+WITH p AS ({_PPL_ORACLE}),
+b AS (
+  SELECT doc_id, ppl,
+         CASE CAST(NTILE(3) OVER (ORDER BY ppl, doc_id) AS BIGINT)
+              WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         END AS bucket
+  FROM p
+),
+r AS (SELECT * FROM (VALUES {", ".join(f"('{b}', {w})" for b, w in _CCS_RATES)})
+      AS t(bucket, rate))
+SELECT b.doc_id, b.bucket, b.ppl
+FROM b JOIN r ON b.bucket = r.bucket
+WHERE {_CCS_U} < r.rate
+"""
+
+
+@register("mix_ccnet_sampling", oracle=_CCS_ORACLE)
+def mix_ccnet_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = tx_ccnet_buckets(spark, sf_dir).select("doc_id", "bucket", "ppl")
+    rates = spark.createDataFrame(list(_CCS_RATES), "bucket string, rate double")
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit("ccnet:"),
+                                           F.col("doc_id").cast("string"))),
+                            1, 8), 16, 10)
+         .cast("bigint") / F.lit(4294967296.0))
+    return (b.join(F.broadcast(rates), "bucket")
+            .filter(u < F.col("rate"))
+            .select("doc_id", "bucket", "ppl"))
+
+
+# ---------------------------------------------------------------------------
+# gr_kcore — k-core decomposition by iterative peeling (Seidman 1983;
+# the standard graph-density screen before expensive community ops):
+# repeatedly drop nodes with degree < k until the survivor set is
+# stable. A denser co-purchase rule than gr_pagerank's (partkey < 100,
+# any co-occurrence) so the peel has real work at every SF. Three
+# peel rounds unrolled so the oracle is exact; the loop form follows
+# the dd_cluster persist-per-round discipline, and at 3 rounds the
+# survivor set is stable on this corpus (pytest proves fixpoint).
+#
+# Scale: each round is one degree agg + one semi-join on (long, long)
+# edges — never materializing anything but the shrinking vertex set.
+# ---------------------------------------------------------------------------
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+_KCORE_EDGES = """
+  co AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    FROM lineitem WHERE l_partkey < 100
+  ),
+  edges AS (
+    SELECT DISTINCT a.p AS src, b.p AS dst
+    FROM co a JOIN co b ON a.o = b.o AND a.p <> b.p
+  )
+"""
+
+
+def _kcore_round_sql(prev: str, rnd: int) -> str:
+    return f"""
+deg{rnd} AS (
+  SELECT src, count(*) AS d FROM edges
+  WHERE src IN (SELECT v FROM {prev}) AND dst IN (SELECT v FROM {prev})
+  GROUP BY src
+),
+v{rnd} AS (SELECT src AS v FROM deg{rnd} WHERE d >= {_KCORE_K})"""
+
+
+_KCORE_ORACLE = f"""
+WITH {_KCORE_EDGES},
+v0 AS (SELECT DISTINCT src AS v FROM edges),
+{",".join(_kcore_round_sql(f"v{i}", i + 1) for i in range(_KCORE_ROUNDS))}
+SELECT v.v AS node, CAST(d.d AS BIGINT) AS core_degree
+FROM v{_KCORE_ROUNDS} v
+JOIN deg{_KCORE_ROUNDS} d ON v.v = d.src
+"""
+
+
+@register("gr_kcore", oracle=_KCORE_ORACLE)
+def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 100)
+    co = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p")).distinct()
+    edges = (co.join(co.withColumnRenamed("p", "q"), "o")
+             .filter(F.col("p") != F.col("q"))
+             .select(F.col("p").alias("src"), F.col("q").alias("dst"))
+             .distinct().persist())
+    edges.count()
+
+    alive = edges.select(F.col("src").alias("v")).distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        kept = (edges
+                .join(alive.withColumnRenamed("v", "src"), "src", "leftsemi")
+                .join(alive.withColumnRenamed("v", "dst"), "dst", "leftsemi"))
+        deg = kept.groupBy("src").agg(lcount("d"))
+        alive = deg.filter(F.col("d") >= _KCORE_K).select(
+            F.col("src").alias("v"))
+    out = (alive.join(deg.withColumnRenamed("src", "v"), "v")
+           .select(F.col("v").alias("node"),
+                   F.col("d").cast("bigint").alias("core_degree")))
+    rows = out.collect()   # bounded by the filtered part domain (<100)
+    edges.unpersist()
+    return spark.createDataFrame(rows, "node long, core_degree bigint")

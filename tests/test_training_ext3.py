@@ -792,3 +792,58 @@ def test_dp_sft_format_one_token_doc_empty_response(spark, tmp_path):
     got = {r[0]: r for r in duck}
     for doc_id in (1, 2):
         assert got[doc_id][3] == rows[doc_id].formatted
+
+
+def test_mix_ccnet_sampling_rates_and_determinism(spark, sf_dir):
+    import hashlib
+
+    buckets = {r.doc_id: r.bucket
+               for r in _run(spark, sf_dir, "tx_ccnet_buckets").collect()}
+    kept = {r.doc_id: r.bucket
+            for r in _run(spark, sf_dir, "mix_ccnet_sampling").collect()}
+    rates = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+    # exact membership replay: doc kept iff md5-u < its bucket's rate
+    for doc_id, b in buckets.items():
+        u = int(hashlib.md5(f"ccnet:{doc_id}".encode()).hexdigest()[:8],
+                16) / 4294967296.0
+        assert (doc_id in kept) == (u < rates[b]), (doc_id, b, u)
+    # all head docs survive; tail is heavily cut
+    heads = [d for d, b in buckets.items() if b == "head"]
+    assert all(d in kept for d in heads)
+    tails = [d for d, b in buckets.items() if b == "tail"]
+    assert 0 < sum(d in kept for d in tails) < 0.3 * len(tails)
+
+
+def test_gr_kcore_is_a_fixpoint_and_valid_core(spark, sf_dir):
+    """After the unrolled rounds the survivor set must be a true
+    k-core: every member has >= k neighbors INSIDE the set (one more
+    peel round changes nothing)."""
+    from collections import defaultdict
+
+    got = {r.node: r.core_degree
+           for r in _run(spark, sf_dir, "gr_kcore").collect()}
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 100).select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    nbrs = defaultdict(set)
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    nbrs[a].add(b)
+    core = set(got)
+    assert core, "empty core"
+    for v in core:
+        inside = len(nbrs[v] & core)
+        assert inside >= 3                      # k-core membership
+        assert got[v] == inside                 # reported core degree
+    # python peel to ITS fixpoint reaches the same set
+    alive = set(nbrs)
+    while True:
+        drop = {v for v in alive if len(nbrs[v] & alive) < 3}
+        if not drop:
+            break
+        alive -= drop
+    assert core == alive
