@@ -1670,3 +1670,175 @@ def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()   # bounded by the filtered part domain (<100)
     edges.unpersist()
     return spark.createDataFrame(rows, "node long, core_degree bigint")
+
+
+# ---------------------------------------------------------------------------
+# s_aml_structuring — anti-money-laundering STRUCTURING (smurfing)
+# detection, the screen a sanctions pipeline runs beside name matching:
+# flag purchases where the same user's trailing-24h purchase series is
+# many small transactions (each under the reporting threshold) that
+# SUM over it — the classic sub-threshold splitting pattern (FATF / 31
+# CFR 1010.313 structuring definition; thresholds scaled to this
+# corpus's value range).
+#
+# Scale: one time-RANGE window partitioned by user_id (the
+# q_range_frame idiom — each partition sorts only its user's events);
+# the windowed sum is decimal-exact so the flag is deterministic.
+# ---------------------------------------------------------------------------
+_AML_SINGLE_MAX = 150   # every tx in the window stays under this
+_AML_SUM_MIN = 300      # while the trailing-7d total reaches this
+_AML_N_MIN = 5
+
+_AML_ORACLE = f"""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+w AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         COUNT(*) OVER win AS n_tx_7d,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER win, 4) * 10000
+              AS BIGINT) / 10000.0 AS total_7d,
+         CAST(ROUND(MAX(CAST(value AS DECIMAL(18,4))) OVER win, 4) * 10000
+              AS BIGINT) / 10000.0 AS max_single_7d
+  FROM p
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 168 HOURS PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts_us, n_tx_7d, total_7d, max_single_7d
+FROM w
+WHERE n_tx_7d >= {_AML_N_MIN}
+  AND max_single_7d < {_AML_SINGLE_MAX}
+  AND total_7d >= {_AML_SUM_MIN}
+"""
+
+
+@register("s_aml_structuring", oracle=_AML_ORACLE)
+def s_aml_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        _as_exact_double, dval)
+
+    p = (load_table(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "purchase"))
+    week_us = 168 * 3_600_000_000
+    win = (W.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+           .rangeBetween(-week_us, 0))
+    w = p.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(win).alias("n_tx_7d"),
+        _as_exact_double(F.sum(dval("value")).over(win)).alias("total_7d"),
+        _as_exact_double(F.max(dval("value")).over(win))
+        .alias("max_single_7d"))
+    return w.filter((F.col("n_tx_7d") >= _AML_N_MIN)
+                    & (F.col("max_single_7d") < _AML_SINGLE_MAX)
+                    & (F.col("total_7d") >= _AML_SUM_MIN))
+
+
+# ---------------------------------------------------------------------------
+# q_benford_check — Benford's-law first-digit audit over transaction
+# values (Nigrini's forensic-accounting screen; a synthetic/uniform
+# value column FAILS it, which is itself the point of the audit
+# output): observed first-significant-digit shares vs log10(1 + 1/d).
+# The digit extracts from the scale-4 decimal STRING rendering —
+# identical on both engines — never from float log10 math, whose
+# boundary cells (100.0) could round differently.
+#
+# Scale: map-side digit extraction + a 9-row agg.
+# ---------------------------------------------------------------------------
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(regexp_extract(CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR),
+                             '[1-9]') AS INT) AS digit
+  FROM events WHERE value > 0
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+SELECT digit,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       round(CAST(count(*) AS DOUBLE) / (SELECT n FROM tot), 6) AS obs_frac,
+       round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_frac
+FROM d GROUP BY digit
+"""
+
+
+@register("q_benford_check", oracle=_BENFORD_ORACLE)
+def q_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import dval
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    d = ev.select(F.regexp_extract(dval("value").cast("string"),
+                                   "[1-9]", 0).cast("int").alias("digit"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (d.groupBy("digit").agg(lcount("n_obs"))
+            .crossJoin(F.broadcast(tot))
+            .select("digit", "n_obs",
+                    F.round(F.col("n_obs").cast("double") / F.col("n"), 6)
+                    .alias("obs_frac"),
+                    F.round(F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+                            / F.log(F.lit(10.0)), 6).alias("benford_frac")))
+
+
+# ---------------------------------------------------------------------------
+# tx_zipf_fit — Zipf-law exponent of the token frequency distribution
+# (Zipf 1949; the corpus-statistics sanity check every tokenizer team
+# plots): OLS of ln(count) on ln(rank) over the top-V ranks. A natural
+# corpus fits slope ~ -1; the fitted slope + r² land in the output so
+# drift is visible in one number.
+#
+# Cross-engine float rule: ranks come from a TakeOrdered top-V (bounded
+# driver-free), the four OLS sums are sorted sequential folds over <= V
+# doubles, and the slope/intercept are the same closed-form expression
+# tree on both engines, rounded 6dp.
+# ---------------------------------------------------------------------------
+_ZIPF_V = 100
+
+_ZIPF_ORACLE = f"""
+WITH tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+  FROM (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r FROM tf)
+  WHERE r <= {_ZIPF_V}
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         list_aggregate(list_sort(list(x)), 'sum') AS sx,
+         list_aggregate(list_sort(list(y)), 'sum') AS sy,
+         list_aggregate(list_sort(list(x * y)), 'sum') AS sxy,
+         list_aggregate(list_sort(list(x * x)), 'sum') AS sxx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM s
+"""
+
+
+@register("tx_zipf_fit", oracle=_ZIPF_ORACLE)
+def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+          .groupBy("tok").agg(lcount("cnt")))
+    # top-V via TakeOrdered, then rank within the V-row result (small)
+    top = tf.orderBy(F.desc("cnt"), F.asc("tok")).limit(_ZIPF_V)
+    r = F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("tok")))
+    ranked = top.select(F.log(r.cast("double")).alias("x"),
+                        F.log(F.col("cnt").cast("double")).alias("y"))
+
+    def fold(col):
+        return F.aggregate(F.array_sort(F.collect_list(col)),
+                           F.lit(0.0), lambda a, b: a + b)
+
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        fold(F.col("x")).alias("sx"), fold(F.col("y")).alias("sy"),
+        fold(F.col("x") * F.col("y")).alias("sxy"),
+        fold(F.col("x") * F.col("x")).alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+        .alias("intercept"))

@@ -847,3 +847,75 @@ def test_gr_kcore_is_a_fixpoint_and_valid_core(spark, sf_dir):
             break
         alive -= drop
     assert core == alive
+
+
+def test_s_aml_structuring_flags_match_python_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = sorted((e for e in load_table(spark, sf_dir, "events").collect()
+                 if e.event_type == "purchase"),
+                key=lambda e: (e.user_id, e.ts, e.event_id))
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append(e)
+    week_us = 168 * 3_600_000_000
+    expect = {}
+    for u, es in per_user.items():
+        micros = []
+        for e in es:
+            td = e.ts - es[0].ts
+            micros.append(td.days * 86_400_000_000 + td.seconds * 1_000_000
+                          + td.microseconds)
+        for i, e in enumerate(es):
+            # RANGE frame: all rows with sort key within [t-7d, t]
+            w = [x for j, x in enumerate(es)
+                 if micros[i] - week_us <= micros[j] <= micros[i]]
+            vals = [int(round(x.value * 10000)) for x in w]
+            n, tot, mx = len(vals), sum(vals) / 1e4, max(vals) / 1e4
+            if n >= 5 and mx < 150 and tot >= 300:
+                expect[e.event_id] = (n, round(tot, 4), round(mx, 4))
+    got = {r.event_id: (r.n_tx_7d, r.total_7d, r.max_single_7d)
+           for r in _run(spark, sf_dir, "s_aml_structuring").collect()}
+    assert set(got) == set(expect)
+    for k, (n, tot, mx) in expect.items():
+        gn, gtot, gmx = got[k]
+        assert gn == n and abs(gtot - tot) < 1e-9 and abs(gmx - mx) < 1e-9
+    assert got, "detector flagged nothing on the test corpus"
+
+
+def test_q_benford_check_shares_sum_to_one(spark, sf_dir):
+    import math as m
+
+    rows = {r.digit: r for r in
+            _run(spark, sf_dir, "q_benford_check").collect()}
+    assert set(rows) <= set(range(1, 10))
+    total = sum(r.n_obs for r in rows.values())
+    ev = load_table(spark, sf_dir, "events").collect()
+    assert total == sum(1 for e in ev if e.value > 0)
+    for d, r in rows.items():
+        assert abs(r.benford_frac - round(m.log10(1 + 1 / d), 6)) < 1e-9
+        assert abs(r.obs_frac - round(r.n_obs / total, 6)) < 1e-6
+    # the audit surfaces a nonzero deviation statistic on this corpus
+    # (observed ~0.008; a true Benford sample would be ~0)
+    chi = sum((rows[d].obs_frac - rows[d].benford_frac) ** 2
+              / rows[d].benford_frac for d in rows)
+    assert chi > 0.001
+
+
+def test_tx_zipf_fit_matches_numpy_ols(spark, sf_dir):
+    import numpy as np
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    tf = Counter()
+    for d in docs:
+        tf.update(_toks(d.text))
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    x = np.log(np.arange(1, len(top) + 1, dtype=float))
+    y = np.log(np.array([c for _, c in top], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = _run(spark, sf_dir, "tx_zipf_fit").collect()[0]
+    assert r.n_points == len(top)
+    assert abs(r.slope - slope) < 1e-4
+    assert abs(r.intercept - intercept) < 1e-4
+    assert r.slope < 0          # frequency falls with rank
