@@ -1842,3 +1842,133 @@ def tx_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
         .alias("intercept"))
+
+
+# ---------------------------------------------------------------------------
+# tx_readability — Flesch reading-ease + Flesch-Kincaid grade level
+# (Flesch 1948 / Kincaid 1975; the readability features quality
+# classifiers feed on): syllables approximate as vowel GROUPS per word
+# (the standard dictionary-free heuristic), sentences as
+# period-delimited runs with a floor of 1. Pure map-side column
+# algebra; every ratio is exact-int / exact-int through an identical
+# tree on both engines.
+# ---------------------------------------------------------------------------
+_READ_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         greatest(length(text) - length(replace(text, '.', '')), 1)
+           AS n_sents
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_sents,
+         len(toks) AS n_words,
+         CAST(list_aggregate(list_transform(toks,
+              w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)),
+              'sum') AS BIGINT) AS n_syll
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sents, n_syll,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch_ease,
+       round(0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+             + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59, 6)
+         AS fk_grade
+FROM m
+"""
+
+
+@register("tx_readability", oracle=_READ_ORACLE)
+def tx_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    t = docs.select(
+        "doc_id", toks.alias("toks"),
+        F.greatest(F.length("text")
+                   - F.length(F.replace("text", F.lit("."))),
+                   F.lit(1)).alias("n_sents"))
+    syll = F.aggregate(
+        F.transform("toks", lambda w: F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+            F.lit(1))),
+        F.lit(0), lambda a, x: a + x).cast("bigint")
+    m = t.select("doc_id", F.size("toks").alias("n_words"),
+                 "n_sents", syll.alias("n_syll"))
+    wps = F.col("n_words").cast("double") / F.col("n_sents")
+    spw = F.col("n_syll").cast("double") / F.col("n_words")
+    return m.select(
+        "doc_id", F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sents").cast("bigint").alias("n_sents"), "n_syll",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6)
+        .alias("flesch_ease"),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6)
+        .alias("fk_grade"))
+
+
+# ---------------------------------------------------------------------------
+# gr_assortativity — degree assortativity coefficient (Newman, PRL
+# 2002): the Pearson correlation of endpoint degrees over edges —
+# positive means hubs link hubs. One number that summarizes the
+# co-purchase graph's mixing structure (social-like vs hub-and-spoke).
+#
+# Cross-engine float rule: degrees are exact ints; all five Pearson
+# sums are exact bigint sums of int products (no float folds needed at
+# all), and the coefficient is one identical closed-form double tree.
+# ---------------------------------------------------------------------------
+_ASSORT_ORACLE = f"""
+WITH {_KCORE_EDGES},
+deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY src),
+pairs AS (
+  SELECT a.d AS x, b.d AS y
+  FROM edges e JOIN deg a ON e.src = a.v JOIN deg b ON e.dst = b.v
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT n AS n_edges,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS assortativity
+FROM s
+"""
+
+
+@register("gr_assortativity", oracle=_ASSORT_ORACLE)
+def gr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 100)
+    co = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p")).distinct()
+    edges = (co.join(co.withColumnRenamed("p", "q"), "o")
+             .filter(F.col("p") != F.col("q"))
+             .select(F.col("p").alias("src"), F.col("q").alias("dst"))
+             .distinct())
+    deg = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"))
+    pairs = (edges
+             .join(deg.select(F.col("v").alias("src"),
+                              F.col("d").alias("x")), "src")
+             .join(deg.select(F.col("v").alias("dst"),
+                              F.col("d").alias("y")), "dst"))
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"))
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = (F.sqrt(n * F.col("sxx")
+                  - F.col("sx").cast("double") * F.col("sx"))
+           * F.sqrt(n * F.col("syy")
+                    - F.col("sy").cast("double") * F.col("sy")))
+    return s.select(F.col("n").alias("n_edges"),
+                    F.round(num / den, 6).alias("assortativity"))

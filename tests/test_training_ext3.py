@@ -919,3 +919,50 @@ def test_tx_zipf_fit_matches_numpy_ols(spark, sf_dir):
     assert abs(r.slope - slope) < 1e-4
     assert abs(r.intercept - intercept) < 1e-4
     assert r.slope < 0          # frequency falls with rank
+
+
+def test_tx_readability_matches_python_replay(spark, sf_dir):
+    import re as _re
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    got = {r.doc_id: r for r in
+           _run(spark, sf_dir, "tx_readability").collect()}
+    assert len(got) == len(docs)
+    for d in docs:
+        t = _toks(d.text)
+        n_sents = max(d.text.count("."), 1)
+        syll = sum(max(len(_re.findall("[aeiouy]+", w)), 1) for w in t)
+        wps, spw = len(t) / n_sents, syll / len(t)
+        r = got[d.doc_id]
+        assert (r.n_words, r.n_sents, r.n_syll) == (len(t), n_sents, syll)
+        assert abs(r.flesch_ease
+                   - round(206.835 - 1.015 * wps - 84.6 * spw, 6)) < 1e-9
+        assert abs(r.fk_grade
+                   - round(0.39 * wps + 11.8 * spw - 15.59, 6)) < 1e-9
+
+
+def test_gr_assortativity_matches_numpy_pearson(spark, sf_dir):
+    import numpy as np
+    from collections import defaultdict
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 100).select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges.add((a, b))
+    deg = defaultdict(int)
+    for a, _ in edges:
+        deg[a] += 1
+    x = np.array([deg[a] for a, b in sorted(edges)], dtype=float)
+    y = np.array([deg[b] for a, b in sorted(edges)], dtype=float)
+    expect = np.corrcoef(x, y)[0, 1]
+    r = _run(spark, sf_dir, "gr_assortativity").collect()[0]
+    assert r.n_edges == len(edges)
+    assert abs(r.assortativity - expect) < 1e-4
+    assert -1.0 <= r.assortativity <= 1.0
