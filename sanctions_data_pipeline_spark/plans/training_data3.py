@@ -1972,3 +1972,121 @@ def gr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.col("sy").cast("double") * F.col("sy")))
     return s.select(F.col("n").alias("n_edges"),
                     F.round(num / den, 6).alias("assortativity"))
+
+
+# ---------------------------------------------------------------------------
+# s_velocity_check — transaction-velocity burst screen (the second
+# classic AML monitor next to s_aml_structuring): flag events whose
+# trailing-24h same-user activity runs well above that user's own
+# lifetime daily baseline (n_total / (active-span days + 1 smoothing
+# day)). Relative-to-self baselining catches bursts that absolute
+# thresholds miss on high-volume users.
+#
+# Scale: one RANGE window + one per-user 3-column baseline agg joined
+# back on user_id — both shuffles on the same natural key; ratios are
+# exact-int inputs through one identical double tree.
+# ---------------------------------------------------------------------------
+_VEL_N_MIN = 5
+_VEL_RATIO = 3.0
+
+_VEL_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+  FROM events GROUP BY user_id
+),
+w AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                        AND CURRENT ROW) AS n_24h
+  FROM events
+)
+SELECT w.event_id, w.user_id, w.ts_us,
+       CAST(w.n_24h AS BIGINT) AS n_24h,
+       round(CAST(b.n_total AS DOUBLE)
+             / (CAST(b.span_us AS DOUBLE) / 86400000000.0 + 1.0), 6)
+         AS baseline_daily
+FROM w JOIN base b ON w.user_id = b.user_id
+WHERE w.n_24h >= {_VEL_N_MIN}
+  AND w.n_24h > {_VEL_RATIO} * (CAST(b.n_total AS DOUBLE)
+             / (CAST(b.span_us AS DOUBLE) / 86400000000.0 + 1.0))
+"""
+
+
+@register("s_velocity_check", oracle=_VEL_ORACLE)
+def s_velocity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint").alias("span_us"))
+    day_us = 86_400_000_000
+    win = (W.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+           .rangeBetween(-day_us, 0))
+    w = ev.select("user_id", "event_id",
+                  F.unix_micros("ts").alias("ts_us"),
+                  F.count(F.lit(1)).over(win).cast("bigint").alias("n_24h"))
+    daily = (F.col("n_total").cast("double")
+             / (F.col("span_us").cast("double") / F.lit(86400000000.0)
+                + F.lit(1.0)))
+    return (w.join(base, "user_id")
+            .filter((F.col("n_24h") >= _VEL_N_MIN)
+                    & (F.col("n_24h") > F.lit(_VEL_RATIO) * daily))
+            .select("event_id", "user_id", "ts_us", "n_24h",
+                    F.round(daily, 6).alias("baseline_daily")))
+
+
+# ---------------------------------------------------------------------------
+# q_funnel_ttc — time-to-convert distribution for the signup→purchase
+# funnel: per user, the delay from FIRST signup to the first purchase
+# at-or-after it; surfaced as conversion rate + exact p50/p90 delay
+# hours (the q_percentile portable-interpolation idiom). The companion
+# to q_funnel's step counts — the number growth teams actually watch.
+#
+# Scale: two per-user aggs + one join on user_id; the 1-row signup
+# total broadcasts for the rate.
+# ---------------------------------------------------------------------------
+_TTC_ORACLE = """
+WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (
+  SELECT e.user_id,
+         CAST(min(epoch_us(e.ts) - epoch_us(s.s_ts)) AS BIGINT) AS delay_us
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup_users,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM s), 6)
+         AS conversion_rate,
+       round(quantile_cont(delay_us / 3600000000.0, 0.5), 6) AS p50_hours,
+       round(quantile_cont(delay_us / 3600000000.0, 0.9), 6) AS p90_hours
+FROM p
+"""
+
+
+@register("q_funnel_ttc", oracle=_TTC_ORACLE)
+def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(s, "user_id")
+         .filter(F.col("ts") >= F.col("s_ts"))
+         .groupBy("user_id")
+         .agg(F.min(F.unix_micros("ts") - F.unix_micros("s_ts"))
+              .cast("bigint").alias("delay_us")))
+    n_signup = s.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup_users"))
+    hours = F.col("delay_us") / F.lit(3_600_000_000.0)
+    return (p.select("delay_us", hours.alias("h"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+                 F.round(F.percentile("h", F.lit(0.5)), 6).alias("p50_hours"),
+                 F.round(F.percentile("h", F.lit(0.9)), 6).alias("p90_hours"))
+            .crossJoin(F.broadcast(n_signup))
+            .select("n_signup_users", "n_converted",
+                    F.round(F.col("n_converted").cast("double")
+                            / F.col("n_signup_users"), 6)
+                    .alias("conversion_rate"),
+                    "p50_hours", "p90_hours"))

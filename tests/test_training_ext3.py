@@ -966,3 +966,63 @@ def test_gr_assortativity_matches_numpy_pearson(spark, sf_dir):
     assert r.n_edges == len(edges)
     assert abs(r.assortativity - expect) < 1e-4
     assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_s_velocity_check_matches_python_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = sorted(load_table(spark, sf_dir, "events").collect(),
+                key=lambda e: (e.user_id, e.ts, e.event_id))
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append(e)
+
+    def micros(td):
+        return (td.days * 86_400_000_000 + td.seconds * 1_000_000
+                + td.microseconds)
+
+    day = 86_400_000_000
+    expect = {}
+    for u, es in per_user.items():
+        span = micros(es[-1].ts - es[0].ts)
+        daily = len(es) / (span / 86400000000.0 + 1.0)
+        t0 = es[0].ts
+        ms = [micros(e.ts - t0) for e in es]
+        for i, e in enumerate(es):
+            n24 = sum(1 for m in ms if ms[i] - day <= m <= ms[i])
+            if n24 >= 5 and n24 > 3.0 * daily:
+                expect[e.event_id] = (n24, round(daily, 6))
+    got = {r.event_id: (r.n_24h, r.baseline_daily)
+           for r in _run(spark, sf_dir, "s_velocity_check").collect()}
+    assert got == expect
+    assert got, "velocity screen flagged nothing"
+
+
+def test_q_funnel_ttc_accounting(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    signups, purchases = {}, defaultdict(list)
+    for e in ev:
+        if e.event_type == "signup":
+            if e.user_id not in signups or e.ts < signups[e.user_id]:
+                signups[e.user_id] = e.ts
+        elif e.event_type == "purchase":
+            purchases[e.user_id].append(e.ts)
+    delays = []
+    for u, s_ts in signups.items():
+        after = [t for t in purchases.get(u, []) if t >= s_ts]
+        if after:
+            td = min(after) - s_ts
+            delays.append((td.days * 86_400_000_000
+                           + td.seconds * 1_000_000 + td.microseconds)
+                          / 3_600_000_000.0)
+    r = _run(spark, sf_dir, "q_funnel_ttc").collect()[0]
+    assert r.n_signup_users == len(signups)
+    assert r.n_converted == len(delays)
+    assert r.conversion_rate == round(len(delays) / len(signups), 6)
+    delays.sort()
+    import numpy as np
+    assert abs(r.p50_hours - np.percentile(delays, 50)) < 1e-4
+    assert abs(r.p90_hours - np.percentile(delays, 90)) < 1e-4
+    assert 0 < r.conversion_rate <= 1 and r.p50_hours <= r.p90_hours
