@@ -442,3 +442,51 @@ def decode_features_arrow(media_df: DataFrame) -> DataFrame:
 
     return media_df.select("doc_id", "media_type", "media") \
                    .mapInArrow(decode, DECODE_SCHEMA)
+
+
+def spectral_features(media_df: DataFrame, frame_len: int = 256,
+                      hop_len: int = 128) -> DataFrame:
+    """Per-doc FFT spectral profile of the int16-PCM interpretation:
+    windows (same framing as :func:`window_audio`) -> rFFT magnitude ->
+    mean spectrum -> dominant bin, spectral centroid and bandwidth (the
+    classic audio-featurization step before mel filterbanks). Pure
+    vectorized numpy per Arrow batch; numpy's pocketfft is
+    deterministic for a fixed input, so tests pin exact values against
+    an independent recomputation.
+
+    Scale: identical movement profile to window_audio — bytes cross
+    into Python once, output is 4 numbers per doc.
+    """
+
+    def _spec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+                usable = (len(buf) // 2) * 2
+                pcm = np.frombuffer(buf[:usable], dtype="<i2")
+                if pcm.size < frame_len:
+                    continue
+                n_wins = 1 + (pcm.size - frame_len) // hop_len
+                idx = (np.arange(n_wins)[:, None] * hop_len
+                       + np.arange(frame_len)[None, :])
+                wins = pcm[idx].astype("float64")
+                mag = np.abs(np.fft.rfft(wins, axis=1))
+                spec = mag.mean(axis=0)          # mean spectrum over windows
+                freqs = np.arange(spec.size, dtype="float64")
+                tot = spec.sum()
+                centroid = float((freqs * spec).sum() / tot) if tot else 0.0
+                bw = (float(np.sqrt((((freqs - centroid) ** 2) * spec).sum()
+                                    / tot)) if tot else 0.0)
+                rows.append((doc_id, n_wins, int(spec.argmax()),
+                             round(centroid, 6), round(bw, 6)))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_windows",
+                                              "dominant_bin",
+                                              "spectral_centroid",
+                                              "spectral_bandwidth"])
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        _spec, schema="doc_id long, n_windows long, dominant_bin int, "
+                      "spectral_centroid double, spectral_bandwidth double")

@@ -137,3 +137,15 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("hamming"))
             .filter(F.col("hamming") <= 4)
             .distinct())
+
+
+@register("mm_spectral")
+def mm_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio spectral profile (rows-only): rFFT magnitude over the
+    256-sample windows, per-doc dominant bin + spectral centroid /
+    bandwidth — the featurization step before mel filterbanks, real
+    vectorized DSP pinned by an independent numpy recomputation."""
+    from sanctions_data_pipeline_spark.multimodal.ops import spectral_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return spectral_features(attach_media(docs), frame_len=256, hop_len=128)

@@ -450,3 +450,43 @@ def test_mm_phash_pairs_exact_dups_and_replays(spark, sf_dir):
     for ds in by_text.values():
         for a_, b_ in zip(sorted(ds), sorted(ds)[1:]):
             assert pairs.get((a_, b_)) == 0, (a_, b_)
+
+
+def test_mm_spectral_matches_numpy_replay(spark, sf_dir):
+    """Exact-value pin: the whole FFT chain recomputed independently
+    from the same PCM interpretation must match every emitted row."""
+    import numpy as np
+
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.plans import registry
+
+    got = {r.doc_id: (r.n_windows, r.dominant_bin, r.spectral_centroid,
+                      r.spectral_bandwidth)
+           for r in registry.queries()["mm_spectral"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    frame_len, hop = 256, 128
+    expect = {}
+    for d in docs:
+        buf = d.text.encode("utf-8")
+        usable = (len(buf) // 2) * 2
+        pcm = np.frombuffer(buf[:usable], dtype="<i2")
+        if pcm.size < frame_len:
+            continue
+        n_wins = 1 + (pcm.size - frame_len) // hop
+        idx = (np.arange(n_wins)[:, None] * hop
+               + np.arange(frame_len)[None, :])
+        wins = pcm[idx].astype("float64")
+        spec = np.abs(np.fft.rfft(wins, axis=1)).mean(axis=0)
+        freqs = np.arange(spec.size, dtype="float64")
+        tot = spec.sum()
+        centroid = float((freqs * spec).sum() / tot) if tot else 0.0
+        bw = (float(np.sqrt((((freqs - centroid) ** 2) * spec).sum() / tot))
+              if tot else 0.0)
+        expect[d.doc_id] = (n_wins, int(spec.argmax()),
+                            round(centroid, 6), round(bw, 6))
+    assert got == expect
+    assert got, "no doc long enough for a spectral window"
+    # physical sanity: centroid within the rFFT bin range, bandwidth >= 0
+    for n, dom, c, b in got.values():
+        assert 0 <= dom <= frame_len // 2
+        assert 0.0 <= c <= frame_len // 2 and b >= 0.0
