@@ -2090,3 +2090,157 @@ def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("n_signup_users"), 6)
                     .alias("conversion_rate"),
                     "p50_hours", "p90_hours"))
+
+
+# ---------------------------------------------------------------------------
+# emb_procrustes_align — orthogonal Procrustes alignment (Schönemann,
+# Psychometrika 1966; the standard cross-space embedding aligner, cf.
+# Smith et al. 2017 for cross-lingual vectors): find the rotation W =
+# argmin_{W orthogonal} ||A W - B||_F via SVD of BᵀA. Space B here is
+# A's int8 symmetric-quantized reconstruction (the emb_quantize
+# scheme), so alignment must recover ~identity and the residual drop
+# quantifies how much of the quantization error is a rigid rotation
+# (almost none — which the op reports, per dim). Rows-only; pytest
+# replays the full SVD chain in numpy.
+#
+# Scale: BᵀA accumulates as partition-bounded d x d partials (the
+# emb_pca gram contract); the SVD is a driver-side d x d solve;
+# residuals come from one more bounded-partial pass. Nothing
+# corpus-sized reaches one node.
+# ---------------------------------------------------------------------------
+@register("emb_procrustes_align")
+def emb_procrustes_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+
+    def quantized(col):
+        # B = round(x * 127/absmax) * absmax/127  (emb_quantize scheme)
+        absmax = F.array_max(F.transform(col, lambda x: F.abs(x)))
+        return F.transform(
+            col, lambda x: (F.floor(x * (F.lit(127.0) / absmax) + F.lit(0.5))
+                            * (absmax / F.lit(127.0))))
+
+    ab = base.select("vec_id", F.col("v").alias("a"),
+                     quantized(F.col("v")).alias("b"))
+
+    # cross-covariance M = Aᵀ B via partition partials (d x d each):
+    # min_W ||A W - B||_F over orthogonal W has W = U Vᵀ from SVD(AᵀB)
+    def partials(batches):
+        import pandas as pd
+        m = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.vstack(pdf["a"].to_numpy())
+            b = np.vstack(pdf["b"].to_numpy())
+            mm = a.T @ b
+            m = mm if m is None else m + mm
+            n += len(pdf)
+        if n:
+            yield pd.DataFrame({"n": [n], "m": [m.reshape(-1).tolist()]})
+
+    parts = sorted(
+        ab.select("a", "b").mapInPandas(
+            partials, "n long, m array<double>").collect(),
+        key=lambda p: (p["n"], tuple(p["m"][:4])))
+    d = 64
+    m = np.sum([np.asarray(p["m"]) for p in parts], axis=0).reshape(d, d)
+    u, _, vt = np.linalg.svd(m)
+    w = u @ vt                      # the orthogonal aligner
+
+    # per-dim residual before (||a_i - b_i||) vs after (||a w - b||)
+    wlit = w.copy()
+
+    def resid(batches):
+        import pandas as pd
+        rb = np.zeros(d)
+        ra = np.zeros(d)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.vstack(pdf["a"].to_numpy())
+            b = np.vstack(pdf["b"].to_numpy())
+            rb += ((a - b) ** 2).sum(axis=0)
+            ra += ((a @ wlit - b) ** 2).sum(axis=0)
+            n += len(pdf)
+        if n:
+            yield pd.DataFrame({"n": [n], "rb": [rb.tolist()],
+                                "ra": [ra.tolist()]})
+
+    rparts = sorted(
+        ab.select("a", "b").mapInPandas(
+            resid, "n long, rb array<double>, ra array<double>").collect(),
+        key=lambda p: (p["n"], tuple(p["rb"][:4])))
+    n_total = sum(p["n"] for p in rparts)
+    rb = np.sum([np.asarray(p["rb"]) for p in rparts], axis=0)
+    ra = np.sum([np.asarray(p["ra"]) for p in rparts], axis=0)
+    rows = [(i, round(float(np.sqrt(rb[i] / n_total)), 6),
+             round(float(np.sqrt(ra[i] / n_total)), 6),
+             round(float(w[i, i]), 6))
+            for i in range(d)]
+    return spark.createDataFrame(
+        rows, "dim int, rmse_before double, rmse_aligned double, "
+              "w_diag double")
+
+
+# ---------------------------------------------------------------------------
+# dp_packing_bestfit — best-fit-decreasing sequence packing per
+# language shard, the quality-optimal counterpart to dp_pack's
+# streaming contiguous bins (Johnson 1973: BFD wastes <= 11/9 OPT+1
+# bins): docs sort by token count descending, each placed into the
+# fullest open bin that still fits. The op reports per-shard bin
+# efficiency vs dp_pack's so the packing-quality tradeoff is a number,
+# not folklore.
+#
+# Scale: BFD is inherently sequential PER SHARD — each language runs
+# inside one applyInPandas group (the ml_group_fit contract); shards
+# are the parallel unit, as in every real packing pipeline. Bin state
+# is a heap of open-bin remainders, O(bins) per shard.
+# ---------------------------------------------------------------------------
+@register("dp_packing_bestfit")
+def dp_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", "doc_id",
+                    F.size(tx.tokens(F.col("text"))).alias("ntok"))
+
+    budget = 2048  # == dp_pack's _PACK_BUDGET
+
+    def pack(pdf):
+        pdf = pdf.sort_values(["ntok", "doc_id"],
+                              ascending=[False, True])
+        bins: list[int] = []        # remaining capacity per bin
+        naive_bins = None
+        n_docs = 0
+        tokens = 0
+        for ntok in pdf["ntok"]:
+            n_docs += 1
+            tokens += int(ntok)
+            best, best_rem = -1, budget + 1
+            for i, rem in enumerate(bins):
+                if ntok <= rem < best_rem:
+                    best, best_rem = i, rem
+            if best >= 0:
+                bins[best] -= int(ntok)
+            else:
+                bins.append(budget - int(ntok))
+        n_bins = len(bins)
+        fill = tokens / (n_bins * budget) if n_bins else 0.0
+        return pd.DataFrame({
+            "lang": [pdf["lang"].iloc[0]],
+            "n_docs": [n_docs],
+            "total_tokens": [tokens],
+            "n_bins_bfd": [n_bins],
+            "fill_ratio": [round(fill, 6)],
+        })
+
+    pack.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
+    return (t.groupBy("lang")
+            .applyInPandas(pack, "lang string, n_docs long, "
+                                 "total_tokens long, n_bins_bfd long, "
+                                 "fill_ratio double"))

@@ -1026,3 +1026,67 @@ def test_q_funnel_ttc_accounting(spark, sf_dir):
     assert abs(r.p50_hours - np.percentile(delays, 50)) < 1e-4
     assert abs(r.p90_hours - np.percentile(delays, 90)) < 1e-4
     assert 0 < r.conversion_rate <= 1 and r.p50_hours <= r.p90_hours
+
+
+def test_emb_procrustes_align_recovers_quantization_geometry(spark, sf_dir):
+    import numpy as np
+
+    rows = {r.dim: r for r in
+            _run(spark, sf_dir, "emb_procrustes_align").collect()}
+    assert len(rows) == 64
+    # full numpy replay from the raw embeddings
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    a = np.array([[float(x) for x in r.embedding] for r in emb])
+    absmax = np.abs(a).max(axis=1, keepdims=True)
+    b = np.floor(a * (127.0 / absmax) + 0.5) * (absmax / 127.0)
+    m = a.T @ b
+    u, _, vt = np.linalg.svd(m)
+    w = u @ vt
+    rb = np.sqrt(((a - b) ** 2).mean(axis=0))
+    ra = np.sqrt(((a @ w - b) ** 2).mean(axis=0))
+    for i in range(64):
+        assert abs(rows[i].rmse_before - rb[i]) < 1e-5
+        assert abs(rows[i].rmse_aligned - ra[i]) < 1e-5
+        assert abs(rows[i].w_diag - w[i, i]) < 1e-5
+        # the aligner is near-identity: quantization noise is not a
+        # rotation, so W's diagonal stays close to 1
+        assert rows[i].w_diag > 0.99
+    # Procrustes optimality is in FROBENIUS norm (identity is a
+    # feasible W), i.e. over summed SQUARES — not per-dim RMSE sums
+    assert sum(r.rmse_aligned ** 2 for r in rows.values()) \
+        <= sum(r.rmse_before ** 2 for r in rows.values()) + 1e-9
+
+
+def test_dp_packing_bestfit_beats_or_ties_contiguous_pack(spark, sf_dir):
+    from collections import defaultdict
+
+    got = {r.lang: r for r in
+           _run(spark, sf_dir, "dp_packing_bestfit").collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    per_lang = defaultdict(list)
+    for d in docs:
+        per_lang[d.lang].append((d.doc_id, len(_toks(d.text))))
+    budget = 2048
+    for lang, items in per_lang.items():
+        r = got[lang]
+        assert r.n_docs == len(items)
+        assert r.total_tokens == sum(n for _, n in items)
+        # python BFD replay
+        bins = []
+        for _, n in sorted(items, key=lambda x: (-x[1], x[0])):
+            best, best_rem = -1, budget + 1
+            for i, rem in enumerate(bins):
+                if n <= rem < best_rem:
+                    best, best_rem = i, rem
+            if best >= 0:
+                bins[best] -= n
+            else:
+                bins.append(budget - n)
+        assert r.n_bins_bfd == len(bins)
+        assert r.fill_ratio == round(
+            r.total_tokens / (len(bins) * budget), 6)
+        # BFD stays within one bin of the volume lower bound on this
+        # corpus (items are tiny vs the budget) — fill_ratio alone is
+        # NOT a tightness signal: ceil() slack dominates small shards
+        lb = -(-r.total_tokens // budget)
+        assert lb <= r.n_bins_bfd <= lb + 1
