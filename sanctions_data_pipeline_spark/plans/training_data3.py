@@ -2244,3 +2244,146 @@ def dp_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(pack, "lang string, n_docs long, "
                                  "total_tokens long, n_bins_bfd long, "
                                  "fill_ratio double"))
+
+
+# ---------------------------------------------------------------------------
+# dp_rendezvous_shards — rendezvous / highest-random-weight shard
+# assignment (Thaler & Ravishankar 1998; the consistent-hashing
+# building block distributed dedup and shard-stable reprocessing rely
+# on): each doc goes to the shard with the max md5(doc, shard) weight,
+# so adding shard N+1 moves only ~1/(N+1) of documents — unlike
+# mod-N, which reshuffles almost everything. The op emits both the
+# N-shard and (N+1)-shard assignments plus the per-doc moved flag, so
+# the stability property is IN the verified output.
+#
+# Scale: pure map-side hash algebra — N+1 hashes per row, no shuffle.
+# ---------------------------------------------------------------------------
+_RVZ_N = 8
+
+_RVZ_W = ("(('0x' || substr(md5('rvz:' || CAST({s} AS VARCHAR) || ':' "
+          "|| CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)")
+
+
+def _rvz_argmax_sql(n: int) -> str:
+    structs = ", ".join(
+        f"ROW({_RVZ_W.format(s=s)}, {s})" for s in range(n))
+    # DuckDB: list_max over ROW(weight, shard) is lexicographic
+    return f"list_max([{structs}])"
+
+
+_RVZ_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id,
+         {_rvz_argmax_sql(_RVZ_N)} AS w8,
+         {_rvz_argmax_sql(_RVZ_N + 1)} AS w9
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w8[2] AS BIGINT) AS shard_n,
+       CAST(w9[2] AS BIGINT) AS shard_n1,
+       w8[2] <> w9[2] AS moved
+FROM a
+"""
+
+
+@register("dp_rendezvous_shards", oracle=_RVZ_ORACLE)
+def dp_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def weight(s: int):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"rvz:{s}:"),
+                           F.col("doc_id").cast("string"))), 1, 15),
+            16, 10).cast("bigint"))
+
+    def argmax(n: int):
+        return F.array_max(F.array(*[
+            F.struct(weight(s).alias("w"), F.lit(s).alias("s"))
+            for s in range(n)]))["s"].cast("bigint")
+
+    return docs.select(
+        "doc_id",
+        argmax(_RVZ_N).alias("shard_n"),
+        argmax(_RVZ_N + 1).alias("shard_n1")) \
+        .withColumn("moved", F.col("shard_n") != F.col("shard_n1"))
+
+
+# ---------------------------------------------------------------------------
+# tx_heaps_fit — Heaps'-law vocabulary-growth fit (Heaps 1978; the
+# companion diagnostic to tx_zipf_fit): distinct-vocabulary size V(n)
+# vs cumulative token count n follows V = K n^beta; the op measures
+# (n, V) at each document boundary in doc_id order — V(doc) counts
+# token types whose FIRST corpus occurrence is at-or-before that doc —
+# and fits (log K, beta) by OLS in log-log space with sorted-fold sums.
+#
+# Scale: first occurrences come from one (token -> min position) agg;
+# the cumulative counts are two running sums over the doc_id order
+# (the dp_pack window shape); the OLS runs over n_docs points via
+# sorted folds.
+# ---------------------------------------------------------------------------
+_HEAPS_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n_tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+f2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new
+       FROM (SELECT tok, min(doc_id) AS doc_id
+             FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY tok)
+       GROUP BY doc_id),
+curve AS (
+  SELECT n_tok.doc_id,
+         SUM(n_tok.n) OVER (ORDER BY n_tok.doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         SUM(coalesce(f2.n_new, 0)) OVER (ORDER BY n_tok.doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_vocab
+  FROM n_tok LEFT JOIN f2 ON n_tok.doc_id = f2.doc_id
+),
+pts AS (SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
+               ln(CAST(cum_vocab AS DOUBLE)) AS y FROM curve),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         list_aggregate(list_sort(list(x)), 'sum') AS sx,
+         list_aggregate(list_sort(list(y)), 'sum') AS sy,
+         list_aggregate(list_sort(list(x * y)), 'sum') AS sxy,
+         list_aggregate(list_sort(list(x * x)), 'sum') AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+       round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n), 6) AS k
+FROM s
+"""
+
+
+@register("tx_heaps_fit", oracle=_HEAPS_ORACLE)
+def tx_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    n_tok = t.select("doc_id", F.size("toks").cast("bigint").alias("n"))
+    f2 = (t.select("doc_id", F.explode("toks").alias("tok"))
+          .groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+          .groupBy("doc_id").agg(lcount("n_new")))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    curve = (n_tok.join(f2, "doc_id", "left")
+             .select("doc_id", "n",
+                     F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"))
+             .select(F.sum("n").over(w).alias("cum_tokens"),
+                     F.sum("n_new").over(w).alias("cum_vocab")))
+    pts = curve.select(
+        F.log(F.col("cum_tokens").cast("double")).alias("x"),
+        F.log(F.col("cum_vocab").cast("double")).alias("y"))
+
+    def fold(col):
+        return F.aggregate(F.array_sort(F.collect_list(col)),
+                           F.lit(0.0), lambda a, b: a + b)
+
+    s = pts.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                fold(F.col("x")).alias("sx"), fold(F.col("y")).alias("sy"),
+                fold(F.col("x") * F.col("y")).alias("sxy"),
+                fold(F.col("x") * F.col("x")).alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("beta"),
+        F.round(F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n")), 6)
+        .alias("k"))

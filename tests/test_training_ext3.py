@@ -1090,3 +1090,51 @@ def test_dp_packing_bestfit_beats_or_ties_contiguous_pack(spark, sf_dir):
         # NOT a tightness signal: ceil() slack dominates small shards
         lb = -(-r.total_tokens // budget)
         assert lb <= r.n_bins_bfd <= lb + 1
+
+
+def test_dp_rendezvous_shards_stability_property(spark, sf_dir):
+    """HRW replay + THE property: growing 8 -> 9 shards moves only
+    ~1/9 of documents, and every moved doc moves TO the new shard."""
+    import hashlib
+
+    def weight(s, doc_id):
+        return int(hashlib.md5(f"rvz:{s}:{doc_id}".encode())
+                   .hexdigest()[:15], 16)
+
+    rows = _run(spark, sf_dir, "dp_rendezvous_shards").collect()
+    docs = [d.doc_id
+            for d in load_table(spark, sf_dir, "documents").collect()]
+    assert len(rows) == len(docs)
+    moved = 0
+    for r in rows:
+        w8 = max(range(8), key=lambda s: (weight(s, r.doc_id), s))
+        w9 = max(range(9), key=lambda s: (weight(s, r.doc_id), s))
+        assert (r.shard_n, r.shard_n1) == (w8, w9)
+        assert r.moved == (w8 != w9)
+        if r.moved:
+            moved += 1
+            assert r.shard_n1 == 8      # moves go ONLY to the new shard
+    # expected move fraction = 1/9; generous band for a 500-doc sample
+    assert 0.02 < moved / len(rows) < 0.25
+
+
+def test_tx_heaps_fit_matches_numpy_ols(spark, sf_dir):
+    import numpy as np
+
+    docs = sorted(load_table(spark, sf_dir, "documents").collect(),
+                  key=lambda d: d.doc_id)
+    seen: set = set()
+    xs, ys = [], []
+    cum = 0
+    for d in docs:
+        t = _toks(d.text)
+        cum += len(t)
+        seen.update(t)
+        xs.append(np.log(cum))
+        ys.append(np.log(len(seen)))
+    beta, logk = np.polyfit(np.array(xs), np.array(ys), 1)
+    r = _run(spark, sf_dir, "tx_heaps_fit").collect()[0]
+    assert r.n_points == len(docs)
+    assert abs(r.beta - beta) < 1e-4
+    assert abs(r.k - np.exp(logk)) < max(1e-3, np.exp(logk) * 1e-4)
+    assert 0.0 < r.beta < 1.0       # sublinear vocabulary growth
