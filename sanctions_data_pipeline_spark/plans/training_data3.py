@@ -2387,3 +2387,74 @@ def tx_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("beta"),
         F.round(F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n")), 6)
         .alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# dd_sorted_neighborhood — the Sorted Neighborhood Method (Hernández &
+# Stolfo, SIGMOD 1995), the second classic entity-resolution blocking
+# family next to token/LSH blocking: records sort by a blocking key
+# (here the first 3 normalized tokens), a window of _SNM_W consecutive
+# records generates candidate pairs, and candidates verify by token
+# Jaccard. Candidates per record are bounded by the window — the
+# linear-cost alternative when key clustering is good.
+#
+# Scale: the global sort is a range-partitioned exchange (the
+# dp_curriculum convention); the pair join is rank-banded
+# (|rank_i - rank_j| < w), so each row joins to at most w-1 others.
+# Verification hashes nothing corpus-wide — the join carries token
+# arrays only inside the window band.
+# ---------------------------------------------------------------------------
+_SNM_W = 5
+_SNM_T = 0.5
+
+_SNM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         array_to_string(list_slice({_TOKS}, 1, 3), ' ') AS bkey
+  FROM documents
+),
+r AS (
+  SELECT doc_id, toks,
+         row_number() OVER (ORDER BY bkey, doc_id) AS rnk
+  FROM t
+),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, a.toks AS ta, b.toks AS tb
+  FROM r a JOIN r b
+    ON b.rnk > a.rnk AND b.rnk < a.rnk + {_SNM_W}
+)
+SELECT i, j,
+       round(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+             / len(list_distinct(ta || tb)), 6) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+      / len(list_distinct(ta || tb)) >= {_SNM_T}
+"""
+
+
+@register("dd_sorted_neighborhood", oracle=_SNM_ORACLE)
+def dd_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks"),
+                    F.concat_ws(" ", F.slice(toks, 1, 3)).alias("bkey"))
+    r = t.select("doc_id", "toks",
+                 F.row_number().over(W.orderBy("bkey", "doc_id"))
+                 .alias("rnk"))
+    # EQUI-join formulation of the window: each left record explodes
+    # into its w-1 partner ranks, so the join is a hash join on rnk
+    # (replication factor w-1) — never a non-equi nested loop
+    a = (r.select(F.col("doc_id").alias("i"), F.col("toks").alias("ta"),
+                  F.explode(F.sequence(F.col("rnk") + 1,
+                                       F.col("rnk") + _SNM_W - 1))
+                  .alias("rnk")))
+    b = r.select(F.col("doc_id").alias("j"), F.col("toks").alias("tb"),
+                 "rnk")
+    cand = a.join(b, "rnk")
+    # set-semantics Jaccard over token arrays (duplicates collapse),
+    # matching DuckDB's list_intersect/list_distinct
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_distinct(F.concat("ta", "tb")))
+    jac = inter / union
+    return (cand.filter(jac >= _SNM_T)
+            .select("i", "j", F.round(jac, 6).alias("jaccard")))

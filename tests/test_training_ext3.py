@@ -1138,3 +1138,26 @@ def test_tx_heaps_fit_matches_numpy_ols(spark, sf_dir):
     assert abs(r.beta - beta) < 1e-4
     assert abs(r.k - np.exp(logk)) < max(1e-3, np.exp(logk) * 1e-4)
     assert 0.0 < r.beta < 1.0       # sublinear vocabulary growth
+
+
+def test_dd_sorted_neighborhood_matches_python_replay(spark, sf_dir):
+    """Full SNM replay: sort by (3-token blocking key, doc_id), window
+    w=5, set-Jaccard >= 0.5 — pair set and scores must match, and
+    every emitted pair must be within window distance."""
+    docs = load_table(spark, sf_dir, "documents").collect()
+    recs = sorted(
+        ((" ".join(_toks(d.text)[:3]), d.doc_id, set(_toks(d.text)))
+         for d in docs))
+    expect = {}
+    rank_of = {doc_id: i for i, (_, doc_id, _) in enumerate(recs)}
+    for i, (_, di, ti) in enumerate(recs):
+        for j in range(i + 1, min(i + 5, len(recs))):
+            _, dj, tj = recs[j]
+            jac = len(ti & tj) / len(ti | tj)
+            if jac >= 0.5:
+                expect[(di, dj)] = round(jac, 6)
+    got = {(r.i, r.j): r.jaccard
+           for r in _run(spark, sf_dir, "dd_sorted_neighborhood").collect()}
+    assert got == expect
+    for (i, j) in got:
+        assert 0 < rank_of[j] - rank_of[i] < 5
