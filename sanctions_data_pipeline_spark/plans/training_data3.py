@@ -2458,3 +2458,118 @@ def dd_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter / union
     return (cand.filter(jac >= _SNM_T)
             .select("i", "j", F.round(jac, 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# tx_burstiness — term burstiness via the variance-to-mean ratio of
+# per-document counts (Church & Gale 1995: content words are bursty,
+# function words are Poisson-like, so VMR separates them better than
+# raw frequency): for the top-_BURST_V df terms, VMR over all docs
+# (zeros included). Every moment is an exact integer sum over
+# per-(term, doc) counts — no float folds anywhere before the final
+# closed-form division.
+#
+# Scale: one (term, doc) count agg + a bounded broadcast term list;
+# the zero-docs correction is algebra on the corpus doc count, not a
+# dense zero-filled join.
+# ---------------------------------------------------------------------------
+_BURST_V = 20
+
+_BURST_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n_docs AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM t),
+tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY term, doc_id
+),
+top AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+  FROM tf GROUP BY term
+  ORDER BY count(*) DESC, term LIMIT {_BURST_V}
+)
+SELECT term, df,
+       round(CAST(s1 AS DOUBLE) / (SELECT nd FROM n_docs), 6) AS mean_count,
+       round((CAST(s2 AS DOUBLE) / (SELECT nd FROM n_docs)
+              - (CAST(s1 AS DOUBLE) / (SELECT nd FROM n_docs))
+                * (CAST(s1 AS DOUBLE) / (SELECT nd FROM n_docs)))
+             / (CAST(s1 AS DOUBLE) / (SELECT nd FROM n_docs)), 6) AS vmr
+FROM top
+"""
+
+
+@register("tx_burstiness", oracle=_BURST_ORACLE)
+def tx_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    nd = t.count()  # bounded driver scalar (corpus doc count)
+    tf = (t.select("doc_id", F.explode("toks").alias("term"))
+          .groupBy("term", "doc_id").agg(lcount("c")))
+    top = (tf.groupBy("term")
+           .agg(lcount("df"),
+                F.sum("c").cast("bigint").alias("s1"),
+                F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"))
+           .orderBy(F.desc("df"), F.asc("term")).limit(_BURST_V))
+    mean = F.col("s1").cast("double") / F.lit(nd)
+    return top.select(
+        "term", "df", F.round(mean, 6).alias("mean_count"),
+        F.round((F.col("s2").cast("double") / F.lit(nd) - mean * mean)
+                / mean, 6).alias("vmr"))
+
+
+# ---------------------------------------------------------------------------
+# q_pareto_abc — ABC / Pareto revenue classification (the 80/15/5
+# inventory-analysis classic): parts rank by total revenue, the
+# decimal-exact running share assigns class A (first 80% of revenue),
+# B (next 15%), C (tail). Cumulative sums run over the revenue-desc
+# order — a range-partitioned global sort, with decimal-exact
+# aggregation so the class boundaries are deterministic.
+# ---------------------------------------------------------------------------
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(8,4))
+                           - CAST(l_discount AS DECIMAL(8,4)))), 4) * 10000
+              AS BIGINT) AS r4
+  FROM lineitem WHERE l_partkey < 500 GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(r4) AS BIGINT) AS t FROM rev),
+c AS (
+  SELECT l_partkey, r4,
+         CAST(SUM(r4) OVER (ORDER BY r4 DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM rev
+)
+SELECT l_partkey, r4 / 10000.0 AS revenue,
+       round(CAST(cum AS DOUBLE) / (SELECT t FROM tot), 6) AS cum_share,
+       CASE WHEN CAST(cum AS DOUBLE) / (SELECT t FROM tot) <= 0.80 THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / (SELECT t FROM tot) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+"""
+
+
+@register("q_pareto_abc", oracle=_ABC_ORACLE)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import drate, dval
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 500)
+    # revenue at scale 4 as exact bigint so cumsum/shares never drift
+    rev = (li.groupBy("l_partkey")
+           .agg(((F.round(F.sum(dval("l_extendedprice")
+                                * (F.lit(1).cast("decimal(8,4)")
+                                   - drate("l_discount"))), 4) * 10000)
+                 .cast("bigint")).alias("r4")))
+    tot = rev.agg(F.sum("r4").cast("bigint").alias("t"))
+    w = W.orderBy(F.desc("r4"), F.asc("l_partkey")) \
+         .rowsBetween(W.unboundedPreceding, 0)
+    c = rev.withColumn("cum", F.sum("r4").over(w).cast("bigint"))
+    share = F.col("cum").cast("double") / F.col("t")
+    return (c.crossJoin(F.broadcast(tot))
+            .select("l_partkey",
+                    (F.col("r4") / F.lit(10000.0)).alias("revenue"),
+                    F.round(share, 6).alias("cum_share"),
+                    F.when(share <= 0.80, "A")
+                    .when(share <= 0.95, "B").otherwise("C")
+                    .alias("abc_class")))

@@ -1161,3 +1161,53 @@ def test_dd_sorted_neighborhood_matches_python_replay(spark, sf_dir):
     assert got == expect
     for (i, j) in got:
         assert 0 < rank_of[j] - rank_of[i] < 5
+
+
+def test_tx_burstiness_matches_python_and_discriminates(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    per_term = defaultdict(Counter)
+    for d in docs:
+        for w, c in Counter(_toks(d.text)).items():
+            per_term[w][d.doc_id] = c
+    nd = len(docs)
+    df = {w: len(cs) for w, cs in per_term.items()}
+    top = sorted(df, key=lambda w: (-df[w], w))[:20]
+    got = {r.term: (r.df, r.mean_count, r.vmr)
+           for r in _run(spark, sf_dir, "tx_burstiness").collect()}
+    assert set(got) == set(top)
+    for w in top:
+        s1 = sum(per_term[w].values())
+        s2 = sum(c * c for c in per_term[w].values())
+        mean = s1 / nd
+        vmr = (s2 / nd - mean * mean) / mean
+        assert got[w][0] == df[w]
+        assert abs(got[w][1] - round(mean, 6)) < 1e-9
+        assert abs(got[w][2] - round(vmr, 6)) < 1e-9
+    # Poisson-like terms have VMR near 1+; everything nonnegative-ish
+    assert all(v[2] > 0 for v in got.values())
+
+
+def test_q_pareto_abc_classes_partition_revenue(spark, sf_dir):
+    rows = sorted(_run(spark, sf_dir, "q_pareto_abc").collect(),
+                  key=lambda r: r.cum_share)
+    assert rows
+    total = sum(r.revenue for r in rows)
+    # cumulative share is monotone and ends at 1
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-6
+    # class boundaries: A then B then C in cum-share order
+    classes = "".join(r.abc_class for r in rows)
+    assert re.fullmatch(r"A+B*C*", classes), classes[:50]
+    a_rev = sum(r.revenue for r in rows if r.abc_class == "A")
+    assert a_rev / total <= 0.80 + max(r.revenue for r in rows) / total
+    # every class respects its cutoff
+    for r in rows:
+        if r.abc_class == "A":
+            assert r.cum_share <= 0.80
+        elif r.abc_class == "B":
+            assert 0.80 < r.cum_share <= 0.95 or r.cum_share <= 0.95
+        else:
+            assert r.cum_share > 0.95
