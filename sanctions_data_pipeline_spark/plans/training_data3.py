@@ -2573,3 +2573,122 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(share <= 0.80, "A")
                     .when(share <= 0.95, "B").otherwise("C")
                     .alias("abc_class")))
+
+
+# ---------------------------------------------------------------------------
+# q_market_basket — association rules over order baskets (Agrawal,
+# Imielinski & Swami, SIGMOD 1993): for part pairs co-occurring in >=
+# _MB_MINSUP orders, support / confidence / lift — the canonical
+# basket-analysis triple. Pair generation is the co-occurrence
+# self-join bounded by the basket (per-order distinct parts), never a
+# catalog cross join; supports are exact integers, the three ratios
+# are identical closed-form doubles.
+# ---------------------------------------------------------------------------
+_MB_MINSUP = 3
+
+_MB_ORACLE = f"""
+WITH co AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_partkey < 200
+),
+n_orders AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM co),
+item AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM co GROUP BY p),
+pair AS (
+  SELECT a.p AS ante, b.p AS cons, CAST(count(*) AS BIGINT) AS s_ab
+  FROM co a JOIN co b ON a.o = b.o AND a.p <> b.p
+  GROUP BY a.p, b.p HAVING count(*) >= {_MB_MINSUP}
+)
+SELECT pair.ante, pair.cons, pair.s_ab,
+       round(CAST(pair.s_ab AS DOUBLE) / (SELECT n FROM n_orders), 6)
+         AS support,
+       round(CAST(pair.s_ab AS DOUBLE) / ia.s, 6) AS confidence,
+       round((CAST(pair.s_ab AS DOUBLE) / ia.s)
+             / (CAST(ic.s AS DOUBLE) / (SELECT n FROM n_orders)), 6) AS lift
+FROM pair JOIN item ia ON pair.ante = ia.p
+          JOIN item ic ON pair.cons = ic.p
+"""
+
+
+@register("q_market_basket", oracle=_MB_ORACLE)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    co = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p")).distinct().persist()
+    n_orders = co.select("o").distinct().count()  # bounded driver scalar
+    item = co.groupBy("p").agg(lcount("s"))
+    pair = (co.join(co.withColumnRenamed("p", "q"), "o")
+            .filter(F.col("p") != F.col("q"))
+            .groupBy(F.col("p").alias("ante"), F.col("q").alias("cons"))
+            .agg(lcount("s_ab")).filter(F.col("s_ab") >= _MB_MINSUP))
+    out = (pair
+           .join(item.select(F.col("p").alias("ante"),
+                             F.col("s").alias("sa")), "ante")
+           .join(item.select(F.col("p").alias("cons"),
+                             F.col("s").alias("sc")), "cons")
+           .select("ante", "cons", "s_ab",
+                   F.round(F.col("s_ab").cast("double") / F.lit(n_orders), 6)
+                   .alias("support"),
+                   F.round(F.col("s_ab").cast("double") / F.col("sa"), 6)
+                   .alias("confidence"),
+                   F.round((F.col("s_ab").cast("double") / F.col("sa"))
+                           / (F.col("sc").cast("double") / F.lit(n_orders)),
+                           6).alias("lift")))
+    rows = out.collect()   # bounded: pairs over the filtered part domain
+    co.unpersist()
+    return spark.createDataFrame(
+        rows, "ante long, cons long, s_ab bigint, support double, "
+              "confidence double, lift double")
+
+
+# ---------------------------------------------------------------------------
+# q_rfm_segmentation — RFM customer segmentation (Hughes 1994; the
+# classic marketing rollup): per customer, Recency (days since last
+# order), Frequency (order count), Monetary (decimal-exact total
+# spend), each scored 1-5 by NTILE over the customer population, and
+# the three digits concatenated into the segment code (555 = best).
+# NTILE ties break on custkey, so segments are deterministic.
+# ---------------------------------------------------------------------------
+_RFM_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) / 10000.0 AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, last_us, freq, monetary,
+         CAST(NTILE(5) OVER (ORDER BY last_us, o_custkey) AS BIGINT) AS r,
+         CAST(NTILE(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f,
+         CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m
+  FROM o
+)
+SELECT o_custkey AS custkey, freq, monetary, r, f, m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS rfm_code
+FROM scored
+"""
+
+
+@register("q_rfm_segmentation", oracle=_RFM_ORACLE)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import _as_exact_double
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = (orders.groupBy(F.col("o_custkey"))
+         .agg(F.max(F.unix_micros("o_orderdate")).cast("bigint")
+              .alias("last_us"),
+              lcount("freq"),
+              _as_exact_double(
+                  F.sum(F.col("o_totalprice").cast("decimal(18,4)")))
+              .alias("monetary")))
+    r = F.ntile(5).over(W.orderBy("last_us", "o_custkey")).cast("bigint")
+    f = F.ntile(5).over(W.orderBy("freq", "o_custkey")).cast("bigint")
+    m = F.ntile(5).over(W.orderBy("monetary", "o_custkey")).cast("bigint")
+    scored = o.select(F.col("o_custkey").alias("custkey"), "freq",
+                      "monetary", r.alias("r"), f.alias("f"), m.alias("m"))
+    return scored.withColumn(
+        "rfm_code", F.concat(F.col("r").cast("string"),
+                             F.col("f").cast("string"),
+                             F.col("m").cast("string")))

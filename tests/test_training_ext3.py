@@ -1211,3 +1211,56 @@ def test_q_pareto_abc_classes_partition_revenue(spark, sf_dir):
             assert 0.80 < r.cum_share <= 0.95 or r.cum_share <= 0.95
         else:
             assert r.cum_share > 0.95
+
+
+def test_q_market_basket_rules_match_python_replay(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 200).select("l_orderkey", "l_partkey").collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    n_orders = len(baskets)
+    item: Counter = Counter()
+    pair: Counter = Counter()
+    for parts in baskets.values():
+        for a in parts:
+            item[a] += 1
+            for b in parts:
+                if a != b:
+                    pair[(a, b)] += 1
+    expect = {}
+    for (a, b), s_ab in pair.items():
+        if s_ab >= 3:
+            conf = s_ab / item[a]
+            expect[(a, b)] = (s_ab, round(s_ab / n_orders, 6),
+                              round(conf, 6),
+                              round(conf / (item[b] / n_orders), 6))
+    got = {(r.ante, r.cons): (r.s_ab, r.support, r.confidence, r.lift)
+           for r in _run(spark, sf_dir, "q_market_basket").collect()}
+    assert got == expect
+    # lift symmetry law: lift(a->b) == lift(b->a)
+    for (a, b), (_, _, _, lift) in got.items():
+        if (b, a) in got:
+            assert abs(got[(b, a)][3] - lift) < 1e-6
+
+
+def test_q_rfm_segmentation_quintiles(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_rfm_segmentation").collect()
+    assert rows
+    n = len(rows)
+    for dim in ("r", "f", "m"):
+        sizes: dict[int, int] = {}
+        for r in rows:
+            v = getattr(r, dim)
+            assert 1 <= v <= 5
+            sizes[v] = sizes.get(v, 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        assert sum(sizes.values()) == n
+    for r in rows:
+        assert r.rfm_code == f"{r.r}{r.f}{r.m}"
+    # monetary quintile is monotone in monetary value (ties aside):
+    by_m = sorted(rows, key=lambda r: (r.monetary, r.custkey))
+    ms = [r.m for r in by_m]
+    assert ms == sorted(ms)
