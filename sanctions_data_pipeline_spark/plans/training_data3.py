@@ -2692,3 +2692,136 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rfm_code", F.concat(F.col("r").cast("string"),
                              F.col("f").cast("string"),
                              F.col("m").cast("string")))
+
+
+# ---------------------------------------------------------------------------
+# q_cohort_ltv — cohort lifetime-value matrix (the growth-analytics
+# rollup next to q_retention's counts): customers cohort by FIRST-order
+# month; each cell (cohort_month, months_since) carries that cohort's
+# decimal-exact revenue in that month plus the running cumulative LTV
+# along the cohort row. months_since is exact calendar arithmetic, the
+# cumulative is a window over the (small) cohort x month lattice.
+# ---------------------------------------------------------------------------
+_LTV_ORACLE = """
+WITH first AS (
+  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+cell AS (
+  SELECT strftime(f.cohort, '%Y-%m') AS cohort_month,
+         CAST((date_part('year', o.o_orderdate)
+               - date_part('year', f.cohort)) * 12
+              + (date_part('month', o.o_orderdate)
+                 - date_part('month', f.cohort)) AS BIGINT) AS months_since,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS rev4
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT cohort_month, months_since, n_orders,
+       rev4 / 10000.0 AS revenue,
+       CAST(SUM(rev4) OVER (PARTITION BY cohort_month ORDER BY months_since
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) / 10000.0
+         AS cum_ltv
+FROM cell
+"""
+
+
+@register("q_cohort_ltv", oracle=_LTV_ORACLE)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    first = (orders.groupBy("o_custkey")
+             .agg(F.date_trunc("month", F.min("o_orderdate"))
+                  .alias("cohort")))
+    cell = (orders.join(first, "o_custkey")
+            .groupBy(
+                F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+                ((F.year("o_orderdate") - F.year("cohort")) * 12
+                 + (F.month("o_orderdate") - F.month("cohort")))
+                .cast("bigint").alias("months_since"))
+            .agg(lcount("n_orders"),
+                 (F.round(F.sum(F.col("o_totalprice")
+                                .cast("decimal(18,4)")), 4) * 10000)
+                 .cast("bigint").alias("rev4")))
+    w = (W.partitionBy("cohort_month").orderBy("months_since")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return cell.select(
+        "cohort_month", "months_since", "n_orders",
+        (F.col("rev4") / F.lit(10000.0)).alias("revenue"),
+        (F.sum("rev4").over(w).cast("bigint") / F.lit(10000.0))
+        .alias("cum_ltv"))
+
+
+# ---------------------------------------------------------------------------
+# gr_local_clustering — local clustering coefficient per node
+# (Watts & Strogatz, Nature 1998): 2*triangles(v) / (d(v)(d(v)-1)) —
+# the per-node closure density behind the small-world diagnostic.
+# Triangles reuse gr_triangle_count's edge-iterator shape (oriented
+# wedges closed against the edge list; (long,long) shuffles only);
+# degrees come from the undirected edge list.
+# ---------------------------------------------------------------------------
+_LCC_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_orderkey < 2000
+), e0 AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+  ) GROUP BY node
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+), tcnt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT a AS node FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY node
+)
+SELECT deg.node, deg.d, CAST(coalesce(tcnt.t, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN deg.d >= 2
+                  THEN 2.0 * coalesce(tcnt.t, 0) / (deg.d * (deg.d - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+"""
+
+
+@register("gr_local_clustering", oracle=_LCC_ORACLE)
+def gr_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 2000)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    e0 = (li.select("o", F.col("p").alias("u"))
+          .join(li.select("o", F.col("p").alias("v")), "o")
+          .filter(F.col("u") < F.col("v"))
+          .select("u", "v").distinct().persist())
+    deg = (e0.select(F.col("u").alias("node"))
+           .union(e0.select(F.col("v").alias("node")))
+           .groupBy("node").agg(lcount("d")))
+    tri = (e0.alias("e1")
+           .join(e0.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+           .join(e0.alias("e3"), (F.col("e3.u") == F.col("e1.u"))
+                 & (F.col("e3.v") == F.col("e2.v")))
+           .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+                   F.col("e2.v").alias("c")))
+    tcnt = (tri.select(F.col("a").alias("node"))
+            .union(tri.select("b")).union(tri.select("c"))
+            .groupBy("node").agg(lcount("t")))
+    out = (deg.join(tcnt, "node", "left")
+           .select("node", "d",
+                   F.coalesce(F.col("t"), F.lit(0)).cast("bigint")
+                   .alias("n_triangles"),
+                   F.round(F.when(F.col("d") >= 2,
+                                  F.lit(2.0) * F.coalesce(F.col("t"),
+                                                          F.lit(0))
+                                  / (F.col("d") * (F.col("d") - 1)))
+                           .otherwise(0.0), 6).alias("lcc")))
+    rows = out.collect()   # bounded by the part domain in the filter
+    e0.unpersist()
+    return spark.createDataFrame(
+        rows, "node long, d bigint, n_triangles bigint, lcc double")

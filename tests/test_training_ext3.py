@@ -1264,3 +1264,65 @@ def test_q_rfm_segmentation_quintiles(spark, sf_dir):
     by_m = sorted(rows, key=lambda r: (r.monetary, r.custkey))
     ms = [r.m for r in by_m]
     assert ms == sorted(ms)
+
+
+def test_q_cohort_ltv_row_accounting(spark, sf_dir):
+    from collections import defaultdict
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    first = {}
+    for o in orders:
+        cm = o.o_orderdate.replace(day=1, hour=0, minute=0, second=0,
+                                   microsecond=0)
+        if o.o_custkey not in first or cm < first[o.o_custkey]:
+            first[o.o_custkey] = cm
+    cells = defaultdict(lambda: [0, 0])
+    for o in orders:
+        f = first[o.o_custkey]
+        ms = ((o.o_orderdate.year - f.year) * 12
+              + (o.o_orderdate.month - f.month))
+        c = cells[(f.strftime("%Y-%m"), ms)]
+        c[0] += 1
+        c[1] += int(round(o.o_totalprice * 10000))
+    got = {(r.cohort_month, r.months_since): r
+           for r in _run(spark, sf_dir, "q_cohort_ltv").collect()}
+    assert set(got) == set(cells)
+    for k, (n, rev4) in cells.items():
+        assert got[k].n_orders == n
+        assert abs(got[k].revenue - rev4 / 1e4) < 1e-9
+    # cum_ltv telescopes: last cell of each cohort row == row sum
+    from collections import defaultdict as dd
+    per_cohort = dd(list)
+    for (cm, ms), v in cells.items():
+        per_cohort[cm].append((ms, v[1]))
+    for cm, vals in per_cohort.items():
+        total = sum(v for _, v in vals) / 1e4
+        last_ms = max(ms for ms, _ in vals)
+        assert abs(got[(cm, last_ms)].cum_ltv - total) < 1e-9
+    # months_since is never negative (first order defines the cohort)
+    assert all(ms >= 0 for _, ms in got)
+
+
+def test_gr_local_clustering_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 2000).select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    nbrs = defaultdict(set)
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    nbrs[a].add(b)
+    got = {r.node: (r.d, r.n_triangles, r.lcc)
+           for r in _run(spark, sf_dir, "gr_local_clustering").collect()}
+    assert set(got) == set(nbrs)
+    for v, ns in nbrs.items():
+        d = len(ns)
+        tri = sum(1 for a in ns for b in ns if a < b and b in nbrs[a])
+        lcc = round(2.0 * tri / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert got[v] == (d, tri, lcc), v
+        assert 0.0 <= got[v][2] <= 1.0
