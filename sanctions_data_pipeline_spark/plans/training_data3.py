@@ -2825,3 +2825,119 @@ def gr_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0.unpersist()
     return spark.createDataFrame(
         rows, "node long, d bigint, n_triangles bigint, lcc double")
+
+
+# ---------------------------------------------------------------------------
+# q_cep_pattern — complex-event pattern matching (the MATCH_RECOGNIZE
+# shape Spark SQL lacks, re-expressed as window composition — the
+# "compose existing DataFrame ops" path for a missing operator): per
+# user, find error -> purchase sequences where the purchase lands
+# within 30 minutes of the error AND no signup intervenes. The three
+# clauses become: lead-scan for the next purchase, a filtered lag-scan
+# for the next signup, and the interval predicate.
+#
+# Scale: everything partitions by user_id (one shuffle); each
+# partition sorts only its own user's events — the CEP state machine
+# never materializes, only the two next-event pointers.
+# ---------------------------------------------------------------------------
+_CEP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('error', 'purchase', 'signup')
+),
+nxt AS (
+  SELECT user_id, ts_us, event_id, event_type,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
+           OVER w AS next_purchase_us,
+         MIN(CASE WHEN event_type = 'signup' THEN ts_us END)
+           OVER w AS next_signup_us
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id AS error_event_id, ts_us AS error_ts_us,
+       CAST(next_purchase_us AS BIGINT) AS purchase_ts_us,
+       CAST(next_purchase_us - ts_us AS BIGINT) AS delay_us
+FROM nxt
+WHERE event_type = 'error'
+  AND next_purchase_us IS NOT NULL
+  AND next_purchase_us - ts_us <= 1800000000
+  AND (next_signup_us IS NULL OR next_signup_us > next_purchase_us)
+"""
+
+
+@register("q_cep_pattern", oracle=_CEP_ORACLE)
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("error", "purchase", "signup"))
+          .select("user_id", F.unix_micros("ts").alias("ts_us"),
+                  "event_id", "event_type"))
+    w = (W.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(1, W.unboundedFollowing))
+    nxt = ev.select(
+        "user_id", "ts_us", "event_id", "event_type",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us")))
+        .over(w).alias("next_purchase_us"),
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us")))
+        .over(w).alias("next_signup_us"))
+    return (nxt.filter(
+        (F.col("event_type") == "error")
+        & F.col("next_purchase_us").isNotNull()
+        & (F.col("next_purchase_us") - F.col("ts_us") <= 1_800_000_000)
+        & (F.col("next_signup_us").isNull()
+           | (F.col("next_signup_us") > F.col("next_purchase_us"))))
+        .select("user_id", F.col("event_id").alias("error_event_id"),
+                F.col("ts_us").alias("error_ts_us"),
+                F.col("next_purchase_us").cast("bigint")
+                .alias("purchase_ts_us"),
+                (F.col("next_purchase_us") - F.col("ts_us")).cast("bigint")
+                .alias("delay_us")))
+
+
+# ---------------------------------------------------------------------------
+# q_skyline — skyline / Pareto-dominance query (Börzsönyi ICDE 2001):
+# parts not dominated in (retailprice low, size high) — no other part
+# is at-most-equal price AND at-least-equal size with one strict. The
+# registry form is the block-nested anti-join over a filtered domain;
+# at catalog scale the standard refinement is sort-filter-skyline
+# (presort by one dimension, prune against the running frontier).
+# Decimal-exact price comparisons keep dominance deterministic.
+# ---------------------------------------------------------------------------
+_SKY_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,4)) AS price,
+         CAST(p_size AS BIGINT) AS size
+  FROM part WHERE p_partkey < 400
+)
+SELECT a.p_partkey,
+       CAST(ROUND(a.price, 4) * 10000 AS BIGINT) / 10000.0 AS price,
+       a.size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price <= a.price AND b.size >= a.size
+    AND (b.price < a.price OR b.size > a.size)
+)
+"""
+
+
+@register("q_skyline", oracle=_SKY_ORACLE)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import _as_exact_double
+
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_partkey") < 400)
+         .select("p_partkey",
+                 F.col("p_retailprice").cast("decimal(18,4)").alias("price"),
+                 F.col("p_size").cast("bigint").alias("size")))
+    b = p.select(F.col("price").alias("bp"), F.col("size").alias("bs"))
+    dominated = p.join(
+        F.broadcast(b),
+        (F.col("bp") <= F.col("price")) & (F.col("bs") >= F.col("size"))
+        & ((F.col("bp") < F.col("price")) | (F.col("bs") > F.col("size"))),
+        "leftsemi")
+    sky = p.join(dominated.select("p_partkey"), "p_partkey", "leftanti")
+    return sky.select("p_partkey",
+                      _as_exact_double(F.col("price")).alias("price"),
+                      "size")

@@ -75,6 +75,10 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # one-row corpus-total broadcast
                 "corpus_report", "tok_vocab", "q_sketch_merge",
                 "q_benford_check", "q_funnel_ttc", "q_pareto_abc",
+                # skyline dominance is inherently non-equi: the
+                # registry form is a documented block-nested broadcast
+                # over the filtered domain (SFS refinement at scale)
+                "q_skyline",
                 # ANN/eval scoring joins (query x corpus by design) and
                 # the NB class cross (|classes| = 5 broadcast)
                 "sim_recall_eval", "emb_matryoshka_eval", "ml_naive_bayes",

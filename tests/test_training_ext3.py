@@ -1326,3 +1326,60 @@ def test_gr_local_clustering_matches_python(spark, sf_dir):
         lcc = round(2.0 * tri / (d * (d - 1)), 6) if d >= 2 else 0.0
         assert got[v] == (d, tri, lcc), v
         assert 0.0 <= got[v][2] <= 1.0
+
+
+def test_q_cep_pattern_matches_python_state_machine(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = sorted((e for e in load_table(spark, sf_dir, "events").collect()
+                 if e.event_type in ("error", "purchase", "signup")),
+                key=lambda e: (e.user_id, e.ts, e.event_id))
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append(e)
+
+    def us(e, base):
+        td = e.ts - base
+        return (td.days * 86_400_000_000 + td.seconds * 1_000_000
+                + td.microseconds)
+
+    expect = {}
+    for u, es in per_user.items():
+        base = es[0].ts
+        for i, e in enumerate(es):
+            if e.event_type != "error":
+                continue
+            nxt_p = next((us(x, base) for x in es[i + 1:]
+                          if x.event_type == "purchase"), None)
+            nxt_s = next((us(x, base) for x in es[i + 1:]
+                          if x.event_type == "signup"), None)
+            if (nxt_p is not None and nxt_p - us(e, base) <= 1_800_000_000
+                    and (nxt_s is None or nxt_s > nxt_p)):
+                expect[e.event_id] = (u, nxt_p - us(e, base))
+    got = {r.error_event_id: (r.user_id, r.delay_us)
+           for r in _run(spark, sf_dir, "q_cep_pattern").collect()}
+    assert got == expect
+    assert got, "pattern never matched on the test corpus"
+    assert all(0 <= d <= 1_800_000_000 for _, d in got.values())
+
+
+def test_q_skyline_is_the_pareto_frontier(spark, sf_dir):
+    parts = [(p.p_partkey, round(p.p_retailprice, 4), p.p_size)
+             for p in load_table(spark, sf_dir, "part").collect()
+             if p.p_partkey < 400]
+    got = {r.p_partkey for r in _run(spark, sf_dir, "q_skyline").collect()}
+
+    def dominated(a):
+        return any(b[1] <= a[1] and b[2] >= a[2]
+                   and (b[1] < a[1] or b[2] > a[2]) for b in parts)
+
+    expect = {k for (k, pr, sz) in parts if not dominated((k, pr, sz))}
+    assert got == expect
+    assert got, "empty skyline"
+    # frontier law: skyline points are mutually non-dominating
+    sky = [p for p in parts if p[0] in got]
+    for a in sky:
+        for b in sky:
+            if a[0] != b[0]:
+                assert not (b[1] <= a[1] and b[2] >= a[2]
+                            and (b[1] < a[1] or b[2] > a[2]))
