@@ -2941,3 +2941,110 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sky.select("p_partkey",
                       _as_exact_double(F.col("price")).alias("price"),
                       "size")
+
+
+# ---------------------------------------------------------------------------
+# q_path_analysis — top user paths through the product (the classic
+# product-analytics "path mining" rollup): per 30-min session, the
+# ordered sequence of its first 5 event types joins into a path
+# string; paths count corpus-wide. Ordering inside a group is made
+# deterministic by sorting (ts, event_id, type) STRUCTS after
+# collect_list — never relying on array_agg order, which neither
+# engine guarantees.
+#
+# Scale: sessionization windows partition by user_id; the path agg
+# carries one short string per session; the final count is a tiny
+# grouped agg.
+# ---------------------------------------------------------------------------
+_PATH_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), paths AS (
+  SELECT user_id, sid,
+         array_to_string(
+           list_transform(
+             list_slice(list_sort(list(ROW(epoch_us(ts), event_id,
+                                           event_type))), 1, 5),
+             x -> x[3]), '>') AS path
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+"""
+
+
+@register("q_path_analysis", oracle=_PATH_ORACLE)
+def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.unix_micros(F.col("ts"))
+                  - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+               1).otherwise(0))
+    sessions = flagged.withColumn(
+        "sid", F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, 0)))
+    path = F.concat_ws(">", F.transform(
+        F.slice(F.array_sort(F.collect_list(
+            F.struct(F.unix_micros("ts").alias("t"),
+                     F.col("event_id").alias("e"),
+                     F.col("event_type").alias("y")))), 1, 5),
+        lambda x: x["y"]))
+    paths = (sessions.groupBy("user_id", "sid")
+             .agg(path.alias("path")))
+    return paths.groupBy("path").agg(lcount("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# q_cusum_changepoint — CUSUM changepoint detection (Page, Biometrika
+# 1954) over the daily event-count series: S_t = max(0, S_{t-1} + x_t
+# - mean - slack), alarm when S_t > h. The recursion is inherently
+# sequential over DAYS — a bounded, calendar-sized series — so it runs
+# as one higher-order fold over the sorted day array (the tok_bpe
+# chained-fold discipline), never a driver loop over raw events.
+# Rows-only (the recursive max-fold has no clean portable SQL twin);
+# pytest replays the recursion exactly.
+#
+# Scale: the corpus-wide work is one map-side date_trunc + count agg;
+# the fold input is |days| rows regardless of event volume.
+# ---------------------------------------------------------------------------
+_CUSUM_SLACK = 0.5   # slack k, in stddev units
+_CUSUM_H = 4.0       # alarm threshold, in stddev units
+
+
+@register("q_cusum_changepoint")
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                      "yyyy-MM-dd").alias("day"))
+             .agg(lcount("n")))
+    days = (daily.agg(F.array_sort(F.collect_list(
+        F.struct(F.col("day").alias("d"), F.col("n").alias("n")))))
+        .collect()[0][0])     # bounded: one row per calendar day
+    xs = [int(r["n"]) for r in days]
+    mean = sum(xs) / len(xs)
+    var = sum((x - mean) ** 2 for x in xs) / len(xs)
+    sd = var ** 0.5 or 1.0
+    k, h = _CUSUM_SLACK * sd, _CUSUM_H * sd
+    s_hi = s_lo = 0.0
+    rows = []
+    for r, x in zip(days, xs):
+        s_hi = max(0.0, s_hi + (x - mean) - k)
+        s_lo = max(0.0, s_lo - (x - mean) - k)
+        rows.append((r["d"], x, round(s_hi / sd, 6), round(s_lo / sd, 6),
+                     s_hi > h or s_lo > h))
+    return spark.createDataFrame(
+        rows, "day string, n_events bigint, cusum_hi double, "
+              "cusum_lo double, alarm boolean")

@@ -1383,3 +1383,54 @@ def test_q_skyline_is_the_pareto_frontier(spark, sf_dir):
             if a[0] != b[0]:
                 assert not (b[1] <= a[1] and b[2] >= a[2]
                             and (b[1] < a[1] or b[2] > a[2]))
+
+
+def test_q_path_analysis_matches_python_sessionizer(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    ev = sorted(load_table(spark, sf_dir, "events").collect(),
+                key=lambda e: (e.user_id, e.ts, e.event_id))
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append(e)
+    paths: Counter = Counter()
+    for u, es in per_user.items():
+        prev = None
+        cur: list[str] = []
+        for e in es:
+            if prev is None or (e.ts - prev).total_seconds() > 1800:
+                if cur:
+                    paths[">".join(cur[:5])] += 1
+                cur = []
+            cur.append(e.event_type)
+            prev = e.ts
+        if cur:
+            paths[">".join(cur[:5])] += 1
+    got = {r.path: r.n_sessions
+           for r in _run(spark, sf_dir, "q_path_analysis").collect()}
+    assert got == dict(paths)
+    assert sum(got.values()) == sum(paths.values())
+
+
+def test_q_cusum_changepoint_recursion_replay(spark, sf_dir):
+    from collections import Counter
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    daily = Counter(e.ts.strftime("%Y-%m-%d") for e in ev)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    mean = sum(xs) / len(xs)
+    sd = (sum((x - mean) ** 2 for x in xs) / len(xs)) ** 0.5 or 1.0
+    k, h = 0.5 * sd, 4.0 * sd
+    s_hi = s_lo = 0.0
+    expect = {}
+    for d, x in zip(days, xs):
+        s_hi = max(0.0, s_hi + (x - mean) - k)
+        s_lo = max(0.0, s_lo - (x - mean) - k)
+        expect[d] = (x, round(s_hi / sd, 6), round(s_lo / sd, 6),
+                     s_hi > h or s_lo > h)
+    got = {r.day: (r.n_events, r.cusum_hi, r.cusum_lo, r.alarm)
+           for r in _run(spark, sf_dir, "q_cusum_changepoint").collect()}
+    assert got == expect
+    # CUSUM laws: statistics never negative
+    assert all(hi >= 0 and lo >= 0 for _, hi, lo, _ in got.values())
