@@ -3048,3 +3048,117 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "day string, n_events bigint, cusum_hi double, "
               "cusum_lo double, alarm boolean")
+
+
+# ---------------------------------------------------------------------------
+# sim_ndcg_eval — nDCG@10 ranking quality (Järvelin & Kekäläinen,
+# TOIS 2002) of the BM25 ranking per query term, with graded relevance
+# = raw term frequency: DCG = sum rel_i / log2(i + 1) over the BM25
+# order, IDCG over the relevance-ideal order, nDCG their ratio — the
+# standard IR eval next to sim_recall_eval's recall@k.
+#
+# Cross-engine float rule: both DCG sums are sorted sequential folds
+# over <= 10 terms (the gain values sort identically on both engines),
+# log2 on exact integers, one final division rounded 6dp.
+# ---------------------------------------------------------------------------
+_NDCG_K = 10
+
+_NDCG_ORACLE = _BM25_BASE + f"""
+, ranked AS (
+  SELECT term, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY term
+                            ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM scored
+),
+dcg AS (
+  SELECT term,
+         list_aggregate(list_sort(list(CAST(tf AS DOUBLE)
+             / (ln(rnk + 1.0) / ln(2.0)))), 'sum') AS dcg
+  FROM ranked WHERE rnk <= {_NDCG_K} GROUP BY term
+),
+ideal AS (
+  SELECT term, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id) AS irnk
+  FROM scored
+),
+idcg AS (
+  SELECT term,
+         list_aggregate(list_sort(list(CAST(tf AS DOUBLE)
+             / (ln(irnk + 1.0) / ln(2.0)))), 'sum') AS idcg
+  FROM ideal WHERE irnk <= {_NDCG_K} GROUP BY term
+)
+SELECT dcg.term, round(dcg.dcg, 6) AS dcg, round(idcg.idcg, 6) AS idcg,
+       round(dcg.dcg / idcg.idcg, 6) AS ndcg
+FROM dcg JOIN idcg ON dcg.term = idcg.term
+"""
+
+
+@register("sim_ndcg_eval", oracle=_NDCG_ORACLE)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+
+    def fold(col):
+        return F.aggregate(F.array_sort(F.collect_list(col)),
+                           F.lit(0.0), lambda a, b: a + b)
+
+    def gain(rank_col):
+        return (F.col("tf").cast("double")
+                / (F.log(rank_col + F.lit(1.0)) / F.log(F.lit(2.0))))
+
+    wb = W.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    wi = W.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(wb))
+    ideal = scored.withColumn("irnk", F.row_number().over(wi))
+    dcg = (ranked.filter(F.col("rnk") <= _NDCG_K)
+           .groupBy("term").agg(fold(gain(F.col("rnk"))).alias("dcg")))
+    idcg = (ideal.filter(F.col("irnk") <= _NDCG_K)
+            .groupBy("term").agg(fold(gain(F.col("irnk"))).alias("idcg")))
+    return (dcg.join(idcg, "term")
+            .select("term", F.round("dcg", 6).alias("dcg"),
+                    F.round("idcg", 6).alias("idcg"),
+                    F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg")))
+
+
+# ---------------------------------------------------------------------------
+# q_holt_forecast — Holt's linear exponential smoothing (Holt 1957)
+# over the daily event-count series, plus a 7-day-ahead forecast:
+# level/trend recursions l_t = a x_t + (1-a)(l + b),
+# b_t = g(l_t - l) + (1-g) b. Like q_cusum_changepoint, the recursion
+# is sequential over the CALENDAR-bounded day series (one fold over
+# |days| values; the corpus-wide work is the map-side daily count
+# agg). Rows-only; pytest replays the recursion exactly.
+# ---------------------------------------------------------------------------
+_HOLT_ALPHA = 0.5
+_HOLT_GAMMA = 0.3
+_HOLT_HORIZON = 7
+
+
+@register("q_holt_forecast")
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                      "yyyy-MM-dd").alias("day"))
+             .agg(lcount("n")))
+    days = (daily.agg(F.array_sort(F.collect_list(
+        F.struct(F.col("day").alias("d"), F.col("n").alias("n")))))
+        .collect()[0][0])     # bounded: one row per calendar day
+    a, g = _HOLT_ALPHA, _HOLT_GAMMA
+    xs = [int(r["n"]) for r in days]
+    level, trend = float(xs[0]), float(xs[1] - xs[0]) if len(xs) > 1 else 0.0
+    rows = []
+    for r, x in zip(days, xs):
+        prev_l, prev_b = level, trend
+        level = a * x + (1 - a) * (prev_l + prev_b)
+        trend = g * (level - prev_l) + (1 - g) * prev_b
+        rows.append((r["d"], x, round(level, 6), round(trend, 6),
+                     round(level + trend, 6), False))
+    import datetime as dt
+    last = dt.date.fromisoformat(days[-1]["d"])
+    for hstep in range(1, _HOLT_HORIZON + 1):
+        rows.append(((last + dt.timedelta(days=hstep)).isoformat(),
+                     None, None, None,
+                     round(level + hstep * trend, 6), True))
+    return spark.createDataFrame(
+        rows, "day string, n_events bigint, level double, trend double, "
+              "forecast double, is_future boolean")

@@ -1434,3 +1434,72 @@ def test_q_cusum_changepoint_recursion_replay(spark, sf_dir):
     assert got == expect
     # CUSUM laws: statistics never negative
     assert all(hi >= 0 and lo >= 0 for _, hi, lo, _ in got.values())
+
+
+def test_sim_ndcg_eval_laws_and_replay(spark, sf_dir):
+    import math as m
+
+    scored = {}   # term -> list of (doc_id, tf, bm25)
+    for r in _run(spark, sf_dir, "tx_bm25").collect():
+        pass  # tx_bm25 is top-10 only; recompute full posting below
+    docs = load_table(spark, sf_dir, "documents").collect()
+    toks = {d.doc_id: _toks(d.text) for d in docs}
+    from collections import Counter
+    df: Counter = Counter()
+    for t in toks.values():
+        df.update(set(t))
+    qterms = sorted(df, key=lambda w: (-df[w], w))[:5]
+    got = {r.term: (r.dcg, r.idcg, r.ndcg)
+           for r in _run(spark, sf_dir, "sim_ndcg_eval").collect()}
+    assert set(got) == set(qterms)
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    for term in qterms:
+        posting = []
+        for doc_id, t in toks.items():
+            tf = t.count(term)
+            if tf:
+                idf = m.log(1.0 + (float(n_docs - df[term]) + 0.5)
+                            / (float(df[term]) + 0.5))
+                s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+                                                    * (len(t) / avgdl)))
+                posting.append((round(s, 6), doc_id, tf))
+        by_bm25 = sorted(posting, key=lambda x: (-x[0], x[1]))[:10]
+        by_rel = sorted(posting, key=lambda x: (-x[2], x[1]))[:10]
+        dcg = sum(sorted(tf / m.log2(i + 2)
+                         for i, (_, _, tf) in enumerate(by_bm25)))
+        idcg = sum(sorted(tf / m.log2(i + 2)
+                          for i, (_, _, tf) in enumerate(by_rel)))
+        gd, gi, gn = got[term]
+        assert abs(gd - round(dcg, 6)) < 1e-9
+        assert abs(gi - round(idcg, 6)) < 1e-9
+        assert abs(gn - round(dcg / idcg, 6)) < 1e-9
+        assert 0.0 < gn <= 1.0 + 1e-9      # nDCG law
+
+
+def test_q_holt_forecast_recursion_replay(spark, sf_dir):
+    from collections import Counter
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    daily = Counter(e.ts.strftime("%Y-%m-%d") for e in ev)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    a, g = 0.5, 0.3
+    level, trend = float(xs[0]), float(xs[1] - xs[0])
+    expect = {}
+    for d, x in zip(days, xs):
+        pl, pb = level, trend
+        level = a * x + (1 - a) * (pl + pb)
+        trend = g * (level - pl) + (1 - g) * pb
+        expect[d] = (x, round(level, 6), round(trend, 6),
+                     round(level + trend, 6), False)
+    rows = {r.day: (r.n_events, r.level, r.trend, r.forecast, r.is_future)
+            for r in _run(spark, sf_dir, "q_holt_forecast").collect()}
+    hist = {d: v for d, v in rows.items() if not v[4]}
+    assert hist == expect
+    fut = sorted((d, v) for d, v in rows.items() if v[4])
+    assert len(fut) == 7
+    # future forecasts extrapolate linearly: constant increments
+    incs = [round(fut[i + 1][1][3] - fut[i][1][3], 6)
+            for i in range(len(fut) - 1)]
+    assert all(abs(i - round(trend, 6)) < 1e-4 for i in incs)
