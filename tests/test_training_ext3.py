@@ -1439,9 +1439,7 @@ def test_q_cusum_changepoint_recursion_replay(spark, sf_dir):
 def test_sim_ndcg_eval_laws_and_replay(spark, sf_dir):
     import math as m
 
-    scored = {}   # term -> list of (doc_id, tf, bm25)
-    for r in _run(spark, sf_dir, "tx_bm25").collect():
-        pass  # tx_bm25 is top-10 only; recompute full posting below
+    # tx_bm25 emits top-10 only, so recompute the full posting here
     docs = load_table(spark, sf_dir, "documents").collect()
     toks = {d.doc_id: _toks(d.text) for d in docs}
     from collections import Counter
