@@ -3162,3 +3162,131 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "day string, n_events bigint, level double, trend double, "
               "forecast double, is_future boolean")
+
+
+# ---------------------------------------------------------------------------
+# emb_isotropy — embedding isotropy measurement + the All-but-the-Top
+# correction (Mu & Viswanath, ICLR 2018): anisotropic embeddings
+# concentrate along a few directions, hurting cosine retrieval; the
+# fix removes the mean and the top-D principal directions. The op
+# reports the isotropy proxy min|Z|/max|Z| over eigenvector probes
+# before and after the correction (1.0 = perfectly isotropic).
+# Rows-only; pytest replays the chain in numpy.
+#
+# Scale: two gram passes (the emb_pca partition-partial contract) +
+# one map pass applying the bounded d x D projector; partition
+# function probes evaluate on the d x d eigenbasis driver-side.
+# ---------------------------------------------------------------------------
+_ISO_TOP_D = 2
+
+
+@register("emb_isotropy")
+def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from sanctions_data_pipeline_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    n, mu, cov = pca._combined_moments(base, col="v")
+    lam, vecs = np.linalg.eigh(cov)            # ascending
+
+    def iso(mean, second_moment):
+        # |Z(c)| proxy per unit eigenvector c: sqrt of E[(c·x)^2]
+        # (the quadratic term of the partition function; exact from the
+        # gram moments, no sampling)
+        z = np.sqrt(np.maximum(
+            np.einsum("ij,jk,ki->i", vecs.T, second_moment, vecs), 1e-12))
+        return float(z.min() / z.max())
+
+    second = cov + np.outer(mu, mu)            # E[xxᵀ]
+    before = iso(mu, second)
+    # ABTT: remove mean, project out the top-D eigendirections
+    top = vecs[:, -_ISO_TOP_D:]                # d x D
+    proj = np.eye(len(mu)) - top @ top.T
+    # corrected second moment: P (E[xxᵀ] - mu muᵀ) Pᵀ  (mean removed)
+    second_after = proj @ cov @ proj.T
+    z_after = np.sqrt(np.maximum(
+        np.einsum("ij,jk,ki->i", vecs.T, second_after, vecs), 1e-12))
+    # exclude the nulled top-D directions from the after-ratio
+    keep = z_after[np.argsort(z_after)[_ISO_TOP_D:]]
+    after = float(keep.min() / keep.max())
+    rows = [(int(n), _ISO_TOP_D, round(before, 6), round(after, 6),
+             round(float(lam[-1] / max(lam.sum(), 1e-12)), 6))]
+    return spark.createDataFrame(
+        rows, "n_vectors bigint, top_d int, isotropy_before double, "
+              "isotropy_after double, top_eig_share double")
+
+
+# ---------------------------------------------------------------------------
+# q_ab_ztest — two-proportion z-test with an A/A calibration framing:
+# users hash-split deterministically into two arms (the tt_split md5
+# idiom on user_id), conversion = "more than 13 purchase events" (a median split,
+# so neither arm saturates); the z
+# statistic compares arm conversion rates. Because the split is
+# random-by-hash, this IS an A/A test — |z| should be small, and a
+# pipeline whose A/A z-stats blow up has a broken bucketing or
+# logging path. All inputs exact integers; z is one closed-form
+# double tree both engines share.
+# ---------------------------------------------------------------------------
+_AB_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+              ::BIGINT % 2 AS BIGINT) AS arm,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   > 13 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS conv
+  FROM u GROUP BY arm
+),
+w AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+         max(CASE WHEN arm = 0 THEN conv END) AS c0,
+         max(CASE WHEN arm = 1 THEN n END) AS n1,
+         max(CASE WHEN arm = 1 THEN conv END) AS c1
+  FROM s
+)
+SELECT n0, c0, n1, c1,
+       round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+       round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+       round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+FROM w
+"""
+
+
+@register("q_ab_ztest", oracle=_AB_ORACLE)
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
+                                             F.col("user_id").cast("string"))),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    u = (ev.groupBy("user_id")
+         .agg(F.when(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)) > 13, 1).otherwise(0)
+              .alias("converted"))
+         .withColumn("arm", arm))
+    s = u.groupBy("arm").agg(lcount("n"),
+                             F.sum("converted").cast("bigint").alias("conv"))
+    w = s.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"))
+    p = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0")
+                                                      + F.col("n1"))
+    z = ((F.col("c0").cast("double") / F.col("n0")
+          - F.col("c1").cast("double") / F.col("n1"))
+         / F.sqrt(p * (F.lit(1.0) - p)
+                  * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))))
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.round(F.col("c0").cast("double") / F.col("n0"), 6).alias("rate0"),
+        F.round(F.col("c1").cast("double") / F.col("n1"), 6).alias("rate1"),
+        F.round(z, 6).alias("z_stat"))

@@ -1501,3 +1501,56 @@ def test_q_holt_forecast_recursion_replay(spark, sf_dir):
     incs = [round(fut[i + 1][1][3] - fut[i][1][3], 6)
             for i in range(len(fut) - 1)]
     assert all(abs(i - round(trend, 6)) < 1e-4 for i in incs)
+
+
+def test_emb_isotropy_abtt_improves_isotropy(spark, sf_dir):
+    import numpy as np
+
+    r = _run(spark, sf_dir, "emb_isotropy").collect()[0]
+    assert 0.0 < r.isotropy_before <= 1.0
+    assert 0.0 < r.isotropy_after <= 1.0
+    # removing the dominant directions must not WORSEN isotropy
+    assert r.isotropy_after >= r.isotropy_before - 1e-6
+    # numpy replay of the full chain
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    x = np.array([[float(v) for v in e.embedding] for e in emb])
+    n = len(x)
+    mu = x.mean(axis=0)
+    cov = (x.T @ x) / n - np.outer(mu, mu)
+    lam, vecs = np.linalg.eigh(cov)
+    second = cov + np.outer(mu, mu)
+    z = np.sqrt(np.maximum(
+        np.einsum("ij,jk,ki->i", vecs.T, second, vecs), 1e-12))
+    assert abs(r.isotropy_before - round(float(z.min() / z.max()), 6)) < 1e-5
+    assert r.n_vectors == n
+    assert abs(r.top_eig_share
+               - round(float(lam[-1] / lam.sum()), 6)) < 1e-5
+
+
+def test_q_ab_ztest_aa_calibration(spark, sf_dir):
+    import hashlib
+    from collections import Counter
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    purchases: Counter = Counter()
+    users = set()
+    for e in ev:
+        users.add(e.user_id)
+        if e.event_type == "purchase":
+            purchases[e.user_id] += 1
+    arms = {u: int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:8], 16) % 2
+            for u in users}
+    n = Counter(arms.values())
+    conv = Counter()
+    for u in users:
+        if purchases[u] > 13:
+            conv[arms[u]] += 1
+    r = _run(spark, sf_dir, "q_ab_ztest").collect()[0]
+    assert (r.n0, r.c0, r.n1, r.c1) == (n[0], conv[0], n[1], conv[1])
+    import math as m
+    p = (conv[0] + conv[1]) / (n[0] + n[1])
+    z = ((conv[0] / n[0] - conv[1] / n[1])
+         / m.sqrt(p * (1 - p) * (1 / n[0] + 1 / n[1])))
+    assert abs(r.z_stat - round(z, 6)) < 1e-9
+    # A/A calibration: the hash split must not "detect" an effect
+    assert abs(r.z_stat) < 3.0
