@@ -755,3 +755,41 @@ def st_watchlist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             else spark.createDataFrame([], out.schema)
     finally:
         shutil.rmtree(feed_dir, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# s_phonetic_screen — Soundex phonetic watchlist screening (Russell
+# 1918; the third matching channel next to s_watchlist_screen's exact
+# variant keys and s_fuzzy_match's edit distance): incoming name
+# spellings (the classic transliteration variants — Muhamad/Mohammed,
+# Iwan/Ivan, Moeller/Muller...) probe the alias fixture by the Soundex
+# code of the cleaned FIRST name token, catching spelling drift that
+# exact keys miss and edit distance only catches at high cost. Spark's
+# JVM soundex() encodes both sides map-side; the match is an equi-join
+# on the 4-char code. Rows-only: DuckDB has no soundex; pytest replays
+# the standard algorithm in python over every probe and alias.
+#
+# Scale: codes compute in one projection each side; the probe side is
+# request-sized and broadcasts; the watchlist join is a hash join on
+# the code — the dd_exact bounded-bucket profile.
+# --------------------------------------------------------------------------
+_PHONETIC_PROBES = (
+    "Muhamad", "Jozef", "Iwan", "Marya", "Fatema", "Moeller",
+    "Sfetlana", "Pjotr", "Habib",
+)
+
+
+@register("s_phonetic_screen")
+def s_phonetic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    al = fx.spark_df(spark, "aliases")
+    first = F.element_at(F.split(F.trim(F.upper(
+        nm.clean_fullname(F.col("whole_name")))), " "), 1)
+    wl = (al.select("entity_id", "alias_idx", first.alias("wl_name"))
+          .filter(F.length("wl_name") > 0)
+          .filter(F.col("wl_name").rlike("^[A-Z]"))   # codeable names only
+          .withColumn("code", F.soundex(F.col("wl_name"))))
+    probes = (spark.createDataFrame([(p,) for p in _PHONETIC_PROBES],
+                                    "probe string")
+              .withColumn("code", F.soundex(F.upper(F.col("probe")))))
+    return (wl.join(F.broadcast(probes), "code")
+            .select("probe", "code", "entity_id", "alias_idx", "wl_name"))

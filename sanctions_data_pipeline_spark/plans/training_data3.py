@@ -3290,3 +3290,47 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c0").cast("double") / F.col("n0"), 6).alias("rate0"),
         F.round(F.col("c1").cast("double") / F.col("n1"), 6).alias("rate1"),
         F.round(z, 6).alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# q_dormancy_reactivation — dormant-user reactivation analytics (the
+# lifecycle rollup next to q_retention / q_funnel_ttc): an event
+# REACTIVATES its user when the gap since their previous event exceeds
+# 7 days; per user, the reactivation count and the longest dormancy in
+# exact integer hours. Windows partition by user_id.
+# ---------------------------------------------------------------------------
+_DORMANT_US = 7 * 86_400_000_000
+
+_DORM_ORACLE = f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN gap_us > {_DORMANT_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_reactivations,
+       CAST(floor(coalesce(max(gap_us), 0) / 3600000000.0) AS BIGINT)
+         AS max_gap_hours
+FROM g GROUP BY user_id
+"""
+
+
+@register("q_dormancy_reactivation", oracle=_DORM_ORACLE)
+def q_dormancy_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+        .alias("gap_us"))
+    return (g.groupBy("user_id")
+            .agg(lcount("n_events"),
+                 F.sum(F.when(F.col("gap_us") > _DORMANT_US, 1)
+                       .otherwise(0)).cast("bigint")
+                 .alias("n_reactivations"),
+                 F.floor(F.coalesce(F.max("gap_us"), F.lit(0))
+                         / F.lit(3_600_000_000)).cast("bigint")
+                 .alias("max_gap_hours")))

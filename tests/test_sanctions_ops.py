@@ -226,3 +226,59 @@ def test_watchlist_screen_tiers_and_decoys(spark, sf_dir):
     typo_types = {h.match_type for p, hs in by_probe.items()
                   if p.startswith("typo:") for h in hs}
     assert "fuzzy" in typo_types
+
+
+def test_s_phonetic_screen_matches_python_soundex(spark, sf_dir):
+    """Every (probe, alias) match must agree with a pure-python replay
+    of the standard Soundex algorithm, and the classic transliteration
+    probes must actually hit their watchlist counterparts."""
+    import re as _re
+
+    from sanctions_data_pipeline_spark.data import sanctions_fixture as fx
+    from sanctions_data_pipeline_spark.functions import names as nm
+    from sanctions_data_pipeline_spark.plans import registry
+    from sanctions_data_pipeline_spark.plans.sanctions import (
+        _PHONETIC_PROBES)
+    from pyspark.sql import functions as F
+
+    def soundex(name: str) -> str:
+        codes = {**{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+                 **{c: "3" for c in "DT"}, "L": "4",
+                 **{c: "5" for c in "MN"}, "R": "6"}
+        s = [c for c in name.upper() if c.isalpha()]
+        if not s:
+            return ""
+        out = s[0]
+        prev = codes.get(s[0], "")
+        for c in s[1:]:
+            d = codes.get(c, "")
+            if d and d != prev:
+                out += d
+            if c not in "HW":
+                prev = d
+        return (out + "000")[:4]
+
+    al = fx.spark_df(spark, "aliases")
+    first = F.element_at(F.split(F.trim(F.upper(
+        nm.clean_fullname(F.col("whole_name")))), " "), 1)
+    wl = [(r.entity_id, r.alias_idx, r.f)
+          for r in al.select("entity_id", "alias_idx",
+                             first.alias("f")).collect()
+          if r.f and _re.match("^[A-Z]", r.f)]
+    expect = set()
+    for probe in _PHONETIC_PROBES:
+        pc = soundex(probe)
+        for eid, ai, f in wl:
+            if soundex(f) == pc:
+                expect.add((probe, pc, eid, ai, f))
+    got = {(r.probe, r.code, r.entity_id, r.alias_idx, r.wl_name)
+           for r in registry.queries()["s_phonetic_screen"](
+               spark, sf_dir).collect()}
+    assert got == expect
+    # the canonical variants land (note: Soundex codes V as 1 but
+    # IGNORES W, so Iwan(I500) correctly does NOT match Ivan(I150) —
+    # the phonetic channel is a screen, not a universal matcher)
+    hits = {(p, n) for p, _, _, _, n in got}
+    for pair in (("Muhamad", "MOHAMMED"), ("Marya", "MARIA"),
+                 ("Fatema", "FATIMA"), ("Sfetlana", "SVETLANA")):
+        assert pair in hits, pair

@@ -1554,3 +1554,26 @@ def test_q_ab_ztest_aa_calibration(spark, sf_dir):
     assert abs(r.z_stat - round(z, 6)) < 1e-9
     # A/A calibration: the hash split must not "detect" an effect
     assert abs(r.z_stat) < 3.0
+
+
+def test_q_dormancy_reactivation_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = sorted(load_table(spark, sf_dir, "events").collect(),
+                key=lambda e: (e.user_id, e.ts, e.event_id))
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append(e)
+    week = 7 * 86_400_000_000
+    expect = {}
+    for u, es in per_user.items():
+        gaps = []
+        for a, b in zip(es, es[1:]):
+            td = b.ts - a.ts
+            gaps.append(td.days * 86_400_000_000 + td.seconds * 1_000_000
+                        + td.microseconds)
+        expect[u] = (len(es), sum(1 for g in gaps if g > week),
+                     (max(gaps) if gaps else 0) // 3_600_000_000)
+    got = {r.user_id: (r.n_events, r.n_reactivations, r.max_gap_hours)
+           for r in _run(spark, sf_dir, "q_dormancy_reactivation").collect()}
+    assert got == expect
