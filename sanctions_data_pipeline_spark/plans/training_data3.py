@@ -3334,3 +3334,103 @@ def q_dormancy_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.floor(F.coalesce(F.max("gap_us"), F.lit(0))
                          / F.lit(3_600_000_000)).cast("bigint")
                  .alias("max_gap_hours")))
+
+
+# ---------------------------------------------------------------------------
+# q_gini_coefficient — Gini concentration of customer spend (the
+# inequality summary next to q_pareto_abc's class labels):
+# G = (2 Σ i·x_i) / (n Σ x) − (n+1)/n over ascending-sorted spend.
+# Spend is decimal-exact at scale 4 and ranks come from the
+# range-partitioned global sort (dp_curriculum convention), so BOTH
+# big sums are exact integers and G is one closed-form double.
+# ---------------------------------------------------------------------------
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS x4
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x4, row_number() OVER (ORDER BY x4, o_custkey) AS i FROM spend
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x4) AS BIGINT) AS sx,
+         CAST(sum(i * x4) AS BIGINT) AS six
+  FROM ranked
+)
+SELECT n AS n_customers, sx / 10000.0 AS total_spend,
+       round(2.0 * six / (CAST(n AS DOUBLE) * sx)
+             - (CAST(n AS DOUBLE) + 1.0) / n, 6) AS gini
+FROM s
+"""
+
+
+@register("q_gini_coefficient", oracle=_GINI_ORACLE)
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (orders.groupBy("o_custkey")
+             .agg((F.round(F.sum(F.col("o_totalprice")
+                                 .cast("decimal(18,4)")), 4) * 10000)
+                  .cast("bigint").alias("x4")))
+    ranked = spend.select(
+        "x4", F.row_number().over(W.orderBy("x4", "o_custkey")).alias("i"))
+    s = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                   F.sum("x4").cast("bigint").alias("sx"),
+                   F.sum(F.col("i") * F.col("x4")).cast("bigint")
+                   .alias("six"))
+    n = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        (F.col("sx") / F.lit(10000.0)).alias("total_spend"),
+        F.round(F.lit(2.0) * F.col("six") / (n * F.col("sx"))
+                - (n + F.lit(1.0)) / F.col("n"), 6).alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# tok_fertility — tokenizer fertility comparison (the eval every
+# tokenizer team runs before committing a vocab: mean symbols emitted
+# per word, lower = better compression): whitespace (1.0 by
+# definition), characters (the ceiling), trained BPE (tok_bpe_merges
+# applied via tok_bpe_encode's fold) and trained unigram-LM (Viterbi
+# over the distinct-word inventory) side by side, corpus-weighted.
+# Rows-only (depends on both trainers); pytest checks the ordering
+# laws and cross-references the sibling ops.
+# ---------------------------------------------------------------------------
+@register("tok_fertility")
+def tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import unigram as ug
+    from sanctions_data_pipeline_spark.plans.training_data2 import (
+        tok_bpe_encode)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+             .groupBy("w").agg(lcount("c")).persist())
+    totals = words.agg(
+        F.sum("c").cast("bigint"),
+        F.sum(F.col("c") * F.length("w")).cast("bigint")).collect()[0]
+    n_words, n_chars = int(totals[0]), int(totals[1])
+
+    # BPE: corpus totals from the encode op's per-doc accounting
+    bpe = tok_bpe_encode(spark, sf_dir).agg(
+        F.sum("n_bpe_symbols").cast("bigint")).collect()[0][0]
+
+    # unigram: train (the tok_unigram_lm pipeline) then Viterbi counts
+    uni_rows = tok_unigram_lm(spark, sf_dir).collect()
+    model = {r.piece: r.prob for r in uni_rows}
+    uni = (words.select(
+        "c", F.size(ug.viterbi_pieces(F.col("w"), model)).alias("np"))
+        .agg(F.sum(F.col("c") * F.col("np")).cast("bigint"))
+        .collect()[0][0])
+    words.unpersist()
+
+    rows = [
+        ("whitespace", n_words, round(1.0, 6)),
+        ("character", n_chars + n_words,          # chars + </w> markers
+         round((n_chars + n_words) / n_words, 6)),
+        ("bpe", int(bpe), round(int(bpe) / n_words, 6)),
+        ("unigram_lm", int(uni), round(int(uni) / n_words, 6)),
+    ]
+    return spark.createDataFrame(
+        rows, "tokenizer string, n_symbols bigint, fertility double")

@@ -1577,3 +1577,37 @@ def test_q_dormancy_reactivation_matches_python(spark, sf_dir):
     got = {r.user_id: (r.n_events, r.n_reactivations, r.max_gap_hours)
            for r in _run(spark, sf_dir, "q_dormancy_reactivation").collect()}
     assert got == expect
+
+
+def test_q_gini_coefficient_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    spend = defaultdict(int)
+    for o in orders:
+        spend[o.o_custkey] += int(round(o.o_totalprice * 10000))
+    xs = [x for _, x in sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, sx = len(xs), sum(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = 2.0 * six / (n * sx) - (n + 1.0) / n
+    r = _run(spark, sf_dir, "q_gini_coefficient").collect()[0]
+    assert r.n_customers == n
+    assert abs(r.total_spend - sx / 1e4) < 1e-9
+    assert abs(r.gini - round(gini, 6)) < 1e-9
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_tok_fertility_ordering_laws(spark, sf_dir):
+    rows = {r.tokenizer: (r.n_symbols, r.fertility)
+            for r in _run(spark, sf_dir, "tok_fertility").collect()}
+    assert set(rows) == {"whitespace", "character", "bpe", "unigram_lm"}
+    ws, ch = rows["whitespace"], rows["character"]
+    bpe, uni = rows["bpe"], rows["unigram_lm"]
+    assert ws[1] == 1.0
+    # trained subword tokenizers beat characters and cannot beat words
+    for trained in (bpe, uni):
+        assert 1.0 <= trained[1] <= ch[1]
+    # BPE cross-check: totals equal the encode op's own accounting
+    enc = _run(spark, sf_dir, "tok_bpe_encode").collect()
+    assert bpe[0] == sum(r.n_bpe_symbols for r in enc)
+    assert ch[0] == sum(r.n_raw_symbols for r in enc)
