@@ -3434,3 +3434,48 @@ def tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "tokenizer string, n_symbols bigint, fertility double")
+
+
+# ---------------------------------------------------------------------------
+# q_weekday_seasonality — day-of-week seasonal indices over the event
+# series (the seasonal-naive decomposition every ops dashboard runs
+# before trusting a trend): per weekday, mean daily event count vs the
+# grand daily mean; index > 1 marks hot weekdays. Counts are exact
+# integers; the two means and the index are one identical double tree.
+# ---------------------------------------------------------------------------
+_WSEA_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS nd FROM daily)
+-- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7 — align
+SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_daily,
+       round((CAST(sum(n) AS DOUBLE) / count(*))
+             / (CAST((SELECT tot FROM g) AS DOUBLE)
+                / (SELECT nd FROM g)), 6) AS seasonal_index
+FROM daily GROUP BY 1
+"""
+
+
+@register("q_weekday_seasonality", oracle=_WSEA_ORACLE)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+             .agg(lcount("n")))
+    tot, nd = daily.agg(F.sum("n").cast("bigint"),
+                        F.count(F.lit(1)).cast("bigint")).collect()[0]
+    grand = F.lit(float(tot)) / F.lit(int(nd))   # exact ints -> one div
+    return (daily.groupBy(F.dayofweek("d").cast("bigint").alias("dow"))
+            .agg(lcount("n_days"),
+                 F.sum("n").cast("bigint").alias("n_events"))
+            .select("dow", "n_days", "n_events",
+                    F.round(F.col("n_events").cast("double")
+                            / F.col("n_days"), 6).alias("mean_daily"),
+                    F.round((F.col("n_events").cast("double")
+                             / F.col("n_days")) / grand, 6)
+                    .alias("seasonal_index")))

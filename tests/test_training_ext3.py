@@ -1611,3 +1611,29 @@ def test_tok_fertility_ordering_laws(spark, sf_dir):
     enc = _run(spark, sf_dir, "tok_bpe_encode").collect()
     assert bpe[0] == sum(r.n_bpe_symbols for r in enc)
     assert ch[0] == sum(r.n_raw_symbols for r in enc)
+
+
+def test_q_weekday_seasonality_accounting(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    daily = defaultdict(int)
+    for e in ev:
+        daily[e.ts.date()] += 1
+    grand = sum(daily.values()) / len(daily)
+    per_dow = defaultdict(lambda: [0, 0])
+    for d, n in daily.items():
+        dow = (d.isoweekday() % 7) + 1       # Spark: 1=Sunday..7
+        per_dow[dow][0] += 1
+        per_dow[dow][1] += n
+    got = {r.dow: (r.n_days, r.n_events, r.mean_daily, r.seasonal_index)
+           for r in _run(spark, sf_dir, "q_weekday_seasonality").collect()}
+    assert set(got) == set(per_dow)
+    for dow, (nd, nev) in per_dow.items():
+        g = got[dow]
+        assert (g[0], g[1]) == (nd, nev)
+        assert abs(g[2] - round(nev / nd, 6)) < 1e-9
+        assert abs(g[3] - round((nev / nd) / grand, 6)) < 1e-9
+    # indices average ~1 weighted by days
+    wsum = sum(got[d][3] * got[d][0] for d in got)
+    assert abs(wsum / sum(got[d][0] for d in got) - 1.0) < 0.01
