@@ -119,36 +119,49 @@ _R02_CHECKED = frozenset({
 
 _DRIVER_CHECKED = _R01_PROVEN | _R02_CHECKED
 
-# Explicit priority for the round-3 driver 50-entry correctness window:
-# q_rollup_reuse (re-prove after the oracle dtype fix), then 49
-# never-driver-checked SQL-oracled entries — relational stragglers,
-# sanctions screening, the tx_*/mix_*/dp_* families. Names absent from
-# the registry are skipped; unlisted unchecked names follow in
-# registration order (they form the round-4 window).
-_ORACLE_PRIORITY = (
-    "q_rollup_reuse",
-    # relational stragglers never driver-checked
-    "q_window_distinct", "q_cdc_diff", "q_ewma", "q_mode_stat",
-    "q_histogram", "q_pivot_multi", "q_new_returning", "q_rank_functions",
-    "q_bitmap_rollup", "q_recursive_walk", "q_transpose",
+# Queries the round-3 driver hash-verified (CORRECTNESS_r03.json: 50/50
+# green, including the q_rollup_reuse re-prove after the oracle dtype fix).
+_R03_CHECKED = frozenset({
+    "q_rollup_reuse", "q_window_distinct", "q_cdc_diff", "q_ewma",
+    "q_mode_stat", "q_histogram", "q_pivot_multi", "q_new_returning",
+    "q_rank_functions", "q_bitmap_rollup", "q_recursive_walk", "q_transpose",
     "q_markov_transitions", "q_interval_merge", "q_cms_topk",
-    # sanctions screening (batch + streaming twin)
-    "s_watchlist_screen", "st_watchlist_screen",
-    # text-analysis family
-    "tx_quality", "tx_tokens", "tx_fingerprint", "tx_tfidf", "tx_pii_redact",
-    "tx_ngrams", "tx_keywords", "tx_quality_filter", "tx_contamination",
-    "tx_repetition", "tx_entropy", "tx_js_divergence", "tx_perplexity",
-    "tx_langid_eval", "tx_filter_verdict",
-    # mixture construction
+    "s_watchlist_screen", "st_watchlist_screen", "tx_quality", "tx_tokens",
+    "tx_fingerprint", "tx_tfidf", "tx_pii_redact", "tx_ngrams", "tx_keywords",
+    "tx_quality_filter", "tx_contamination", "tx_repetition", "tx_entropy",
+    "tx_js_divergence", "tx_perplexity", "tx_langid_eval", "tx_filter_verdict",
     "mix_sample", "mix_temperature", "mix_dedup_priority", "mix_epochs",
     "mix_weighted_sample", "mix_dsir_weights", "mix_budget_fill",
-    "mix_epoch_materialize",
-    # data prep / packing
-    "dp_pack", "dp_cap_per_source", "dp_shuffle", "dp_curriculum",
-    "dp_balanced_shards", "dp_doc_chunks", "dp_length_buckets",
-    "dp_interleave", "dp_manifest",
-    # splits
-    "tt_split",
+    "mix_epoch_materialize", "dp_pack", "dp_cap_per_source", "dp_shuffle",
+    "dp_curriculum", "dp_balanced_shards", "dp_doc_chunks",
+    "dp_length_buckets", "dp_interleave", "dp_manifest", "tt_split",
+})
+
+_DRIVER_CHECKED = _DRIVER_CHECKED | _R03_CHECKED
+
+# Explicit priority for the round-4 driver 50-entry correctness window:
+# 50 never-driver-checked SQL-oracled entries — the remaining
+# embedding/similarity/graph/split/eval families from rounds 1-2 plus the
+# round-3 additions. Names absent from the registry are skipped; unlisted
+# unchecked names follow in registration order (they form the round-5
+# window alongside the rows-only ops).
+_ORACLE_PRIORITY = (
+    # embeddings / corpus / splits (round-1/2 era, never driver-checked)
+    "emb_centroid", "emb_quantize", "corpus_e2e", "corpus_report",
+    "tt_leakage_check", "emb_outliers", "sim_range_search", "emb_knn_graph",
+    "dd_dup_regions", "dd_containment", "gr_triangle_count", "tok_vocab",
+    "sim_recall_eval", "tt_stratified_split", "ml_naive_bayes",
+    "emb_matryoshka_eval", "pr_item_cosine", "dd_lsh_tuning",
+    "dd_threshold_sweep", "sim_maxsim", "sim_hard_negatives", "dd_winnow",
+    "gr_link_predict", "tt_kfold", "dd_dup_stats",
+    # round-3 additions with oracles
+    "tx_gopher_rules", "dd_soft_dedup", "tt_dedup_aware_split", "gr_pagerank",
+    "dd_line_dedup", "tx_bm25", "sim_rrf_fusion", "sim_ann_hamming",
+    "dp_sft_format", "tx_ccnet_buckets", "dp_fim_transform",
+    "tt_bloom_contamination", "gr_hits", "q_attribution", "tx_html_strip",
+    "q_time_weighted_avg", "q_ohlc_bars", "dq_k_anonymity",
+    "mix_ccnet_sampling", "gr_kcore", "s_aml_structuring", "q_benford_check",
+    "tx_zipf_fit", "tx_readability", "gr_assortativity",
 )
 
 

@@ -3033,6 +3033,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = (daily.agg(F.array_sort(F.collect_list(
         F.struct(F.col("day").alias("d"), F.col("n").alias("n")))))
         .collect()[0][0])     # bounded: one row per calendar day
+    _CUSUM_SCHEMA = ("day string, n_events bigint, cusum_hi double, "
+                     "cusum_lo double, alarm boolean")
+    if not days:              # empty events table -> empty result, same schema
+        return spark.createDataFrame([], _CUSUM_SCHEMA)
     xs = [int(r["n"]) for r in days]
     mean = sum(xs) / len(xs)
     var = sum((x - mean) ** 2 for x in xs) / len(xs)
@@ -3045,9 +3049,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_lo = max(0.0, s_lo - (x - mean) - k)
         rows.append((r["d"], x, round(s_hi / sd, 6), round(s_lo / sd, 6),
                      s_hi > h or s_lo > h))
-    return spark.createDataFrame(
-        rows, "day string, n_events bigint, cusum_hi double, "
-              "cusum_lo double, alarm boolean")
+    return spark.createDataFrame(rows, _CUSUM_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -3143,6 +3145,10 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = (daily.agg(F.array_sort(F.collect_list(
         F.struct(F.col("day").alias("d"), F.col("n").alias("n")))))
         .collect()[0][0])     # bounded: one row per calendar day
+    _HOLT_SCHEMA = ("day string, n_events bigint, level double, "
+                    "trend double, forecast double, is_future boolean")
+    if not days:              # empty events table -> empty result, same schema
+        return spark.createDataFrame([], _HOLT_SCHEMA)
     a, g = _HOLT_ALPHA, _HOLT_GAMMA
     xs = [int(r["n"]) for r in days]
     level, trend = float(xs[0]), float(xs[1] - xs[0]) if len(xs) > 1 else 0.0
@@ -3159,9 +3165,7 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(((last + dt.timedelta(days=hstep)).isoformat(),
                      None, None, None,
                      round(level + hstep * trend, 6), True))
-    return spark.createDataFrame(
-        rows, "day string, n_events bigint, level double, trend double, "
-              "forecast double, is_future boolean")
+    return spark.createDataFrame(rows, _HOLT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -3355,9 +3359,12 @@ ranked AS (
   SELECT x4, row_number() OVER (ORDER BY x4, o_custkey) AS i FROM spend
 ),
 s AS (
+  -- sum(i*x4) crosses int64 around sf0.3; DuckDB accumulates in
+  -- HUGEINT, kept exact as DECIMAL(38,0) (headroom to ~1e38) and only
+  -- converted to double inside the final ratio.
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x4) AS BIGINT) AS sx,
-         CAST(sum(i * x4) AS BIGINT) AS six
+         CAST(sum(i * x4) AS DECIMAL(38,0)) AS six
   FROM ranked
 )
 SELECT n AS n_customers, sx / 10000.0 AS total_spend,
@@ -3376,10 +3383,14 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("bigint").alias("x4")))
     ranked = spend.select(
         "x4", F.row_number().over(W.orderBy("x4", "o_custkey")).alias("i"))
+    # Per-element i*x4 stays well inside int64 (n * max_x4 ~ 9e17 even at
+    # sf1000) but the SUM crosses int64 around sf0.3 — accumulate in
+    # DECIMAL(38,0) (exact, ~1e38 headroom) and convert to double only
+    # inside the final ratio; non-ANSI Spark would otherwise wrap silently.
     s = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                    F.sum("x4").cast("bigint").alias("sx"),
-                   F.sum(F.col("i") * F.col("x4")).cast("bigint")
-                   .alias("six"))
+                   F.sum((F.col("i") * F.col("x4")).cast("decimal(38,0)"))
+                   .cast("decimal(38,0)").alias("six"))
     n = F.col("n").cast("double")
     return s.select(
         F.col("n").alias("n_customers"),
@@ -3410,6 +3421,10 @@ def tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = words.agg(
         F.sum("c").cast("bigint"),
         F.sum(F.col("c") * F.length("w")).cast("bigint")).collect()[0]
+    _FERT_SCHEMA = "tokenizer string, n_symbols bigint, fertility double"
+    if totals[0] is None:     # empty corpus -> empty result, same schema
+        words.unpersist()
+        return spark.createDataFrame([], _FERT_SCHEMA)
     n_words, n_chars = int(totals[0]), int(totals[1])
 
     # BPE: corpus totals from the encode op's per-doc accounting
@@ -3432,8 +3447,7 @@ def tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("bpe", int(bpe), round(int(bpe) / n_words, 6)),
         ("unigram_lm", int(uni), round(int(uni) / n_words, 6)),
     ]
-    return spark.createDataFrame(
-        rows, "tokenizer string, n_symbols bigint, fertility double")
+    return spark.createDataFrame(rows, _FERT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -3469,6 +3483,10 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(lcount("n")))
     tot, nd = daily.agg(F.sum("n").cast("bigint"),
                         F.count(F.lit(1)).cast("bigint")).collect()[0]
+    if tot is None:           # empty events table -> empty result, same schema
+        return spark.createDataFrame(
+            [], "dow bigint, n_days bigint, n_events bigint, "
+                "mean_daily double, seasonal_index double")
     grand = F.lit(float(tot)) / F.lit(int(nd))   # exact ints -> one div
     return (daily.groupBy(F.dayofweek("d").cast("bigint").alias("dow"))
             .agg(lcount("n_days"),

@@ -146,10 +146,13 @@ def scrape_to_local(page_url: str, workdir: str,
     """Reference steps 0-1 (find + download XML and PDF) against any
     transport. The XML lands in ``workdir/xml``, the PDF in
     ``workdir/pdf`` — same layout the reference builds. The page is
-    fetched through ``page_fetch`` (defaults to the rendering transport
-    when Playwright is importable, else ``fetch``); the discovered
-    files always download through ``fetch``."""
-    page_fetch = page_fetch if page_fetch is not None else default_page_fetch(fetch)
+    fetched through ``page_fetch``; the discovered files always
+    download through ``fetch``. The Playwright rendering transport is
+    auto-selected ONLY when the caller left the raw transport at its
+    default — a caller-injected ``fetch`` (offline replay, tests) must
+    keep driving the page fetch too, never a real headless browser."""
+    if page_fetch is None:
+        page_fetch = default_page_fetch(fetch) if fetch is urllib_fetch else fetch
     html_bytes, _ = page_fetch(page_url)
     html = html_bytes.decode("utf-8", errors="replace")
     xml_url = discover_link(html, page_url, ".xml",

@@ -111,3 +111,31 @@ def test_dd_line_dedup_single_and_empty_text(spark, tmp_path):
     # empty text tokenizes to [''] -> one 1-token chunk; both docs keep
     assert rows[1].n_chunks == 1 and rows[1].n_removed == 0
     assert rows[2].n_chunks == 1 and rows[2].n_kept == 1
+
+
+def test_series_ops_tolerate_empty_events(spark, sf_dir, tmp_path):
+    """The driver-collect day-series ops (CUSUM, Holt, weekday
+    seasonality) and tok_fertility must return an EMPTY DataFrame with
+    the declared schema — not IndexError / ZeroDivisionError — when
+    their source table is empty (ADVICE r03)."""
+    import os
+
+    d = str(tmp_path / "sf_empty_ev")
+    os.makedirs(d, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(d, f"{t}.parquet"))
+    load_table(spark, sf_dir, "events").limit(0).write.parquet(
+        os.path.join(d, "events.parquet"), mode="overwrite")
+    load_table(spark, sf_dir, "documents").limit(0).write.parquet(
+        os.path.join(d, "documents.parquet"), mode="overwrite")
+
+    from sanctions_data_pipeline_spark.plans import registry
+    qs = registry.queries()
+    for name in ("q_cusum_changepoint", "q_holt_forecast",
+                 "q_weekday_seasonality", "tok_fertility"):
+        df = qs[name](spark, d)
+        assert df.collect() == [], name
+        assert len(df.schema.fields) >= 3, name  # declared schema, not a stub

@@ -112,6 +112,25 @@ def test_default_page_fetch_gates_on_playwright():
         assert chosen is _fake_fetch
 
 
+def test_injected_fetch_drives_page_too(tmp_path, monkeypatch):
+    """A caller-injected transport must drive the PAGE fetch as well —
+    even when Playwright is importable. Auto-upgrading to a real
+    headless browser under an injected transport breaks offline replay
+    and test hermeticity; the rendering transport is only the default
+    for the default (urllib) transport."""
+    from sanctions_data_pipeline_spark.sources import fetch as fetch_mod
+
+    def explode(url, timeout=60):  # stand-in for playwright_page_fetch
+        raise AssertionError("rendering transport must not run under an "
+                             "injected fetch")
+
+    monkeypatch.setattr(fetch_mod, "default_page_fetch",
+                        lambda fetch=None: explode)
+    got = fetch_mod.scrape_to_local(
+        "https://example.org/main", str(tmp_path), _fake_fetch)
+    assert os.path.basename(got.xml_path) == "feed.xml"
+
+
 def test_scrape_pipeline_matches_local_path(spark, tmp_path):
     from sanctions_data_pipeline_spark.pipeline import run_pipeline
     from sanctions_data_pipeline_spark.sources.pdf_source import extract_pdf_text
