@@ -1,0 +1,776 @@
+"""Round-4 analytics extensions (SURVEY.md §2): concentration /
+inequality measures (Lorenz, HHI), classical hypothesis tests
+(chi-square, one-way ANOVA), robust per-group screens (z-score
+outliers, winsorization), gaps-and-islands streaks, sorted listagg,
+and a referential-integrity audit.
+
+Same cross-engine float discipline as the other plan modules: exact
+integer / decimal accumulation (x4 fixed-point through
+``plans.helpers``), doubles only at the output edge as one identical
+IEEE expression tree on both engines, sums of per-group double
+contributions always folded in sorted key order (the tx_js_divergence
+pattern), 6dp rounding on ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.plans.helpers import (
+    SQL_REVENUE, dval, lcount,
+)
+from sanctions_data_pipeline_spark.plans.registry import register
+
+# x4 fixed-point customer spend (the q_gini_coefficient convention)
+_SPEND_X4_SQL = ("CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4)"
+                 " * 10000 AS BIGINT)")
+
+
+def _spend_x4_col():
+    return (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 4)
+            * 10000).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# q_lorenz_deciles — the Lorenz curve as a decile table (the
+# concentration view next to q_gini_coefficient's scalar): customers
+# ranked by total spend, NTILE(10), per decile the exact spend sum and
+# the cumulative share of total spend. Deciles over the same
+# range-partitioned global sort convention as dp_curriculum; all sums
+# are exact x4 bigints, each share one double division.
+# ---------------------------------------------------------------------------
+_LORENZ_ORACLE = f"""
+WITH spend AS (
+  SELECT o_custkey, {_SPEND_X4_SQL} AS x4
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT x4, NTILE(10) OVER (ORDER BY x4, o_custkey) AS decile FROM spend
+),
+g AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(x4) AS BIGINT) AS dx4
+  FROM d GROUP BY decile
+)
+SELECT decile, n_customers,
+       dx4 / 10000.0 AS decile_spend,
+       round(CAST(CAST(sum(dx4) OVER (ORDER BY decile) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(dx4) OVER () AS BIGINT) AS DOUBLE), 6)
+         AS cum_share
+FROM g
+"""
+
+
+@register("q_lorenz_deciles", oracle=_LORENZ_ORACLE)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (orders.groupBy("o_custkey")
+             .agg(_spend_x4_col().alias("x4")))
+    d = spend.select(
+        "x4", F.ntile(10).over(W.orderBy("x4", "o_custkey")).alias("decile"))
+    g = d.groupBy("decile").agg(lcount("n_customers"),
+                                F.sum("x4").cast("bigint").alias("dx4"))
+    cum = F.sum("dx4").over(W.orderBy("decile")).cast("bigint")
+    tot = F.sum("dx4").over(W.partitionBy()).cast("bigint")
+    return g.select(
+        "decile", "n_customers",
+        (F.col("dx4") / F.lit(10000.0)).alias("decile_spend"),
+        F.round(cum.cast("double") / tot.cast("double"), 6).alias("cum_share"))
+
+
+# ---------------------------------------------------------------------------
+# q_hhi_concentration — Herfindahl-Hirschman index of supplier revenue
+# concentration per nation (the antitrust-standard market-concentration
+# scalar): HHI = Σ_i share_i² over each nation's suppliers. Revenue is
+# decimal-exact x4 per supplier (< 2^53 headroom to ~sf10000); shares
+# square-and-sum as doubles folded in sorted revenue order on BOTH
+# engines (transform-then-list_aggregate, the sim_ndcg_eval pattern),
+# so the accumulation is bit-identical.
+#
+# Scale: one map-side-combined revenue agg (shuffle on suppkey), one
+# nation-level agg whose state is each nation's supplier revenue list
+# (bounded by suppliers-per-nation, ~4k at sf1000).
+# ---------------------------------------------------------------------------
+_HHI_ORACLE = f"""
+WITH sup AS (
+  SELECT s_nationkey, l_suppkey,
+         CAST(ROUND(SUM({SQL_REVENUE}), 4) * 10000 AS BIGINT) AS rx4
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, l_suppkey
+),
+n AS (
+  SELECT s_nationkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(rx4) AS BIGINT) AS tot,
+         list_sort(list(rx4)) AS lst
+  FROM sup GROUP BY s_nationkey
+)
+SELECT n_name AS nation, n_suppliers,
+       tot / 10000.0 AS total_revenue,
+       round(list_aggregate(list_transform(lst,
+               x -> (CAST(x AS DOUBLE) / CAST(tot AS DOUBLE))
+                    * (CAST(x AS DOUBLE) / CAST(tot AS DOUBLE))), 'sum'), 6)
+         AS hhi
+FROM n JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+@register("q_hhi_concentration", oracle=_HHI_ORACLE)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = dval("l_extendedprice") * (F.lit(1).cast("decimal(8,4)")
+                                     - F.col("l_discount").cast("decimal(8,4)"))
+    per_sup = (li.join(F.broadcast(sup),
+                       li.l_suppkey == sup.s_suppkey)
+               .groupBy("s_nationkey", "l_suppkey")
+               .agg((F.round(F.sum(rev), 4) * 10000).cast("bigint")
+                    .alias("rx4")))
+    n = (per_sup.groupBy("s_nationkey")
+         .agg(lcount("n_suppliers"),
+              F.sum("rx4").cast("bigint").alias("tot"),
+              F.array_sort(F.collect_list("rx4")).alias("lst")))
+    tot_d = F.col("tot").cast("double")
+    hhi = F.aggregate(
+        F.transform(F.col("lst"),
+                    lambda x: (x.cast("double") / tot_d)
+                    * (x.cast("double") / tot_d)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (n.join(F.broadcast(nat), n.s_nationkey == nat.n_nationkey)
+            .select(F.col("n_name").alias("nation"), "n_suppliers",
+                    (F.col("tot") / F.lit(10000.0)).alias("total_revenue"),
+                    F.round(hhi, 6).alias("hhi")))
+
+
+# ---------------------------------------------------------------------------
+# q_chi_square — Pearson chi-square test of independence between order
+# priority and customer market segment, over the COMPLETE margin grid
+# (zero-observed cells included, per the textbook definition): expected
+# counts E = row_total · col_total / N from exact integer margins, the
+# statistic Σ (O−E)²/E folded in sorted (priority, segment) order so
+# the double accumulation is bit-identical across engines.
+#
+# Scale: one join shuffled on custkey, three bounded margin aggs; the
+# grid is |priorities| × |segments| rows — driver-safe by construction.
+# ---------------------------------------------------------------------------
+_CHI2_ORACLE = """
+WITH j AS (
+  SELECT o_orderpriority AS pri, c_mktsegment AS seg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+obs AS (SELECT pri, seg, CAST(count(*) AS BIGINT) AS o FROM j GROUP BY 1, 2),
+rm  AS (SELECT pri, CAST(count(*) AS BIGINT) AS rc FROM j GROUP BY 1),
+cm  AS (SELECT seg, CAST(count(*) AS BIGINT) AS cc FROM j GROUP BY 1),
+t   AS (SELECT CAST(sum(rc) AS BIGINT) AS n FROM rm),
+grid AS (
+  SELECT rm.pri, cm.seg, rc, cc, COALESCE(obs.o, 0) AS o, t.n
+  FROM rm CROSS JOIN cm CROSS JOIN t
+  LEFT JOIN obs ON obs.pri = rm.pri AND obs.seg = cm.seg
+),
+contrib AS (
+  SELECT pri || '|' || seg AS k,
+         (CAST(o AS DOUBLE)
+          - CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(o AS DOUBLE)
+            - CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)) AS c,
+         n
+  FROM grid
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((count(DISTINCT split_part(k, '|', 1)) - 1)
+            * (count(DISTINCT split_part(k, '|', 2)) - 1) AS BIGINT) AS dof,
+       round(list_aggregate(list_transform(
+               list_sort(list({'k': k, 'c': c})), s -> s.c), 'sum'), 6)
+         AS chi2
+FROM contrib
+"""
+
+
+@register("q_chi_square", oracle=_CHI2_ORACLE)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+         .select(F.col("o_orderpriority").alias("pri"),
+                 F.col("c_mktsegment").alias("seg")))
+    obs = j.groupBy("pri", "seg").agg(lcount("o"))
+    rm = j.groupBy("pri").agg(lcount("rc"))
+    cm = j.groupBy("seg").agg(lcount("cc"))
+    t = rm.agg(F.sum("rc").cast("bigint").alias("n"))
+    grid = (F.broadcast(rm).crossJoin(F.broadcast(cm))
+            .crossJoin(F.broadcast(t))
+            .join(obs, ["pri", "seg"], "left")
+            .withColumn("o", F.coalesce(F.col("o"), F.lit(0)).cast("bigint")))
+    e = (F.col("rc").cast("double") * F.col("cc").cast("double")
+         / F.col("n").cast("double"))
+    contrib = grid.select(
+        F.concat_ws("|", "pri", "seg").alias("k"),
+        ((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)
+         / e).alias("c"),
+        "n")
+    chi2 = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("k", "c"))),
+                    lambda s: s["c"]),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return contrib.agg(
+        F.max("n").cast("bigint").alias("n"),
+        lcount("n_cells"),
+        ((F.count_distinct(F.split_part(F.col("k"), F.lit("|"), F.lit(1))) - 1)
+         * (F.count_distinct(F.split_part(F.col("k"), F.lit("|"), F.lit(2)))
+            - 1)).cast("bigint").alias("dof"),
+        F.round(chi2, 6).alias("chi2"))
+
+
+# ---------------------------------------------------------------------------
+# q_anova_f — one-way ANOVA F statistic of line-item discount across
+# return-flag groups: SSB/SSW from exact integer moment sums (discount
+# as x4 ints ≤ 1000, so Σx and Σx² stay bigint-exact beyond sf1000),
+# per-group contributions S_g²/n_g folded in sorted group order. The
+# classic "does this dimension matter" screen before segmenting a
+# metric.
+# ---------------------------------------------------------------------------
+_ANOVA_ORACLE = """
+WITH x AS (
+  SELECT l_returnflag AS g,
+         CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT) AS x4
+  FROM lineitem
+),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_g, CAST(sum(x4) AS BIGINT) AS s_g
+  FROM x GROUP BY g
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x4) AS BIGINT) AS s,
+         CAST(sum(x4 * x4) AS BIGINT) AS ss
+  FROM x
+),
+parts AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         list_aggregate(list_transform(
+           list_sort(list({'g': g, 'v': CAST(s_g AS DOUBLE)
+                                        * CAST(s_g AS DOUBLE)
+                                        / CAST(n_g AS DOUBLE)})),
+           s -> s.v), 'sum') AS sum_sg2
+  FROM grp
+)
+SELECT k, n AS n_rows,
+       round(sum_sg2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE), 6) AS ssb,
+       round(CAST(ss AS DOUBLE) - sum_sg2, 6) AS ssw,
+       round(((sum_sg2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             / ((CAST(ss AS DOUBLE) - sum_sg2)
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+FROM parts CROSS JOIN tot
+"""
+
+
+@register("q_anova_f", oracle=_ANOVA_ORACLE)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("g"),
+        (F.col("l_discount").cast("decimal(8,4)") * 10000).cast("bigint")
+        .alias("x4"))
+    grp = x.groupBy("g").agg(lcount("n_g"),
+                             F.sum("x4").cast("bigint").alias("s_g"))
+    tot = x.agg(lcount("n"), F.sum("x4").cast("bigint").alias("s"),
+                F.sum(F.col("x4") * F.col("x4")).cast("bigint").alias("ss"))
+    parts = grp.select(
+        "g", (F.col("s_g").cast("double") * F.col("s_g").cast("double")
+              / F.col("n_g").cast("double")).alias("v")
+    ).agg(
+        lcount("k"),
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list(F.struct("g", "v"))),
+                        lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v).alias("sum_sg2"))
+    j = parts.crossJoin(F.broadcast(tot))
+    n_d, s_d = F.col("n").cast("double"), F.col("s").cast("double")
+    ss_d, k_d = F.col("ss").cast("double"), F.col("k").cast("double")
+    ssb = F.col("sum_sg2") - s_d * s_d / n_d
+    ssw = ss_d - F.col("sum_sg2")
+    return j.select(
+        "k", F.col("n").alias("n_rows"),
+        F.round(ssb, 6).alias("ssb"), F.round(ssw, 6).alias("ssw"),
+        F.round((ssb / (k_d - F.lit(1.0))) / (ssw / (n_d - k_d)), 6)
+        .alias("f_stat"))
+
+
+# ---------------------------------------------------------------------------
+# q_zscore_outliers — per-event-type standard-score screen: mean/std
+# from exact decimal moment sums (the q_stats_moments envelope), every
+# row scored map-side against the broadcast per-type stats, |z| > 3
+# flagged. The first-pass anomaly sieve over a 100 TB metric stream:
+# one grouped agg (25 rows) + one broadcast-join scan, nothing else.
+# ---------------------------------------------------------------------------
+_ZSCORE_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) / 10000.0 AS DOUBLE) AS sx,
+         CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))
+                             * CAST(value AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) / 10000.0 AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type
+),
+s AS (
+  SELECT event_type, n, sx / n AS mean,
+         sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS std
+  FROM m
+),
+z AS (
+  SELECT e.event_type,
+         abs((CAST(CAST(ROUND(CAST(value AS DECIMAL(18,4)), 4) * 10000
+                   AS BIGINT) AS DOUBLE) / 10000.0 - mean) / std) AS az
+  FROM events e JOIN s ON e.event_type = s.event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (az > 3.0) AS BIGINT) AS n_outliers,
+       round(max(az), 6) AS max_abs_z
+FROM z GROUP BY event_type
+"""
+
+
+@register("q_zscore_outliers", oracle=_ZSCORE_ORACLE)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import _as_exact_double
+
+    ev = load_table(spark, sf_dir, "events")
+    x = dval("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _as_exact_double(F.sum(x)).alias("sx"),
+        _as_exact_double(F.sum(x * x)).alias("sxx"))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    s = m.select("event_type", (sx / n).alias("mean"),
+                 F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1))))
+                 .alias("std"))
+    xd = (F.round(dval("value"), 4) * 10000).cast("bigint") \
+        .cast("double") / F.lit(10000.0)
+    z = (ev.join(F.broadcast(s), "event_type")
+         .select("event_type",
+                 F.abs((xd - F.col("mean")) / F.col("std")).alias("az")))
+    return z.groupBy("event_type").agg(
+        lcount("n_events"),
+        F.sum(F.when(F.col("az") > 3.0, 1).otherwise(0)).cast("bigint")
+        .alias("n_outliers"),
+        F.round(F.max("az"), 6).alias("max_abs_z"))
+
+
+# ---------------------------------------------------------------------------
+# q_winsorize — percentile clamping per event type with EXACT discrete
+# order statistics (the value at rank ceil(p·n) of the x4-int sort —
+# no interpolation, so both engines pick the identical element):
+# winsorized vs raw mean, entirely in exact fixed-point until the final
+# division. The standard robust-mean prep before training on a
+# heavy-tailed metric.
+#
+# Scale: ranks come from a window partitioned by event_type (natural
+# key); everything else is one grouped agg.
+# ---------------------------------------------------------------------------
+_WINSOR_ORACLE = """
+WITH x AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(CAST(value AS DECIMAL(18,4)), 4) * 10000 AS BIGINT) AS x4
+  FROM events
+),
+r AS (
+  SELECT event_type, x4,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY x4, event_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM x
+),
+p AS (
+  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         CAST(min(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                       THEN x4 END) AS BIGINT) AS p05x4,
+         CAST(min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                       THEN x4 END) AS BIGINT) AS p95x4
+  FROM r GROUP BY event_type
+)
+SELECT r.event_type, p.n AS n_events,
+       p05x4 / 10000.0 AS p05, p95x4 / 10000.0 AS p95,
+       CAST(sum(x4) AS BIGINT) / 10000.0 / p.n AS mean_raw,
+       CAST(sum(least(greatest(x4, p05x4), p95x4)) AS BIGINT) / 10000.0
+         / p.n AS mean_winsor
+FROM r JOIN p ON r.event_type = p.event_type
+GROUP BY r.event_type, p.n, p05x4, p95x4
+"""
+
+
+@register("q_winsorize", oracle=_WINSOR_ORACLE)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select("event_type", "event_id",
+                  (F.round(dval("value"), 4) * 10000).cast("bigint")
+                  .alias("x4"))
+    wr = W.partitionBy("event_type").orderBy("x4", "event_id")
+    wn = W.partitionBy("event_type")
+    r = x.select("event_type", "x4",
+                 F.row_number().over(wr).alias("rn"),
+                 F.count(F.lit(1)).over(wn).cast("bigint").alias("n"))
+    p = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_ev"),
+        F.min(F.when(F.col("rn") == F.ceil(0.05 * F.col("n")).cast("bigint"),
+                     F.col("x4"))).cast("bigint").alias("p05x4"),
+        F.min(F.when(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"),
+                     F.col("x4"))).cast("bigint").alias("p95x4"))
+    j = r.drop("n", "rn").join(F.broadcast(p), "event_type")
+    clamped = F.least(F.greatest(F.col("x4"), F.col("p05x4")),
+                      F.col("p95x4"))
+    return (j.groupBy("event_type", "n_ev", "p05x4", "p95x4")
+            .agg(F.sum("x4").cast("bigint").alias("sraw"),
+                 F.sum(clamped).cast("bigint").alias("swin"))
+            .select("event_type", F.col("n_ev").alias("n_events"),
+                    (F.col("p05x4") / F.lit(10000.0)).alias("p05"),
+                    (F.col("p95x4") / F.lit(10000.0)).alias("p95"),
+                    (F.col("sraw") / F.lit(10000.0) / F.col("n_ev"))
+                    .alias("mean_raw"),
+                    (F.col("swin") / F.lit(10000.0) / F.col("n_ev"))
+                    .alias("mean_winsor")))
+
+
+# ---------------------------------------------------------------------------
+# q_islands_streaks — gaps-and-islands over each customer's active
+# MONTHS (the classic consecutive-runs idiom: month_index − row_number
+# is constant within a run): per customer, number of distinct active
+# months, number of islands, and the longest consecutive-month streak.
+# Windows partition by customer (natural key) — no global sort.
+# ---------------------------------------------------------------------------
+_ISLANDS_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+  FROM orders
+),
+r AS (
+  SELECT o_custkey, m,
+         m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+  FROM d
+),
+i AS (
+  SELECT o_custkey, grp, CAST(count(*) AS BIGINT) AS len
+  FROM r GROUP BY o_custkey, grp
+)
+SELECT o_custkey,
+       CAST(sum(len) AS BIGINT) AS n_active_months,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM i GROUP BY o_custkey
+"""
+
+
+@register("q_islands_streaks", oracle=_ISLANDS_ORACLE)
+def q_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = (orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint").alias("m"))
+        .distinct())
+    r = d.select(
+        "o_custkey", "m",
+        (F.col("m") - F.row_number().over(
+            W.partitionBy("o_custkey").orderBy("m"))).alias("grp"))
+    i = r.groupBy("o_custkey", "grp").agg(lcount("len"))
+    return i.groupBy("o_custkey").agg(
+        F.sum("len").cast("bigint").alias("n_active_months"),
+        lcount("n_islands"),
+        F.max("len").cast("bigint").alias("max_streak"))
+
+
+# ---------------------------------------------------------------------------
+# q_listagg_nations — ordered string aggregation (LISTAGG / string_agg
+# ... WITHIN GROUP): per region, its nations as one comma-joined,
+# alphabetically sorted string. The report-formatting aggregate every
+# SQL engine ships; Spark expresses it as sort-then-concat over a
+# collected array (order made explicit, so the result is deterministic
+# under any partitioning).
+# ---------------------------------------------------------------------------
+_LISTAGG_ORACLE = """
+SELECT r_name AS region,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("q_listagg_nations", oracle=_LISTAGG_ORACLE)
+def q_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (nat.join(F.broadcast(reg),
+                     nat.n_regionkey == reg.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(lcount("n_nations"),
+                 F.concat_ws(",", F.array_sort(F.collect_list("n_name")))
+                 .alias("nations")))
+
+
+# ---------------------------------------------------------------------------
+# dq_referential — referential-integrity audit across the star schema's
+# four foreign keys: child row counts and orphan counts (child rows
+# whose key has no parent) via anti-joins. The data-quality gate every
+# warehouse load runs; each row is one exact-count pair.
+#
+# Scale: four anti-joins shuffled on their keys (parents deduplicated
+# to key columns first, so the shuffled parent side is minimal).
+# ---------------------------------------------------------------------------
+_REF_ORACLE = """
+SELECT 'lineitem.l_orderkey->orders' AS fk,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+"""
+
+
+@register("dq_referential", oracle=_REF_ORACLE)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def audit(fk: str, child: DataFrame, key: str,
+              parent: DataFrame, pkey: str) -> DataFrame:
+        orphans = child.join(parent.select(pkey).distinct(),
+                             child[key] == F.col(pkey), "left_anti")
+        return (child.agg(lcount("n_child"))
+                .crossJoin(orphans.agg(lcount("n_orphans")))
+                .select(F.lit(fk).alias("fk"), "n_child", "n_orphans"))
+
+    parts = [
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+              orders, "o_orderkey"),
+        audit("lineitem.l_partkey->part", li, "l_partkey",
+              load_table(spark, sf_dir, "part"), "p_partkey"),
+        audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+              load_table(spark, sf_dir, "supplier"), "s_suppkey"),
+        audit("orders.o_custkey->customer", orders, "o_custkey",
+              load_table(spark, sf_dir, "customer"), "c_custkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: training-data / text / graph extensions. Token semantics
+# follow the corpus-wide convention (lowercase, whitespace-normalized,
+# split on single spaces) so every documents-table op agrees on
+# positions and counts.
+# ---------------------------------------------------------------------------
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+# ---------------------------------------------------------------------------
+# tx_code_detect — code-vs-prose screen (the language-agnostic marker
+# heuristic every pretraining mixture uses to route documents to the
+# code pipeline): densities of braces/brackets, semicolons, assignment
+# '=', and digits per character, combined into one weighted score.
+# Pure map-side column algebra — exact integer counts, one identical
+# double tree, no UDF, no shuffle.
+# ---------------------------------------------------------------------------
+_CODE_ORACLE = """
+WITH m AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(replace(replace(replace(replace(
+                text, '{', ''), '}', ''), '[', ''), ']', ''))
+              AS BIGINT) AS braces,
+         CAST(length(text) - length(replace(text, ';', ''))
+              AS BIGINT) AS semis,
+         CAST(length(text) - length(replace(text, '=', ''))
+              AS BIGINT) AS eqs,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS digits
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, n_chars, braces, semis,
+       round((2.0 * braces + 2.0 * semis + 1.0 * eqs + 0.5 * digits)
+             / CAST(n_chars AS DOUBLE), 6) AS code_score,
+       (2.0 * braces + 2.0 * semis + 1.0 * eqs + 0.5 * digits)
+         / CAST(n_chars AS DOUBLE) > 0.05 AS is_code
+FROM m
+"""
+
+
+@register("tx_code_detect", oracle=_CODE_ORACLE)
+def tx_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+
+    def count_of(chars: str):
+        out = F.col("text")
+        for ch in chars:
+            out = F.replace(out, F.lit(ch), F.lit(""))
+        return (F.length("text") - F.length(out)).cast("bigint")
+
+    m = docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars"),
+        count_of("{}[]").alias("braces"),
+        count_of(";").alias("semis"),
+        count_of("=").alias("eqs"),
+        (F.length("text")
+         - F.length(F.regexp_replace("text", "[0-9]", "")))
+        .cast("bigint").alias("digits"))
+    score = ((F.lit(2.0) * F.col("braces") + F.lit(2.0) * F.col("semis")
+              + F.lit(1.0) * F.col("eqs") + F.lit(0.5) * F.col("digits"))
+             / F.col("n_chars").cast("double"))
+    return m.select("doc_id", "n_chars", "braces", "semis",
+                    F.round(score, 6).alias("code_score"),
+                    (score > 0.05).alias("is_code"))
+
+
+# ---------------------------------------------------------------------------
+# dp_span_mask — deterministic MLM-style token masking accounting
+# (BERT's 15%-ish corruption, made reproducible at any parallelism):
+# token (doc, pos) is masked iff the first hex byte of
+# md5('<doc_id>:<pos>') is below 0x26 (38/256 ≈ 14.8%) — a pure
+# content-addressed coin flip both engines evaluate identically as a
+# STRING compare on the hex prefix. Per doc: token count, masked
+# count, mask rate. Map-side explode + one grouped agg.
+# ---------------------------------------------------------------------------
+_SPANMASK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE length(text) > 0
+),
+m AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(
+           list_transform(toks, (x, i) ->
+             substring(md5(doc_id || ':' || i), 1, 2) < '26'),
+           b -> b)) AS BIGINT) AS n_masked
+  FROM t
+)
+SELECT doc_id, n_tokens, n_masked,
+       round(CAST(n_masked AS DOUBLE) / n_tokens, 6) AS mask_rate
+FROM m
+"""
+
+
+@register("dp_span_mask", oracle=_SPANMASK_ORACLE)
+def dp_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    e = docs.select(
+        "doc_id",
+        F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok"))
+    masked = (F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos") + 1)), 1, 2)
+        < "26")
+    return (e.select("doc_id", masked.alias("masked"))
+            .groupBy("doc_id")
+            .agg(lcount("n_tokens"),
+                 F.sum(F.when(F.col("masked"), 1).otherwise(0))
+                 .cast("bigint").alias("n_masked"),
+                 F.round(F.sum(F.when(F.col("masked"), 1).otherwise(0))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("mask_rate")))
+
+
+# ---------------------------------------------------------------------------
+# sim_reciprocal_nn — mutual nearest neighbors: pairs where each vector
+# is in the other's exact top-k (the high-precision match criterion of
+# bitext/translation mining — Artetxe & Schwenk, ACL 2019 — and a
+# strong near-dup signal). Composes the exact kNN graph with itself:
+# one self-join on the (directed) top-k edge set.
+# ---------------------------------------------------------------------------
+_RNN_K = 3
+
+_RNN_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 6) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))) DESC,
+                            b.vec_id) AS rnk
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+top AS (SELECT src, dst, cos FROM s WHERE rnk <= {_RNN_K})
+SELECT t1.src AS i, t1.dst AS j, t1.cos
+FROM top t1 JOIN top t2 ON t1.src = t2.dst AND t1.dst = t2.src
+WHERE t1.src < t1.dst
+"""
+
+
+@register("sim_reciprocal_nn", oracle=_RNN_ORACLE)
+def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    top = (sim.knn_graph(vecs, k=_RNN_K)
+           .select("src_id", "dst_id", "cos"))
+    back = top.select(F.col("src_id").alias("dst_id"),
+                      F.col("dst_id").alias("src_id"))
+    return (top.join(back, ["src_id", "dst_id"])
+            .filter(F.col("src_id") < F.col("dst_id"))
+            .select(F.col("src_id").alias("i"),
+                    F.col("dst_id").alias("j"), "cos"))
+
+
+# ---------------------------------------------------------------------------
+# gr_degree_stats — degree distribution of the co-purchase graph (the
+# first diagnostic before any graph algorithm: is this power-law or
+# flat, where is the hub tail): node degrees over the gr_kcore edge
+# rule (partkey < 100, any co-occurrence), rolled into a degree ->
+# node-count histogram. Exact counts end to end.
+# ---------------------------------------------------------------------------
+_DEGREE_ORACLE = """
+WITH co AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_partkey < 100
+),
+edges AS (
+  SELECT DISTINCT a.p AS src, b.p AS dst
+  FROM co a JOIN co b ON a.o = b.o AND a.p <> b.p
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY src)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+@register("gr_degree_stats", oracle=_DEGREE_ORACLE)
+def gr_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 100)
+    co = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p")).distinct()
+    edges = (co.join(co.withColumnRenamed("p", "q"), "o")
+             .filter(F.col("p") != F.col("q"))
+             .select(F.col("p").alias("src"), F.col("q").alias("dst"))
+             .distinct())
+    deg = edges.groupBy("src").agg(lcount("degree"))
+    return deg.groupBy("degree").agg(lcount("n_nodes"))

@@ -72,6 +72,7 @@ _PLAN_MODULES = (
     "streaming",
     "multimodal",
     "temporal",
+    "analytics",
 )
 
 # Queries already hash-verified by the round-1 driver (CORRECTNESS_r01.json).

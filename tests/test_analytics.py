@@ -1,0 +1,259 @@
+"""Round-4 analytics ops: pure-python replays of the statistics and
+graph invariants against the same parquet inputs the queries read."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.plans import registry
+
+
+def _run(spark, sf_dir, name):
+    return registry.queries()[name](spark, sf_dir)
+
+
+def _spend_x4(rows):
+    by_cust = defaultdict(Decimal)
+    for r in rows:
+        by_cust[r.o_custkey] += Decimal(str(r.o_totalprice)).quantize(
+            Decimal("0.0001"))
+    return {c: int((v.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+                    * 10000)) for c, v in by_cust.items()}
+
+
+def test_lorenz_deciles_replay(spark, sf_dir):
+    got = {r.decile: r for r in _run(spark, sf_dir, "q_lorenz_deciles").collect()}
+    orders = load_table(spark, sf_dir, "orders").collect()
+    x4 = _spend_x4(orders)
+    ranked = sorted(x4.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ranked)
+    # NTILE semantics: first (n % 10) tiles get ceil(n/10)
+    base, extra = divmod(n, 10)
+    sums, counts, i = Counter(), Counter(), 0
+    for d in range(1, 11):
+        size = base + (1 if d <= extra else 0)
+        for _, v in ranked[i:i + size]:
+            sums[d] += v
+        counts[d] = size
+        i += size
+    total = sum(sums.values())
+    cum = 0
+    for d in range(1, 11):
+        cum += sums[d]
+        assert got[d].n_customers == counts[d]
+        assert abs(got[d].decile_spend - sums[d] / 10000.0) < 1e-6
+        assert abs(got[d].cum_share - round(cum / total, 6)) < 1e-9
+    assert got[10].cum_share == 1.0
+    # Lorenz shape: cumulative shares strictly increasing
+    shares = [got[d].cum_share for d in range(1, 11)]
+    assert shares == sorted(shares)
+
+
+def test_hhi_bounds_and_replay(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_hhi_concentration").collect()
+    assert rows
+    for r in rows:
+        # HHI of n equal shares is 1/n; upper bound 1
+        assert 1.0 / r.n_suppliers - 1e-9 <= r.hhi <= 1.0 + 1e-9
+
+
+def test_chi_square_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_chi_square").collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority").collect()
+    cust = {r.c_custkey: r.c_mktsegment
+            for r in load_table(spark, sf_dir, "customer").collect()}
+    obs = Counter((r.o_orderpriority, cust[r.o_custkey]) for r in orders)
+    rm = Counter(p for p, _ in obs.elements())
+    cm = Counter(s for _, s in obs.elements())
+    n = sum(obs.values())
+    chi2 = 0.0
+    for p in sorted(rm):
+        for s in sorted(cm):
+            e = rm[p] * cm[s] / n
+            chi2 += (obs.get((p, s), 0) - e) ** 2 / e
+    assert got.n == n
+    assert got.n_cells == len(rm) * len(cm)
+    assert got.dof == (len(rm) - 1) * (len(cm) - 1)
+    assert abs(got.chi2 - chi2) < 1e-4
+
+
+def test_anova_f_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_anova_f").collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_discount").collect()
+    groups = defaultdict(list)
+    for r in li:
+        groups[r.l_returnflag].append(
+            int((Decimal(str(r.l_discount)).quantize(Decimal("0.0001"))
+                 * 10000)))
+    all_x = [x for xs in groups.values() for x in xs]
+    n, s, ss = len(all_x), sum(all_x), sum(x * x for x in all_x)
+    sum_sg2 = sum(sum(xs) ** 2 / len(xs) for _, xs in sorted(groups.items()))
+    ssb = sum_sg2 - s * s / n
+    ssw = ss - sum_sg2
+    k = len(groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got.k == k and got.n_rows == n
+    assert abs(got.f_stat - f) < 1e-3
+
+
+def test_zscore_outliers_replay(spark, sf_dir):
+    got = {r.event_type: r
+           for r in _run(spark, sf_dir, "q_zscore_outliers").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value").collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(float(
+            Decimal(str(r.value)).quantize(Decimal("0.0001"))))
+    for t, xs in groups.items():
+        n = len(xs)
+        mean = sum(xs) / n
+        std = math.sqrt((n * sum(x * x for x in xs) - sum(xs) ** 2)
+                        / (n * (n - 1)))
+        n_out = sum(1 for x in xs if abs((x - mean) / std) > 3.0)
+        assert got[t].n_events == n
+        assert got[t].n_outliers == n_out
+        assert abs(got[t].max_abs_z
+                   - max(abs((x - mean) / std) for x in xs)) < 1e-4
+
+
+def test_winsorize_replay(spark, sf_dir):
+    got = {r.event_type: r for r in _run(spark, sf_dir, "q_winsorize").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value").collect()
+    groups = defaultdict(list)
+    for r in ev:
+        groups[r.event_type].append(
+            int(Decimal(str(r.value)).quantize(Decimal("0.0001")) * 10000))
+    for t, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        p05 = xs[math.ceil(0.05 * n) - 1]
+        p95 = xs[math.ceil(0.95 * n) - 1]
+        wmean = sum(min(max(x, p05), p95) for x in xs) / 10000.0 / n
+        r = got[t]
+        assert r.p05 == p05 / 10000.0 and r.p95 == p95 / 10000.0
+        assert abs(r.mean_winsor - wmean) < 1e-9
+        assert r.p05 <= r.mean_winsor <= r.p95
+
+
+def test_islands_streaks_replay(spark, sf_dir):
+    got = {r.o_custkey: r
+           for r in _run(spark, sf_dir, "q_islands_streaks").collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate").collect()
+    months = defaultdict(set)
+    for r in orders:
+        months[r.o_custkey].add(r.o_orderdate.year * 12 + r.o_orderdate.month)
+    for c, ms in months.items():
+        ms = sorted(ms)
+        islands, streak, best = 1, 1, 1
+        for a, b in zip(ms, ms[1:]):
+            if b == a + 1:
+                streak += 1
+            else:
+                islands += 1
+                streak = 1
+            best = max(best, streak)
+        r = got[c]
+        assert (r.n_active_months, r.n_islands, r.max_streak) == \
+            (len(ms), islands, best)
+
+
+def test_listagg_sorted(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_listagg_nations").collect()
+    assert rows
+    for r in rows:
+        parts = r.nations.split(",")
+        assert parts == sorted(parts)
+        assert len(parts) == r.n_nations
+
+
+def test_dq_referential_clean_star(spark, sf_dir):
+    rows = {r.fk: r for r in _run(spark, sf_dir, "dq_referential").collect()}
+    assert len(rows) == 4
+    li_n = load_table(spark, sf_dir, "lineitem").count()
+    assert rows["lineitem.l_orderkey->orders"].n_child == li_n
+    # the synthetic generator is referentially clean
+    assert all(r.n_orphans == 0 for r in rows.values())
+
+
+def test_code_detect_flags_code(spark, tmp_path):
+    import os
+
+    d = str(tmp_path / "sf_code")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "int main() { int x = 1; x = x + 2; return x; }", "en", "s", 46),
+         (2, "the quiet afternoon passed without any event at all", "en", "s", 51)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"), mode="overwrite")
+    rows = {r.doc_id: r for r in _run(spark, d, "tx_code_detect").collect()}
+    assert rows[1].is_code and not rows[2].is_code
+    assert rows[1].code_score > rows[2].code_score
+
+
+def test_span_mask_replay(spark, sf_dir):
+    got = {r.doc_id: r for r in _run(spark, sf_dir, "dp_span_mask").collect()}
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0).collect()
+    total = masked_total = 0
+    for doc in docs:
+        toks = re.sub(r"\s+", " ", doc.text.lower()).strip().split(" ")
+        masked = sum(
+            1 for i in range(1, len(toks) + 1)
+            if hashlib.md5(f"{doc.doc_id}:{i}".encode()).hexdigest()[:2] < "26")
+        r = got[doc.doc_id]
+        assert r.n_tokens == len(toks) and r.n_masked == masked
+        total += len(toks)
+        masked_total += masked
+    # content-addressed coin: corpus rate near 38/256
+    assert abs(masked_total / total - 38 / 256) < 0.02
+
+
+def test_reciprocal_nn_is_mutual(spark, sf_dir):
+    import numpy as np
+
+    pairs = {(r.i, r.j) for r in
+             _run(spark, sf_dir, "sim_reciprocal_nn").collect()}
+    assert pairs
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r.vec_id for r in emb])
+    v = np.array([[float(x) for x in r.embedding] for r in emb])
+    u = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos = u @ u.T
+    top = {}
+    for a in range(len(ids)):
+        order = [b for b in np.lexsort((ids, -np.round(cos[a], 6))) if b != a]
+        top[ids[a]] = set(ids[order[:3]].tolist())
+    for i, j in pairs:
+        assert i < j
+        assert j in top[i] and i in top[j]
+    # completeness: every mutual top-3 pair is reported
+    expected = {(min(a, b), max(a, b))
+                for a in top for b in top[a] if a in top[b]}
+    assert pairs == expected
+
+
+def test_degree_stats_histogram(spark, sf_dir):
+    rows = _run(spark, sf_dir, "gr_degree_stats").collect()
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 100).select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    neigh = defaultdict(set)
+    for parts in by_order.values():
+        for p in parts:
+            neigh[p] |= parts - {p}
+    hist = Counter(len(v) for v in neigh.values() if v)
+    assert {(r.degree, r.n_nodes) for r in rows} == set(hist.items())
