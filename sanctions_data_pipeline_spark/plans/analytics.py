@@ -62,7 +62,7 @@ FROM g
 """
 
 
-@register("q_lorenz_deciles", oracle=_LORENZ_ORACLE)
+@register("q_lorenz_deciles", headline=True, oracle=_LORENZ_ORACLE)
 def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     spend = (orders.groupBy("o_custkey")
@@ -116,7 +116,7 @@ FROM n JOIN nation ON s_nationkey = n_nationkey
 """
 
 
-@register("q_hhi_concentration", oracle=_HHI_ORACLE)
+@register("q_hhi_concentration", headline=True, oracle=_HHI_ORACLE)
 def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
@@ -406,7 +406,7 @@ GROUP BY r.event_type, p.n, p05x4, p95x4
 """
 
 
-@register("q_winsorize", oracle=_WINSOR_ORACLE)
+@register("q_winsorize", headline=True, oracle=_WINSOR_ORACLE)
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     x = ev.select("event_type", "event_id",
@@ -675,7 +675,7 @@ FROM m
 """
 
 
-@register("dp_span_mask", oracle=_SPANMASK_ORACLE)
+@register("dp_span_mask", headline=True, oracle=_SPANMASK_ORACLE)
 def dp_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.operators import textstats as tx
 
@@ -774,3 +774,217 @@ def gr_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              .distinct())
     deg = edges.groupBy("src").agg(lcount("degree"))
     return deg.groupBy("degree").agg(lcount("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# tx_sentence_stats — sentence segmentation metrics per document (the
+# readability-adjacent shape stats every curation report carries):
+# split on terminal punctuation runs followed by a space, drop empty
+# fragments, count sentences and words-per-sentence. Identical regex
+# (RE2-safe subset) on both engines; all counts exact, one division.
+# ---------------------------------------------------------------------------
+_SENT_PAT = "[.!?]+ "
+
+_SENT_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_SENT_PAT}'),
+                     x -> length(trim(x)) > 0) AS sents,
+         len({_TOKS}) AS n_words
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(CAST(n_words AS DOUBLE) / len(sents), 6)
+         AS words_per_sentence
+FROM s WHERE len(sents) > 0
+"""
+
+
+@register("tx_sentence_stats", oracle=_SENT_ORACLE)
+def tx_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    s = docs.select(
+        "doc_id",
+        F.filter(F.split("text", _SENT_PAT),
+                 lambda x: F.length(F.trim(x)) > 0).alias("sents"),
+        F.size(tx.tokens(F.col("text"))).cast("bigint").alias("n_words"))
+    return (s.filter(F.size("sents") > 0)
+            .select("doc_id",
+                    F.size("sents").cast("bigint").alias("n_sentences"),
+                    "n_words",
+                    F.round(F.col("n_words").cast("double")
+                            / F.size("sents"), 6)
+                    .alias("words_per_sentence")))
+
+
+# ---------------------------------------------------------------------------
+# tok_char_coverage — SentencePiece-style character-coverage table (the
+# `character_coverage` knob made inspectable): corpus character
+# frequencies over the normalized text, ranked desc, cumulative share —
+# tells you how many code points a vocab must keep to cover 99.xx% of
+# the corpus. Exact bigint counts; each share one division over the
+# rank-ordered cumulative sum.
+# ---------------------------------------------------------------------------
+_CHARCOV_TOP = 20
+
+_CHARCOV_ORACLE = f"""
+WITH c AS (
+  SELECT unnest(regexp_extract_all({_NORM}, '.')) AS ch FROM documents
+),
+f AS (SELECT ch, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY ch),
+r AS (
+  SELECT ch, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, ch) AS rnk,
+         CAST(sum(cnt) OVER () AS BIGINT) AS tot,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, ch) AS BIGINT) AS cum
+  FROM f
+)
+SELECT rnk, ch, cnt,
+       round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_coverage
+FROM r WHERE rnk <= {_CHARCOV_TOP}
+"""
+
+
+@register("tok_char_coverage", oracle=_CHARCOV_ORACLE)
+def tok_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    c = docs.select(F.explode(F.split(norm, "")).alias("ch")) \
+        .filter(F.length("ch") > 0)
+    f = c.groupBy("ch").agg(lcount("cnt"))
+    wr = W.orderBy(F.desc("cnt"), F.asc("ch"))
+    r = f.select(
+        "ch", "cnt",
+        F.row_number().over(wr).alias("rnk"),
+        F.sum("cnt").over(W.partitionBy()).cast("bigint").alias("tot"),
+        F.sum("cnt").over(wr).cast("bigint").alias("cum"))
+    return (r.filter(F.col("rnk") <= _CHARCOV_TOP)
+            .select("rnk", "ch", "cnt",
+                    F.round(F.col("cum").cast("double")
+                            / F.col("tot").cast("double"), 6)
+                    .alias("cum_coverage")))
+
+
+# ---------------------------------------------------------------------------
+# tok_wordpiece — WordPiece greedy longest-match-first encoding (Wu et
+# al. 2016, the BERT tokenizer's inference rule): per word, repeatedly
+# take the LONGEST vocab piece matching at the cursor (continuation
+# pieces carry the ## prefix); a word with no match at any cursor
+# collapses to one [UNK]. The vocab is built deterministically from the
+# corpus itself (all single characters + the most frequent length-2..4
+# word substrings, position-tagged), bounded driver state like the
+# unigram model. The greedy loop runs as one JVM higher-order fold per
+# word — no Python per row. Rows-only (the trained vocab has no SQL
+# twin); pytest replays train + encode in pure python.
+#
+# Scale: vocab training is one bounded TakeOrdered over substring
+# counts; encoding is a map-side corpus pass over DISTINCT words.
+# ---------------------------------------------------------------------------
+_WP_MAX_LEN = 4
+_WP_VOCAB = 60  # multi-char pieces kept (plus all single chars)
+
+
+def _wordpiece_vocab(spark: SparkSession, sf_dir: str) -> set[str]:
+    """Deterministic corpus-derived vocab: every single character seen
+    (initial and ## forms), plus the _WP_VOCAB most frequent
+    position-tagged substrings of length 2..4 (count = sum of word
+    corpus frequencies; ties by piece string)."""
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+             .groupBy("w").agg(lcount("c")))
+    subs = words.select(
+        "c",
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.lit(2), F.lit(_WP_MAX_LEN)),
+            # Spark's sequence(1, stop) DESCENDS when stop < 1, so words
+            # shorter than ln must yield an empty position list explicitly
+            lambda ln: F.when(
+                F.length("w") >= ln,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - ln + 1),
+                    lambda i: F.when(
+                        i == 1, F.substring(F.col("w"), 1, ln)
+                    ).otherwise(
+                        F.concat(F.lit("##"), F.col("w").substr(i, ln)))))
+            .otherwise(F.array().cast("array<string>"))))).alias("p"))
+    top = (subs.filter(F.col("p").isNotNull())
+           .groupBy("p").agg(F.sum("c").cast("bigint").alias("n"))
+           .orderBy(F.desc("n"), F.asc("p")).limit(_WP_VOCAB).collect())
+    chars = (words.select(F.explode(F.split("w", "")).alias("ch"))
+             .filter(F.length("ch") > 0).distinct().collect())
+    vocab = {r["p"] for r in top}
+    for r in chars:
+        vocab.add(r["ch"])
+        vocab.add("##" + r["ch"])
+    return vocab
+
+
+def wordpiece_pieces(word, vocab: set[str]):
+    """array<string> greedy longest-match segmentation of ``word``
+    against the literal vocab map; [UNK] when stuck. One aggregate
+    fold, cursor carried in a struct — the viterbi_pieces discipline
+    with greedy instead of min-cost."""
+    kv = []
+    for piece in sorted(vocab):
+        kv.append(F.lit(piece))
+        kv.append(F.lit(1))
+    m = F.create_map(*kv)
+    n = F.length(word)
+
+    def step(acc, _):
+        pos = acc["pos"]  # 0-based cursor
+        exhausted = (pos >= n) | acc["unk"]
+        # longest match wins: build the when-chain ascending so the
+        # LAST wrap (the longest ln) is the outermost branch
+        best = None
+        for ln in range(1, _WP_MAX_LEN + 1):
+            raw = F.substring(word, (pos + 1).cast("int"), ln)
+            tagged = F.when(pos > 0, F.concat(F.lit("##"), raw)).otherwise(raw)
+            hit = (pos + ln <= n) & F.element_at(m, tagged).isNotNull()
+            cand = F.struct(F.lit(ln).alias("ln"), tagged.alias("piece"))
+            best = F.when(hit, cand).otherwise(best) if best is not None \
+                else F.when(hit, cand)
+        return (F.when(exhausted, acc)
+                .when(best.isNull(),
+                      F.struct(n.cast("int").alias("pos"),
+                               F.array(F.lit("[UNK]")).alias("pieces"),
+                               F.lit(True).alias("unk")))
+                .otherwise(F.struct(
+                    (pos + best["ln"]).cast("int").alias("pos"),
+                    F.concat(acc["pieces"],
+                             F.array(best["piece"])).alias("pieces"),
+                    F.lit(False).alias("unk"))))
+
+    init = F.struct(F.lit(0).cast("int").alias("pos"),
+                    F.array().cast("array<string>").alias("pieces"),
+                    F.lit(False).alias("unk"))
+    return F.aggregate(F.sequence(F.lit(1), n), init, step)
+
+
+@register("tok_wordpiece")
+def tok_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+
+    vocab = _wordpiece_vocab(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select("doc_id",
+                         F.explode(tx.tokens(F.col("text"))).alias("w"))
+             .filter(F.length("w") > 0))
+    enc = words.select(
+        "doc_id", wordpiece_pieces(F.col("w"), vocab).alias("st"))
+    per = enc.select(
+        "doc_id", F.size(F.col("st")["pieces"]).alias("np"),
+        F.col("st")["unk"].cast("int").alias("unk"))
+    return (per.groupBy("doc_id")
+            .agg(lcount("n_words"),
+                 F.sum("np").cast("bigint").alias("n_pieces"),
+                 F.sum("unk").cast("bigint").alias("n_unk_words"))
+            .withColumn("pieces_per_word",
+                        F.round(F.col("n_pieces").cast("double")
+                                / F.col("n_words"), 6)))

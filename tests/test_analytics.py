@@ -257,3 +257,103 @@ def test_degree_stats_histogram(spark, sf_dir):
             neigh[p] |= parts - {p}
     hist = Counter(len(v) for v in neigh.values() if v)
     assert {(r.degree, r.n_nodes) for r in rows} == set(hist.items())
+
+
+def test_sentence_stats_replay(spark, sf_dir):
+    got = {r.doc_id: r for r in
+           _run(spark, sf_dir, "tx_sentence_stats").collect()}
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0).collect()
+    for doc in docs:
+        sents = [s for s in re.split(r"[.!?]+ ", doc.text) if s.strip()]
+        if not sents:
+            assert doc.doc_id not in got
+            continue
+        words = re.sub(r"\s+", " ", doc.text.lower()).strip().split(" ")
+        r = got[doc.doc_id]
+        assert r.n_sentences == len(sents)
+        assert r.n_words == len(words)
+        assert abs(r.words_per_sentence
+                   - round(len(words) / len(sents), 6)) < 1e-9
+
+
+def test_char_coverage_replay(spark, sf_dir):
+    rows = sorted(_run(spark, sf_dir, "tok_char_coverage").collect(),
+                  key=lambda r: r.rnk)
+    docs = load_table(spark, sf_dir, "documents").collect()
+    freq = Counter()
+    for doc in docs:
+        freq.update(re.sub(r"\s+", " ", doc.text.lower()).strip())
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(freq.values())
+    cum = 0
+    for i, r in enumerate(rows):
+        ch, cnt = ranked[i]
+        cum += cnt
+        assert (r.ch, r.cnt) == (ch, cnt)
+        assert abs(r.cum_coverage - round(cum / tot, 6)) < 1e-9
+    # coverage is monotone and the space (most frequent char in prose)
+    # ranks first on this corpus
+    assert rows[0].ch == " "
+
+
+def _wp_encode(word, vocab, max_len=4):
+    pieces, pos, n = [], 0, len(word)
+    while pos < n:
+        hit = None
+        for ln in range(max_len, 0, -1):
+            if pos + ln > n:
+                continue
+            piece = word[pos:pos + ln]
+            if pos > 0:
+                piece = "##" + piece
+            if piece in vocab:
+                hit = piece
+                break
+        if hit is None:
+            return ["[UNK]"], True
+        pieces.append(hit)
+        pos += len(hit) - (2 if hit.startswith("##") and pos > 0 else 0)
+    return pieces, False
+
+
+def test_wordpiece_replay(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans.analytics import (
+        _WP_MAX_LEN, _WP_VOCAB, _wordpiece_vocab)
+
+    vocab = _wordpiece_vocab(spark, sf_dir)
+    got = {r.doc_id: r for r in _run(spark, sf_dir, "tok_wordpiece").collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    # replay the trainer: every single char must be present
+    words_all = Counter()
+    for doc in docs:
+        for w in re.sub(r"\s+", " ", doc.text.lower()).strip().split(" "):
+            if w:
+                words_all[w] += 1
+    subs = Counter()
+    for w, c in words_all.items():
+        for ln in range(2, _WP_MAX_LEN + 1):
+            for i in range(len(w) - ln + 1):
+                p = w[i:i + ln] if i == 0 else "##" + w[i:i + ln]
+                subs[p] += c
+    top = {p for p, _ in sorted(subs.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:_WP_VOCAB]}
+    chars = {c for w in words_all for c in w}
+    expect_vocab = top | chars | {"##" + c for c in chars}
+    assert vocab == expect_vocab
+    # replay the greedy encode per doc
+    for doc in docs:
+        words = [w for w in
+                 re.sub(r"\s+", " ", doc.text.lower()).strip().split(" ") if w]
+        if not words:
+            continue
+        n_pieces = n_unk = 0
+        for w in words:
+            ps, unk = _wp_encode(w, vocab, _WP_MAX_LEN)
+            n_pieces += len(ps)
+            n_unk += int(unk)
+        r = got[doc.doc_id]
+        assert (r.n_words, r.n_pieces, r.n_unk_words) == \
+            (len(words), n_pieces, n_unk), doc.doc_id
+        # chars are all in vocab, so nothing can be UNK on this corpus
+        assert r.n_unk_words == 0

@@ -99,7 +99,14 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q11_important_parts", "q15_top_supplier", "q_dq_audit",
                 "q_keyset_page", "q_robust_stats",
                 # one-row global-max broadcast (padding accounting)
-                "dp_length_buckets"}
+                "dp_length_buckets",
+                # margin-lattice / one-row-total crosses (chi-square grid
+                # is |priorities| x |segments|; ANOVA crosses one
+                # grand-total row; the FK audit pairs one-row counts)
+                "q_chi_square", "q_anova_f", "dq_referential",
+                # mutual-NN composes the exact kNN-graph baseline
+                # (same intentional scoring cross as emb_knn_graph)
+                "sim_reciprocal_nn"}
 
 
 @pytest.mark.parametrize("name", sorted(
