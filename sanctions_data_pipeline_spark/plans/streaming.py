@@ -308,3 +308,47 @@ def st_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return run_available_now(zscore_window_agg(ev, "1 hour",
                                                watermark="2 hours"))
+
+
+# --------------------------------------------------------------------------
+# st_topk_trending — windowed trending top-k: the streaming side
+# maintains the watermarked 1h tumbling (window, event_type) counts;
+# the per-window rank runs on the DRAINED complete-mode result — the
+# standard deployment split (stateful counting in the stream, ranking
+# in the serving query / foreachBatch), since a global rank is not an
+# incremental operator. Top-3 per window, count-desc, type-asc ties.
+# --------------------------------------------------------------------------
+_TOPK_TREND = 3
+
+
+@register("st_topk_trending", oracle=f"""
+WITH c AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT window_start, event_type, n_events,
+         CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS BIGINT)
+           AS rnk
+  FROM c
+)
+SELECT window_start, event_type, n_events, rnk
+FROM r WHERE rnk <= {_TOPK_TREND}
+""")
+def st_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = read_events_stream(spark, sf_dir)
+    counts = run_available_now(
+        ev.withWatermark("ts", "2 hours")
+          .groupBy(F.window("ts", "1 hour"), "event_type")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type"))
+    return (counts.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"), "event_type", "n_events")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _TOPK_TREND))

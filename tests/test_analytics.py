@@ -357,3 +357,17 @@ def test_wordpiece_replay(spark, sf_dir):
             (len(words), n_pieces, n_unk), doc.doc_id
         # chars are all in vocab, so nothing can be UNK on this corpus
         assert r.n_unk_words == 0
+
+
+def test_st_topk_trending_ranks(spark, sf_dir):
+    rows = _run(spark, sf_dir, "st_topk_trending").collect()
+    assert rows
+    by_w = defaultdict(list)
+    for r in rows:
+        by_w[r.window_start].append(r)
+    for w, rs in by_w.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        counts = [r.n_events for r in rs]
+        assert counts == sorted(counts, reverse=True)
