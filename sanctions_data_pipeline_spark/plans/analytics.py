@@ -988,3 +988,43 @@ def tok_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("pieces_per_word",
                         F.round(F.col("n_pieces").cast("double")
                                 / F.col("n_words"), 6)))
+
+
+# ---------------------------------------------------------------------------
+# dd_minhash_est_error — sketch-accuracy eval for the MinHash index
+# (the measurement MMDS ch.3 prescribes before trusting banding
+# thresholds): for every LSH candidate pair, the MinHash Jaccard
+# ESTIMATE (fraction of agreeing signature components) against the
+# exact Jaccard the verifier computed, with the absolute error. The
+# in-engine counterpart of dd_lsh_tuning's analytic S-curve. Rows-only
+# (signatures are xxhash64-based, no DuckDB twin); pytest replays the
+# estimate from the signatures and pins the MMDS error bound
+# (stderr ~ 1/sqrt(n_hashes)) corpus-wide.
+#
+# Scale: signatures are map-side; the only shuffles are the LSH
+# bucket join (inherited) and two id-key joins carrying (id, 32-long
+# array) rows.
+# ---------------------------------------------------------------------------
+_MHE_HASHES = 32
+
+
+@register("dd_minhash_est_error")
+def dd_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, n_hashes=_MHE_HASHES, bands=8,
+                                 threshold=0.0)   # keep ALL candidates
+    sigs = dd.minhash_signatures(docs, n_hashes=_MHE_HASHES)
+    si = sigs.select(F.col("doc_id").alias("i"), F.col("sig").alias("sig_i"))
+    sj = sigs.select(F.col("doc_id").alias("j"), F.col("sig").alias("sig_j"))
+    est = (F.size(F.filter(
+        F.zip_with(F.col("sig_i"), F.col("sig_j"),
+                   lambda a, b: a == b), lambda x: x))
+        .cast("double") / F.lit(float(_MHE_HASHES)))
+    return (pairs.join(si, "i").join(sj, "j")
+            .select("i", "j", F.col("jac").alias("jac_exact"),
+                    F.round(est, 6).alias("jac_est"))
+            .withColumn("abs_err",
+                        F.round(F.abs(F.col("jac_est")
+                                      - F.col("jac_exact")), 6)))

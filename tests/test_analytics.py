@@ -371,3 +371,21 @@ def test_st_topk_trending_ranks(spark, sf_dir):
         assert len(rs) <= 3
         counts = [r.n_events for r in rs]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_minhash_est_error_replay(spark, sf_dir):
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+
+    rows = _run(spark, sf_dir, "dd_minhash_est_error").collect()
+    assert rows
+    sigs = {r.doc_id: list(r.sig) for r in dd.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), n_hashes=32).collect()}
+    errs = []
+    for r in rows:
+        est = sum(a == b for a, b in zip(sigs[r.i], sigs[r.j])) / 32.0
+        assert abs(r.jac_est - round(est, 6)) < 1e-9
+        assert abs(r.abs_err - round(abs(r.jac_est - r.jac_exact), 6)) < 1e-9
+        errs.append(r.abs_err)
+    # MMDS: stderr of the estimator ~ sqrt(j(1-j)/n) <= 1/(2*sqrt(32));
+    # the corpus-wide mean abs error stays well inside 2x that bound
+    assert sum(errs) / len(errs) < 2.0 / (2 * 32 ** 0.5)
