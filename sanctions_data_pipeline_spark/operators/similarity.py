@@ -460,7 +460,7 @@ def pq_train_codebooks(corpus: DataFrame, m: int = 8, ksub: int = 16,
     return books
 
 
-def _pq_encode(df, books, extra_cols=()):
+def _pq_encode(df, books, extra_cols=(), cents=None):
     """Shared PQ encoder: ``df`` has (i, v[, extra...]); emits
     (neighbor_id[, extra...], codes) with one vectorized Arrow pass.
     Both pq_topk and ivfpq_topk encode through HERE so the norm guard
@@ -471,6 +471,8 @@ def _pq_encode(df, books, extra_cols=()):
     mm, _, dsub = books.shape
     bbooks = books
     extra = list(extra_cols)
+    carr = None if cents is None else __import__("numpy").array(
+        cents, dtype="float64")
 
     def encode(batches):
         for pdf in batches:
@@ -487,11 +489,20 @@ def _pq_encode(df, books, extra_cols=()):
             out = {"neighbor_id": pdf["i"]}
             for c in extra:
                 out[c] = pdf[c]
+            if carr is not None:
+                # IVF cell in the SAME Arrow pass (argmax dot vs unit
+                # centroids, first-max tie — cosine argmax since rows
+                # here are normalized and the true row norm is a common
+                # positive factor), instead of a second corpus pass
+                # through a centroid-literal expression tree
+                out["cell"] = (vecs @ carr.T).argmax(axis=1) + 1
             out["codes"] = list(codes.tolist())
             yield pd.DataFrame(out)
 
+    cellcol = "cell int, " if cents is not None else ""
     schema = ("neighbor_id long, "
-              + "".join(f"{c} int, " for c in extra) + "codes array<int>")
+              + "".join(f"{c} int, " for c in extra) + cellcol
+              + "codes array<int>")
     return df.mapInPandas(encode, schema)
 
 
@@ -620,15 +631,28 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
     base = corpus.select(F.col(id_col).alias("i"),
                          as_double(F.col(vec_col)).alias("v"))
-    coded = _pq_encode(assign_cells(base, cents), books,
-                       extra_cols=("cell",))
+    # cells assigned inside the PQ-encode Arrow pass: one corpus scan
+    # builds the whole index (cell + m-byte code per row)
+    coded = _pq_encode(base, books, cents=cents)
+
     qids, lut = _pq_query_lut(queries, books, id_col, vec_col)
     qpos = {int(q): i for i, q in enumerate(qids)}
 
-    qcells = assign_cells_multi(
-        queries.select(F.col(id_col).alias("query_id"),
-                       as_double(F.col(vec_col)).alias("v")),
-        cents, n_probe).select("query_id", "cell")
+    # query-side multi-probe driver-side (|queries| x n_centroids dots;
+    # desc-dot, desc-cell ties — the assign_cells_multi order): the
+    # probe list ships as a literal broadcast frame instead of another
+    # centroid-literal expression tree
+    carr = np.array(cents, dtype="float64")
+    q_rows = (queries.select(F.col(id_col).alias("q"),
+                             as_double(F.col(vec_col)).alias("v"))
+              .collect())
+    probe_rows = []
+    for r in q_rows:
+        d = np.array(r["v"], dtype="float64") @ carr.T
+        order = sorted(range(len(cents)), key=lambda c: (-d[c], -(c + 1)))
+        probe_rows += [(int(r["q"]), c + 1) for c in order[:n_probe]]
+    qcells = queries.sparkSession.createDataFrame(
+        probe_rows, "query_id long, cell int")
     # IVF restriction: each query scores only its probed cells' codes
     cand_rows = coded.join(F.broadcast(qcells), "cell")
 
