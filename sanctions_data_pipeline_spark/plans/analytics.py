@@ -1028,3 +1028,76 @@ def dd_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("abs_err",
                         F.round(F.abs(F.col("jac_est")
                                       - F.col("jac_exact")), 6)))
+
+
+# ---------------------------------------------------------------------------
+# io_jsonl_roundtrip — JSON-lines sink/source fidelity check (the
+# interchange format every training-data pipeline speaks): write the
+# documents table to JSONL, read it back, and emit per-doc identity
+# evidence (md5 of the round-tripped text). The oracle computes the
+# same rows straight from the parquet, so ANY escaping/encoding
+# corruption in the sink or source breaks the value hash.
+# ---------------------------------------------------------------------------
+_JSONL_ORACLE = """
+SELECT doc_id, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars_rt,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
+@register("io_jsonl_roundtrip", oracle=_JSONL_ORACLE)
+def io_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang", "source")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        os.path.basename(sf_dir.rstrip("/")), "docs_jsonl")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string").json(path)
+    return back.select(
+        "doc_id", "lang", "source",
+        F.length("text").cast("bigint").alias("n_chars_rt"),
+        F.md5(F.col("text")).alias("text_md5"))
+
+
+# ---------------------------------------------------------------------------
+# io_partitioned_pruned — hive-partitioned parquet sink + partition-
+# pruned source: events written `partitionBy(event_type)`, then read
+# back with an event-type predicate that must prune to ONE directory
+# (the layout decision that turns a 100 TB scan into a 4 TB one; the
+# pruning itself is pinned by tests/test_analytics.py on the plan's
+# "partition filters"). Output: the kept type's per-hour counts, oracle
+# straight off the unpartitioned parquet.
+# ---------------------------------------------------------------------------
+_PART_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events WHERE event_type = 'click'
+GROUP BY 1
+"""
+
+
+def _partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        os.path.basename(sf_dir.rstrip("/")), "events_by_type")
+    (ev.select("event_id", "ts", "user_id", "value", "event_type")
+       .write.mode("overwrite").partitionBy("event_type").parquet(path))
+    return path
+
+
+@register("io_partitioned_pruned", oracle=_PART_ORACLE)
+def io_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_events_path(spark, sf_dir)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return (back.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("hour_start"))
+        .agg(lcount("n_events")))

@@ -389,3 +389,34 @@ def test_minhash_est_error_replay(spark, sf_dir):
     # MMDS: stderr of the estimator ~ sqrt(j(1-j)/n) <= 1/(2*sqrt(32));
     # the corpus-wide mean abs error stays well inside 2x that bound
     assert sum(errs) / len(errs) < 2.0 / (2 * 32 ** 0.5)
+
+
+def test_partitioned_write_prunes_to_one_partition(spark, sf_dir):
+    """The io_partitioned_pruned read must prune at the DIRECTORY
+    level: the event_type predicate appears as a PartitionFilter on the
+    scan (not a data filter over all partitions)."""
+    import contextlib
+    import io as _io
+
+    from sanctions_data_pipeline_spark.plans.analytics import (
+        _partitioned_events_path)
+
+    path = _partitioned_events_path(spark, sf_dir)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("event_type" in ln for ln in pf), pf
+
+
+def test_jsonl_roundtrip_is_identity(spark, sf_dir):
+    got = {r.doc_id: r for r in
+           _run(spark, sf_dir, "io_jsonl_roundtrip").collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    for doc in docs:
+        r = got[doc.doc_id]
+        assert r.n_chars_rt == len(doc.text)
+        assert r.text_md5 == hashlib.md5(doc.text.encode()).hexdigest()
