@@ -1101,3 +1101,156 @@ def io_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
         .alias("hour_start"))
         .agg(lcount("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# q_mann_kendall — Mann-Kendall trend test (Mann 1945, Kendall 1975 —
+# the standard nonparametric "is this series trending" monitor) over
+# the daily event-count series: S = Σ_{i<j} sign(x_j − x_i) as an exact
+# integer over the day self-join (the series is calendar-bounded, so
+# the pair set is |days|² — tiny), tie-corrected variance, one
+# closed-form z. Everything integer until the final double tree.
+# ---------------------------------------------------------------------------
+_MK_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM daily),
+ties AS (
+  SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS corr
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x)
+  WHERE t > 1
+)
+SELECT m, s,
+       round((CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)
+              * (2.0 * CAST(m AS DOUBLE) + 5.0) - CAST(corr AS DOUBLE))
+             / 18.0, 6) AS var_s,
+       round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                  WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                  ELSE 0.0 END
+             / sqrt((CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)
+                     * (2.0 * CAST(m AS DOUBLE) + 5.0)
+                     - CAST(corr AS DOUBLE)) / 18.0), 6) AS z
+FROM s CROSS JOIN m CROSS JOIN ties
+"""
+
+
+@register("q_mann_kendall", oracle=_MK_ORACLE)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(lcount("x")))
+    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    s = (daily.join(b, F.col("d") < F.col("d2"))
+         .agg(F.sum(F.when(F.col("x2") > F.col("x"), 1)
+                    .when(F.col("x2") < F.col("x"), -1)
+                    .otherwise(0)).cast("bigint").alias("s")))
+    m = daily.agg(lcount("m"))
+    ties = (daily.groupBy("x").agg(lcount("t"))
+            .filter(F.col("t") > 1)
+            .agg(F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0)).cast("bigint").alias("corr")))
+    j = s.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(ties))
+    m_d = F.col("m").cast("double")
+    var_s = (m_d * (m_d - F.lit(1.0)) * (F.lit(2.0) * m_d + F.lit(5.0))
+             - F.col("corr").cast("double")) / F.lit(18.0)
+    num = (F.when(F.col("s") > 0, F.col("s").cast("double") - F.lit(1.0))
+           .when(F.col("s") < 0, F.col("s").cast("double") + F.lit(1.0))
+           .otherwise(F.lit(0.0)))
+    return j.select("m", "s", F.round(var_s, 6).alias("var_s"),
+                    F.round(num / F.sqrt(var_s), 6).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# q_acf — autocorrelation function of the daily event-count series at
+# lags 1..7 (the first diagnostic for any forecasting model; the
+# weekly lag should light up on seasonal traffic): r_L =
+# Σ(x_t−x̄)(x_{t+L}−x̄) / Σ(x_t−x̄)², products folded in day order on
+# both engines so the double accumulation is bit-identical. Counts and
+# the day index are exact integers; x̄ is one exact division.
+# ---------------------------------------------------------------------------
+_ACF_MAX_LAG = 7
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+g AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx
+      FROM daily),
+den AS (
+  SELECT list_aggregate(list_transform(
+           list_sort(list({{'i': i,
+                           'v': (CAST(x AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                                * (CAST(x AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))}})),
+           s -> s.v), 'sum') AS d0
+  FROM daily CROSS JOIN g
+),
+lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+num AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         list_aggregate(list_transform(
+           list_sort(list({{'i': a.i,
+                           'v': (CAST(a.x AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                                * (CAST(b.x AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))}})),
+           s -> s.v), 'sum') AS nsum
+  FROM lags JOIN daily a ON true JOIN daily b ON b.i = a.i + lag
+  CROSS JOIN g
+  GROUP BY lag
+)
+SELECT lag, n_pairs, round(nsum / d0, 6) AS acf
+FROM num CROSS JOIN den
+"""
+
+
+@register("q_acf", oracle=_ACF_ORACLE)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy((F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                                 / F.lit(86400000000)).cast("bigint"))
+                        .alias("i"))
+             .agg(lcount("x")))
+    g = daily.agg(lcount("m"), F.sum("x").cast("bigint").alias("sx"))
+    dg = daily.crossJoin(F.broadcast(g))
+    mean = F.col("sx").cast("double") / F.col("m").cast("double")
+
+    def fold_sorted(struct_col):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(struct_col)),
+                        lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    den = dg.select(F.struct(
+        F.col("i").alias("i"),
+        ((F.col("x").cast("double") - mean)
+         * (F.col("x").cast("double") - mean)).alias("v")).alias("sv")) \
+        .agg(fold_sorted(F.col("sv")).alias("d0"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag"))
+    b = daily.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    pairs = (F.broadcast(lags).join(dg, F.lit(True))
+             .join(b, F.col("ib") == F.col("i") + F.col("lag")))
+    num = (pairs.select(
+        "lag",
+        F.struct(F.col("i").alias("i"),
+                 ((F.col("x").cast("double") - mean)
+                  * (F.col("xb").cast("double") - mean)).alias("v"))
+        .alias("sv"))
+        .groupBy("lag")
+        .agg(lcount("n_pairs"), fold_sorted(F.col("sv")).alias("nsum")))
+    return (num.crossJoin(F.broadcast(den))
+            .select("lag", "n_pairs",
+                    F.round(F.col("nsum") / F.col("d0"), 6).alias("acf")))

@@ -420,3 +420,38 @@ def test_jsonl_roundtrip_is_identity(spark, sf_dir):
         r = got[doc.doc_id]
         assert r.n_chars_rt == len(doc.text)
         assert r.text_md5 == hashlib.md5(doc.text.encode()).hexdigest()
+
+
+def test_mann_kendall_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_mann_kendall").collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate").collect()
+    daily = Counter(r.o_orderdate.date() for r in orders)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    m = len(xs)
+    s = sum((xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(m) for j in range(i + 1, m))
+    ties = Counter(xs)
+    corr = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var_s = (m * (m - 1) * (2 * m + 5) - corr) / 18.0
+    z = ((s - 1) if s > 0 else (s + 1) if s < 0 else 0) / math.sqrt(var_s)
+    assert (got.m, got.s) == (m, s)
+    assert abs(got.var_s - round(var_s, 6)) < 1e-6
+    assert abs(got.z - z) < 1e-4
+
+
+def test_acf_replay(spark, sf_dir):
+    got = {r.lag: r for r in _run(spark, sf_dir, "q_acf").collect()}
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = Counter(r.ts.date() for r in ev)
+    idx = {d: (d - min(daily)).days for d in daily}
+    xs = {idx[d]: daily[d] for d in daily}
+    mean = sum(xs.values()) / len(xs)
+    d0 = sum((x - mean) ** 2 for x in xs.values())
+    for lag in range(1, 8):
+        pairs = [(i, xs[i], xs[i + lag]) for i in sorted(xs)
+                 if i + lag in xs]
+        nsum = sum((a - mean) * (b - mean) for _, a, b in pairs)
+        r = got[lag]
+        assert r.n_pairs == len(pairs)
+        assert abs(r.acf - nsum / d0) < 1e-4
