@@ -106,7 +106,11 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_chi_square", "q_anova_f", "dq_referential",
                 # mutual-NN composes the exact kNN-graph baseline
                 # (same intentional scoring cross as emb_knn_graph)
-                "sim_reciprocal_nn"}
+                "sim_reciprocal_nn",
+                # calendar-bounded day-series crosses: Mann-Kendall's
+                # i<j sign pairs and ACF's lag alignment join |days|-row
+                # aggregates (tiny by construction), plus 1-row stats
+                "q_mann_kendall", "q_acf"}
 
 
 @pytest.mark.parametrize("name", sorted(
