@@ -1254,3 +1254,132 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (num.crossJoin(F.broadcast(den))
             .select("lag", "n_pairs",
                     F.round(F.col("nsum") / F.col("d0"), 6).alias("acf")))
+
+
+# ---------------------------------------------------------------------------
+# q_ks_test — two-sample Kolmogorov-Smirnov distance between the
+# discount distributions of returned vs non-returned line items:
+# D = max over values of |F̂₁(v) − F̂₂(v)|, computed from exact integer
+# cumulative counts over the sorted distinct-value grid — no sum of
+# doubles anywhere (max is order-independent), so the statistic is
+# bit-identical at any partitioning and any scale. The distribution-
+# drift gate every data-quality pipeline wants next to q_chi_square's
+# categorical test.
+# ---------------------------------------------------------------------------
+_KS_ORACLE = """
+WITH x AS (
+  SELECT CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp
+  FROM lineitem
+),
+cnt AS (
+  SELECT v,
+         CAST(sum(grp) AS BIGINT) AS c1,
+         CAST(sum(1 - grp) AS BIGINT) AS c2
+  FROM x GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM cnt
+),
+cum AS (
+  SELECT v,
+         CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS f2
+  FROM cnt
+)
+SELECT n1, n2,
+       round(max(abs(CAST(f1 AS DOUBLE) / n1
+                     - CAST(f2 AS DOUBLE) / n2)), 6) AS ks_d,
+       round(max(abs(CAST(f1 AS DOUBLE) / n1
+                     - CAST(f2 AS DOUBLE) / n2))
+             * sqrt(CAST(n1 AS DOUBLE) * n2
+                    / (CAST(n1 AS DOUBLE) + n2)), 6) AS ks_stat
+FROM cum CROSS JOIN tot
+GROUP BY n1, n2
+"""
+
+
+@register("q_ks_test", oracle=_KS_ORACLE)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        (F.col("l_discount").cast("decimal(8,4)") * 10000).cast("bigint")
+        .alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"))
+    cnt = x.groupBy("v").agg(
+        F.sum("grp").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("grp")).cast("bigint").alias("c2"))
+    tot = cnt.agg(F.sum("c1").cast("bigint").alias("n1"),
+                  F.sum("c2").cast("bigint").alias("n2"))
+    w = W.orderBy("v")   # distinct-discount grid: bounded (<= 11 values)
+    cum = cnt.select(
+        "v", F.sum("c1").over(w).cast("bigint").alias("f1"),
+        F.sum("c2").over(w).cast("bigint").alias("f2"))
+    j = cum.crossJoin(F.broadcast(tot))
+    gap = F.abs(F.col("f1").cast("double") / F.col("n1")
+                - F.col("f2").cast("double") / F.col("n2"))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    return (j.groupBy("n1", "n2")
+            .agg(F.round(F.max(gap), 6).alias("ks_d"),
+                 F.round(F.max(gap) * F.sqrt(n1d * n2d / (n1d + n2d)), 6)
+                 .alias("ks_stat")))
+
+
+# ---------------------------------------------------------------------------
+# q_theil_index — Theil T inequality index of supplier revenue within
+# each nation (the decomposable entropy-based member of the
+# concentration family next to HHI/Lorenz/Gini):
+# T = (1/n) Σ (x_i/μ) ln(x_i/μ). Same bounded per-nation revenue list
+# as q_hhi_concentration; terms fold in sorted revenue order on both
+# engines, revenues exact x4 bigints, μ one exact division.
+# ---------------------------------------------------------------------------
+_THEIL_ORACLE = f"""
+WITH sup AS (
+  SELECT s_nationkey, l_suppkey,
+         CAST(ROUND(SUM({SQL_REVENUE}), 4) * 10000 AS BIGINT) AS rx4
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, l_suppkey
+),
+n AS (
+  SELECT s_nationkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(rx4) AS BIGINT) AS tot,
+         list_sort(list(rx4)) AS lst
+  FROM sup GROUP BY s_nationkey
+)
+SELECT n_name AS nation, n_suppliers,
+       round(list_aggregate(list_transform(lst,
+               x -> (CAST(x AS DOUBLE)
+                     / (CAST(tot AS DOUBLE) / n_suppliers))
+                    * ln(CAST(x AS DOUBLE)
+                         / (CAST(tot AS DOUBLE) / n_suppliers))), 'sum')
+             / n_suppliers, 6) AS theil_t
+FROM n JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+@register("q_theil_index", oracle=_THEIL_ORACLE)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = dval("l_extendedprice") * (F.lit(1).cast("decimal(8,4)")
+                                     - F.col("l_discount").cast("decimal(8,4)"))
+    per_sup = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+               .groupBy("s_nationkey", "l_suppkey")
+               .agg((F.round(F.sum(rev), 4) * 10000).cast("bigint")
+                    .alias("rx4")))
+    n = (per_sup.groupBy("s_nationkey")
+         .agg(lcount("n_suppliers"),
+              F.sum("rx4").cast("bigint").alias("tot"),
+              F.array_sort(F.collect_list("rx4")).alias("lst")))
+    mu = F.col("tot").cast("double") / F.col("n_suppliers")
+    theil = F.aggregate(
+        F.transform(F.col("lst"),
+                    lambda x: (x.cast("double") / mu)
+                    * F.log(x.cast("double") / mu)),
+        F.lit(0.0), lambda acc, v: acc + v) / F.col("n_suppliers")
+    return (n.join(F.broadcast(nat), n.s_nationkey == nat.n_nationkey)
+            .select(F.col("n_name").alias("nation"), "n_suppliers",
+                    F.round(theil, 6).alias("theil_t")))

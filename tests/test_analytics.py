@@ -455,3 +455,47 @@ def test_acf_replay(spark, sf_dir):
         r = got[lag]
         assert r.n_pairs == len(pairs)
         assert abs(r.acf - nsum / d0) < 1e-4
+
+
+def test_ks_test_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_ks_test").collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_discount", "l_returnflag").collect()
+    g1 = sorted(int(Decimal(str(r.l_discount)).quantize(
+        Decimal("0.0001")) * 10000) for r in li if r.l_returnflag == "R")
+    g2 = sorted(int(Decimal(str(r.l_discount)).quantize(
+        Decimal("0.0001")) * 10000) for r in li if r.l_returnflag != "R")
+    values = sorted(set(g1) | set(g2))
+    import bisect
+    d = max(abs(bisect.bisect_right(g1, v) / len(g1)
+                - bisect.bisect_right(g2, v) / len(g2)) for v in values)
+    assert (got.n1, got.n2) == (len(g1), len(g2))
+    assert abs(got.ks_d - round(d, 6)) < 1e-9
+    assert 0.0 <= got.ks_d <= 1.0
+
+
+def test_theil_index_replay(spark, sf_dir):
+    got = {r.nation: r for r in _run(spark, sf_dir, "q_theil_index").collect()}
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    sup = {r.s_suppkey: r.s_nationkey
+           for r in load_table(spark, sf_dir, "supplier").collect()}
+    nat = {r.n_nationkey: r.n_name
+           for r in load_table(spark, sf_dir, "nation").collect()}
+    rev = defaultdict(Decimal)
+    for r in li:
+        rev[r.l_suppkey] += (
+            Decimal(str(r.l_extendedprice)).quantize(Decimal("0.0001"))
+            * (Decimal(1) - Decimal(str(r.l_discount)).quantize(
+                Decimal("0.0001"))))
+    by_nation = defaultdict(list)
+    for sk, v in rev.items():
+        by_nation[nat[sup[sk]]].append(
+            int(v.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP) * 10000))
+    for nation, xs in by_nation.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        t = sum((x / mu) * math.log(x / mu) for x in sorted(xs)) / n
+        r = got[nation]
+        assert r.n_suppliers == n
+        assert abs(r.theil_t - t) < 1e-5
+        assert r.theil_t >= -1e-9  # Theil T is non-negative

@@ -110,7 +110,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # calendar-bounded day-series crosses: Mann-Kendall's
                 # i<j sign pairs and ACF's lag alignment join |days|-row
                 # aggregates (tiny by construction), plus 1-row stats
-                "q_mann_kendall", "q_acf"}
+                "q_mann_kendall", "q_acf",
+                # one-row (n1, n2) totals broadcast over the value grid
+                "q_ks_test"}
 
 
 @pytest.mark.parametrize("name", sorted(
