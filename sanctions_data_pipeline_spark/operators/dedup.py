@@ -128,6 +128,15 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
 
     Output: (i, j, jac) with i < j and jac >= threshold.
     """
+    # shingling is the CPU-heavy map stage; a small local corpus arrives
+    # as ONE parquet split (a single row group can't split), which would
+    # serialize it on one core — at 100 TB the scan has thousands of
+    # splits and this branch never triggers (output pairs are
+    # partitioning-independent either way)
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, id_col)
     sets = docs.select(
         *block_cols,
         F.col(id_col).alias("i"),

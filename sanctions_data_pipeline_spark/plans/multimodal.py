@@ -114,12 +114,19 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((int(doc_id), ph))
             yield pd.DataFrame(out, columns=["doc_id", "phash"])
 
-    hashed = (docs.filter(F.length("text") > 0)  # NULL or EMPTY text
-              # would all hash the same zero raster (np.resize of a
-              # 0-size buffer zero-fills) -> bogus hamming-0 pairs AND
-              # a quadratic bucket; drop like the other dedup operators
-              .select("doc_id", "text")
-              .mapInPandas(ahash, "doc_id long, phash long"))
+    src = (docs.filter(F.length("text") > 0)  # NULL or EMPTY text
+           # would all hash the same zero raster (np.resize of a
+           # 0-size buffer zero-fills) -> bogus hamming-0 pairs AND
+           # a quadratic bucket; drop like the other dedup operators
+           .select("doc_id", "text"))
+    # The codec pass is CPU-bound Python per row; a small local corpus
+    # arrives as ONE parquet split (a single row group can't split), so
+    # without this the whole pass serializes on one core. At 100 TB the
+    # scan yields thousands of splits and this branch never triggers.
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, "doc_id")
+    hashed = src.mapInPandas(ahash, "doc_id long, phash long")
     chunked = hashed.select(
         "doc_id", "phash",
         F.posexplode(F.array(*simhash_chunk_keys(4, col="phash")))

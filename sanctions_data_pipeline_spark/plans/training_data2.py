@@ -189,6 +189,13 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("label") != 0)
         .select("label", sim.as_double(F.col("embedding")).alias("dv")),
         "dv", "dn")
+    # the q×corpus scoring is the hot loop and runs map-side off the
+    # scan; a small local corpus arrives as ONE parquet split, which
+    # would serialize it on one core — at 100 TB the scan has thousands
+    # of splits and this never triggers
+    par = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
     pairmax = (c.crossJoin(F.broadcast(q))
                .select("qv_id", "label",
                        F.round(sim.dot(F.col("qv"), F.col("dv"))
