@@ -60,3 +60,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def widen_small_scan(df, *key_cols):
+    """Adaptive split for CPU-heavy map stages: a small local corpus
+    arrives as ONE parquet split (a single row group can't split),
+    which would serialize the whole map stage on one core. Repartition
+    to the session parallelism only when the scan is under-parallel —
+    at 100 TB scans have thousands of splits and this never triggers.
+    Output values must be (and, for every caller, are)
+    partitioning-independent."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, *key_cols) if key_cols \
+            else df.repartition(par)
+    return df

@@ -524,7 +524,9 @@ def dup_regions(docs: DataFrame, k: int = 8, min_tokens: int = 10,
     over the normalized token stream."""
     from pyspark.sql import Window as W
 
-    ex = docs.select(
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
+
+    ex = widen_small_scan(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(span_hashes(F.col(text_col), k)).alias("pos", "h"))
     dup_spans = (ex.groupBy("h")

@@ -1031,7 +1031,9 @@ FROM s JOIN sdf USING (span)
 GROUP BY s.doc_id
 """)
 def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
+
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     ex = docs.select(
         "doc_id", F.explode(dd.span_hashes(F.col("text"), 8)).alias("h"))
     sdf = ex.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))

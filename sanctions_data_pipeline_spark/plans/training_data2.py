@@ -780,7 +780,9 @@ WHERE shared >= {_WIN_MIN_SHARED}
 
 @register("dd_winnow", oracle=_WINNOW_ORACLE, headline=True)
 def dd_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
+
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
     k, w = _WIN_K, _WIN_W
 
