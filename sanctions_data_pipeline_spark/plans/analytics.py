@@ -1383,3 +1383,44 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (n.join(F.broadcast(nat), n.s_nationkey == nat.n_nationkey)
             .select(F.col("n_name").alias("nation"), "n_suppliers",
                     F.round(theil, 6).alias("theil_t")))
+
+
+# ---------------------------------------------------------------------------
+# dq_uniqueness — per-column cardinality/null profile of the orders
+# table (the profiling pass every warehouse runs before declaring keys
+# and building dashboards): per column, row count, exact distinct
+# count, null count, uniqueness ratio. One pass per column expressed as
+# a union of exact aggregates; at 100 TB swap count_distinct for the
+# approx_count_distinct sketch the engine also ships (q_approx_sketch).
+# ---------------------------------------------------------------------------
+_UNIQ_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+              "o_orderpriority")
+
+_UNIQ_ORACLE = "\nUNION ALL\n".join(f"""
+SELECT '{c}' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       round(CAST(count(DISTINCT {c}) AS DOUBLE) / count(*), 6)
+         AS uniqueness
+FROM orders""" for c in _UNIQ_COLS)
+
+
+@register("dq_uniqueness", oracle=_UNIQ_ORACLE)
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    parts = []
+    for c in _UNIQ_COLS:
+        parts.append(orders.agg(
+            lcount("n_rows"),
+            F.count_distinct(F.col(c)).cast("bigint").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).cast("bigint")
+            .alias("n_nulls"),
+            F.round(F.count_distinct(F.col(c)).cast("double")
+                    / F.count(F.lit(1)), 6).alias("uniqueness"))
+            .select(F.lit(c).alias("col"), "n_rows", "n_distinct",
+                    "n_nulls", "uniqueness"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

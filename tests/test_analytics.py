@@ -499,3 +499,15 @@ def test_theil_index_replay(spark, sf_dir):
         assert r.n_suppliers == n
         assert abs(r.theil_t - t) < 1e-5
         assert r.theil_t >= -1e-9  # Theil T is non-negative
+
+
+def test_dq_uniqueness_profile(spark, sf_dir):
+    rows = {r.col: r for r in _run(spark, sf_dir, "dq_uniqueness").collect()}
+    orders = load_table(spark, sf_dir, "orders").collect()
+    assert rows["o_orderkey"].n_distinct == len(orders)
+    assert rows["o_orderkey"].uniqueness == 1.0  # primary key
+    for c, r in rows.items():
+        vals = [getattr(o, c) for o in orders]
+        assert r.n_rows == len(vals)
+        assert r.n_distinct == len(set(v for v in vals if v is not None))
+        assert r.n_nulls == sum(v is None for v in vals)
