@@ -1424,3 +1424,89 @@ def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_runs_test — Wald-Wolfowitz runs test for randomness of the daily
+# event-count series (the companion to q_mann_kendall: trend asks
+# "drifting?", runs asks "serially dependent?"): days labeled
+# above/below the median daily count (exact order statistic, ties-at-
+# median dropped per the textbook rule), the number of sign runs vs
+# its null mean/variance, one closed-form z. Exact integers end to
+# end; the run count itself is a lag-window sum over the bounded day
+# series.
+# ---------------------------------------------------------------------------
+_RUNS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+med AS (
+  SELECT CAST(min(x) AS BIGINT) AS m FROM (
+    SELECT x, ROW_NUMBER() OVER (ORDER BY x, d) AS rn,
+           count(*) OVER () AS n
+    FROM daily
+  ) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+),
+lab AS (
+  SELECT d, CASE WHEN x > m THEN 1 ELSE 0 END AS s
+  FROM daily CROSS JOIN med WHERE x <> m
+),
+runs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS n1,
+         CAST(count(*) - sum(s) AS BIGINT) AS n2,
+         CAST(1 + sum(CASE WHEN prev IS NOT NULL AND s <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM (SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM lab)
+)
+SELECT n, n1, n2, r,
+       round(2.0 * n1 * n2 / CAST(n AS DOUBLE) + 1.0, 6) AS mean_r,
+       -- degenerate series (one-sided labels or n < 2) has no null
+       -- variance: z is NULL rather than a division by zero
+       CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+         round((CAST(r AS DOUBLE)
+                - (2.0 * n1 * n2 / CAST(n AS DOUBLE) + 1.0))
+               / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0))), 6)
+       END AS z
+FROM runs
+"""
+
+
+@register("q_runs_test", oracle=_RUNS_ORACLE)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(lcount("x")))
+    wr = W.orderBy("x", "d")
+    med = (daily.select(
+        "x", F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"))
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .agg(F.min("x").cast("bigint").alias("m")))
+    lab = (daily.crossJoin(F.broadcast(med))
+           .filter(F.col("x") != F.col("m"))
+           .select("d", F.when(F.col("x") > F.col("m"), 1).otherwise(0)
+                   .alias("s")))
+    seq = lab.select("s", F.lag("s").over(W.orderBy("d")).alias("prev"))
+    runs = seq.agg(
+        lcount("n"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"),
+        (1 + F.sum(F.when(F.col("prev").isNotNull()
+                          & (F.col("s") != F.col("prev")), 1)
+                   .otherwise(0))).cast("bigint").alias("r"))
+    n_d = F.col("n").cast("double")
+    mean_r = F.lit(2.0) * F.col("n1") * F.col("n2") / n_d + F.lit(1.0)
+    var_r = (F.lit(2.0) * F.col("n1") * F.col("n2")
+             * (F.lit(2.0) * F.col("n1") * F.col("n2") - n_d)
+             / (n_d * n_d * (n_d - F.lit(1.0))))
+    defined = (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n") > 1)
+    return runs.select(
+        "n", "n1", "n2", "r",
+        F.round(mean_r, 6).alias("mean_r"),
+        F.when(defined,
+               F.round((F.col("r").cast("double") - mean_r)
+                       / F.sqrt(var_r), 6)).alias("z"))

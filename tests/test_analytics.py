@@ -511,3 +511,25 @@ def test_dq_uniqueness_profile(spark, sf_dir):
         assert r.n_rows == len(vals)
         assert r.n_distinct == len(set(v for v in vals if v is not None))
         assert r.n_nulls == sum(v is None for v in vals)
+
+
+def test_runs_test_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_runs_test").collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate").collect()
+    daily = Counter(r.o_orderdate.date() for r in orders)
+    pairs = sorted(daily.items())
+    xs_sorted = sorted((x, d) for d, x in pairs)
+    m = xs_sorted[math.ceil(len(xs_sorted) / 2.0) - 1][0]
+    labs = [(d, 1 if x > m else 0) for d, x in pairs if x != m]
+    n = len(labs)
+    n1 = sum(s for _, s in labs)
+    n2 = n - n1
+    r = 1 + sum(1 for (_, a), (_, b) in zip(labs, labs[1:]) if a != b)
+    mean_r = 2.0 * n1 * n2 / n + 1.0
+    assert (got.n, got.n1, got.n2, got.r) == (n, n1, n2, r)
+    assert abs(got.mean_r - round(mean_r, 6)) < 1e-9
+    if n1 > 0 and n2 > 0 and n > 1:
+        var_r = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+        assert abs(got.z - (r - mean_r) / math.sqrt(var_r)) < 1e-4
+    else:
+        assert got.z is None  # degenerate series: z undefined, not a crash

@@ -112,7 +112,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # aggregates (tiny by construction), plus 1-row stats
                 "q_mann_kendall", "q_acf",
                 # one-row (n1, n2) totals broadcast over the value grid
-                "q_ks_test"}
+                "q_ks_test",
+                # one-row exact-median broadcast over the day series
+                "q_runs_test"}
 
 
 @pytest.mark.parametrize("name", sorted(
