@@ -258,9 +258,16 @@ parts AS (
   FROM grp
 )
 SELECT k, n AS n_rows,
-       round(sum_sg2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                       / CAST(n AS DOUBLE), 6) AS ssb,
-       round(CAST(ss AS DOUBLE) - sum_sg2, 6) AS ssw,
+       -- mean squares, not raw sums of squares: SSW is extensive
+       -- (~5e11 at x10) and round(x, 6) diverges across engines past
+       -- 2^53/1e6; the mean squares are intensive and stay inside the
+       -- pround6 envelope at any sf
+       CAST(FLOOR(((sum_sg2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+                  * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS ms_between,
+       CAST(FLOOR(((CAST(ss AS DOUBLE) - sum_sg2)
+                   / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS ms_within,
        round(((sum_sg2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
                          / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
              / ((CAST(ss AS DOUBLE) - sum_sg2)
@@ -289,6 +296,8 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.array_sort(F.collect_list(F.struct("g", "v"))),
                         lambda s: s["v"]),
             F.lit(0.0), lambda acc, v: acc + v).alias("sum_sg2"))
+    from sanctions_data_pipeline_spark.plans.helpers import pround6
+
     j = parts.crossJoin(F.broadcast(tot))
     n_d, s_d = F.col("n").cast("double"), F.col("s").cast("double")
     ss_d, k_d = F.col("ss").cast("double"), F.col("k").cast("double")
@@ -296,7 +305,8 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssw = ss_d - F.col("sum_sg2")
     return j.select(
         "k", F.col("n").alias("n_rows"),
-        F.round(ssb, 6).alias("ssb"), F.round(ssw, 6).alias("ssw"),
+        pround6(ssb / (k_d - F.lit(1.0))).alias("ms_between"),
+        pround6(ssw / (n_d - k_d)).alias("ms_within"),
         F.round((ssb / (k_d - F.lit(1.0))) / (ssw / (n_d - k_d)), 6)
         .alias("f_stat"))
 

@@ -102,6 +102,8 @@ def test_anova_f_replay(spark, sf_dir):
     k = len(groups)
     f = (ssb / (k - 1)) / (ssw / (n - k))
     assert got.k == k and got.n_rows == n
+    assert abs(got.ms_between - ssb / (k - 1)) < 1e-3
+    assert abs(got.ms_within - ssw / (n - k)) < 1e-3
     assert abs(got.f_stat - f) < 1e-3
 
 
