@@ -1520,3 +1520,68 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(defined,
                F.round((F.col("r").cast("double") - mean_r)
                        / F.sqrt(var_r), 6)).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# q_cramers_v — Cramér's V effect size for the q_chi_square contingency
+# (chi-square says "dependent?", V says "how much"): V = sqrt(χ² /
+# (n · min(r−1, c−1))), plus the φ² mean-square contingency. Same
+# complete-margin-grid statistic, same sorted-fold discipline; on the
+# independent synthetic pairing V ≈ 0 by construction.
+# ---------------------------------------------------------------------------
+_CRAMER_ORACLE = _CHI2_ORACLE.replace(
+    """SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((count(DISTINCT split_part(k, '|', 1)) - 1)
+            * (count(DISTINCT split_part(k, '|', 2)) - 1) AS BIGINT) AS dof,
+       round(list_aggregate(list_transform(
+               list_sort(list({'k': k, 'c': c})), s -> s.c), 'sum'), 6)
+         AS chi2
+FROM contrib""",
+    """SELECT CAST(max(n) AS BIGINT) AS n,
+       round(list_aggregate(list_transform(
+               list_sort(list({'k': k, 'c': c})), s -> s.c), 'sum')
+             / max(n), 6) AS phi2,
+       round(sqrt(list_aggregate(list_transform(
+               list_sort(list({'k': k, 'c': c})), s -> s.c), 'sum')
+             / (CAST(max(n) AS DOUBLE)
+                * least(count(DISTINCT split_part(k, '|', 1)) - 1,
+                        count(DISTINCT split_part(k, '|', 2)) - 1))), 6)
+         AS cramers_v
+FROM contrib""")
+
+
+@register("q_cramers_v", oracle=_CRAMER_ORACLE)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+         .select(F.col("o_orderpriority").alias("pri"),
+                 F.col("c_mktsegment").alias("seg")))
+    obs = j.groupBy("pri", "seg").agg(lcount("o"))
+    rm = j.groupBy("pri").agg(lcount("rc"))
+    cm = j.groupBy("seg").agg(lcount("cc"))
+    t = rm.agg(F.sum("rc").cast("bigint").alias("n"))
+    grid = (F.broadcast(rm).crossJoin(F.broadcast(cm))
+            .crossJoin(F.broadcast(t))
+            .join(obs, ["pri", "seg"], "left")
+            .withColumn("o", F.coalesce(F.col("o"), F.lit(0)).cast("bigint")))
+    e = (F.col("rc").cast("double") * F.col("cc").cast("double")
+         / F.col("n").cast("double"))
+    contrib = grid.select(
+        F.concat_ws("|", "pri", "seg").alias("k"),
+        ((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)
+         / e).alias("c"),
+        "n")
+    chi2 = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("k", "c"))),
+                    lambda s: s["c"]),
+        F.lit(0.0), lambda acc, x: acc + x)
+    mindim = F.least(
+        F.count_distinct(F.split_part(F.col("k"), F.lit("|"), F.lit(1))) - 1,
+        F.count_distinct(F.split_part(F.col("k"), F.lit("|"), F.lit(2))) - 1)
+    return contrib.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.round(chi2 / F.max("n"), 6).alias("phi2"),
+        F.round(F.sqrt(chi2 / (F.max("n").cast("double") * mindim)), 6)
+        .alias("cramers_v"))

@@ -535,3 +535,15 @@ def test_runs_test_replay(spark, sf_dir):
         assert abs(got.z - (r - mean_r) / math.sqrt(var_r)) < 1e-4
     else:
         assert got.z is None  # degenerate series: z undefined, not a crash
+
+
+def test_cramers_v_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_cramers_v").collect()[0]
+    chi = _run(spark, sf_dir, "q_chi_square").collect()[0]
+    # consistency with the chi-square op over the same grid
+    assert got.n == chi.n
+    phi2 = chi.chi2 / chi.n
+    assert abs(got.phi2 - round(phi2, 6)) < 1e-6
+    # mindim for the 5-priority x 5-segment grid is 4
+    assert abs(got.cramers_v - round(math.sqrt(phi2 / 4), 6)) < 1e-6
+    assert 0.0 <= got.cramers_v <= 1.0

@@ -114,7 +114,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # one-row (n1, n2) totals broadcast over the value grid
                 "q_ks_test",
                 # one-row exact-median broadcast over the day series
-                "q_runs_test"}
+                "q_runs_test",
+                # same margin-lattice cross as q_chi_square
+                "q_cramers_v"}
 
 
 @pytest.mark.parametrize("name", sorted(
