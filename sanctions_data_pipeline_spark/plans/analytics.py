@@ -1585,3 +1585,77 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2 / F.max("n"), 6).alias("phi2"),
         F.round(F.sqrt(chi2 / (F.max("n").cast("double") * mindim)), 6)
         .alias("cramers_v"))
+
+
+# ---------------------------------------------------------------------------
+# q_welch_ttest — Welch's unequal-variance two-sample t-test of mean
+# event value, click vs view (the pairwise companion to q_anova_f's
+# k-group screen, robust to variance imbalance): means/variances from
+# exact decimal moment sums (the q_stats_moments envelope), t statistic
+# and Welch-Satterthwaite degrees of freedom as one identical double
+# tree. One grouped agg; nothing else.
+# ---------------------------------------------------------------------------
+_WELCH_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) / 10000.0 AS DOUBLE) AS sx,
+         CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))
+                             * CAST(value AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) / 10000.0 AS DOUBLE) AS sxx
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type
+),
+s AS (
+  SELECT event_type, n, sx / n AS mean,
+         (n * sxx - sx * sx) / (n * (n - 1)) AS var
+  FROM m
+),
+w AS (
+  SELECT a.n AS n1, b.n AS n2,
+         a.mean AS mean1, b.mean AS mean2,
+         a.var / a.n AS va, b.var / b.n AS vb
+  FROM s a JOIN s b ON a.event_type = 'click' AND b.event_type = 'view'
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(mean1, 6) AS mean_click, round(mean2, 6) AS mean_view,
+       round((mean1 - mean2) / sqrt(va + vb), 6) AS t_stat,
+       round((va + vb) * (va + vb)
+             / (va * va / (n1 - 1) + vb * vb / (n2 - 1)), 6) AS dof
+FROM w
+"""
+
+
+@register("q_welch_ttest", oracle=_WELCH_ORACLE)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import _as_exact_double
+
+    ev = load_table(spark, sf_dir, "events") \
+        .filter(F.col("event_type").isin("click", "view"))
+    x = dval("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _as_exact_double(F.sum(x)).alias("sx"),
+        _as_exact_double(F.sum(x * x)).alias("sxx"))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    s = m.select("event_type", "n", (sx / n).alias("mean"),
+                 ((n * sxx - sx * sx) / (n * (n - F.lit(1)))).alias("var"))
+    a = s.filter(F.col("event_type") == "click") \
+        .select(F.col("n").alias("n1"), F.col("mean").alias("mean1"),
+                (F.col("var") / F.col("n")).alias("va"))
+    b = s.filter(F.col("event_type") == "view") \
+        .select(F.col("n").alias("n2"), F.col("mean").alias("mean2"),
+                (F.col("var") / F.col("n")).alias("vb"))
+    w = a.crossJoin(F.broadcast(b))
+    va, vb = F.col("va"), F.col("vb")
+    return w.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(F.col("mean1"), 6).alias("mean_click"),
+        F.round(F.col("mean2"), 6).alias("mean_view"),
+        F.round((F.col("mean1") - F.col("mean2")) / F.sqrt(va + vb), 6)
+        .alias("t_stat"),
+        F.round((va + vb) * (va + vb)
+                / (va * va / (F.col("n1") - F.lit(1.0))
+                   + vb * vb / (F.col("n2") - F.lit(1.0))), 6).alias("dof"))

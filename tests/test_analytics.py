@@ -547,3 +547,28 @@ def test_cramers_v_replay(spark, sf_dir):
     # mindim for the 5-priority x 5-segment grid is 4
     assert abs(got.cramers_v - round(math.sqrt(phi2 / 4), 6)) < 1e-6
     assert 0.0 <= got.cramers_v <= 1.0
+
+
+def test_welch_ttest_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_welch_ttest").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value").collect()
+    groups = {"click": [], "view": []}
+    for r in ev:
+        if r.event_type in groups:
+            groups[r.event_type].append(float(
+                Decimal(str(r.value)).quantize(Decimal("0.0001"))))
+    stats = {}
+    for t, xs in groups.items():
+        n = len(xs)
+        mean = sum(xs) / n
+        var = (n * sum(x * x for x in xs) - sum(xs) ** 2) / (n * (n - 1))
+        stats[t] = (n, mean, var / n)
+    (n1, m1, va), (n2, m2, vb) = stats["click"], stats["view"]
+    t_stat = (m1 - m2) / math.sqrt(va + vb)
+    dof = (va + vb) ** 2 / (va ** 2 / (n1 - 1) + vb ** 2 / (n2 - 1))
+    assert (got.n1, got.n2) == (n1, n2)
+    assert abs(got.t_stat - t_stat) < 1e-4
+    assert abs(got.dof - dof) < 1e-2
+    # Welch-Satterthwaite dof bounded by min-1 and pooled-2
+    assert min(n1, n2) - 1 <= got.dof <= n1 + n2 - 2

@@ -116,7 +116,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # one-row exact-median broadcast over the day series
                 "q_runs_test",
                 # same margin-lattice cross as q_chi_square
-                "q_cramers_v"}
+                "q_cramers_v",
+                # one-row group-stats cross (click row x view row)
+                "q_welch_ttest"}
 
 
 @pytest.mark.parametrize("name", sorted(
