@@ -1659,3 +1659,64 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((va + vb) * (va + vb)
                 / (va * va / (F.col("n1") - F.lit(1.0))
                    + vb * vb / (F.col("n2") - F.lit(1.0))), 6).alias("dof"))
+
+
+# ---------------------------------------------------------------------------
+# sim_mrr_eval — mean-reciprocal-rank eval of the sign-LSH index (the
+# rank-SENSITIVE companion to sim_recall_eval's recall@k): per query,
+# where does the TRUE nearest neighbor (exact cosine rank 1) land in
+# the approx ranking — rr = 1/rank, 0 when the index misses it in its
+# bucket. In-engine eval, no driver loops; the corpus-side plan is the
+# same bucket join the index itself runs.
+# ---------------------------------------------------------------------------
+def _mrr_oracle() -> str:
+    from sanctions_data_pipeline_spark.plans.training_data import (
+        _COS, _sql_bucket)
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_sql_bucket("v")} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+truth AS (
+  SELECT query_id, neighbor_id AS true_nn FROM (
+    SELECT query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_COS.format(a="qv", b="v")} DESC,
+                                       e.vec_id) AS rnk
+    FROM q, e WHERE e.vec_id <> query_id
+  ) WHERE rnk = 1
+), approx AS (
+  SELECT query_id, neighbor_id, arnk FROM (
+    SELECT query_id, b.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_COS.format(a="qv", b="b.v")} DESC,
+                                       b.vec_id) AS BIGINT) AS arnk
+    FROM q JOIN b USING (bucket) WHERE b.vec_id <> query_id
+  ) WHERE arnk <= 10
+)
+SELECT t.query_id, t.true_nn, a.arnk AS approx_rank,
+       round(COALESCE(1.0 / a.arnk, 0.0), 6) AS rr
+FROM truth t LEFT JOIN approx a
+  ON t.query_id = a.query_id AND t.true_nn = a.neighbor_id
+"""
+
+
+@register("sim_mrr_eval", oracle=_mrr_oracle())
+def sim_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = vecs.filter(F.col("vec_id") < 20)
+    truth = (sim.brute_force_topk(q, vecs, k=1)
+             .select("query_id", F.col("neighbor_id").alias("true_nn")))
+    approx = (sim.lsh_topk(q, vecs, k=10, n_bits=8)
+              .select("query_id", F.col("neighbor_id").alias("__an"),
+                      F.col("rnk").cast("bigint").alias("arnk")))
+    j = truth.join(
+        approx, (truth.query_id == approx.query_id)
+        & (truth.true_nn == approx.__an), "left") \
+        .select(truth.query_id, "true_nn", "arnk")
+    return j.select(
+        "query_id", "true_nn", F.col("arnk").alias("approx_rank"),
+        F.round(F.coalesce(F.lit(1.0) / F.col("arnk"), F.lit(0.0)), 6)
+        .alias("rr"))

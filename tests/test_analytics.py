@@ -572,3 +572,30 @@ def test_welch_ttest_replay(spark, sf_dir):
     assert abs(got.dof - dof) < 1e-2
     # Welch-Satterthwaite dof bounded by min-1 and pooled-2
     assert min(n1, n2) - 1 <= got.dof <= n1 + n2 - 2
+
+
+def test_mrr_eval_replay(spark, sf_dir):
+    import numpy as np
+
+    rows = {r.query_id: r for r in _run(spark, sf_dir, "sim_mrr_eval").collect()}
+    assert set(rows) == set(range(20))
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r.vec_id for r in emb])
+    v = np.array([[float(x) for x in r.embedding] for r in emb])
+    u = v / np.linalg.norm(v, axis=1, keepdims=True)
+    buckets = (np.where(v[:, :8] >= 0, 1 << np.arange(8), 0)).sum(axis=1)
+    for q in range(20):
+        qi = int(np.where(ids == q)[0][0])
+        cos = np.round(u[qi] @ u.T, 6)
+        order = [b for b in np.lexsort((ids, -cos)) if ids[b] != q]
+        true_nn = int(ids[order[0]])
+        r = rows[q]
+        assert r.true_nn == true_nn
+        # rr consistent with approx_rank; missing -> 0
+        if r.approx_rank is None:
+            assert r.rr == 0.0
+        else:
+            assert abs(r.rr - round(1.0 / r.approx_rank, 6)) < 1e-9
+            assert 1 <= r.approx_rank <= 10
+            # same-bucket requirement for the index to have found it
+            assert buckets[qi] == buckets[int(np.where(ids == true_nn)[0][0])]

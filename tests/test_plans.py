@@ -118,7 +118,10 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # same margin-lattice cross as q_chi_square
                 "q_cramers_v",
                 # one-row group-stats cross (click row x view row)
-                "q_welch_ttest"}
+                "q_welch_ttest",
+                # composes the brute-force ground truth (query x corpus
+                # scoring cross, same as sim_recall_eval)
+                "sim_mrr_eval"}
 
 
 @pytest.mark.parametrize("name", sorted(
