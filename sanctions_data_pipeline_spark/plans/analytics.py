@@ -1720,3 +1720,99 @@ def sim_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "true_nn", F.col("arnk").alias("approx_rank"),
         F.round(F.coalesce(F.lit(1.0) / F.col("arnk"), F.lit(0.0)), 6)
         .alias("rr"))
+
+
+# ---------------------------------------------------------------------------
+# q_levene_test — Brown-Forsythe/Levene variance-homogeneity test of
+# discount across return flags (the assumption check you run BEFORE
+# trusting q_anova_f's pooled variance): one-way ANOVA F over absolute
+# deviations from each group's MEDIAN (the robust Brown-Forsythe
+# variant). The median is an exact discrete order statistic of the x4
+# ints, so every deviation is an exact integer and the whole moment
+# pipeline stays bigint-exact; mean squares via pround6 (the
+# q_anova_f lesson — never round an extensive statistic).
+# ---------------------------------------------------------------------------
+_LEVENE_ORACLE = """
+WITH x AS (
+  SELECT l_returnflag AS g,
+         CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT) AS x4
+  FROM lineitem
+),
+med AS (
+  SELECT g, CAST(min(CASE WHEN rn = CAST(ceil(n / 2.0) AS BIGINT)
+                          THEN x4 END) AS BIGINT) AS m
+  FROM (SELECT g, x4,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x4) AS rn,
+               count(*) OVER (PARTITION BY g) AS n
+        FROM x)
+  GROUP BY g
+),
+z AS (
+  SELECT x.g, abs(x4 - m) AS z FROM x JOIN med ON x.g = med.g
+),
+grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_g, CAST(sum(z) AS BIGINT) AS s_g
+  FROM z GROUP BY g
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(z) AS BIGINT) AS s,
+         CAST(sum(z * z) AS BIGINT) AS ss
+  FROM z
+),
+parts AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         list_aggregate(list_transform(
+           list_sort(list({'g': g, 'v': CAST(s_g AS DOUBLE)
+                                        * CAST(s_g AS DOUBLE)
+                                        / CAST(n_g AS DOUBLE)})),
+           s -> s.v), 'sum') AS sum_sg2
+  FROM grp
+)
+SELECT k, n AS n_rows,
+       round(((sum_sg2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             / ((CAST(ss AS DOUBLE) - sum_sg2)
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS w_stat
+FROM parts CROSS JOIN tot
+"""
+
+
+@register("q_levene_test", oracle=_LEVENE_ORACLE)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("g"),
+        (F.col("l_discount").cast("decimal(8,4)") * 10000).cast("bigint")
+        .alias("x4"))
+    wr = W.partitionBy("g").orderBy("x4")
+    wn = W.partitionBy("g")
+    med = (x.select("g", "x4", F.row_number().over(wr).alias("rn"),
+                    F.count(F.lit(1)).over(wn).alias("n"))
+           .groupBy("g")
+           .agg(F.min(F.when(
+               F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"),
+               F.col("x4"))).cast("bigint").alias("m")))
+    z = (x.join(F.broadcast(med), "g")
+         .select("g", F.abs(F.col("x4") - F.col("m")).alias("z")))
+    grp = z.groupBy("g").agg(lcount("n_g"),
+                             F.sum("z").cast("bigint").alias("s_g"))
+    tot = z.agg(lcount("n"), F.sum("z").cast("bigint").alias("s"),
+                F.sum(F.col("z") * F.col("z")).cast("bigint").alias("ss"))
+    parts = grp.select(
+        "g", (F.col("s_g").cast("double") * F.col("s_g").cast("double")
+              / F.col("n_g").cast("double")).alias("v")
+    ).agg(
+        lcount("k"),
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list(F.struct("g", "v"))),
+                        lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v).alias("sum_sg2"))
+    j = parts.crossJoin(F.broadcast(tot))
+    n_d, s_d = F.col("n").cast("double"), F.col("s").cast("double")
+    ss_d, k_d = F.col("ss").cast("double"), F.col("k").cast("double")
+    ssb = F.col("sum_sg2") - s_d * s_d / n_d
+    ssw = ss_d - F.col("sum_sg2")
+    return j.select(
+        "k", F.col("n").alias("n_rows"),
+        F.round((ssb / (k_d - F.lit(1.0))) / (ssw / (n_d - k_d)), 6)
+        .alias("w_stat"))

@@ -599,3 +599,26 @@ def test_mrr_eval_replay(spark, sf_dir):
             assert 1 <= r.approx_rank <= 10
             # same-bucket requirement for the index to have found it
             assert buckets[qi] == buckets[int(np.where(ids == true_nn)[0][0])]
+
+
+def test_levene_test_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_levene_test").collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_discount").collect()
+    groups = defaultdict(list)
+    for r in li:
+        groups[r.l_returnflag].append(
+            int(Decimal(str(r.l_discount)).quantize(Decimal("0.0001"))
+                * 10000))
+    zs = {}
+    for g, xs in groups.items():
+        xs.sort()
+        m = xs[math.ceil(len(xs) / 2.0) - 1]
+        zs[g] = [abs(x - m) for x in xs]
+    all_z = [z for v in zs.values() for z in v]
+    n, s, ss = len(all_z), sum(all_z), sum(z * z for z in all_z)
+    sum_sg2 = sum(sum(v) ** 2 / len(v) for _, v in sorted(zs.items()))
+    k = len(zs)
+    w = ((sum_sg2 - s * s / n) / (k - 1)) / ((ss - sum_sg2) / (n - k))
+    assert (got.k, got.n_rows) == (k, n)
+    assert abs(got.w_stat - w) < 1e-3

@@ -121,7 +121,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_welch_ttest",
                 # composes the brute-force ground truth (query x corpus
                 # scoring cross, same as sim_recall_eval)
-                "sim_mrr_eval"}
+                "sim_mrr_eval",
+                # one-row grand-total cross (the q_anova_f shape)
+                "q_levene_test"}
 
 
 @pytest.mark.parametrize("name", sorted(
