@@ -1816,3 +1816,33 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", F.col("n").alias("n_rows"),
         F.round((ssb / (k_d - F.lit(1.0))) / (ssw / (n_d - k_d)), 6)
         .alias("w_stat"))
+
+
+# ---------------------------------------------------------------------------
+# io_csv_roundtrip — CSV sink/source fidelity twin of
+# io_jsonl_roundtrip, through the package's quarantining CSV reader
+# (sources/csv_source.py): write the documents table as quoted CSV,
+# read it back PERMISSIVE, and emit per-doc md5 identity. Quoting /
+# escaping / header bugs in either direction break the value hash; a
+# row landing in the corrupt-record quarantine would change the row
+# count.
+# ---------------------------------------------------------------------------
+@register("io_csv_roundtrip", oracle=_JSONL_ORACLE)
+def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from sanctions_data_pipeline_spark.sources.csv_source import (
+        read_documents_csv, write_documents_csv)
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        os.path.basename(sf_dir.rstrip("/")), "docs_csv")
+    write_documents_csv(docs, path)
+    back = read_documents_csv(spark, path) \
+        .filter(F.col("_corrupt_record").isNull())
+    return back.select(
+        "doc_id", "lang", "source",
+        F.length("text").cast("bigint").alias("n_chars_rt"),
+        F.md5(F.col("text")).alias("text_md5"))

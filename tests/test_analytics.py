@@ -622,3 +622,13 @@ def test_levene_test_replay(spark, sf_dir):
     w = ((sum_sg2 - s * s / n) / (k - 1)) / ((ss - sum_sg2) / (n - k))
     assert (got.k, got.n_rows) == (k, n)
     assert abs(got.w_stat - w) < 1e-3
+
+
+def test_csv_roundtrip_is_identity(spark, sf_dir):
+    got = {r.doc_id: r for r in
+           _run(spark, sf_dir, "io_csv_roundtrip").collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert len(got) == len(docs)  # nothing quarantined
+    for doc in docs:
+        assert got[doc.doc_id].text_md5 == \
+            hashlib.md5(doc.text.encode()).hexdigest()
