@@ -1846,3 +1846,72 @@ def io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.length("text").cast("bigint").alias("n_chars_rt"),
         F.md5(F.col("text")).alias("text_md5"))
+
+
+# ---------------------------------------------------------------------------
+# q_seasonal_decompose — classical additive decomposition of the daily
+# event series (the moving-average method every forecasting text opens
+# with): trend = centered 7-day moving mean (exact bigint window sums,
+# one division), seasonal = day-of-week mean of the detrended series
+# (folded in day order — bounded, bit-identical), residual = the rest.
+# The capstone over q_acf / q_mann_kendall / q_weekday_seasonality:
+# same series, full decomposition. One row per day.
+# ---------------------------------------------------------------------------
+_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2, 3
+),
+tr AS (
+  SELECT i, day, dow, x,
+         CAST(sum(x) OVER w AS DOUBLE) / CAST(count(x) OVER w AS DOUBLE)
+           AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY i ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+sea AS (
+  SELECT dow,
+         list_aggregate(list_transform(
+           list_sort(list({'i': i, 'v': CAST(x AS DOUBLE) - trend})),
+           s -> s.v), 'sum')
+           / count(*) AS seasonal
+  FROM tr GROUP BY dow
+)
+SELECT day, x, round(trend, 6) AS trend,
+       round(seasonal, 6) AS seasonal,
+       round(CAST(x AS DOUBLE) - trend - seasonal, 6) AS residual
+FROM tr JOIN sea USING (dow)
+"""
+
+
+@register("q_seasonal_decompose", oracle=_DECOMP_ORACLE)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                 / F.lit(86400000000)).cast("bigint")).alias("i"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.dayofweek(F.date_trunc("day", "ts")).cast("bigint").alias("dow"))
+        .agg(lcount("x")))
+    w = W.orderBy("i").rowsBetween(-3, 3)
+    tr = daily.select(
+        "i", "day", "dow", "x",
+        (F.sum("x").over(w).cast("double")
+         / F.count("x").over(w).cast("double")).alias("trend"))
+    sea = (tr.select("dow", F.struct(
+        F.col("i").alias("i"),
+        (F.col("x").cast("double") - F.col("trend")).alias("v")).alias("sv"))
+        .groupBy("dow")
+        .agg((F.aggregate(
+            F.transform(F.array_sort(F.collect_list("sv")),
+                        lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+            / F.count(F.lit(1))).alias("seasonal")))
+    return (tr.join(F.broadcast(sea), "dow")
+            .select("day", "x", F.round("trend", 6).alias("trend"),
+                    F.round("seasonal", 6).alias("seasonal"),
+                    F.round(F.col("x").cast("double") - F.col("trend")
+                            - F.col("seasonal"), 6).alias("residual")))

@@ -632,3 +632,31 @@ def test_csv_roundtrip_is_identity(spark, sf_dir):
     for doc in docs:
         assert got[doc.doc_id].text_md5 == \
             hashlib.md5(doc.text.encode()).hexdigest()
+
+
+def test_seasonal_decompose_replay(spark, sf_dir):
+    got = {r.day: r for r in
+           _run(spark, sf_dir, "q_seasonal_decompose").collect()}
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = Counter(r.ts.date() for r in ev)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    trend = []
+    for i in range(len(xs)):
+        lo, hi = max(0, i - 3), min(len(xs), i + 4)
+        trend.append(sum(xs[lo:hi]) / (hi - lo))
+    det = [x - t for x, t in zip(xs, trend)]
+    by_dow = defaultdict(list)
+    for d, v in zip(days, det):
+        by_dow[d.isoweekday() % 7 + 1].append(v)  # Sunday=1 convention
+    sea = {dw: sum(vs) / len(vs) for dw, vs in by_dow.items()}
+    for d, x, t in zip(days, xs, trend):
+        r = got[d.isoformat()]
+        assert r.x == x
+        assert abs(r.trend - t) < 1e-4
+        dw = d.isoweekday() % 7 + 1
+        assert abs(r.seasonal - sea[dw]) < 1e-4
+        assert abs(r.residual - (x - t - sea[dw])) < 1e-3
+    # decomposition identity: x == trend + seasonal + residual
+    for r in got.values():
+        assert abs(r.x - (r.trend + r.seasonal + r.residual)) < 1e-5
