@@ -1915,3 +1915,49 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("seasonal", 6).alias("seasonal"),
                     F.round(F.col("x").cast("double") - F.col("trend")
                             - F.col("seasonal"), 6).alias("residual")))
+
+
+# ---------------------------------------------------------------------------
+# tx_lexical_diversity — vocabulary-diversity screen per document
+# (bot/template text has pathologically low diversity even when the
+# Gopher shape rules pass): type-token ratio and Herdan's C
+# (log V / log N — the length-robust variant). Map-side HOF counts,
+# one identical log-ratio tree.
+# ---------------------------------------------------------------------------
+_LEXDIV_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE length(text) > 0
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+  FROM t
+)
+SELECT doc_id, n_tokens, n_types,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       CASE WHEN n_tokens > 1
+            THEN round(ln(CAST(n_types AS DOUBLE))
+                       / ln(CAST(n_tokens AS DOUBLE)), 6) END AS herdan_c
+FROM m
+"""
+
+
+@register("tx_lexical_diversity", oracle=_LEXDIV_ORACLE)
+def tx_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    m = docs.select(
+        "doc_id",
+        F.size(tx.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(tx.tokens(F.col("text")))).cast("bigint")
+        .alias("n_types"))
+    return m.select(
+        "doc_id", "n_tokens", "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6)
+        .alias("ttr"),
+        F.when(F.col("n_tokens") > 1,
+               F.round(F.log(F.col("n_types").cast("double"))
+                       / F.log(F.col("n_tokens").cast("double")), 6))
+        .alias("herdan_c"))

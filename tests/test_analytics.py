@@ -660,3 +660,19 @@ def test_seasonal_decompose_replay(spark, sf_dir):
     # decomposition identity: x == trend + seasonal + residual
     for r in got.values():
         assert abs(r.x - (r.trend + r.seasonal + r.residual)) < 1e-5
+
+
+def test_lexical_diversity_replay(spark, sf_dir):
+    got = {r.doc_id: r for r in
+           _run(spark, sf_dir, "tx_lexical_diversity").collect()}
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0).collect()
+    for doc in docs:
+        toks = re.sub(r"\s+", " ", doc.text.lower()).strip().split(" ")
+        r = got[doc.doc_id]
+        assert (r.n_tokens, r.n_types) == (len(toks), len(set(toks)))
+        assert abs(r.ttr - len(set(toks)) / len(toks)) < 1e-6
+        if len(toks) > 1:
+            assert abs(r.herdan_c
+                       - math.log(len(set(toks))) / math.log(len(toks))) < 1e-4
+            assert 0.0 < r.herdan_c <= 1.0
