@@ -73,6 +73,7 @@ _PLAN_MODULES = (
     "multimodal",
     "temporal",
     "analytics",
+    "analytics2",
 )
 
 # Queries already hash-verified by the round-1 driver (CORRECTNESS_r01.json).

@@ -135,7 +135,9 @@ def test_series_ops_tolerate_empty_events(spark, sf_dir, tmp_path):
     from sanctions_data_pipeline_spark.plans import registry
     qs = registry.queries()
     for name in ("q_cusum_changepoint", "q_holt_forecast",
-                 "q_weekday_seasonality", "tok_fertility"):
+                 "q_weekday_seasonality", "tok_fertility",
+                 # pure-window day-series ops: empty in -> empty out
+                 "q_bollinger_bands", "q_drawdown", "q_rsi"):
         df = qs[name](spark, d)
         assert df.collect() == [], name
         assert len(df.schema.fields) >= 3, name  # declared schema, not a stub
