@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from sanctions_data_pipeline_spark.catalog import load_table
-from sanctions_data_pipeline_spark.plans.helpers import lcount
+from sanctions_data_pipeline_spark.plans.helpers import lcount, pround6
 from sanctions_data_pipeline_spark.plans.registry import register
 
 # Daily value series: x4 fixed-point sum of events.value per UTC day.
@@ -293,3 +293,337 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.round(F.lit(1.0) - F.lit(6.0) * F.col("sum_d2").cast("double")
                        / (m_d * (m_d * m_d - F.lit(1.0))), 6))
         .alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# tt_reservoir_sample — deterministic fixed-k per-source document
+# sample (the "reservoir" every corpus-inspection dashboard needs):
+# rank documents within each source by (md5(doc_id), doc_id) and keep
+# the first 50. md5 of the decimal-string id is a portable uniform
+# key, so the sample is stable across engines, partitionings, and
+# scales — unlike rand()-based sampling. At 100 TB this is one
+# hash + one per-source top-k (partial top-k map-side via window rank
+# over the shuffle on source).
+# ---------------------------------------------------------------------------
+_RESERVOIR_K = 50
+
+_RESERVOIR_ORACLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS sk
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, n_chars, sk,
+         row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rk
+  FROM keyed
+)
+SELECT source, rk, doc_id, n_chars, sk AS sample_key
+FROM r WHERE rk <= {_RESERVOIR_K}
+"""
+
+
+@register("tt_reservoir_sample", oracle=_RESERVOIR_ORACLE)
+def tt_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source", "doc_id", "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("sk"))
+    w = W.partitionBy("source").orderBy("sk", "doc_id")
+    return (keyed.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _RESERVOIR_K)
+            .select("source", "rk", "doc_id", "n_chars",
+                    F.col("sk").alias("sample_key")))
+
+
+# ---------------------------------------------------------------------------
+# q_interevent_stats — per-user inter-arrival statistics (the burst /
+# dormancy profile behind s_velocity_check): number of events, gaps,
+# exact µs min/max gap, and mean gap in seconds. Gaps are exact
+# bigint microsecond differences over a (ts, event_id)-ordered lag —
+# deterministic under timestamp ties; one shuffle on user_id.
+# ---------------------------------------------------------------------------
+_INTEREVENT_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+g AS (
+  SELECT user_id, us - prev_us AS gap_us FROM e WHERE prev_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) + 1 AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(FLOOR((CAST(sum(gap_us) AS BIGINT) / CAST(count(*) AS DOUBLE)
+                   / 1000000.0) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+         AS mean_gap_s
+FROM g GROUP BY user_id
+"""
+
+
+@register("q_interevent_stats", oracle=_INTEREVENT_ORACLE)
+def q_interevent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select("user_id", F.unix_micros("ts").alias("us"),
+                  F.lag(F.unix_micros("ts")).over(w).alias("prev_us"))
+    g = e.filter(F.col("prev_us").isNotNull()) \
+         .select("user_id", (F.col("us") - F.col("prev_us")).alias("gap_us"))
+    return g.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        pround6(F.sum("gap_us").cast("bigint")
+                / F.count(F.lit(1)).cast("double") / F.lit(1000000.0))
+        .alias("mean_gap_s"))
+
+
+# ---------------------------------------------------------------------------
+# q_user_entropy — Shannon entropy of each user's event-type mix (the
+# behavioral-diversity feature next to q_interevent_stats' timing
+# profile). Counts are exact; −Σ p·ln p folds the per-type terms in
+# event-type order on both engines (the tx_js_divergence discipline),
+# and the normalized variant divides by ln(k). One shuffle on
+# (user_id, event_type), then a tiny per-user fold.
+# ---------------------------------------------------------------------------
+_USER_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+),
+t AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         list_sort(list({'t': event_type, 'c': c})) AS cs
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n, k,
+       round(list_aggregate(list_transform(cs,
+         s -> -(CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE))), 'sum'), 6)
+         AS entropy,
+       CASE WHEN k > 1
+            THEN round(list_aggregate(list_transform(cs,
+                   s -> -(CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln(CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE))), 'sum')
+                 / ln(CAST(k AS DOUBLE)), 6)
+       END AS norm_entropy
+FROM t
+"""
+
+
+@register("q_user_entropy", oracle=_USER_ENTROPY_ORACLE)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(lcount("c"))
+    t = c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        lcount("k"),
+        F.array_sort(F.collect_list(
+            F.struct(F.col("event_type").alias("t"), F.col("c").alias("c"))))
+        .alias("cs"))
+    p = lambda s: s["c"].cast("double") / F.col("n").cast("double")  # noqa: E731
+    ent = F.aggregate(
+        F.transform(F.col("cs"), lambda s: -p(s) * F.log(p(s))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return t.select(
+        "user_id", "n", "k",
+        F.round(ent, 6).alias("entropy"),
+        F.when(F.col("k") > 1,
+               F.round(ent / F.log(F.col("k").cast("double")), 6))
+        .alias("norm_entropy"))
+
+
+# ---------------------------------------------------------------------------
+# tx_bigram_pmi — corpus collocations: top-100 adjacent bigrams by
+# pointwise mutual information, min count 5 (the phrase-mining /
+# tokenizer-merge-candidate view on top of tx_ngrams' raw counts).
+# PMI = ln p(xy) − ln p(x) − ln p(y) computed as a sum-of-logs tree
+# over exact integer counts (overflow-free at any corpus size, and
+# bit-identical across engines). Bigrams explode map-side off the
+# scan; the unigram side is a broadcast join on each word.
+# ---------------------------------------------------------------------------
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+_BIGRAM_PMI_ORACLE = f"""
+WITH t AS (
+  SELECT {_TOKS} AS toks FROM documents WHERE length(text) > 0
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+bi AS (
+  SELECT b.w1, b.w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM t, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS u(b)
+  WHERE len(toks) >= 2
+  GROUP BY b.w1, b.w2
+),
+nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bigrams FROM bi),
+s AS (
+  SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+         round(ln(CAST(c_xy AS DOUBLE)) - ln(CAST(n_bigrams AS DOUBLE))
+               - (ln(CAST(u1.c AS DOUBLE)) - ln(CAST(n_tokens AS DOUBLE)))
+               - (ln(CAST(u2.c AS DOUBLE)) - ln(CAST(n_tokens AS DOUBLE))),
+               6) AS pmi
+  FROM bi JOIN uni u1 ON bi.w1 = u1.w
+          JOIN uni u2 ON bi.w2 = u2.w
+  CROSS JOIN n CROSS JOIN nb
+  WHERE c_xy >= 5
+)
+SELECT w1, w2, c_xy, c_x, c_y, pmi
+FROM s ORDER BY pmi DESC, w1, w2 LIMIT 100
+"""
+
+
+@register("tx_bigram_pmi", oracle=_BIGRAM_PMI_ORACLE)
+def tx_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = docs.select(tx.tokens(F.col("text")).alias("toks"))
+    uni = (t.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(lcount("c")))
+    n = uni.agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    bi = (t.filter(F.size("toks") >= 2)
+          .select(F.explode(F.expr(
+              "transform(sequence(1, size(toks) - 1),"
+              " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).alias("b"))
+          .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+          .agg(lcount("c_xy")))
+    nb = bi.agg(F.sum("c_xy").cast("bigint").alias("n_bigrams"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    s = (bi.filter(F.col("c_xy") >= 5)
+         .join(F.broadcast(u1), "w1").join(F.broadcast(u2), "w2")
+         .crossJoin(F.broadcast(n)).crossJoin(F.broadcast(nb)))
+    ln = lambda c: F.log(c.cast("double"))  # noqa: E731
+    pmi = F.round(
+        ln(F.col("c_xy")) - ln(F.col("n_bigrams"))
+        - (ln(F.col("c_x")) - ln(F.col("n_tokens")))
+        - (ln(F.col("c_y")) - ln(F.col("n_tokens"))), 6)
+    return (s.select("w1", "w2", "c_xy", "c_x", "c_y", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2").limit(100))
+
+
+# ---------------------------------------------------------------------------
+# io_orc_roundtrip — ORC sink/source fidelity (the third columnar
+# round-trip next to JSONL and CSV; ORC is Spark's other native
+# columnar format and the usual Hive-interop handoff): write the
+# documents table as ORC, read it back, emit per-doc md5 identity.
+# ---------------------------------------------------------------------------
+_ORC_ORACLE = """
+SELECT doc_id, lang, source,
+       CAST(length(text) AS BIGINT) AS n_chars_rt,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
+@register("io_orc_roundtrip", oracle=_ORC_ORACLE)
+def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang", "source")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        os.path.basename(sf_dir.rstrip("/")), "docs_orc")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        "doc_id", "lang", "source",
+        F.length("text").cast("bigint").alias("n_chars_rt"),
+        F.md5(F.col("text")).alias("text_md5"))
+
+
+# ---------------------------------------------------------------------------
+# q_pettitt_test — Pettitt's nonparametric changepoint test on the
+# daily event-count series (the "did the level shift, and when"
+# companion to q_mann_kendall's monotone-trend test). U_t is built
+# from per-day V_t = Σ_j sgn(x_t − x_j) via one bounded day×day
+# self-join (O(days²) pairs — thousands of rows regardless of input
+# scale), then a prefix sum: U_t = Σ_{s≤t} V_s. K = max|U_t| over
+# t < n; p ≈ 2·exp(−6K²/(n³+n²)). Everything integer-exact until the
+# final exp.
+# ---------------------------------------------------------------------------
+_PETTITT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+v AS (
+  SELECT a.i, a.day,
+         CAST(sum(CASE WHEN a.x > b.x THEN 1
+                       WHEN a.x < b.x THEN -1 ELSE 0 END) AS BIGINT) AS vt
+  FROM daily a JOIN daily b ON a.i <> b.i
+  GROUP BY a.i, a.day
+),
+u AS (
+  SELECT i, day,
+         CAST(sum(vt) OVER (ORDER BY i) AS BIGINT) AS ut,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM v
+),
+k AS (
+  SELECT i, day, ut, n,
+         row_number() OVER (ORDER BY abs(ut) DESC, i) AS rk
+  FROM u
+  WHERE i < (SELECT max(i) FROM u)
+)
+SELECT n, day AS t_star, ut AS u_t, CAST(abs(ut) AS BIGINT) AS k_stat,
+       round(2.0 * exp(-6.0 * CAST(abs(ut) AS DOUBLE)
+                       * CAST(abs(ut) AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(n AS DOUBLE)
+                          + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+         AS p_value
+FROM k WHERE rk = 1
+"""
+
+
+@register("q_pettitt_test", oracle=_PETTITT_ORACLE)
+def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                / F.lit(86400000000)).cast("bigint").alias("i"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(lcount("x")))
+    b = daily.select(F.col("i").alias("i2"), F.col("x").alias("x2"))
+    v = (daily.join(b, F.col("i") != F.col("i2"))
+         .groupBy("i", "day")
+         .agg(F.sum(F.when(F.col("x") > F.col("x2"), 1)
+                    .when(F.col("x") < F.col("x2"), -1)
+                    .otherwise(0)).cast("bigint").alias("vt")))
+    wu = W.orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    u = v.select(
+        "i", "day",
+        F.sum("vt").over(wu).cast("bigint").alias("ut"),
+        F.count(F.lit(1)).over(W.orderBy("i").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing)).cast("bigint")
+        .alias("n"),
+        F.max("i").over(W.orderBy("i").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing)).alias("max_i"))
+    k = (u.filter(F.col("i") < F.col("max_i"))
+         .withColumn("rk", F.row_number().over(
+             W.orderBy(F.abs(F.col("ut")).desc(), "i")))
+         .filter(F.col("rk") == 1))
+    n_d = F.col("n").cast("double")
+    k_d = F.abs(F.col("ut")).cast("double")
+    return k.select(
+        "n", F.col("day").alias("t_star"), F.col("ut").alias("u_t"),
+        F.abs(F.col("ut")).cast("bigint").alias("k_stat"),
+        F.round(F.lit(2.0) * F.exp(F.lit(-6.0) * k_d * k_d
+                                   / (n_d * n_d * n_d + n_d * n_d)), 6)
+        .alias("p_value"))

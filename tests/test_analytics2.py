@@ -105,3 +105,137 @@ def test_spearman_replay(spark, sf_dir):
     rho = 1.0 - 6.0 * sum_d2 / (m * (m * m - 1.0))
     assert abs(got.spearman_rho - rho) < 1e-6
     assert -1.0 <= got.spearman_rho <= 1.0
+
+
+def test_reservoir_sample_replay(spark, sf_dir):
+    import hashlib
+    rows = _run(spark, sf_dir, "tt_reservoir_sample").collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    by_src = defaultdict(list)
+    for d in docs:
+        key = hashlib.md5(str(d.doc_id).encode()).hexdigest()
+        by_src[d.source].append((key, d.doc_id))
+    want = {}
+    for src, items in by_src.items():
+        items.sort()
+        for rk, (key, doc_id) in enumerate(items[:50], start=1):
+            want[(src, rk)] = (doc_id, key)
+    assert len(rows) == len(want)
+    for r in rows:
+        doc_id, key = want[(r.source, r.rk)]
+        assert (r.doc_id, r.sample_key) == (doc_id, key)
+
+
+def test_interevent_stats_replay(spark, sf_dir):
+    got = {r.user_id: r for r in
+           _run(spark, sf_dir, "q_interevent_stats").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        # µs since epoch; ts is tz-naive UTC in the test data
+        from datetime import timezone
+        us = int(r.ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+        by_user[r.user_id].append((r.ts, r.event_id, us))
+    for u, items in by_user.items():
+        items.sort()
+        gaps = [b[2] - a[2] for a, b in zip(items, items[1:])]
+        if not gaps:
+            assert u not in got
+            continue
+        r = got[u]
+        assert r.n_events == len(items)
+        assert r.n_gaps == len(gaps)
+        assert (r.min_gap_us, r.max_gap_us) == (min(gaps), max(gaps))
+        assert abs(r.mean_gap_s - sum(gaps) / len(gaps) / 1e6) < 1e-5
+
+
+def test_user_entropy_replay(spark, sf_dir):
+    got = {r.user_id: r for r in
+           _run(spark, sf_dir, "q_user_entropy").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type").collect()
+    cnt = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        cnt[r.user_id][r.event_type] += 1
+    for u, types in cnt.items():
+        n = sum(types.values())
+        h = -sum(c / n * math.log(c / n) for _, c in sorted(types.items()))
+        r = got[u]
+        assert (r.n, r.k) == (n, len(types))
+        assert abs(r.entropy - h) < 1e-5
+        if len(types) > 1:
+            assert abs(r.norm_entropy - h / math.log(len(types))) < 1e-5
+            assert -1e-9 <= r.norm_entropy <= 1.0 + 1e-9
+        else:
+            assert r.norm_entropy is None
+            assert abs(r.entropy) < 1e-12
+
+
+def test_bigram_pmi_replay(spark, sf_dir):
+    import re
+    rows = _run(spark, sf_dir, "tx_bigram_pmi").collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    uni, bi = defaultdict(int), defaultdict(int)
+    for d in docs:
+        if not d.text:
+            continue
+        toks = re.sub(r"\s+", " ", d.text.lower()).strip().split(" ")
+        for w in toks:
+            uni[w] += 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] += 1
+    n, nb = sum(uni.values()), sum(bi.values())
+    pmi = {}
+    for (a, b), c in bi.items():
+        if c >= 5:
+            pmi[(a, b)] = (math.log(c) - math.log(nb)
+                           - (math.log(uni[a]) - math.log(n))
+                           - (math.log(uni[b]) - math.log(n)))
+    ranked = sorted(pmi.items(), key=lambda kv: (-round(kv[1], 6),
+                                                 kv[0][0], kv[0][1]))[:100]
+    assert len(rows) == min(100, len(ranked))
+    for r, ((a, b), p) in zip(rows, ranked):
+        assert (r.w1, r.w2) == (a, b)
+        assert (r.c_xy, r.c_x, r.c_y) == (bi[(a, b)], uni[a], uni[b])
+        assert abs(r.pmi - p) < 1e-5
+
+
+def test_orc_roundtrip_is_identity(spark, sf_dir):
+    import hashlib
+    got = {r.doc_id: r for r in
+           _run(spark, sf_dir, "io_orc_roundtrip").collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert len(got) == len(docs)
+    for doc in docs:
+        assert got[doc.doc_id].text_md5 == \
+            hashlib.md5(doc.text.encode()).hexdigest()
+        assert got[doc.doc_id].n_chars_rt == len(doc.text)
+
+
+def test_pettitt_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_pettitt_test").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(xs)
+
+    def sgn(a):
+        return (a > 0) - (a < 0)
+
+    best = None
+    u = 0
+    for t in range(n - 1):  # U_t for t = 1..n-1 (0-indexed prefix end t)
+        u += sum(sgn(xs[t] - xs[j]) for j in range(n) if j != t)
+        if best is None or abs(u) > abs(best[1]):
+            best = (t, u)
+    t_star, u_t = best
+    k = abs(u_t)
+    assert got.n == n
+    assert got.t_star == days[t_star].isoformat()
+    assert (got.u_t, got.k_stat) == (u_t, k)
+    p = 2.0 * math.exp(-6.0 * k * k / (n ** 3 + n ** 2))
+    assert abs(got.p_value - min(p, p)) < 1e-6

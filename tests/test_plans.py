@@ -115,6 +115,11 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_ks_test",
                 # one-row exact-median broadcast over the day series
                 "q_runs_test",
+                # Pettitt's V_t needs the same bounded day x day sign
+                # pairs as q_mann_kendall
+                "q_pettitt_test",
+                # one-row corpus totals (N tokens / N bigrams) broadcast
+                "tx_bigram_pmi",
                 # same margin-lattice cross as q_chi_square
                 "q_cramers_v",
                 # one-row group-stats cross (click row x view row)
