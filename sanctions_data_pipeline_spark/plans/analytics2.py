@@ -627,3 +627,229 @@ def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(2.0) * F.exp(F.lit(-6.0) * k_d * k_d
                                    / (n_d * n_d * n_d + n_d * n_d)), 6)
         .alias("p_value"))
+
+
+# ---------------------------------------------------------------------------
+# s_round_amount_bias — round-number bias per user (an AML screen the
+# reference's sanctions domain implies next to s_aml_structuring:
+# humans structuring transfers pick round amounts far more often than
+# organic activity does). Share of purchase-event values that are
+# exact multiples of 100, with a binomial z-score against the global
+# base rate. Exact x4 fixed-point modulus; one shuffle on user_id;
+# the global rate is a one-row broadcast.
+# ---------------------------------------------------------------------------
+_ROUND_BIAS_ORACLE = """
+WITH x AS (
+  SELECT user_id,
+         CASE WHEN CAST(ROUND(CAST(value AS DECIMAL(18,4)), 4) * 10000
+                   AS BIGINT) % 1000000 = 0
+              THEN 1 ELSE 0 END AS is_round
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(is_round) AS BIGINT) AS n_round
+  FROM x GROUP BY user_id
+),
+g AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(sum(n_round) AS BIGINT) AS tot_round
+  FROM u
+)
+SELECT user_id, n, n_round,
+       round(CAST(n_round AS DOUBLE) / CAST(n AS DOUBLE), 6) AS round_share,
+       CASE WHEN CAST(tot_round AS DOUBLE) / CAST(tot AS DOUBLE) > 0.0
+             AND CAST(tot_round AS DOUBLE) / CAST(tot AS DOUBLE) < 1.0
+            THEN round((CAST(n_round AS DOUBLE)
+                        - CAST(n AS DOUBLE) * (CAST(tot_round AS DOUBLE)
+                                               / CAST(tot AS DOUBLE)))
+                       / sqrt(CAST(n AS DOUBLE)
+                              * (CAST(tot_round AS DOUBLE) / CAST(tot AS DOUBLE))
+                              * (1.0 - CAST(tot_round AS DOUBLE)
+                                 / CAST(tot AS DOUBLE))), 6)
+       END AS z_score
+FROM u CROSS JOIN g
+"""
+
+
+@register("s_round_amount_bias", oracle=_ROUND_BIAS_ORACLE)
+def s_round_amount_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = (ev.filter((F.col("event_type") == "purchase")
+                   & F.col("value").isNotNull())
+         .select("user_id",
+                 F.when((F.round(F.col("value").cast("decimal(18,4)"), 4)
+                         * 10000).cast("bigint") % 1000000 == 0, 1)
+                 .otherwise(0).alias("is_round")))
+    u = x.groupBy("user_id").agg(
+        lcount("n"), F.sum("is_round").cast("bigint").alias("n_round"))
+    g = u.agg(F.sum("n").cast("bigint").alias("tot"),
+              F.sum("n_round").cast("bigint").alias("tot_round"))
+    j = u.crossJoin(F.broadcast(g))
+    p0 = F.col("tot_round").cast("double") / F.col("tot").cast("double")
+    n_d = F.col("n").cast("double")
+    nr_d = F.col("n_round").cast("double")
+    return j.select(
+        "user_id", "n", "n_round",
+        F.round(nr_d / n_d, 6).alias("round_share"),
+        F.when((p0 > 0.0) & (p0 < 1.0),
+               F.round((nr_d - n_d * p0)
+                       / F.sqrt(n_d * p0* (F.lit(1.0) - p0)), 6))
+        .alias("z_score"))
+
+
+# ---------------------------------------------------------------------------
+# q_business_days — business-day (Mon-Fri) span between order date and
+# each line's ship date, entirely in closed-form integer arithmetic
+# (no calendar explode, no UDF): full weeks contribute 5 days, the
+# remainder is corrected by the start weekday's position. The order×
+# line join is the natural orderkey equi-join; everything else is
+# map-side column algebra that whole-stage-codegens.
+# ---------------------------------------------------------------------------
+_BUSDAYS_ORACLE = """
+WITH j AS (
+  SELECT l_orderkey, l_linenumber,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+         CAST(date_diff('day', date_trunc('day', o_orderdate),
+                        date_trunc('day', l_shipdate)) AS BIGINT) AS nd,
+         CAST(isodow(date_trunc('day', o_orderdate)) - 1 AS BIGINT) AS d0
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+b AS (
+  SELECT *,
+         (nd // 7) * 5
+         + least(nd % 7, greatest(5 - d0, 0))
+         + greatest(least(nd % 7 - (7 - d0), 5 - greatest(5 - d0, 0)), 0)
+           AS bd
+  FROM j WHERE nd >= 0
+)
+SELECT l_orderkey, l_linenumber, order_day, ship_day, nd AS calendar_days,
+       CAST(bd AS BIGINT) AS business_days
+FROM b
+"""
+
+
+@register("q_business_days", oracle=_BUSDAYS_ORACLE)
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey", "l_linenumber",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("bigint").alias("nd"),
+        F.weekday(F.to_date("o_orderdate")).cast("bigint").alias("d0"))
+    nd, d0 = F.col("nd"), F.col("d0")
+    head = F.least(nd % 7, F.greatest(F.lit(5) - d0, F.lit(0)))
+    wrap = F.greatest(
+        F.least(nd % 7 - (F.lit(7) - d0),
+                F.lit(5) - F.greatest(F.lit(5) - d0, F.lit(0))),
+        F.lit(0))
+    bd = (nd / 7).cast("bigint") * 5 + head + wrap
+    return (j.filter(nd >= 0)
+            .select("l_orderkey", "l_linenumber", "order_day", "ship_day",
+                    nd.alias("calendar_days"),
+                    bd.cast("bigint").alias("business_days")))
+
+
+# ---------------------------------------------------------------------------
+# emb_norm_stats — per-label L2-norm profile of the embedding space
+# (the first drift check on an embedding pipeline: a label whose norms
+# collapse or explode signals a bad encoder batch). Norms are the
+# sequential-fold dot (== DuckDB list_inner_product) shared by every
+# similarity op; per-label mean folds the norms in vec_id order.
+# ---------------------------------------------------------------------------
+_NORM_STATS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm,
+       round(list_aggregate(list_transform(
+               list_sort(list({'i': vec_id, 'v': nrm})), s -> s.v), 'sum')
+             / count(*), 6) AS mean_norm
+FROM e GROUP BY label
+"""
+
+
+@register("emb_norm_stats", oracle=_NORM_STATS_ORACLE)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.similarity import (
+        as_double, dot)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label",
+        F.sqrt(dot(as_double(F.col("embedding")),
+                   as_double(F.col("embedding")))).alias("nrm"))
+    fold = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct(F.col("vec_id").alias("i"), F.col("nrm").alias("v")))),
+            lambda s: s["v"]),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return e.groupBy("label").agg(
+        lcount("n"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(fold / F.count(F.lit(1)), 6).alias("mean_norm"))
+
+
+# ---------------------------------------------------------------------------
+# sim_cosine_histogram — the pairwise-cosine distribution profile on a
+# deterministic pair sample (each vector vs its id-successor): 20
+# equal-width buckets over [-1, 1]. The cheap "is my embedding space
+# healthy / anisotropic" diagnostic (a collapsed space piles mass near
+# 1.0). The successor join is an equi-join — O(n) pairs, no quadratic
+# blowup at scale — and bucket counts are exact integers.
+# ---------------------------------------------------------------------------
+_COS_HIST_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT round(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+),
+h AS (
+  SELECT least(greatest(CAST(floor((cos + 1.0) * 10.0) AS BIGINT), 0), 19)
+           AS bucket
+  FROM p
+)
+SELECT bucket,
+       round(-1.0 + bucket * 0.1, 1) AS lo,
+       round(-1.0 + (bucket + 1) * 0.1, 1) AS hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM h GROUP BY bucket
+"""
+
+
+@register("sim_cosine_histogram", oracle=_COS_HIST_ORACLE)
+def sim_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.similarity import (
+        as_double, dot)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    a = e.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("ia"), F.col("v").alias("vb"))
+    p = a.join(b, "ia").select(
+        F.round(dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(dot(F.col("va"), F.col("va")))
+                   * F.sqrt(dot(F.col("vb"), F.col("vb")))), 6).alias("cos"))
+    h = p.select(
+        F.least(F.greatest(F.floor((F.col("cos") + 1.0) * 10.0)
+                           .cast("bigint"), F.lit(0)), F.lit(19))
+        .alias("bucket"))
+    return h.groupBy("bucket").agg(lcount("n_pairs")).select(
+        "bucket",
+        F.round(F.lit(-1.0) + F.col("bucket") * 0.1, 1).alias("lo"),
+        F.round(F.lit(-1.0) + (F.col("bucket") + 1) * 0.1, 1).alias("hi"),
+        "n_pairs")

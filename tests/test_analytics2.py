@@ -4,7 +4,7 @@ event-value series screens against the same parquet inputs."""
 from __future__ import annotations
 
 import math
-from collections import defaultdict
+from collections import Counter, defaultdict
 from decimal import Decimal
 
 from sanctions_data_pipeline_spark.catalog import load_table
@@ -239,3 +239,89 @@ def test_pettitt_replay(spark, sf_dir):
     assert (got.u_t, got.k_stat) == (u_t, k)
     p = 2.0 * math.exp(-6.0 * k * k / (n ** 3 + n ** 2))
     assert abs(got.p_value - min(p, p)) < 1e-6
+
+
+def test_round_amount_bias_replay(spark, sf_dir):
+    got = {r.user_id: r for r in
+           _run(spark, sf_dir, "s_round_amount_bias").collect()}
+    ev = load_table(spark, sf_dir, "events").filter(
+        "event_type = 'purchase' AND value IS NOT NULL").select(
+        "user_id", "value").collect()
+    n_by, r_by = defaultdict(int), defaultdict(int)
+    for r in ev:
+        n_by[r.user_id] += 1
+        x4 = int(Decimal(str(r.value)).quantize(Decimal("0.0001")) * 10000)
+        if x4 % 1000000 == 0:
+            r_by[r.user_id] += 1
+    tot, tot_r = sum(n_by.values()), sum(r_by.values())
+    p0 = tot_r / tot
+    assert len(got) == len(n_by)
+    for u, n in n_by.items():
+        r = got[u]
+        assert (r.n, r.n_round) == (n, r_by[u])
+        assert abs(r.round_share - r_by[u] / n) < 1e-6
+        if 0.0 < p0 < 1.0:
+            z = (r_by[u] - n * p0) / math.sqrt(n * p0 * (1 - p0))
+            assert abs(r.z_score - z) < 1e-4
+
+
+def test_business_days_replay(spark, sf_dir):
+    from datetime import timedelta
+    rows = _run(spark, sf_dir, "q_business_days").collect()
+    orders = {r.o_orderkey: r.o_orderdate.date() for r in
+              load_table(spark, sf_dir, "orders").collect()}
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    want = Counter()
+    for r in li:
+        od, sd = orders[r.l_orderkey], r.l_shipdate.date()
+        nd = (sd - od).days
+        if nd < 0:
+            continue
+        # weekdays in [order_day, ship_day); (orderkey, linenumber) is
+        # NOT unique in the synthetic lineitem -> multiset compare
+        bd = sum(1 for k in range(nd)
+                 if (od + timedelta(days=k)).isoweekday() <= 5)
+        want[(r.l_orderkey, r.l_linenumber, nd, bd)] += 1
+    got = Counter((r.l_orderkey, r.l_linenumber,
+                   r.calendar_days, r.business_days) for r in rows)
+    assert got == want
+
+
+def test_emb_norm_stats_replay(spark, sf_dir):
+    got = {r.label: r for r in _run(spark, sf_dir, "emb_norm_stats").collect()}
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by_label = defaultdict(list)
+    for r in emb:
+        # sequential fold, same order as the zip_with/aggregate dot
+        acc = 0.0
+        for x in r.embedding:
+            acc += float(x) * float(x)
+        by_label[r.label].append((r.vec_id, math.sqrt(acc)))
+    for lab, items in by_label.items():
+        r = got[lab]
+        norms = [v for _, v in sorted(items)]
+        assert r.n == len(norms)
+        assert abs(r.min_norm - min(norms)) < 1e-6
+        assert abs(r.max_norm - max(norms)) < 1e-6
+        assert abs(r.mean_norm - sum(norms) / len(norms)) < 1e-5
+
+
+def test_cosine_histogram_replay(spark, sf_dir):
+    rows = {r.bucket: r for r in
+            _run(spark, sf_dir, "sim_cosine_histogram").collect()}
+    emb = {r.vec_id: [float(x) for x in r.embedding] for r in
+           load_table(spark, sf_dir, "embeddings").collect()}
+    buckets = defaultdict(int)
+    for i, v in emb.items():
+        w = emb.get(i + 1)
+        if w is None:
+            continue
+        dot = sum(a * b for a, b in zip(v, w))
+        na = math.sqrt(sum(a * a for a in v))
+        nb = math.sqrt(sum(b * b for b in w))
+        c = round(dot / (na * nb), 6)
+        buckets[min(max(int(math.floor((c + 1.0) * 10.0)), 0), 19)] += 1
+    assert {b: r.n_pairs for b, r in rows.items()} == dict(buckets)
+    for b, r in rows.items():
+        assert abs(r.lo - (-1.0 + b * 0.1)) < 1e-9
+        assert abs(r.hi - (-1.0 + (b + 1) * 0.1)) < 1e-9

@@ -120,6 +120,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_pettitt_test",
                 # one-row corpus totals (N tokens / N bigrams) broadcast
                 "tx_bigram_pmi",
+                # one-row global round-share base-rate broadcast
+                "s_round_amount_bias",
                 # same margin-lattice cross as q_chi_square
                 "q_cramers_v",
                 # one-row group-stats cross (click row x view row)
