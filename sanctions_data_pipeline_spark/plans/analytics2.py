@@ -853,3 +853,235 @@ def sim_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(-1.0) + F.col("bucket") * 0.1, 1).alias("lo"),
         F.round(F.lit(-1.0) + (F.col("bucket") + 1) * 0.1, 1).alias("hi"),
         "n_pairs")
+
+
+# ---------------------------------------------------------------------------
+# q_quantile_bins — equal-frequency (NTILE) binning of order totals
+# with per-bin boundaries and exact sums: the bucketizer-fitting step
+# of a feature pipeline (bin edges learned here feed a Bucketizer at
+# serving time). Global NTILE needs a total order — at 100 TB swap
+# row_number for a sampled range partitioner (approxQuantile edges);
+# the per-bin stats stay one hash agg either way.
+# ---------------------------------------------------------------------------
+_QBINS_ORACLE = """
+WITH d AS (
+  SELECT o_orderkey,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 4) * 10000
+              AS BIGINT) AS v4,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       min(v4) / 10000.0 AS lo,
+       max(v4) / 10000.0 AS hi,
+       CAST(sum(v4) AS BIGINT) / 10000.0 AS bin_sum
+FROM d GROUP BY bin
+"""
+
+
+@register("q_quantile_bins", oracle=_QBINS_ORACLE)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderkey",
+        (F.round(F.col("o_totalprice").cast("decimal(18,4)"), 4) * 10000)
+        .cast("bigint").alias("v4"),
+        F.ntile(10).over(W.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"))
+    return d.groupBy("bin").agg(
+        lcount("n"),
+        (F.min("v4") / F.lit(10000.0)).alias("lo"),
+        (F.max("v4") / F.lit(10000.0)).alias("hi"),
+        (F.sum("v4").cast("bigint") / F.lit(10000.0)).alias("bin_sum"))
+
+
+# ---------------------------------------------------------------------------
+# q_poisson_dispersion — variance-to-mean ratio (index of dispersion)
+# of the daily event-count series, with the chi-square dispersion
+# statistic (m−1)·D: the over/under-dispersion check that decides
+# whether a Poisson traffic model is even admissible. All moment sums
+# are exact bigints; one identical double tree at the edge.
+# ---------------------------------------------------------------------------
+_DISPERSION_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily
+)
+SELECT m, sx AS n_events,
+       round(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mean,
+       round((CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+             / CAST(m AS DOUBLE), 6) AS variance,
+       CASE WHEN sx > 0 THEN
+         round(((CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                / CAST(m AS DOUBLE))
+               / (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)), 6)
+       END AS dispersion,
+       CASE WHEN sx > 0 THEN
+         round((CAST(m AS DOUBLE) - 1.0)
+               * ((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                     / CAST(m AS DOUBLE)) / CAST(m AS DOUBLE))
+               / (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)), 6)
+       END AS chi2_stat
+FROM s
+"""
+
+
+@register("q_poisson_dispersion", oracle=_DISPERSION_ORACLE)
+def q_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                                / F.lit(86400000000)).cast("bigint")
+                        .alias("i"))
+             .agg(lcount("x")))
+    s = daily.agg(lcount("m"),
+                  F.sum("x").cast("bigint").alias("sx"),
+                  F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"))
+    m_d = F.col("m").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    var = (sxx_d - sx_d * sx_d / m_d) / m_d
+    mean = sx_d / m_d
+    return s.select(
+        "m", F.col("sx").alias("n_events"),
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.when(F.col("sx") > 0, F.round(var / mean, 6)).alias("dispersion"),
+        F.when(F.col("sx") > 0,
+               F.round((m_d - F.lit(1.0)) * var / mean, 6))
+        .alias("chi2_stat"))
+
+
+# ---------------------------------------------------------------------------
+# gr_transitivity — global clustering coefficient (transitivity) of
+# the co-purchase graph: 3·triangles / wedges, over the same oriented
+# edge-iterator triangle count as gr_triangle_count (training_data.py:
+# 1756) and exact per-node degree wedge counts. One number that says
+# whether the graph is clumpy or random; all counts exact bigints.
+# ---------------------------------------------------------------------------
+_TRANSITIVITY_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_orderkey < 2000
+), e0 AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e0 e1 JOIN e0 e2 ON e1.v = e2.u
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY node
+), w AS (
+  SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+         CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg
+)
+SELECT n_nodes, (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+       n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0
+            THEN round(3.0 * CAST(n_triangles AS DOUBLE)
+                       / CAST(n_wedges AS DOUBLE), 6)
+       END AS transitivity
+FROM w CROSS JOIN tri
+"""
+
+
+@register("gr_transitivity", oracle=_TRANSITIVITY_ORACLE)
+def gr_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 2000)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select("o", F.col("p").alias("v"))
+    e0 = (a.join(b, "o").filter(F.col("u") < F.col("v"))
+          .select("u", "v").distinct())
+    e1 = e0.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e0.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e0.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (e1.join(e2, "b").join(e3, ["a", "c"])
+           .agg(lcount("n_triangles")))
+    deg = (e0.select(F.col("u").alias("node"))
+           .unionAll(e0.select(F.col("v").alias("node")))
+           .groupBy("node").agg(lcount("d")))
+    w = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
+        .cast("bigint").alias("n_wedges"),
+        lcount("n_nodes"))
+    ne = e0.agg(lcount("n_edges"))
+    j = w.crossJoin(F.broadcast(tri)).crossJoin(F.broadcast(ne))
+    return j.select(
+        "n_nodes", "n_edges", "n_triangles", "n_wedges",
+        F.when(F.col("n_wedges") > 0,
+               F.round(F.lit(3.0) * F.col("n_triangles").cast("double")
+                       / F.col("n_wedges").cast("double"), 6))
+        .alias("transitivity"))
+
+
+# ---------------------------------------------------------------------------
+# tok_oov_rate — per-document out-of-vocabulary mass against the
+# corpus top-1000 vocabulary (the deployment-time companion to
+# tok_vocab's coverage curve: which documents does a fixed-size vocab
+# serve badly?). Vocabulary ranked by (count desc, token) — the
+# deterministic tie-break — and broadcast against the exploded corpus;
+# rates are exact-integer divisions rounded at the edge.
+# ---------------------------------------------------------------------------
+_VOCAB_K = 1000
+
+_OOV_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE length(text) > 0
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+),
+vocab AS (
+  SELECT w FROM uni ORDER BY c DESC, w LIMIT {_VOCAB_K}
+),
+d AS (
+  SELECT t.doc_id, u.w
+  FROM t, unnest(toks) AS u(w)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM d LEFT JOIN vocab ON d.w = vocab.w
+GROUP BY doc_id
+"""
+
+
+@register("tok_oov_rate", oracle=_OOV_ORACLE)
+def tok_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    uni = (t.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(lcount("c")))
+    vocab = (uni.orderBy(F.desc("c"), "w").limit(_VOCAB_K)
+             .select("w", F.lit(1).alias("in_vocab")))
+    d = t.select("doc_id", F.explode("toks").alias("w"))
+    j = d.join(F.broadcast(vocab), "w", "left")
+    return j.groupBy("doc_id").agg(
+        lcount("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_oov"),
+        F.round(F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                .cast("double") / F.count(F.lit(1)).cast("double"), 6)
+        .alias("oov_rate"))

@@ -325,3 +325,91 @@ def test_cosine_histogram_replay(spark, sf_dir):
     for b, r in rows.items():
         assert abs(r.lo - (-1.0 + b * 0.1)) < 1e-9
         assert abs(r.hi - (-1.0 + (b + 1) * 0.1)) < 1e-9
+
+
+def test_quantile_bins_replay(spark, sf_dir):
+    got = {r.bin: r for r in _run(spark, sf_dir, "q_quantile_bins").collect()}
+    orders = load_table(spark, sf_dir, "orders").collect()
+    vals = sorted((int(Decimal(str(r.o_totalprice)).quantize(
+        Decimal("0.0001")) * 10000), r.o_orderkey) for r in orders)
+    n = len(vals)
+    base, extra = divmod(n, 10)
+    i = 0
+    for b in range(1, 11):
+        size = base + (1 if b <= extra else 0)
+        chunk = [v for v, _ in vals[i:i + size]]
+        i += size
+        r = got[b]
+        assert r.n == size
+        assert r.lo == min(chunk) / 10000.0
+        assert r.hi == max(chunk) / 10000.0
+        assert r.bin_sum == sum(chunk) / 10000.0
+    # bins tile the value range in order
+    for b in range(1, 10):
+        assert got[b].hi <= got[b + 1].lo
+
+
+def test_poisson_dispersion_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_poisson_dispersion").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    xs = list(daily.values())
+    m, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+    mean = sx / m
+    var = (sxx - sx * sx / m) / m
+    assert (got.m, got.n_events) == (m, sx)
+    assert abs(got.mean - mean) < 1e-6
+    assert abs(got.variance - var) < 1e-4
+    assert abs(got.dispersion - var / mean) < 1e-5
+    assert abs(got.chi2_stat - (m - 1) * var / mean) < 1e-2
+
+
+def test_transitivity_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "gr_transitivity").collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_orderkey < 2000").select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for ii in range(len(ps)):
+            for jj in range(ii + 1, len(ps)):
+                edges.add((ps[ii], ps[jj]))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = sum(1 for u, v in edges for w in adj[u] & adj[v] if w > v)
+    wedges = sum(len(nb) * (len(nb) - 1) // 2 for nb in adj.values())
+    assert (got.n_nodes, got.n_edges) == (len(adj), len(edges))
+    assert (got.n_triangles, got.n_wedges) == (tri, wedges)
+    if wedges:
+        assert abs(got.transitivity - 3.0 * tri / wedges) < 1e-6
+        assert 0.0 <= got.transitivity <= 1.0
+
+
+def test_oov_rate_replay(spark, sf_dir):
+    import re
+    got = {r.doc_id: r for r in _run(spark, sf_dir, "tok_oov_rate").collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    uni = defaultdict(int)
+    toks_by = {}
+    for d in docs:
+        if not d.text:
+            continue
+        toks = re.sub(r"\s+", " ", d.text.lower()).strip().split(" ")
+        toks_by[d.doc_id] = toks
+        for w in toks:
+            uni[w] += 1
+    vocab = {w for w, _ in sorted(uni.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:1000]}
+    assert len(got) == len(toks_by)
+    for doc_id, toks in toks_by.items():
+        oov = sum(1 for w in toks if w not in vocab)
+        r = got[doc_id]
+        assert (r.n_tokens, r.n_oov) == (len(toks), oov)
+        assert abs(r.oov_rate - oov / len(toks)) < 1e-6
