@@ -1085,3 +1085,245 @@ def tok_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
                 .cast("double") / F.count(F.lit(1)).cast("double"), 6)
         .alias("oov_rate"))
+
+
+# ---------------------------------------------------------------------------
+# pr_user_recs — "customers also bought": top-3 recommendations per
+# order, scoring candidate items by the sum of Salton-cosine strengths
+# (pr_item_cosine's formula, training_data.py:2245) to the order's own
+# items, excluding items already in the order. The per-candidate score
+# folds its cosine contributions in source-item order so the double
+# sum is bit-identical across engines. Co-occurrence and degree aggs
+# shuffle (long,long) pairs only; the degree table broadcasts.
+# ---------------------------------------------------------------------------
+_USER_RECS_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_orderkey < 4000
+), cooc AS (
+  SELECT a.p AS i, b.p AS j, CAST(COUNT(*) AS BIGINT) AS c
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+), deg AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM li GROUP BY p
+), sym AS (
+  SELECT i, j, c FROM cooc
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cooc
+), edge AS (
+  SELECT sym.i, sym.j, sym.c / sqrt(di.d * dj.d) AS cos
+  FROM sym JOIN deg di ON di.p = sym.i JOIN deg dj ON dj.p = sym.j
+), cand AS (
+  SELECT li.o, edge.j AS item,
+         CAST(count(*) AS BIGINT) AS n_paths,
+         list_aggregate(list_transform(
+           list_sort(list({'i': edge.i, 'v': edge.cos})), s -> s.v),
+           'sum') AS score
+  FROM li JOIN edge ON edge.i = li.p
+  WHERE NOT EXISTS (SELECT 1 FROM li own
+                    WHERE own.o = li.o AND own.p = edge.j)
+  GROUP BY li.o, edge.j
+), ranked AS (
+  SELECT o, item, n_paths, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY o
+                            ORDER BY round(score, 6) DESC, item) AS rk
+  FROM cand
+)
+SELECT o AS orderkey, rk, item, n_paths, score
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("pr_user_recs", oracle=_USER_RECS_ORACLE)
+def pr_user_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 4000)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    a = li.select("o", F.col("p").alias("i"))
+    b = li.select("o", F.col("p").alias("j"))
+    cooc = (a.join(b, "o").filter(F.col("i") < F.col("j"))
+            .groupBy("i", "j").agg(lcount("c"))
+            .filter(F.col("c") >= 2))
+    deg = li.groupBy("p").agg(lcount("d"))
+    sym = cooc.unionAll(cooc.select(F.col("j").alias("i"),
+                                    F.col("i").alias("j"), "c"))
+    di = deg.select(F.col("p").alias("i"), F.col("d").alias("di"))
+    dj = deg.select(F.col("p").alias("j"), F.col("d").alias("dj"))
+    edge = (sym.join(F.broadcast(di), "i").join(F.broadcast(dj), "j")
+            .select("i", "j",
+                    (F.col("c") / F.sqrt(F.col("di") * F.col("dj")))
+                    .alias("cos")))
+    cand = li.join(edge, F.col("p") == F.col("i"))
+    own = li.select("o", F.col("p").alias("j"))
+    cand = cand.join(own, ["o", "j"], "left_anti")
+    agg = (cand.groupBy("o", F.col("j").alias("item"))
+           .agg(lcount("n_paths"),
+                F.aggregate(
+                    F.transform(F.array_sort(F.collect_list(
+                        F.struct(F.col("i").alias("i"),
+                                 F.col("cos").alias("v")))),
+                        lambda s: s["v"]),
+                    F.lit(0.0), lambda acc, v: acc + v).alias("score")))
+    ranked = agg.select(
+        F.col("o").alias("orderkey"), "item", "n_paths",
+        F.round("score", 6).alias("score")).withColumn(
+        "rk", F.row_number().over(
+            W.partitionBy("orderkey")
+            .orderBy(F.desc(F.round(F.col("score"), 6)), "item")))
+    return (ranked.filter(F.col("rk") <= 3)
+            .select("orderkey", "rk", "item", "n_paths", "score"))
+
+
+# ---------------------------------------------------------------------------
+# io_schema_evolution — mergeSchema read across two parquet snapshot
+# generations (v1 lacks the `source` column; v2 carries it): the
+# schema-drift path every long-lived lake hits. Verifies Spark fills
+# the missing column with NULL and that downstream coalesce logic
+# sees one unified schema. Oracle reconstructs the same union from
+# the documents table directly.
+# ---------------------------------------------------------------------------
+_SCHEMA_EVO_ORACLE = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 0 THEN 'legacy' ELSE source END AS source_filled,
+       CAST(length(text) AS BIGINT) AS n_chars_rt,
+       CASE WHEN doc_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS generation
+FROM documents
+"""
+
+
+@register("io_schema_evolution", oracle=_SCHEMA_EVO_ORACLE)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        os.path.basename(sf_dir.rstrip("/")), "docs_evo")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0) \
+        .select("doc_id", "text", "lang")
+    v2 = docs.filter(F.col("doc_id") % 2 != 0) \
+        .select("doc_id", "text", "lang", "source")
+    v1.write.mode("overwrite").parquet(os.path.join(root, "gen=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "gen=v2"))
+    back = spark.read.option("mergeSchema", "true") \
+        .option("basePath", root).parquet(
+            os.path.join(root, "gen=v1"), os.path.join(root, "gen=v2"))
+    return back.select(
+        "doc_id", "lang",
+        F.coalesce(F.col("source"), F.lit("legacy")).alias("source_filled"),
+        F.length("text").cast("bigint").alias("n_chars_rt"),
+        F.col("gen").cast("string").alias("generation"))
+
+
+# ---------------------------------------------------------------------------
+# q_grubbs_test — Grubbs' maximum-deviation outlier test on the daily
+# event-count series: G = max|x − x̄| / s (sample sd). Flags whether
+# the most extreme day is statistically surprising; argmax day ties
+# break to the earliest. Moment sums are exact bigints; G is one
+# identical double tree; the argmax is a deterministic window rank.
+# ---------------------------------------------------------------------------
+_GRUBBS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily
+),
+d AS (
+  SELECT i, day, x, m, sx, sxx,
+         abs(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+           AS dev
+  FROM daily CROSS JOIN s
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY dev DESC, i) AS rk FROM d
+)
+SELECT m, day AS worst_day, x AS worst_count,
+       round(dev, 6) AS max_dev,
+       round(dev / sqrt((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           / CAST(m AS DOUBLE))
+                        / (CAST(m AS DOUBLE) - 1.0)), 6) AS g_stat
+FROM r WHERE rk = 1 AND m > 1
+"""
+
+
+@register("q_grubbs_test", oracle=_GRUBBS_ORACLE)
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                / F.lit(86400000000)).cast("bigint").alias("i"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(lcount("x")))
+    s = daily.agg(lcount("m"),
+                  F.sum("x").cast("bigint").alias("sx"),
+                  F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"))
+    d = daily.crossJoin(F.broadcast(s))
+    m_d, sx_d = F.col("m").cast("double"), F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    dev = F.abs(F.col("x").cast("double") - sx_d / m_d)
+    r = d.select("i", "day", "x", "m", "sx", "sxx", dev.alias("dev")) \
+         .withColumn("rk", F.row_number().over(
+             W.orderBy(F.desc("dev"), "i")))
+    sd = F.sqrt((sxx_d - sx_d * sx_d / m_d) / (m_d - F.lit(1.0)))
+    return (r.filter((F.col("rk") == 1) & (F.col("m") > 1))
+            .select("m", F.col("day").alias("worst_day"),
+                    F.col("x").alias("worst_count"),
+                    F.round("dev", 6).alias("max_dev"),
+                    F.round(F.col("dev") / sd, 6).alias("g_stat")))
+
+
+# ---------------------------------------------------------------------------
+# q_hourly_heatmap — the weekday × hour activity grid (ISO weekday,
+# Monday=1) with each cell's share of total traffic and share within
+# its weekday — the load-shaping view behind capacity planning and
+# the anomaly baselines st_anomaly compares against. Exact counts;
+# two exact-integer divisions per cell.
+# ---------------------------------------------------------------------------
+_HEATMAP_ORACLE = """
+WITH c AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT dow, hr, n,
+         CAST(sum(n) OVER () AS BIGINT) AS tot,
+         CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS dow_tot
+  FROM c
+)
+SELECT dow, hr, n,
+       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+       round(CAST(n AS DOUBLE) / CAST(dow_tot AS DOUBLE), 6) AS dow_share
+FROM t
+"""
+
+
+@register("q_hourly_heatmap", oracle=_HEATMAP_ORACLE)
+def q_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr")).agg(lcount("n"))
+    t = c.select(
+        "dow", "hr", "n",
+        F.sum("n").over(W.rowsBetween(W.unboundedPreceding,
+                                      W.unboundedFollowing))
+        .cast("bigint").alias("tot"),
+        F.sum("n").over(W.partitionBy("dow").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing))
+        .cast("bigint").alias("dow_tot"))
+    return t.select(
+        "dow", "hr", "n",
+        F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6)
+        .alias("share"),
+        F.round(F.col("n").cast("double") / F.col("dow_tot").cast("double"),
+                6).alias("dow_share"))

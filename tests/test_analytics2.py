@@ -413,3 +413,99 @@ def test_oov_rate_replay(spark, sf_dir):
         r = got[doc_id]
         assert (r.n_tokens, r.n_oov) == (len(toks), oov)
         assert abs(r.oov_rate - oov / len(toks)) < 1e-6
+
+
+def test_user_recs_replay(spark, sf_dir):
+    rows = _run(spark, sf_dir, "pr_user_recs").collect()
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_orderkey < 4000").select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    cooc = defaultdict(int)
+    deg = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for p in ps:
+            deg[p] += 1
+        for ii in range(len(ps)):
+            for jj in range(ii + 1, len(ps)):
+                cooc[(ps[ii], ps[jj])] += 1
+    edge = defaultdict(dict)  # i -> j -> cos
+    for (i, j), c in cooc.items():
+        if c >= 2:
+            cos = c / math.sqrt(deg[i] * deg[j])
+            edge[i][j] = cos
+            edge[j][i] = cos
+    want = {}
+    for o, parts in by_order.items():
+        scores = defaultdict(list)
+        for p in sorted(parts):
+            for j, cos in edge.get(p, {}).items():
+                if j not in parts:
+                    scores[j].append((p, cos))
+        cand = []
+        for j, contribs in scores.items():
+            s = 0.0
+            for _, cos in sorted(contribs):
+                s += cos
+            cand.append((round(s, 6), j, len(contribs)))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (s, j, np_) in enumerate(cand[:3], start=1):
+            want[(o, rk)] = (j, np_, s)
+    got = {(r.orderkey, r.rk): (r.item, r.n_paths, r.score) for r in rows}
+    assert got == want
+
+
+def test_schema_evolution_replay(spark, sf_dir):
+    got = {r.doc_id: r for r in
+           _run(spark, sf_dir, "io_schema_evolution").collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        r = got[d.doc_id]
+        if d.doc_id % 2 == 0:
+            assert (r.source_filled, r.generation) == ("legacy", "v1")
+        else:
+            assert (r.source_filled, r.generation) == (d.source, "v2")
+        assert r.n_chars_rt == len(d.text)
+        assert r.lang == d.lang
+
+
+def test_grubbs_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_grubbs_test").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    m = len(xs)
+    mean = sum(xs) / m
+    sd = math.sqrt((sum(x * x for x in xs) - sum(xs) ** 2 / m) / (m - 1))
+    devs = [abs(x - mean) for x in xs]
+    worst = max(range(m), key=lambda i: (devs[i], -i))
+    assert got.m == m
+    assert got.worst_day == days[worst].isoformat()
+    assert got.worst_count == xs[worst]
+    assert abs(got.max_dev - devs[worst]) < 1e-5
+    assert abs(got.g_stat - devs[worst] / sd) < 1e-5
+
+
+def test_hourly_heatmap_replay(spark, sf_dir):
+    got = {(r.dow, r.hr): r for r in
+           _run(spark, sf_dir, "q_hourly_heatmap").collect()}
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    cnt = defaultdict(int)
+    for r in ev:
+        cnt[(r.ts.isoweekday(), r.ts.hour)] += 1
+    tot = sum(cnt.values())
+    dow_tot = defaultdict(int)
+    for (dw, _), n in cnt.items():
+        dow_tot[dw] += n
+    assert len(got) == len(cnt)
+    for (dw, hr), n in cnt.items():
+        r = got[(dw, hr)]
+        assert r.n == n
+        assert abs(r.share - n / tot) < 1e-6
+        assert abs(r.dow_share - n / dow_tot[dw]) < 1e-6

@@ -124,6 +124,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "s_round_amount_bias",
                 # one-row triangle/edge totals crossed with wedge totals
                 "gr_transitivity",
+                # one-row moment-sums broadcast over the day series
+                "q_grubbs_test",
                 # same margin-lattice cross as q_chi_square
                 "q_cramers_v",
                 # one-row group-stats cross (click row x view row)
