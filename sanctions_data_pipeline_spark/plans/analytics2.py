@@ -1327,3 +1327,238 @@ def q_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share"),
         F.round(F.col("n").cast("double") / F.col("dow_tot").cast("double"),
                 6).alias("dow_share"))
+
+
+# ---------------------------------------------------------------------------
+# q_asof_nearest — nearest-in-time purchase for every click (either
+# direction; ties prefer the backward match): the bidirectional
+# completion of q_asof_join/q_asof_forward (temporal.py:48/:371).
+# Two union-tagged window fills per user — backward includes same-µs
+# purchases, forward is strictly later — then one equi-join on the
+# click id picks the smaller |Δt|. No range self-join: O(n log n)
+# window passes, one shuffle per direction on user_id.
+# ---------------------------------------------------------------------------
+_ASOF_NEAREST_ORACLE = """
+WITH back AS (
+  SELECT user_id, ts, event_id, kind, p_event_id,
+         last_value(p_event_id IGNORE NULLS) OVER w AS b_id,
+         last_value(p_us IGNORE NULLS) OVER w AS b_us
+  FROM (
+    SELECT user_id, ts, event_id, NULL::BIGINT AS p_event_id,
+           NULL::BIGINT AS p_us, 1 AS kind
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, NULL, event_id, epoch_us(ts), 0
+    FROM events WHERE event_type = 'purchase'
+  )
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, p_event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+fwd AS (
+  SELECT user_id, ts, event_id, kind,
+         first_value(p_event_id IGNORE NULLS) OVER w AS f_id,
+         first_value(p_us IGNORE NULLS) OVER w AS f_us
+  FROM (
+    SELECT user_id, ts, event_id, NULL::BIGINT AS p_event_id,
+           NULL::BIGINT AS p_us, 1 AS kind
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, NULL, event_id, epoch_us(ts), 0
+    FROM events WHERE event_type = 'purchase'
+  )
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, p_event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+j AS (
+  SELECT b.event_id, b.user_id, epoch_us(b.ts) AS ts_us,
+         b.b_id, b.b_us, f.f_id, f.f_us
+  FROM (SELECT * FROM back WHERE kind = 1) b
+  JOIN (SELECT * FROM fwd WHERE kind = 1) f ON b.event_id = f.event_id
+)
+SELECT event_id, user_id, ts_us,
+       CASE WHEN b_id IS NOT NULL
+             AND (f_id IS NULL OR ts_us - b_us <= f_us - ts_us)
+            THEN b_id ELSE f_id END AS near_p_event_id,
+       CASE WHEN b_id IS NOT NULL
+             AND (f_id IS NULL OR ts_us - b_us <= f_us - ts_us)
+            THEN CAST(-(ts_us - b_us) AS BIGINT)
+            WHEN f_id IS NOT NULL THEN CAST(f_us - ts_us AS BIGINT)
+       END AS delta_us
+FROM j
+"""
+
+
+@register("q_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("bigint").alias("p_event_id"),
+        F.lit(None).cast("bigint").alias("p_us"),
+        F.lit(1).alias("kind"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("bigint").alias("event_id"),
+        F.col("event_id").alias("p_event_id"),
+        F.unix_micros("ts").alias("p_us"), F.lit(0).alias("kind"))
+    tagged = clicks.unionByName(purch)
+    order = [F.col("ts"), F.col("kind"), F.col("p_event_id")]
+    wb = (W.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(W.unboundedPreceding, 0))
+    wf = (W.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(1, W.unboundedFollowing))
+    back = tagged.select(
+        "event_id", "user_id", "ts", "kind",
+        F.last("p_event_id", ignorenulls=True).over(wb).alias("b_id"),
+        F.last("p_us", ignorenulls=True).over(wb).alias("b_us")
+    ).filter(F.col("kind") == 1)
+    fwd = tagged.select(
+        "event_id", "kind",
+        F.first("p_event_id", ignorenulls=True).over(wf).alias("f_id"),
+        F.first("p_us", ignorenulls=True).over(wf).alias("f_us")
+    ).filter(F.col("kind") == 1).drop("kind")
+    j = back.join(fwd, "event_id").withColumn(
+        "ts_us", F.unix_micros("ts"))
+    take_back = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull()
+        | (F.col("ts_us") - F.col("b_us") <= F.col("f_us") - F.col("ts_us")))
+    return j.select(
+        "event_id", "user_id", "ts_us",
+        F.when(take_back, F.col("b_id")).otherwise(F.col("f_id"))
+        .alias("near_p_event_id"),
+        F.when(take_back, -(F.col("ts_us") - F.col("b_us")))
+        .when(F.col("f_id").isNotNull(), F.col("f_us") - F.col("ts_us"))
+        .cast("bigint").alias("delta_us"))
+
+
+# ---------------------------------------------------------------------------
+# q_concurrency_profile — how many 30-minute event windows are open
+# over time (the load-overlap view on q_interval_merge's windows,
+# temporal.py:409): classic +1/−1 sweep — every window start adds one,
+# every end subtracts one, ends sort before starts at the same µs so
+# touching windows don't double-count — then per-day max of the
+# running sum. The sweep is one global window over 2·n points of
+# (bigint, int); at cluster scale partition the sweep by day and
+# seed each day with the carry-in (documented; the day grid is tiny).
+# ---------------------------------------------------------------------------
+_CONCURRENCY_ORACLE = """
+WITH pts AS (
+  SELECT epoch_us(ts) AS us, 1 AS delta FROM events
+  UNION ALL
+  SELECT epoch_us(ts + INTERVAL 30 MINUTE), -1 FROM events
+),
+run AS (
+  SELECT us, delta,
+         CAST(sum(delta) OVER (ORDER BY us, delta
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM pts
+)
+SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_changes,
+       CAST(max(conc) AS BIGINT) AS max_concurrency
+FROM run GROUP BY 1
+"""
+
+
+@register("q_concurrency_profile", oracle=_CONCURRENCY_ORACLE)
+def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(F.unix_micros("ts").alias("us"),
+                       F.lit(1).alias("delta"))
+    ends = ev.select(
+        (F.unix_micros("ts") + F.lit(30 * 60 * 1000000)).alias("us"),
+        F.lit(-1).alias("delta"))
+    pts = starts.unionByName(ends)
+    run = pts.select(
+        "us", "delta",
+        F.sum("delta").over(W.orderBy("us", "delta").rowsBetween(
+            W.unboundedPreceding, 0)).cast("bigint").alias("conc"))
+    return (run.groupBy(
+        F.date_format((F.col("us") / 1000000).cast("timestamp"),
+                      "yyyy-MM-dd").alias("day"))
+        .agg(lcount("n_changes"),
+             F.max("conc").cast("bigint").alias("max_concurrency")))
+
+
+# ---------------------------------------------------------------------------
+# tt_temporal_split — time-based train/test split with leakage
+# accounting (the split an evaluation pipeline actually needs when the
+# model will see the future: random tt_split leaks). Cutoff = min day
+# + 80% of the day span (deterministic, data-derived); per user the
+# train/test event counts and whether the user SPANS the cutoff (those
+# users' test rows leak user-level state into training — the quantity
+# tt_leakage_check monitors).
+# ---------------------------------------------------------------------------
+_TEMPORAL_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT CAST(min(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS lo,
+         CAST(max(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS hi
+  FROM events
+),
+x AS (
+  SELECT user_id,
+         CASE WHEN CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT)
+                   < lo + CAST(floor((hi - lo) * 0.8) AS BIGINT)
+              THEN 1 ELSE 0 END AS is_train
+  FROM events CROSS JOIN b
+)
+SELECT user_id,
+       CAST(sum(is_train) AS BIGINT) AS n_train,
+       CAST(sum(1 - is_train) AS BIGINT) AS n_test,
+       CASE WHEN sum(is_train) > 0 AND sum(1 - is_train) > 0 THEN 'spans'
+            WHEN sum(is_train) > 0 THEN 'train_only'
+            ELSE 'test_only' END AS bucket
+FROM x GROUP BY user_id
+"""
+
+
+@register("tt_temporal_split", oracle=_TEMPORAL_SPLIT_ORACLE)
+def tt_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                  / F.lit(86400000000)).cast("bigint")
+    b = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    x = ev.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        F.when(day < F.col("lo")
+               + F.floor((F.col("hi") - F.col("lo")) * 0.8).cast("bigint"),
+               1).otherwise(0).alias("is_train"))
+    g = x.groupBy("user_id").agg(
+        F.sum("is_train").cast("bigint").alias("n_train"),
+        F.sum(1 - F.col("is_train")).cast("bigint").alias("n_test"))
+    return g.select(
+        "user_id", "n_train", "n_test",
+        F.when((F.col("n_train") > 0) & (F.col("n_test") > 0), "spans")
+        .when(F.col("n_train") > 0, "train_only")
+        .otherwise("test_only").alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# s_alias_graph — entity clusters by alias-key overlap: two sanctioned
+# entities sharing any name-variant key (s_name_variants,
+# sanctions.py:86) are aliases of the same underlying actor; the
+# transitive closure is exactly connected components over the
+# shared-key pair graph (operators/dedup.py:417's min-label
+# propagation + pointer jumping). Rows-only: the iterative CC has no
+# single-query SQL twin; exact cluster semantics pinned in
+# tests/test_analytics2.py via a python union-find replay.
+# ---------------------------------------------------------------------------
+@register("s_alias_graph")
+def s_alias_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.dedup import (
+        connected_components)
+    from sanctions_data_pipeline_spark.plans.registry import REGISTRY
+
+    variants = REGISTRY["s_name_variants"].build(spark, sf_dir) \
+        .select("entity_id", "variant_key").distinct()
+    a = variants.select(F.col("variant_key"), F.col("entity_id").alias("i"))
+    b = variants.select(F.col("variant_key"), F.col("entity_id").alias("j"))
+    pairs = (a.join(b, "variant_key").filter(F.col("i") < F.col("j"))
+             .select("i", "j").distinct())
+    cc = connected_components(pairs)
+    members = variants.select(F.col("entity_id").alias("id")).distinct() \
+        .join(cc, "id", "left") \
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    sizes = members.groupBy("cluster_id").agg(lcount("cluster_size"))
+    return (members.join(sizes, "cluster_id")
+            .select(F.col("id").alias("entity_id"), "cluster_id",
+                    "cluster_size"))

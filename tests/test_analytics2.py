@@ -509,3 +509,122 @@ def test_hourly_heatmap_replay(spark, sf_dir):
         assert r.n == n
         assert abs(r.share - n / tot) < 1e-6
         assert abs(r.dow_share - n / dow_tot[dw]) < 1e-6
+
+
+def test_asof_nearest_replay(spark, sf_dir):
+    got = {r.event_id: r for r in
+           _run(spark, sf_dir, "q_asof_nearest").collect()}
+    from datetime import timezone
+
+    def us(ts):
+        return int(ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type").collect()
+    clicks = [r for r in ev if r.event_type == "click"]
+    purch = defaultdict(list)
+    for r in ev:
+        if r.event_type == "purchase":
+            purch[r.user_id].append((us(r.ts), r.event_id))
+    for p in purch.values():
+        p.sort()
+    assert len(got) == len(clicks)
+    for c in clicks:
+        cu = us(c.ts)
+        ps = purch.get(c.user_id, [])
+        back = max(((u, e) for u, e in ps if u <= cu), default=None)
+        fwd = min(((u, e) for u, e in ps if u > cu), default=None)
+        r = got[c.event_id]
+        if back is None and fwd is None:
+            assert r.near_p_event_id is None and r.delta_us is None
+        elif back is not None and (fwd is None
+                                   or cu - back[0] <= fwd[0] - cu):
+            assert (r.near_p_event_id, r.delta_us) == (back[1],
+                                                       -(cu - back[0]))
+        else:
+            assert (r.near_p_event_id, r.delta_us) == (fwd[1], fwd[0] - cu)
+
+
+def test_concurrency_profile_replay(spark, sf_dir):
+    from datetime import datetime, timezone
+    got = {r.day: r for r in
+           _run(spark, sf_dir, "q_concurrency_profile").collect()}
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+
+    def us(ts):
+        return int(ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+    pts = []
+    for r in ev:
+        pts.append((us(r.ts), 1))
+        pts.append((us(r.ts) + 30 * 60 * 1_000_000, -1))
+    pts.sort()
+    conc = 0
+    per_day = defaultdict(lambda: [0, 0])  # day -> [n_changes, max_conc]
+    for u, d in pts:
+        conc += d
+        day = datetime.fromtimestamp(u / 1e6, tz=timezone.utc) \
+            .strftime("%Y-%m-%d")
+        per_day[day][0] += 1
+        per_day[day][1] = max(per_day[day][1], conc)
+    assert len(got) == len(per_day)
+    for day, (nc, mx) in per_day.items():
+        assert (got[day].n_changes, got[day].max_concurrency) == (nc, mx)
+    # sanity: concurrency returns to zero at the end
+    assert conc == 0
+
+
+def test_temporal_split_replay(spark, sf_dir):
+    got = {r.user_id: r for r in
+           _run(spark, sf_dir, "tt_temporal_split").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts").collect()
+    days = [r.ts.date().toordinal() for r in ev]
+    lo, hi = min(days), max(days)
+    cutoff = lo + int((hi - lo) * 0.8)
+    agg = defaultdict(lambda: [0, 0])
+    for r in ev:
+        d = r.ts.date().toordinal()
+        agg[r.user_id][0 if d < cutoff else 1] += 1
+    assert len(got) == len(agg)
+    for u, (tr, te) in agg.items():
+        r = got[u]
+        assert (r.n_train, r.n_test) == (tr, te)
+        want = "spans" if tr and te else ("train_only" if tr else "test_only")
+        assert r.bucket == want
+
+
+def test_alias_graph_replay(spark, sf_dir):
+    got = {r.entity_id: r for r in
+           _run(spark, sf_dir, "s_alias_graph").collect()}
+    from sanctions_data_pipeline_spark.plans.registry import REGISTRY
+    variants = REGISTRY["s_name_variants"].build(spark, sf_dir) \
+        .select("entity_id", "variant_key").distinct().collect()
+    by_key = defaultdict(set)
+    ids = set()
+    for r in variants:
+        by_key[r.variant_key].add(r.entity_id)
+        ids.add(r.entity_id)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in by_key.values():
+        ms = sorted(members)
+        for m in ms[1:]:
+            ra, rb = find(ms[0]), find(m)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    clusters = defaultdict(set)
+    for i in ids:
+        clusters[find(i)].add(i)
+    assert len(got) == len(ids)
+    for root, members in clusters.items():
+        canon = min(members)
+        for m in members:
+            assert got[m].cluster_id == canon
+            assert got[m].cluster_size == len(members)

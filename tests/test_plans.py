@@ -126,6 +126,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "gr_transitivity",
                 # one-row moment-sums broadcast over the day series
                 "q_grubbs_test",
+                # one-row (min day, max day) cutoff bounds broadcast
+                "tt_temporal_split",
                 # same margin-lattice cross as q_chi_square
                 "q_cramers_v",
                 # one-row group-stats cross (click row x view row)
