@@ -1562,3 +1562,245 @@ def s_alias_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (members.join(sizes, "cluster_id")
             .select(F.col("id").alias("entity_id"), "cluster_id",
                     "cluster_size"))
+
+
+# ---------------------------------------------------------------------------
+# tx_boilerplate — cross-source boilerplate census: 8-gram shingles
+# that repeat across many documents AND more than one source are
+# template/navigation text, not content (the cross-site dedup signal
+# dd_winnow's within-doc fingerprints don't see). Shingles explode
+# map-side off the scan; one (shingle) agg with exact doc/source
+# counts; top-100 by (doc frequency desc, shingle).
+# ---------------------------------------------------------------------------
+_BOILER_N = 8
+_BOILER_MIN_DOCS = 10
+
+_BOILERPLATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKS} AS toks
+  FROM documents WHERE length(text) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(toks[i:i+{_BOILER_N - 1}], ' ') AS shingle
+  FROM t, unnest(generate_series(1, len(toks) - {_BOILER_N - 1})) AS u(i)
+  WHERE len(toks) >= {_BOILER_N}
+),
+c AS (
+  SELECT shingle,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM sh GROUP BY shingle
+)
+SELECT shingle, n_docs, n_sources
+FROM c
+WHERE n_docs >= {_BOILER_MIN_DOCS} AND n_sources >= 2
+ORDER BY n_docs DESC, shingle LIMIT 100
+"""
+
+
+@register("tx_boilerplate", oracle=_BOILERPLATE_ORACLE)
+def tx_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = docs.select("doc_id", "source", tx.tokens(F.col("text")).alias("toks"))
+    sh = (t.filter(F.size("toks") >= _BOILER_N)
+          .select("doc_id", "source", F.explode(F.expr(
+              f"transform(sequence(1, size(toks) - {_BOILER_N - 1}),"
+              f" i -> array_join(slice(toks, i, {_BOILER_N}), ' '))"))
+              .alias("shingle"))
+          .distinct())
+    c = sh.groupBy("shingle").agg(
+        lcount("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"))
+    return (c.filter((F.col("n_docs") >= _BOILER_MIN_DOCS)
+                     & (F.col("n_sources") >= 2))
+            .orderBy(F.desc("n_docs"), "shingle").limit(100))
+
+
+# ---------------------------------------------------------------------------
+# q_durbin_watson — Durbin-Watson serial-correlation statistic of the
+# mean-centered daily count series: DW = Σ(x_t − x_{t−1})² / Σ(x−x̄)².
+# The numerator is an exact integer (differences of counts); the
+# denominator expands to sxx − sx²/m — also exact — so DW is a single
+# double division. The companion to q_acf (DW ≈ 2(1 − r₁)) and
+# q_runs_test on the same series.
+# ---------------------------------------------------------------------------
+_DW_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT i, x, x - lag(x) OVER (ORDER BY i) AS dx FROM daily
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(CASE WHEN dx IS NULL THEN 0 ELSE dx * dx END) AS BIGINT)
+           AS sdx2
+  FROM d
+)
+SELECT m, sdx2 AS num_x1,
+       round((CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)),
+             6) AS denom,
+       round(CAST(sdx2 AS DOUBLE)
+             / (CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  / CAST(m AS DOUBLE)), 6) AS dw_stat
+FROM s WHERE m > 1
+"""
+
+
+@register("q_durbin_watson", oracle=_DW_ORACLE)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                                / F.lit(86400000000)).cast("bigint")
+                        .alias("i"))
+             .agg(lcount("x")))
+    d = daily.select(
+        "i", "x", (F.col("x") - F.lag("x").over(W.orderBy("i"))).alias("dx"))
+    s = d.agg(
+        lcount("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.when(F.col("dx").isNull(), 0)
+              .otherwise(F.col("dx") * F.col("dx"))).cast("bigint")
+        .alias("sdx2"))
+    m_d, sx_d = F.col("m").cast("double"), F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    den = sxx_d - sx_d * sx_d / m_d
+    return (s.filter(F.col("m") > 1)
+            .select("m", F.col("sdx2").alias("num_x1"),
+                    F.round(den, 6).alias("denom"),
+                    F.round(F.col("sdx2").cast("double") / den, 6)
+                    .alias("dw_stat")))
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_mad — robust rolling-window outlier flags on the daily
+# count series: 21-day centered window, median and MAD from exact
+# order statistics over the collected window (≤21 bigints per row),
+# flag = |x − med| > 3·MAD·1.4826. The heavy-tail-safe twin of
+# q_bollinger_bands' mean/σ band. Window medians are exact integer
+# order stats — no float accumulation at all until the final scale.
+# ---------------------------------------------------------------------------
+_ROLLING_MAD_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT i, day, x,
+         list(x) OVER (ORDER BY i ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)
+           AS xs
+  FROM daily
+),
+med AS (
+  SELECT i, day, x, xs,
+         list_sort(xs)[CAST(ceil(len(xs) / 2.0) AS BIGINT)] AS med
+  FROM w
+),
+mad AS (
+  SELECT i, day, x, med,
+         list_sort(list_transform(xs, v -> abs(v - med)))
+           [CAST(ceil(len(xs) / 2.0) AS BIGINT)] AS mad
+  FROM med
+)
+SELECT day, x, CAST(med AS BIGINT) AS median,
+       CAST(mad AS BIGINT) AS mad,
+       CASE WHEN CAST(abs(x - med) AS DOUBLE)
+                 > 3.0 * 1.4826 * CAST(mad AS DOUBLE)
+            THEN 1 ELSE 0 END AS is_outlier
+FROM mad
+"""
+
+
+@register("q_rolling_mad", oracle=_ROLLING_MAD_ORACLE)
+def q_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                / F.lit(86400000000)).cast("bigint").alias("i"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(lcount("x")))
+    win = W.orderBy("i").rowsBetween(-10, 10)
+    w = daily.select("i", "day", "x",
+                     F.collect_list("x").over(win).alias("xs"))
+    med = F.element_at(F.array_sort(F.col("xs")),
+                       F.ceil(F.size("xs") / 2.0).cast("int"))
+    m = w.select("i", "day", "x", "xs", med.alias("med"))
+    mad = F.element_at(
+        F.array_sort(F.transform(F.col("xs"),
+                                 lambda v: F.abs(v - F.col("med")))),
+        F.ceil(F.size("xs") / 2.0).cast("int"))
+    mm = m.select("day", "x", "med", mad.alias("mad"))
+    return mm.select(
+        "day", "x", F.col("med").cast("bigint").alias("median"),
+        F.col("mad").cast("bigint").alias("mad"),
+        F.when(F.abs(F.col("x") - F.col("med")).cast("double")
+               > F.lit(3.0) * F.lit(1.4826) * F.col("mad").cast("double"), 1)
+        .otherwise(0).alias("is_outlier"))
+
+
+# ---------------------------------------------------------------------------
+# q_theil_sen — Theil-Sen robust trend slope of the daily count
+# series: the median of all pairwise slopes (x_j − x_i)/(j − i). The
+# estimator q_mann_kendall tests significance for; 29% breakdown
+# point vs OLS's zero. Pairwise slopes come from the same bounded
+# day×day cross (O(days²) pairs); the median is an exact order
+# statistic over slopes ROUNDED to 6dp (portable total order), with
+# the pair count emitted for auditability.
+# ---------------------------------------------------------------------------
+_THEIL_SEN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT round(CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE), 6)
+           AS slope
+  FROM daily a JOIN daily b ON b.i > a.i
+),
+s AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS rk,
+         count(*) OVER () AS n
+  FROM p
+)
+SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+       round(avg(slope), 6) AS theil_sen_slope
+FROM s
+WHERE rk IN (CAST(ceil(n / 2.0) AS BIGINT), CAST(ceil((n + 1) / 2.0) AS BIGINT))
+"""
+
+
+@register("q_theil_sen", oracle=_THEIL_SEN_ORACLE)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                                / F.lit(86400000000)).cast("bigint")
+                        .alias("i"))
+             .agg(lcount("x")))
+    b = daily.select(F.col("i").alias("i2"), F.col("x").alias("x2"))
+    p = (daily.join(b, F.col("i2") > F.col("i"))
+         .select(F.round((F.col("x2") - F.col("x")).cast("double")
+                         / (F.col("i2") - F.col("i")).cast("double"), 6)
+                 .alias("slope")))
+    s = p.select(
+        "slope",
+        F.row_number().over(W.orderBy("slope")).alias("rk"),
+        F.count(F.lit(1)).over(W.rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing)).alias("n"))
+    lo = F.ceil(F.col("n") / 2.0).cast("bigint")
+    hi = F.ceil((F.col("n") + 1) / 2.0).cast("bigint")
+    return (s.filter((F.col("rk") == lo) | (F.col("rk") == hi))
+            .agg(F.max("n").cast("bigint").alias("n_pairs"),
+                 F.round(F.avg("slope"), 6).alias("theil_sen_slope")))

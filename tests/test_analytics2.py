@@ -628,3 +628,81 @@ def test_alias_graph_replay(spark, sf_dir):
         for m in members:
             assert got[m].cluster_id == canon
             assert got[m].cluster_size == len(members)
+
+
+def test_boilerplate_replay(spark, sf_dir):
+    import re
+    rows = _run(spark, sf_dir, "tx_boilerplate").collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    by_shingle = defaultdict(set)
+    src_by_shingle = defaultdict(set)
+    for d in docs:
+        if not d.text:
+            continue
+        toks = re.sub(r"\s+", " ", d.text.lower()).strip().split(" ")
+        for i in range(len(toks) - 7):
+            sh = " ".join(toks[i:i + 8])
+            by_shingle[sh].add(d.doc_id)
+            src_by_shingle[sh].add(d.source)
+    cand = [(sh, len(ds), len(src_by_shingle[sh]))
+            for sh, ds in by_shingle.items()
+            if len(ds) >= 10 and len(src_by_shingle[sh]) >= 2]
+    cand.sort(key=lambda t: (-t[1], t[0]))
+    want = cand[:100]
+    got = [(r.shingle, r.n_docs, r.n_sources) for r in rows]
+    assert got == want
+
+
+def test_durbin_watson_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_durbin_watson").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    xs = [daily[d] for d in sorted(daily)]
+    m = len(xs)
+    num = sum((b - a) ** 2 for a, b in zip(xs, xs[1:]))
+    den = sum(x * x for x in xs) - sum(xs) ** 2 / m
+    assert (got.m, got.num_x1) == (m, num)
+    assert abs(got.denom - den) < 1e-4
+    assert abs(got.dw_stat - num / den) < 1e-5
+    assert 0.0 <= got.dw_stat <= 4.0
+
+
+def test_rolling_mad_replay(spark, sf_dir):
+    got = {r.day: r for r in _run(spark, sf_dir, "q_rolling_mad").collect()}
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    for i, d in enumerate(days):
+        win = xs[max(0, i - 10):i + 11]
+        med = sorted(win)[math.ceil(len(win) / 2.0) - 1]
+        mad = sorted(abs(v - med) for v in win)[math.ceil(len(win) / 2.0) - 1]
+        r = got[d.isoformat()]
+        assert (r.x, r.median, r.mad) == (xs[i], med, mad)
+        assert r.is_outlier == (1 if abs(xs[i] - med) > 3 * 1.4826 * mad
+                                else 0)
+
+
+def test_theil_sen_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_theil_sen").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    days = sorted(daily)
+    pts = [(d.toordinal(), daily[d]) for d in days]
+    slopes = []
+    for a in range(len(pts)):
+        for b in range(a + 1, len(pts)):
+            slopes.append(round((pts[b][1] - pts[a][1])
+                                / (pts[b][0] - pts[a][0]), 6))
+    slopes.sort()
+    n = len(slopes)
+    lo = slopes[math.ceil(n / 2.0) - 1]
+    hi = slopes[math.ceil((n + 1) / 2.0) - 1]
+    assert got.n_pairs == n
+    assert abs(got.theil_sen_slope - (lo + hi) / 2.0) < 1e-6

@@ -116,8 +116,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # one-row exact-median broadcast over the day series
                 "q_runs_test",
                 # Pettitt's V_t needs the same bounded day x day sign
-                # pairs as q_mann_kendall
-                "q_pettitt_test",
+                # pairs as q_mann_kendall; Theil-Sen medians the same
+                # bounded pairwise-slope cross
+                "q_pettitt_test", "q_theil_sen",
                 # one-row corpus totals (N tokens / N bigrams) broadcast
                 "tx_bigram_pmi",
                 # one-row global round-share base-rate broadcast
