@@ -1804,3 +1804,221 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.filter((F.col("rk") == lo) | (F.col("rk") == hi))
             .agg(F.max("n").cast("bigint").alias("n_pairs"),
                  F.round(F.avg("slope"), 6).alias("theil_sen_slope")))
+
+
+# ---------------------------------------------------------------------------
+# sim_threshold_eval — cosine-threshold calibration against label
+# ground truth on the deterministic successor-pair sample: for each
+# threshold on a literal 0.0..0.9 lattice, confusion counts and
+# P/R/F1 for "same label iff cos ≥ t". The sweep that picks
+# dd_embed_cosine's 0.4 (training_data.py:87) empirically. The
+# threshold lattice is a 10-row literal cross (dd_threshold_sweep's
+# plan shape); pair cosines are the shared fold-dot.
+# ---------------------------------------------------------------------------
+_THRESH_EVAL_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT round(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 6) AS cos,
+         CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS is_same
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+),
+t AS (SELECT unnest(generate_series(0, 9)) / 10.0 AS threshold),
+c AS (
+  SELECT threshold,
+         CAST(sum(CASE WHEN cos >= threshold AND is_same = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN cos >= threshold AND is_same = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN cos < threshold AND is_same = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN cos < threshold AND is_same = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM t JOIN p ON true GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN round(2.0 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+       END AS f1
+FROM c
+"""
+
+
+@register("sim_threshold_eval", oracle=_THRESH_EVAL_ORACLE)
+def sim_threshold_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.similarity import (
+        as_double, dot)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    a = e.select(F.col("vec_id").alias("ia"), F.col("label").alias("la"),
+                 F.col("v").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("ia"),
+                 F.col("label").alias("lb"), F.col("v").alias("vb"))
+    p = a.join(b, "ia").select(
+        F.round(dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(dot(F.col("va"), F.col("va")))
+                   * F.sqrt(dot(F.col("vb"), F.col("vb")))), 6).alias("cos"),
+        F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias("is_same"))
+    t = spark.range(0, 10).select((F.col("id") / 10.0).alias("threshold"))
+    c = (F.broadcast(t).join(p, F.lit(True))
+         .groupBy("threshold")
+         .agg(F.sum(F.when((F.col("cos") >= F.col("threshold"))
+                           & (F.col("is_same") == 1), 1).otherwise(0))
+              .cast("bigint").alias("tp"),
+              F.sum(F.when((F.col("cos") >= F.col("threshold"))
+                           & (F.col("is_same") == 0), 1).otherwise(0))
+              .cast("bigint").alias("fp"),
+              F.sum(F.when((F.col("cos") < F.col("threshold"))
+                           & (F.col("is_same") == 1), 1).otherwise(0))
+              .cast("bigint").alias("fn"),
+              F.sum(F.when((F.col("cos") < F.col("threshold"))
+                           & (F.col("is_same") == 0), 1).otherwise(0))
+              .cast("bigint").alias("tn")))
+    tp_d = F.col("tp").cast("double")
+    return c.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.round(tp_d / (F.col("tp") + F.col("fp")), 6))
+        .alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.round(tp_d / (F.col("tp") + F.col("fn")), 6))
+        .alias("recall"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+               F.round(F.lit(2.0) * tp_d
+                       / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6))
+        .alias("f1"))
+
+
+# ---------------------------------------------------------------------------
+# emb_centroid_classify — nearest-class-mean classification over the
+# embedding table (the Rocchio / prototype classifier; also the
+# standard linear-probe sanity check on embedding quality), with the
+# full confusion matrix out. Centroids fold each (label, dim) value
+# list in vec_id order (exact, unlike a bare avg); distances fold
+# (v_d − c_d)² in dim order; argmin ties break to the smaller label.
+# One posexplode fan-out + two hash aggs + a (label·dim)-row broadcast.
+# ---------------------------------------------------------------------------
+_CENTROID_CLASSIFY_ORACLE = """
+WITH x AS (
+  SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cent AS (
+  SELECT label AS clabel, dim,
+         list_aggregate(list_transform(
+           list_sort(list({'i': vec_id, 'v': val})), s -> s.v), 'sum')
+           / count(*) AS c
+  FROM x GROUP BY label, dim
+),
+d AS (
+  SELECT x.vec_id, x.label, cent.clabel,
+         list_aggregate(list_transform(
+           list_sort(list({'i': x.dim, 'v': (x.val - cent.c) * (x.val - cent.c)})),
+           s -> s.v), 'sum') AS dist2
+  FROM x JOIN cent ON x.dim = cent.dim
+  GROUP BY x.vec_id, x.label, cent.clabel
+),
+pred AS (
+  SELECT vec_id, label, clabel AS predicted,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(dist2, 9), clabel) AS rk
+  FROM d
+)
+SELECT label, predicted, CAST(count(*) AS BIGINT) AS n
+FROM pred WHERE rk = 1 GROUP BY label, predicted
+"""
+
+
+@register("emb_centroid_classify", oracle=_CENTROID_CLASSIFY_ORACLE)
+def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("p", "valf")).select(
+        "vec_id", "label", (F.col("p") + 1).alias("dim"),
+        F.col("valf").cast("double").alias("val"))
+
+    def fold_sorted(struct_col):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(struct_col)),
+                        lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    cent = (x.groupBy(F.col("label").alias("clabel"), "dim")
+            .agg((fold_sorted(F.struct(F.col("vec_id").alias("i"),
+                                       F.col("val").alias("v")))
+                  / F.count(F.lit(1))).alias("c")))
+    d = (x.join(F.broadcast(cent), "dim")
+         .groupBy("vec_id", "label", "clabel")
+         .agg(fold_sorted(F.struct(
+             F.col("dim").alias("i"),
+             ((F.col("val") - F.col("c"))
+              * (F.col("val") - F.col("c"))).alias("v"))).alias("dist2")))
+    pred = d.withColumn("rk", F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.round(F.col("dist2"), 9),
+                                        "clabel")))
+    return (pred.filter(F.col("rk") == 1)
+            .groupBy("label", F.col("clabel").alias("predicted"))
+            .agg(lcount("n")))
+
+
+# ---------------------------------------------------------------------------
+# q_lateness_profile — out-of-orderness profile of the event stream
+# (the measurement that picks a structured-streaming watermark):
+# treating event_id order as arrival order, lateness = high-water-mark
+# ts seen so far minus this event's ts. Emits the per-hour-of-lateness
+# histogram with cumulative coverage — "a 2h watermark keeps 99.3% of
+# events" reads straight off cum_share. One global window over
+# (event_id, µs) pairs; at scale, partition by arrival shard and merge
+# histograms (the histogram agg is associative).
+# ---------------------------------------------------------------------------
+_LATENESS_ORACLE = """
+WITH a AS (
+  SELECT event_id, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS hwm
+  FROM events
+),
+l AS (
+  SELECT CAST(floor((hwm - us) / 3600000000.0) AS BIGINT) AS late_hours
+  FROM a
+),
+h AS (
+  SELECT late_hours, CAST(count(*) AS BIGINT) AS n
+  FROM l GROUP BY late_hours
+)
+SELECT late_hours, n,
+       round(CAST(CAST(sum(n) OVER (ORDER BY late_hours) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(n) OVER () AS BIGINT) AS DOUBLE), 6)
+         AS cum_share
+FROM h
+"""
+
+
+@register("q_lateness_profile", oracle=_LATENESS_ORACLE)
+def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        "event_id", F.unix_micros("ts").alias("us"),
+        F.max(F.unix_micros("ts")).over(
+            W.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0))
+        .alias("hwm"))
+    lh = a.select(
+        F.floor((F.col("hwm") - F.col("us")) / F.lit(3600000000.0))
+        .cast("bigint").alias("late_hours"))
+    h = lh.groupBy("late_hours").agg(lcount("n"))
+    wc = W.orderBy("late_hours").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return h.select(
+        "late_hours", "n",
+        F.round(F.sum("n").over(wc).cast("bigint").cast("double")
+                / F.sum("n").over(wt).cast("bigint").cast("double"), 6)
+        .alias("cum_share"))

@@ -706,3 +706,83 @@ def test_theil_sen_replay(spark, sf_dir):
     hi = slopes[math.ceil((n + 1) / 2.0) - 1]
     assert got.n_pairs == n
     assert abs(got.theil_sen_slope - (lo + hi) / 2.0) < 1e-6
+
+
+def test_threshold_eval_replay(spark, sf_dir):
+    got = {round(r.threshold, 2): r for r in
+           _run(spark, sf_dir, "sim_threshold_eval").collect()}
+    emb = {r.vec_id: (r.label, [float(x) for x in r.embedding]) for r in
+           load_table(spark, sf_dir, "embeddings").collect()}
+    pairs = []
+    for i, (la, va) in emb.items():
+        nxt = emb.get(i + 1)
+        if nxt is None:
+            continue
+        lb, vb = nxt
+        dot = sum(a * b for a, b in zip(va, vb))
+        na = math.sqrt(sum(a * a for a in va))
+        nb = math.sqrt(sum(b * b for b in vb))
+        pairs.append((round(dot / (na * nb), 6), la == lb))
+    assert len(got) == 10
+    for t10 in range(10):
+        t = t10 / 10.0
+        tp = sum(1 for c, s in pairs if c >= t and s)
+        fp = sum(1 for c, s in pairs if c >= t and not s)
+        fn = sum(1 for c, s in pairs if c < t and s)
+        tn = sum(1 for c, s in pairs if c < t and not s)
+        r = got[round(t, 2)]
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        if tp + fp:
+            assert abs(r.precision - tp / (tp + fp)) < 1e-6
+        if tp + fn:
+            assert abs(r.recall - tp / (tp + fn)) < 1e-6
+        # monotone: higher threshold never increases tp
+        if t10 > 0:
+            assert r.tp <= got[round((t10 - 1) / 10.0, 2)].tp
+
+
+def test_centroid_classify_replay(spark, sf_dir):
+    rows = _run(spark, sf_dir, "emb_centroid_classify").collect()
+    emb = [(r.vec_id, r.label, [float(x) for x in r.embedding]) for r in
+           load_table(spark, sf_dir, "embeddings").collect()]
+    by_label = defaultdict(list)
+    for vid, lab, v in emb:
+        by_label[lab].append((vid, v))
+    cents = {}
+    for lab, items in by_label.items():
+        items.sort()
+        dim = len(items[0][1])
+        cents[lab] = [sum(v[d] for _, v in items) / len(items)
+                      for d in range(dim)]
+    conf = defaultdict(int)
+    for vid, lab, v in emb:
+        best = min(
+            ((sum((a - c) ** 2 for a, c in zip(v, cv)), cl)
+             for cl, cv in cents.items()),
+            key=lambda t: (round(t[0], 9), t[1]))
+        conf[(lab, best[1])] += 1
+    got = {(r.label, r.predicted): r.n for r in rows}
+    assert got == dict(conf)
+    # the synthetic labels are weakly separable — require only that the
+    # prototype classifier clearly beats the 1/k random baseline
+    diag = sum(n for (a, b), n in conf.items() if a == b)
+    assert diag / sum(conf.values()) > 1.5 / len(cents)
+
+
+def test_lateness_profile_replay(spark, sf_dir):
+    from datetime import timezone
+    got = {r.late_hours: r for r in
+           _run(spark, sf_dir, "q_lateness_profile").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts").collect()
+    ev.sort(key=lambda r: r.event_id)
+    hwm, hist = None, defaultdict(int)
+    for r in ev:
+        us = int(r.ts.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+        hwm = us if hwm is None else max(hwm, us)
+        hist[int((hwm - us) // 3600000000)] += 1
+    assert {k: r.n for k, r in got.items()} == dict(hist)
+    tot, cum = sum(hist.values()), 0
+    for k in sorted(hist):
+        cum += hist[k]
+        assert abs(got[k].cum_share - cum / tot) < 1e-6

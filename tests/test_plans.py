@@ -90,7 +90,7 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_cms_topk",
                 # literal parameter-lattice crosses (no corpus scan on
                 # the lattice side)
-                "dd_lsh_tuning", "dd_threshold_sweep",
+                "dd_lsh_tuning", "dd_threshold_sweep", "sim_threshold_eval",
                 # intentional broadcast of a ONE-row scalar (corpus size /
                 # global hour bounds / max revenue / balance threshold /
                 # mixture normalizer)
