@@ -2022,3 +2022,150 @@ def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n").over(wc).cast("bigint").cast("double")
                 / F.sum("n").over(wt).cast("bigint").cast("double"), 6)
         .alias("cum_share"))
+
+
+# ---------------------------------------------------------------------------
+# sim_roc_auc — ROC AUC of the successor-pair cosine score against
+# same-label ground truth, via the Mann-Whitney rank-sum identity:
+# AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with AVERAGE ranks over the
+# 6dp-rounded scores (ties averaged exactly as ranksum requires —
+# (min_rank + max_rank)/2 per tie group, all integer until the final
+# division). The single-number companion to sim_threshold_eval's
+# per-threshold table.
+# ---------------------------------------------------------------------------
+_ROC_AUC_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT round(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 6) AS cos,
+         CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS pos
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+),
+r AS (
+  SELECT cos, pos,
+         row_number() OVER (ORDER BY cos, pos) AS rk
+  FROM p
+),
+g AS (
+  SELECT cos, pos,
+         CAST(min(rk) OVER (PARTITION BY cos) AS BIGINT) AS lo,
+         CAST(max(rk) OVER (PARTITION BY cos) AS BIGINT) AS hi
+  FROM r
+),
+s AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+         CAST(sum(CASE WHEN pos = 1 THEN lo + hi ELSE 0 END) AS BIGINT)
+           AS rsum2
+  FROM g
+)
+SELECT n_pos, n_neg,
+       round((CAST(rsum2 AS DOUBLE) / 2.0
+              - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc
+FROM s WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+@register("sim_roc_auc", oracle=_ROC_AUC_ORACLE)
+def sim_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.similarity import (
+        as_double, dot)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    a = e.select(F.col("vec_id").alias("ia"), F.col("label").alias("la"),
+                 F.col("v").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("ia"),
+                 F.col("label").alias("lb"), F.col("v").alias("vb"))
+    p = a.join(b, "ia").select(
+        F.round(dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(dot(F.col("va"), F.col("va")))
+                   * F.sqrt(dot(F.col("vb"), F.col("vb")))), 6).alias("cos"),
+        F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias("pos"))
+    r = p.withColumn("rk", F.row_number().over(W.orderBy("cos", "pos")))
+    wg = W.partitionBy("cos")
+    g = r.select("cos", "pos",
+                 F.min("rk").over(wg).cast("bigint").alias("lo"),
+                 F.max("rk").over(wg).cast("bigint").alias("hi"))
+    s = g.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("pos") == 1, F.col("lo") + F.col("hi"))
+              .otherwise(0)).cast("bigint").alias("rsum2"))
+    np_d, nn_d = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    return (s.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .select("n_pos", "n_neg",
+                    F.round((F.col("rsum2").cast("double") / F.lit(2.0)
+                             - np_d * (np_d + F.lit(1.0)) / F.lit(2.0))
+                            / (np_d * nn_d), 6).alias("auc")))
+
+
+# ---------------------------------------------------------------------------
+# q_growth_accounting — monthly active-user growth accounting (the
+# standard MAU ledger): each (user, month) classified as new (first
+# month ever), retained (active previous month), or resurrected
+# (active before, gap ≥ 1 month); churned = previous month's actives
+# minus this month's retained. One lag window over the (user, month)
+# grid — no self-joins; all counts exact.
+# ---------------------------------------------------------------------------
+_GROWTH_ORACLE = """
+WITH um AS (
+  SELECT DISTINCT user_id,
+         CAST((year(ts) * 12 + month(ts)) - 1 AS BIGINT) AS m
+  FROM events
+),
+lagged AS (
+  SELECT user_id, m,
+         lag(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m
+  FROM um
+),
+cls AS (
+  SELECT m,
+         CAST(sum(CASE WHEN prev_m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+         CAST(sum(CASE WHEN prev_m = m - 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS retained,
+         CAST(sum(CASE WHEN prev_m IS NOT NULL AND prev_m < m - 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+         CAST(count(*) AS BIGINT) AS mau
+  FROM lagged GROUP BY m
+)
+SELECT CAST(m // 12 AS BIGINT) AS year,
+       CAST(m % 12 + 1 AS BIGINT) AS month,
+       new_users, retained, resurrected, mau,
+       CAST(coalesce(lag(mau) OVER (ORDER BY m), 0) - retained AS BIGINT)
+         AS churned
+FROM cls
+"""
+
+
+@register("q_growth_accounting", oracle=_GROWTH_ORACLE)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    um = ev.select(
+        "user_id",
+        (F.year("ts") * 12 + F.month("ts") - 1).cast("bigint").alias("m")
+    ).distinct()
+    lagged = um.select(
+        "user_id", "m",
+        F.lag("m").over(W.partitionBy("user_id").orderBy("m"))
+        .alias("prev_m"))
+    cls = lagged.groupBy("m").agg(
+        F.sum(F.when(F.col("prev_m").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("new_users"),
+        F.sum(F.when(F.col("prev_m") == F.col("m") - 1, 1).otherwise(0))
+        .cast("bigint").alias("retained"),
+        F.sum(F.when(F.col("prev_m").isNotNull()
+                     & (F.col("prev_m") < F.col("m") - 1), 1).otherwise(0))
+        .cast("bigint").alias("resurrected"),
+        lcount("mau"))
+    return cls.select(
+        F.floor(F.col("m") / 12).cast("bigint").alias("year"),
+        (F.col("m") % 12 + 1).cast("bigint").alias("month"),
+        "new_users", "retained", "resurrected", "mau",
+        (F.coalesce(F.lag("mau").over(W.orderBy("m")), F.lit(0))
+         - F.col("retained")).cast("bigint").alias("churned"))

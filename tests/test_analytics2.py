@@ -786,3 +786,61 @@ def test_lateness_profile_replay(spark, sf_dir):
     for k in sorted(hist):
         cum += hist[k]
         assert abs(got[k].cum_share - cum / tot) < 1e-6
+
+
+def test_roc_auc_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "sim_roc_auc").collect()[0]
+    emb = {r.vec_id: (r.label, [float(x) for x in r.embedding]) for r in
+           load_table(spark, sf_dir, "embeddings").collect()}
+    scores = []
+    for i, (la, va) in emb.items():
+        nxt = emb.get(i + 1)
+        if nxt is None:
+            continue
+        lb, vb = nxt
+        dot = sum(a * b for a, b in zip(va, vb))
+        na = math.sqrt(sum(a * a for a in va))
+        nb = math.sqrt(sum(b * b for b in vb))
+        scores.append((round(dot / (na * nb), 6), 1 if la == lb else 0))
+    pos = [s for s, p in scores if p]
+    neg = [s for s, p in scores if not p]
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+    # direct pairwise AUC with half-credit ties (== rank-sum identity)
+    wins = sum(1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+               for sp in pos for sn in neg)
+    assert abs(got.auc - wins / (len(pos) * len(neg))) < 1e-6
+    assert 0.0 <= got.auc <= 1.0
+
+
+def test_growth_accounting_replay(spark, sf_dir):
+    got = {(r.year, r.month): r for r in
+           _run(spark, sf_dir, "q_growth_accounting").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts").collect()
+    months = defaultdict(set)
+    for r in ev:
+        months[r.user_id].add(r.ts.year * 12 + r.ts.month - 1)
+    per_m = defaultdict(lambda: {"new": 0, "ret": 0, "res": 0, "mau": 0})
+    for u, ms in months.items():
+        prev = None
+        for m in sorted(ms):
+            d = per_m[m]
+            d["mau"] += 1
+            if prev is None:
+                d["new"] += 1
+            elif prev == m - 1:
+                d["ret"] += 1
+            else:
+                d["res"] += 1
+            prev = m
+    all_m = sorted(per_m)
+    assert len(got) == len(all_m)
+    for idx, m in enumerate(all_m):
+        r = got[(m // 12, m % 12 + 1)]
+        d = per_m[m]
+        assert (r.new_users, r.retained, r.resurrected, r.mau) == \
+            (d["new"], d["ret"], d["res"], d["mau"])
+        prev_mau = per_m[all_m[idx - 1]]["mau"] if idx else 0
+        assert r.churned == prev_mau - d["ret"]
+        # ledger identity
+        assert r.mau == d["new"] + d["ret"] + d["res"]
