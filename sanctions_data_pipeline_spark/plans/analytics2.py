@@ -2169,3 +2169,235 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users", "retained", "resurrected", "mau",
         (F.coalesce(F.lag("mau").over(W.orderBy("m")), F.lit(0))
          - F.col("retained")).cast("bigint").alias("churned"))
+
+
+# ---------------------------------------------------------------------------
+# st_hourly_heatmap — streaming twin of q_hourly_heatmap: the weekday ×
+# hour grid maintained as a watermarked streaming aggregation (drained
+# availableNow into the same shares). Stream == batch on the bounded
+# source, which is exactly what the oracle asserts — the parity
+# contract every st_* op in this suite pins (plans/streaming.py:1).
+# The share windows run on the 168-cell grid post-drain.
+# ---------------------------------------------------------------------------
+@register("st_hourly_heatmap", oracle="""
+WITH c AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT dow, hr, n,
+         CAST(sum(n) OVER () AS BIGINT) AS tot,
+         CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS dow_tot
+  FROM c
+)
+SELECT dow, hr, n,
+       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+       round(CAST(n AS DOUBLE) / CAST(dow_tot AS DOUBLE), 6) AS dow_share
+FROM t
+""")
+def st_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.streaming.ops import (
+        read_events_stream, run_available_now)
+
+    ev = read_events_stream(spark, sf_dir)
+    cells = run_available_now(
+        ev.withWatermark("ts", "2 hours")
+          .groupBy((F.weekday("ts") + 1).cast("bigint").alias("dow"),
+                   F.hour("ts").cast("bigint").alias("hr"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    t = cells.select(
+        "dow", "hr", "n",
+        F.sum("n").over(W.rowsBetween(W.unboundedPreceding,
+                                      W.unboundedFollowing))
+        .cast("bigint").alias("tot"),
+        F.sum("n").over(W.partitionBy("dow").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing))
+        .cast("bigint").alias("dow_tot"))
+    return t.select(
+        "dow", "hr", "n",
+        F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6)
+        .alias("share"),
+        F.round(F.col("n").cast("double") / F.col("dow_tot").cast("double"),
+                6).alias("dow_share"))
+
+
+# ---------------------------------------------------------------------------
+# dq_psi_drift — Population Stability Index between the first and
+# second half of the order history over 10 equal-width o_totalprice
+# bins (the drift gate that fires before a model silently degrades;
+# PSI > 0.2 is the classic "investigate" threshold). Halves split on
+# the median order DAY (exact order statistic); bin shares use
+# Laplace-smoothed counts so empty bins stay finite; the PSI sum folds
+# per-bin terms in bin order. Everything integer until the log tree.
+# ---------------------------------------------------------------------------
+_PSI_ORACLE = """
+WITH o AS (
+  SELECT CAST(epoch(date_trunc('day', o_orderdate)) / 86400 AS BIGINT) AS d,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 4) * 10000
+              AS BIGINT) AS v4
+  FROM orders
+),
+med AS (
+  SELECT d AS cutoff FROM (
+    SELECT d, row_number() OVER (ORDER BY d) AS rk, count(*) OVER () AS n
+    FROM (SELECT DISTINCT d FROM o)
+  ) WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+),
+rng AS (
+  SELECT CAST(min(v4) AS BIGINT) AS lo, CAST(max(v4) AS BIGINT) AS hi FROM o
+),
+b AS (
+  SELECT least(CAST(((v4 - lo) * 10) // greatest(hi - lo + 1, 1) AS BIGINT),
+               9) AS bin,
+         CASE WHEN d < cutoff THEN 1 ELSE 0 END AS is_ref
+  FROM o CROSS JOIN med CROSS JOIN rng
+),
+c AS (
+  SELECT bin,
+         CAST(sum(is_ref) AS BIGINT) AS n_ref,
+         CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+  FROM b GROUP BY bin
+),
+t AS (
+  SELECT bin, n_ref, n_cur,
+         CAST(sum(n_ref) OVER () AS BIGINT) AS tot_ref,
+         CAST(sum(n_cur) OVER () AS BIGINT) AS tot_cur
+  FROM c
+),
+terms AS (
+  SELECT bin, n_ref, n_cur,
+         ((n_ref + 1.0) / (tot_ref + 10.0) - (n_cur + 1.0) / (tot_cur + 10.0))
+         * ln(((n_ref + 1.0) / (tot_ref + 10.0))
+              / ((n_cur + 1.0) / (tot_cur + 10.0))) AS term
+  FROM t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       round(list_aggregate(list_transform(
+         list_sort(list({'i': bin, 'v': term})), s -> s.v), 'sum'), 6)
+         AS psi
+FROM terms
+"""
+
+
+@register("dq_psi_drift", oracle=_PSI_ORACLE)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.floor(F.unix_micros(F.date_trunc("day", "o_orderdate"))
+                / F.lit(86400000000)).cast("bigint").alias("d"),
+        (F.round(F.col("o_totalprice").cast("decimal(18,4)"), 4) * 10000)
+        .cast("bigint").alias("v4"))
+    days = o.select("d").distinct()
+    med = (days.select(
+        "d", F.row_number().over(W.orderBy("d")).alias("rk"),
+        F.count(F.lit(1)).over(W.rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing)).alias("n"))
+        .filter(F.col("rk") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+        .select(F.col("d").alias("cutoff")))
+    rng = o.agg(F.min("v4").cast("bigint").alias("lo"),
+                F.max("v4").cast("bigint").alias("hi"))
+    b = (o.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(rng))
+         .select(
+             F.least(F.floor((F.col("v4") - F.col("lo")) * 10
+                             / F.greatest(F.col("hi") - F.col("lo") + 1,
+                                          F.lit(1))).cast("bigint"),
+                     F.lit(9)).alias("bin"),
+             F.when(F.col("d") < F.col("cutoff"), 1).otherwise(0)
+             .alias("is_ref")))
+    c = b.groupBy("bin").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"))
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    t = c.select("bin", "n_ref", "n_cur",
+                 F.sum("n_ref").over(wt).cast("bigint").alias("tot_ref"),
+                 F.sum("n_cur").over(wt).cast("bigint").alias("tot_cur"))
+    p = (F.col("n_ref") + 1.0) / (F.col("tot_ref") + 10.0)
+    q = (F.col("n_cur") + 1.0) / (F.col("tot_cur") + 10.0)
+    terms = t.select("bin", "n_ref", "n_cur",
+                     ((p - q) * F.log(p / q)).alias("term"))
+    return terms.agg(
+        lcount("n_bins"),
+        F.round(F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("bin").alias("i"), F.col("term").alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v), 6).alias("psi"))
+
+
+# ---------------------------------------------------------------------------
+# q_event_study — event-study panel around the Pettitt changepoint
+# day (q_pettitt_test's t*): mean daily event count at offsets −7..+7
+# relative to the detected break, plus the before/after level means —
+# the "did the regime actually shift, and how fast" readout. The
+# changepoint is recomputed inline (same bounded day×day V_t sums);
+# the offset panel is a 15-row literal lattice joined against the
+# tiny day grid.
+# ---------------------------------------------------------------------------
+_EVENT_STUDY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+v AS (
+  SELECT a.i,
+         CAST(sum(CASE WHEN a.x > b.x THEN 1
+                       WHEN a.x < b.x THEN -1 ELSE 0 END) AS BIGINT) AS vt
+  FROM daily a JOIN daily b ON a.i <> b.i
+  GROUP BY a.i
+),
+u AS (
+  SELECT i, CAST(sum(vt) OVER (ORDER BY i) AS BIGINT) AS ut
+  FROM v
+),
+star AS (
+  SELECT i AS t_star FROM (
+    SELECT i, ut, row_number() OVER (ORDER BY abs(ut) DESC, i) AS rk
+    FROM u WHERE i < (SELECT max(i) FROM u)
+  ) WHERE rk = 1
+),
+offs AS (SELECT unnest(generate_series(-7, 7)) AS off)
+SELECT off,
+       CAST(max(CASE WHEN d.i IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS day_present,
+       CAST(coalesce(max(d.x), 0) AS BIGINT) AS x
+FROM offs CROSS JOIN star
+LEFT JOIN daily d ON d.i = t_star + off
+GROUP BY off
+"""
+
+
+@register("q_event_study", oracle=_EVENT_STUDY_ORACLE)
+def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                                / F.lit(86400000000)).cast("bigint")
+                        .alias("i"))
+             .agg(lcount("x")))
+    b = daily.select(F.col("i").alias("i2"), F.col("x").alias("x2"))
+    v = (daily.join(b, F.col("i") != F.col("i2"))
+         .groupBy("i")
+         .agg(F.sum(F.when(F.col("x") > F.col("x2"), 1)
+                    .when(F.col("x") < F.col("x2"), -1)
+                    .otherwise(0)).cast("bigint").alias("vt")))
+    wu = W.orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("i").rowsBetween(W.unboundedPreceding,
+                                      W.unboundedFollowing)
+    u = v.select("i",
+                 F.sum("vt").over(wu).cast("bigint").alias("ut"),
+                 F.max("i").over(wall).alias("max_i"))
+    star = (u.filter(F.col("i") < F.col("max_i"))
+            .withColumn("rk", F.row_number().over(
+                W.orderBy(F.abs(F.col("ut")).desc(), "i")))
+            .filter(F.col("rk") == 1)
+            .select(F.col("i").alias("t_star")))
+    offs = spark.range(-7, 8).select(F.col("id").cast("bigint").alias("off"))
+    panel = (F.broadcast(offs).crossJoin(F.broadcast(star))
+             .join(daily, daily["i"] == F.col("t_star") + F.col("off"),
+                   "left"))
+    return panel.groupBy("off").agg(
+        F.max(F.when(F.col("i").isNull(), 0).otherwise(1)).cast("bigint")
+        .alias("day_present"),
+        F.coalesce(F.max("x"), F.lit(0)).cast("bigint").alias("x"))

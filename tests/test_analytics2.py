@@ -844,3 +844,63 @@ def test_growth_accounting_replay(spark, sf_dir):
         assert r.churned == prev_mau - d["ret"]
         # ledger identity
         assert r.mau == d["new"] + d["ret"] + d["res"]
+
+
+def test_st_hourly_heatmap_matches_batch(spark, sf_dir):
+    got = {(r.dow, r.hr): (r.n, r.share, r.dow_share) for r in
+           _run(spark, sf_dir, "st_hourly_heatmap").collect()}
+    want = {(r.dow, r.hr): (r.n, r.share, r.dow_share) for r in
+            _run(spark, sf_dir, "q_hourly_heatmap").collect()}
+    assert got == want  # stream == batch on the bounded source
+
+
+def test_psi_drift_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "dq_psi_drift").collect()[0]
+    orders = load_table(spark, sf_dir, "orders").collect()
+    o = [(r.o_orderdate.date().toordinal(),
+          int(Decimal(str(r.o_totalprice)).quantize(Decimal("0.0001"))
+              * 10000)) for r in orders]
+    days = sorted({d for d, _ in o})
+    cutoff = days[math.ceil(len(days) / 2.0) - 1]
+    lo = min(v for _, v in o)
+    hi = max(v for _, v in o)
+    nref, ncur = defaultdict(int), defaultdict(int)
+    for d, v in o:
+        b = min((v - lo) * 10 // max(hi - lo + 1, 1), 9)
+        (nref if d < cutoff else ncur)[b] += 1
+    tot_ref, tot_cur = sum(nref.values()), sum(ncur.values())
+    bins = sorted(set(nref) | set(ncur))
+    psi = 0.0
+    for b in bins:
+        p = (nref[b] + 1.0) / (tot_ref + 10.0)
+        q = (ncur[b] + 1.0) / (tot_cur + 10.0)
+        psi += (p - q) * math.log(p / q)
+    assert got.n_bins == len(bins)
+    assert abs(got.psi - psi) < 1e-5
+    assert got.psi >= 0.0  # PSI is a symmetrized KL, non-negative
+
+
+def test_event_study_replay(spark, sf_dir):
+    got = {r.off: r for r in _run(spark, sf_dir, "q_event_study").collect()}
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date().toordinal()] += 1
+    days = sorted(daily)
+    xs = {d: daily[d] for d in days}
+
+    def sgn(a):
+        return (a > 0) - (a < 0)
+
+    u, best = 0, None
+    for t in days[:-1]:
+        u += sum(sgn(xs[t] - xs[j]) for j in days if j != t)
+        if best is None or abs(u) > abs(best[1]):
+            best = (t, u)
+    t_star = best[0]
+    assert len(got) == 15
+    for off in range(-7, 8):
+        d = t_star + off
+        r = got[off]
+        assert r.day_present == (1 if d in xs else 0)
+        assert r.x == xs.get(d, 0)

@@ -117,8 +117,11 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_runs_test",
                 # Pettitt's V_t needs the same bounded day x day sign
                 # pairs as q_mann_kendall; Theil-Sen medians the same
-                # bounded pairwise-slope cross
-                "q_pettitt_test", "q_theil_sen",
+                # bounded pairwise-slope cross; the event study recomputes
+                # Pettitt inline + a 15-row offset lattice
+                "q_pettitt_test", "q_theil_sen", "q_event_study",
+                # one-row median-day cutoff + (lo, hi) range broadcasts
+                "dq_psi_drift",
                 # one-row corpus totals (N tokens / N bigrams) broadcast
                 "tx_bigram_pmi",
                 # one-row global round-share base-rate broadcast
