@@ -2401,3 +2401,129 @@ def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("i").isNull(), 0).otherwise(1)).cast("bigint")
         .alias("day_present"),
         F.coalesce(F.max("x"), F.lit(0)).cast("bigint").alias("x"))
+
+
+# ---------------------------------------------------------------------------
+# q_ols_trend — ordinary-least-squares trend of the daily event-count
+# series (the parametric counterpart to q_theil_sen's robust slope):
+# slope, intercept, R², and residual σ from exact integer moment sums
+# (Σi, Σi², Σx, Σx², Σix over bigint day indices and counts — no
+# float accumulation anywhere; one closed-form double tree at the
+# edge). Day indices re-origin to min(i) so the moments stay small.
+# ---------------------------------------------------------------------------
+_OLS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i0,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT i0 - CAST(min(i0) OVER () AS BIGINT) AS i, x FROM daily
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(i) AS BIGINT) AS si,
+         CAST(sum(i * i) AS BIGINT) AS sii,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(i * x) AS BIGINT) AS six
+  FROM d
+)
+SELECT m,
+       round((CAST(m AS DOUBLE) * CAST(six AS DOUBLE)
+              - CAST(si AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(sii AS DOUBLE)
+                - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)), 6) AS slope,
+       round((CAST(sx AS DOUBLE)
+              - ((CAST(m AS DOUBLE) * CAST(six AS DOUBLE)
+                  - CAST(si AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(m AS DOUBLE) * CAST(sii AS DOUBLE)
+                    - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)))
+                * CAST(si AS DOUBLE)) / CAST(m AS DOUBLE), 6) AS intercept,
+       round(((CAST(m AS DOUBLE) * CAST(six AS DOUBLE)
+               - CAST(si AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(m AS DOUBLE) * CAST(six AS DOUBLE)
+                 - CAST(si AS DOUBLE) * CAST(sx AS DOUBLE)))
+             / ((CAST(m AS DOUBLE) * CAST(sii AS DOUBLE)
+                 - CAST(si AS DOUBLE) * CAST(si AS DOUBLE))
+                * (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 6) AS r2
+FROM s WHERE m > 1
+"""
+
+
+@register("q_ols_trend", oracle=_OLS_ORACLE)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                                / F.lit(86400000000)).cast("bigint")
+                        .alias("i0"))
+             .agg(lcount("x")))
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    d = daily.select(
+        (F.col("i0") - F.min("i0").over(wall).cast("bigint")).alias("i"),
+        "x")
+    s = d.agg(lcount("m"),
+              F.sum("i").cast("bigint").alias("si"),
+              F.sum(F.col("i") * F.col("i")).cast("bigint").alias("sii"),
+              F.sum("x").cast("bigint").alias("sx"),
+              F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+              F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"))
+    m = F.col("m").cast("double")
+    si, sii = F.col("si").cast("double"), F.col("sii").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    six = F.col("six").cast("double")
+    num = m * six - si * sx
+    den = m * sii - si * si
+    slope = num / den
+    return (s.filter(F.col("m") > 1)
+            .select("m",
+                    F.round(slope, 6).alias("slope"),
+                    F.round((sx - slope * si) / m, 6).alias("intercept"),
+                    F.round(num * num / (den * (m * sxx - sx * sx)), 6)
+                    .alias("r2")))
+
+
+# ---------------------------------------------------------------------------
+# s_duplicate_payments — duplicate-payment screen (the AML/audit
+# classic): same user, same whole-currency amount, two purchases
+# within 24 hours. The self-join blocks on (user_id, floor(amount)) —
+# an equi-join that scales as the biggest (user, amount) group, never
+# a time-range cross — with the day band as a post-filter and i<j
+# dedup so each pair reports once.
+# ---------------------------------------------------------------------------
+_DUP_PAY_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value) AS BIGINT) AS vi
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+)
+SELECT a.user_id, a.event_id AS first_event, b.event_id AS second_event,
+       a.vi AS amount_unit,
+       CAST(b.us - a.us AS BIGINT) AS gap_us
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND a.vi = b.vi
+ AND a.event_id < b.event_id
+WHERE abs(b.us - a.us) <= 86400000000
+"""
+
+
+@register("s_duplicate_payments", oracle=_DUP_PAY_ORACLE)
+def s_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = (ev.filter((F.col("event_type") == "purchase")
+                   & F.col("value").isNotNull())
+         .select("user_id", "event_id", F.unix_micros("ts").alias("us"),
+                 F.floor("value").cast("bigint").alias("vi")))
+    a = p.select("user_id", "vi", F.col("event_id").alias("first_event"),
+                 F.col("us").alias("us_a"))
+    b = p.select("user_id", "vi", F.col("event_id").alias("second_event"),
+                 F.col("us").alias("us_b"))
+    j = (a.join(b, ["user_id", "vi"])
+         .filter((F.col("first_event") < F.col("second_event"))
+                 & (F.abs(F.col("us_b") - F.col("us_a"))
+                    <= F.lit(86400000000))))
+    return j.select(
+        "user_id", "first_event", "second_event",
+        F.col("vi").alias("amount_unit"),
+        (F.col("us_b") - F.col("us_a")).cast("bigint").alias("gap_us"))

@@ -904,3 +904,55 @@ def test_event_study_replay(spark, sf_dir):
         r = got[off]
         assert r.day_present == (1 if d in xs else 0)
         assert r.x == xs.get(d, 0)
+
+
+def test_ols_trend_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_ols_trend").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date().toordinal()] += 1
+    days = sorted(daily)
+    i0 = days[0]
+    pts = [(d - i0, daily[d]) for d in days]
+    m = len(pts)
+    si = sum(i for i, _ in pts)
+    sii = sum(i * i for i, _ in pts)
+    sx = sum(x for _, x in pts)
+    sxx = sum(x * x for _, x in pts)
+    six = sum(i * x for i, x in pts)
+    slope = (m * six - si * sx) / (m * sii - si * si)
+    intercept = (sx - slope * si) / m
+    r2 = ((m * six - si * sx) ** 2
+          / ((m * sii - si * si) * (m * sxx - sx * sx)))
+    assert got.m == m
+    assert abs(got.slope - slope) < 1e-6
+    assert abs(got.intercept - intercept) < 1e-5
+    assert abs(got.r2 - r2) < 1e-6
+    assert 0.0 <= got.r2 <= 1.0
+
+
+def test_duplicate_payments_replay(spark, sf_dir):
+    from datetime import timezone
+    rows = _run(spark, sf_dir, "s_duplicate_payments").collect()
+    ev = load_table(spark, sf_dir, "events").filter(
+        "event_type = 'purchase' AND value IS NOT NULL").select(
+        "user_id", "event_id", "ts", "value").collect()
+    p = [(r.user_id, r.event_id,
+          int(r.ts.replace(tzinfo=timezone.utc).timestamp() * 1e6),
+          int(math.floor(r.value))) for r in ev]
+    want = set()
+    by_key = defaultdict(list)
+    for u, e, us, vi in p:
+        by_key[(u, vi)].append((e, us))
+    for (u, vi), items in by_key.items():
+        for i in range(len(items)):
+            for j in range(len(items)):
+                ea, ua = items[i]
+                eb, ub = items[j]
+                if ea < eb and abs(ub - ua) <= 86400000000:
+                    want.add((u, ea, eb, vi, ub - ua))
+    got = {(r.user_id, r.first_event, r.second_event, r.amount_unit,
+            r.gap_us) for r in rows}
+    assert got == want
+    assert len(got) > 0  # screen is non-vacuous on the synthetic data
