@@ -2527,3 +2527,196 @@ def s_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "first_event", "second_event",
         F.col("vi").alias("amount_unit"),
         (F.col("us_b") - F.col("us_a")).cast("bigint").alias("gap_us"))
+
+
+# ---------------------------------------------------------------------------
+# q_activity_distribution — distribution of per-user engagement depth:
+# for each count of distinct active days, how many users have exactly
+# that many, plus the CCDF ("share of users at least this active") —
+# the engagement curve product analytics reads before any retention
+# work. Two hash aggs + one tiny window over the distinct-day counts.
+# ---------------------------------------------------------------------------
+_ACTIVITY_ORACLE = """
+WITH ud AS (
+  SELECT user_id,
+         CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+           AS active_days
+  FROM events GROUP BY user_id
+),
+h AS (
+  SELECT active_days, CAST(count(*) AS BIGINT) AS n_users
+  FROM ud GROUP BY active_days
+)
+SELECT active_days, n_users,
+       round(CAST(CAST(sum(n_users) OVER (ORDER BY active_days DESC)
+                       AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(n_users) OVER () AS BIGINT) AS DOUBLE), 6)
+         AS ccdf
+FROM h
+"""
+
+
+@register("q_activity_distribution", oracle=_ACTIVITY_ORACLE)
+def q_activity_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = (ev.groupBy("user_id")
+          .agg(F.countDistinct(F.date_trunc("day", "ts")).cast("bigint")
+               .alias("active_days")))
+    h = ud.groupBy("active_days").agg(lcount("n_users"))
+    wc = W.orderBy(F.desc("active_days")).rowsBetween(
+        W.unboundedPreceding, 0)
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return h.select(
+        "active_days", "n_users",
+        F.round(F.sum("n_users").over(wc).cast("bigint").cast("double")
+                / F.sum("n_users").over(wt).cast("bigint").cast("double"), 6)
+        .alias("ccdf"))
+
+
+# ---------------------------------------------------------------------------
+# gr_powerlaw_alpha — continuous-MLE power-law exponent of the
+# co-purchase degree distribution (Clauset-Shalizi-Newman):
+# α = 1 + n / Σ ln(d/d_min) with d_min = 1 (so the sum is Σ ln d),
+# over the same oriented edge set as gr_degree_stats. The "is this
+# graph scale-free" companion to gr_assortativity. Degrees are exact;
+# Σ ln d folds in node order.
+# ---------------------------------------------------------------------------
+_POWERLAW_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_orderkey < 2000
+), e0 AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY node
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(max(d) AS BIGINT) AS d_max,
+         list_aggregate(list_transform(
+           list_sort(list({'i': node, 'v': ln(CAST(d AS DOUBLE))})),
+           x -> x.v), 'sum') AS sum_ln_d
+  FROM deg
+)
+SELECT n_nodes, d_max,
+       round(sum_ln_d, 6) AS sum_ln_d,
+       CASE WHEN sum_ln_d > 0
+            THEN round(1.0 + CAST(n_nodes AS DOUBLE) / sum_ln_d, 6)
+       END AS alpha
+FROM s
+"""
+
+
+@register("gr_powerlaw_alpha", oracle=_POWERLAW_ORACLE)
+def gr_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 2000)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select("o", F.col("p").alias("v"))
+    e0 = (a.join(b, "o").filter(F.col("u") < F.col("v"))
+          .select("u", "v").distinct())
+    deg = (e0.select(F.col("u").alias("node"))
+           .unionAll(e0.select(F.col("v").alias("node")))
+           .groupBy("node").agg(lcount("d")))
+    s = deg.agg(
+        lcount("n_nodes"),
+        F.max("d").cast("bigint").alias("d_max"),
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("node").alias("i"),
+                         F.log(F.col("d").cast("double")).alias("v")))),
+                lambda x: x["v"]),
+            F.lit(0.0), lambda acc, v: acc + v).alias("sum_ln_d"))
+    return s.select(
+        "n_nodes", "d_max",
+        F.round("sum_ln_d", 6).alias("sum_ln_d"),
+        F.when(F.col("sum_ln_d") > 0,
+               F.round(F.lit(1.0) + F.col("n_nodes").cast("double")
+                       / F.col("sum_ln_d"), 6)).alias("alpha"))
+
+
+# ---------------------------------------------------------------------------
+# tx_keyness — per-source keyness: which words distinguish each source
+# from the rest of the corpus, scored by Dunning's log-likelihood G²
+# (the corpus-linguistics standard; robust where PMI over-rewards rare
+# words). Exact (source, word) and global counts; G² is a pure log
+# tree; top-10 per source by (G² desc, word), keeping only
+# overrepresented (observed > expected) terms.
+# ---------------------------------------------------------------------------
+_KEYNESS_ORACLE = f"""
+WITH t AS (
+  SELECT source, {_TOKS} AS toks FROM documents WHERE length(text) > 0
+),
+w AS (
+  SELECT source, u.w AS word, CAST(count(*) AS BIGINT) AS a
+  FROM t, unnest(toks) AS u(w) GROUP BY source, u.w
+),
+tot AS (
+  SELECT source, CAST(sum(a) AS BIGINT) AS n_src FROM w GROUP BY source
+),
+gw AS (
+  SELECT word, CAST(sum(a) AS BIGINT) AS g FROM w GROUP BY word
+),
+n AS (SELECT CAST(sum(a) AS BIGINT) AS n_all FROM w),
+s AS (
+  SELECT w.source, w.word, w.a, gw.g - w.a AS b,
+         tot.n_src, n.n_all - tot.n_src AS n_rest,
+         CAST(gw.g AS DOUBLE) * tot.n_src / n.n_all AS ea,
+         CAST(gw.g AS DOUBLE) * (n.n_all - tot.n_src) / n.n_all AS eb
+  FROM w JOIN tot USING (source) JOIN gw USING (word) CROSS JOIN n
+),
+g2 AS (
+  SELECT source, word, a, b,
+         round(2.0 * (CASE WHEN a > 0
+                           THEN a * ln(a / ea) ELSE 0.0 END
+                      + CASE WHEN b > 0
+                             THEN b * ln(b / eb) ELSE 0.0 END), 6) AS g2
+  FROM s WHERE a > ea
+),
+r AS (
+  SELECT source, word, a AS n_in_source, b AS n_elsewhere, g2,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY g2 DESC, word) AS rk
+  FROM g2
+)
+SELECT source, rk, word, n_in_source, n_elsewhere, g2
+FROM r WHERE rk <= 10
+"""
+
+
+@register("tx_keyness", oracle=_KEYNESS_ORACLE)
+def tx_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = docs.select("source", tx.tokens(F.col("text")).alias("toks"))
+    w = (t.select("source", F.explode("toks").alias("word"))
+         .groupBy("source", "word").agg(F.count(F.lit(1)).alias("a")))
+    tot = w.groupBy("source").agg(F.sum("a").cast("bigint").alias("n_src"))
+    gw = w.groupBy("word").agg(F.sum("a").cast("bigint").alias("g"))
+    n = w.agg(F.sum("a").cast("bigint").alias("n_all"))
+    s = (w.join(F.broadcast(tot), "source").join(gw, "word")
+         .crossJoin(F.broadcast(n)))
+    ea = F.col("g").cast("double") * F.col("n_src") / F.col("n_all")
+    eb = (F.col("g").cast("double") * (F.col("n_all") - F.col("n_src"))
+          / F.col("n_all"))
+    a_d = F.col("a").cast("double")
+    b_col = F.col("g") - F.col("a")
+    b_d = b_col.cast("double")
+    g2 = F.round(F.lit(2.0) * (
+        F.when(F.col("a") > 0, a_d * F.log(a_d / ea)).otherwise(F.lit(0.0))
+        + F.when(b_col > 0, b_d * F.log(b_d / eb)).otherwise(F.lit(0.0))), 6)
+    scored = (s.filter(a_d > ea)
+              .select("source", "word", F.col("a").alias("n_in_source"),
+                      b_col.cast("bigint").alias("n_elsewhere"),
+                      g2.alias("g2")))
+    r = scored.withColumn("rk", F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("g2"), "word")))
+    return (r.filter(F.col("rk") <= 10)
+            .select("source", "rk", "word", "n_in_source", "n_elsewhere",
+                    "g2"))

@@ -956,3 +956,88 @@ def test_duplicate_payments_replay(spark, sf_dir):
             r.gap_us) for r in rows}
     assert got == want
     assert len(got) > 0  # screen is non-vacuous on the synthetic data
+
+
+def test_activity_distribution_replay(spark, sf_dir):
+    got = {r.active_days: r for r in
+           _run(spark, sf_dir, "q_activity_distribution").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts").collect()
+    days = defaultdict(set)
+    for r in ev:
+        days[r.user_id].add(r.ts.date())
+    hist = Counter(len(v) for v in days.values())
+    assert {k: r.n_users for k, r in got.items()} == dict(hist)
+    tot = sum(hist.values())
+    for k, r in got.items():
+        at_least = sum(n for d, n in hist.items() if d >= k)
+        assert abs(r.ccdf - at_least / tot) < 1e-6
+    assert min(got) >= 1 and abs(got[min(got)].ccdf - 1.0) < 1e-6 \
+        if min(hist) == min(got) else True
+
+
+def test_powerlaw_alpha_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "gr_powerlaw_alpha").collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_orderkey < 2000").select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    deg = defaultdict(int)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    n = len(deg)
+    sum_ln = sum(math.log(d) for _, d in sorted(deg.items()))
+    assert (got.n_nodes, got.d_max) == (n, max(deg.values()))
+    assert abs(got.sum_ln_d - sum_ln) < 1e-4
+    assert abs(got.alpha - (1 + n / sum_ln)) < 1e-4
+    assert got.alpha > 1.0
+
+
+def test_keyness_replay(spark, sf_dir):
+    import re
+    rows = _run(spark, sf_dir, "tx_keyness").collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    per_src = defaultdict(lambda: defaultdict(int))
+    for d in docs:
+        if not d.text:
+            continue
+        toks = re.sub(r"\s+", " ", d.text.lower()).strip().split(" ")
+        for w in toks:
+            per_src[d.source][w] += 1
+    glob = defaultdict(int)
+    for src, ws in per_src.items():
+        for w, c in ws.items():
+            glob[w] += c
+    n_all = sum(glob.values())
+    want = {}
+    for src, ws in per_src.items():
+        n_src = sum(ws.values())
+        cand = []
+        for w, a in ws.items():
+            g = glob[w]
+            ea = g * n_src / n_all
+            eb = g * (n_all - n_src) / n_all
+            b = g - a
+            if a > ea:
+                g2 = 2.0 * (a * math.log(a / ea)
+                            + (b * math.log(b / eb) if b > 0 else 0.0))
+                cand.append((round(g2, 6), w, a, b))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (g2, w, a, b) in enumerate(cand[:10], start=1):
+            want[(src, rk)] = (w, a, b, g2)
+    got = {(r.source, r.rk): (r.word, r.n_in_source, r.n_elsewhere, r.g2)
+           for r in rows}
+    assert set(got) == set(want)
+    for k in want:
+        gw, ga, gb, gg = got[k]
+        ww, wa, wb, wg = want[k]
+        assert (gw, ga, gb) == (ww, wa, wb)
+        assert abs(gg - wg) < 1e-4

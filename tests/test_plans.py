@@ -124,6 +124,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "dq_psi_drift",
                 # one-row corpus totals (N tokens / N bigrams) broadcast
                 "tx_bigram_pmi",
+                # one-row corpus-token-total broadcast (G2 expecteds)
+                "tx_keyness",
                 # one-row global round-share base-rate broadcast
                 "s_round_amount_bias",
                 # one-row triangle/edge totals crossed with wedge totals
