@@ -2720,3 +2720,229 @@ def tx_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (r.filter(F.col("rk") <= 10)
             .select("source", "rk", "word", "n_in_source", "n_elsewhere",
                     "g2"))
+
+
+# ---------------------------------------------------------------------------
+# q_price_volume_mix — price/volume decomposition of the 1996→1997
+# revenue change per return flag (the Laspeyres bridge every revenue
+# review opens with): Δrev = volume effect (Δq at year-1 price) +
+# price effect (Δp at year-1 volume) + interaction (Δq·Δp). Per-group
+# quantity sums and x4 revenue sums are exact; unit prices are one
+# ratio each; the three effects close exactly to Δrev by construction
+# of the identity. One scan, one (year, flag) hash agg, a self-join
+# on flag.
+# ---------------------------------------------------------------------------
+_PVM_ORACLE = """
+WITH y AS (
+  SELECT l_returnflag AS flag, year(l_shipdate) AS yr,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS q4,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS r4
+  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a.flag,
+         a.q4 / 10000.0 AS q0, b.q4 / 10000.0 AS q1,
+         a.r4 / 10000.0 AS r0, b.r4 / 10000.0 AS r1,
+         CAST(a.r4 AS DOUBLE) / CAST(a.q4 AS DOUBLE) AS p0,
+         CAST(b.r4 AS DOUBLE) / CAST(b.q4 AS DOUBLE) AS p1
+  FROM (SELECT * FROM y WHERE yr = 1996) a
+  JOIN (SELECT * FROM y WHERE yr = 1997) b USING (flag)
+)
+SELECT flag, q0, q1, round(r1 - r0, 4) AS delta_rev,
+       round((q1 - q0) * p0, 6) AS volume_effect,
+       round((p1 - p0) * q0, 6) AS price_effect,
+       round((q1 - q0) * (p1 - p0), 6) AS mix_effect
+FROM p
+"""
+
+
+@register("q_price_volume_mix", oracle=_PVM_ORACLE)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y = (li.filter(F.year("l_shipdate").isin(1996, 1997))
+         .groupBy(F.col("l_returnflag").alias("flag"),
+                  F.year("l_shipdate").alias("yr"))
+         .agg((F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 4)
+               * 10000).cast("bigint").alias("q4"),
+              (F.round(F.sum(F.col("l_extendedprice")
+                             .cast("decimal(18,4)")), 4)
+               * 10000).cast("bigint").alias("r4")))
+    a = y.filter(F.col("yr") == 1996).select(
+        "flag", F.col("q4").alias("q4a"), F.col("r4").alias("r4a"))
+    b = y.filter(F.col("yr") == 1997).select(
+        "flag", F.col("q4").alias("q4b"), F.col("r4").alias("r4b"))
+    j = a.join(b, "flag")
+    q0, q1 = F.col("q4a") / F.lit(10000.0), F.col("q4b") / F.lit(10000.0)
+    r0, r1 = F.col("r4a") / F.lit(10000.0), F.col("r4b") / F.lit(10000.0)
+    p0 = F.col("r4a").cast("double") / F.col("q4a").cast("double")
+    p1 = F.col("r4b").cast("double") / F.col("q4b").cast("double")
+    return j.select(
+        "flag", q0.alias("q0"), q1.alias("q1"),
+        F.round(r1 - r0, 4).alias("delta_rev"),
+        F.round((q1 - q0) * p0, 6).alias("volume_effect"),
+        F.round((p1 - p0) * q0, 6).alias("price_effect"),
+        F.round((q1 - q0) * (p1 - p0), 6).alias("mix_effect"))
+
+
+# ---------------------------------------------------------------------------
+# q_kaplan_meier — Kaplan-Meier survival of time-to-second-event per
+# user, right-censored at the corpus horizon: S(t) = Π_{tᵢ≤t}
+# (1 − dᵢ/nᵢ) over distinct event days tᵢ. At-risk counts nᵢ and
+# event counts dᵢ are exact integers; the product accumulates as
+# exp(Σ ln(1 − d/n)) with the Σ folded in duration order over a
+# bounded duration×duration cross (distinct durations are a day-grid,
+# tiny by construction — never the user table).
+# ---------------------------------------------------------------------------
+_KM_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+u AS (
+  SELECT f.user_id,
+         CASE WHEN s.d IS NOT NULL THEN s.d - f.d
+              ELSE (SELECT max(d) FROM e) - f.d END AS dur,
+         CASE WHEN s.d IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM (SELECT user_id, d FROM e WHERE rn = 1) f
+  LEFT JOIN (SELECT user_id, d FROM e WHERE rn = 2) s USING (user_id)
+),
+grid AS (
+  SELECT dur AS t, CAST(sum(observed) AS BIGINT) AS d_events,
+         CAST(count(*) AS BIGINT) AS ending
+  FROM u GROUP BY dur
+),
+risk AS (
+  SELECT g1.t, g1.d_events,
+         (SELECT CAST(sum(g2.ending) AS BIGINT) FROM grid g2
+          WHERE g2.t >= g1.t) AS n_risk
+  FROM grid g1 WHERE g1.d_events > 0
+),
+surv AS (
+  SELECT r1.t, r1.d_events, r1.n_risk,
+         max(CASE WHEN r2.d_events >= r2.n_risk THEN 1 ELSE 0 END)
+           AS hit_zero,
+         exp(list_aggregate(list_transform(
+           list_sort(list({'i': r2.t,
+                           'v': CASE WHEN r2.d_events < r2.n_risk
+                                THEN ln(1.0 - CAST(r2.d_events AS DOUBLE)
+                                              / CAST(r2.n_risk AS DOUBLE))
+                                ELSE 0.0 END})),
+           s -> s.v), 'sum')) AS s_raw
+  FROM risk r1 JOIN risk r2 ON r2.t <= r1.t
+  GROUP BY r1.t, r1.d_events, r1.n_risk
+)
+SELECT t AS duration_days, d_events, n_risk,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(s_raw, 6) END AS survival
+FROM surv
+"""
+
+
+@register("q_kaplan_meier", oracle=_KM_ORACLE)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                  / F.lit(86400000000)).cast("bigint")
+    e = ev.select(
+        "user_id", day.alias("d"),
+        F.row_number().over(W.partitionBy("user_id")
+                            .orderBy("ts", "event_id")).alias("rn"))
+    f = e.filter(F.col("rn") == 1).select("user_id", F.col("d").alias("fd"))
+    s = e.filter(F.col("rn") == 2).select("user_id", F.col("d").alias("sd"))
+    horizon = e.agg(F.max("d").alias("hmax"))
+    u = (f.join(s, "user_id", "left").crossJoin(F.broadcast(horizon))
+         .select(
+             F.when(F.col("sd").isNotNull(), F.col("sd") - F.col("fd"))
+             .otherwise(F.col("hmax") - F.col("fd")).alias("dur"),
+             F.when(F.col("sd").isNotNull(), 1).otherwise(0)
+             .alias("observed")))
+    grid = u.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("observed").cast("bigint").alias("d_events"),
+        lcount("ending"))
+    g2 = grid.select(F.col("t").alias("t2"), F.col("ending").alias("e2"))
+    risk = (grid.join(F.broadcast(g2), F.col("t2") >= F.col("t"))
+            .groupBy("t", "d_events")
+            .agg(F.sum("e2").cast("bigint").alias("n_risk"))
+            .filter(F.col("d_events") > 0))
+    r2 = risk.select(F.col("t").alias("t2"),
+                     F.col("d_events").alias("d2"),
+                     F.col("n_risk").alias("n2"))
+    surv = (risk.join(F.broadcast(r2), F.col("t2") <= F.col("t"))
+            .groupBy("t", "d_events", "n_risk")
+            .agg(F.max(F.when(F.col("d2") >= F.col("n2"), 1).otherwise(0))
+                 .alias("hit_zero"),
+                 F.exp(F.aggregate(
+                     F.transform(F.array_sort(F.collect_list(F.struct(
+                         F.col("t2").alias("i"),
+                         F.when(F.col("d2") < F.col("n2"),
+                                F.log(F.lit(1.0)
+                                      - F.col("d2").cast("double")
+                                      / F.col("n2").cast("double")))
+                         .otherwise(F.lit(0.0)).alias("v")))),
+                         lambda x: x["v"]),
+                     F.lit(0.0), lambda acc, v: acc + v)).alias("s_raw")))
+    return surv.select(
+        F.col("t").alias("duration_days"), "d_events", "n_risk",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round("s_raw", 6)).alias("survival"))
+
+
+# ---------------------------------------------------------------------------
+# q_waterfall_decomp — month-over-month revenue-change waterfall by
+# order priority: each month's Δtotal decomposed into per-priority
+# contributions that sum exactly back to Δtotal (everything exact x4
+# bigints; the closure property IS the audit). One (month, priority)
+# agg + one lag window per priority.
+# ---------------------------------------------------------------------------
+_WATERFALL_ORACLE = """
+WITH m AS (
+  SELECT CAST((year(o_orderdate) * 12 + month(o_orderdate)) - 1 AS BIGINT)
+           AS mo,
+         o_orderpriority AS priority,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS r4
+  FROM orders GROUP BY 1, 2
+),
+l AS (
+  SELECT mo, priority, r4,
+         coalesce(lag(r4) OVER (PARTITION BY priority ORDER BY mo), 0)
+           AS prev_r4,
+         lag(mo) OVER (PARTITION BY priority ORDER BY mo) AS prev_mo
+  FROM m
+)
+SELECT CAST(mo // 12 AS BIGINT) AS year,
+       CAST(mo % 12 + 1 AS BIGINT) AS month,
+       priority,
+       r4 / 10000.0 AS revenue,
+       CASE WHEN prev_mo = mo - 1
+            THEN CAST(r4 - prev_r4 AS BIGINT) / 10000.0 END AS delta
+FROM l
+"""
+
+
+@register("q_waterfall_decomp", oracle=_WATERFALL_ORACLE)
+def q_waterfall_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint").alias("mo"),
+        F.col("o_orderpriority").alias("priority")).agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 4)
+         * 10000).cast("bigint").alias("r4"))
+    wl = W.partitionBy("priority").orderBy("mo")
+    l = m.select(
+        "mo", "priority", "r4",
+        F.coalesce(F.lag("r4").over(wl), F.lit(0)).alias("prev_r4"),
+        F.lag("mo").over(wl).alias("prev_mo"))
+    return l.select(
+        F.floor(F.col("mo") / 12).cast("bigint").alias("year"),
+        (F.col("mo") % 12 + 1).cast("bigint").alias("month"),
+        "priority",
+        (F.col("r4") / F.lit(10000.0)).alias("revenue"),
+        F.when(F.col("prev_mo") == F.col("mo") - 1,
+               (F.col("r4") - F.col("prev_r4")).cast("bigint")
+               / F.lit(10000.0)).alias("delta"))

@@ -1041,3 +1041,104 @@ def test_keyness_replay(spark, sf_dir):
         ww, wa, wb, wg = want[k]
         assert (gw, ga, gb) == (ww, wa, wb)
         assert abs(gg - wg) < 1e-4
+
+
+def test_price_volume_mix_replay(spark, sf_dir):
+    got = {r.flag: r for r in
+           _run(spark, sf_dir, "q_price_volume_mix").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_quantity",
+        "l_extendedprice").collect()
+    agg = defaultdict(lambda: [Decimal(0), Decimal(0)])
+    for r in li:
+        yr = r.l_shipdate.year
+        if yr in (1996, 1997):
+            d = agg[(r.l_returnflag, yr)]
+            d[0] += Decimal(str(r.l_quantity)).quantize(Decimal("0.0001"))
+            d[1] += Decimal(str(r.l_extendedprice)).quantize(
+                Decimal("0.0001"))
+    flags = {f for f, _ in agg}
+    for f in flags:
+        q0, r0 = (float(x) for x in agg[(f, 1996)])
+        q1, r1 = (float(x) for x in agg[(f, 1997)])
+        p0, p1 = r0 / q0, r1 / q1
+        g = got[f]
+        assert abs(g.delta_rev - (r1 - r0)) < 1e-2
+        assert abs(g.volume_effect - (q1 - q0) * p0) < 1e-2
+        assert abs(g.price_effect - (p1 - p0) * q0) < 1e-2
+        assert abs(g.mix_effect - (q1 - q0) * (p1 - p0)) < 1e-2
+        # the bridge closes: effects sum to the revenue delta
+        assert abs((g.volume_effect + g.price_effect + g.mix_effect)
+                   - g.delta_rev) < 1e-2
+
+
+def test_kaplan_meier_replay(spark, sf_dir):
+    got = {r.duration_days: r for r in
+           _run(spark, sf_dir, "q_kaplan_meier").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id").collect()
+    by_user = defaultdict(list)
+    hmax = 0
+    for r in ev:
+        d = r.ts.date().toordinal()
+        hmax = max(hmax, d)
+        by_user[r.user_id].append((r.ts, r.event_id, d))
+    durs = []
+    for items in by_user.values():
+        items.sort()
+        first = items[0][2]
+        if len(items) >= 2:
+            durs.append((items[1][2] - first, 1))
+        else:
+            durs.append((hmax - first, 0))
+    grid = defaultdict(lambda: [0, 0])  # t -> [d_events, ending]
+    for t, obs in durs:
+        grid[t][0] += obs
+        grid[t][1] += 1
+    surv, n_risk = 1.0, len(durs)
+    for t in sorted(grid):
+        d_ev, ending = grid[t]
+        if d_ev > 0:
+            r = got[t]
+            assert (r.d_events, r.n_risk) == (d_ev, n_risk)
+            if d_ev >= n_risk:
+                surv = 0.0
+            else:
+                surv *= 1.0 - d_ev / n_risk
+            assert abs(r.survival - surv) < 1e-4
+            assert 0.0 <= r.survival <= 1.0
+        n_risk -= ending
+    assert len(got) == sum(1 for t in grid if grid[t][0] > 0)
+    # survival is non-increasing in t
+    ts = sorted(got)
+    for a, b in zip(ts, ts[1:]):
+        assert got[b].survival <= got[a].survival + 1e-9
+
+
+def test_waterfall_replay(spark, sf_dir):
+    got = {(r.year, r.month, r.priority): r for r in
+           _run(spark, sf_dir, "q_waterfall_decomp").collect()}
+    orders = load_table(spark, sf_dir, "orders").collect()
+    agg = defaultdict(Decimal)
+    for r in orders:
+        mo = r.o_orderdate.year * 12 + r.o_orderdate.month - 1
+        agg[(mo, r.o_orderpriority)] += Decimal(
+            str(r.o_totalprice)).quantize(Decimal("0.0001"))
+    assert len(got) == len(agg)
+    for (mo, pr), rev in agg.items():
+        r = got[(mo // 12, mo % 12 + 1, pr)]
+        assert abs(r.revenue - float(rev)) < 1e-6
+        prev = agg.get((mo - 1, pr))
+        if prev is None:
+            assert r.delta is None
+        else:
+            assert abs(r.delta - float(rev - prev)) < 1e-6
+    # per-month closure: sum of priority deltas == delta of monthly total
+    months = sorted({mo for mo, _ in agg})
+    for a, b in zip(months, months[1:]):
+        if b != a + 1:
+            continue
+        prios = {p for m, p in agg if m == b} & {p for m, p in agg if m == a}
+        lhs = sum(float(agg[(b, p)] - agg[(a, p)]) for p in prios)
+        deltas = sum(got[(b // 12, b % 12 + 1, p)].delta for p in prios)
+        assert abs(lhs - deltas) < 1e-6

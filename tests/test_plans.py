@@ -134,6 +134,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_grubbs_test",
                 # one-row (min day, max day) cutoff bounds broadcast
                 "tt_temporal_split",
+                # bounded duration-grid prefix cross (KM product) +
+                # one-row horizon broadcast
+                "q_kaplan_meier",
                 # same margin-lattice cross as q_chi_square
                 "q_cramers_v",
                 # one-row group-stats cross (click row x view row)
