@@ -2946,3 +2946,185 @@ def q_waterfall_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("prev_mo") == F.col("mo") - 1,
                (F.col("r4") - F.col("prev_r4")).cast("bigint")
                / F.lit(10000.0)).alias("delta"))
+
+
+# ---------------------------------------------------------------------------
+# emb_dim_variance — per-dimension variance profile of the embedding
+# space, ranked (the oracled screen in front of emb_pca's rows-only
+# spectrum: dead dimensions → variance ≈ 0, rogue dimensions dominate
+# — both break downstream cosine geometry). Means and variances fold
+# per-dim values in vec_id order; one posexplode + one hash agg.
+# ---------------------------------------------------------------------------
+_DIM_VAR_ORACLE = """
+WITH x AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+s AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         list_aggregate(list_transform(
+           list_sort(list({'i': vec_id, 'v': val})), u -> u.v), 'sum')
+           AS sv,
+         list_aggregate(list_transform(
+           list_sort(list({'i': vec_id, 'v': val * val})), u -> u.v), 'sum')
+           AS svv
+  FROM x GROUP BY dim
+),
+v AS (
+  SELECT dim, n,
+         round(sv / n, 6) AS mean,
+         round((svv - sv * sv / n) / n, 6) AS variance
+  FROM s
+)
+SELECT dim, n, mean, variance,
+       row_number() OVER (ORDER BY variance DESC, dim) AS var_rank
+FROM v
+"""
+
+
+@register("emb_dim_variance", oracle=_DIM_VAR_ORACLE)
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "valf")).select(
+        "vec_id", (F.col("p") + 1).alias("dim"),
+        F.col("valf").cast("double").alias("val"))
+
+    def fold(val_expr):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("vec_id").alias("i"), val_expr.alias("v")))),
+                lambda u: u["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    s = x.groupBy("dim").agg(
+        lcount("n"),
+        fold(F.col("val")).alias("sv"),
+        fold(F.col("val") * F.col("val")).alias("svv"))
+    n_d = F.col("n").cast("double")
+    v = s.select(
+        "dim", "n",
+        F.round(F.col("sv") / n_d, 6).alias("mean"),
+        F.round((F.col("svv") - F.col("sv") * F.col("sv") / n_d) / n_d, 6)
+        .alias("variance"))
+    return v.withColumn(
+        "var_rank", F.row_number().over(W.orderBy(F.desc("variance"),
+                                                  "dim")))
+
+
+# ---------------------------------------------------------------------------
+# q_seasonality_strength — the Hyndman seasonal/trend strength
+# scalars over the q_seasonal_decompose components (analytics.py):
+# F_s = max(0, 1 − Var(resid)/Var(seasonal+resid)) and
+# F_t = max(0, 1 − Var(resid)/Var(trend+resid)) — the one-row
+# "should I even model seasonality" gate. Variances fold component
+# values in day order; components recomputed inline with the same
+# exact-window arithmetic as the decompose op.
+# ---------------------------------------------------------------------------
+_SEAS_STRENGTH_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT i, dow, x,
+         CAST(sum(x) OVER w AS DOUBLE) / CAST(count(x) OVER w AS DOUBLE)
+           AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY i ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+sea AS (
+  SELECT dow,
+         list_aggregate(list_transform(
+           list_sort(list({'i': i, 'v': CAST(x AS DOUBLE) - trend})),
+           s -> s.v), 'sum') / count(*) AS seasonal
+  FROM tr GROUP BY dow
+),
+comp AS (
+  SELECT i, CAST(x AS DOUBLE) - trend - seasonal AS resid,
+         seasonal, trend
+  FROM tr JOIN sea USING (dow)
+),
+v AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         list_aggregate(list_transform(list_sort(list({'i': i, 'v': resid})),
+           s -> s.v), 'sum') AS s_r,
+         list_aggregate(list_transform(
+           list_sort(list({'i': i, 'v': resid * resid})),
+           s -> s.v), 'sum') AS s_rr,
+         list_aggregate(list_transform(
+           list_sort(list({'i': i, 'v': seasonal + resid})),
+           s -> s.v), 'sum') AS s_sr,
+         list_aggregate(list_transform(
+           list_sort(list({'i': i, 'v': (seasonal + resid) * (seasonal + resid)})),
+           s -> s.v), 'sum') AS s_srsr,
+         list_aggregate(list_transform(
+           list_sort(list({'i': i, 'v': trend + resid})),
+           s -> s.v), 'sum') AS s_tr,
+         list_aggregate(list_transform(
+           list_sort(list({'i': i, 'v': (trend + resid) * (trend + resid)})),
+           s -> s.v), 'sum') AS s_trtr
+  FROM comp
+)
+SELECT m,
+       round(greatest(0.0,
+         1.0 - ((s_rr - s_r * s_r / m) / m)
+               / ((s_srsr - s_sr * s_sr / m) / m)), 6) AS seasonal_strength,
+       round(greatest(0.0,
+         1.0 - ((s_rr - s_r * s_r / m) / m)
+               / ((s_trtr - s_tr * s_tr / m) / m)), 6) AS trend_strength
+FROM v
+"""
+
+
+@register("q_seasonality_strength", oracle=_SEAS_STRENGTH_ORACLE)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        (F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                 / F.lit(86400000000)).cast("bigint")).alias("i"),
+        F.dayofweek(F.date_trunc("day", "ts")).cast("bigint").alias("dow"))
+        .agg(lcount("x")))
+    w = W.orderBy("i").rowsBetween(-3, 3)
+    tr = daily.select(
+        "i", "dow", "x",
+        (F.sum("x").over(w).cast("double")
+         / F.count("x").over(w).cast("double")).alias("trend"))
+
+    def fold_i(val_expr):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("i").alias("i"), val_expr.alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    sea = (tr.groupBy("dow")
+           .agg((fold_i(F.col("x").cast("double") - F.col("trend"))
+                 / F.count(F.lit(1))).alias("seasonal")))
+    comp = (tr.join(F.broadcast(sea), "dow")
+            .select("i",
+                    (F.col("x").cast("double") - F.col("trend")
+                     - F.col("seasonal")).alias("resid"),
+                    "seasonal", "trend"))
+    sr = F.col("seasonal") + F.col("resid")
+    trr = F.col("trend") + F.col("resid")
+    v = comp.agg(
+        lcount("m"),
+        fold_i(F.col("resid")).alias("s_r"),
+        fold_i(F.col("resid") * F.col("resid")).alias("s_rr"),
+        fold_i(sr).alias("s_sr"),
+        fold_i(sr * sr).alias("s_srsr"),
+        fold_i(trr).alias("s_tr"),
+        fold_i(trr * trr).alias("s_trtr"))
+    m = F.col("m").cast("double")
+    var_r = (F.col("s_rr") - F.col("s_r") * F.col("s_r") / m) / m
+    var_sr = (F.col("s_srsr") - F.col("s_sr") * F.col("s_sr") / m) / m
+    var_tr = (F.col("s_trtr") - F.col("s_tr") * F.col("s_tr") / m) / m
+    return v.select(
+        "m",
+        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_sr), 6)
+        .alias("seasonal_strength"),
+        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_tr), 6)
+        .alias("trend_strength"))

@@ -1142,3 +1142,66 @@ def test_waterfall_replay(spark, sf_dir):
         lhs = sum(float(agg[(b, p)] - agg[(a, p)]) for p in prios)
         deltas = sum(got[(b // 12, b % 12 + 1, p)].delta for p in prios)
         assert abs(lhs - deltas) < 1e-6
+
+
+def test_dim_variance_replay(spark, sf_dir):
+    got = {r.dim: r for r in
+           _run(spark, sf_dir, "emb_dim_variance").collect()}
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    dims = len(emb[0].embedding)
+    assert len(got) == dims
+    cols = defaultdict(list)
+    for r in sorted(emb, key=lambda r: r.vec_id):
+        for d, v in enumerate(r.embedding, start=1):
+            cols[d].append(float(v))
+    ranks = sorted(
+        ((round((sum(x * x for x in vs) - sum(vs) ** 2 / len(vs))
+                / len(vs), 6), d) for d, vs in cols.items()),
+        key=lambda t: (-t[0], t[1]))
+    for d, vs in cols.items():
+        n = len(vs)
+        mean = sum(vs) / n
+        var = (sum(x * x for x in vs) - sum(vs) ** 2 / n) / n
+        r = got[d]
+        assert r.n == n
+        assert abs(r.mean - mean) < 1e-5
+        assert abs(r.variance - var) < 1e-5
+        assert r.variance >= -1e-9
+    for rk, (_, d) in enumerate(ranks, start=1):
+        assert got[d].var_rank == rk
+
+
+def test_seasonality_strength_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_seasonality_strength").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    trend = []
+    for i in range(len(xs)):
+        lo, hi = max(0, i - 3), min(len(xs), i + 4)
+        trend.append(sum(xs[lo:hi]) / (hi - lo))
+    det = [x - t for x, t in zip(xs, trend)]
+    by_dow = defaultdict(list)
+    for d, v in zip(days, det):
+        by_dow[d.isoweekday() % 7 + 1].append(v)
+    sea = {dw: sum(vs) / len(vs) for dw, vs in by_dow.items()}
+    resid = [x - t - sea[d.isoweekday() % 7 + 1]
+             for d, x, t in zip(days, xs, trend)]
+    seas_plus = [r + sea[d.isoweekday() % 7 + 1]
+                 for d, r in zip(days, resid)]
+    trend_plus = [r + t for r, t in zip(resid, trend)]
+
+    def var(v):
+        m = len(v)
+        return (sum(x * x for x in v) - sum(v) ** 2 / m) / m
+
+    fs = max(0.0, 1.0 - var(resid) / var(seas_plus))
+    ft = max(0.0, 1.0 - var(resid) / var(trend_plus))
+    assert got.m == len(days)
+    assert abs(got.seasonal_strength - fs) < 1e-4
+    assert abs(got.trend_strength - ft) < 1e-4
+    assert 0.0 <= got.seasonal_strength <= 1.0
+    assert 0.0 <= got.trend_strength <= 1.0
