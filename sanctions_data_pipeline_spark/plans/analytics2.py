@@ -86,7 +86,7 @@ FROM m
 """
 
 
-@register("q_bollinger_bands", oracle=_BOLL_ORACLE)
+@register("q_bollinger_bands", headline=True, oracle=_BOLL_ORACLE)
 def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_value(spark, sf_dir)
     win = W.orderBy("i").rowsBetween(-19, 0)
@@ -484,7 +484,7 @@ FROM s ORDER BY pmi DESC, w1, w2 LIMIT 100
 """
 
 
-@register("tx_bigram_pmi", oracle=_BIGRAM_PMI_ORACLE)
+@register("tx_bigram_pmi", headline=True, oracle=_BIGRAM_PMI_ORACLE)
 def tx_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.operators import textstats as tx
 
@@ -1134,7 +1134,7 @@ FROM ranked WHERE rk <= 3
 """
 
 
-@register("pr_user_recs", oracle=_USER_RECS_ORACLE)
+@register("pr_user_recs", headline=True, oracle=_USER_RECS_ORACLE)
 def pr_user_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (load_table(spark, sf_dir, "lineitem")
           .filter(F.col("l_orderkey") < 4000)
@@ -1937,7 +1937,7 @@ FROM pred WHERE rk = 1 GROUP BY label, predicted
 """
 
 
-@register("emb_centroid_classify", oracle=_CENTROID_CLASSIFY_ORACLE)
+@register("emb_centroid_classify", headline=True, oracle=_CENTROID_CLASSIFY_ORACLE)
 def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(
@@ -2689,7 +2689,7 @@ FROM r WHERE rk <= 10
 """
 
 
-@register("tx_keyness", oracle=_KEYNESS_ORACLE)
+@register("tx_keyness", headline=True, oracle=_KEYNESS_ORACLE)
 def tx_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.operators import textstats as tx
 
@@ -2842,7 +2842,7 @@ FROM surv
 """
 
 
-@register("q_kaplan_meier", oracle=_KM_ORACLE)
+@register("q_kaplan_meier", headline=True, oracle=_KM_ORACLE)
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = F.floor(F.unix_micros(F.date_trunc("day", "ts"))
