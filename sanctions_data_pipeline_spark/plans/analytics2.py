@@ -3128,3 +3128,169 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seasonal_strength"),
         F.round(F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_tr), 6)
         .alias("trend_strength"))
+
+
+# ---------------------------------------------------------------------------
+# q_basket_profile — basket-size economics: distribution of lines per
+# order and, per basket size, the exact average order revenue (do
+# bigger baskets spend proportionally more?). Two hash aggs; revenue
+# stays x4-exact until one division per size bucket.
+# ---------------------------------------------------------------------------
+_BASKET_ORACLE = """
+WITH o AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS r4
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines AS basket_size,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(r4) AS BIGINT) / 10000.0 AS total_revenue,
+       round(CAST(sum(r4) AS BIGINT) / 10000.0 / count(*), 6)
+         AS avg_order_revenue
+FROM o GROUP BY n_lines
+"""
+
+
+@register("q_basket_profile", oracle=_BASKET_ORACLE)
+def q_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = li.groupBy("l_orderkey").agg(
+        lcount("n_lines"),
+        (F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 4)
+         * 10000).cast("bigint").alias("r4"))
+    return o.groupBy(F.col("n_lines").alias("basket_size")).agg(
+        lcount("n_orders"),
+        (F.sum("r4").cast("bigint") / F.lit(10000.0))
+        .alias("total_revenue"),
+        F.round(F.sum("r4").cast("bigint") / F.lit(10000.0)
+                / F.count(F.lit(1)), 6).alias("avg_order_revenue"))
+
+
+# ---------------------------------------------------------------------------
+# q_price_dispersion — per-part price dispersion: coefficient of
+# variation of l_extendedprice across a part's line items (is the
+# same part transacting at wildly different prices — the
+# pricing-integrity screen). Moment sums in x2 CENTS (prices carry 2
+# decimals) so Σv² stays under 2^53 for any realistic per-part group
+# — the scale choice IS the overflow headroom (q_gini lesson at the
+# group grain). Parts with ≥ 5 lines only.
+# ---------------------------------------------------------------------------
+_PRICE_DISP_ORACLE = """
+WITH x AS (
+  SELECT l_partkey,
+         CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 2) * 100
+              AS BIGINT) AS v2
+  FROM lineitem
+),
+s AS (
+  SELECT l_partkey AS partkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v2) AS BIGINT) AS sv,
+         CAST(sum(v2 * v2) AS BIGINT) AS svv
+  FROM x GROUP BY l_partkey HAVING count(*) >= 5
+)
+SELECT partkey, n,
+       CAST(FLOOR((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+                  * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS mean_price,
+       CAST(FLOOR((sqrt((CAST(svv AS DOUBLE)
+                         - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                           / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0)
+                  * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS sd_price,
+       CAST(FLOOR((sqrt((CAST(svv AS DOUBLE)
+                         - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                           / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                   / (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS cv
+FROM s
+"""
+
+
+@register("q_price_dispersion", oracle=_PRICE_DISP_ORACLE)
+def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        "l_partkey",
+        (F.round(F.col("l_extendedprice").cast("decimal(18,2)"), 2) * 100)
+        .cast("bigint").alias("v2"))
+    s = (x.groupBy(F.col("l_partkey").alias("partkey"))
+         .agg(lcount("n"),
+              F.sum("v2").cast("bigint").alias("sv"),
+              F.sum(F.col("v2") * F.col("v2")).cast("bigint").alias("svv"))
+         .filter(F.col("n") >= 5))
+    n_d = F.col("n").cast("double")
+    sv_d, svv_d = F.col("sv").cast("double"), F.col("svv").cast("double")
+    sd2 = F.sqrt((svv_d - sv_d * sv_d / n_d) / n_d)
+    return s.select(
+        "partkey", "n",
+        pround6(sv_d / n_d / 100.0).alias("mean_price"),
+        pround6(sd2 / 100.0).alias("sd_price"),
+        pround6(sd2 / (sv_d / n_d)).alias("cv"))
+
+
+# ---------------------------------------------------------------------------
+# tok_vocab_overlap — domain-shift matrix: Jaccard overlap of the
+# top-500 vocabularies of every source pair (low overlap = the mixture
+# spans distinct domains; the cheap upstream of tx_js_divergence's
+# distributional distance). Per-source vocabularies rank by
+# (count desc, token); the pair grid is |sources|² — tiny — built
+# from one broadcast self-join over the vocab sets.
+# ---------------------------------------------------------------------------
+_VOCAB_K2 = 500
+
+_VOCAB_OVERLAP_ORACLE = f"""
+WITH t AS (
+  SELECT source, {_TOKS} AS toks FROM documents WHERE length(text) > 0
+),
+w AS (
+  SELECT source, u.w AS word, CAST(count(*) AS BIGINT) AS c
+  FROM t, unnest(toks) AS u(w) GROUP BY source, u.w
+),
+v AS (
+  SELECT source, word FROM (
+    SELECT source, word,
+           row_number() OVER (PARTITION BY source ORDER BY c DESC, word)
+             AS rk
+    FROM w
+  ) WHERE rk <= {_VOCAB_K2}
+),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS k FROM v GROUP BY source)
+SELECT src_a, src_b, n_shared,
+       round(CAST(n_shared AS DOUBLE)
+             / (sa.k + sb.k - n_shared), 6) AS jaccard
+FROM p JOIN sz sa ON sa.source = p.src_a
+       JOIN sz sb ON sb.source = p.src_b
+"""
+
+
+@register("tok_vocab_overlap", oracle=_VOCAB_OVERLAP_ORACLE)
+def tok_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = docs.select("source", tx.tokens(F.col("text")).alias("toks"))
+    w = (t.select("source", F.explode("toks").alias("word"))
+         .groupBy("source", "word").agg(lcount("c")))
+    v = (w.withColumn("rk", F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("c"), "word")))
+        .filter(F.col("rk") <= _VOCAB_K2).select("source", "word"))
+    a = v.select(F.col("source").alias("src_a"), "word")
+    b = v.select(F.col("source").alias("src_b"), "word")
+    p = (a.join(b, "word").filter(F.col("src_a") < F.col("src_b"))
+         .groupBy("src_a", "src_b").agg(lcount("n_shared")))
+    sz = v.groupBy("source").agg(lcount("k"))
+    sa = sz.select(F.col("source").alias("src_a"), F.col("k").alias("ka"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("k").alias("kb"))
+    j = p.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+    return j.select(
+        "src_a", "src_b", "n_shared",
+        F.round(F.col("n_shared").cast("double")
+                / (F.col("ka") + F.col("kb") - F.col("n_shared")), 6)
+        .alias("jaccard"))

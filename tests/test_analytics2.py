@@ -1205,3 +1205,80 @@ def test_seasonality_strength_replay(spark, sf_dir):
     assert abs(got.trend_strength - ft) < 1e-4
     assert 0.0 <= got.seasonal_strength <= 1.0
     assert 0.0 <= got.trend_strength <= 1.0
+
+
+def test_basket_profile_replay(spark, sf_dir):
+    got = {r.basket_size: r for r in
+           _run(spark, sf_dir, "q_basket_profile").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice").collect()
+    per_order = defaultdict(lambda: [0, Decimal(0)])
+    for r in li:
+        d = per_order[r.l_orderkey]
+        d[0] += 1
+        d[1] += Decimal(str(r.l_extendedprice)).quantize(Decimal("0.0001"))
+    sizes = defaultdict(lambda: [0, Decimal(0)])
+    for n, rev in per_order.values():
+        sizes[n][0] += 1
+        sizes[n][1] += rev
+    assert len(got) == len(sizes)
+    for size, (n_orders, rev) in sizes.items():
+        r = got[size]
+        assert r.n_orders == n_orders
+        assert abs(r.total_revenue - float(rev)) < 1e-6
+        assert abs(r.avg_order_revenue - float(rev) / n_orders) < 1e-4
+
+
+def test_price_dispersion_replay(spark, sf_dir):
+    got = {r.partkey: r for r in
+           _run(spark, sf_dir, "q_price_dispersion").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice").collect()
+    per_part = defaultdict(list)
+    for r in li:
+        per_part[r.l_partkey].append(
+            int(Decimal(str(r.l_extendedprice)).quantize(Decimal("0.01"))
+                * 100))
+    want = {p: v for p, v in per_part.items() if len(v) >= 5}
+    assert len(got) == len(want)
+    for p, vs in want.items():
+        n = len(vs)
+        mean = sum(vs) / n
+        sd = math.sqrt((sum(x * x for x in vs) - sum(vs) ** 2 / n) / n)
+        r = got[p]
+        assert r.n == n
+        assert abs(r.mean_price - mean / 100.0) < 1e-4
+        assert abs(r.sd_price - sd / 100.0) < 1e-4
+        assert abs(r.cv - sd / mean) < 1e-5
+        assert r.cv >= 0.0
+
+
+def test_vocab_overlap_replay(spark, sf_dir):
+    import re
+    got = {(r.src_a, r.src_b): r for r in
+           _run(spark, sf_dir, "tok_vocab_overlap").collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    per_src = defaultdict(lambda: defaultdict(int))
+    for d in docs:
+        if not d.text:
+            continue
+        toks = re.sub(r"\s+", " ", d.text.lower()).strip().split(" ")
+        for w in toks:
+            per_src[d.source][w] += 1
+    vocab = {}
+    for src, ws in per_src.items():
+        top = sorted(ws.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
+        vocab[src] = {w for w, _ in top}
+    srcs = sorted(vocab)
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = srcs[i], srcs[j]
+            shared = len(vocab[a] & vocab[b])
+            if shared == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert r.n_shared == shared
+            union = len(vocab[a]) + len(vocab[b]) - shared
+            assert abs(r.jaccard - shared / union) < 1e-6
+            assert 0.0 < r.jaccard <= 1.0
