@@ -3294,3 +3294,188 @@ def tok_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_shared").cast("double")
                 / (F.col("ka") + F.col("kb") - F.col("n_shared")), 6)
         .alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# q_mann_whitney — Mann-Whitney U test: do click and purchase event
+# VALUES come from the same distribution? (The nonparametric twin of
+# q_welch_ttest's parametric comparison.) Average ranks over exact x4
+# values via the (min+max)/2 tie-group identity — the same exact
+# machinery as sim_roc_auc — then U, its null mean/variance with the
+# tie correction, and the z statistic. Integer-exact until z.
+# ---------------------------------------------------------------------------
+_MWU_ORACLE = """
+WITH x AS (
+  SELECT CAST(ROUND(CAST(value AS DECIMAL(18,4)), 4) * 10000 AS BIGINT)
+           AS v4,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+r AS (
+  SELECT v4, grp, row_number() OVER (ORDER BY v4, grp) AS rk FROM x
+),
+g AS (
+  SELECT v4, grp,
+         CAST(min(rk) OVER (PARTITION BY v4) AS BIGINT) AS lo,
+         CAST(max(rk) OVER (PARTITION BY v4) AS BIGINT) AS hi
+  FROM r
+),
+ties AS (
+  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie_corr
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM x GROUP BY v4) WHERE t > 1
+),
+s AS (
+  SELECT CAST(sum(grp) AS BIGINT) AS n1,
+         CAST(sum(1 - grp) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN grp = 1 THEN lo + hi ELSE 0 END) AS BIGINT)
+           AS rsum2
+  FROM g
+)
+SELECT n1, n2,
+       round(CAST(rsum2 AS DOUBLE) / 2.0
+             - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 6)
+         AS u_stat,
+       round((CAST(rsum2 AS DOUBLE) / 2.0
+              - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                    * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                       - CAST(tie_corr AS DOUBLE)
+                         / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                               - 1.0)))), 6) AS z
+FROM s CROSS JOIN ties
+"""
+
+
+@register("q_mann_whitney", oracle=_MWU_ORACLE)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = (ev.filter(F.col("event_type").isin("click", "purchase")
+                   & F.col("value").isNotNull())
+         .select((F.round(F.col("value").cast("decimal(18,4)"), 4) * 10000)
+                 .cast("bigint").alias("v4"),
+                 F.when(F.col("event_type") == "click", 1).otherwise(0)
+                 .alias("grp")))
+    r = x.withColumn("rk", F.row_number().over(W.orderBy("v4", "grp")))
+    wg = W.partitionBy("v4")
+    g = r.select("v4", "grp",
+                 F.min("rk").over(wg).cast("bigint").alias("lo"),
+                 F.max("rk").over(wg).cast("bigint").alias("hi"))
+    ties = (x.groupBy("v4").agg(lcount("t")).filter(F.col("t") > 1)
+            .agg(F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0)).cast("bigint").alias("tie_corr")))
+    s = g.agg(
+        F.sum("grp").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("grp")).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("lo") + F.col("hi"))
+              .otherwise(0)).cast("bigint").alias("rsum2"))
+    j = s.crossJoin(F.broadcast(ties))
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    u = (F.col("rsum2").cast("double") / F.lit(2.0)
+         - n1 * (n1 + F.lit(1.0)) / F.lit(2.0))
+    n = n1 + n2
+    var_u = (n1 * n2 / F.lit(12.0)
+             * ((n + F.lit(1.0))
+                - F.col("tie_corr").cast("double") / (n * (n - F.lit(1.0)))))
+    return j.select(
+        "n1", "n2",
+        F.round(u, 6).alias("u_stat"),
+        F.round((u - n1 * n2 / F.lit(2.0)) / F.sqrt(var_u), 6).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# q_friedman_test — Friedman rank test of weekday effects with ISO
+# weeks as blocks: within each complete week, the 7 daily counts are
+# ranked (average ranks on ties — exact .5-grained rationals), and
+# χ²_F = 12n/(k(k+1)) Σ(R̄ⱼ − (k+1)/2)² across weekday treatments.
+# The nonparametric confirmation of q_weekday_seasonality that is
+# robust to level shifts between weeks. Only complete (7-day) weeks
+# enter; rank sums are exact in x2 halves.
+# ---------------------------------------------------------------------------
+_FRIEDMAN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+wk AS (
+  SELECT i, dow, x, CAST((i + 3) // 7 AS BIGINT) AS week FROM daily
+),
+complete AS (
+  SELECT week FROM wk GROUP BY week HAVING count(*) = 7
+),
+r AS (
+  SELECT w.week, w.dow,
+         CAST(min(rk) OVER (PARTITION BY w.week, w.x)
+              + max(rk) OVER (PARTITION BY w.week, w.x) AS BIGINT) AS rank2
+  FROM (
+    SELECT week, dow, x,
+           row_number() OVER (PARTITION BY week ORDER BY x, dow) AS rk
+    FROM wk JOIN complete USING (week)
+  ) w
+),
+sums AS (
+  SELECT dow, CAST(sum(rank2) AS BIGINT) AS rsum2,
+         CAST(count(*) AS BIGINT) AS n_weeks
+  FROM r GROUP BY dow
+),
+chi AS (
+  SELECT CAST(max(n_weeks) AS BIGINT) AS n_weeks,
+         list_aggregate(list_transform(
+           list_sort(list({'i': dow,
+                           'v': (CAST(rsum2 AS DOUBLE)
+                                 / (2.0 * CAST(n_weeks AS DOUBLE)) - 4.0)
+                              * (CAST(rsum2 AS DOUBLE)
+                                 / (2.0 * CAST(n_weeks AS DOUBLE)) - 4.0)})),
+           s -> s.v), 'sum') AS ss
+  FROM sums
+)
+SELECT n_weeks, CAST(7 AS BIGINT) AS k,
+       round(12.0 * CAST(n_weeks AS DOUBLE) / (7.0 * 8.0) * ss, 6)
+         AS friedman_chi2
+FROM chi
+"""
+
+
+@register("q_friedman_test", oracle=_FRIEDMAN_ORACLE)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                / F.lit(86400000000)).cast("bigint").alias("i"),
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"))
+        .agg(lcount("x")))
+    wk = daily.select(
+        "i", "dow", "x",
+        F.floor((F.col("i") + 3) / 7).cast("bigint").alias("week"))
+    complete = wk.groupBy("week").agg(lcount("cnt")) \
+        .filter(F.col("cnt") == 7).select("week")
+    inner = (wk.join(F.broadcast(complete), "week")
+             .withColumn("rk", F.row_number().over(
+                 W.partitionBy("week").orderBy("x", "dow"))))
+    wt = W.partitionBy("week", "x")
+    r = inner.select(
+        "week", "dow",
+        (F.min("rk").over(wt) + F.max("rk").over(wt)).cast("bigint")
+        .alias("rank2"))
+    sums = r.groupBy("dow").agg(
+        F.sum("rank2").cast("bigint").alias("rsum2"),
+        lcount("n_weeks"))
+    nw = F.col("n_weeks").cast("double")
+    term = (F.col("rsum2").cast("double") / (F.lit(2.0) * nw) - F.lit(4.0))
+    chi = sums.agg(
+        F.max("n_weeks").cast("bigint").alias("n_weeks"),
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("dow").alias("i"),
+                         (term * term).alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v).alias("ss"))
+    return chi.select(
+        "n_weeks", F.lit(7).cast("bigint").alias("k"),
+        F.round(F.lit(12.0) * F.col("n_weeks").cast("double")
+                / F.lit(56.0) * F.col("ss"), 6).alias("friedman_chi2"))

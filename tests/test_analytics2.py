@@ -1282,3 +1282,62 @@ def test_vocab_overlap_replay(spark, sf_dir):
             union = len(vocab[a]) + len(vocab[b]) - shared
             assert abs(r.jaccard - shared / union) < 1e-6
             assert 0.0 < r.jaccard <= 1.0
+
+
+def test_mann_whitney_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_mann_whitney").collect()[0]
+    ev = load_table(spark, sf_dir, "events").filter(
+        "event_type IN ('click','purchase') AND value IS NOT NULL").select(
+        "event_type", "value").collect()
+    xs = [(int(Decimal(str(r.value)).quantize(Decimal("0.0001")) * 10000),
+           1 if r.event_type == "click" else 0) for r in ev]
+    n1 = sum(g for _, g in xs)
+    n2 = len(xs) - n1
+    # average ranks
+    svals = sorted(v for v, _ in xs)
+    first = {}
+    for i, v in enumerate(svals, start=1):
+        first.setdefault(v, i)
+    cnt = Counter(svals)
+    avg_rank = {v: first[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+    r1 = sum(avg_rank[v] for v, g in xs if g == 1)
+    u = r1 - n1 * (n1 + 1) / 2.0
+    tie = sum(t ** 3 - t for t in cnt.values() if t > 1)
+    n = n1 + n2
+    var_u = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u - n1 * n2 / 2.0) / math.sqrt(var_u)
+    assert (got.n1, got.n2) == (n1, n2)
+    assert abs(got.u_stat - u) < 1e-3
+    assert abs(got.z - z) < 1e-5
+
+
+def test_friedman_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_friedman_test").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date().toordinal()] += 1
+    weeks = defaultdict(dict)
+    for d, x in daily.items():
+        # proleptic ordinal 1 is a Monday; epoch day 0 is a Thursday —
+        # (d-1)//7 here == (epoch_day+3)//7 in the SQL (Monday weeks)
+        weeks[(d - 1) // 7][d] = x
+    complete = {w: m for w, m in weeks.items() if len(m) == 7}
+    rsum = defaultdict(float)
+    for w, m in complete.items():
+        items = sorted(m.items())  # (day, x), dow = isoweekday
+        vals = sorted(x for _, x in m.items())
+        first = {}
+        for i, v in enumerate(vals, start=1):
+            first.setdefault(v, i)
+        cnt = Counter(vals)
+        from datetime import date
+        for d, x in m.items():
+            dow = date.fromordinal(d).isoweekday()
+            rsum[dow] += first[x] + (cnt[x] - 1) / 2.0
+    nw = len(complete)
+    ss = sum((rsum[dw] / nw - 4.0) ** 2 for dw in sorted(rsum))
+    chi2 = 12.0 * nw / (7 * 8) * ss
+    assert (got.n_weeks, got.k) == (nw, 7)
+    assert abs(got.friedman_chi2 - chi2) < 1e-4
+    assert got.friedman_chi2 >= 0.0

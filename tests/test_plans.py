@@ -141,6 +141,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_cramers_v",
                 # one-row group-stats cross (click row x view row)
                 "q_welch_ttest",
+                # one-row tie-correction total crossed with rank sums
+                "q_mann_whitney",
                 # composes the brute-force ground truth (query x corpus
                 # scoring cross, same as sim_recall_eval)
                 "sim_mrr_eval",
