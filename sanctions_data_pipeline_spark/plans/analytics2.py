@@ -3479,3 +3479,231 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_weeks", F.lit(7).cast("bigint").alias("k"),
         F.round(F.lit(12.0) * F.col("n_weeks").cast("double")
                 / F.lit(56.0) * F.col("ss"), 6).alias("friedman_chi2"))
+
+
+# ---------------------------------------------------------------------------
+# sim_avg_precision — average precision (area under the PR curve by
+# the step rule) of the successor-pair cosine vs same-label truth:
+# AP = Σ_k (ΔR_k)·P_k over distinct score thresholds, all from exact
+# cumulative integer counts in descending-score order (the
+# class-imbalance-honest companion to sim_roc_auc). Terms fold in
+# threshold order.
+# ---------------------------------------------------------------------------
+_AVG_PRECISION_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT round(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 6) AS cos,
+         CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS pos
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+),
+g AS (
+  SELECT cos, CAST(sum(pos) AS BIGINT) AS tp_here,
+         CAST(count(*) AS BIGINT) AS n_here
+  FROM p GROUP BY cos
+),
+c AS (
+  SELECT cos,
+         CAST(sum(tp_here) OVER (ORDER BY cos DESC) AS BIGINT) AS tp,
+         CAST(sum(n_here) OVER (ORDER BY cos DESC) AS BIGINT) AS npred,
+         tp_here,
+         CAST(sum(tp_here) OVER () AS BIGINT) AS n_pos
+  FROM g
+)
+SELECT CAST(max(n_pos) AS BIGINT) AS n_pos,
+       round(list_aggregate(list_transform(
+         list_sort(list({'i': -cos,
+                         'v': (CAST(tp_here AS DOUBLE)
+                               / CAST(n_pos AS DOUBLE))
+                            * (CAST(tp AS DOUBLE) / CAST(npred AS DOUBLE))})),
+         s -> s.v), 'sum'), 6) AS avg_precision
+FROM c
+"""
+
+
+@register("sim_avg_precision", oracle=_AVG_PRECISION_ORACLE)
+def sim_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.similarity import (
+        as_double, dot)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    a = e.select(F.col("vec_id").alias("ia"), F.col("label").alias("la"),
+                 F.col("v").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("ia"),
+                 F.col("label").alias("lb"), F.col("v").alias("vb"))
+    p = a.join(b, "ia").select(
+        F.round(dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(dot(F.col("va"), F.col("va")))
+                   * F.sqrt(dot(F.col("vb"), F.col("vb")))), 6).alias("cos"),
+        F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias("pos"))
+    g = p.groupBy("cos").agg(
+        F.sum("pos").cast("bigint").alias("tp_here"), lcount("n_here"))
+    wd = W.orderBy(F.desc("cos")).rowsBetween(W.unboundedPreceding, 0)
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = g.select(
+        "cos", "tp_here",
+        F.sum("tp_here").over(wd).cast("bigint").alias("tp"),
+        F.sum("n_here").over(wd).cast("bigint").alias("npred"),
+        F.sum("tp_here").over(wt).cast("bigint").alias("n_pos"))
+    term = ((F.col("tp_here").cast("double") / F.col("n_pos").cast("double"))
+            * (F.col("tp").cast("double") / F.col("npred").cast("double")))
+    return c.agg(
+        F.max("n_pos").cast("bigint").alias("n_pos"),
+        F.round(F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct((-F.col("cos")).alias("i"), term.alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v), 6).alias("avg_precision"))
+
+
+# ---------------------------------------------------------------------------
+# q_control_chart — Shewhart individuals/moving-range (XmR) control
+# chart of the daily event counts: center line x̄, moving-range mean
+# M̄R, control limits x̄ ± 2.66·M̄R, and per-day out-of-control flags
+# (the SPC view next to q_rolling_mad's robust flags). x̄ and M̄R are
+# exact integer ratios; limits are one double tree.
+# ---------------------------------------------------------------------------
+_CONTROL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+mr AS (
+  SELECT i, day, x,
+         abs(x - lag(x) OVER (ORDER BY i)) AS mrange
+  FROM daily
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(mrange) AS BIGINT) AS smr,
+         CAST(count(mrange) AS BIGINT) AS nmr
+  FROM mr
+)
+SELECT day, x,
+       round(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE), 6) AS center,
+       round(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)
+             + 2.66 * CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE), 6) AS ucl,
+       round(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)
+             - 2.66 * CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE), 6) AS lcl,
+       CASE WHEN CAST(x AS DOUBLE) > CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)
+                 + 2.66 * CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE)
+             OR CAST(x AS DOUBLE) < CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)
+                 - 2.66 * CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE)
+            THEN 1 ELSE 0 END AS out_of_control
+FROM mr CROSS JOIN s
+"""
+
+
+@register("q_control_chart", oracle=_CONTROL_ORACLE)
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                / F.lit(86400000000)).cast("bigint").alias("i"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(lcount("x")))
+    mr = daily.select(
+        "i", "day", "x",
+        F.abs(F.col("x") - F.lag("x").over(W.orderBy("i"))).alias("mrange"))
+    s = mr.agg(lcount("m"),
+               F.sum("x").cast("bigint").alias("sx"),
+               F.sum("mrange").cast("bigint").alias("smr"),
+               F.count("mrange").cast("bigint").alias("nmr"))
+    j = mr.crossJoin(F.broadcast(s))
+    center = F.col("sx").cast("double") / F.col("m").cast("double")
+    band = (F.lit(2.66) * F.col("smr").cast("double")
+            / F.col("nmr").cast("double"))
+    return j.select(
+        "day", "x",
+        F.round(center, 6).alias("center"),
+        F.round(center + band, 6).alias("ucl"),
+        F.round(center - band, 6).alias("lcl"),
+        F.when((F.col("x").cast("double") > center + band)
+               | (F.col("x").cast("double") < center - band), 1)
+        .otherwise(0).alias("out_of_control"))
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_corr — 30-day rolling Pearson correlation between daily
+# event count and daily event value. Window moment sums stay exact
+# int64 AND under 2^53 because the value series uses x2 CENTS (the
+# q_price_dispersion headroom trick at the window grain); the
+# correlation is one closed-form double tree per day.
+# ---------------------------------------------------------------------------
+_ROLL_CORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) * 100 AS BIGINT)
+           AS v2
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT day,
+         CAST(count(*) OVER win AS BIGINT) AS m,
+         CAST(sum(n) OVER win AS BIGINT) AS sn,
+         CAST(sum(v2) OVER win AS BIGINT) AS sv,
+         CAST(sum(n * n) OVER win AS BIGINT) AS snn,
+         CAST(sum(v2 * v2) OVER win AS BIGINT) AS svv,
+         CAST(sum(n * v2) OVER win AS BIGINT) AS snv
+  FROM daily
+  WINDOW win AS (ORDER BY i ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT day, m,
+       CASE WHEN m > 1
+             AND (CAST(m AS DOUBLE) * CAST(snn AS DOUBLE)
+                  - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) > 0
+             AND (CAST(m AS DOUBLE) * CAST(svv AS DOUBLE)
+                  - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) > 0
+            THEN round((CAST(m AS DOUBLE) * CAST(snv AS DOUBLE)
+                        - CAST(sn AS DOUBLE) * CAST(sv AS DOUBLE))
+                       / sqrt((CAST(m AS DOUBLE) * CAST(snn AS DOUBLE)
+                               - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+                              * (CAST(m AS DOUBLE) * CAST(svv AS DOUBLE)
+                                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))),
+                       6)
+       END AS rolling_corr
+FROM w
+"""
+
+
+@register("q_rolling_corr", oracle=_ROLL_CORR_ORACLE)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                / F.lit(86400000000)).cast("bigint").alias("i"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(lcount("n"),
+             (F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2) * 100)
+             .cast("bigint").alias("v2")))
+    win = W.orderBy("i").rowsBetween(-29, 0)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("m"),
+        F.sum("n").over(win).cast("bigint").alias("sn"),
+        F.sum("v2").over(win).cast("bigint").alias("sv"),
+        F.sum(F.col("n") * F.col("n")).over(win).cast("bigint").alias("snn"),
+        F.sum(F.col("v2") * F.col("v2")).over(win).cast("bigint")
+        .alias("svv"),
+        F.sum(F.col("n") * F.col("v2")).over(win).cast("bigint")
+        .alias("snv"))
+    m = F.col("m").cast("double")
+    sn, sv = F.col("sn").cast("double"), F.col("sv").cast("double")
+    snn, svv = F.col("snn").cast("double"), F.col("svv").cast("double")
+    snv = F.col("snv").cast("double")
+    den_n = m * snn - sn * sn
+    den_v = m * svv - sv * sv
+    return w.select(
+        "day", "m",
+        F.when((F.col("m") > 1) & (den_n > 0) & (den_v > 0),
+               F.round((m * snv - sn * sv) / F.sqrt(den_n * den_v), 6))
+        .alias("rolling_corr"))

@@ -1341,3 +1341,90 @@ def test_friedman_replay(spark, sf_dir):
     assert (got.n_weeks, got.k) == (nw, 7)
     assert abs(got.friedman_chi2 - chi2) < 1e-4
     assert got.friedman_chi2 >= 0.0
+
+
+def test_avg_precision_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "sim_avg_precision").collect()[0]
+    emb = {r.vec_id: (r.label, [float(x) for x in r.embedding]) for r in
+           load_table(spark, sf_dir, "embeddings").collect()}
+    scores = []
+    for i, (la, va) in emb.items():
+        nxt = emb.get(i + 1)
+        if nxt is None:
+            continue
+        lb, vb = nxt
+        dot = sum(a * b for a, b in zip(va, vb))
+        na = math.sqrt(sum(a * a for a in va))
+        nb = math.sqrt(sum(b * b for b in vb))
+        scores.append((round(dot / (na * nb), 6), 1 if la == lb else 0))
+    by_score = defaultdict(lambda: [0, 0])
+    for s, p in scores:
+        by_score[s][0] += p
+        by_score[s][1] += 1
+    n_pos = sum(p for _, p in scores)
+    tp = npred = 0
+    ap = 0.0
+    for s in sorted(by_score, reverse=True):
+        tp_here, n_here = by_score[s]
+        tp += tp_here
+        npred += n_here
+        ap += (tp_here / n_pos) * (tp / npred)
+    assert got.n_pos == n_pos
+    assert abs(got.avg_precision - ap) < 1e-5
+    assert 0.0 <= got.avg_precision <= 1.0
+
+
+def test_control_chart_replay(spark, sf_dir):
+    got = {r.day: r for r in
+           _run(spark, sf_dir, "q_control_chart").collect()}
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    m = len(xs)
+    center = sum(xs) / m
+    mrs = [abs(b - a) for a, b in zip(xs, xs[1:])]
+    band = 2.66 * sum(mrs) / len(mrs)
+    for d, x in zip(days, xs):
+        r = got[d.isoformat()]
+        assert r.x == x
+        assert abs(r.center - center) < 1e-5
+        assert abs(r.ucl - (center + band)) < 1e-4
+        assert abs(r.lcl - (center - band)) < 1e-4
+        assert r.out_of_control == (1 if (x > center + band
+                                          or x < center - band) else 0)
+
+
+def test_rolling_corr_replay(spark, sf_dir):
+    got = {r.day: r for r in
+           _run(spark, sf_dir, "q_rolling_corr").collect()}
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    n_by = defaultdict(int)
+    v_by = defaultdict(Decimal)
+    for r in ev:
+        d = r.ts.date()
+        n_by[d] += 1
+        if r.value is not None:
+            v_by[d] += Decimal(str(r.value)).quantize(Decimal("0.01"))
+    days = sorted(n_by)
+    pts = [(n_by[d], int(v_by[d] * 100)) for d in days]
+    for i, d in enumerate(days):
+        win = pts[max(0, i - 29):i + 1]
+        m = len(win)
+        r = got[d.isoformat()]
+        assert r.m == m
+        if m < 2:
+            assert r.rolling_corr is None
+            continue
+        sn = sum(n for n, _ in win)
+        sv = sum(v for _, v in win)
+        snn = sum(n * n for n, _ in win)
+        svv = sum(v * v for _, v in win)
+        snv = sum(n * v for n, v in win)
+        dn, dv = m * snn - sn * sn, m * svv - sv * sv
+        if dn > 0 and dv > 0:
+            corr = (m * snv - sn * sv) / math.sqrt(dn * dv)
+            assert abs(r.rolling_corr - corr) < 1e-5
+            assert -1.0 - 1e-9 <= r.rolling_corr <= 1.0 + 1e-9

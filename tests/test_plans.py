@@ -131,7 +131,7 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # one-row triangle/edge totals crossed with wedge totals
                 "gr_transitivity",
                 # one-row moment-sums broadcast over the day series
-                "q_grubbs_test",
+                "q_grubbs_test", "q_control_chart",
                 # one-row (min day, max day) cutoff bounds broadcast
                 "tt_temporal_split",
                 # bounded duration-grid prefix cross (KM product) +
