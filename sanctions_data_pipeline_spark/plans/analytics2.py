@@ -3707,3 +3707,205 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("m") > 1) & (den_n > 0) & (den_v > 0),
                F.round((m * snv - sn * sv) / F.sqrt(den_n * den_v), 6))
         .alias("rolling_corr"))
+
+
+# ---------------------------------------------------------------------------
+# q_cumulative_unique — cumulative distinct users per day. Windowed
+# COUNT(DISTINCT) doesn't exist in any engine; the scalable identity
+# is "distinct-so-far = running sum of first-appearances", which
+# turns an O(n·days) rescan into one min-per-user agg + a day-grid
+# cumsum. Also emits each day's new-user count (the q_growth ledger's
+# daily grain).
+# ---------------------------------------------------------------------------
+_CUM_UNIQUE_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id,
+         CAST(min(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS fd
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT fd, CAST(count(*) AS BIGINT) AS new_users FROM first_seen GROUP BY fd
+),
+days AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+  FROM events GROUP BY 1, 2
+)
+SELECT day,
+       CAST(coalesce(new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY i) AS BIGINT)
+         AS cumulative_users
+FROM days LEFT JOIN per_day ON per_day.fd = days.i
+"""
+
+
+@register("q_cumulative_unique", oracle=_CUM_UNIQUE_ORACLE)
+def q_cumulative_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                  / F.lit(86400000000)).cast("bigint")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("fd"))
+    per_day = first_seen.groupBy("fd").agg(lcount("new_users"))
+    days = ev.groupBy(
+        day.alias("i"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.lit(1).alias("__one")).drop("__one")
+    j = days.join(F.broadcast(per_day),
+                  days["i"] == per_day["fd"], "left")
+    return j.select(
+        "day",
+        F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+        F.sum(F.coalesce("new_users", F.lit(0))).over(
+            W.orderBy("i").rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint").alias("cumulative_users"))
+
+
+# ---------------------------------------------------------------------------
+# q_stickiness — DAU/MAU stickiness per month: average daily active
+# users over the month divided by the month's distinct actives (the
+# engagement ratio product teams track weekly). avg DAU = Σ per-day
+# distinct / days-in-month-with-data — all exact integer counts, two
+# divisions at the edge.
+# ---------------------------------------------------------------------------
+_STICKINESS_ORACLE = """
+WITH dau AS (
+  SELECT CAST((year(ts) * 12 + month(ts)) - 1 AS BIGINT) AS mo,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1, 2
+),
+mau AS (
+  SELECT CAST((year(ts) * 12 + month(ts)) - 1 AS BIGINT) AS mo,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT mo, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(dau) AS BIGINT) AS sum_dau
+  FROM dau GROUP BY mo
+)
+SELECT CAST(mo // 12 AS BIGINT) AS year, CAST(mo % 12 + 1 AS BIGINT) AS month,
+       n_days, mau,
+       round(CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS avg_dau,
+       round(CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE)
+             / CAST(mau AS DOUBLE), 6) AS stickiness
+FROM d JOIN mau USING (mo)
+"""
+
+
+@register("q_stickiness", oracle=_STICKINESS_ORACLE)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mo = (F.year("ts") * 12 + F.month("ts") - 1).cast("bigint")
+    day = F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                  / F.lit(86400000000)).cast("bigint")
+    dau = ev.groupBy(mo.alias("mo"), day.alias("d")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau"))
+    mau = ev.groupBy(mo.alias("mo")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau"))
+    d = dau.groupBy("mo").agg(
+        lcount("n_days"), F.sum("dau").cast("bigint").alias("sum_dau"))
+    j = d.join(mau, "mo")
+    avg_dau = F.col("sum_dau").cast("double") / F.col("n_days").cast("double")
+    return j.select(
+        F.floor(F.col("mo") / 12).cast("bigint").alias("year"),
+        (F.col("mo") % 12 + 1).cast("bigint").alias("month"),
+        "n_days", "mau",
+        F.round(avg_dau, 6).alias("avg_dau"),
+        F.round(avg_dau / F.col("mau").cast("double"), 6).alias("stickiness"))
+
+
+# ---------------------------------------------------------------------------
+# emb_davies_bouldin — Davies-Bouldin clustering-quality index of the
+# label partition: per label the compactness s_i (mean distance to
+# its centroid), per pair the centroid distance d_ij, and
+# DB_i = max_j (s_i + s_j)/d_ij (lower is better-separated). Shares
+# emb_centroid_classify's exact centroid/distance folds; the pair max
+# runs on the |labels|² grid — trivially small.
+# ---------------------------------------------------------------------------
+_DB_ORACLE = """
+WITH x AS (
+  SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cent AS (
+  SELECT label, dim,
+         list_aggregate(list_transform(
+           list_sort(list({'i': vec_id, 'v': val})), s -> s.v), 'sum')
+           / count(*) AS c
+  FROM x GROUP BY label, dim
+),
+dist AS (
+  SELECT x.vec_id, x.label,
+         sqrt(list_aggregate(list_transform(
+           list_sort(list({'i': x.dim,
+                           'v': (x.val - cent.c) * (x.val - cent.c)})),
+           s -> s.v), 'sum')) AS d
+  FROM x JOIN cent ON x.dim = cent.dim AND x.label = cent.label
+  GROUP BY x.vec_id, x.label
+),
+s AS (
+  SELECT label,
+         list_aggregate(list_transform(
+           list_sort(list({'i': vec_id, 'v': d})), u -> u.v), 'sum')
+           / count(*) AS si,
+         CAST(count(*) AS BIGINT) AS n
+  FROM dist GROUP BY label
+),
+cd AS (
+  SELECT a.label AS la, b.label AS lb,
+         sqrt(list_aggregate(list_transform(
+           list_sort(list({'i': a.dim, 'v': (a.c - b.c) * (a.c - b.c)})),
+           u -> u.v), 'sum')) AS dij
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+  GROUP BY a.label, b.label
+)
+SELECT sa.label, sa.n, round(sa.si, 6) AS compactness,
+       round(max((sa.si + sb.si) / cd.dij), 6) AS db_index
+FROM s sa JOIN cd ON cd.la = sa.label JOIN s sb ON sb.label = cd.lb
+GROUP BY sa.label, sa.n, sa.si
+"""
+
+
+@register("emb_davies_bouldin", oracle=_DB_ORACLE)
+def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("p", "valf")).select(
+        "vec_id", "label", (F.col("p") + 1).alias("dim"),
+        F.col("valf").cast("double").alias("val"))
+
+    def fold(key_col, val_expr):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(key_col.alias("i"), val_expr.alias("v")))),
+                lambda u: u["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    cent = (x.groupBy("label", "dim")
+            .agg((fold(F.col("vec_id"), F.col("val"))
+                  / F.count(F.lit(1))).alias("c")))
+    dist = (x.join(F.broadcast(cent), ["label", "dim"])
+            .groupBy("vec_id", "label")
+            .agg(F.sqrt(fold(F.col("dim"),
+                             (F.col("val") - F.col("c"))
+                             * (F.col("val") - F.col("c")))).alias("d")))
+    s = dist.groupBy("label").agg(
+        (fold(F.col("vec_id"), F.col("d")) / F.count(F.lit(1))).alias("si"),
+        lcount("n"))
+    ca = cent.select(F.col("label").alias("la"), "dim", F.col("c").alias("cva"))
+    cb = cent.select(F.col("label").alias("lb"), "dim", F.col("c").alias("cvb"))
+    cd = (ca.join(cb, "dim").filter(F.col("la") != F.col("lb"))
+          .groupBy("la", "lb")
+          .agg(F.sqrt(fold(F.col("dim"),
+                           (F.col("cva") - F.col("cvb"))
+                           * (F.col("cva") - F.col("cvb")))).alias("dij")))
+    sa = s.select(F.col("label").alias("la"), F.col("si").alias("sia"),
+                  F.col("n"))
+    sb = s.select(F.col("label").alias("lb"), F.col("si").alias("sib"))
+    j = sa.join(cd, "la").join(F.broadcast(sb), "lb")
+    return (j.groupBy(F.col("la").alias("label"), "n",
+                      F.round("sia", 6).alias("compactness"))
+            .agg(F.round(F.max((F.col("sia") + F.col("sib"))
+                               / F.col("dij")), 6).alias("db_index")))

@@ -1428,3 +1428,79 @@ def test_rolling_corr_replay(spark, sf_dir):
             corr = (m * snv - sn * sv) / math.sqrt(dn * dv)
             assert abs(r.rolling_corr - corr) < 1e-5
             assert -1.0 - 1e-9 <= r.rolling_corr <= 1.0 + 1e-9
+
+
+def test_cumulative_unique_replay(spark, sf_dir):
+    got = {r.day: r for r in
+           _run(spark, sf_dir, "q_cumulative_unique").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts").collect()
+    first = {}
+    days = set()
+    for r in ev:
+        d = r.ts.date()
+        days.add(d)
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    new_by = Counter(first.values())
+    cum = 0
+    for d in sorted(days):
+        cum += new_by.get(d, 0)
+        r = got[d.isoformat()]
+        assert r.new_users == new_by.get(d, 0)
+        assert r.cumulative_users == cum
+    assert cum == len(first)  # everyone is counted exactly once
+
+
+def test_stickiness_replay(spark, sf_dir):
+    got = {(r.year, r.month): r for r in
+           _run(spark, sf_dir, "q_stickiness").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts").collect()
+    dau = defaultdict(set)
+    mau = defaultdict(set)
+    for r in ev:
+        mo = r.ts.year * 12 + r.ts.month - 1
+        dau[(mo, r.ts.date())].add(r.user_id)
+        mau[mo].add(r.user_id)
+    per_mo = defaultdict(lambda: [0, 0])
+    for (mo, _), users in dau.items():
+        per_mo[mo][0] += 1
+        per_mo[mo][1] += len(users)
+    assert len(got) == len(per_mo)
+    for mo, (n_days, sum_dau) in per_mo.items():
+        r = got[(mo // 12, mo % 12 + 1)]
+        assert (r.n_days, r.mau) == (n_days, len(mau[mo]))
+        assert abs(r.avg_dau - sum_dau / n_days) < 1e-5
+        assert abs(r.stickiness - sum_dau / n_days / len(mau[mo])) < 1e-6
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_davies_bouldin_replay(spark, sf_dir):
+    got = {r.label: r for r in
+           _run(spark, sf_dir, "emb_davies_bouldin").collect()}
+    emb = [(r.vec_id, r.label, [float(x) for x in r.embedding]) for r in
+           load_table(spark, sf_dir, "embeddings").collect()]
+    by_label = defaultdict(list)
+    for vid, lab, v in emb:
+        by_label[lab].append((vid, v))
+    cents, comp = {}, {}
+    for lab, items in by_label.items():
+        items.sort()
+        dim = len(items[0][1])
+        cents[lab] = [sum(v[d] for _, v in items) / len(items)
+                      for d in range(dim)]
+        comp[lab] = sum(
+            math.sqrt(sum((a - c) ** 2 for a, c in zip(v, cents[lab])))
+            for _, v in items) / len(items)
+    for lab in by_label:
+        db = max(
+            (comp[lab] + comp[o])
+            / math.sqrt(sum((a - b) ** 2
+                            for a, b in zip(cents[lab], cents[o])))
+            for o in by_label if o != lab)
+        r = got[lab]
+        assert r.n == len(by_label[lab])
+        assert abs(r.compactness - comp[lab]) < 1e-4
+        assert abs(r.db_index - db) < 1e-3
+        assert r.db_index > 0.0
