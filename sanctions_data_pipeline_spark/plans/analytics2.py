@@ -3909,3 +3909,131 @@ def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("sia", 6).alias("compactness"))
             .agg(F.round(F.max((F.col("sia") + F.col("sib"))
                                / F.col("dij")), 6).alias("db_index")))
+
+
+# ---------------------------------------------------------------------------
+# q_conversion_latency — days from a user's first event to their first
+# purchase (the activation-funnel latency), as a day-bucket histogram
+# with cumulative conversion share; never-converted users are the
+# censored tail row (latency −1). Two min-aggs per user, one
+# histogram, one tiny cumsum window.
+# ---------------------------------------------------------------------------
+_CONV_LATENCY_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         CAST(min(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS fd
+  FROM events GROUP BY user_id
+),
+p AS (
+  SELECT user_id,
+         CAST(min(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS pd
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+lat AS (
+  SELECT f.user_id,
+         CASE WHEN p.pd IS NULL THEN -1 ELSE p.pd - f.fd END AS latency_days
+  FROM f LEFT JOIN p USING (user_id)
+),
+h AS (
+  SELECT latency_days, CAST(count(*) AS BIGINT) AS n_users
+  FROM lat GROUP BY latency_days
+)
+SELECT latency_days, n_users,
+       round(CAST(CAST(sum(CASE WHEN latency_days >= 0 THEN n_users
+                                ELSE 0 END) OVER (ORDER BY latency_days)
+                       AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(n_users) OVER () AS BIGINT) AS DOUBLE), 6)
+         AS cum_converted_share
+FROM h
+"""
+
+
+@register("q_conversion_latency", oracle=_CONV_LATENCY_ORACLE)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                  / F.lit(86400000000)).cast("bigint")
+    f = ev.groupBy("user_id").agg(F.min(day).alias("fd"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id").agg(F.min(day).alias("pd")))
+    lat = f.join(p, "user_id", "left").select(
+        F.when(F.col("pd").isNull(), F.lit(-1))
+        .otherwise(F.col("pd") - F.col("fd")).cast("bigint")
+        .alias("latency_days"))
+    h = lat.groupBy("latency_days").agg(lcount("n_users"))
+    wc = W.orderBy("latency_days").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return h.select(
+        "latency_days", "n_users",
+        F.round(F.sum(F.when(F.col("latency_days") >= 0, F.col("n_users"))
+                      .otherwise(0)).over(wc).cast("bigint").cast("double")
+                / F.sum("n_users").over(wt).cast("bigint").cast("double"), 6)
+        .alias("cum_converted_share"))
+
+
+# ---------------------------------------------------------------------------
+# q_holiday_lift — traffic lift on fixed-date holidays (Jan 1, Jul 4,
+# Dec 25) vs the same-weekday baseline: per holiday date, its count,
+# the mean count over all NON-holiday days sharing its weekday (exact
+# ratio of integer sums), and the lift. The holiday list is a literal
+# 3-row lattice — the q_cms_topk plan shape — joined against the day
+# grid.
+# ---------------------------------------------------------------------------
+_HOLIDAY_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(month(ts) AS BIGINT) AS mm, CAST(day(ts) AS BIGINT) AS dd,
+         CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2, 3, 4, 5
+),
+hol AS (
+  SELECT * FROM (VALUES (1, 1, 'new_year'), (7, 4, 'july4'),
+                        (12, 25, 'christmas')) AS t(hm, hd, holiday)
+),
+tagged AS (
+  SELECT d.*, h.holiday
+  FROM daily d LEFT JOIN hol h ON d.mm = h.hm AND d.dd = h.hd
+),
+base AS (
+  SELECT dow, CAST(sum(x) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS nd
+  FROM tagged WHERE holiday IS NULL GROUP BY dow
+)
+SELECT t.day, t.holiday, t.x,
+       round(CAST(b.sx AS DOUBLE) / CAST(b.nd AS DOUBLE), 6)
+         AS weekday_baseline,
+       round(CAST(t.x AS DOUBLE)
+             / (CAST(b.sx AS DOUBLE) / CAST(b.nd AS DOUBLE)), 6) AS lift
+FROM tagged t JOIN base b ON b.dow = t.dow
+WHERE t.holiday IS NOT NULL
+"""
+
+
+@register("q_holiday_lift", oracle=_HOLIDAY_ORACLE)
+def q_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                / F.lit(86400000000)).cast("bigint").alias("i"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.month("ts").cast("bigint").alias("mm"),
+        F.dayofmonth("ts").cast("bigint").alias("dd"),
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"))
+        .agg(lcount("x")))
+    hol = spark.createDataFrame(
+        [(1, 1, "new_year"), (7, 4, "july4"), (12, 25, "christmas")],
+        "hm long, hd long, holiday string")
+    tagged = daily.join(
+        F.broadcast(hol),
+        (F.col("mm") == F.col("hm")) & (F.col("dd") == F.col("hd")), "left")
+    base = (tagged.filter(F.col("holiday").isNull())
+            .groupBy("dow")
+            .agg(F.sum("x").cast("bigint").alias("sx"), lcount("nd")))
+    j = tagged.filter(F.col("holiday").isNotNull()) \
+        .join(F.broadcast(base), "dow")
+    baseline = F.col("sx").cast("double") / F.col("nd").cast("double")
+    return j.select(
+        "day", "holiday", "x",
+        F.round(baseline, 6).alias("weekday_baseline"),
+        F.round(F.col("x").cast("double") / baseline, 6).alias("lift"))

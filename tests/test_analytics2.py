@@ -1504,3 +1504,55 @@ def test_davies_bouldin_replay(spark, sf_dir):
         assert abs(r.compactness - comp[lab]) < 1e-4
         assert abs(r.db_index - db) < 1e-3
         assert r.db_index > 0.0
+
+
+def test_conversion_latency_replay(spark, sf_dir):
+    got = {r.latency_days: r for r in
+           _run(spark, sf_dir, "q_conversion_latency").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type").collect()
+    first, firstp = {}, {}
+    for r in ev:
+        d = r.ts.date().toordinal()
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+        if r.event_type == "purchase" and (
+                r.user_id not in firstp or d < firstp[r.user_id]):
+            firstp[r.user_id] = d
+    hist = Counter()
+    for u, fd in first.items():
+        hist[firstp[u] - fd if u in firstp else -1] += 1
+    assert {k: r.n_users for k, r in got.items()} == dict(hist)
+    tot = sum(hist.values())
+    cum = 0
+    for k in sorted(hist):
+        if k >= 0:
+            cum += hist[k]
+        assert abs(got[k].cum_converted_share - cum / tot) < 1e-6
+
+
+def test_holiday_lift_replay(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_holiday_lift").collect()
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    hol = {(1, 1): "new_year", (7, 4): "july4", (12, 25): "christmas"}
+    base = defaultdict(lambda: [0, 0])
+    for d, x in daily.items():
+        if (d.month, d.day) not in hol:
+            base[d.isoweekday()][0] += x
+            base[d.isoweekday()][1] += 1
+    want = {}
+    for d, x in daily.items():
+        h = hol.get((d.month, d.day))
+        if h:
+            sx, nd = base[d.isoweekday()]
+            want[d.isoformat()] = (h, x, sx / nd)
+    assert len(rows) == len(want)
+    assert len(rows) >= 1  # the synthetic span covers at least one holiday
+    for r in rows:
+        h, x, b = want[r.day]
+        assert (r.holiday, r.x) == (h, x)
+        assert abs(r.weekday_baseline - b) < 1e-5
+        assert abs(r.lift - x / b) < 1e-5
