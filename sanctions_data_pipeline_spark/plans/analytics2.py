@@ -4037,3 +4037,73 @@ def q_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "holiday", "x",
         F.round(baseline, 6).alias("weekday_baseline"),
         F.round(F.col("x").cast("double") / baseline, 6).alias("lift"))
+
+
+# ---------------------------------------------------------------------------
+# s_risk_scorecard — the analyst-facing AML rollup: one row per
+# flagged user fusing three independent screens (structuring hits ×2
+# weight, duplicate-payment pairs, round-amount bias z>2), with a
+# low/medium/high band. Pure composition: the Spark side REUSES the
+# registered s_aml_structuring / s_duplicate_payments /
+# s_round_amount_bias builders; the oracle nests their oracle SQL as
+# CTEs — so the scorecard stays correct by construction whenever the
+# underlying screens are.
+# ---------------------------------------------------------------------------
+def _risk_scorecard_oracle() -> str:
+    from sanctions_data_pipeline_spark.plans.training_data3 import (
+        _AML_ORACLE)
+
+    return f"""
+WITH aml AS ({_AML_ORACLE}),
+dup AS ({_DUP_PAY_ORACLE}),
+rb AS ({_ROUND_BIAS_ORACLE}),
+sc AS (
+  SELECT rb.user_id,
+         CAST(coalesce(a.n, 0) AS BIGINT) AS n_structuring,
+         CAST(coalesce(d.n, 0) AS BIGINT) AS n_dup_payments,
+         CASE WHEN rb.z_score > 2.0 THEN 1 ELSE 0 END AS round_bias_flag
+  FROM rb
+  LEFT JOIN (SELECT user_id, count(*) AS n FROM aml GROUP BY user_id) a
+    USING (user_id)
+  LEFT JOIN (SELECT user_id, count(*) AS n FROM dup GROUP BY user_id) d
+    USING (user_id)
+)
+SELECT user_id, n_structuring, n_dup_payments, round_bias_flag,
+       CAST(2 * n_structuring + n_dup_payments + round_bias_flag AS BIGINT)
+         AS risk_score,
+       CASE WHEN 2 * n_structuring + n_dup_payments + round_bias_flag >= 3
+            THEN 'high'
+            WHEN 2 * n_structuring + n_dup_payments + round_bias_flag >= 1
+            THEN 'medium' ELSE 'low' END AS band
+FROM sc
+WHERE 2 * n_structuring + n_dup_payments + round_bias_flag > 0
+"""
+
+
+@register("s_risk_scorecard", oracle=_risk_scorecard_oracle())
+def s_risk_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.registry import REGISTRY
+
+    aml = (REGISTRY["s_aml_structuring"].build(spark, sf_dir)
+           .groupBy("user_id").agg(lcount("n_structuring")))
+    dup = (REGISTRY["s_duplicate_payments"].build(spark, sf_dir)
+           .groupBy("user_id").agg(lcount("n_dup_payments")))
+    rb = REGISTRY["s_round_amount_bias"].build(spark, sf_dir).select(
+        "user_id",
+        F.when(F.col("z_score") > 2.0, 1).otherwise(0)
+        .alias("round_bias_flag"))
+    sc = (rb.join(aml, "user_id", "left").join(dup, "user_id", "left")
+          .select("user_id",
+                  F.coalesce("n_structuring", F.lit(0)).cast("bigint")
+                  .alias("n_structuring"),
+                  F.coalesce("n_dup_payments", F.lit(0)).cast("bigint")
+                  .alias("n_dup_payments"),
+                  "round_bias_flag"))
+    score = (2 * F.col("n_structuring") + F.col("n_dup_payments")
+             + F.col("round_bias_flag")).cast("bigint")
+    return (sc.withColumn("risk_score", score)
+            .withColumn("band",
+                        F.when(F.col("risk_score") >= 3, "high")
+                        .when(F.col("risk_score") >= 1, "medium")
+                        .otherwise("low"))
+            .filter(F.col("risk_score") > 0))

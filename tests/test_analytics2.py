@@ -1556,3 +1556,28 @@ def test_holiday_lift_replay(spark, sf_dir):
         assert (r.holiday, r.x) == (h, x)
         assert abs(r.weekday_baseline - b) < 1e-5
         assert abs(r.lift - x / b) < 1e-5
+
+
+def test_risk_scorecard_composition(spark, sf_dir):
+    """The scorecard must agree row-for-row with its three source
+    screens (composition correctness, not a re-derivation)."""
+    got = {r.user_id: r for r in
+           _run(spark, sf_dir, "s_risk_scorecard").collect()}
+    aml = Counter(r.user_id for r in
+                  _run(spark, sf_dir, "s_aml_structuring").collect())
+    dup = Counter(r.user_id for r in
+                  _run(spark, sf_dir, "s_duplicate_payments").collect())
+    rb = {r.user_id: r.z_score for r in
+          _run(spark, sf_dir, "s_round_amount_bias").collect()}
+    for u, z in rb.items():
+        score = (2 * aml.get(u, 0) + dup.get(u, 0)
+                 + (1 if z is not None and z > 2.0 else 0))
+        if score == 0:
+            assert u not in got
+            continue
+        r = got[u]
+        assert r.n_structuring == aml.get(u, 0)
+        assert r.n_dup_payments == dup.get(u, 0)
+        assert r.risk_score == score
+        assert r.band == ("high" if score >= 3 else "medium")
+    assert set(got) <= set(rb)

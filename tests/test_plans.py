@@ -128,6 +128,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "tx_keyness",
                 # one-row global round-share base-rate broadcast
                 "s_round_amount_bias",
+                # composes s_round_amount_bias (same one-row broadcast)
+                "s_risk_scorecard",
                 # one-row triangle/edge totals crossed with wedge totals
                 "gr_transitivity",
                 # one-row moment-sums broadcast over the day series
