@@ -156,3 +156,54 @@ def mm_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return spectral_features(attach_media(docs), frame_len=256, hop_len=128)
+
+
+@register("mm_luma_hist")
+def mm_luma_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luminance-histogram profile per image — the exposure/contrast QA
+    stat a multimodal ingest runs right after decode: the same
+    spec-conformant PNG round-trip as mm_phash (text bytes tiled to a
+    64x64 gray raster -> vendored encode -> decode), then a 16-bin
+    luminance histogram, mean luma, and histogram entropy. Rows-only:
+    pinned by a pure-python PNG-path replay in tests/test_multimodal.py.
+
+    Scale: one Arrow-batched mapInPandas pass (image bytes never
+    shuffle); output is 4 scalars + a 16-long array per doc. The
+    single-split repartition branch mirrors mm_phash (never triggers on
+    real multi-split scans).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def luma(batches):
+        import math as _math
+
+        import numpy as np
+        import pandas as pd
+
+        from sanctions_data_pipeline_spark.multimodal import codecs
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                a = np.resize(raw, (64, 64))
+                png = codecs.encode_png_gray(a)
+                _w, _h, gray = codecs.decode_png(png)
+                hist = np.bincount((gray.ravel() >> 4), minlength=16)
+                p = hist / hist.sum()
+                ent = float(-(p[p > 0] * np.log(p[p > 0])).sum())
+                out.append((int(doc_id), [int(x) for x in hist],
+                            round(float(gray.mean()), 6),
+                            round(ent / _math.log(16.0), 6)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "hist16", "mean_luma",
+                              "hist_entropy"])
+
+    src = docs.filter(F.length("text") > 0).select("doc_id", "text")
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, "doc_id")
+    return src.mapInPandas(
+        luma,
+        "doc_id long, hist16 array<long>, mean_luma double,"
+        " hist_entropy double")

@@ -490,3 +490,32 @@ def test_mm_spectral_matches_numpy_replay(spark, sf_dir):
     for n, dom, c, b in got.values():
         assert 0 <= dom <= frame_len // 2
         assert 0.0 <= c <= frame_len // 2 and b >= 0.0
+
+
+def test_mm_luma_hist_replay(spark, sf_dir):
+    """Pure-python PNG-path replay of the luminance histogram."""
+    import math
+
+    import numpy as np
+
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.multimodal import codecs
+    from sanctions_data_pipeline_spark.plans import registry
+
+    got = {r.doc_id: r for r in
+           registry.queries()["mm_luma_hist"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "length(text) > 0").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        raw = np.frombuffer(d.text.encode("utf-8"), dtype=np.uint8)
+        a = np.resize(raw, (64, 64))
+        _w, _h, gray = codecs.decode_png(codecs.encode_png_gray(a))
+        hist = np.bincount(gray.ravel() >> 4, minlength=16)
+        p = hist / hist.sum()
+        ent = float(-(p[p > 0] * np.log(p[p > 0])).sum()) / math.log(16.0)
+        r = got[d.doc_id]
+        assert list(r.hist16) == [int(x) for x in hist]
+        assert abs(r.mean_luma - float(gray.mean())) < 1e-5
+        assert abs(r.hist_entropy - ent) < 1e-5
+        assert sum(r.hist16) == 64 * 64
