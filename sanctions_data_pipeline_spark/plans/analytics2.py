@@ -4107,3 +4107,114 @@ def s_risk_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .when(F.col("risk_score") >= 1, "medium")
                         .otherwise("low"))
             .filter(F.col("risk_score") > 0))
+
+
+# ---------------------------------------------------------------------------
+# q_trade_balance — per-nation trade balance: revenue earned by the
+# nation's suppliers vs spend by the nation's customers, and the net.
+# Two independent star joins (lineitem⋈supplier⋈nation and
+# orders⋈customer⋈nation — both dimension sides broadcast) meeting in
+# one outer join on the 25-row nation grid. Everything x4-exact.
+# ---------------------------------------------------------------------------
+_TRADE_ORACLE = """
+WITH sup AS (
+  SELECT n.n_name AS nation,
+         CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 4)
+              * 10000 AS BIGINT) AS earn4
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+cust AS (
+  SELECT n.n_name AS nation,
+         CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 4)
+              * 10000 AS BIGINT) AS spend4
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT coalesce(sup.nation, cust.nation) AS nation,
+       CAST(coalesce(earn4, 0) AS BIGINT) / 10000.0 AS supplier_revenue,
+       CAST(coalesce(spend4, 0) AS BIGINT) / 10000.0 AS customer_spend,
+       CAST(coalesce(earn4, 0) - coalesce(spend4, 0) AS BIGINT) / 10000.0
+         AS balance
+FROM sup FULL OUTER JOIN cust ON sup.nation = cust.nation
+"""
+
+
+@register("q_trade_balance", oracle=_TRADE_ORACLE)
+def q_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    earn = (li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+            .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg((F.round(F.sum(F.col("l_extendedprice")
+                                .cast("decimal(18,4)")), 4) * 10000)
+                 .cast("bigint").alias("earn4")))
+    spend = (orders.join(F.broadcast(cust),
+                         orders["o_custkey"] == cust["c_custkey"])
+             .join(F.broadcast(nat),
+                   F.col("c_nationkey") == nat["n_nationkey"])
+             .groupBy(F.col("n_name").alias("nation"))
+             .agg((F.round(F.sum(F.col("o_totalprice")
+                                 .cast("decimal(18,4)")), 4) * 10000)
+                  .cast("bigint").alias("spend4")))
+    j = earn.join(spend, "nation", "full_outer")
+    e4 = F.coalesce("earn4", F.lit(0)).cast("bigint")
+    s4 = F.coalesce("spend4", F.lit(0)).cast("bigint")
+    return j.select(
+        "nation",
+        (e4 / F.lit(10000.0)).alias("supplier_revenue"),
+        (s4 / F.lit(10000.0)).alias("customer_spend"),
+        ((e4 - s4) / F.lit(10000.0)).alias("balance"))
+
+
+# ---------------------------------------------------------------------------
+# q_sla_attainment — shipping-SLA attainment per order priority: the
+# share of line items shipped within 30/60/90 days of the order date
+# (the service-level table ops reviews read weekly). One equi-join on
+# orderkey, one hash agg of exact conditional counts, three divisions.
+# ---------------------------------------------------------------------------
+_SLA_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(date_diff('day', date_trunc('day', o.o_orderdate),
+                        date_trunc('day', l.l_shipdate)) AS BIGINT) AS nd
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CASE WHEN nd <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS within_30d,
+       round(CAST(sum(CASE WHEN nd <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS within_60d,
+       round(CAST(sum(CASE WHEN nd <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS within_90d
+FROM j GROUP BY priority
+"""
+
+
+@register("q_sla_attainment", oracle=_SLA_ORACLE)
+def q_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+         .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+         .select(F.col("o_orderpriority").alias("priority"),
+                 F.datediff(F.to_date("l_shipdate"),
+                            F.to_date("o_orderdate")).cast("bigint")
+                 .alias("nd")))
+    def share(days, alias):
+        return F.round(
+            F.sum(F.when(F.col("nd") <= days, 1).otherwise(0))
+            .cast("bigint") / F.count(F.lit(1)).cast("double"), 6
+        ).alias(alias)
+    return j.groupBy("priority").agg(
+        lcount("n_lines"),
+        share(30, "within_30d"), share(60, "within_60d"),
+        share(90, "within_90d"))

@@ -1581,3 +1581,59 @@ def test_risk_scorecard_composition(spark, sf_dir):
         assert r.risk_score == score
         assert r.band == ("high" if score >= 3 else "medium")
     assert set(got) <= set(rb)
+
+
+def test_trade_balance_replay(spark, sf_dir):
+    got = {r.nation: r for r in
+           _run(spark, sf_dir, "q_trade_balance").collect()}
+    nat = {r.n_nationkey: r.n_name for r in
+           load_table(spark, sf_dir, "nation").collect()}
+    sup = {r.s_suppkey: nat[r.s_nationkey] for r in
+           load_table(spark, sf_dir, "supplier").collect()}
+    cus = {r.c_custkey: nat[r.c_nationkey] for r in
+           load_table(spark, sf_dir, "customer").collect()}
+    earn, spend = defaultdict(Decimal), defaultdict(Decimal)
+    for r in load_table(spark, sf_dir, "lineitem").select(
+            "l_suppkey", "l_extendedprice").collect():
+        earn[sup[r.l_suppkey]] += Decimal(str(r.l_extendedprice)).quantize(
+            Decimal("0.0001"))
+    for r in load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice").collect():
+        spend[cus[r.o_custkey]] += Decimal(str(r.o_totalprice)).quantize(
+            Decimal("0.0001"))
+    nations = set(earn) | set(spend)
+    assert set(got) == nations
+    for n in nations:
+        r = got[n]
+        assert abs(r.supplier_revenue - float(earn.get(n, 0))) < 1e-6
+        assert abs(r.customer_spend - float(spend.get(n, 0))) < 1e-6
+        assert abs(r.balance
+                   - float(earn.get(n, 0) - spend.get(n, 0))) < 1e-6
+
+
+def test_sla_attainment_replay(spark, sf_dir):
+    got = {r.priority: r for r in
+           _run(spark, sf_dir, "q_sla_attainment").collect()}
+    orders = {r.o_orderkey: (r.o_orderpriority, r.o_orderdate.date())
+              for r in load_table(spark, sf_dir, "orders").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in li:
+        pr, od = orders[r.l_orderkey]
+        nd = (r.l_shipdate.date() - od).days
+        if nd < 0:
+            continue
+        d = agg[pr]
+        d[0] += 1
+        d[1] += nd <= 30
+        d[2] += nd <= 60
+        d[3] += nd <= 90
+    assert len(got) == len(agg)
+    for pr, (n, a, b, c) in agg.items():
+        r = got[pr]
+        assert r.n_lines == n
+        assert abs(r.within_30d - a / n) < 1e-6
+        assert abs(r.within_60d - b / n) < 1e-6
+        assert abs(r.within_90d - c / n) < 1e-6
+        assert r.within_30d <= r.within_60d <= r.within_90d
