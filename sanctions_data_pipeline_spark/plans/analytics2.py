@@ -4218,3 +4218,119 @@ def q_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
         lcount("n_lines"),
         share(30, "within_30d"), share(60, "within_60d"),
         share(90, "within_90d"))
+
+
+# ---------------------------------------------------------------------------
+# q_odds_ratio — epidemiology-style 2×2 effect table for "urgent
+# priority → return": relative risk, odds ratio, and the 95% CI of
+# ln(OR) (Woolf method) — the effect-size readout q_chi_square's
+# p-value doesn't give. Exposure = the line's order is 1-URGENT;
+# outcome = l_returnflag = 'R'. One join + one agg of four exact
+# cells; everything after is a closed-form double tree.
+# ---------------------------------------------------------------------------
+_ODDS_ORACLE = """
+WITH j AS (
+  SELECT CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS exp,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS outc
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+c AS (
+  SELECT CAST(sum(exp * outc) AS BIGINT) AS a,
+         CAST(sum(exp * (1 - outc)) AS BIGINT) AS b,
+         CAST(sum((1 - exp) * outc) AS BIGINT) AS c,
+         CAST(sum((1 - exp) * (1 - outc)) AS BIGINT) AS d
+  FROM j
+)
+SELECT a, b, c, d,
+       round((CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)),
+             6) AS relative_risk,
+       round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+             / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6) AS odds_ratio,
+       round(exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                 - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6)
+         AS or_ci_low,
+       round(exp(ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                 + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6)
+         AS or_ci_high
+FROM c WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+"""
+
+
+@register("q_odds_ratio", oracle=_ODDS_ORACLE)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+         .select(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                 .otherwise(0).alias("exp"),
+                 F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                 .alias("outc")))
+    c = j.agg(
+        F.sum(F.col("exp") * F.col("outc")).cast("bigint").alias("a"),
+        F.sum(F.col("exp") * (1 - F.col("outc"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("exp")) * F.col("outc")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("exp")) * (1 - F.col("outc"))).cast("bigint")
+        .alias("d"))
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    cc, d = F.col("c").cast("double"), F.col("d").cast("double")
+    orr = a * d / (b * cc)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / cc + 1.0 / d)
+    return (c.filter((F.col("a") > 0) & (F.col("b") > 0)
+                     & (F.col("c") > 0) & (F.col("d") > 0))
+            .select("a", "b", "c", "d",
+                    F.round((a / (a + b)) / (cc / (cc + d)), 6)
+                    .alias("relative_risk"),
+                    F.round(orr, 6).alias("odds_ratio"),
+                    F.round(F.exp(F.log(orr) - F.lit(1.96) * se), 6)
+                    .alias("or_ci_low"),
+                    F.round(F.exp(F.log(orr) + F.lit(1.96) * se), 6)
+                    .alias("or_ci_high")))
+
+
+# ---------------------------------------------------------------------------
+# dp_pack_efficiency — packing-efficiency audit over dp_pack's
+# contiguous bins (training_data.py:476): per language the bin count,
+# token fill, and fill rate vs the 2048-token budget, plus the waste
+# share — the number that says whether the packing strategy is
+# actually saving accelerator steps. Pure composition of the
+# registered dp_pack builder; the oracle nests its SQL.
+# ---------------------------------------------------------------------------
+def _pack_eff_oracle() -> str:
+    # analytics2 loads after training_data in registry._PLAN_MODULES,
+    # so dp_pack is already registered when this runs at import time
+    from sanctions_data_pipeline_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH pack AS ({REGISTRY['dp_pack'].oracle}),
+e AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs
+  FROM pack GROUP BY lang
+)
+SELECT lang, n_bins, n_docs, total_tokens,
+       round(CAST(total_tokens AS DOUBLE) / (n_bins * 2048.0), 6)
+         AS fill_rate,
+       round(1.0 - CAST(total_tokens AS DOUBLE) / (n_bins * 2048.0), 6)
+         AS waste_share
+FROM e
+"""
+
+
+@register("dp_pack_efficiency", oracle=_pack_eff_oracle())
+def dp_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.registry import REGISTRY
+
+    pack = REGISTRY["dp_pack"].build(spark, sf_dir)
+    e = pack.groupBy("lang").agg(
+        lcount("n_bins"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("total_tokens"))
+    fill = (F.col("total_tokens").cast("double")
+            / (F.col("n_bins") * F.lit(2048.0)))
+    return e.select(
+        "lang", "n_bins", "n_docs", "total_tokens",
+        F.round(fill, 6).alias("fill_rate"),
+        F.round(F.lit(1.0) - fill, 6).alias("waste_share"))

@@ -1637,3 +1637,53 @@ def test_sla_attainment_replay(spark, sf_dir):
         assert abs(r.within_60d - b / n) < 1e-6
         assert abs(r.within_90d - c / n) < 1e-6
         assert r.within_30d <= r.within_60d <= r.within_90d
+
+
+def test_odds_ratio_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_odds_ratio").collect()[0]
+    orders = {r.o_orderkey: r.o_orderpriority for r in
+              load_table(spark, sf_dir, "orders").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag").collect()
+    a = b = c = d = 0
+    for r in li:
+        exp = orders[r.l_orderkey] == "1-URGENT"
+        outc = r.l_returnflag == "R"
+        if exp and outc:
+            a += 1
+        elif exp:
+            b += 1
+        elif outc:
+            c += 1
+        else:
+            d += 1
+    assert (got.a, got.b, got.c, got.d) == (a, b, c, d)
+    rr = (a / (a + b)) / (c / (c + d))
+    orr = a * d / (b * c)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert abs(got.relative_risk - rr) < 1e-5
+    assert abs(got.odds_ratio - orr) < 1e-5
+    assert abs(got.or_ci_low - math.exp(math.log(orr) - 1.96 * se)) < 1e-4
+    assert abs(got.or_ci_high - math.exp(math.log(orr) + 1.96 * se)) < 1e-4
+    assert got.or_ci_low <= got.odds_ratio <= got.or_ci_high
+
+
+def test_pack_efficiency_composition(spark, sf_dir):
+    got = {r.lang: r for r in
+           _run(spark, sf_dir, "dp_pack_efficiency").collect()}
+    pack = _run(spark, sf_dir, "dp_pack").collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in pack:
+        d = agg[r.lang]
+        d[0] += 1
+        d[1] += r.n_docs
+        d[2] += r.tokens
+    assert len(got) == len(agg)
+    for lang, (n_bins, n_docs, toks) in agg.items():
+        r = got[lang]
+        assert (r.n_bins, r.n_docs, r.total_tokens) == (n_bins, n_docs, toks)
+        fill = toks / (n_bins * 2048.0)
+        assert abs(r.fill_rate - fill) < 1e-6
+        assert abs(r.waste_share - (1 - fill)) < 1e-6
+        # every bin except possibly the last is at least budget-full
+        assert r.fill_rate > 0.0
