@@ -4334,3 +4334,164 @@ def dp_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_bins", "n_docs", "total_tokens",
         F.round(fill, 6).alias("fill_rate"),
         F.round(F.lit(1.0) - fill, 6).alias("waste_share"))
+
+
+# ---------------------------------------------------------------------------
+# tt_rolling_origin — rolling-origin (expanding-window) time-series CV
+# folds: cutoffs at 20/40/60/80% of the day span; fold k trains on
+# everything before cutoff_k and tests on [cutoff_k, cutoff_{k+1}).
+# Emits per fold the event/user counts and the user overlap between
+# train and test (the quantity that decides whether per-user features
+# leak). The fold lattice is 4 literal rows; users aggregate once.
+# ---------------------------------------------------------------------------
+_ROLLING_ORIGIN_ORACLE = """
+WITH b AS (
+  SELECT CAST(min(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS lo,
+         CAST(max(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) + 1 AS hi
+  FROM events
+),
+folds AS (
+  SELECT k,
+         lo + CAST(floor((hi - lo) * k * 0.2) AS BIGINT) AS c_lo,
+         lo + CAST(floor((hi - lo) * (k + 1) * 0.2) AS BIGINT) AS c_hi
+  FROM (SELECT unnest(generate_series(1, 4)) AS k) CROSS JOIN b
+),
+ev AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS d
+  FROM events
+),
+tagged AS (
+  SELECT f.k, ev.user_id,
+         CASE WHEN ev.d < f.c_lo THEN 1 ELSE 0 END AS in_train,
+         CASE WHEN ev.d >= f.c_lo AND ev.d < f.c_hi THEN 1 ELSE 0 END
+           AS in_test
+  FROM folds f JOIN ev ON true
+),
+u AS (
+  SELECT k, user_id,
+         CAST(max(in_train) AS BIGINT) AS tr,
+         CAST(max(in_test) AS BIGINT) AS te,
+         CAST(sum(in_train) AS BIGINT) AS n_tr,
+         CAST(sum(in_test) AS BIGINT) AS n_te
+  FROM tagged GROUP BY k, user_id
+)
+SELECT k AS fold,
+       CAST(sum(n_tr) AS BIGINT) AS n_train_events,
+       CAST(sum(n_te) AS BIGINT) AS n_test_events,
+       CAST(sum(tr) AS BIGINT) AS n_train_users,
+       CAST(sum(te) AS BIGINT) AS n_test_users,
+       CAST(sum(tr * te) AS BIGINT) AS n_overlap_users
+FROM u GROUP BY k
+"""
+
+
+@register("tt_rolling_origin", oracle=_ROLLING_ORIGIN_ORACLE)
+def tt_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                  / F.lit(86400000000)).cast("bigint")
+    b = ev.agg(F.min(day).alias("lo"), (F.max(day) + 1).alias("hi"))
+    ks = spark.range(1, 5).select(F.col("id").cast("bigint").alias("k"))
+    folds = F.broadcast(ks).crossJoin(F.broadcast(b)).select(
+        "k",
+        (F.col("lo") + F.floor((F.col("hi") - F.col("lo"))
+                               * F.col("k") * 0.2).cast("bigint"))
+        .alias("c_lo"),
+        (F.col("lo") + F.floor((F.col("hi") - F.col("lo"))
+                               * (F.col("k") + 1) * 0.2).cast("bigint"))
+        .alias("c_hi"))
+    e = ev.select("user_id", day.alias("d"))
+    tagged = F.broadcast(folds).join(e, F.lit(True)).select(
+        "k", "user_id",
+        F.when(F.col("d") < F.col("c_lo"), 1).otherwise(0).alias("in_train"),
+        F.when((F.col("d") >= F.col("c_lo")) & (F.col("d") < F.col("c_hi")),
+               1).otherwise(0).alias("in_test"))
+    u = tagged.groupBy("k", "user_id").agg(
+        F.max("in_train").cast("bigint").alias("tr"),
+        F.max("in_test").cast("bigint").alias("te"),
+        F.sum("in_train").cast("bigint").alias("n_tr"),
+        F.sum("in_test").cast("bigint").alias("n_te"))
+    return u.groupBy(F.col("k").alias("fold")).agg(
+        F.sum("n_tr").cast("bigint").alias("n_train_events"),
+        F.sum("n_te").cast("bigint").alias("n_test_events"),
+        F.sum("tr").cast("bigint").alias("n_train_users"),
+        F.sum("te").cast("bigint").alias("n_test_users"),
+        F.sum(F.col("tr") * F.col("te")).cast("bigint")
+        .alias("n_overlap_users"))
+
+
+# ---------------------------------------------------------------------------
+# gr_rich_club — rich-club coefficient of the co-purchase graph: for
+# each degree threshold k, the density among nodes of degree > k
+# (φ(k) = 2·E_k / (N_k·(N_k−1))) — do the hubs preferentially connect
+# to each other? (The hub-structure view next to gr_assortativity's
+# single correlation.) Same bounded edge set as gr_triangle_count;
+# the threshold lattice is 10 literal rows; all counts exact.
+# ---------------------------------------------------------------------------
+_RICH_CLUB_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_orderkey < 2000
+), e0 AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY node
+),
+ks AS (SELECT unnest(generate_series(1, 10)) AS k),
+nk AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_k
+  FROM ks JOIN deg ON deg.d > ks.k GROUP BY k
+),
+ek AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS e_k
+  FROM ks JOIN e0 ON true
+  JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v
+  WHERE du.d > ks.k AND dv.d > ks.k
+  GROUP BY k
+)
+SELECT nk.k, n_k, CAST(coalesce(e_k, 0) AS BIGINT) AS e_k,
+       CASE WHEN n_k > 1
+            THEN round(2.0 * CAST(coalesce(e_k, 0) AS DOUBLE)
+                       / (CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0)),
+                       6)
+       END AS phi
+FROM nk LEFT JOIN ek ON nk.k = ek.k
+WHERE n_k > 0
+"""
+
+
+@register("gr_rich_club", oracle=_RICH_CLUB_ORACLE)
+def gr_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 2000)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select("o", F.col("p").alias("v"))
+    e0 = (a.join(b, "o").filter(F.col("u") < F.col("v"))
+          .select("u", "v").distinct())
+    deg = (e0.select(F.col("u").alias("node"))
+           .unionAll(e0.select(F.col("v").alias("node")))
+           .groupBy("node").agg(lcount("d")))
+    ks = spark.range(1, 11).select(F.col("id").cast("bigint").alias("k"))
+    nk = (F.broadcast(ks).join(deg, deg["d"] > F.col("k"))
+          .groupBy("k").agg(lcount("n_k")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    edged = e0.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    ek = (F.broadcast(ks)
+          .join(edged, (F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+          .groupBy("k").agg(lcount("e_k")))
+    j = nk.join(ek, "k", "left").filter(F.col("n_k") > 0)
+    nkd = F.col("n_k").cast("double")
+    return j.select(
+        "k", "n_k",
+        F.coalesce("e_k", F.lit(0)).cast("bigint").alias("e_k"),
+        F.when(F.col("n_k") > 1,
+               F.round(F.lit(2.0)
+                       * F.coalesce("e_k", F.lit(0)).cast("double")
+                       / (nkd * (nkd - F.lit(1.0))), 6)).alias("phi"))

@@ -1687,3 +1687,61 @@ def test_pack_efficiency_composition(spark, sf_dir):
         assert abs(r.waste_share - (1 - fill)) < 1e-6
         # every bin except possibly the last is at least budget-full
         assert r.fill_rate > 0.0
+
+
+def test_rolling_origin_replay(spark, sf_dir):
+    got = {r.fold: r for r in
+           _run(spark, sf_dir, "tt_rolling_origin").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts").collect()
+    pts = [(r.user_id, r.ts.date().toordinal()) for r in ev]
+    lo = min(d for _, d in pts)
+    hi = max(d for _, d in pts) + 1
+    assert len(got) == 4
+    for k in range(1, 5):
+        c_lo = lo + int((hi - lo) * k * 0.2)
+        c_hi = lo + int((hi - lo) * (k + 1) * 0.2)
+        tr_users = {u for u, d in pts if d < c_lo}
+        te_users = {u for u, d in pts if c_lo <= d < c_hi}
+        r = got[k]
+        assert r.n_train_events == sum(1 for _, d in pts if d < c_lo)
+        assert r.n_test_events == sum(1 for _, d in pts
+                                      if c_lo <= d < c_hi)
+        assert r.n_train_users == len(tr_users)
+        assert r.n_test_users == len(te_users)
+        assert r.n_overlap_users == len(tr_users & te_users)
+    # expanding window: train set grows monotonically with the fold
+    for k in range(2, 5):
+        assert got[k].n_train_events >= got[k - 1].n_train_events
+
+
+def test_rich_club_replay(spark, sf_dir):
+    got = {r.k: r for r in _run(spark, sf_dir, "gr_rich_club").collect()}
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_orderkey < 2000").select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    prev_phi = None
+    for k in range(1, 11):
+        rich = {n for n, d in deg.items() if d > k}
+        if not rich:
+            assert k not in got
+            continue
+        e_k = sum(1 for u, v in edges if u in rich and v in rich)
+        r = got[k]
+        assert (r.n_k, r.e_k) == (len(rich), e_k)
+        if len(rich) > 1:
+            phi = 2.0 * e_k / (len(rich) * (len(rich) - 1))
+            assert abs(r.phi - phi) < 1e-6
+            assert 0.0 <= r.phi <= 1.0
