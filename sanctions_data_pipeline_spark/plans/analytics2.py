@@ -4495,3 +4495,136 @@ def gr_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.round(F.lit(2.0)
                        * F.coalesce("e_k", F.lit(0)).cast("double")
                        / (nkd * (nkd - F.lit(1.0))), 6)).alias("phi"))
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_backtest — holdout backtest of three forecasters on the
+# daily count series (train = first 80% of the day span, test = rest):
+# naive (last train value), seasonal-naive (train weekday mean), and
+# the OLS trend (q_ols_trend's closed form fit on train only). One row
+# per model with MAE and MAPE — the "which baseline do I have to
+# beat" table that grounds every forecasting claim. Train moments are
+# exact integers; per-day errors fold in day order.
+# ---------------------------------------------------------------------------
+_BACKTEST_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT CAST(min(i) AS BIGINT) AS lo,
+         CAST(min(i) + floor((max(i) + 1 - min(i)) * 0.8) AS BIGINT)
+           AS cutoff
+  FROM daily
+),
+train AS (SELECT d.* FROM daily d CROSS JOIN b WHERE d.i < cutoff),
+test AS (SELECT d.* FROM daily d CROSS JOIN b WHERE d.i >= cutoff),
+naive AS (
+  SELECT x AS pred FROM train ORDER BY i DESC LIMIT 1
+),
+snaive AS (
+  SELECT dow, CAST(sum(x) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS n
+  FROM train GROUP BY dow
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(i - lo) AS BIGINT) AS si,
+         CAST(sum((i - lo) * (i - lo)) AS BIGINT) AS sii,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum((i - lo) * x) AS BIGINT) AS six
+  FROM train CROSS JOIN b
+),
+preds AS (
+  SELECT 'naive' AS model, t.i, t.x, CAST(naive.pred AS DOUBLE) AS pred
+  FROM test t CROSS JOIN naive
+  UNION ALL
+  SELECT 'seasonal_naive', t.i, t.x,
+         CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE)
+  FROM test t JOIN snaive s ON s.dow = t.dow
+  UNION ALL
+  SELECT 'ols_trend', t.i, t.x,
+         ((CAST(m AS DOUBLE) * CAST(six AS DOUBLE)
+           - CAST(si AS DOUBLE) * CAST(sx AS DOUBLE))
+          / (CAST(m AS DOUBLE) * CAST(sii AS DOUBLE)
+             - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)))
+           * CAST(t.i - b.lo AS DOUBLE)
+         + (CAST(sx AS DOUBLE)
+            - ((CAST(m AS DOUBLE) * CAST(six AS DOUBLE)
+                - CAST(si AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(m AS DOUBLE) * CAST(sii AS DOUBLE)
+                  - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)))
+              * CAST(si AS DOUBLE)) / CAST(m AS DOUBLE)
+  FROM test t CROSS JOIN mom CROSS JOIN b
+)
+SELECT model, CAST(count(*) AS BIGINT) AS n_test_days,
+       round(list_aggregate(list_transform(
+         list_sort(list({'i': i, 'v': abs(CAST(x AS DOUBLE) - pred)})),
+         s -> s.v), 'sum') / count(*), 6) AS mae,
+       round(list_aggregate(list_transform(
+         list_sort(list({'i': i,
+                         'v': abs(CAST(x AS DOUBLE) - pred)
+                              / CAST(x AS DOUBLE)})),
+         s -> s.v), 'sum') / count(*), 6) AS mape
+FROM preds GROUP BY model
+"""
+
+
+@register("q_forecast_backtest", oracle=_BACKTEST_ORACLE)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                / F.lit(86400000000)).cast("bigint").alias("i"),
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"))
+        .agg(lcount("x")))
+    b = daily.agg(
+        F.min("i").cast("bigint").alias("lo"),
+        (F.min("i") + F.floor((F.max("i") + 1 - F.min("i")) * 0.8))
+        .cast("bigint").alias("cutoff"))
+    d = daily.crossJoin(F.broadcast(b))
+    train = d.filter(F.col("i") < F.col("cutoff"))
+    test = d.filter(F.col("i") >= F.col("cutoff"))
+    naive = (train.orderBy(F.desc("i")).limit(1)
+             .select(F.col("x").cast("double").alias("pred")))
+    snaive = train.groupBy("dow").agg(
+        F.sum("x").cast("bigint").alias("sx_d"), lcount("n_d"))
+    mom = train.agg(
+        lcount("m"),
+        F.sum(F.col("i") - F.col("lo")).cast("bigint").alias("si"),
+        F.sum((F.col("i") - F.col("lo")) * (F.col("i") - F.col("lo")))
+        .cast("bigint").alias("sii"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum((F.col("i") - F.col("lo")) * F.col("x")).cast("bigint")
+        .alias("six"))
+    p_naive = test.crossJoin(F.broadcast(naive)).select(
+        F.lit("naive").alias("model"), "i", "x", F.col("pred"))
+    p_snaive = test.join(F.broadcast(snaive), "dow").select(
+        F.lit("seasonal_naive").alias("model"), "i", "x",
+        (F.col("sx_d").cast("double") / F.col("n_d").cast("double"))
+        .alias("pred"))
+    m_d = F.col("m").cast("double")
+    si_d, sii_d = F.col("si").cast("double"), F.col("sii").cast("double")
+    sx_d, six_d = F.col("sx").cast("double"), F.col("six").cast("double")
+    slope = (m_d * six_d - si_d * sx_d) / (m_d * sii_d - si_d * si_d)
+    intercept = (sx_d - slope * si_d) / m_d
+    p_ols = test.crossJoin(F.broadcast(mom)).select(
+        F.lit("ols_trend").alias("model"), "i", "x",
+        (slope * (F.col("i") - F.col("lo")).cast("double") + intercept)
+        .alias("pred"))
+    preds = p_naive.unionByName(p_snaive).unionByName(p_ols)
+    err = F.abs(F.col("x").cast("double") - F.col("pred"))
+
+    def fold(val_expr):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("i").alias("i"), val_expr.alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    return preds.groupBy("model").agg(
+        lcount("n_test_days"),
+        F.round(fold(err) / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(fold(err / F.col("x").cast("double"))
+                / F.count(F.lit(1)), 6).alias("mape"))

@@ -1745,3 +1745,50 @@ def test_rich_club_replay(spark, sf_dir):
             phi = 2.0 * e_k / (len(rich) * (len(rich) - 1))
             assert abs(r.phi - phi) < 1e-6
             assert 0.0 <= r.phi <= 1.0
+
+
+def test_forecast_backtest_replay(spark, sf_dir):
+    got = {r.model: r for r in
+           _run(spark, sf_dir, "q_forecast_backtest").collect()}
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date().toordinal()] += 1
+    days = sorted(daily)
+    lo = days[0]
+    cutoff = lo + int((days[-1] + 1 - lo) * 0.8)
+    train = [d for d in days if d < cutoff]
+    test = [d for d in days if d >= cutoff]
+    from datetime import date
+
+    def mae_mape(preds):
+        errs = [abs(daily[d] - preds[d]) for d in test]
+        mapes = [abs(daily[d] - preds[d]) / daily[d] for d in test]
+        return sum(errs) / len(test), sum(mapes) / len(test)
+
+    # naive
+    last = daily[train[-1]]
+    m1 = mae_mape({d: last for d in test})
+    # seasonal naive
+    by_dow = defaultdict(list)
+    for d in train:
+        by_dow[date.fromordinal(d).isoweekday()].append(daily[d])
+    m2 = mae_mape({d: (sum(by_dow[date.fromordinal(d).isoweekday()])
+                       / len(by_dow[date.fromordinal(d).isoweekday()]))
+                   for d in test})
+    # ols
+    pts = [(d - lo, daily[d]) for d in train]
+    m = len(pts)
+    si = sum(i for i, _ in pts)
+    sii = sum(i * i for i, _ in pts)
+    sx = sum(x for _, x in pts)
+    six = sum(i * x for i, x in pts)
+    slope = (m * six - si * sx) / (m * sii - si * si)
+    inter = (sx - slope * si) / m
+    m3 = mae_mape({d: slope * (d - lo) + inter for d in test})
+    for name, (mae, mape) in (("naive", m1), ("seasonal_naive", m2),
+                              ("ols_trend", m3)):
+        r = got[name]
+        assert r.n_test_days == len(test)
+        assert abs(r.mae - mae) < 1e-4
+        assert abs(r.mape - mape) < 1e-5

@@ -138,6 +138,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_grubbs_test", "q_control_chart",
                 # one-row (min day, max day) cutoff bounds broadcast
                 "tt_temporal_split",
+                # one-row cutoff/moments/naive-pred broadcasts
+                "q_forecast_backtest",
                 # bounded duration-grid prefix cross (KM product) +
                 # one-row horizon broadcast
                 "q_kaplan_meier",
