@@ -4628,3 +4628,190 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold(err) / F.count(F.lit(1)), 6).alias("mae"),
         F.round(fold(err / F.col("x").cast("double"))
                 / F.count(F.lit(1)), 6).alias("mape"))
+
+
+# ---------------------------------------------------------------------------
+# q_bootstrap_se — DETERMINISTIC bootstrap standard error of the mean
+# daily event count: B=100 resamples whose indices come from
+# md5('bs:'||b||':'||j) (the mix_weighted_sample hash-uniform idiom,
+# training_data.py:2207) instead of rand(), so the estimate is
+# bit-stable across engines, partitionings, and reruns. The resample
+# lattice is B×days rows — bounded by the calendar — joined to the
+# ranked day grid; per-replicate means fold in draw order, the SE
+# folds replicate means in b order.
+# ---------------------------------------------------------------------------
+_BOOTSTRAP_B = 100
+
+_BOOTSTRAP_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT x, row_number() OVER (ORDER BY i) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM daily
+),
+draws AS (
+  SELECT b.b, j.j,
+         CAST(('0x' || substr(md5('bs:' || CAST(b.b AS VARCHAR) || ':'
+                                  || CAST(j.j AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM (SELECT unnest(generate_series(1, {_BOOTSTRAP_B})) AS b) b
+  JOIN (SELECT unnest(generate_series(1,
+          (SELECT CAST(max(m) AS INTEGER) FROM grid))) AS j) j ON true
+),
+sampled AS (
+  SELECT d.b, d.j, g.x
+  FROM draws d JOIN grid g ON g.rk = (d.h % g.m) + 1
+),
+rep AS (
+  SELECT b,
+         list_aggregate(list_transform(
+           list_sort(list({{'i': j, 'v': CAST(x AS DOUBLE)}})), s -> s.v),
+           'sum') / count(*) AS mean_b
+  FROM sampled GROUP BY b
+),
+grand AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_reps,
+         list_aggregate(list_transform(
+           list_sort(list({{'i': b, 'v': mean_b}})), s -> s.v), 'sum')
+           / count(*) AS boot_mean,
+         list_sort(list({{'i': b, 'v': mean_b}})) AS means
+  FROM rep
+)
+SELECT n_reps,
+       (SELECT CAST(max(m) AS BIGINT) FROM grid) AS n_days,
+       round(boot_mean, 6) AS boot_mean,
+       round(sqrt(list_aggregate(list_transform(means,
+               s -> (s.v - boot_mean) * (s.v - boot_mean)), 'sum')
+             / (n_reps - 1)), 6) AS boot_se
+FROM grand
+"""
+
+
+@register("q_bootstrap_se", oracle=_BOOTSTRAP_ORACLE)
+def q_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                                / F.lit(86400000000)).cast("bigint")
+                        .alias("i"))
+             .agg(lcount("x")))
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    grid = daily.select(
+        "x", F.row_number().over(W.orderBy("i")).alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("m"))
+    m_row = grid.agg(F.max("m").cast("int").alias("m"))
+    bs = spark.range(1, _BOOTSTRAP_B + 1).select(
+        F.col("id").cast("bigint").alias("b"))
+    js = (F.broadcast(m_row).crossJoin(spark.range(1, 10_000).select(
+        F.col("id").cast("bigint").alias("j")))
+        .filter(F.col("j") <= F.col("m")).select("j"))
+    draws = F.broadcast(bs).crossJoin(F.broadcast(js)).select(
+        "b", "j",
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("bs:"), F.col("b").cast("string"), F.lit(":"),
+            F.col("j").cast("string"))), 1, 13), 16, 10).cast("bigint")
+        .alias("h"))
+    sampled = draws.join(grid, grid["rk"] == (F.col("h") % grid["m"]) + 1)
+    rep = sampled.groupBy("b").agg(
+        (F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("j").alias("i"),
+                         F.col("x").cast("double").alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+         / F.count(F.lit(1))).alias("mean_b"))
+    grand = rep.agg(
+        lcount("n_reps"),
+        (F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("b").alias("i"),
+                         F.col("mean_b").alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+         / F.count(F.lit(1))).alias("boot_mean"),
+        F.array_sort(F.collect_list(
+            F.struct(F.col("b").alias("i"), F.col("mean_b").alias("v"))))
+        .alias("means"))
+    j = grand.crossJoin(F.broadcast(m_row))
+    dev = F.aggregate(
+        F.transform(F.col("means"),
+                    lambda s: (s["v"] - F.col("boot_mean"))
+                    * (s["v"] - F.col("boot_mean"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return j.select(
+        "n_reps", F.col("m").cast("bigint").alias("n_days"),
+        F.round("boot_mean", 6).alias("boot_mean"),
+        F.round(F.sqrt(dev / (F.col("n_reps") - 1)), 6).alias("boot_se"))
+
+
+# ---------------------------------------------------------------------------
+# gr_temporal_density — co-purchase graph evolution by order month:
+# nodes, edges, and density 2E/(N(N−1)) of each month's graph (does
+# the product network densify or fragment over time — the temporal
+# twin of the static gr_* suite). Same bounded orderkey domain as
+# pr_item_cosine; months partition the edge build, so each month's
+# quadratic term stays per-order bounded.
+# ---------------------------------------------------------------------------
+_TEMPORAL_DENSITY_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate)) - 1
+                       AS BIGINT) AS mo,
+         l.l_orderkey AS o, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey < 4000
+),
+e0 AS (
+  SELECT DISTINCT a.mo, a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.mo = b.mo AND a.p < b.p
+),
+nodes AS (
+  SELECT mo, CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+  FROM (SELECT mo, u AS node FROM e0 UNION ALL SELECT mo, v FROM e0)
+  GROUP BY mo
+),
+edges AS (
+  SELECT mo, CAST(count(*) AS BIGINT) AS n_edges FROM e0 GROUP BY mo
+)
+SELECT CAST(mo // 12 AS BIGINT) AS year, CAST(mo % 12 + 1 AS BIGINT) AS month,
+       n_nodes, n_edges,
+       CASE WHEN n_nodes > 1
+            THEN round(2.0 * CAST(n_edges AS DOUBLE)
+                       / (CAST(n_nodes AS DOUBLE)
+                          * (CAST(n_nodes AS DOUBLE) - 1.0)), 6)
+       END AS density
+FROM nodes JOIN edges USING (mo)
+"""
+
+
+@register("gr_temporal_density", oracle=_TEMPORAL_DENSITY_ORACLE)
+def gr_temporal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 4000)
+    orders = load_table(spark, sf_dir, "orders")
+    base = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .select((F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+                    .cast("bigint").alias("mo"),
+                    F.col("l_orderkey").alias("o"),
+                    F.col("l_partkey").alias("p"))
+            .distinct())
+    a = base.select("mo", "o", F.col("p").alias("u"))
+    b = base.select("mo", "o", F.col("p").alias("v"))
+    e0 = (a.join(b, ["mo", "o"]).filter(F.col("u") < F.col("v"))
+          .select("mo", "u", "v").distinct())
+    nodes = (e0.select("mo", F.col("u").alias("node"))
+             .unionAll(e0.select("mo", F.col("v").alias("node")))
+             .groupBy("mo")
+             .agg(F.countDistinct("node").cast("bigint").alias("n_nodes")))
+    edges = e0.groupBy("mo").agg(lcount("n_edges"))
+    j = nodes.join(edges, "mo")
+    n_d = F.col("n_nodes").cast("double")
+    return j.select(
+        F.floor(F.col("mo") / 12).cast("bigint").alias("year"),
+        (F.col("mo") % 12 + 1).cast("bigint").alias("month"),
+        "n_nodes", "n_edges",
+        F.when(F.col("n_nodes") > 1,
+               F.round(F.lit(2.0) * F.col("n_edges").cast("double")
+                       / (n_d * (n_d - F.lit(1.0))), 6)).alias("density"))

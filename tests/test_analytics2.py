@@ -1792,3 +1792,59 @@ def test_forecast_backtest_replay(spark, sf_dir):
         assert r.n_test_days == len(test)
         assert abs(r.mae - mae) < 1e-4
         assert abs(r.mape - mape) < 1e-5
+
+
+def test_bootstrap_se_replay(spark, sf_dir):
+    import hashlib
+    got = _run(spark, sf_dir, "q_bootstrap_se").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    xs = [daily[d] for d in sorted(daily)]
+    m = len(xs)
+    means = []
+    for b in range(1, 101):
+        acc = 0.0
+        for j in range(1, m + 1):
+            h = int(hashlib.md5(f"bs:{b}:{j}".encode()).hexdigest()[:13],
+                    16)
+            acc += float(xs[h % m])
+        means.append(acc / m)
+    grand = sum(means) / len(means)
+    se = math.sqrt(sum((v - grand) ** 2 for v in means) / (len(means) - 1))
+    assert (got.n_reps, got.n_days) == (100, m)
+    assert abs(got.boot_mean - grand) < 1e-4
+    assert abs(got.boot_se - se) < 1e-4
+    # bootstrap SE of the mean ~ sd/sqrt(m): same order of magnitude
+    sd = math.sqrt(sum((x - sum(xs) / m) ** 2 for x in xs) / m)
+    assert 0.2 * sd / math.sqrt(m) < got.boot_se < 5 * sd / math.sqrt(m)
+
+
+def test_temporal_density_replay(spark, sf_dir):
+    got = {(r.year, r.month): r for r in
+           _run(spark, sf_dir, "gr_temporal_density").collect()}
+    orders = {r.o_orderkey: r.o_orderdate for r in
+              load_table(spark, sf_dir, "orders").collect()}
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_orderkey < 4000").select("l_orderkey", "l_partkey").collect()
+    by_mo = defaultdict(lambda: defaultdict(set))
+    for r in li:
+        od = orders[r.l_orderkey]
+        mo = od.year * 12 + od.month - 1
+        by_mo[mo][r.l_orderkey].add(r.l_partkey)
+    assert len(got) == len(by_mo)
+    for mo, om in by_mo.items():
+        edges = set()
+        for parts in om.values():
+            ps = sorted(parts)
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    edges.add((ps[i], ps[j]))
+        nodes = {n for e in edges for n in e}
+        r = got[(mo // 12, mo % 12 + 1)]
+        assert (r.n_nodes, r.n_edges) == (len(nodes), len(edges))
+        if len(nodes) > 1:
+            dens = 2.0 * len(edges) / (len(nodes) * (len(nodes) - 1))
+            assert abs(r.density - dens) < 1e-6
+            assert 0.0 < r.density <= 1.0

@@ -93,6 +93,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "dd_lsh_tuning", "dd_threshold_sweep", "sim_threshold_eval",
                 # 4-row fold lattice + 10-row degree-threshold lattice
                 "tt_rolling_origin", "gr_rich_club",
+                # B x days literal resample lattice + 1-row m broadcast
+                "q_bootstrap_se",
                 # intentional broadcast of a ONE-row scalar (corpus size /
                 # global hour bounds / max revenue / balance threshold /
                 # mixture normalizer)
