@@ -4815,3 +4815,167 @@ def gr_temporal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_nodes") > 1,
                F.round(F.lit(2.0) * F.col("n_edges").cast("double")
                        / (n_d * (n_d - F.lit(1.0))), 6)).alias("density"))
+
+
+# ---------------------------------------------------------------------------
+# q_mantel_haenszel — stratified 2×2 analysis of "urgent → return"
+# across order-year strata: per-year odds ratios plus the pooled
+# Mantel-Haenszel OR (Σ aᵢdᵢ/nᵢ / Σ bᵢcᵢ/nᵢ — the confounder-adjusted
+# pooling that a crude q_odds_ratio can Simpson's-paradox past).
+# Year-stratum terms fold in year order; all cells exact.
+# ---------------------------------------------------------------------------
+_MH_ORACLE = """
+WITH j AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS exp,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS outc
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+s AS (
+  SELECT yr,
+         CAST(sum(exp * outc) AS BIGINT) AS a,
+         CAST(sum(exp * (1 - outc)) AS BIGINT) AS b,
+         CAST(sum((1 - exp) * outc) AS BIGINT) AS c,
+         CAST(sum((1 - exp) * (1 - outc)) AS BIGINT) AS d
+  FROM j GROUP BY yr
+),
+t AS (
+  SELECT yr, a, b, c, d, a + b + c + d AS n,
+         CASE WHEN b > 0 AND c > 0
+              THEN round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+         END AS stratum_or
+  FROM s
+),
+pool AS (
+  SELECT list_aggregate(list_transform(list_sort(
+           list({'i': yr, 'v': CAST(a AS DOUBLE) * d / n})), u -> u.v),
+           'sum') AS num,
+         list_aggregate(list_transform(list_sort(
+           list({'i': yr, 'v': CAST(b AS DOUBLE) * c / n})), u -> u.v),
+           'sum') AS den
+  FROM t
+)
+SELECT yr, a, b, c, d, stratum_or,
+       round((SELECT num / den FROM pool), 6) AS mh_pooled_or
+FROM t
+"""
+
+
+@register("q_mantel_haenszel", oracle=_MH_ORACLE)
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+         .select(F.year("o_orderdate").cast("bigint").alias("yr"),
+                 F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                 .otherwise(0).alias("exp"),
+                 F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                 .alias("outc")))
+    s = j.groupBy("yr").agg(
+        F.sum(F.col("exp") * F.col("outc")).cast("bigint").alias("a"),
+        F.sum(F.col("exp") * (1 - F.col("outc"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("exp")) * F.col("outc")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("exp")) * (1 - F.col("outc"))).cast("bigint")
+        .alias("d"))
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    t = s.select(
+        "yr", "a", "b", "c", "d",
+        F.when((F.col("b") > 0) & (F.col("c") > 0),
+               F.round(F.col("a").cast("double") * F.col("d")
+                       / (F.col("b").cast("double") * F.col("c")), 6))
+        .alias("stratum_or"),
+        (F.col("a").cast("double") * F.col("d") / n).alias("num_t"),
+        (F.col("b").cast("double") * F.col("c") / n).alias("den_t"))
+
+    def fold(val_col):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("yr").alias("i"), val_col.alias("v")))),
+                lambda u: u["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    pool = t.agg((fold(F.col("num_t")) / fold(F.col("den_t")))
+                 .alias("mh"))
+    return (t.crossJoin(F.broadcast(pool))
+            .select("yr", "a", "b", "c", "d", "stratum_or",
+                    F.round("mh", 6).alias("mh_pooled_or")))
+
+
+# ---------------------------------------------------------------------------
+# emb_alignment_uniformity — Wang-Isola contrastive-representation
+# metrics on L2-normalized embeddings over the deterministic
+# successor-pair sample: alignment = mean ||z_a − z_b||² over
+# SAME-label (positive) pairs; uniformity = ln of the mean of
+# exp(−2·||z_a − z_b||²) over ALL pairs. The two numbers that say
+# whether an embedding space is both semantically tight and
+# non-collapsed. ||z_a − z_b||² = 2 − 2·cos on normalized vectors, so
+# everything reuses the shared fold-dot; pair terms fold in id order.
+# ---------------------------------------------------------------------------
+_ALIGN_UNIFORM_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS i,
+         CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS pos,
+         2.0 - 2.0 * (list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v)))) AS d2
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         list_aggregate(list_transform(list_sort(
+           list({'i': i, 'v': CASE WHEN pos = 1 THEN d2 ELSE 0.0 END})),
+           u -> u.v), 'sum') AS sum_pos_d2,
+         list_aggregate(list_transform(list_sort(
+           list({'i': i, 'v': exp(-2.0 * d2)})), u -> u.v), 'sum')
+           AS sum_exp
+  FROM p
+)
+SELECT n_pairs, n_pos,
+       round(sum_pos_d2 / n_pos, 6) AS alignment,
+       round(ln(sum_exp / n_pairs), 6) AS uniformity
+FROM s WHERE n_pos > 0
+"""
+
+
+@register("emb_alignment_uniformity", oracle=_ALIGN_UNIFORM_ORACLE)
+def emb_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.similarity import (
+        as_double, dot)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    a = e.select(F.col("vec_id").alias("i"), F.col("label").alias("la"),
+                 F.col("v").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("i"),
+                 F.col("label").alias("lb"), F.col("v").alias("vb"))
+    cos = (dot(F.col("va"), F.col("vb"))
+           / (F.sqrt(dot(F.col("va"), F.col("va")))
+              * F.sqrt(dot(F.col("vb"), F.col("vb")))))
+    p = a.join(b, "i").select(
+        "i",
+        F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias("pos"),
+        (F.lit(2.0) - F.lit(2.0) * cos).alias("d2"))
+
+    def fold(val_col):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("i").alias("i"), val_col.alias("v")))),
+                lambda u: u["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    s = p.agg(
+        lcount("n_pairs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        fold(F.when(F.col("pos") == 1, F.col("d2")).otherwise(F.lit(0.0)))
+        .alias("sum_pos_d2"),
+        fold(F.exp(F.lit(-2.0) * F.col("d2"))).alias("sum_exp"))
+    return (s.filter(F.col("n_pos") > 0)
+            .select("n_pairs", "n_pos",
+                    F.round(F.col("sum_pos_d2") / F.col("n_pos"), 6)
+                    .alias("alignment"),
+                    F.round(F.log(F.col("sum_exp") / F.col("n_pairs")), 6)
+                    .alias("uniformity")))

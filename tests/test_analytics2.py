@@ -1848,3 +1848,56 @@ def test_temporal_density_replay(spark, sf_dir):
             dens = 2.0 * len(edges) / (len(nodes) * (len(nodes) - 1))
             assert abs(r.density - dens) < 1e-6
             assert 0.0 < r.density <= 1.0
+
+
+def test_mantel_haenszel_replay(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_mantel_haenszel").collect()
+    orders = {r.o_orderkey: (r.o_orderpriority, r.o_orderdate.year) for r in
+              load_table(spark, sf_dir, "orders").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag").collect()
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for r in li:
+        pr, yr = orders[r.l_orderkey]
+        exp = pr == "1-URGENT"
+        outc = r.l_returnflag == "R"
+        cells[yr][0 if exp and outc else
+                  1 if exp else 2 if outc else 3] += 1
+    num = den = 0.0
+    for yr in sorted(cells):
+        a, b, c, d = cells[yr]
+        n = a + b + c + d
+        num += a * d / n
+        den += b * c / n
+    mh = num / den
+    got = {r.yr: r for r in rows}
+    assert set(got) == set(cells)
+    for yr, (a, b, c, d) in cells.items():
+        r = got[yr]
+        assert (r.a, r.b, r.c, r.d) == (a, b, c, d)
+        if b > 0 and c > 0:
+            assert abs(r.stratum_or - a * d / (b * c)) < 1e-4
+        assert abs(r.mh_pooled_or - mh) < 1e-4
+
+
+def test_alignment_uniformity_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "emb_alignment_uniformity").collect()[0]
+    emb = {r.vec_id: (r.label, [float(x) for x in r.embedding]) for r in
+           load_table(spark, sf_dir, "embeddings").collect()}
+    d2s = []
+    for i, (la, va) in emb.items():
+        nxt = emb.get(i + 1)
+        if nxt is None:
+            continue
+        lb, vb = nxt
+        dot = sum(a * b for a, b in zip(va, vb))
+        na = math.sqrt(sum(a * a for a in va))
+        nb = math.sqrt(sum(b * b for b in vb))
+        d2s.append((la == lb, 2.0 - 2.0 * dot / (na * nb)))
+    n_pos = sum(1 for p, _ in d2s if p)
+    align = sum(d for p, d in d2s if p) / n_pos
+    unif = math.log(sum(math.exp(-2.0 * d) for _, d in d2s) / len(d2s))
+    assert (got.n_pairs, got.n_pos) == (len(d2s), n_pos)
+    assert abs(got.alignment - align) < 1e-4
+    assert abs(got.uniformity - unif) < 1e-4
+    assert got.alignment >= 0.0 and got.uniformity <= 0.0

@@ -151,6 +151,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_welch_ttest",
                 # one-row tie-correction total crossed with rank sums
                 "q_mann_whitney",
+                # one-row MH pooled-OR broadcast over year strata
+                "q_mantel_haenszel",
                 # composes the brute-force ground truth (query x corpus
                 # scoring cross, same as sim_recall_eval)
                 "sim_mrr_eval",
