@@ -4979,3 +4979,88 @@ def emb_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("alignment"),
                     F.round(F.log(F.col("sum_exp") / F.col("n_pairs")), 6)
                     .alias("uniformity")))
+
+
+# ---------------------------------------------------------------------------
+# io_jsonl_quarantine — malformed-record quarantine on the JSONL
+# source path: write the documents table as JSONL, plant 7
+# deterministic corrupt lines in an extra shard, read PERMISSIVE with
+# columnNameOfCorruptRecord, and report good/corrupt counts plus the
+# per-doc identity of the survivors. The "bad data doesn't kill the
+# job, and is accounted for" contract every lake ingest needs (the
+# CSV twin is io_csv_roundtrip's quarantining reader).
+# ---------------------------------------------------------------------------
+_N_CORRUPT = 7
+
+_JSONL_QUARANTINE_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_good,
+       CAST({_N_CORRUPT} AS BIGINT) AS n_corrupt,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars_total
+FROM documents
+"""
+
+
+@register("io_jsonl_quarantine", oracle=_JSONL_QUARANTINE_ORACLE)
+def io_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang", "source")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        os.path.basename(sf_dir.rstrip("/")), "docs_jsonl_q")
+    docs.write.mode("overwrite").json(path)
+    # plant deterministic malformed lines in their own shard
+    bad = os.path.join(path, "part-corrupt.json")
+    with open(bad, "w", encoding="utf-8") as fh:
+        for k in range(_N_CORRUPT):
+            fh.write('{"doc_id": %d, "text": "unterminated\n' % (10**9 + k))
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string,"
+        " _corrupt_record string"
+    ).option("mode", "PERMISSIVE") \
+     .option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+    back = back.cache()
+    good = back.filter(F.col("_corrupt_record").isNull())
+    return good.agg(
+        lcount("n_good"),
+        F.lit(_N_CORRUPT).cast("bigint").alias("n_corrupt"),
+        F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars_total"))
+
+
+# ---------------------------------------------------------------------------
+# q_discount_response — does discounting move volume? Per exact
+# discount band (l_discount is a 2dp rate): line count, exact mean
+# quantity, mean revenue per line — the demand-response curve behind
+# any promo analysis (q19/q14 check specific bands; this is the whole
+# curve). One hash agg of exact x4 sums.
+# ---------------------------------------------------------------------------
+_DISCOUNT_RESPONSE_ORACLE = """
+SELECT CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT) AS disc_x4,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 4) * 10000
+                  AS BIGINT) / 10000.0 / count(*), 6) AS mean_qty,
+       round(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+                  * 10000 AS BIGINT) / 10000.0 / count(*), 6)
+         AS mean_revenue
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("q_discount_response", oracle=_DISCOUNT_RESPONSE_ORACLE)
+def q_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        (F.col("l_discount").cast("decimal(8,4)") * 10000).cast("bigint")
+        .alias("disc_x4")).agg(
+        lcount("n_lines"),
+        F.round((F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 4)
+                 * 10000).cast("bigint") / F.lit(10000.0)
+                / F.count(F.lit(1)), 6).alias("mean_qty"),
+        F.round((F.round(F.sum(F.col("l_extendedprice")
+                               .cast("decimal(18,4)")), 4)
+                 * 10000).cast("bigint") / F.lit(10000.0)
+                / F.count(F.lit(1)), 6).alias("mean_revenue"))

@@ -1901,3 +1901,33 @@ def test_alignment_uniformity_replay(spark, sf_dir):
     assert abs(got.alignment - align) < 1e-4
     assert abs(got.uniformity - unif) < 1e-4
     assert got.alignment >= 0.0 and got.uniformity <= 0.0
+
+
+def test_jsonl_quarantine_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "io_jsonl_quarantine").collect()[0]
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert got.n_good == len(docs)
+    assert got.n_corrupt == 7
+    assert got.doc_id_sum == sum(d.doc_id for d in docs)
+    assert got.n_chars_total == sum(len(d.text) for d in docs)
+
+
+def test_discount_response_replay(spark, sf_dir):
+    got = {r.disc_x4: r for r in
+           _run(spark, sf_dir, "q_discount_response").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_discount", "l_quantity", "l_extendedprice").collect()
+    agg = defaultdict(lambda: [0, Decimal(0), Decimal(0)])
+    for r in li:
+        k = int(Decimal(str(r.l_discount)).quantize(Decimal("0.0001"))
+                * 10000)
+        d = agg[k]
+        d[0] += 1
+        d[1] += Decimal(str(r.l_quantity)).quantize(Decimal("0.0001"))
+        d[2] += Decimal(str(r.l_extendedprice)).quantize(Decimal("0.0001"))
+    assert len(got) == len(agg)
+    for k, (n, q, rev) in agg.items():
+        r = got[k]
+        assert r.n_lines == n
+        assert abs(r.mean_qty - float(q) / n) < 1e-4
+        assert abs(r.mean_revenue - float(rev) / n) < 1e-4
