@@ -5064,3 +5064,90 @@ def q_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
                                .cast("decimal(18,4)")), 4)
                  * 10000).cast("bigint") / F.lit(10000.0)
                 / F.count(F.lit(1)), 6).alias("mean_revenue"))
+
+
+# ---------------------------------------------------------------------------
+# q_segment_migration — customer value-segment migration between the
+# first and second half of the order history: per half, customers
+# rank into spend quartiles (NTILE 4 over exact x4 totals with
+# custkey tie-break); the output is the 4×4 transition matrix with
+# row-wise retention shares — the "are my best customers staying
+# best" view on top of q_rfm_segmentation's static labels. Customers
+# absent from a half get segment 0.
+# ---------------------------------------------------------------------------
+_SEG_MIGRATION_ORACLE = """
+WITH b AS (
+  SELECT CAST(min(epoch(date_trunc('day', o_orderdate)) / 86400) AS BIGINT)
+           AS lo,
+         CAST(max(epoch(date_trunc('day', o_orderdate)) / 86400) AS BIGINT)
+           + 1 AS hi
+  FROM orders
+),
+o AS (
+  SELECT o_custkey,
+         CASE WHEN CAST(epoch(date_trunc('day', o_orderdate)) / 86400
+                        AS BIGINT) < lo + (hi - lo) // 2
+              THEN 1 ELSE 2 END AS half,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 4) * 10000
+              AS BIGINT) AS v4
+  FROM orders CROSS JOIN b
+),
+spend AS (
+  SELECT half, o_custkey, CAST(sum(v4) AS BIGINT) AS s4
+  FROM o GROUP BY half, o_custkey
+),
+seg AS (
+  SELECT half, o_custkey,
+         CAST(NTILE(4) OVER (PARTITION BY half ORDER BY s4, o_custkey)
+              AS BIGINT) AS segment
+  FROM spend
+),
+m AS (
+  SELECT coalesce(a.o_custkey, c.o_custkey) AS custkey,
+         CAST(coalesce(a.segment, 0) AS BIGINT) AS seg_h1,
+         CAST(coalesce(c.segment, 0) AS BIGINT) AS seg_h2
+  FROM (SELECT * FROM seg WHERE half = 1) a
+  FULL OUTER JOIN (SELECT * FROM seg WHERE half = 2) c
+    ON a.o_custkey = c.o_custkey
+)
+SELECT seg_h1, seg_h2, CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER (PARTITION BY seg_h1) AS DOUBLE), 6)
+         AS row_share
+FROM m GROUP BY seg_h1, seg_h2
+"""
+
+
+@register("q_segment_migration", oracle=_SEG_MIGRATION_ORACLE)
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.floor(F.unix_micros(F.date_trunc("day", "o_orderdate"))
+                  / F.lit(86400000000)).cast("bigint")
+    b = orders.agg(F.min(day).alias("lo"), (F.max(day) + 1).alias("hi"))
+    o = orders.crossJoin(F.broadcast(b)).select(
+        "o_custkey",
+        F.when(day < F.col("lo")
+               + F.floor((F.col("hi") - F.col("lo")) / 2).cast("bigint"), 1)
+        .otherwise(2).alias("half"),
+        (F.round(F.col("o_totalprice").cast("decimal(18,4)"), 4) * 10000)
+        .cast("bigint").alias("v4"))
+    spend = o.groupBy("half", "o_custkey").agg(
+        F.sum("v4").cast("bigint").alias("s4"))
+    seg = spend.select(
+        "half", "o_custkey",
+        F.ntile(4).over(W.partitionBy("half").orderBy("s4", "o_custkey"))
+        .cast("bigint").alias("segment"))
+    a = seg.filter(F.col("half") == 1).select(
+        F.col("o_custkey").alias("custkey"), F.col("segment").alias("s1"))
+    c = seg.filter(F.col("half") == 2).select(
+        F.col("o_custkey").alias("custkey"), F.col("segment").alias("s2"))
+    m = a.join(c, "custkey", "full_outer").select(
+        F.coalesce("s1", F.lit(0)).cast("bigint").alias("seg_h1"),
+        F.coalesce("s2", F.lit(0)).cast("bigint").alias("seg_h2"))
+    g = m.groupBy("seg_h1", "seg_h2").agg(lcount("n_customers"))
+    wr = W.partitionBy("seg_h1")
+    return g.select(
+        "seg_h1", "seg_h2", "n_customers",
+        F.round(F.col("n_customers").cast("double")
+                / F.sum("n_customers").over(wr).cast("double"), 6)
+        .alias("row_share"))

@@ -1931,3 +1931,41 @@ def test_discount_response_replay(spark, sf_dir):
         assert r.n_lines == n
         assert abs(r.mean_qty - float(q) / n) < 1e-4
         assert abs(r.mean_revenue - float(rev) / n) < 1e-4
+
+
+def test_segment_migration_replay(spark, sf_dir):
+    got = {(r.seg_h1, r.seg_h2): r for r in
+           _run(spark, sf_dir, "q_segment_migration").collect()}
+    orders = load_table(spark, sf_dir, "orders").collect()
+    days = [r.o_orderdate.date().toordinal() for r in orders]
+    lo, hi = min(days), max(days) + 1
+    cutoff = lo + (hi - lo) // 2
+    spend = defaultdict(lambda: defaultdict(int))
+    for r in orders:
+        half = 1 if r.o_orderdate.date().toordinal() < cutoff else 2
+        spend[half][r.o_custkey] += int(
+            Decimal(str(r.o_totalprice)).quantize(Decimal("0.0001"))
+            * 10000)
+
+    def ntile4(d):
+        ranked = sorted(d.items(), key=lambda kv: (kv[1], kv[0]))
+        n = len(ranked)
+        base, extra = divmod(n, 4)
+        seg, i = {}, 0
+        for q in range(1, 5):
+            size = base + (1 if q <= extra else 0)
+            for ck, _ in ranked[i:i + size]:
+                seg[ck] = q
+            i += size
+        return seg
+
+    s1, s2 = ntile4(spend[1]), ntile4(spend[2])
+    matrix = Counter()
+    for ck in set(s1) | set(s2):
+        matrix[(s1.get(ck, 0), s2.get(ck, 0))] += 1
+    assert {k: r.n_customers for k, r in got.items()} == dict(matrix)
+    rows = defaultdict(int)
+    for (a, _), n in matrix.items():
+        rows[a] += n
+    for (a, b), n in matrix.items():
+        assert abs(got[(a, b)].row_share - n / rows[a]) < 1e-6

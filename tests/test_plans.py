@@ -142,6 +142,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "tt_temporal_split",
                 # one-row cutoff/moments/naive-pred broadcasts
                 "q_forecast_backtest",
+                # one-row half-cutoff bounds broadcast
+                "q_segment_migration",
                 # bounded duration-grid prefix cross (KM product) +
                 # one-row horizon broadcast
                 "q_kaplan_meier",
