@@ -5151,3 +5151,144 @@ def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_customers").cast("double")
                 / F.sum("n_customers").over(wr).cast("double"), 6)
         .alias("row_share"))
+
+
+# ---------------------------------------------------------------------------
+# q_hurst_exponent — rescaled-range (R/S) estimate of the Hurst
+# exponent of the daily count series: for block sizes n ∈ {4, 8, 16},
+# each full block's R/S = (max−min of cumulative mean-deviations) /
+# population σ; H = OLS slope of mean ln(R/S) on ln(n) (H≈0.5 random
+# walk, >0.5 persistent). Blocks are arrays of ≤16 exact ints; the
+# cumulative deviations are O(n²) in-block HOF folds (bounded by the
+# block size, not the data); per-n means fold in block order and the
+# 3-point regression is a closed form.
+# ---------------------------------------------------------------------------
+_HURST_NS = (4, 8, 16)
+
+_HURST_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT x, row_number() OVER (ORDER BY i) - 1 AS r FROM daily
+),
+blocks AS (
+  SELECT ns.n, CAST(idx.r // ns.n AS BIGINT) AS blk,
+         list_transform(list_sort(list({{'i': idx.r, 'v': idx.x}})),
+                        s -> CAST(s.v AS DOUBLE)) AS xs
+  FROM (SELECT unnest([{", ".join(str(n) for n in _HURST_NS)}]) AS n) ns
+  JOIN idx ON true
+  GROUP BY ns.n, idx.r // ns.n
+  HAVING count(*) = ns.n
+),
+rs AS (
+  SELECT n, blk,
+         list_aggregate(xs, 'sum') / n AS mu,
+         xs
+  FROM blocks
+),
+rs2 AS (
+  SELECT n, blk,
+         list_aggregate(list_transform(
+           generate_series(1, CAST(n AS INTEGER)),
+           j -> list_aggregate(list_transform(xs[1:j], v -> v - mu),
+                               'sum')), 'max')
+         - list_aggregate(list_transform(
+           generate_series(1, CAST(n AS INTEGER)),
+           j -> list_aggregate(list_transform(xs[1:j], v -> v - mu),
+                               'sum')), 'min') AS rng,
+         sqrt(list_aggregate(list_transform(xs,
+           v -> (v - mu) * (v - mu)), 'sum') / n) AS sd
+  FROM rs
+),
+per_n AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS n_blocks,
+         list_aggregate(list_transform(list_sort(
+           list({{'i': blk, 'v': ln(rng / sd)}})), s -> s.v), 'sum')
+           / count(*) AS mean_ln_rs
+  FROM rs2 WHERE sd > 0 AND rng > 0
+  GROUP BY n
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         list_aggregate(list_transform(list_sort(
+           list({{'i': n, 'v': ln(CAST(n AS DOUBLE))}})), s -> s.v), 'sum')
+           AS sx,
+         list_aggregate(list_transform(list_sort(
+           list({{'i': n, 'v': ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))}})),
+           s -> s.v), 'sum') AS sxx,
+         list_aggregate(list_transform(list_sort(
+           list({{'i': n, 'v': mean_ln_rs}})), s -> s.v), 'sum') AS sy,
+         list_aggregate(list_transform(list_sort(
+           list({{'i': n, 'v': ln(CAST(n AS DOUBLE)) * mean_ln_rs}})),
+           s -> s.v), 'sum') AS sxy
+  FROM per_n
+)
+SELECT per_n.n, n_blocks, round(mean_ln_rs, 6) AS mean_ln_rs,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS hurst_h
+FROM per_n CROSS JOIN fit
+"""
+
+
+@register("q_hurst_exponent", oracle=_HURST_ORACLE)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                                / F.lit(86400000000)).cast("bigint")
+                        .alias("i"))
+             .agg(lcount("x")))
+    idx = daily.select(
+        "x", (F.row_number().over(W.orderBy("i")) - 1).alias("r"))
+    ns = spark.createDataFrame([(n,) for n in _HURST_NS], "n long")
+    blocks = (F.broadcast(ns).join(idx, F.lit(True))
+              .groupBy("n", F.floor(F.col("r") / F.col("n")).cast("bigint")
+                       .alias("blk"))
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct(F.col("r").alias("i"), F.col("x").alias("v")))),
+                  lambda s: s["v"].cast("double")).alias("xs"))
+              .filter(F.size("xs") == F.col("n")))
+    mu = (F.aggregate(F.col("xs"), F.lit(0.0), lambda a, v: a + v)
+          / F.col("n"))
+    rs = blocks.select("n", "blk", mu.alias("mu"), "xs")
+    zs = F.transform(
+        F.sequence(F.lit(1), F.col("n").cast("int")),
+        lambda j: F.aggregate(
+            F.transform(F.slice(F.col("xs"), 1, j),
+                        lambda v: v - F.col("mu")),
+            F.lit(0.0), lambda a, v: a + v))
+    rng = (F.array_max(zs) - F.array_min(zs))
+    sd = F.sqrt(F.aggregate(
+        F.transform(F.col("xs"),
+                    lambda v: (v - F.col("mu")) * (v - F.col("mu"))),
+        F.lit(0.0), lambda a, v: a + v) / F.col("n"))
+    rs2 = rs.select("n", "blk", rng.alias("rng"), sd.alias("sd"))
+
+    def fold_by(key, val):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(key.alias("i"), val.alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda a, v: a + v)
+
+    per_n = (rs2.filter((F.col("sd") > 0) & (F.col("rng") > 0))
+             .groupBy("n")
+             .agg(lcount("n_blocks"),
+                  (fold_by(F.col("blk"),
+                           F.log(F.col("rng") / F.col("sd")))
+                   / F.count(F.lit(1))).alias("mean_ln_rs")))
+    lnn = F.log(F.col("n").cast("double"))
+    fit = per_n.agg(
+        lcount("k"),
+        fold_by(F.col("n"), lnn).alias("sx"),
+        fold_by(F.col("n"), lnn * lnn).alias("sxx"),
+        fold_by(F.col("n"), F.col("mean_ln_rs")).alias("sy"),
+        fold_by(F.col("n"), lnn * F.col("mean_ln_rs")).alias("sxy"))
+    j = per_n.crossJoin(F.broadcast(fit))
+    h = ((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return j.select("n", "n_blocks",
+                    F.round("mean_ln_rs", 6).alias("mean_ln_rs"),
+                    F.round(h, 6).alias("hurst_h"))

@@ -1969,3 +1969,43 @@ def test_segment_migration_replay(spark, sf_dir):
         rows[a] += n
     for (a, b), n in matrix.items():
         assert abs(got[(a, b)].row_share - n / rows[a]) < 1e-6
+
+
+def test_hurst_replay(spark, sf_dir):
+    got = {r.n: r for r in _run(spark, sf_dir, "q_hurst_exponent").collect()}
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    xs = [float(daily[d]) for d in sorted(daily)]
+    per_n = {}
+    for n in (4, 8, 16):
+        lns = []
+        for b in range(len(xs) // n):
+            blk = xs[b * n:(b + 1) * n]
+            mu = sum(blk) / n
+            z = []
+            acc = 0.0
+            for v in blk:
+                acc += v - mu
+                z.append(acc)
+            rng = max(z) - min(z)
+            sd = math.sqrt(sum((v - mu) ** 2 for v in blk) / n)
+            if sd > 0 and rng > 0:
+                lns.append(math.log(rng / sd))
+        if lns:
+            per_n[n] = (len(lns), sum(lns) / len(lns))
+    pts = [(math.log(n), m) for n, (_, m) in sorted(per_n.items())]
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    h = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert set(got) == set(per_n)
+    for n, (nb, m) in per_n.items():
+        r = got[n]
+        assert r.n_blocks == nb
+        assert abs(r.mean_ln_rs - m) < 1e-4
+        assert abs(r.hurst_h - h) < 1e-4
+    assert 0.0 < got[4].hurst_h < 1.2  # plausible Hurst range

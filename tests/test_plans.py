@@ -95,6 +95,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "tt_rolling_origin", "gr_rich_club",
                 # B x days literal resample lattice + 1-row m broadcast
                 "q_bootstrap_se",
+                # 3-row block-size lattice + 1-row regression fit cross
+                "q_hurst_exponent",
                 # intentional broadcast of a ONE-row scalar (corpus size /
                 # global hour bounds / max revenue / balance threshold /
                 # mixture normalizer)
