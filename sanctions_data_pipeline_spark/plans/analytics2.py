@@ -5292,3 +5292,145 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("n", "n_blocks",
                     F.round("mean_ln_rs", 6).alias("mean_ln_rs"),
                     F.round(h, 6).alias("hurst_h"))
+
+
+# ---------------------------------------------------------------------------
+# q_weibull_fit — Weibull-plot fit of the time-to-second-event
+# survival: regress ln(−ln S(t)) on ln t over q_kaplan_meier's curve
+# (0 < S < 1, t > 0) — slope = shape k (k<1 means the conversion
+# hazard decays: convert-early-or-never), scale λ = exp(−intercept/k).
+# Pure composition: the Spark side reuses the registered KM builder;
+# the oracle nests its SQL. Regression folds the bounded duration
+# grid in t order.
+# ---------------------------------------------------------------------------
+def _weibull_oracle() -> str:
+    from sanctions_data_pipeline_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH km AS ({REGISTRY['q_kaplan_meier'].oracle}),
+pts AS (
+  SELECT duration_days AS t,
+         ln(CAST(duration_days AS DOUBLE)) AS lx,
+         ln(-ln(survival)) AS ly
+  FROM km WHERE survival > 0 AND survival < 1 AND duration_days > 0
+),
+fit AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         list_aggregate(list_transform(list_sort(
+           list({{'i': t, 'v': lx}})), s -> s.v), 'sum') AS sx,
+         list_aggregate(list_transform(list_sort(
+           list({{'i': t, 'v': lx * lx}})), s -> s.v), 'sum') AS sxx,
+         list_aggregate(list_transform(list_sort(
+           list({{'i': t, 'v': ly}})), s -> s.v), 'sum') AS sy,
+         list_aggregate(list_transform(list_sort(
+           list({{'i': t, 'v': lx * ly}})), s -> s.v), 'sum') AS sxy
+  FROM pts
+)
+SELECT k AS n_points,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS shape_k,
+       round(exp(-((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+                   / k)
+                 / ((k * sxy - sx * sy) / (k * sxx - sx * sx))), 6)
+         AS scale_lambda
+FROM fit WHERE k > 1
+"""
+
+
+@register("q_weibull_fit", oracle=_weibull_oracle())
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.registry import REGISTRY
+
+    km = REGISTRY["q_kaplan_meier"].build(spark, sf_dir)
+    pts = (km.filter((F.col("survival") > 0) & (F.col("survival") < 1)
+                     & (F.col("duration_days") > 0))
+           .select(F.col("duration_days").alias("t"),
+                   F.log(F.col("duration_days").cast("double")).alias("lx"),
+                   F.log(-F.log("survival")).alias("ly")))
+
+    def fold(val_col):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("t").alias("i"), val_col.alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda a, v: a + v)
+
+    fit = pts.agg(
+        lcount("k"),
+        fold(F.col("lx")).alias("sx"),
+        fold(F.col("lx") * F.col("lx")).alias("sxx"),
+        fold(F.col("ly")).alias("sy"),
+        fold(F.col("lx") * F.col("ly")).alias("sxy"))
+    k = F.col("k").cast("double")
+    slope = ((k * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (k * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - slope * F.col("sx")) / k
+    return (fit.filter(F.col("k") > 1)
+            .select(F.col("k").alias("n_points"),
+                    F.round(slope, 6).alias("shape_k"),
+                    F.round(F.exp(-intercept / slope), 6)
+                    .alias("scale_lambda")))
+
+
+# ---------------------------------------------------------------------------
+# gr_degree_gini — Gini inequality of the co-purchase degree
+# distribution (0 = perfectly egalitarian graph, →1 = a few hubs own
+# every edge): the scalar next to gr_powerlaw_alpha's tail exponent
+# and gr_rich_club's curve. Exact rank-weighted integer sums over the
+# bounded node table (the q_gini_coefficient machinery on degrees).
+# ---------------------------------------------------------------------------
+_DEGREE_GINI_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_orderkey < 2000
+), e0 AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY node
+),
+r AS (
+  SELECT d, row_number() OVER (ORDER BY d, node) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(d) OVER () AS BIGINT) AS sd
+  FROM deg
+)
+SELECT CAST(max(n) AS BIGINT) AS n_nodes, CAST(max(sd) AS BIGINT) AS n_ends,
+       round((2.0 * CAST(sum(rk * d) AS DOUBLE)
+              - (CAST(max(n) AS DOUBLE) + 1.0) * CAST(max(sd) AS DOUBLE))
+             / (CAST(max(n) AS DOUBLE) * CAST(max(sd) AS DOUBLE)), 6)
+         AS degree_gini
+FROM r
+"""
+
+
+@register("gr_degree_gini", oracle=_DEGREE_GINI_ORACLE)
+def gr_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 2000)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct())
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select("o", F.col("p").alias("v"))
+    e0 = (a.join(b, "o").filter(F.col("u") < F.col("v"))
+          .select("u", "v").distinct())
+    deg = (e0.select(F.col("u").alias("node"))
+           .unionAll(e0.select(F.col("v").alias("node")))
+           .groupBy("node").agg(lcount("d")))
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = deg.select(
+        "d", F.row_number().over(W.orderBy("d", "node")).alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("d").over(wall).cast("bigint").alias("sd"))
+    s = r.agg(
+        F.max("n").cast("bigint").alias("n_nodes"),
+        F.max("sd").cast("bigint").alias("n_ends"),
+        F.sum(F.col("rk") * F.col("d")).cast("bigint").alias("rwd"))
+    n_d = F.col("n_nodes").cast("double")
+    sd_d = F.col("n_ends").cast("double")
+    return s.select(
+        "n_nodes", "n_ends",
+        F.round((F.lit(2.0) * F.col("rwd").cast("double")
+                 - (n_d + F.lit(1.0)) * sd_d) / (n_d * sd_d), 6)
+        .alias("degree_gini"))

@@ -2009,3 +2009,52 @@ def test_hurst_replay(spark, sf_dir):
         assert abs(r.mean_ln_rs - m) < 1e-4
         assert abs(r.hurst_h - h) < 1e-4
     assert 0.0 < got[4].hurst_h < 1.2  # plausible Hurst range
+
+
+def test_weibull_fit_composition(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_weibull_fit").collect()
+    km = _run(spark, sf_dir, "q_kaplan_meier").collect()
+    pts = [(math.log(r.duration_days), math.log(-math.log(r.survival)))
+           for r in km
+           if 0 < r.survival < 1 and r.duration_days > 0]
+    k = len(pts)
+    if k <= 1:  # smoke SF can leave <2 usable KM points -> empty fit
+        assert rows == []
+        return
+    got = rows[0]
+    sx = sum(x for x, _ in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    inter = (sy - slope * sx) / k
+    assert got.n_points == k
+    assert abs(got.shape_k - slope) < 1e-4
+    assert abs(got.scale_lambda - math.exp(-inter / slope)) < 1e-2
+    assert got.shape_k > 0 and got.scale_lambda > 0
+
+
+def test_degree_gini_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "gr_degree_gini").collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_orderkey < 2000").select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    vals = [d for _, d in sorted(deg.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, sd = len(vals), sum(vals)
+    rwd = sum((i + 1) * d for i, d in enumerate(vals))
+    gini = (2.0 * rwd - (n + 1) * sd) / (n * sd)
+    assert (got.n_nodes, got.n_ends) == (n, sd)
+    assert abs(got.degree_gini - gini) < 1e-6
+    assert 0.0 <= got.degree_gini < 1.0

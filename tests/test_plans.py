@@ -147,8 +147,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # one-row half-cutoff bounds broadcast
                 "q_segment_migration",
                 # bounded duration-grid prefix cross (KM product) +
-                # one-row horizon broadcast
-                "q_kaplan_meier",
+                # one-row horizon broadcast; the Weibull fit composes it
+                "q_kaplan_meier", "q_weibull_fit",
                 # same margin-lattice cross as q_chi_square
                 "q_cramers_v",
                 # one-row group-stats cross (click row x view row)
