@@ -5434,3 +5434,133 @@ def gr_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.lit(2.0) * F.col("rwd").cast("double")
                  - (n_d + F.lit(1.0)) * sd_d) / (n_d * sd_d), 6)
         .alias("degree_gini"))
+
+
+# ---------------------------------------------------------------------------
+# q_nbinom_fit — method-of-moments negative-binomial fit of the daily
+# count series (the distribution you reach for when
+# q_poisson_dispersion says variance > mean): r = μ²/(σ²−μ),
+# p = μ/σ². Exact integer moment sums; one closed-form double tree;
+# NULL parameters when the series is NOT overdispersed (σ² ≤ μ, where
+# the NB degenerates).
+# ---------------------------------------------------------------------------
+_NBINOM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily
+)
+SELECT m,
+       round(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mean,
+       round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              / CAST(m AS DOUBLE)) / CAST(m AS DOUBLE), 6) AS variance,
+       CASE WHEN (CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(m AS DOUBLE)) / CAST(m AS DOUBLE)
+                 > CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)
+            THEN round((CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                       / ((CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                             / CAST(m AS DOUBLE)) / CAST(m AS DOUBLE)
+                          - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)), 6)
+       END AS nb_r,
+       CASE WHEN (CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(m AS DOUBLE)) / CAST(m AS DOUBLE)
+                 > CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)
+            THEN round((CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                       / ((CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                             / CAST(m AS DOUBLE)) / CAST(m AS DOUBLE)), 6)
+       END AS nb_p
+FROM s
+"""
+
+
+@register("q_nbinom_fit", oracle=_NBINOM_ORACLE)
+def q_nbinom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                                / F.lit(86400000000)).cast("bigint")
+                        .alias("i"))
+             .agg(lcount("x")))
+    s = daily.agg(lcount("m"),
+                  F.sum("x").cast("bigint").alias("sx"),
+                  F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"))
+    m_d = F.col("m").cast("double")
+    mu = F.col("sx").cast("double") / m_d
+    var = (F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double") / m_d) \
+        / m_d
+    return s.select(
+        "m", F.round(mu, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.when(var > mu, F.round(mu * mu / (var - mu), 6)).alias("nb_r"),
+        F.when(var > mu, F.round(mu / var, 6)).alias("nb_p"))
+
+
+# ---------------------------------------------------------------------------
+# q_record_days — record-tracking over the daily count series: each
+# day flagged if it sets a new all-time high, with the running record
+# and days-since-last-record (for an i.i.d. series the k-th day is a
+# record with probability 1/k — clustering of records is itself a
+# trend signal). One lag-free running-max window, exact integers.
+# ---------------------------------------------------------------------------
+_RECORD_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT i, day, x,
+         max(x) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM daily
+),
+flagged AS (
+  SELECT i, day, x,
+         CASE WHEN prev_max IS NULL OR x > prev_max THEN 1 ELSE 0 END
+           AS is_record,
+         CAST(greatest(x, coalesce(prev_max, x)) AS BIGINT) AS running_max
+  FROM r
+)
+SELECT day, x, is_record, running_max,
+       CAST(i - max(CASE WHEN is_record = 1 THEN i END)
+                OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS days_since_record
+FROM flagged
+"""
+
+
+@register("q_record_days", oracle=_RECORD_ORACLE)
+def q_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                / F.lit(86400000000)).cast("bigint").alias("i"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(lcount("x")))
+    wprev = W.orderBy("i").rowsBetween(W.unboundedPreceding, -1)
+    r = daily.select(
+        "i", "day", "x", F.max("x").over(wprev).alias("prev_max"))
+    flagged = r.select(
+        "i", "day", "x",
+        F.when(F.col("prev_max").isNull()
+               | (F.col("x") > F.col("prev_max")), 1).otherwise(0)
+        .alias("is_record"),
+        F.greatest(F.col("x"), F.coalesce("prev_max", F.col("x")))
+        .cast("bigint").alias("running_max"))
+    wrun = W.orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    return flagged.select(
+        "day", "x", "is_record", "running_max",
+        (F.col("i") - F.max(F.when(F.col("is_record") == 1, F.col("i")))
+         .over(wrun)).cast("bigint").alias("days_since_record"))

@@ -2058,3 +2058,45 @@ def test_degree_gini_replay(spark, sf_dir):
     assert (got.n_nodes, got.n_ends) == (n, sd)
     assert abs(got.degree_gini - gini) < 1e-6
     assert 0.0 <= got.degree_gini < 1.0
+
+
+def test_nbinom_fit_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_nbinom_fit").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    xs = list(daily.values())
+    m = len(xs)
+    mu = sum(xs) / m
+    var = (sum(x * x for x in xs) - sum(xs) ** 2 / m) / m
+    assert got.m == m
+    assert abs(got.mean - mu) < 1e-5
+    assert abs(got.variance - var) < 1e-3
+    if var > mu:
+        assert abs(got.nb_r - mu * mu / (var - mu)) < 1e-2
+        assert abs(got.nb_p - mu / var) < 1e-5
+        assert 0.0 < got.nb_p < 1.0
+    else:
+        assert got.nb_r is None and got.nb_p is None
+
+
+def test_record_days_replay(spark, sf_dir):
+    got = {r.day: r for r in _run(spark, sf_dir, "q_record_days").collect()}
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    days = sorted(daily)
+    run_max, last_rec = None, None
+    for d in days:
+        x = daily[d]
+        is_rec = run_max is None or x > run_max
+        run_max = x if run_max is None else max(run_max, x)
+        if is_rec:
+            last_rec = d
+        r = got[d.isoformat()]
+        assert (r.x, r.is_record, r.running_max) == (x, int(is_rec), run_max)
+        assert r.days_since_record == (d - last_rec).days
+    # day 1 is always a record
+    assert got[days[0].isoformat()].is_record == 1
