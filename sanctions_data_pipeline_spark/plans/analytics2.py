@@ -5564,3 +5564,130 @@ def q_record_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "x", "is_record", "running_max",
         (F.col("i") - F.max(F.when(F.col("is_record") == 1, F.col("i")))
          .over(wrun)).cast("bigint").alias("days_since_record"))
+
+
+# ---------------------------------------------------------------------------
+# q_seasonal_mann_kendall — the seasonal Mann-Kendall trend test:
+# MK sign statistics computed WITHIN each ISO weekday (so the weekly
+# cycle can't masquerade as trend), S and Var(S) summed across
+# seasons, one pooled z. The correct replacement for q_mann_kendall
+# whenever q_friedman_test / q_weekday_seasonality find a dow effect.
+# Day×day sign pairs stay bounded AND shrink 7× (same-dow only).
+# ---------------------------------------------------------------------------
+_SMK_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(isodow(ts) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.dow,
+         CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_g,
+         CAST(count(DISTINCT a.i) AS BIGINT) AS m_g
+  FROM daily a JOIN daily b ON a.dow = b.dow AND a.i < b.i
+  GROUP BY a.dow
+),
+m AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS m_all FROM daily GROUP BY dow
+),
+g AS (
+  SELECT m.dow, coalesce(s.s_g, 0) AS s_g, m.m_all AS m_g
+  FROM m LEFT JOIN s ON s.dow = m.dow
+),
+tot AS (
+  SELECT CAST(sum(s_g) AS BIGINT) AS s_total,
+         list_aggregate(list_transform(list_sort(
+           list({'i': dow,
+                 'v': CAST(m_g AS DOUBLE) * (CAST(m_g AS DOUBLE) - 1.0)
+                      * (2.0 * CAST(m_g AS DOUBLE) + 5.0) / 18.0})),
+           u -> u.v), 'sum') AS var_s
+  FROM g
+)
+SELECT s_total, round(var_s, 6) AS var_s,
+       round(CASE WHEN s_total > 0
+                  THEN (CAST(s_total AS DOUBLE) - 1.0) / sqrt(var_s)
+                  WHEN s_total < 0
+                  THEN (CAST(s_total AS DOUBLE) + 1.0) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z
+FROM tot
+"""
+
+
+@register("q_seasonal_mann_kendall", oracle=_SMK_ORACLE)
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                / F.lit(86400000000)).cast("bigint").alias("i"),
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"))
+        .agg(lcount("x")))
+    b = daily.select(F.col("dow").alias("dow2"), F.col("i").alias("i2"),
+                     F.col("x").alias("x2"))
+    s = (daily.join(b, (F.col("dow") == F.col("dow2"))
+                    & (F.col("i") < F.col("i2")))
+         .groupBy("dow")
+         .agg(F.sum(F.when(F.col("x2") > F.col("x"), 1)
+                    .when(F.col("x2") < F.col("x"), -1)
+                    .otherwise(0)).cast("bigint").alias("s_g")))
+    m = daily.groupBy("dow").agg(lcount("m_g"))
+    g = m.join(s, "dow", "left").select(
+        "dow", F.coalesce("s_g", F.lit(0)).cast("bigint").alias("s_g"),
+        "m_g")
+    m_d = F.col("m_g").cast("double")
+    var_term = m_d * (m_d - 1.0) * (2.0 * m_d + 5.0) / 18.0
+    tot = g.agg(
+        F.sum("s_g").cast("bigint").alias("s_total"),
+        F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("dow").alias("i"), var_term.alias("v")))),
+                lambda u: u["v"]),
+            F.lit(0.0), lambda a, v: a + v).alias("var_s"))
+    st = F.col("s_total").cast("double")
+    z = (F.when(F.col("s_total") > 0, (st - 1.0) / F.sqrt(F.col("var_s")))
+         .when(F.col("s_total") < 0, (st + 1.0) / F.sqrt(F.col("var_s")))
+         .otherwise(F.lit(0.0)))
+    return tot.select("s_total", F.round("var_s", 6).alias("var_s"),
+                      F.round(z, 6).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# dq_table_manifest — cross-environment data-integrity manifest: for
+# every table, the exact row count and an order-independent XOR
+# checksum of md5(primary id) — two environments holding the same
+# data produce byte-identical manifests regardless of partitioning
+# (XOR is commutative, associative, and overflow-free; the pattern a
+# migration signs off on). One scan per table, no shuffle beyond a
+# single agg each.
+# ---------------------------------------------------------------------------
+_MANIFEST_KEYS = (
+    ("region", "r_regionkey"), ("nation", "n_nationkey"),
+    ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+    ("part", "p_partkey"), ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey * 10 + l_linenumber"),
+    ("events", "event_id"), ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+)
+
+_MANIFEST_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 13))
+                         AS BIGINT)) AS BIGINT) AS key_checksum
+FROM {t}"""
+    for t, k in _MANIFEST_KEYS)
+
+
+@register("dq_table_manifest", oracle=_MANIFEST_ORACLE)
+def dq_table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, k in _MANIFEST_KEYS:
+        df = load_table(spark, sf_dir, t)
+        part = df.select(F.expr(k).cast("string").alias("key")).agg(
+            lcount("n_rows"),
+            F.bit_xor(F.conv(F.substring(F.md5(F.col("key")), 1, 13),
+                             16, 10).cast("bigint")).cast("bigint")
+            .alias("key_checksum")).select(
+            F.lit(t).alias("table_name"), "n_rows", "key_checksum")
+        out = part if out is None else out.unionByName(part)
+    return out

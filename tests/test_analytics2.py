@@ -2100,3 +2100,53 @@ def test_record_days_replay(spark, sf_dir):
         assert r.days_since_record == (d - last_rec).days
     # day 1 is always a record
     assert got[days[0].isoformat()].is_record == 1
+
+
+def test_seasonal_mann_kendall_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_seasonal_mann_kendall").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += 1
+    by_dow = defaultdict(list)
+    for d in sorted(daily):
+        by_dow[d.isoweekday()].append(daily[d])
+
+    def sgn(a):
+        return (a > 0) - (a < 0)
+
+    s_total, var_s = 0, 0.0
+    for dw in sorted(by_dow):
+        xs = by_dow[dw]
+        m = len(xs)
+        s_total += sum(sgn(xs[j] - xs[i])
+                       for i in range(m) for j in range(i + 1, m))
+        var_s += m * (m - 1) * (2 * m + 5) / 18.0
+    z = ((s_total - 1) / math.sqrt(var_s) if s_total > 0
+         else (s_total + 1) / math.sqrt(var_s) if s_total < 0 else 0.0)
+    assert got.s_total == s_total
+    assert abs(got.var_s - var_s) < 1e-3
+    assert abs(got.z - z) < 1e-5
+
+
+def test_table_manifest_replay(spark, sf_dir):
+    import hashlib
+    got = {r.table_name: r for r in
+           _run(spark, sf_dir, "dq_table_manifest").collect()}
+    assert len(got) == 10
+    # spot-replay three tables end-to-end
+    for t, key_fn in (
+            ("region", lambda r: str(r.r_regionkey)),
+            ("documents", lambda r: str(r.doc_id)),
+            ("lineitem", lambda r: str(r.l_orderkey * 10
+                                       + r.l_linenumber))):
+        rows = load_table(spark, sf_dir, t).collect()
+        acc = 0
+        for r in rows:
+            acc ^= int(hashlib.md5(key_fn(r).encode()).hexdigest()[:13], 16)
+        assert got[t].n_rows == len(rows)
+        assert got[t].key_checksum == acc
+    # manifest must be invariant to partitioning: re-run and compare
+    again = {r.table_name: (r.n_rows, r.key_checksum) for r in
+             _run(spark, sf_dir, "dq_table_manifest").collect()}
+    assert again == {t: (r.n_rows, r.key_checksum) for t, r in got.items()}
