@@ -5691,3 +5691,72 @@ def dq_table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(t).alias("table_name"), "n_rows", "key_checksum")
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_dormancy_timeline — how many users are dormant each day (no event
+# for ≥2 days, before their next return; threshold scaled to this
+# corpus's 30-day span — parameterize in production): each qualifying
+# inter-event gap (and each tail gap to the horizon) contributes a
+# dormancy interval [last_day+2, next_day); the per-day census is the same
+# +1/−1 sweep as q_concurrency_profile — O(gaps) work, never the
+# user×day cross a naive per-day scan would cost. The population-level
+# rollup of q_dormancy_reactivation's per-user episodes.
+# ---------------------------------------------------------------------------
+_DORMANCY_TL_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS d
+  FROM events GROUP BY 1, 2
+),
+h AS (SELECT CAST(max(d) AS BIGINT) + 1 AS horizon FROM e),
+gaps AS (
+  SELECT user_id, d AS last_d,
+         coalesce(lead(d) OVER (PARTITION BY user_id ORDER BY d),
+                  (SELECT horizon FROM h)) AS next_d
+  FROM e
+),
+iv AS (
+  SELECT last_d + 2 AS s, next_d AS t
+  FROM gaps WHERE next_d - last_d >= 2 AND last_d + 2 < next_d
+),
+pts AS (
+  SELECT s AS d, 1 AS delta FROM iv
+  UNION ALL
+  SELECT t, -1 FROM iv
+),
+run AS (
+  SELECT d, CAST(sum(sum(delta)) OVER (ORDER BY d
+                                       ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS n_dormant
+  FROM pts GROUP BY d
+)
+SELECT d AS day_index, n_dormant FROM run
+"""
+
+
+@register("q_dormancy_timeline", oracle=_DORMANCY_TL_ORACLE)
+def q_dormancy_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                  / F.lit(86400000000)).cast("bigint")
+    e = ev.select("user_id", day.alias("d")).distinct()
+    h = e.agg((F.max("d") + 1).cast("bigint").alias("horizon"))
+    gaps = e.crossJoin(F.broadcast(h)).select(
+        "user_id", F.col("d").alias("last_d"),
+        F.coalesce(
+            F.lead("d").over(W.partitionBy("user_id").orderBy("d")),
+            F.col("horizon")).alias("next_d"))
+    iv = (gaps.filter((F.col("next_d") - F.col("last_d") >= 2)
+                      & (F.col("last_d") + 2 < F.col("next_d")))
+          .select((F.col("last_d") + 2).alias("s"),
+                  F.col("next_d").alias("t")))
+    pts = (iv.select(F.col("s").alias("d"), F.lit(1).alias("delta"))
+           .unionByName(iv.select(F.col("t").alias("d"),
+                                  F.lit(-1).alias("delta"))))
+    per_day = pts.groupBy("d").agg(F.sum("delta").alias("dsum"))
+    run = per_day.select(
+        F.col("d").alias("day_index"),
+        F.sum("dsum").over(W.orderBy("d").rowsBetween(
+            W.unboundedPreceding, 0)).cast("bigint").alias("n_dormant"))
+    return run

@@ -2150,3 +2150,37 @@ def test_table_manifest_replay(spark, sf_dir):
     again = {r.table_name: (r.n_rows, r.key_checksum) for r in
              _run(spark, sf_dir, "dq_table_manifest").collect()}
     assert again == {t: (r.n_rows, r.key_checksum) for t, r in got.items()}
+
+
+def test_dormancy_timeline_replay(spark, sf_dir):
+    got = {r.day_index: r.n_dormant for r in
+           _run(spark, sf_dir, "q_dormancy_timeline").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts").collect()
+    from datetime import date, timezone
+    epoch = date(1970, 1, 1).toordinal()
+    days_by_user = defaultdict(set)
+    horizon = 0
+    for r in ev:
+        d = r.ts.date().toordinal() - epoch  # epoch-day, matches the op
+        days_by_user[r.user_id].add(d)
+        horizon = max(horizon, d)
+    horizon += 1
+    deltas = defaultdict(int)
+    for u, ds in days_by_user.items():
+        seq = sorted(ds) + [None]
+        for a, b in zip(seq, seq[1:]):
+            nxt = b if b is not None else horizon
+            if nxt - a >= 2 and a + 2 < nxt:
+                deltas[a + 2] += 1
+                deltas[nxt] -= 1
+    want = {}
+    acc = 0
+    for d in sorted(deltas):
+        acc += deltas[d]
+        want[d] = acc
+    assert got == want
+    assert len(want) > 0  # non-vacuous on the synthetic corpus
+    # census never negative and ends at zero
+    assert all(v >= 0 for v in got.values())
+    assert want[max(want)] == 0

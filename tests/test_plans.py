@@ -146,6 +146,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_forecast_backtest",
                 # one-row half-cutoff bounds broadcast
                 "q_segment_migration",
+                # one-row horizon broadcast for tail-gap intervals
+                "q_dormancy_timeline",
                 # bounded duration-grid prefix cross (KM product) +
                 # one-row horizon broadcast; the Weibull fit composes it
                 "q_kaplan_meier", "q_weibull_fit",
