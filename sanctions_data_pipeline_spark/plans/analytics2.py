@@ -5760,3 +5760,65 @@ def q_dormancy_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dsum").over(W.orderBy("d").rowsBetween(
             W.unboundedPreceding, 0)).cast("bigint").alias("n_dormant"))
     return run
+
+
+# ---------------------------------------------------------------------------
+# q_top_share — revenue concentration headlines: the share of total
+# customer spend held by the top 1% / 5% / 10% / 20% of customers
+# (the numbers executives quote; q_lorenz_deciles/q_gini_coefficient
+# give the full curve and scalar, this gives the quotable cut
+# points). Exact x4 spend, rank thresholds via ceil(n·pct), shares
+# as exact-bigint ratios.
+# ---------------------------------------------------------------------------
+_TOP_SHARE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS x4
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT x4, row_number() OVER (ORDER BY x4 DESC, o_custkey) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(x4) OVER () AS BIGINT) AS tot4
+  FROM spend
+),
+p AS (SELECT unnest([1, 5, 10, 20]) AS pct)
+SELECT pct,
+       CAST(ceil(CAST(max(n) AS DOUBLE) * pct / 100.0) AS BIGINT)
+         AS n_top_customers,
+       CAST(sum(CASE WHEN rk <= ceil(CAST(n AS DOUBLE) * pct / 100.0)
+                     THEN x4 ELSE 0 END) AS BIGINT) / 10000.0 AS top_spend,
+       round(CAST(CAST(sum(CASE WHEN rk <= ceil(CAST(n AS DOUBLE)
+                                                * pct / 100.0)
+                                THEN x4 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(max(tot4) AS DOUBLE), 6) AS share
+FROM p JOIN r ON true
+GROUP BY pct
+"""
+
+
+@register("q_top_share", oracle=_TOP_SHARE_ORACLE)
+def q_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 4)
+         * 10000).cast("bigint").alias("x4"))
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = spend.select(
+        "x4",
+        F.row_number().over(W.orderBy(F.desc("x4"), "o_custkey"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("x4").over(wall).cast("bigint").alias("tot4"))
+    p = spark.createDataFrame([(1,), (5,), (10,), (20,)], "pct long")
+    j = F.broadcast(p).join(r, F.lit(True))
+    thresh = F.ceil(F.col("n").cast("double") * F.col("pct") / 100.0)
+    top4 = F.sum(F.when(F.col("rk") <= thresh, F.col("x4")).otherwise(0)) \
+        .cast("bigint")
+    return j.groupBy("pct").agg(
+        F.ceil(F.max("n").cast("double") * F.first("pct") / 100.0)
+        .cast("bigint").alias("n_top_customers"),
+        (top4 / F.lit(10000.0)).alias("top_spend"),
+        F.round(top4.cast("double") / F.max("tot4").cast("double"), 6)
+        .alias("share"))

@@ -2184,3 +2184,28 @@ def test_dormancy_timeline_replay(spark, sf_dir):
     # census never negative and ends at zero
     assert all(v >= 0 for v in got.values())
     assert want[max(want)] == 0
+
+
+def test_top_share_replay(spark, sf_dir):
+    got = {r.pct: r for r in _run(spark, sf_dir, "q_top_share").collect()}
+    orders = load_table(spark, sf_dir, "orders").collect()
+    spend = defaultdict(int)
+    for r in orders:
+        spend[r.o_custkey] += int(
+            Decimal(str(r.o_totalprice)).quantize(Decimal("0.0001"))
+            * 10000)
+    ranked = sorted(spend.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(ranked)
+    tot = sum(v for _, v in ranked)
+    prev_share = 0.0
+    for pct in (1, 5, 10, 20):
+        k = math.ceil(n * pct / 100.0)
+        top = sum(v for _, v in ranked[:k])
+        r = got[pct]
+        assert r.n_top_customers == k
+        assert r.top_spend == top / 10000.0
+        assert abs(r.share - top / tot) < 1e-6
+        # concentration: share grows with pct but stays >= pct/100
+        assert r.share >= prev_share
+        assert r.share >= pct / 100.0 - 1e-9
+        prev_share = r.share

@@ -97,6 +97,8 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_bootstrap_se",
                 # 3-row block-size lattice + 1-row regression fit cross
                 "q_hurst_exponent",
+                # 4-row percentile lattice crossed with ranked spend
+                "q_top_share",
                 # intentional broadcast of a ONE-row scalar (corpus size /
                 # global hour bounds / max revenue / balance threshold /
                 # mixture normalizer)
