@@ -5822,3 +5822,66 @@ def q_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (top4 / F.lit(10000.0)).alias("top_spend"),
         F.round(top4.cast("double") / F.max("tot4").cast("double"), 6)
         .alias("share"))
+
+
+# ---------------------------------------------------------------------------
+# emb_knn_accuracy — leave-one-out k-NN classification quality of the
+# label space: each vector votes among its exact 3 nearest neighbors'
+# labels (majority, ties → smaller label), and the output is the
+# per-label confusion-diagonal accuracy. The local-geometry
+# counterpart to emb_centroid_classify's global prototypes — composed
+# directly over the registered emb_knn_graph (training_data.py:1474);
+# the oracle nests its SQL.
+# ---------------------------------------------------------------------------
+def _knn_accuracy_oracle() -> str:
+    from sanctions_data_pipeline_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH knn AS ({REGISTRY['emb_knn_graph'].oracle}),
+lab AS (SELECT vec_id, label FROM embeddings),
+votes AS (
+  SELECT knn.src_id, nl.label AS cand,
+         CAST(count(*) AS BIGINT) AS n_votes
+  FROM knn JOIN lab nl ON nl.vec_id = knn.dst_id
+  GROUP BY knn.src_id, nl.label
+),
+pred AS (
+  SELECT src_id, cand AS predicted,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY n_votes DESC, cand) AS rk
+  FROM votes
+)
+SELECT sl.label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pred.predicted = sl.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN pred.predicted = sl.label THEN 1 ELSE 0 END)
+                  AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM pred JOIN lab sl ON sl.vec_id = pred.src_id
+WHERE pred.rk = 1
+GROUP BY sl.label
+"""
+
+
+@register("emb_knn_accuracy", oracle=_knn_accuracy_oracle())
+def emb_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.registry import REGISTRY
+
+    knn = REGISTRY["emb_knn_graph"].build(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    nl = lab.select(F.col("vec_id").alias("dst_id"),
+                    F.col("label").alias("cand"))
+    votes = (knn.join(F.broadcast(nl), "dst_id")
+             .groupBy("src_id", "cand").agg(lcount("n_votes")))
+    pred = (votes.withColumn("rk", F.row_number().over(
+        W.partitionBy("src_id").orderBy(F.desc("n_votes"), "cand")))
+        .filter(F.col("rk") == 1)
+        .select("src_id", F.col("cand").alias("predicted")))
+    sl = lab.select(F.col("vec_id").alias("src_id"), "label")
+    j = pred.join(F.broadcast(sl), "src_id")
+    return j.groupBy("label").agg(
+        lcount("n"),
+        F.sum(F.when(F.col("predicted") == F.col("label"), 1).otherwise(0))
+        .cast("bigint").alias("n_correct"),
+        F.round(F.sum(F.when(F.col("predicted") == F.col("label"), 1)
+                      .otherwise(0)).cast("bigint")
+                / F.count(F.lit(1)).cast("double"), 6).alias("accuracy"))

@@ -2209,3 +2209,25 @@ def test_top_share_replay(spark, sf_dir):
         assert r.share >= prev_share
         assert r.share >= pct / 100.0 - 1e-9
         prev_share = r.share
+
+
+def test_knn_accuracy_composition(spark, sf_dir):
+    got = {r.label: r for r in
+           _run(spark, sf_dir, "emb_knn_accuracy").collect()}
+    knn = _run(spark, sf_dir, "emb_knn_graph").collect()
+    lab = {r.vec_id: r.label for r in
+           load_table(spark, sf_dir, "embeddings").collect()}
+    votes = defaultdict(lambda: defaultdict(int))
+    for e in knn:
+        votes[e.src_id][lab[e.dst_id]] += 1
+    per_label = defaultdict(lambda: [0, 0])
+    for src, vs in votes.items():
+        pred = min(vs, key=lambda c: (-vs[c], c))
+        d = per_label[lab[src]]
+        d[0] += 1
+        d[1] += pred == lab[src]
+    assert len(got) == len(per_label)
+    for label, (n, ok) in per_label.items():
+        r = got[label]
+        assert (r.n, r.n_correct) == (n, ok)
+        assert abs(r.accuracy - ok / n) < 1e-6

@@ -70,8 +70,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "sim_ann_hamming",
                 "q_range_join", "q_asof_join",
                 # intentional broadcast scoring joins: radius query and
-                # the exact kNN-graph baseline (blocked form is equi)
-                "sim_range_search", "emb_knn_graph",
+                # the exact kNN-graph baseline (blocked form is equi);
+                # the kNN classifier composes the same baseline
+                "sim_range_search", "emb_knn_graph", "emb_knn_accuracy",
                 # one-row corpus-total broadcast
                 "corpus_report", "tok_vocab", "q_sketch_merge",
                 "q_benford_check", "q_funnel_ttc", "q_pareto_abc",
