@@ -1976,9 +1976,16 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # treating event_id order as arrival order, lateness = high-water-mark
 # ts seen so far minus this event's ts. Emits the per-hour-of-lateness
 # histogram with cumulative coverage — "a 2h watermark keeps 99.3% of
-# events" reads straight off cum_share. One global window over
-# (event_id, µs) pairs; at scale, partition by arrival shard and merge
-# histograms (the histogram agg is associative).
+# events" reads straight off cum_share.
+#
+# Sharded prefix-max (the scale plan, implemented): events are
+# range-sharded on event_id (order-preserving: every id in shard i
+# precedes shard i+1), the running max is windowed PER SHARD, and the
+# cross-shard carry-in is a prefix max over the tiny per-shard-max
+# table (n_shards rows), broadcast back. hwm = greatest(local running
+# max, carry-in) — identical values to the global window, but the big
+# sort is n_shards-way parallel instead of single-partition. Driver
+# state is two longs (min/max event_id).
 # ---------------------------------------------------------------------------
 _LATENESS_ORACLE = """
 WITH a AS (
@@ -2006,11 +2013,29 @@ FROM h
 @register("q_lateness_profile", oracle=_LATENESS_ORACLE)
 def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    a = ev.select(
+    # Bounded driver state: two longs fixing the event_id range, so the
+    # shard key is a pure order-preserving function of event_id.
+    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    n_shards = 32
+    width = max(1, (int(mx) - int(mn)) // n_shards + 1)
+    e = ev.select(
         "event_id", F.unix_micros("ts").alias("us"),
-        F.max(F.unix_micros("ts")).over(
-            W.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0))
-        .alias("hwm"))
+        ((F.col("event_id") - F.lit(int(mn))) / F.lit(width))
+        .cast("bigint").alias("shard"))
+    local = e.withColumn(
+        "local_hwm",
+        F.max("us").over(
+            W.partitionBy("shard").orderBy("event_id")
+            .rowsBetween(W.unboundedPreceding, 0)))
+    # n_shards-row rollup: carry-in for shard i = max us of shards < i.
+    carry = (e.groupBy("shard").agg(F.max("us").alias("shard_max"))
+             .select("shard",
+                     F.max("shard_max").over(
+                         W.orderBy("shard")
+                         .rowsBetween(W.unboundedPreceding, -1))
+                     .alias("carry_hwm")))
+    a = local.join(F.broadcast(carry), "shard").select(
+        "us", F.greatest("local_hwm", "carry_hwm").alias("hwm"))
     lh = a.select(
         F.floor((F.col("hwm") - F.col("us")) / F.lit(3600000000.0))
         .cast("bigint").alias("late_hours"))

@@ -141,29 +141,83 @@ _R03_CHECKED = frozenset({
 
 _DRIVER_CHECKED = _DRIVER_CHECKED | _R03_CHECKED
 
-# Explicit priority for the round-4 driver 50-entry correctness window:
-# 50 never-driver-checked SQL-oracled entries — the remaining
-# embedding/similarity/graph/split/eval families from rounds 1-2 plus the
-# round-3 additions. Names absent from the registry are skipped; unlisted
-# unchecked names follow in registration order (they form the round-5
-# window alongside the rows-only ops).
-_ORACLE_PRIORITY = (
-    # embeddings / corpus / splits (round-1/2 era, never driver-checked)
+# Queries the round-4 driver hash-verified (CORRECTNESS_r04.json: 50/50
+# green — the embedding/similarity/graph/split/eval window).
+_R04_CHECKED = frozenset({
     "emb_centroid", "emb_quantize", "corpus_e2e", "corpus_report",
     "tt_leakage_check", "emb_outliers", "sim_range_search", "emb_knn_graph",
     "dd_dup_regions", "dd_containment", "gr_triangle_count", "tok_vocab",
     "sim_recall_eval", "tt_stratified_split", "ml_naive_bayes",
     "emb_matryoshka_eval", "pr_item_cosine", "dd_lsh_tuning",
     "dd_threshold_sweep", "sim_maxsim", "sim_hard_negatives", "dd_winnow",
-    "gr_link_predict", "tt_kfold", "dd_dup_stats",
-    # round-3 additions with oracles
-    "tx_gopher_rules", "dd_soft_dedup", "tt_dedup_aware_split", "gr_pagerank",
-    "dd_line_dedup", "tx_bm25", "sim_rrf_fusion", "sim_ann_hamming",
-    "dp_sft_format", "tx_ccnet_buckets", "dp_fim_transform",
-    "tt_bloom_contamination", "gr_hits", "q_attribution", "tx_html_strip",
-    "q_time_weighted_avg", "q_ohlc_bars", "dq_k_anonymity",
-    "mix_ccnet_sampling", "gr_kcore", "s_aml_structuring", "q_benford_check",
-    "tx_zipf_fit", "tx_readability", "gr_assortativity",
+    "gr_link_predict", "tt_kfold", "dd_dup_stats", "tx_gopher_rules",
+    "dd_soft_dedup", "tt_dedup_aware_split", "gr_pagerank", "dd_line_dedup",
+    "tx_bm25", "sim_rrf_fusion", "sim_ann_hamming", "dp_sft_format",
+    "tx_ccnet_buckets", "dp_fim_transform", "tt_bloom_contamination",
+    "gr_hits", "q_attribution", "tx_html_strip", "q_time_weighted_avg",
+    "q_ohlc_bars", "dq_k_anonymity", "mix_ccnet_sampling", "gr_kcore",
+    "s_aml_structuring", "q_benford_check", "tx_zipf_fit", "tx_readability",
+    "gr_assortativity",
+})
+
+_DRIVER_CHECKED = _DRIVER_CHECKED | _R04_CHECKED
+
+# Explicit priority for the round-5 driver 50-entry correctness window:
+# 50 never-driver-checked SQL-oracled entries, oldest stragglers first
+# (round-2/3-era streaming/sanctions/funnel/dedup ops), then a
+# family-diverse slice of the round-4-era analytics pool. Names absent
+# from the registry are skipped; unlisted unchecked names follow in
+# registration order.
+#
+# Rotation plan for the remaining never-checked oracled pool (87 after
+# this window) — rounds 6 and 7 are mechanical: move the corresponding
+# block below into _ORACLE_PRIORITY and fold this window into
+# _R05_CHECKED.
+#
+# ROUND-6 WINDOW (next 50, in order):
+#   q_seasonal_decompose tx_lexical_diversity q_bollinger_bands
+#   q_drawdown q_rsi q_spearman_corr tt_reservoir_sample
+#   q_interevent_stats q_user_entropy tx_bigram_pmi io_orc_roundtrip
+#   q_pettitt_test s_round_amount_bias q_business_days emb_norm_stats
+#   sim_cosine_histogram q_quantile_bins q_poisson_dispersion
+#   gr_transitivity tok_oov_rate pr_user_recs io_schema_evolution
+#   q_grubbs_test q_hourly_heatmap q_asof_nearest q_concurrency_profile
+#   tt_temporal_split tx_boilerplate q_durbin_watson q_rolling_mad
+#   q_theil_sen sim_threshold_eval emb_centroid_classify
+#   q_lateness_profile sim_roc_auc q_growth_accounting st_hourly_heatmap
+#   dq_psi_drift q_event_study q_ols_trend s_duplicate_payments
+#   q_activity_distribution gr_powerlaw_alpha tx_keyness
+#   q_price_volume_mix q_kaplan_meier q_waterfall_decomp emb_dim_variance
+#   q_seasonality_strength q_basket_profile
+# ROUND-7 WINDOW (final 37 + re-greens as padding):
+#   q_price_dispersion tok_vocab_overlap q_mann_whitney q_friedman_test
+#   sim_avg_precision q_control_chart q_rolling_corr q_cumulative_unique
+#   q_stickiness emb_davies_bouldin q_conversion_latency q_holiday_lift
+#   s_risk_scorecard q_trade_balance q_sla_attainment q_odds_ratio
+#   dp_pack_efficiency tt_rolling_origin gr_rich_club q_forecast_backtest
+#   q_bootstrap_se gr_temporal_density q_mantel_haenszel
+#   emb_alignment_uniformity io_jsonl_quarantine q_discount_response
+#   q_segment_migration q_hurst_exponent q_weibull_fit gr_degree_gini
+#   q_nbinom_fit q_record_days q_seasonal_mann_kendall dq_table_manifest
+#   q_dormancy_timeline q_top_share emb_knn_accuracy
+_ORACLE_PRIORITY = (
+    # round-2/3-era stragglers, never driver-checked
+    "st_scd2_lookup", "st_anomaly", "st_topk_trending", "s_velocity_check",
+    "q_funnel_ttc", "dp_rendezvous_shards", "tx_heaps_fit",
+    "dd_sorted_neighborhood", "tx_burstiness", "q_pareto_abc",
+    "q_market_basket", "q_rfm_segmentation", "q_cohort_ltv",
+    "gr_local_clustering", "q_cep_pattern", "q_skyline", "q_path_analysis",
+    "sim_ndcg_eval", "q_ab_ztest", "q_dormancy_reactivation",
+    "q_gini_coefficient", "q_weekday_seasonality",
+    # round-4-era analytics pool, family-diverse slice
+    "q_lorenz_deciles", "q_hhi_concentration", "q_chi_square", "q_anova_f",
+    "q_zscore_outliers", "q_winsorize", "q_islands_streaks",
+    "q_listagg_nations", "dq_referential", "tx_code_detect", "dp_span_mask",
+    "sim_reciprocal_nn", "gr_degree_stats", "tx_sentence_stats",
+    "tok_char_coverage", "io_jsonl_roundtrip", "io_partitioned_pruned",
+    "q_mann_kendall", "q_acf", "q_ks_test", "q_theil_index", "dq_uniqueness",
+    "q_runs_test", "q_cramers_v", "q_welch_ttest", "sim_mrr_eval",
+    "q_levene_test", "io_csv_roundtrip",
 )
 
 

@@ -788,6 +788,52 @@ def test_lateness_profile_replay(spark, sf_dir):
         assert abs(got[k].cum_share - cum / tot) < 1e-6
 
 
+def test_lateness_profile_out_of_order_carry(spark, tmp_path):
+    """The sf events table is fully in-order (every lateness is 0), so
+    the oracle can't see the sharded high-water-mark logic. Build a
+    synthetic stream whose global max arrives in the FIRST id-shard
+    (n_shards=32, width 7 for 200 ids) so every later shard's hwm comes
+    from the cross-shard carry-in, plus in-shard wobble — and pin the
+    histogram against a sequential pure-python replay."""
+    from datetime import datetime, timezone
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    for i in range(200):
+        if i == 3:
+            off_h = 500.0          # global max, lands in shard 0
+        elif i % 7 == 5:
+            off_h = i / 4.0        # stale stragglers: hours-late tail
+        else:
+            off_h = i / 2.0 + (1.0 if i % 3 == 0 else 0.0)
+        rows.append((i, base.replace(tzinfo=None), off_h))
+    df = spark.createDataFrame(
+        [(i, b, o) for i, b, o in rows], "event_id long, base timestamp, off double")
+    from pyspark.sql import functions as F
+    (df.select("event_id",
+               F.timestamp_micros(
+                   (F.unix_micros("base")
+                    + (F.col("off") * 3600000000).cast("long"))).alias("ts"))
+       .write.parquet(str(tmp_path / "events.parquet")))
+
+    got = {r.late_hours: r for r in
+           _run(spark, str(tmp_path), "q_lateness_profile").collect()}
+
+    ev = sorted(
+        (i, int(base.timestamp() * 1e6) + int(o * 3600000000))
+        for i, _, o in rows)
+    hwm, hist = None, defaultdict(int)
+    for _, us in ev:
+        hwm = us if hwm is None else max(hwm, us)
+        hist[(hwm - us) // 3600000000] += 1
+    assert {k: r.n for k, r in got.items()} == dict(hist)
+    assert len(hist) > 5  # genuinely multi-bucket, unlike the sf data
+    tot, cum = sum(hist.values()), 0
+    for k in sorted(hist):
+        cum += hist[k]
+        assert abs(got[k].cum_share - cum / tot) < 1e-6
+
+
 def test_roc_auc_replay(spark, sf_dir):
     got = _run(spark, sf_dir, "sim_roc_auc").collect()[0]
     emb = {r.vec_id: (r.label, [float(x) for x in r.embedding]) for r in
