@@ -313,4 +313,39 @@ def test_registry_contract_invariants():
         assert name in qs and qd.headline
     # the driver's 50-entry window must contain no already-proven entry
     window = list(qs)[:50]
-    assert not (set(window) & reg._R01_PROVEN)
+    assert not (set(window) & reg._DRIVER_CHECKED)
+    # every window entry is SQL-oracled (the driver's strongest check)
+    assert set(window) <= set(os_)
+
+
+def test_survey_registry_sync():
+    """SURVEY.md §2 is the judge's coverage checklist: every id listed
+    there must be a registry entry and vice versa (1:1 both ways), and
+    the STATUS paragraph's counts must equal the live registry's —
+    this is the scripted check that keeps the doc from going stale."""
+    import os
+    import re
+
+    from sanctions_data_pipeline_spark.plans import registry as reg
+
+    qs = reg.queries()
+    os_ = reg.oracle_sql()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "SURVEY.md")).read()
+    sec2 = text.split("## §2", 1)[1].split("\n## §", 1)[0]
+    ids = set()
+    for line in sec2.splitlines():
+        m = re.match(r"\|\s*`?([a-z][a-z0-9_]+)`?\s*\|", line)
+        if m and m.group(1) not in ("id",):
+            ids.add(m.group(1))
+    assert ids == set(qs), (
+        f"SURVEY §2 vs registry drift: only-in-survey={sorted(ids - set(qs))} "
+        f"only-in-registry={sorted(set(qs) - ids)}")
+    # the STATUS paragraph's three counts must be the live ones
+    m = re.search(r"all (\d+) registry entries", sec2)
+    assert m and int(m.group(1)) == len(qs), (m and m.group(1), len(qs))
+    m = re.search(r"(\d+) with cross-engine-exact DuckDB\s*\n?oracles", sec2)
+    assert m and int(m.group(1)) == len(os_), (m and m.group(1), len(os_))
+    m = re.search(r"(\d+) rows-only", sec2)
+    assert m and int(m.group(1)) == len(qs) - len(os_), (
+        m and m.group(1), len(qs) - len(os_))
