@@ -42,15 +42,18 @@ MALE_NAME_PATTERNS = [
 
 def rows() -> list[tuple[str, str]]:
     """Merged dictionary: compact base lists + the extended
-    international lists (gender_names_ext, ~2k names), deduplicated
-    with male-wins-conflict. Male-wins preserves the reference's
-    resolution for ambiguous names (main.py:784: Female only on an
-    explicit female entry, everything else Male), and a single row per
-    name keeps the broadcast dictionary join from fanning out."""
+    international lists (gender_names_ext + gender_names_ext2, ~4k
+    names), deduplicated with male-wins-conflict. Male-wins preserves
+    the reference's resolution for ambiguous names (main.py:784:
+    Female only on an explicit female entry, everything else Male),
+    and a single row per name keeps the broadcast dictionary join from
+    fanning out."""
     from sanctions_data_pipeline_spark.data import gender_names_ext as ext
+    from sanctions_data_pipeline_spark.data import gender_names_ext2 as ext2
 
     male = set(MALE_NAMES) | set(ext.MALE_EXT)
-    female = (set(FEMALE_NAMES) | set(ext.FEMALE_EXT)) - male
+    female = (set(FEMALE_NAMES) | set(ext.FEMALE_EXT)
+              | set(ext2.FEMALE_EXT2)) - male
     return sorted([(n, "female") for n in female]
                   + [(n, "male") for n in male])
 

