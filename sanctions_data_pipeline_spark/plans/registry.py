@@ -74,6 +74,7 @@ _PLAN_MODULES = (
     "temporal",
     "analytics",
     "analytics2",
+    "analytics3",
 )
 
 # Queries already hash-verified by the round-1 driver (CORRECTNESS_r01.json).
@@ -200,6 +201,7 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R04_CHECKED
 #   q_segment_migration q_hurst_exponent q_weibull_fit gr_degree_gini
 #   q_nbinom_fit q_record_days q_seasonal_mann_kendall dq_table_manifest
 #   q_dormancy_timeline q_top_share emb_knn_accuracy
+#   dd_minhash_lsh_portable dd_simhash_portable
 _ORACLE_PRIORITY = (
     # round-2/3-era stragglers, never driver-checked
     "st_scd2_lookup", "st_anomaly", "st_topk_trending", "s_velocity_check",

@@ -301,3 +301,82 @@ def test_knn_graph_ivf_recall_against_exact(spark, sf_dir):
     ivf = {(r.src_id, r.dst_id) for r in qs["emb_knn_graph_ivf"](spark, sf_dir).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.8, recall
+
+
+def _md5_32(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _norm_tokens(text: str) -> list[str]:
+    import re
+    return re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+
+
+def test_minhash_lsh_portable_replay(spark):
+    """Pure-python md5 replay of the ENTIRE portable LSH pipeline
+    (shingle sets -> 8 minhashes -> 4 band sigs -> buckets -> exact
+    Jaccard): pins that the Spark pipeline and the hand replay agree
+    pair-for-pair, independently of the DuckDB oracle."""
+    from sanctions_data_pipeline_spark.plans import registry
+
+    got = {(r.i, r.j): r.jac for r in
+           registry.queries()["dd_minhash_lsh_portable"](spark, SF).collect()}
+
+    docs = [(r.doc_id, r.text) for r in _docs(spark).collect() if r.text]
+    sets, sigs = {}, {}
+    for did, text in docs:
+        t = _norm_tokens(text)
+        if len(t) < 3:
+            continue
+        hs = {_md5_32(f"{t[i]} {t[i+1]} {t[i+2]}") for i in range(len(t) - 2)}
+        sets[did] = hs
+        sigs[did] = [min(_md5_32(f"{h}:{v}") for v in hs) for h in range(8)]
+    buckets = {}
+    for did, m in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, f"{m[2*b]}:{m[2*b+1]}"), []).append(did)
+    cand = set()
+    for ids in buckets.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cand.add((ids[x], ids[y]))
+    want = {}
+    for i, j in cand:
+        jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+        if jac >= 0.5:
+            want[(i, j)] = round(jac, 6)
+    assert got == want
+    assert want, "fixture should contain planted near-dup pairs"
+
+
+def test_simhash_portable_replay(spark):
+    """Pure-python replay of the 32-bit md5 SimHash + two-chunk
+    pigeonhole retrieval; also asserts pigeonhole EXACTNESS (every
+    hamming<=3 fingerprint pair is found) by brute force."""
+    from sanctions_data_pipeline_spark.plans import registry
+
+    got = {(r.i, r.j): r.hamming for r in
+           registry.queries()["dd_simhash_portable"](spark, SF).collect()}
+
+    docs = [(r.doc_id, r.text) for r in _docs(spark).collect() if r.text]
+    fps = {}
+    for did, text in docs:
+        toks = _norm_tokens(text)
+        ths = [_md5_32(t) for t in toks]
+        fp = 0
+        for b in range(32):
+            if 2 * sum((th >> b) & 1 for th in ths) > len(ths):
+                fp |= 1 << b
+        fps[did] = fp
+    # brute-force ALL hamming<=3 pairs — pigeonhole must find each one
+    ids = sorted(fps)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = bin(fps[ids[x]] ^ fps[ids[y]]).count("1")
+            if d <= 3:
+                want[(ids[x], ids[y])] = d
+    assert got == want
+    assert want, "fixture should contain near-identical fingerprints"
