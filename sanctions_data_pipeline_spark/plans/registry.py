@@ -201,7 +201,8 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R04_CHECKED
 #   q_segment_migration q_hurst_exponent q_weibull_fit gr_degree_gini
 #   q_nbinom_fit q_record_days q_seasonal_mann_kendall dq_table_manifest
 #   q_dormancy_timeline q_top_share emb_knn_accuracy
-#   dd_minhash_lsh_portable dd_simhash_portable
+#   dd_minhash_lsh_portable dd_simhash_portable q_cohens_kappa
+#   tx_dedup_impact tt_group_kfold s_name_idf_score q_cagr
 _ORACLE_PRIORITY = (
     # round-2/3-era stragglers, never driver-checked
     "st_scd2_lookup", "st_anomaly", "st_topk_trending", "s_velocity_check",

@@ -1,0 +1,189 @@
+"""Round-5 analytics: pure-python replays of the new oracled ops
+(independent of the DuckDB oracle — same parquet inputs, hand math)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+from decimal import Decimal
+
+from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, sf_dir, name):
+    return registry.queries()[name](spark, sf_dir)
+
+
+def _md5_32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _norm_tokens(text: str) -> list[str]:
+    return re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+
+
+_STOP = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+    "es": ["el", "la", "de", "y", "en", "es", "por", "con", "para", "un"],
+    "fr": ["le", "la", "de", "et", "est", "dans", "pour", "avec", "sur", "un"],
+}
+
+
+def _predict_lang(text: str) -> str:
+    toks = _norm_tokens(text)
+    scores = {lang: sum(t in ws for t in toks)
+              for lang, ws in ((k, set(v)) for k, v in _STOP.items())}
+    best = max(scores.values())
+    if best == 0:
+        return "und"
+    return min(k for k, v in scores.items() if v == best)
+
+
+def _pround6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_cohens_kappa_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_cohens_kappa").collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    cells = Counter((r.lang, _predict_lang(r.text)) for r in docs)
+    n = sum(cells.values())
+    diag = sum(v for (t, p), v in cells.items() if t == p)
+    rows = Counter()
+    cols = Counter()
+    for (t, p), v in cells.items():
+        rows[t] += v
+        cols[p] += v
+    pe_num = sum(rows[k] * cols.get(k, 0) for k in rows)
+    assert got.n == n and got.n_agree == diag
+    assert got.kappa == _pround6((diag * n - pe_num) / (n * n - pe_num))
+    assert -1.0 <= got.kappa <= 1.0
+
+
+def test_dedup_impact_replay(spark, sf_dir):
+    got = {r.source: r for r in _run(spark, sf_dir, "tx_dedup_impact").collect()}
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text").collect()
+    keeper = {}
+    for r in docs:
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        keeper[h] = min(keeper.get(h, r.doc_id), r.doc_id)
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, dups, tok, tok_drop
+    for r in docs:
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        nt = len(_norm_tokens(r.text))
+        dup = r.doc_id != keeper[h]
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += dup
+        a[2] += nt
+        a[3] += nt if dup else 0
+    assert set(got) == set(agg)
+    for src, (nd, ndup, tt, td) in agg.items():
+        g = got[src]
+        assert (g.n_docs, g.n_dups, g.tok_total, g.tok_dropped) == (nd, ndup, tt, td)
+        assert g.savings == _pround6(td / tt)
+
+
+def test_dedup_impact_planted_copies(spark, tmp_path):
+    """sf tables carry no exact text copies, so plant some: each copy
+    must count against the SOURCE HOLDING IT (canonical = global min
+    doc_id), and savings must be the dropped-token share."""
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars").limit(20)
+    from pyspark.sql import functions as F
+    copies = docs.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang",
+        F.lit("replica-feed").alias("source"), "n_chars")
+    docs.unionByName(copies).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in
+           _run(spark, str(tmp_path), "tx_dedup_impact").collect()}
+    rep = got["replica-feed"]
+    assert rep.n_docs == 5 and rep.n_dups == 5
+    assert rep.tok_dropped == rep.tok_total and rep.savings == 1.0
+    # originals keep canonical status — no dups charged to their sources
+    assert all(r.n_dups == 0 for s, r in got.items() if s != "replica-feed")
+
+
+def test_group_kfold_replay_and_no_straddle(spark, sf_dir):
+    got = {r.fold: r for r in _run(spark, sf_dir, "tt_group_kfold").collect()}
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    fold_of = {}
+    agg = defaultdict(lambda: [set(), 0, 0])
+    for r in docs:
+        f = _md5_32(r.source) % 5
+        # structural no-straddle: fold is a pure function of source
+        assert fold_of.setdefault(r.source, f) == f
+        a = agg[f]
+        a[0].add(r.source)
+        a[1] += 1
+        a[2] += len(_norm_tokens(r.text))
+    assert set(got) == set(agg)
+    for f, (srcs, nd, nt) in agg.items():
+        assert (got[f].n_sources, got[f].n_docs, got[f].n_tokens) == (len(srcs), nd, nt)
+    assert len(agg) >= 2  # folds genuinely split the corpus
+
+
+def test_name_idf_score_replay(spark, sf_dir):
+    from sanctions_data_pipeline_spark.data import sanctions_fixture as fx
+
+    got = {(r.entity_id, r.alias_idx): r for r in
+           _run(spark, sf_dir, "s_name_idf_score").collect()}
+    toks = {(e, a): set(_norm_tokens(name)) for e, a, name, _, _ in fx.ALIASES}
+    n = len(fx.ALIASES)
+    df = Counter(t for ts in toks.values() for t in ts)
+    assert set(got) == set(toks)
+    for key, ts in toks.items():
+        idfs = sorted(math.log((n + 1.0) / (df[t] + 1.0)) for t in ts)
+        acc = 0.0
+        for v in idfs:
+            acc += v
+        assert got[key].n_tokens == len(ts)
+        assert abs(got[key].idf_score - round(acc, 6)) < 1e-9
+    # rare tokens outscore common ones: the multi-token rare name tops
+    one = {k: got[k].idf_score / got[k].n_tokens for k in got}
+    # 'mohammed' appears in two aliases -> its idf is below a unique token's
+    uniq = math.log((n + 1.0) / 2.0)
+    dup = math.log((n + 1.0) / 3.0)
+    assert uniq > dup
+
+
+def test_cagr_replay(spark, sf_dir):
+    got = {r.nation: r for r in _run(spark, sf_dir, "q_cagr").collect()}
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+    orders = {r.o_orderkey: (r.o_custkey, r.o_orderdate.year) for r in
+              load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey", "o_orderdate").collect()}
+    cust = {r.c_custkey: r.c_nationkey for r in
+            load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey").collect()}
+    nation = {r.n_nationkey: r.n_name for r in
+              load_table(spark, sf_dir, "nation").collect()}
+    yearly = defaultdict(Decimal)
+    for r in li:
+        ck, yr = orders[r.l_orderkey]
+        nat = nation[cust[ck]]
+        rev = (Decimal(str(r.l_extendedprice)).quantize(Decimal("0.0001"))
+               * (1 - Decimal(str(r.l_discount)).quantize(Decimal("0.0001"))))
+        yearly[(nat, yr)] += rev
+    for nat in {k[0] for k in yearly}:
+        yrs = sorted(y for (n2, y) in yearly if n2 == nat)
+        y0, y1 = yrs[0], yrs[-1]
+        if y1 == y0:
+            assert nat not in got
+            continue
+        # the dsum edge: round(sum,4)*10000 as int / 10000.0
+        r0 = int(yearly[(nat, y0)].quantize(Decimal("0.0001")) * 10000) / 10000.0
+        r1 = int(yearly[(nat, y1)].quantize(Decimal("0.0001")) * 10000) / 10000.0
+        g = got[nat]
+        assert (g.y0, g.y1) == (y0, y1)
+        assert g.rev0 == r0 and g.rev1 == r1
+        want = _pround6(math.exp(math.log(r1 / r0) / (y1 - y0)) - 1.0)
+        assert abs(g.cagr - want) < 2e-6  # 1-ulp exp/ln headroom

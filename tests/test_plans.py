@@ -166,7 +166,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # scoring cross, same as sim_recall_eval)
                 "sim_mrr_eval",
                 # one-row grand-total cross (the q_anova_f shape)
-                "q_levene_test"}
+                "q_levene_test",
+                # one-row totals x one-row pe_num cross (kappa)
+                "q_cohens_kappa"}
 
 
 @pytest.mark.parametrize("name", sorted(
