@@ -494,3 +494,200 @@ def q_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pround6(F.exp(F.log(F.col("rev1") / F.col("rev0"))
                                   / (F.col("y1") - F.col("y0")).cast("double"))
                             - 1.0).alias("cagr")))
+
+
+# ---------------------------------------------------------------------------
+# q_linear_interpolate — fill the holes in a sparse hourly series by
+# LINEAR interpolation between the neighboring known points (the
+# time-series imputation q_gap_fill deliberately does not do — that op
+# fills zeros). Known cells are exact x4 fixed-point sums; for a
+# missing hour h between known (hp, vp) and (hn, vn):
+# v(h) = vp + (vn-vp)·(h-hp)/(hn-hp), every operand an exact integer,
+# so both engines perform the same two IEEE ops. The neighbor scan is
+# two IGNORE-NULLS windows over the calendar-bounded (event_type ×
+# hour) grid — O(types·hours) rows regardless of input scale (the
+# documented day-grid contract).
+# ---------------------------------------------------------------------------
+_INTERP_ORACLE = """
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), et AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM et, b
+), c AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) * 10000 AS BIGINT) AS v4
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT grid.event_type, grid.h,
+         CAST(epoch(grid.h) // 3600 AS BIGINT) AS eh, c.v4
+  FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.h = c.h
+), nb AS (
+  SELECT event_type, h, eh, v4,
+         last_value(v4 IGNORE NULLS) OVER w_prev AS vp,
+         last_value(CASE WHEN v4 IS NOT NULL THEN eh END IGNORE NULLS)
+           OVER w_prev AS hp,
+         first_value(v4 IGNORE NULLS) OVER w_next AS vn,
+         first_value(CASE WHEN v4 IS NOT NULL THEN eh END IGNORE NULLS)
+           OVER w_next AS hn
+  FROM g
+  WINDOW
+    w_prev AS (PARTITION BY event_type ORDER BY eh
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    w_next AS (PARTITION BY event_type ORDER BY eh
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(FLOOR((CASE WHEN v4 IS NOT NULL THEN v4 / 10000.0
+                        ELSE (vp + (vn - vp) * CAST(eh - hp AS DOUBLE)
+                                   / CAST(hn - hp AS DOUBLE)) / 10000.0
+                   END) * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS value,
+       CAST(CASE WHEN v4 IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_interpolated
+FROM nb
+WHERE v4 IS NOT NULL OR (vp IS NOT NULL AND vn IS NOT NULL)
+"""
+
+
+@register("q_linear_interpolate", oracle=_INTERP_ORACLE)
+def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import ts_str
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    c = (ev.groupBy("event_type", hour.alias("h"))
+         .agg((F.round(F.sum(dval("value")), 4) * 10000)
+              .cast("bigint").alias("v4")))
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                    F.date_trunc("hour", F.max("ts")).alias("h1"))
+    grid = (ev.select("event_type").distinct()
+            .crossJoin(F.broadcast(bounds))
+            .select("event_type",
+                    F.explode(F.sequence("h0", "h1",
+                                         F.expr("interval 1 hour"))).alias("h")))
+    g = (grid.join(c, ["event_type", "h"], "left")
+         .withColumn("eh", (F.unix_timestamp("h") / 3600).cast("bigint")))
+    w_prev = (W.partitionBy("event_type").orderBy("eh")
+              .rowsBetween(W.unboundedPreceding, -1))
+    w_next = (W.partitionBy("event_type").orderBy("eh")
+              .rowsBetween(1, W.unboundedFollowing))
+    known_eh = F.when(F.col("v4").isNotNull(), F.col("eh"))
+    nb = g.select(
+        "event_type", "h", "eh", "v4",
+        F.last("v4", ignorenulls=True).over(w_prev).alias("vp"),
+        F.last(known_eh, ignorenulls=True).over(w_prev).alias("hp"),
+        F.first("v4", ignorenulls=True).over(w_next).alias("vn"),
+        F.first(known_eh, ignorenulls=True).over(w_next).alias("hn"))
+    interp = (F.col("vp") + (F.col("vn") - F.col("vp"))
+              * (F.col("eh") - F.col("hp")).cast("double")
+              / (F.col("hn") - F.col("hp")).cast("double")) / 10000.0
+    return (nb.filter(F.col("v4").isNotNull()
+                      | (F.col("vp").isNotNull() & F.col("vn").isNotNull()))
+            .select("event_type",
+                    ts_str(F.col("h"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+                    pround6(F.when(F.col("v4").isNotNull(),
+                                   F.col("v4") / 10000.0)
+                            .otherwise(interp)).alias("value"),
+                    F.when(F.col("v4").isNull(), 1).otherwise(0)
+                     .cast("bigint").alias("is_interpolated")))
+
+
+# ---------------------------------------------------------------------------
+# dq_drift_fdr — drift screening across MANY segments with a
+# multiple-testing correction: per-source binned two-sample KS of the
+# n_chars distribution vs the rest of the corpus (fixed value-grid
+# ECDF — the scalable binned form; exact integer cumulative counts),
+# p-value from the standard asymptotic KS tail bound
+# p = min(1, 2·exp(-2·d²·n_s·n_r/(n_s+n_r))), then Benjamini-Hochberg
+# at q = 0.10: reject every source ranked ≤ i* where i* = max{i : p_i
+# ≤ i·q/m}. Everything after the one corpus scan is |sources| rows;
+# the per-edge cumulative counts aggregate map-side.
+# ---------------------------------------------------------------------------
+_FDR_EDGES = [50, 100, 150, 200, 250, 300, 350, 400, 450, 500, 550]
+_FDR_Q = 0.10
+
+_DRIFT_FDR_ORACLE = f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ns,
+         {", ".join(f"CAST(sum(CASE WHEN n_chars <= {e} THEN 1 ELSE 0 END)"
+                    f" AS BIGINT) AS c{i}" for i, e in enumerate(_FDR_EDGES))}
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(ns) AS BIGINT) AS n,
+         {", ".join(f"CAST(sum(c{i}) AS BIGINT) AS t{i}"
+                    for i in range(len(_FDR_EDGES)))}
+  FROM per
+),
+d AS (
+  SELECT source, ns, n - ns AS nr,
+         greatest({", ".join(
+             f"abs(CAST(c{i} AS DOUBLE) / ns"
+             f" - CAST(t{i} - c{i} AS DOUBLE) / (n - ns))"
+             for i in range(len(_FDR_EDGES)))}) AS dstat
+  FROM per, tot
+),
+p AS (
+  SELECT source, ns, dstat,
+         least(1.0, 2.0 * exp(-2.0 * dstat * dstat
+               * (CAST(ns AS DOUBLE) * nr / (ns + nr)))) AS pval
+  FROM d
+),
+r AS (
+  SELECT source, ns, dstat, pval,
+         CAST(row_number() OVER (ORDER BY pval, source) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM p
+),
+istar AS (
+  SELECT COALESCE(max(CASE WHEN pval <= rk * {_FDR_Q} / m
+                           THEN rk END), 0) AS cut
+  FROM r
+)
+SELECT source, ns AS n, {sql_pround6("dstat")} AS d_stat,
+       {sql_pround6("pval")} AS p_value, rk,
+       CAST(CASE WHEN rk <= cut THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM r, istar
+"""
+
+
+@register("dq_drift_fdr", oracle=_DRIFT_FDR_ORACLE)
+def dq_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        lcount("ns"),
+        *[F.sum(F.when(F.col("n_chars") <= e, 1).otherwise(0))
+          .cast("bigint").alias(f"c{i}") for i, e in enumerate(_FDR_EDGES)])
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    tot = per.select(
+        "source", "ns", *[f"c{i}" for i in range(len(_FDR_EDGES))],
+        F.sum("ns").over(wall).cast("bigint").alias("n"),
+        *[F.sum(f"c{i}").over(wall).cast("bigint").alias(f"t{i}")
+          for i in range(len(_FDR_EDGES))])
+    nr = F.col("n") - F.col("ns")
+    dstat = F.greatest(*[
+        F.abs(F.col(f"c{i}").cast("double") / F.col("ns")
+              - (F.col(f"t{i}") - F.col(f"c{i}")).cast("double") / nr)
+        for i in range(len(_FDR_EDGES))])
+    p = tot.select(
+        "source", "ns", nr.alias("nr"), dstat.alias("dstat"),
+    ).withColumn("pval", F.least(F.lit(1.0), 2.0 * F.exp(
+        -2.0 * F.col("dstat") * F.col("dstat")
+        * (F.col("ns").cast("double") * F.col("nr")
+           / (F.col("ns") + F.col("nr"))))))
+    r = p.select(
+        "source", "ns", "dstat", "pval",
+        F.row_number().over(W.orderBy("pval", "source"))
+         .cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("m"))
+    cut = F.coalesce(
+        F.max(F.when(F.col("pval") <= F.col("rk") * _FDR_Q / F.col("m"),
+                     F.col("rk"))).over(wall), F.lit(0))
+    return r.select(
+        "source", F.col("ns").alias("n"),
+        pround6(F.col("dstat")).alias("d_stat"),
+        pround6(F.col("pval")).alias("p_value"), "rk",
+        F.when(F.col("rk") <= cut, 1).otherwise(0)
+         .cast("bigint").alias("significant"))

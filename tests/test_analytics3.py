@@ -187,3 +187,83 @@ def test_cagr_replay(spark, sf_dir):
         assert g.rev0 == r0 and g.rev1 == r1
         want = _pround6(math.exp(math.log(r1 / r0) / (y1 - y0)) - 1.0)
         assert abs(g.cagr - want) < 2e-6  # 1-ulp exp/ln headroom
+
+
+def test_linear_interpolate_replay(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    got = {(r.event_type, r.bucket): r for r in
+           _run(spark, sf_dir, "q_linear_interpolate").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value").collect()
+    cells = defaultdict(Decimal)
+    for r in ev:
+        if r.value is not None:
+            cells[(r.event_type, r.h)] += Decimal(str(r.value)).quantize(
+                Decimal("0.0001"))
+    hours = sorted({h for _, h in cells})
+    import datetime
+    h0, h1 = hours[0], hours[-1]
+    grid = []
+    h = h0
+    while h <= h1:
+        grid.append(h)
+        h += datetime.timedelta(hours=1)
+    types = sorted({t for t, _ in cells})
+    want = {}
+    for t in types:
+        known = [(i, int(cells[(t, g)].quantize(Decimal("0.0001")) * 10000))
+                 for i, g in enumerate(grid) if (t, g) in cells]
+        kidx = {i: v for i, v in known}
+        for pos, g in enumerate(grid):
+            key = (t, g.strftime("%Y-%m-%d %H:%M:%S"))
+            if pos in kidx:
+                want[key] = (math.floor(kidx[pos] / 10000.0 * 1e6 + 0.5) / 1e6, 0)
+                continue
+            prevs = [(i, v) for i, v in known if i < pos]
+            nexts = [(i, v) for i, v in known if i > pos]
+            if not prevs or not nexts:
+                continue
+            (ip, vp), (inx, vn) = prevs[-1], nexts[0]
+            val = (vp + (vn - vp) * float(pos - ip) / float(inx - ip)) / 10000.0
+            want[key] = (math.floor(val * 1e6 + 0.5) / 1e6, 1)
+    assert set(got) == set(want)
+    for k, (v, flag) in want.items():
+        assert got[k].value == v and got[k].is_interpolated == flag, k
+    assert any(f for _, f in want.values())  # gaps actually interpolated
+
+
+def test_drift_fdr_replay(spark, sf_dir):
+    got = {r.source: r for r in _run(spark, sf_dir, "dq_drift_fdr").collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars").collect()
+    edges = [50, 100, 150, 200, 250, 300, 350, 400, 450, 500, 550]
+    per = defaultdict(lambda: [0] + [0] * len(edges))
+    for r in docs:
+        a = per[r.source]
+        a[0] += 1
+        for i, e in enumerate(edges):
+            a[i + 1] += r.n_chars <= e
+    n = sum(a[0] for a in per.values())
+    tot = [sum(a[i + 1] for a in per.values()) for i in range(len(edges))]
+    stats = {}
+    for s, a in per.items():
+        ns, nr = a[0], n - a[0]
+        d = max(abs(a[i + 1] / ns - (tot[i] - a[i + 1]) / nr)
+                for i in range(len(edges)))
+        p = min(1.0, 2.0 * math.exp(-2.0 * d * d * (ns * nr / (ns + nr))))
+        stats[s] = (ns, d, p)
+    ranked = sorted(stats, key=lambda s: (stats[s][2], s))
+    m = len(ranked)
+    cut = max((i + 1 for i, s in enumerate(ranked)
+               if stats[s][2] <= (i + 1) * 0.10 / m), default=0)
+    assert set(got) == set(stats)
+    for i, s in enumerate(ranked):
+        ns, d, p = stats[s]
+        g = got[s]
+        assert g.n == ns and g.rk == i + 1
+        assert g.d_stat == _pround6(d) and g.p_value == _pround6(p)
+        assert g.significant == (1 if i + 1 <= cut else 0)
+    # BH is monotone: no significant row may rank below a non-significant one
+    flags = [got[s].significant for s in ranked]
+    assert flags == sorted(flags, reverse=True)

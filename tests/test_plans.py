@@ -168,7 +168,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # one-row grand-total cross (the q_anova_f shape)
                 "q_levene_test",
                 # one-row totals x one-row pe_num cross (kappa)
-                "q_cohens_kappa"}
+                "q_cohens_kappa",
+                # one-row (h0, h1) bounds broadcast (the q_gap_fill grid)
+                "q_linear_interpolate"}
 
 
 @pytest.mark.parametrize("name", sorted(
