@@ -177,6 +177,53 @@ def st_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# st_left_outer_join — watermarked LEFT OUTER stream-stream interval
+# join (every click; purchase columns NULL once the watermark proves
+# no match can arrive). Outer rows are final only when the click's
+# join state is evictable, so the bounded drain equals the batch left
+# join restricted to clicks with click_ts + horizon < terminal
+# watermark (= min of both streams' max event time - 2h delay) — the
+# oracle encodes that cutoff; matched rows are never withheld.
+# --------------------------------------------------------------------------
+@register("st_left_outer_join", oracle="""
+WITH c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id AS pu, ts AS pts, event_id AS pid
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT max(click_ts) FROM c), (SELECT max(pts) FROM p))
+         - INTERVAL 2 HOUR AS w
+)
+SELECT c.user_id, c.click_id, p.pid AS purchase_id,
+       epoch_us(p.pts) - epoch_us(c.click_ts) AS delay_us
+FROM c JOIN p ON c.user_id = p.pu
+             AND p.pts >= c.click_ts
+             AND p.pts <= c.click_ts + INTERVAL 30 MINUTE
+UNION ALL
+SELECT c.user_id, c.click_id,
+       CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS delay_us
+FROM c, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.pu = c.user_id AND p.pts >= c.click_ts
+          AND p.pts <= c.click_ts + INTERVAL 30 MINUTE)
+  AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+""")
+def st_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.streaming.ops import (
+        click_purchase_left_join)
+
+    ev1 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    ev2 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return run_available_now(click_purchase_left_join(ev1, ev2),
+                             output_mode="append")
+
+
+# --------------------------------------------------------------------------
 # st_foreach_upsert — foreachBatch MERGE sink: per-user latest state
 # maintained across micro-batches in a parquet state table. Over the
 # bounded source the final state equals the batch argmax-by-(ts,

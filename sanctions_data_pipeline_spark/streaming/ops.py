@@ -285,6 +285,44 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame,
         .alias("delay_us"))
 
 
+def click_purchase_left_join(clicks: DataFrame, purchases: DataFrame,
+                             horizon: str = "30 minutes",
+                             watermark: str = "2 hours") -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click emits — with
+    its first-horizon purchases when they arrive, or with NULLs once
+    the watermark proves no match can still come.
+
+    The outer semantics are the distinct capability over
+    :func:`click_purchase_join`: a null-padded row is emittable only
+    when the click's state is evictable (event-time watermark past
+    click_ts + horizon), so the stream result equals the batch left
+    join RESTRICTED to clicks whose no-match verdict is final at the
+    terminal watermark = min(max click_ts, max purchase_ts) - delay.
+    The oracle encodes exactly that cutoff; tests pin the withheld
+    tail. State stays O(events inside the watermark window) per side.
+    """
+    c = clicks.select(F.col("user_id"),
+                      F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id"))
+    p = purchases.select(F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("event_id").alias("purchase_id"))
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {horizon}")),
+        "leftOuter",
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+        .alias("delay_us"))
+
+
 def start_upsert_latest_sink(ev: DataFrame, root: str):
     """Start the foreachBatch MERGE sink over an events stream and
     return the running StreamingQuery. State lives at ``root/state``,

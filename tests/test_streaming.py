@@ -422,3 +422,47 @@ def test_st_watchlist_screen_hits_and_decoys(spark, sf_dir):
     for p, ents in by_probe.items():
         _, eid, _ = p.split(":")
         assert int(eid) in ents  # alias finds its own entity
+
+
+def test_left_outer_stream_join_withholds_only_the_unprovable_tail(spark, sf_dir):
+    """The outer join's distinct semantics: matched rows equal the
+    batch join exactly; null-padded rows appear only for clicks whose
+    no-match verdict is final at the terminal watermark (click_ts +
+    horizon < min(max click ts, max purchase ts) - delay), and every
+    unmatched click on the final side of that cutoff IS emitted."""
+    import datetime
+
+    from sanctions_data_pipeline_spark.streaming.ops import (
+        click_purchase_join, click_purchase_left_join)
+
+    ev1 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    ev2 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    got = run_available_now(click_purchase_left_join(ev1, ev2),
+                            output_mode="append")
+    matched = {tuple(r) for r in
+               got.filter(F.col("purchase_id").isNotNull()).collect()}
+    nulls = {r.click_id for r in
+             got.filter(F.col("purchase_id").isNull()).collect()}
+
+    bev = load_table(spark, sf_dir, "events")
+    want_matched = {tuple(r) for r in click_purchase_join(
+        bev.filter(F.col("event_type") == "click"),
+        bev.filter(F.col("event_type") == "purchase")).collect()}
+    assert matched == want_matched  # inner rows never withheld
+
+    clicks = bev.filter(F.col("event_type") == "click") \
+        .select("event_id", "ts", "user_id").collect()
+    purchases = bev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id").collect()
+    wm = (min(max(r.ts for r in clicks), max(r.ts for r in purchases))
+          - datetime.timedelta(hours=2))
+    horizon = datetime.timedelta(minutes=30)
+    matched_click_ids = {m[1] for m in want_matched}
+    want_nulls = {r.event_id for r in clicks
+                  if r.event_id not in matched_click_ids
+                  and r.ts + horizon < wm}
+    withheld = {r.event_id for r in clicks
+                if r.event_id not in matched_click_ids
+                and r.ts + horizon >= wm}
+    assert nulls == want_nulls
+    assert nulls.isdisjoint(withheld)
