@@ -691,3 +691,169 @@ def dq_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround6(F.col("pval")).alias("p_value"), "rk",
         F.when(F.col("rk") <= cut, 1).otherwise(0)
          .cast("bigint").alias("significant"))
+
+
+# ---------------------------------------------------------------------------
+# q_ljung_box — portmanteau whiteness test over the daily event-count
+# series: Q = m(m+2)·Σ_{k=1..L} r_k²/(m−k) with the same exact
+# day-ordered fold machinery as q_acf (r_k = nsum_k/d0, every operand
+# derived from exact integer counts; the 7 r_k² terms fold in lag
+# order). The companion diagnostic to q_acf — "are these
+# autocorrelations JOINTLY significant" — read against the chi-square
+# critical value for L dof. Day grid is calendar-bounded.
+# ---------------------------------------------------------------------------
+_LB_MAX_LAG = 7
+
+_LJUNG_BOX_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+g AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx
+      FROM daily),
+den AS (
+  SELECT list_aggregate(list_transform(
+           list_sort(list({{'i': i,
+                           'v': (CAST(x AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                                * (CAST(x AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))}})),
+           s -> s.v), 'sum') AS d0
+  FROM daily CROSS JOIN g
+),
+lags AS (SELECT unnest(generate_series(1, {_LB_MAX_LAG})) AS lag),
+num AS (
+  SELECT lag,
+         list_aggregate(list_transform(
+           list_sort(list({{'i': a.i,
+                           'v': (CAST(a.x AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+                                * (CAST(b.x AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))}})),
+           s -> s.v), 'sum') AS nsum
+  FROM lags JOIN daily a ON true JOIN daily b ON b.i = a.i + lag
+  CROSS JOIN g
+  GROUP BY lag
+),
+terms AS (
+  SELECT n.lag,
+         (n.nsum / d.d0) * (n.nsum / d.d0)
+           / (CAST(g.m AS DOUBLE) - n.lag) AS t
+  FROM num n CROSS JOIN den d CROSS JOIN g
+)
+SELECT g.m, CAST({_LB_MAX_LAG} AS BIGINT) AS max_lag,
+       {sql_pround6(
+           "CAST(g.m AS DOUBLE) * (CAST(g.m AS DOUBLE) + 2.0)"
+           " * list_aggregate(list_transform(list_sort(list("
+           "{'i': lag, 'v': t})), s -> s.v), 'sum')")} AS q_stat
+FROM terms CROSS JOIN g
+GROUP BY g.m
+"""
+
+
+@register("q_ljung_box", oracle=_LJUNG_BOX_ORACLE)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy((F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                                 / F.lit(86400000000)).cast("bigint"))
+                        .alias("i"))
+             .agg(lcount("x")))
+    g = daily.agg(lcount("m"), F.sum("x").cast("bigint").alias("sx"))
+    dg = daily.crossJoin(F.broadcast(g))
+    mean = F.col("sx").cast("double") / F.col("m").cast("double")
+
+    def fold_sorted(struct_col):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(struct_col)),
+                        lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    den = dg.select(F.struct(
+        F.col("i").alias("i"),
+        ((F.col("x").cast("double") - mean)
+         * (F.col("x").cast("double") - mean)).alias("v")).alias("sv")) \
+        .agg(fold_sorted(F.col("sv")).alias("d0"))
+    lags = spark.range(1, _LB_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag"))
+    b = daily.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    pairs = (F.broadcast(lags).join(dg, F.lit(True))
+             .join(b, F.col("ib") == F.col("i") + F.col("lag")))
+    num = (pairs.select(
+        "lag",
+        F.struct(F.col("i").alias("i"),
+                 ((F.col("x").cast("double") - mean)
+                  * (F.col("xb").cast("double") - mean)).alias("v"))
+        .alias("sv"))
+        .groupBy("lag")
+        .agg(fold_sorted(F.col("sv")).alias("nsum")))
+    terms = (num.crossJoin(F.broadcast(den)).crossJoin(F.broadcast(g))
+             .select("lag", "m",
+                     ((F.col("nsum") / F.col("d0"))
+                      * (F.col("nsum") / F.col("d0"))
+                      / (F.col("m").cast("double") - F.col("lag"))).alias("t")))
+    return (terms.groupBy("m")
+            .agg(F.aggregate(
+                F.transform(F.array_sort(F.collect_list(
+                    F.struct(F.col("lag").alias("i"), F.col("t").alias("v")))),
+                    lambda s: s["v"]),
+                F.lit(0.0), lambda acc, v: acc + v).alias("qs"))
+            .select("m", F.lit(_LB_MAX_LAG).cast("bigint").alias("max_lag"),
+                    pround6(F.col("m").cast("double")
+                            * (F.col("m").cast("double") + 2.0)
+                            * F.col("qs")).alias("q_stat")))
+
+
+# ---------------------------------------------------------------------------
+# q_decile_lift — the gains/lift table for a scored population: users
+# ranked by activity (event count), cut into score deciles
+# (ntile(10) over the deterministic (score desc, user_id) order), and
+# each decile's purchase capture + lift over the base rate. The
+# standard campaign-targeting readout. Per-user aggregation is the one
+# shuffle; the lift table is 10 rows of exact-integer ratios.
+# ---------------------------------------------------------------------------
+_DECILE_LIFT_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS buyer
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT buyer, CAST(ntile(10) OVER (ORDER BY score DESC, user_id) AS BIGINT)
+           AS decile
+  FROM u
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(buyer) AS BIGINT) AS b_all FROM u)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(buyer) AS BIGINT) AS n_buyers,
+       round(CAST(sum(buyer) AS DOUBLE) / b_all, 6) AS capture,
+       round((CAST(sum(buyer) AS DOUBLE) / count(*))
+             / (CAST(b_all AS DOUBLE) / n_all), 6) AS lift
+FROM d CROSS JOIN t
+GROUP BY decile, n_all, b_all
+"""
+
+
+@register("q_decile_lift", oracle=_DECILE_LIFT_ORACLE)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        lcount("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+         .cast("bigint").alias("buyer"))
+    d = u.select(
+        "buyer",
+        F.ntile(10).over(W.orderBy(F.desc("score"), F.asc("user_id")))
+         .cast("bigint").alias("decile"))
+    t = u.agg(lcount("n_all"), F.sum("buyer").cast("bigint").alias("b_all"))
+    return (d.groupBy("decile").agg(
+        lcount("n_users"), F.sum("buyer").cast("bigint").alias("n_buyers"))
+        .crossJoin(F.broadcast(t))
+        .select("decile", "n_users", "n_buyers",
+                F.round(F.col("n_buyers").cast("double") / F.col("b_all"), 6)
+                 .alias("capture"),
+                F.round((F.col("n_buyers").cast("double") / F.col("n_users"))
+                        / (F.col("b_all").cast("double") / F.col("n_all")), 6)
+                 .alias("lift")))

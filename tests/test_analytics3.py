@@ -267,3 +267,60 @@ def test_drift_fdr_replay(spark, sf_dir):
     # BH is monotone: no significant row may rank below a non-significant one
     flags = [got[s].significant for s in ranked]
     assert flags == sorted(flags, reverse=True)
+
+
+def test_ljung_box_replay(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    got = _run(spark, sf_dir, "q_ljung_box").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d")).collect()
+    daily = Counter(r.d for r in ev)
+    days = sorted(daily)
+    x = [daily[d] for d in days]
+    m = len(x)
+    mean = sum(x) / m
+    d0 = sum((v - mean) ** 2 for v in x)
+    q = 0.0
+    for k in range(1, 8):
+        # day-index alignment, like the op (lag in day units, gaps real)
+        idx = {(d - days[0]).days: v for d, v in zip(days, x)}
+        nsum = sum((idx[i] - mean) * (idx[i + k] - mean)
+                   for i in sorted(idx) if i + k in idx)
+        r = nsum / d0
+        q += r * r / (m - k)
+    q *= m * (m + 2)
+    assert got.m == m and got.max_lag == 7
+    assert abs(got.q_stat - _pround6(q)) < 1e-5
+    assert got.q_stat >= 0
+
+
+def test_decile_lift_replay(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    got = {r.decile: r for r in _run(spark, sf_dir, "q_decile_lift").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type").collect()
+    score = Counter(r.user_id for r in ev)
+    buyers = {r.user_id for r in ev if r.event_type == "purchase"}
+    ranked = sorted(score, key=lambda u: (-score[u], u))
+    n = len(ranked)
+    # SQL-standard ntile: first (n % 10) buckets get one extra row
+    base, extra = divmod(n, 10)
+    want = defaultdict(lambda: [0, 0])
+    pos = 0
+    for dec in range(1, 11):
+        size = base + (1 if dec <= extra else 0)
+        for u in ranked[pos:pos + size]:
+            want[dec][0] += 1
+            want[dec][1] += u in buyers
+        pos += size
+    b_all = len(buyers)
+    assert set(got) == set(want)
+    for dec, (nu, nb) in want.items():
+        g = got[dec]
+        assert (g.n_users, g.n_buyers) == (nu, nb)
+        assert abs(g.capture - round(nb / b_all, 6)) < 1e-9
+        assert abs(g.lift - round((nb / nu) / (b_all / n), 6)) < 1e-9
+    # top decile (most-active users) must out-lift the bottom one
+    assert got[1].lift >= got[10].lift

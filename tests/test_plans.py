@@ -120,6 +120,10 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # i<j sign pairs and ACF's lag alignment join |days|-row
                 # aggregates (tiny by construction), plus 1-row stats
                 "q_mann_kendall", "q_acf",
+                # composes q_acf's lag-alignment cross + 1-row totals
+                "q_ljung_box",
+                # one-row (n_all, b_all) totals broadcast
+                "q_decile_lift",
                 # one-row (n1, n2) totals broadcast over the value grid
                 "q_ks_test",
                 # one-row exact-median broadcast over the day series
