@@ -98,7 +98,8 @@ WHERE CAST(len(list_intersect(a.ls, b.ls)) AS DOUBLE)
 """
 
 
-@register("dd_minhash_lsh_portable", oracle=_MINHASH_PORTABLE_ORACLE)
+@register("dd_minhash_lsh_portable", headline=True,
+          oracle=_MINHASH_PORTABLE_ORACLE)
 def dd_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     arr = docs.select("doc_id", tx.tokens(F.col("text")).alias("t")) \
@@ -551,7 +552,7 @@ WHERE v4 IS NOT NULL OR (vp IS NOT NULL AND vn IS NOT NULL)
 """
 
 
-@register("q_linear_interpolate", oracle=_INTERP_ORACLE)
+@register("q_linear_interpolate", headline=True, oracle=_INTERP_ORACLE)
 def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.plans.helpers import ts_str
 
@@ -653,7 +654,7 @@ FROM r, istar
 """
 
 
-@register("dq_drift_fdr", oracle=_DRIFT_FDR_ORACLE)
+@register("dq_drift_fdr", headline=True, oracle=_DRIFT_FDR_ORACLE)
 def dq_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(
@@ -857,3 +858,77 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round((F.col("n_buyers").cast("double") / F.col("n_users"))
                         / (F.col("b_all").cast("double") / F.col("n_all")), 6)
                  .alias("lift")))
+
+
+# ---------------------------------------------------------------------------
+# q_price_elasticity — log-log price elasticity of demand per part
+# brand: OLS slope of ln(quantity) on ln(unit price) over that brand's
+# line items. Unit price enters as exact x4 fixed-point cents divided
+# by the integer quantity (identical doubles both engines), the four
+# moment sums (Σx, Σy, Σxx, Σxy) fold in (orderkey, linenumber) order
+# so double accumulation is bit-identical, and the slope is one
+# arithmetic tree over those sums. The econometrics readout a pricing
+# team runs: elasticity < -1 = elastic demand. One lineitem⋈part
+# shuffle; per-brand state is the sorted fold (bounded by brand size).
+# ---------------------------------------------------------------------------
+_ELASTICITY_ORACLE = """
+WITH li AS (
+  SELECT p.p_brand AS brand,
+         l.l_orderkey * 10 + l.l_linenumber AS k,
+         ln((CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+             / 10000.0) / CAST(l.l_quantity AS DOUBLE)) AS x,
+         ln(CAST(l.l_quantity AS DOUBLE)) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+folds AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n,
+         list_aggregate(list_transform(list_sort(list({'i': k, 'v': x})),
+                                       s -> s.v), 'sum') AS sx,
+         list_aggregate(list_transform(list_sort(list({'i': k, 'v': y})),
+                                       s -> s.v), 'sum') AS sy,
+         list_aggregate(list_transform(list_sort(list({'i': k, 'v': x * x})),
+                                       s -> s.v), 'sum') AS sxx,
+         list_aggregate(list_transform(list_sort(list({'i': k, 'v': x * y})),
+                                       s -> s.v), 'sum') AS sxy
+  FROM li GROUP BY brand
+)
+SELECT brand, n,
+       CAST(FLOOR(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                  * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS elasticity
+FROM folds WHERE n >= 3 AND (n * sxx - sx * sx) <> 0
+"""
+
+
+@register("q_price_elasticity", oracle=_ELASTICITY_ORACLE)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ep4 = (F.round(F.col("l_extendedprice").cast("decimal(18,4)"), 4)
+           * 10000).cast("bigint") / 10000.0
+    x = F.log(ep4 / F.col("l_quantity").cast("double"))
+    y = F.log(F.col("l_quantity").cast("double"))
+    base = (li.join(part, li.l_partkey == part.p_partkey)
+            .select(F.col("p_brand").alias("brand"),
+                    (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+                    .alias("k"),
+                    x.alias("x"), y.alias("y")))
+
+    def fold(expr):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(F.col("k").alias("i"), expr.alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    folds = base.groupBy("brand").agg(
+        lcount("n"),
+        fold(F.col("x")).alias("sx"),
+        fold(F.col("y")).alias("sy"),
+        fold(F.col("x") * F.col("x")).alias("sxx"),
+        fold(F.col("x") * F.col("y")).alias("sxy"))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (folds.filter((F.col("n") >= 3) & (den != 0))
+            .select("brand", "n",
+                    pround6((F.col("n") * F.col("sxy")
+                             - F.col("sx") * F.col("sy")) / den)
+                    .alias("elasticity")))

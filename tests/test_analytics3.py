@@ -324,3 +324,45 @@ def test_decile_lift_replay(spark, sf_dir):
         assert abs(g.lift - round((nb / nu) / (b_all / n), 6)) < 1e-9
     # top decile (most-active users) must out-lift the bottom one
     assert got[1].lift >= got[10].lift
+
+
+def test_price_elasticity_replay(spark, sf_dir):
+    got = {r.brand: r for r in
+           _run(spark, sf_dir, "q_price_elasticity").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        "l_extendedprice", "l_quantity").collect()
+    brand = {r.p_partkey: r.p_brand for r in
+             load_table(spark, sf_dir, "part")
+             .select("p_partkey", "p_brand").collect()}
+    groups = defaultdict(list)
+    for r in li:
+        ep4 = int(Decimal(str(r.l_extendedprice)).quantize(
+            Decimal("0.0001")) * 10000) / 10000.0
+        x = math.log(ep4 / float(r.l_quantity))
+        y = math.log(float(r.l_quantity))
+        groups[brand[r.l_partkey]].append(
+            (r.l_orderkey * 10 + r.l_linenumber, x, y))
+    for b, rows_ in groups.items():
+        rows_.sort()
+        n = len(rows_)
+        sx = sy = sxx = sxy = 0.0
+        for _, x, y in rows_:
+            sx += x
+        for _, x, y in rows_:
+            sy += y
+        for _, x, y in rows_:
+            sxx += x * x
+        for _, x, y in rows_:
+            sxy += x * y
+        den = n * sxx - sx * sx
+        if n < 3 or den == 0:
+            assert b not in got
+            continue
+        slope = (n * sxy - sx * sy) / den
+        assert got[b].n == n
+        assert got[b].elasticity == _pround6(slope), b
+    assert set(got) <= set(groups)
+    # demand curves slope down: most brands should show negative slope
+    neg = sum(1 for r in got.values() if r.elasticity < 0)
+    assert neg >= len(got) * 0.6
