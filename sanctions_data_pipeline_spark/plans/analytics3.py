@@ -932,3 +932,176 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pround6((F.col("n") * F.col("sxy")
                              - F.col("sx") * F.col("sy")) / den)
                     .alias("elasticity")))
+
+
+# ---------------------------------------------------------------------------
+# q_nelson_aalen — cumulative-hazard companion to q_kaplan_meier on the
+# same first->second-event duration grid: H(t) = Σ_{t_i<=t} d_i/n_i.
+# Each hazard increment is one division of exact integers (identical
+# doubles both engines) and the prefix sum folds in duration order, so
+# the estimate is bit-identical. Same bounded duration-grid prefix
+# cross as KM (the grid is O(distinct durations), not O(users)).
+# ---------------------------------------------------------------------------
+_NA_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (SELECT user_id, d AS fd FROM e WHERE rn = 1),
+s AS (SELECT user_id, d AS sd FROM e WHERE rn = 2),
+h AS (SELECT max(d) AS hmax FROM e),
+u AS (
+  SELECT CASE WHEN s.sd IS NOT NULL THEN s.sd - f.fd
+              ELSE h.hmax - f.fd END AS dur,
+         CASE WHEN s.sd IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM f LEFT JOIN s ON f.user_id = s.user_id CROSS JOIN h
+),
+grid AS (
+  SELECT dur AS t, CAST(sum(observed) AS BIGINT) AS d_events,
+         CAST(count(*) AS BIGINT) AS ending
+  FROM u GROUP BY dur
+),
+risk AS (
+  SELECT g1.t, g1.d_events,
+         (SELECT CAST(sum(g2.ending) AS BIGINT) FROM grid g2
+          WHERE g2.t >= g1.t) AS n_risk
+  FROM grid g1 WHERE g1.d_events > 0
+)
+SELECT r1.t AS duration_days, r1.d_events, r1.n_risk,
+       round(list_aggregate(list_transform(
+         list_sort(list({'i': r2.t,
+                         'v': CAST(r2.d_events AS DOUBLE)
+                              / CAST(r2.n_risk AS DOUBLE)})),
+         s -> s.v), 'sum'), 6) AS cum_hazard
+FROM risk r1 JOIN risk r2 ON r2.t <= r1.t
+GROUP BY r1.t, r1.d_events, r1.n_risk
+"""
+
+
+@register("q_nelson_aalen", oracle=_NA_ORACLE)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                  / F.lit(86400000000)).cast("bigint")
+    e = ev.select(
+        "user_id", day.alias("d"),
+        F.row_number().over(W.partitionBy("user_id")
+                            .orderBy("ts", "event_id")).alias("rn"))
+    f = e.filter(F.col("rn") == 1).select("user_id", F.col("d").alias("fd"))
+    s = e.filter(F.col("rn") == 2).select("user_id", F.col("d").alias("sd"))
+    horizon = e.agg(F.max("d").alias("hmax"))
+    u = (f.join(s, "user_id", "left").crossJoin(F.broadcast(horizon))
+         .select(
+             F.when(F.col("sd").isNotNull(), F.col("sd") - F.col("fd"))
+             .otherwise(F.col("hmax") - F.col("fd")).alias("dur"),
+             F.when(F.col("sd").isNotNull(), 1).otherwise(0)
+             .alias("observed")))
+    grid = u.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("observed").cast("bigint").alias("d_events"),
+        lcount("ending"))
+    g2 = grid.select(F.col("t").alias("t2"), F.col("ending").alias("e2"))
+    risk = (grid.join(F.broadcast(g2), F.col("t2") >= F.col("t"))
+            .groupBy("t", "d_events")
+            .agg(F.sum("e2").cast("bigint").alias("n_risk"))
+            .filter(F.col("d_events") > 0))
+    r2 = risk.select(F.col("t").alias("tb"), F.col("d_events").alias("db"),
+                     F.col("n_risk").alias("nb"))
+    fold = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct(F.col("tb").alias("i"),
+                     (F.col("db").cast("double")
+                      / F.col("nb").cast("double")).alias("v")))),
+            lambda x: x["v"]),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (risk.join(F.broadcast(r2), F.col("tb") <= F.col("t"))
+            .groupBy(F.col("t").alias("duration_days"),
+                     "d_events", "n_risk")
+            .agg(F.round(fold, 6).alias("cum_hazard")))
+
+
+# ---------------------------------------------------------------------------
+# q_group_percentiles — exact interpolated percentiles PER GROUP
+# (p50/p90/p99 of order totals by customer nation): q_percentile's
+# portable quantile_cont == F.percentile equivalence, applied grouped,
+# over x4-exact doubles so both engines interpolate identical values.
+# One orders⋈customer shuffle with the nation dim broadcast.
+# ---------------------------------------------------------------------------
+_GROUP_PCTL_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(quantile_cont(CAST(CAST(o.o_totalprice AS DECIMAL(18,4))
+                                * 10000 AS BIGINT) / 10000.0, 0.5), 6) AS p50,
+       round(quantile_cont(CAST(CAST(o.o_totalprice AS DECIMAL(18,4))
+                                * 10000 AS BIGINT) / 10000.0, 0.9), 6) AS p90,
+       round(quantile_cont(CAST(CAST(o.o_totalprice AS DECIMAL(18,4))
+                                * 10000 AS BIGINT) / 10000.0, 0.99), 6) AS p99
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("q_group_percentiles", oracle=_GROUP_PCTL_ORACLE)
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    tp = ((F.round(F.col("o_totalprice").cast("decimal(18,4)"), 4) * 10000)
+          .cast("bigint") / 10000.0)
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .select(F.col("n_name").alias("nation"), tp.alias("v"))
+            .groupBy("nation")
+            .agg(lcount("n_orders"),
+                 F.round(F.percentile("v", F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile("v", F.lit(0.9)), 6).alias("p90"),
+                 F.round(F.percentile("v", F.lit(0.99)), 6).alias("p99")))
+
+
+# ---------------------------------------------------------------------------
+# tok_mincount_sweep — tokenizer vocabulary design curve: for each
+# min-count threshold, the surviving vocab size and the OOV token
+# share it would induce. The counts table computes ONCE (exact ints);
+# the sweep is a literal threshold-lattice rollup, the
+# dd_threshold_sweep pattern applied to vocab pruning.
+# ---------------------------------------------------------------------------
+_MINCOUNT_THRESHOLDS = [1, 2, 3, 5, 10, 20]
+
+_MINCOUNT_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents WHERE length(text) > 0
+),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+thr AS (SELECT unnest([{", ".join(map(str, _MINCOUNT_THRESHOLDS))}]) AS min_count)
+SELECT CAST(min_count AS BIGINT) AS min_count,
+       CAST(sum(CASE WHEN c >= min_count THEN 1 ELSE 0 END) AS BIGINT)
+         AS vocab_size,
+       CAST(sum(CASE WHEN c < min_count THEN c ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       round(CAST(sum(CASE WHEN c < min_count THEN c ELSE 0 END) AS DOUBLE)
+             / n, 6) AS oov_rate
+FROM thr, cnt, tot
+GROUP BY min_count, n
+"""
+
+
+@register("tok_mincount_sweep", oracle=_MINCOUNT_ORACLE)
+def tok_mincount_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    cnt = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+           .groupBy("tok").agg(lcount("c")))
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n"))
+    thr = spark.createDataFrame([(t,) for t in _MINCOUNT_THRESHOLDS],
+                                "min_count bigint")
+    return (cnt.crossJoin(F.broadcast(thr)).crossJoin(F.broadcast(tot))
+            .groupBy("min_count", "n")
+            .agg(F.sum(F.when(F.col("c") >= F.col("min_count"), 1)
+                       .otherwise(0)).cast("bigint").alias("vocab_size"),
+                 F.sum(F.when(F.col("c") < F.col("min_count"), F.col("c"))
+                       .otherwise(0)).cast("bigint").alias("oov_tokens"))
+            .select("min_count", "vocab_size", "oov_tokens",
+                    F.round(F.col("oov_tokens").cast("double")
+                            / F.col("n"), 6).alias("oov_rate")))

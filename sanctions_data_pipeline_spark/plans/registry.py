@@ -204,7 +204,8 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R04_CHECKED
 #   dd_minhash_lsh_portable dd_simhash_portable q_cohens_kappa
 #   tx_dedup_impact tt_group_kfold s_name_idf_score q_cagr
 #   q_linear_interpolate dq_drift_fdr st_left_outer_join
-#   q_ljung_box q_decile_lift q_price_elasticity
+#   q_ljung_box q_decile_lift q_price_elasticity q_nelson_aalen
+#   q_group_percentiles tok_mincount_sweep
 _ORACLE_PRIORITY = (
     # round-2/3-era stragglers, never driver-checked
     "st_scd2_lookup", "st_anomaly", "st_topk_trending", "s_velocity_check",

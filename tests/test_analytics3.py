@@ -366,3 +366,96 @@ def test_price_elasticity_replay(spark, sf_dir):
     # demand curves slope down: most brands should show negative slope
     neg = sum(1 for r in got.values() if r.elasticity < 0)
     assert neg >= len(got) * 0.6
+
+
+def test_nelson_aalen_replay(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    got = {r.duration_days: r for r in
+           _run(spark, sf_dir, "q_nelson_aalen").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        d = r.ts.toordinal() - 1  # only differences matter
+        by_user[r.user_id].append((r.ts, r.event_id, d))
+    hmax = max(d for evs in by_user.values() for _, _, d in evs)
+    durs = []
+    for evs in by_user.values():
+        evs.sort()
+        fd = evs[0][2]
+        if len(evs) >= 2:
+            durs.append((evs[1][2] - fd, 1))
+        else:
+            durs.append((hmax - fd, 0))
+    grid = defaultdict(lambda: [0, 0])
+    for t, obs in durs:
+        grid[t][0] += obs
+        grid[t][1] += 1
+    ts = sorted(grid)
+    want = {}
+    haz = 0.0
+    for t in ts:
+        n_risk = sum(grid[t2][1] for t2 in ts if t2 >= t)
+        if grid[t][0] > 0:
+            haz += grid[t][0] / n_risk
+            want[t] = (grid[t][0], n_risk, round(haz, 6))
+    assert set(got) == set(want)
+    for t, (d, n, h) in want.items():
+        g = got[t]
+        assert (g.d_events, g.n_risk) == (d, n)
+        assert abs(g.cum_hazard - h) < 1e-9
+    # hazard is nondecreasing in t
+    hs = [got[t].cum_hazard for t in sorted(got)]
+    assert hs == sorted(hs)
+
+
+def test_group_percentiles_replay(spark, sf_dir):
+    got = {r.nation: r for r in
+           _run(spark, sf_dir, "q_group_percentiles").collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").collect()
+    cust = {r.c_custkey: r.c_nationkey for r in
+            load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey").collect()}
+    nation = {r.n_nationkey: r.n_name for r in
+              load_table(spark, sf_dir, "nation").collect()}
+    vals = defaultdict(list)
+    for r in orders:
+        v = int(Decimal(str(r.o_totalprice)).quantize(
+            Decimal("0.0001")) * 10000) / 10000.0
+        vals[nation[cust[r.o_custkey]]].append(v)
+
+    def pcont(xs, p):
+        xs = sorted(xs)
+        k = (len(xs) - 1) * p
+        lo, g = int(math.floor(k)), k - math.floor(k)
+        return xs[lo] if g == 0 else xs[lo] * (1 - g) + xs[lo + 1] * g
+
+    assert set(got) == set(vals)
+    for nat, xs in vals.items():
+        g = got[nat]
+        assert g.n_orders == len(xs)
+        for col, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            assert abs(getattr(g, col) - round(pcont(xs, p), 6)) < 1e-6, (nat, col)
+
+
+def test_mincount_sweep_replay(spark, sf_dir):
+    got = {r.min_count: r for r in
+           _run(spark, sf_dir, "tok_mincount_sweep").collect()}
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    cnt = Counter(t for r in docs if r.text
+                  for t in _norm_tokens(r.text))
+    n = sum(cnt.values())
+    for thr in (1, 2, 3, 5, 10, 20):
+        vocab = sum(1 for c in cnt.values() if c >= thr)
+        oov = sum(c for c in cnt.values() if c < thr)
+        g = got[thr]
+        assert (g.vocab_size, g.oov_tokens) == (vocab, oov), thr
+        assert abs(g.oov_rate - round(oov / n, 6)) < 1e-9
+    # monotone: higher threshold -> smaller vocab, more OOV mass
+    ms = sorted(got)
+    assert [got[m].vocab_size for m in ms] == sorted(
+        (got[m].vocab_size for m in ms), reverse=True)
+    assert [got[m].oov_tokens for m in ms] == sorted(
+        got[m].oov_tokens for m in ms)

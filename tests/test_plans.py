@@ -158,6 +158,10 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # bounded duration-grid prefix cross (KM product) +
                 # one-row horizon broadcast; the Weibull fit composes it
                 "q_kaplan_meier", "q_weibull_fit",
+                # same KM duration-grid prefix cross (cumulative hazard)
+                "q_nelson_aalen",
+                # literal threshold lattice + one-row token-total cross
+                "tok_mincount_sweep",
                 # same margin-lattice cross as q_chi_square
                 "q_cramers_v",
                 # one-row group-stats cross (click row x view row)
