@@ -1105,3 +1105,120 @@ def tok_mincount_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("min_count", "vocab_size", "oov_tokens",
                     F.round(F.col("oov_tokens").cast("double")
                             / F.col("n"), 6).alias("oov_rate")))
+
+
+# ---------------------------------------------------------------------------
+# q_kendall_tau — Kendall's tau-b between calendar day and daily order
+# count over the bounded day grid: the normalized companion to
+# q_mann_kendall's S statistic (tau_b = S / sqrt((n0 - tx)(n0 - ty));
+# day indexes are tie-free so ty = 0). Every count is an exact
+# integer; the one sqrt runs on identical doubles. Day-pair cross is
+# the documented calendar-bounded lattice.
+# ---------------------------------------------------------------------------
+_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM daily),
+tx AS (
+  SELECT CAST(COALESCE(sum(t * (t - 1) / 2), 0) AS BIGINT) AS tx
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x)
+  WHERE t > 1
+)
+SELECT m, s,
+       round(CAST(s AS DOUBLE)
+             / sqrt((CAST(m AS DOUBLE) * (m - 1) / 2.0 - tx)
+                    * (CAST(m AS DOUBLE) * (m - 1) / 2.0)), 6) AS tau_b
+FROM s CROSS JOIN m CROSS JOIN tx
+"""
+
+
+@register("q_kendall_tau", oracle=_KENDALL_ORACLE)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(lcount("x")))
+    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    s = (daily.join(b, F.col("d") < F.col("d2"))
+         .agg(F.sum(F.when(F.col("x2") > F.col("x"), 1)
+                    .when(F.col("x2") < F.col("x"), -1)
+                    .otherwise(0)).cast("bigint").alias("s")))
+    m = daily.agg(lcount("m"))
+    tx_ = (daily.groupBy("x").agg(lcount("t"))
+           .filter(F.col("t") > 1)
+           .agg(F.coalesce(F.sum(F.col("t") * (F.col("t") - 1) / 2),
+                           F.lit(0)).cast("bigint").alias("tx")))
+    j = s.crossJoin(F.broadcast(m)).crossJoin(F.broadcast(tx_))
+    n0 = F.col("m").cast("double") * (F.col("m") - 1) / 2.0
+    return j.select(
+        "m", "s",
+        F.round(F.col("s").cast("double")
+                / F.sqrt((n0 - F.col("tx")) * n0), 6).alias("tau_b"))
+
+
+# ---------------------------------------------------------------------------
+# q_gk_gamma — Goodman-Kruskal gamma between order priority (ordinal
+# 1-URGENT..5-LOW) and order size (number of line items): concordant
+# vs discordant mass over the tiny (priority x line-count) cell table
+# (≤ 5x7 cells — the q_chi_square margin-lattice shape), gamma =
+# (C - D)/(C + D), one division of exact integers. The ordinal
+# association readout chi-square can't give (it ignores order).
+# ---------------------------------------------------------------------------
+_GK_GAMMA_ORACLE = """
+WITH per_order AS (
+  SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS p,
+         CAST(count(*) AS BIGINT) AS q
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority
+),
+cells AS (
+  SELECT p, q, CAST(count(*) AS BIGINT) AS n FROM per_order GROUP BY p, q
+),
+cd AS (
+  SELECT
+    CAST(sum(CASE WHEN (a.p < b.p AND a.q < b.q)
+                    OR (a.p > b.p AND a.q > b.q)
+             THEN a.n * b.n ELSE 0 END) AS BIGINT) / 2 AS c,
+    CAST(sum(CASE WHEN (a.p < b.p AND a.q > b.q)
+                    OR (a.p > b.p AND a.q < b.q)
+             THEN a.n * b.n ELSE 0 END) AS BIGINT) / 2 AS d
+  FROM cells a, cells b
+)
+SELECT CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+       round(CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE), 6) AS gamma
+FROM cd
+"""
+
+
+@register("q_gk_gamma", oracle=_GK_GAMMA_ORACLE)
+def q_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (orders.join(li, li.l_orderkey == orders.o_orderkey)
+                 .groupBy("o_orderkey", "o_orderpriority")
+                 .agg(lcount("q"))
+                 .select(F.substring("o_orderpriority", 1, 1)
+                         .cast("bigint").alias("p"), "q"))
+    cells = per_order.groupBy("p", "q").agg(lcount("n"))
+    b = cells.select(F.col("p").alias("p2"), F.col("q").alias("q2"),
+                     F.col("n").alias("n2"))
+    conc = (((F.col("p") < F.col("p2")) & (F.col("q") < F.col("q2")))
+            | ((F.col("p") > F.col("p2")) & (F.col("q") > F.col("q2"))))
+    disc = (((F.col("p") < F.col("p2")) & (F.col("q") > F.col("q2")))
+            | ((F.col("p") > F.col("p2")) & (F.col("q") < F.col("q2"))))
+    cd = (cells.crossJoin(F.broadcast(b))
+          .agg((F.sum(F.when(conc, F.col("n") * F.col("n2")).otherwise(0))
+                .cast("bigint") / 2).cast("bigint").alias("concordant"),
+               (F.sum(F.when(disc, F.col("n") * F.col("n2")).otherwise(0))
+                .cast("bigint") / 2).cast("bigint").alias("discordant")))
+    return cd.select(
+        "concordant", "discordant",
+        F.round((F.col("concordant") - F.col("discordant")).cast("double")
+                / (F.col("concordant") + F.col("discordant")).cast("double"),
+                6).alias("gamma"))

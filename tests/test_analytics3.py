@@ -459,3 +459,41 @@ def test_mincount_sweep_replay(spark, sf_dir):
         (got[m].vocab_size for m in ms), reverse=True)
     assert [got[m].oov_tokens for m in ms] == sorted(
         got[m].oov_tokens for m in ms)
+
+
+def test_kendall_tau_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_kendall_tau").collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate").collect()
+    daily = Counter(r.o_orderdate for r in orders)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    m = len(xs)
+    s = sum((xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(m) for j in range(i + 1, m))
+    tc = Counter(xs)
+    tx = sum(t * (t - 1) // 2 for t in tc.values() if t > 1)
+    n0 = m * (m - 1) / 2.0
+    tau = s / math.sqrt((n0 - tx) * n0)
+    assert got.m == m and got.s == s
+    assert abs(got.tau_b - round(tau, 6)) < 1e-9
+    assert -1.0 <= got.tau_b <= 1.0
+
+
+def test_gk_gamma_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_gk_gamma").collect()[0]
+    orders = {r.o_orderkey: int(r.o_orderpriority[0]) for r in
+              load_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_orderpriority").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    nlines = Counter(r.l_orderkey for r in li)
+    cells = Counter((orders[ok], q) for ok, q in nlines.items())
+    c = d = 0
+    items = list(cells.items())
+    for i, ((p1, q1), n1) in enumerate(items):
+        for (p2, q2), n2 in items[i + 1:]:
+            if (p1 < p2 and q1 < q2) or (p1 > p2 and q1 > q2):
+                c += n1 * n2
+            elif (p1 < p2 and q1 > q2) or (p1 > p2 and q1 < q2):
+                d += n1 * n2
+    assert (got.concordant, got.discordant) == (c, d)
+    assert abs(got.gamma - round((c - d) / (c + d), 6)) < 1e-9

@@ -120,6 +120,10 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # i<j sign pairs and ACF's lag alignment join |days|-row
                 # aggregates (tiny by construction), plus 1-row stats
                 "q_mann_kendall", "q_acf",
+                # MK's day-pair lattice with tau-b normalization
+                "q_kendall_tau",
+                # bounded (priority x line-count) cell-pair lattice
+                "q_gk_gamma",
                 # composes q_acf's lag-alignment cross + 1-row totals
                 "q_ljung_box",
                 # one-row (n_all, b_all) totals broadcast
