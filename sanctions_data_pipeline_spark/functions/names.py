@@ -188,3 +188,50 @@ def sql_variant_keys(expr: str) -> str:
     return ("[" + sql_norm_keep_accents(expr) + ", "
             + sql_remove_punctuation(expr) + ", "
             + f"lower({sql_normalize_ws(sql_strip_accents(expr))})" + "]")
+
+
+# --- Cyrillic -> Latin transliteration (BGN/PCGN-style) --------------------
+# Screening support for the reference's non-Latin alias rows (the XML
+# feeds carry Cyrillic primary names whose Latin alias should be the
+# romanization — main.py routes non-Latin names past is_latin_name and
+# keeps only the Latin alias; transliteration lets the engine VERIFY
+# that pairing). Shared tables emit both the Spark expression and the
+# DuckDB SQL so the oracle computes the identical function.
+# Multi-char digraphs apply first (longest-match), then the 1:1 table.
+TRANSLIT_MULTI = [
+    ("щ", "shch"), ("ж", "zh"), ("х", "kh"), ("ц", "ts"), ("ч", "ch"),
+    ("ш", "sh"), ("ю", "yu"), ("я", "ya"), ("ё", "yo"), ("ї", "yi"),
+    ("є", "ye"),
+]
+TRANSLIT_FROM = "абвгдезийклмнопрстуфыэіґ"
+TRANSLIT_TO = "abvgdeziyklmnoprstufyeig"
+TRANSLIT_DROP = "ьъ"
+
+
+def translit_cyrillic(col: Column) -> Column:
+    """Romanize lowercase Cyrillic (apply AFTER lower())."""
+    out = col
+    for src, dst in TRANSLIT_MULTI:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    out = F.translate(out, TRANSLIT_FROM + TRANSLIT_DROP, TRANSLIT_TO)
+    return out
+
+
+def sql_translit_cyrillic(expr: str) -> str:
+    """DuckDB fragment mirroring :func:`translit_cyrillic`."""
+    out = expr
+    for src, dst in TRANSLIT_MULTI:
+        out = f"replace({out}, '{src}', '{dst}')"
+    return f"translate({out}, '{TRANSLIT_FROM + TRANSLIT_DROP}', '{TRANSLIT_TO}')"
+
+
+def sorted_token_key(col: Column) -> Column:
+    """Order-insensitive name form: split on spaces/commas, sort, join
+    (matches 'Yolkin, Pyotr' to 'Pyotr Yolkin')."""
+    toks = F.filter(F.split(col, "[ ,]+"), lambda t: t != "")
+    return F.array_join(F.array_sort(toks), " ")
+
+
+def sql_sorted_token_key(expr: str) -> str:
+    return ("array_to_string(list_sort(list_filter("
+            f"string_split_regex({expr}, '[ ,]+'), t -> t <> '')), ' ')")

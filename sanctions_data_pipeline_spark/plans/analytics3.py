@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from sanctions_data_pipeline_spark.catalog import load_table
 from sanctions_data_pipeline_spark.data import sanctions_fixture as fx
+from sanctions_data_pipeline_spark.functions import names as nm
 from sanctions_data_pipeline_spark.operators import textstats as tx
 from sanctions_data_pipeline_spark.plans.helpers import (
     SQL_REVENUE, drate, dsum, dval, lcount, pround6, sql_dsum, sql_pround6,
@@ -1222,3 +1223,66 @@ def q_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("concordant") - F.col("discordant")).cast("double")
                 / (F.col("concordant") + F.col("discordant")).cast("double"),
                 6).alias("gamma"))
+
+
+# ---------------------------------------------------------------------------
+# s_translit_match — romanization verification for non-Latin alias
+# rows: transliterate each Cyrillic alias (BGN/PCGN-style shared
+# tables, functions/names.py) and measure its edit distance to every
+# LATIN alias of the same entity on order-insensitive sorted-token
+# forms ('Ёлкин, Пётр' -> 'pyotr yolkin' == 'Pyotr Yolkin'). The check
+# the reference implies when it keeps the Latin alias of a non-Latin
+# primary (main.py:333-361): is that Latin alias actually the
+# romanization? matched = lev <= 2 absorbs kh/h- and y-insertion
+# spelling families. Per-entity pairs only — no cross-entity blowup.
+# ---------------------------------------------------------------------------
+_TRANSLIT_ORACLE = f"""
+WITH {fx.sql_cte("aliases")},
+base AS (
+  SELECT entity_id, alias_idx, whole_name,
+         lower(trim(regexp_replace(whole_name, '\\s+', ' ', 'g'))) AS norm,
+         CASE WHEN {nm.sql_is_latin_name("whole_name")} THEN 1 ELSE 0 END
+           AS is_lat
+  FROM aliases
+),
+nl AS (
+  SELECT entity_id, alias_idx AS nl_idx,
+         {nm.sql_sorted_token_key(nm.sql_translit_cyrillic("norm"))} AS tkey
+  FROM base WHERE is_lat = 0
+),
+lat AS (
+  SELECT entity_id, alias_idx AS lat_idx,
+         {nm.sql_sorted_token_key("norm")} AS lkey
+  FROM base WHERE is_lat = 1
+)
+SELECT n.entity_id, n.nl_idx, l.lat_idx, n.tkey AS translit,
+       CAST(levenshtein(n.tkey, l.lkey) AS BIGINT) AS lev,
+       CAST(CASE WHEN levenshtein(n.tkey, l.lkey) <= 2 THEN 1 ELSE 0 END
+            AS BIGINT) AS matched
+FROM nl n JOIN lat l ON n.entity_id = l.entity_id
+"""
+
+
+@register("s_translit_match", oracle=_TRANSLIT_ORACLE)
+def s_translit_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.functions import names as nmf
+
+    al = fx.spark_df(spark, "aliases")
+    norm = F.lower(F.trim(F.regexp_replace("whole_name", r"\s+", " ")))
+    base = al.select(
+        "entity_id", "alias_idx", norm.alias("norm"),
+        nmf.is_latin_name(F.col("whole_name")).alias("is_lat"))
+    nl = base.filter(~F.col("is_lat")).select(
+        "entity_id", F.col("alias_idx").alias("nl_idx"),
+        nmf.sorted_token_key(
+            nmf.translit_cyrillic(F.col("norm"))).alias("tkey"))
+    lat = base.filter(F.col("is_lat")).select(
+        F.col("entity_id").alias("e2"), F.col("alias_idx").alias("lat_idx"),
+        nmf.sorted_token_key(F.col("norm")).alias("lkey"))
+    lev = F.levenshtein("tkey", "lkey")
+    return (nl.join(lat, nl.entity_id == lat.e2)
+            .select("entity_id", "nl_idx", "lat_idx",
+                    F.col("tkey").alias("translit"),
+                    lev.cast("bigint").alias("lev"),
+                    F.when(lev <= 2, 1).otherwise(0)
+                     .cast("bigint").alias("matched")))

@@ -497,3 +497,21 @@ def test_gk_gamma_replay(spark, sf_dir):
                 d += n1 * n2
     assert (got.concordant, got.discordant) == (c, d)
     assert abs(got.gamma - round((c - d) / (c + d), 6)) < 1e-9
+
+
+def test_translit_match_replay(spark, sf_dir):
+    """The fixture's three Cyrillic/Latin alias pairs must all verify
+    as romanizations: Мохаммед Алиев ~ Mohammed Aliyev (kh/h + y
+    insertion, lev 2), Іван Петренко ~ Ivan Petrenko (lev 0 after the
+    confusable І), Ёлкин, Пётр ~ Pyotr Yolkin (order-insensitive
+    sorted-token form, lev 0)."""
+    rows = {(r.entity_id, r.nl_idx, r.lat_idx): r for r in
+            _run(spark, sf_dir, "s_translit_match").collect()}
+    assert set(rows) == {(2, 0, 1), (3, 0, 1), (11, 0, 1)}
+    assert rows[(2, 0, 1)].translit == "aliev mokhammed"
+    assert rows[(2, 0, 1)].lev == 2 and rows[(2, 0, 1)].matched == 1
+    # translit maps Ukrainian і->i directly, so this row is exact
+    assert rows[(3, 0, 1)].lev == 0
+    assert rows[(11, 0, 1)].translit == "pyotr yolkin"
+    assert rows[(11, 0, 1)].lev == 0
+    assert all(r.matched == 1 for r in rows.values())
