@@ -1286,3 +1286,71 @@ def s_translit_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lev.cast("bigint").alias("lev"),
                     F.when(lev <= 2, 1).otherwise(0)
                      .cast("bigint").alias("matched")))
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_beta — 30-day rolling OLS beta of daily purchase count on
+# daily view count (the "sensitivity of conversions to traffic"
+# readout; q_rolling_corr's directional sibling). Both series are
+# exact integer day counts, every window sum is an exact bigint, and
+# beta = (m·sxy − sx·sy)/(m·sxx − sx²) is one arithmetic tree over
+# them. Calendar-bounded day grid (documented window contract).
+# ---------------------------------------------------------------------------
+_ROLL_BETA_ORACLE = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS i,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT day,
+         CAST(count(*) OVER win AS BIGINT) AS m,
+         CAST(sum(x) OVER win AS BIGINT) AS sx,
+         CAST(sum(y) OVER win AS BIGINT) AS sy,
+         CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+         CAST(sum(x * y) OVER win AS BIGINT) AS sxy
+  FROM daily
+  WINDOW win AS (ORDER BY i ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT day, m,
+       CASE WHEN m > 1 AND m * sxx - sx * sx > 0
+            THEN round((CAST(m AS DOUBLE) * sxy
+                        - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(m AS DOUBLE) * sxx
+                          - CAST(sx AS DOUBLE) * sx), 6)
+       END AS beta
+FROM w
+"""
+
+
+@register("q_rolling_beta", oracle=_ROLL_BETA_ORACLE)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                / F.lit(86400000000)).cast("bigint").alias("i"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+             .cast("bigint").alias("x"),
+             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+             .cast("bigint").alias("y")))
+    win = W.orderBy("i").rowsBetween(-29, 0)
+    w = daily.select(
+        "day",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("m"),
+        F.sum("x").over(win).cast("bigint").alias("sx"),
+        F.sum("y").over(win).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("bigint").alias("sxy"))
+    m = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    den = m * F.col("sxx").cast("double") - sx * sx
+    return w.select(
+        "day", "m",
+        F.when((F.col("m") > 1) & (den > 0),
+               F.round((m * F.col("sxy").cast("double") - sx * sy) / den, 6))
+        .alias("beta"))

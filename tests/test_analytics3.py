@@ -515,3 +515,29 @@ def test_translit_match_replay(spark, sf_dir):
     assert rows[(11, 0, 1)].translit == "pyotr yolkin"
     assert rows[(11, 0, 1)].lev == 0
     assert all(r.matched == 1 for r in rows.values())
+
+
+def test_rolling_beta_replay(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    got = {r.day: r for r in _run(spark, sf_dir, "q_rolling_beta").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"), "event_type").collect()
+    days = sorted({r.d for r in ev})
+    x = Counter(r.d for r in ev if r.event_type == "view")
+    y = Counter(r.d for r in ev if r.event_type == "purchase")
+    assert len(got) == len(days)
+    for i, d in enumerate(days):
+        win = days[max(0, i - 29):i + 1]
+        m = len(win)
+        sx = sum(x[w] for w in win)
+        sy = sum(y[w] for w in win)
+        sxx = sum(x[w] ** 2 for w in win)
+        sxy = sum(x[w] * y[w] for w in win)
+        g = got[d.strftime("%Y-%m-%d")]
+        assert g.m == m
+        den = m * sxx - sx * sx
+        if m > 1 and den > 0:
+            assert abs(g.beta - round((m * sxy - sx * sy) / den, 6)) < 1e-9
+        else:
+            assert g.beta is None
