@@ -365,3 +365,29 @@ def test_survey_registry_sync():
     m = re.search(r"(\d+) rows-only", sec2)
     assert m and int(m.group(1)) == len(qs) - len(os_), (
         m and m.group(1), len(qs) - len(os_))
+
+
+def test_rotation_staging_covers_remaining_pool():
+    """plans/registry.py stages the round-6/7 driver windows as
+    comments; they must name EXACTLY the still-never-driver-checked
+    SQL-oracled entries (new ops must be appended there), so each
+    round's rotation stays mechanical and nothing silently escapes
+    driver verification."""
+    import os
+    import re
+
+    from sanctions_data_pipeline_spark.plans import registry as reg
+
+    reg.queries()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(
+        root, "sanctions_data_pipeline_spark/plans/registry.py")).read()
+    block = src.split("ROUND-6 WINDOW")[1].split("_ORACLE_PRIORITY = (")[0]
+    staged = {c for c in re.findall(r"[a-z][a-z0-9_]+", block)
+              if c in reg.REGISTRY}
+    checked = reg._DRIVER_CHECKED | set(reg._ORACLE_PRIORITY)
+    remaining = {n for n, qd in reg.REGISTRY.items()
+                 if qd.oracle and n not in checked}
+    assert staged == remaining, (
+        f"unstaged={sorted(remaining - staged)} "
+        f"stale={sorted(staged - remaining)}")
