@@ -1354,3 +1354,76 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("m") > 1) & (den > 0),
                F.round((m * F.col("sxy").cast("double") - sx * sy) / den, 6))
         .alias("beta"))
+
+
+# ---------------------------------------------------------------------------
+# q_session_stats — the product-analytics rollup OVER q_sessionize's
+# output: distribution of session length (seconds), size (events) and
+# bounce share, as one summary row. Percentiles are the proven
+# quantile_cont == F.percentile equivalence over exact integer
+# durations; bounce share is one exact-int division. Composes the
+# sessionize gaps-and-islands verbatim (same >30min gap rule), so
+# correctness inherits from the driver-green q_sessionize.
+# ---------------------------------------------------------------------------
+_SESSION_STATS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), per_session AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+           AS dur_s
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       round(quantile_cont(CAST(dur_s AS DOUBLE), 0.5), 6) AS p50_dur_s,
+       round(quantile_cont(CAST(dur_s AS DOUBLE), 0.9), 6) AS p90_dur_s,
+       round(quantile_cont(CAST(n_events AS DOUBLE), 0.5), 6) AS p50_events,
+       round(quantile_cont(CAST(n_events AS DOUBLE), 0.9), 6) AS p90_events,
+       round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS bounce_share
+FROM per_session
+"""
+
+
+@register("q_session_stats", oracle=_SESSION_STATS_ORACLE)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros(F.col("ts"))
+               - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1).otherwise(0))
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"))
+    per_session = (sessions.groupBy("user_id", "session_seq")
+                   .agg(lcount("n_events"),
+                        ((F.unix_micros(F.max("ts"))
+                          - F.unix_micros(F.min("ts"))) / 1_000_000)
+                        .cast("bigint").alias("dur_s")))
+    return per_session.agg(
+        lcount("n_sessions"),
+        F.round(F.percentile(F.col("dur_s").cast("double"), F.lit(0.5)), 6)
+         .alias("p50_dur_s"),
+        F.round(F.percentile(F.col("dur_s").cast("double"), F.lit(0.9)), 6)
+         .alias("p90_dur_s"),
+        F.round(F.percentile(F.col("n_events").cast("double"), F.lit(0.5)), 6)
+         .alias("p50_events"),
+        F.round(F.percentile(F.col("n_events").cast("double"), F.lit(0.9)), 6)
+         .alias("p90_events"),
+        F.round(F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                .cast("double") / F.count(F.lit(1)), 6).alias("bounce_share"))

@@ -541,3 +541,38 @@ def test_rolling_beta_replay(spark, sf_dir):
             assert abs(g.beta - round((m * sxy - sx * sy) / den, 6)) < 1e-9
         else:
             assert g.beta is None
+
+
+def test_session_stats_replay(spark, sf_dir):
+    got = _run(spark, sf_dir, "q_session_stats").collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts, r.event_id))
+    sessions = []
+    for evs in by_user.values():
+        evs.sort()
+        cur = [evs[0][0]]
+        for (ts, _), (pts, _) in zip(evs[1:], evs[:-1]):
+            if (ts - pts).total_seconds() * 1e6 > 1_800_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append(ts)
+        sessions.append(cur)
+    durs = [int((s[-1] - s[0]).total_seconds()) for s in sessions]
+    sizes = [len(s) for s in sessions]
+
+    def pcont(xs, p):
+        xs = sorted(xs)
+        k = (len(xs) - 1) * p
+        lo, g = int(math.floor(k)), k - math.floor(k)
+        return xs[lo] if g == 0 else xs[lo] * (1 - g) + xs[lo + 1] * g
+
+    assert got.n_sessions == len(sessions)
+    assert abs(got.p50_dur_s - round(pcont(durs, 0.5), 6)) < 1e-6
+    assert abs(got.p90_dur_s - round(pcont(durs, 0.9), 6)) < 1e-6
+    assert abs(got.p50_events - round(pcont(sizes, 0.5), 6)) < 1e-6
+    assert abs(got.p90_events - round(pcont(sizes, 0.9), 6)) < 1e-6
+    bounce = sum(1 for n in sizes if n == 1) / len(sizes)
+    assert abs(got.bounce_share - round(bounce, 6)) < 1e-9

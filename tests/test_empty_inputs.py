@@ -141,3 +141,29 @@ def test_series_ops_tolerate_empty_events(spark, sf_dir, tmp_path):
         df = qs[name](spark, d)
         assert df.collect() == [], name
         assert len(df.schema.fields) >= 3, name  # declared schema, not a stub
+
+
+def test_round5_ops_tolerate_empty_documents(spark, sf_dir, tmp_path):
+    """Round-5 document-table ops must run (empty or well-defined
+    output, never a crash) when the documents table is empty."""
+    import os
+
+    d = str(tmp_path / "sf_empty5")
+    os.makedirs(d, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(d, f"{t}.parquet"))
+    load_table(spark, sf_dir, "documents").limit(0).write.parquet(
+        os.path.join(d, "documents.parquet"), mode="overwrite")
+
+    from sanctions_data_pipeline_spark.plans import registry
+    qs = registry.queries()
+    for name in ("dd_minhash_lsh_portable", "dd_simhash_portable",
+                 "tx_dedup_impact", "tt_group_kfold", "tok_mincount_sweep",
+                 "dq_drift_fdr"):
+        assert qs[name](spark, d).collect() == [], name
+    # global-summary ops: either no row or an all-null/zero row — not a crash
+    rows = qs["q_cohens_kappa"](spark, d).collect()
+    assert rows == [] or rows[0].n in (0, None)
