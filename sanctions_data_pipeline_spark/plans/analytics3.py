@@ -1427,3 +1427,80 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("p90_events"),
         F.round(F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
                 .cast("double") / F.count(F.lit(1)), 6).alias("bounce_share"))
+
+
+# ---------------------------------------------------------------------------
+# ml_kmeans_step — ONE exact Lloyd iteration from deterministic seeds
+# (the k lowest vec_ids), emitting the per-cluster assignment census
+# and the inertia the step achieves. Random init and multi-round
+# convergence live in the rows-only emb_kmeans_train; this twin makes
+# the ITERATION ITSELF cross-engine hash-checkable: seeds are data,
+# distances fold (v_d−c_d)² in dim order, argmin ties break to the
+# smaller seed id, inertia folds per cluster in vec_id order. The
+# per-round cost model a 100-TB k-means pays is exactly this op:
+# one broadcast of k·dim doubles + one corpus pass + a k-row agg.
+# ---------------------------------------------------------------------------
+_KMEANS_STEP_K = 4
+
+_KMEANS_STEP_ORACLE = f"""
+WITH x AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+seeds AS (
+  SELECT vec_id AS cid, dim, val AS c
+  FROM x WHERE vec_id < {_KMEANS_STEP_K}
+),
+d AS (
+  SELECT x.vec_id, s.cid,
+         list_aggregate(list_transform(
+           list_sort(list({{'i': x.dim, 'v': (x.val - s.c) * (x.val - s.c)}})),
+           v -> v.v), 'sum') AS dist2
+  FROM x JOIN seeds s ON x.dim = s.dim
+  GROUP BY x.vec_id, s.cid
+),
+assign AS (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(dist2, 9), cid) AS rk
+  FROM d
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+       round(list_aggregate(list_transform(
+         list_sort(list({{'i': vec_id, 'v': dist2}})), v -> v.v), 'sum'), 6)
+         AS inertia
+FROM assign WHERE rk = 1 GROUP BY cid
+"""
+
+
+@register("ml_kmeans_step", oracle=_KMEANS_STEP_ORACLE)
+def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "valf")).select(
+        "vec_id", (F.col("p") + 1).alias("dim"),
+        F.col("valf").cast("double").alias("val"))
+    seeds = (x.filter(F.col("vec_id") < _KMEANS_STEP_K)
+             .select(F.col("vec_id").alias("cid"), "dim",
+                     F.col("val").alias("c")))
+
+    def fold_sorted(key, val):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct(key.alias("i"), val.alias("v")))),
+                lambda s: s["v"]),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    d = (x.join(F.broadcast(seeds), "dim")
+         .groupBy("vec_id", "cid")
+         .agg(fold_sorted(F.col("dim"),
+                          (F.col("val") - F.col("c"))
+                          * (F.col("val") - F.col("c"))).alias("dist2")))
+    assign = d.withColumn(
+        "rk", F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.round("dist2", 9), "cid")))
+    return (assign.filter(F.col("rk") == 1)
+            .groupBy("cid")
+            .agg(lcount("n_assigned"),
+                 F.round(fold_sorted(F.col("vec_id"), F.col("dist2")), 6)
+                 .alias("inertia")))

@@ -576,3 +576,33 @@ def test_session_stats_replay(spark, sf_dir):
     assert abs(got.p90_events - round(pcont(sizes, 0.9), 6)) < 1e-6
     bounce = sum(1 for n in sizes if n == 1) / len(sizes)
     assert abs(got.bounce_share - round(bounce, 6)) < 1e-9
+
+
+def test_kmeans_step_replay(spark, sf_dir):
+    got = {r.cid: r for r in _run(spark, sf_dir, "ml_kmeans_step").collect()}
+    emb = {r.vec_id: [float(v) for v in r.embedding] for r in
+           load_table(spark, sf_dir, "embeddings").collect()}
+    seeds = {i: emb[i] for i in sorted(emb) if i < 4}
+    agg = defaultdict(lambda: [0, []])
+    for vid in emb:
+        dists = {}
+        for cid, c in seeds.items():
+            diffs = sorted((d + 1, (emb[vid][d] - c[d]) ** 2)
+                           for d in range(len(c)))
+            acc = 0.0
+            for _, v in diffs:
+                acc += v
+            dists[cid] = acc
+        best = min(dists, key=lambda c: (round(dists[c], 9), c))
+        agg[best][0] += 1
+        agg[best][1].append((vid, dists[best]))
+    assert set(got) == set(agg)
+    for cid, (n, pairs) in agg.items():
+        pairs.sort()
+        acc = 0.0
+        for _, v in pairs:
+            acc += v
+        assert got[cid].n_assigned == n
+        assert abs(got[cid].inertia - round(acc, 6)) < 1e-9
+    # seeds assign to themselves (distance 0)
+    assert sum(r.n_assigned for r in got.values()) == len(emb)
