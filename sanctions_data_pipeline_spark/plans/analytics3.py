@@ -1504,3 +1504,92 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(lcount("n_assigned"),
                  F.round(fold_sorted(F.col("vec_id"), F.col("dist2")), 6)
                  .alias("inertia")))
+
+
+# ---------------------------------------------------------------------------
+# q_audience_overlap — event-type audience overlap matrix: for every
+# ordered type pair, the distinct-user intersection and the overlap
+# coefficient |A∩B| / min(|A|,|B|) (the Szymkiewicz-Simpson measure —
+# robust when audiences differ in size, unlike plain Jaccard). The
+# |types|² cells come from ONE (user, type) dedup + a self-join on
+# user over 5-value type keys; everything is exact integers until the
+# final division.
+# ---------------------------------------------------------------------------
+_AUDIENCE_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+       round(CAST(i.n_both AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+"""
+
+
+@register("q_audience_overlap", oracle=_AUDIENCE_ORACLE)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(lcount("n"))
+    b = ut.select(F.col("user_id").alias("u2"),
+                  F.col("event_type").alias("type_b"))
+    inter = (ut.join(b, (ut.user_id == b.u2)
+                     & (ut.event_type < b.type_b))
+             .groupBy(F.col("event_type").alias("type_a"), "type_b")
+             .agg(lcount("n_both")))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("n_b"))
+    return (inter.join(F.broadcast(sa), "type_a")
+            .join(F.broadcast(sb), "type_b")
+            .select("type_a", "type_b", "n_a", "n_b", "n_both",
+                    F.round(F.col("n_both").cast("double")
+                            / F.least("n_a", "n_b"), 6).alias("overlap")))
+
+
+# ---------------------------------------------------------------------------
+# io_dynamic_partition_overwrite — INSERT OVERWRITE semantics under
+# spark.sql.sources.partitionOverwriteMode=dynamic: events land
+# partitioned by event_type, then ONE partition ('error') is
+# rewritten with a transformed slice — dynamic mode must replace ONLY
+# the partitions present in the write and leave every other partition
+# byte-identical. The read-back census proves it (the oracle computes
+# the expected post-overwrite counts straight from the source table).
+# ---------------------------------------------------------------------------
+_DPO_ORACLE = """
+SELECT event_type,
+       CAST(CASE WHEN event_type = 'error'
+                 THEN sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                 ELSE count(*) END AS BIGINT) AS n_rows
+FROM events GROUP BY event_type
+"""
+
+
+@register("io_dynamic_partition_overwrite", oracle=_DPO_ORACLE)
+def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        os.path.basename(sf_dir.rstrip("/")), "events_dpo")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (ev.filter((F.col("event_type") == "error")
+                   & (F.col("user_id") % 2 == 0))
+         .write.mode("overwrite").partitionBy("event_type").parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(lcount("n_rows"))

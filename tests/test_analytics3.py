@@ -606,3 +606,40 @@ def test_kmeans_step_replay(spark, sf_dir):
         assert abs(got[cid].inertia - round(acc, 6)) < 1e-9
     # seeds assign to themselves (distance 0)
     assert sum(r.n_assigned for r in got.values()) == len(emb)
+
+
+def test_audience_overlap_replay(spark, sf_dir):
+    got = {(r.type_a, r.type_b): r for r in
+           _run(spark, sf_dir, "q_audience_overlap").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type").collect()
+    aud = defaultdict(set)
+    for r in ev:
+        aud[r.event_type].add(r.user_id)
+    types = sorted(aud)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            want[(a, b)] = (len(aud[a]), len(aud[b]), len(aud[a] & aud[b]))
+    assert set(got) == set(want)
+    for k, (na, nb, nboth) in want.items():
+        g = got[k]
+        assert (g.n_a, g.n_b, g.n_both) == (na, nb, nboth)
+        assert abs(g.overlap - round(nboth / min(na, nb), 6)) < 1e-9
+        assert 0.0 <= g.overlap <= 1.0
+
+
+def test_dynamic_partition_overwrite_preserves_other_partitions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r.n_rows for r in
+           _run(spark, sf_dir, "io_dynamic_partition_overwrite").collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type").collect()
+    want = Counter(r.event_type for r in ev)
+    want["error"] = sum(1 for r in ev
+                        if r.event_type == "error" and r.user_id % 2 == 0)
+    assert got == dict(want)
+    # the rewritten partition genuinely shrank; the others didn't
+    full_error = sum(1 for r in ev if r.event_type == "error")
+    assert got["error"] < full_error
