@@ -1593,3 +1593,89 @@ def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     back = spark.read.parquet(path)
     return back.groupBy("event_type").agg(lcount("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# q_watermark_advice — the decision q_lateness_profile exists to
+# inform, made explicit: for each coverage target, the smallest
+# watermark delay (whole hours of lateness) that keeps at least that
+# share of events. Composes the sharded high-water-mark lateness
+# histogram (same event_id range shards + carry-in rollup) and reads
+# the answer off the cumulative share with a 4-point target lattice.
+# ---------------------------------------------------------------------------
+_WM_TARGETS = [0.95, 0.99, 0.999, 1.0]
+
+_WM_ADVICE_ORACLE = f"""
+WITH a AS (
+  SELECT event_id, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS hwm
+  FROM events
+),
+l AS (
+  SELECT CAST(floor((hwm - us) / 3600000000.0) AS BIGINT) AS late_hours
+  FROM a
+),
+h AS (
+  SELECT late_hours, CAST(count(*) AS BIGINT) AS n
+  FROM l GROUP BY late_hours
+),
+c AS (
+  SELECT late_hours,
+         CAST(sum(n) OVER (ORDER BY late_hours) AS BIGINT) AS cum,
+         CAST(sum(n) OVER () AS BIGINT) AS tot
+  FROM h
+),
+t AS (SELECT unnest([{", ".join(map(str, _WM_TARGETS))}]) AS target)
+SELECT round(target, 6) AS target,
+       CAST(min(CASE WHEN CAST(cum AS DOUBLE) / tot >= target
+                     THEN late_hours END) AS BIGINT) AS watermark_hours,
+       round(min(CASE WHEN CAST(cum AS DOUBLE) / tot >= target
+                      THEN CAST(cum AS DOUBLE) / tot END), 6) AS kept_share
+FROM t, c
+GROUP BY target
+"""
+
+
+@register("q_watermark_advice", oracle=_WM_ADVICE_ORACLE)
+def q_watermark_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    n_shards = 32
+    width = max(1, (int(mx) - int(mn)) // n_shards + 1)
+    e = ev.select(
+        "event_id", F.unix_micros("ts").alias("us"),
+        ((F.col("event_id") - F.lit(int(mn))) / F.lit(width))
+        .cast("bigint").alias("shard"))
+    local = e.withColumn(
+        "local_hwm",
+        F.max("us").over(
+            W.partitionBy("shard").orderBy("event_id")
+            .rowsBetween(W.unboundedPreceding, 0)))
+    carry = (e.groupBy("shard").agg(F.max("us").alias("shard_max"))
+             .select("shard",
+                     F.max("shard_max").over(
+                         W.orderBy("shard")
+                         .rowsBetween(W.unboundedPreceding, -1))
+                     .alias("carry_hwm")))
+    lh = (local.join(F.broadcast(carry), "shard")
+          .select(F.floor((F.greatest("local_hwm", "carry_hwm")
+                           - F.col("us")) / F.lit(3600000000.0))
+                  .cast("bigint").alias("late_hours")))
+    h = lh.groupBy("late_hours").agg(lcount("n"))
+    c = h.select(
+        "late_hours",
+        F.sum("n").over(W.orderBy("late_hours")
+                        .rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint").alias("cum"),
+        F.sum("n").over(W.rowsBetween(W.unboundedPreceding,
+                                      W.unboundedFollowing))
+        .cast("bigint").alias("tot"))
+    t = spark.createDataFrame([(x,) for x in _WM_TARGETS], "target double")
+    share = F.col("cum").cast("double") / F.col("tot")
+    return (c.crossJoin(F.broadcast(t))
+            .groupBy(F.round("target", 6).alias("target"))
+            .agg(F.min(F.when(share >= F.col("target"), F.col("late_hours")))
+                 .cast("bigint").alias("watermark_hours"),
+                 F.round(F.min(F.when(share >= F.col("target"), share)), 6)
+                 .alias("kept_share")))

@@ -208,6 +208,7 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R04_CHECKED
 #   q_group_percentiles tok_mincount_sweep q_kendall_tau q_gk_gamma
 #   s_translit_match q_rolling_beta q_session_stats ml_kmeans_step
 #   q_audience_overlap io_dynamic_partition_overwrite
+#   q_watermark_advice
 _ORACLE_PRIORITY = (
     # round-2/3-era stragglers, never driver-checked
     "st_scd2_lookup", "st_anomaly", "st_topk_trending", "s_velocity_check",

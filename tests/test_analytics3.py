@@ -643,3 +643,49 @@ def test_dynamic_partition_overwrite_preserves_other_partitions(spark, sf_dir):
     # the rewritten partition genuinely shrank; the others didn't
     full_error = sum(1 for r in ev if r.event_type == "error")
     assert got["error"] < full_error
+
+
+def test_watermark_advice_out_of_order_replay(spark, tmp_path):
+    """On the synthetic out-of-order stream (the lateness-profile
+    fixture), the advice must pick the smallest whole-hour watermark
+    reaching each coverage target, and tighter targets can only demand
+    equal-or-larger watermarks."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    for i in range(200):
+        off_h = 500.0 if i == 3 else (
+            i / 4.0 if i % 7 == 5 else i / 2.0 + (1.0 if i % 3 == 0 else 0.0))
+        rows.append((i, base.replace(tzinfo=None), off_h))
+    df = spark.createDataFrame(
+        rows, "event_id long, base timestamp, off double")
+    (df.select("event_id",
+               F.timestamp_micros(
+                   (F.unix_micros("base")
+                    + (F.col("off") * 3600000000).cast("long"))).alias("ts"))
+       .write.parquet(str(tmp_path / "events.parquet")))
+
+    got = {r.target: r for r in
+           _run(spark, str(tmp_path), "q_watermark_advice").collect()}
+
+    ev = sorted((i, int(base.timestamp() * 1e6) + int(o * 3600000000))
+                for i, _, o in rows)
+    hwm, hist = None, defaultdict(int)
+    for _, us in ev:
+        hwm = us if hwm is None else max(hwm, us)
+        hist[(hwm - us) // 3600000000] += 1
+    tot = sum(hist.values())
+    cum, cumshare = 0, {}
+    for k in sorted(hist):
+        cum += hist[k]
+        cumshare[k] = cum / tot
+    for target in (0.95, 0.99, 0.999, 1.0):
+        wm = min(k for k in sorted(cumshare) if cumshare[k] >= target)
+        g = got[target]
+        assert g.watermark_hours == wm, target
+        assert abs(g.kept_share - round(cumshare[wm], 6)) < 1e-9
+    wms = [got[t].watermark_hours for t in (0.95, 0.99, 0.999, 1.0)]
+    assert wms == sorted(wms)

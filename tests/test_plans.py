@@ -182,7 +182,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # one-row totals x one-row pe_num cross (kappa)
                 "q_cohens_kappa",
                 # one-row (h0, h1) bounds broadcast (the q_gap_fill grid)
-                "q_linear_interpolate"}
+                "q_linear_interpolate",
+                # 4-row coverage-target lattice over the lateness histogram
+                "q_watermark_advice"}
 
 
 @pytest.mark.parametrize("name", sorted(
