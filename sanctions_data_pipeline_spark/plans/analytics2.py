@@ -2012,33 +2012,11 @@ FROM h
 
 @register("q_lateness_profile", oracle=_LATENESS_ORACLE)
 def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_lateness_hours)
+
     ev = load_table(spark, sf_dir, "events")
-    # Bounded driver state: two longs fixing the event_id range, so the
-    # shard key is a pure order-preserving function of event_id.
-    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
-    n_shards = 32
-    width = max(1, (int(mx) - int(mn)) // n_shards + 1)
-    e = ev.select(
-        "event_id", F.unix_micros("ts").alias("us"),
-        ((F.col("event_id") - F.lit(int(mn))) / F.lit(width))
-        .cast("bigint").alias("shard"))
-    local = e.withColumn(
-        "local_hwm",
-        F.max("us").over(
-            W.partitionBy("shard").orderBy("event_id")
-            .rowsBetween(W.unboundedPreceding, 0)))
-    # n_shards-row rollup: carry-in for shard i = max us of shards < i.
-    carry = (e.groupBy("shard").agg(F.max("us").alias("shard_max"))
-             .select("shard",
-                     F.max("shard_max").over(
-                         W.orderBy("shard")
-                         .rowsBetween(W.unboundedPreceding, -1))
-                     .alias("carry_hwm")))
-    a = local.join(F.broadcast(carry), "shard").select(
-        "us", F.greatest("local_hwm", "carry_hwm").alias("hwm"))
-    lh = a.select(
-        F.floor((F.col("hwm") - F.col("us")) / F.lit(3600000000.0))
-        .cast("bigint").alias("late_hours"))
+    lh = sharded_lateness_hours(ev)
     h = lh.groupBy("late_hours").agg(lcount("n"))
     wc = W.orderBy("late_hours").rowsBetween(W.unboundedPreceding, 0)
     wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)

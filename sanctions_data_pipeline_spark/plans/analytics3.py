@@ -1564,9 +1564,14 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte-identical. The read-back census proves it (the oracle computes
 # the expected post-overwrite counts straight from the source table).
 # ---------------------------------------------------------------------------
+# Dynamic mode replaces ONLY partitions present in the write: if the
+# rewritten slice is empty, no partition is touched and the original
+# rows survive — the CASE must express that, not assume the slice is
+# non-empty.
 _DPO_ORACLE = """
 SELECT event_type,
        CAST(CASE WHEN event_type = 'error'
+                  AND sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) > 0
                  THEN sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
                  ELSE count(*) END AS BIGINT) AS n_rows
 FROM events GROUP BY event_type
@@ -1591,7 +1596,10 @@ def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
          .write.mode("overwrite").partitionBy("event_type").parquet(path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    back = spark.read.parquet(path)
+    # explicit schema: an empty source leaves a data-file-less dir and
+    # schema inference would throw instead of returning empty
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string").parquet(path)
     return back.groupBy("event_type").agg(lcount("n_rows"))
 
 
@@ -1639,29 +1647,11 @@ GROUP BY target
 
 @register("q_watermark_advice", oracle=_WM_ADVICE_ORACLE)
 def q_watermark_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_lateness_hours)
+
     ev = load_table(spark, sf_dir, "events")
-    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
-    n_shards = 32
-    width = max(1, (int(mx) - int(mn)) // n_shards + 1)
-    e = ev.select(
-        "event_id", F.unix_micros("ts").alias("us"),
-        ((F.col("event_id") - F.lit(int(mn))) / F.lit(width))
-        .cast("bigint").alias("shard"))
-    local = e.withColumn(
-        "local_hwm",
-        F.max("us").over(
-            W.partitionBy("shard").orderBy("event_id")
-            .rowsBetween(W.unboundedPreceding, 0)))
-    carry = (e.groupBy("shard").agg(F.max("us").alias("shard_max"))
-             .select("shard",
-                     F.max("shard_max").over(
-                         W.orderBy("shard")
-                         .rowsBetween(W.unboundedPreceding, -1))
-                     .alias("carry_hwm")))
-    lh = (local.join(F.broadcast(carry), "shard")
-          .select(F.floor((F.greatest("local_hwm", "carry_hwm")
-                           - F.col("us")) / F.lit(3600000000.0))
-                  .cast("bigint").alias("late_hours")))
+    lh = sharded_lateness_hours(ev)
     h = lh.groupBy("late_hours").agg(lcount("n"))
     c = h.select(
         "late_hours",

@@ -89,3 +89,42 @@ def pround6(col: Column) -> Column:
 def sql_pround6(expr: str) -> str:
     """DuckDB fragment mirroring :func:`pround6`."""
     return f"CAST(FLOOR(({expr}) * 1000000 + 0.5) AS BIGINT) / 1000000.0"
+
+
+def sharded_lateness_hours(ev):
+    """Whole-hours lateness of each event vs the event_id-order
+    high-water-mark, computed with the SHARDED prefix-max plan:
+    events range-shard on event_id (order-preserving), the running max
+    windows PER SHARD, and the cross-shard carry-in is a prefix max
+    over the tiny per-shard-max table (broadcast back). Identical
+    values to one global window; the big sort is n_shards-way
+    parallel. Driver state is two longs (min/max event_id); an EMPTY
+    events table short-circuits to an empty frame (the hardening
+    contract — aggregating Nones would crash at plan-build time).
+    Shared by q_lateness_profile and q_watermark_advice."""
+    from pyspark.sql import Window as W, functions as F
+
+    mn, mx = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    if mn is None:
+        return ev.select(F.lit(0).cast("bigint").alias("late_hours")).limit(0)
+    n_shards = 32
+    width = max(1, (int(mx) - int(mn)) // n_shards + 1)
+    e = ev.select(
+        "event_id", F.unix_micros("ts").alias("us"),
+        ((F.col("event_id") - F.lit(int(mn))) / F.lit(width))
+        .cast("bigint").alias("shard"))
+    local = e.withColumn(
+        "local_hwm",
+        F.max("us").over(
+            W.partitionBy("shard").orderBy("event_id")
+            .rowsBetween(W.unboundedPreceding, 0)))
+    carry = (e.groupBy("shard").agg(F.max("us").alias("shard_max"))
+             .select("shard",
+                     F.max("shard_max").over(
+                         W.orderBy("shard")
+                         .rowsBetween(W.unboundedPreceding, -1))
+                     .alias("carry_hwm")))
+    return (local.join(F.broadcast(carry), "shard")
+            .select(F.floor((F.greatest("local_hwm", "carry_hwm")
+                             - F.col("us")) / F.lit(3600000000.0))
+                    .cast("bigint").alias("late_hours")))

@@ -170,10 +170,14 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R04_CHECKED
 # from the registry are skipped; unlisted unchecked names follow in
 # registration order.
 #
-# Rotation plan for the remaining never-checked oracled pool (87 after
-# this window) — rounds 6 and 7 are mechanical: move the corresponding
-# block below into _ORACLE_PRIORITY and fold this window into
-# _R05_CHECKED.
+# Rotation plan for the remaining never-checked oracled pool (112 at
+# round-5 close: 87 pre-round-5 + the 25 new round-5 oracled ops) —
+# round 6 is mechanical: move the ROUND-6 block below into
+# _ORACLE_PRIORITY and fold this window into _R05_CHECKED. The ROUND-7
+# block holds 62 names (the driver window takes 50; the trailing 12 +
+# any round-6/7 additions form round 8). The staging test
+# (tests/test_plans.py::test_rotation_staging_covers_remaining_pool)
+# keeps these blocks exactly equal to the never-checked pool.
 #
 # ROUND-6 WINDOW (next 50, in order):
 #   q_seasonal_decompose tx_lexical_diversity q_bollinger_bands
@@ -190,7 +194,7 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R04_CHECKED
 #   q_activity_distribution gr_powerlaw_alpha tx_keyness
 #   q_price_volume_mix q_kaplan_meier q_waterfall_decomp emb_dim_variance
 #   q_seasonality_strength q_basket_profile
-# ROUND-7 WINDOW (final 37 + re-greens as padding):
+# ROUND-7 WINDOW (62 names; first 50 fit the window, rest -> round 8):
 #   q_price_dispersion tok_vocab_overlap q_mann_whitney q_friedman_test
 #   sim_avg_precision q_control_chart q_rolling_corr q_cumulative_unique
 #   q_stickiness emb_davies_bouldin q_conversion_latency q_holiday_lift

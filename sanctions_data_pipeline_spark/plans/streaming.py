@@ -180,14 +180,21 @@ def st_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # st_left_outer_join — watermarked LEFT OUTER stream-stream interval
 # join (every click; purchase columns NULL once the watermark proves
 # no match can arrive). Outer rows are final only when the click's
-# join state is evictable, so the bounded drain equals the batch left
-# join restricted to clicks with click_ts + horizon < terminal
-# watermark (= min of both streams' max event time - 2h delay) — the
-# oracle encodes that cutoff; matched rows are never withheld.
+# join state is evictable. Spark tracks event-time watermarks in
+# MILLISECONDS (EventTimeStats) and solves the state-watermark
+# inequality at ms granularity with conservative rounding, so the
+# empirically-pinned cutoff (tests/test_streaming.py boundary cases)
+# is: emitted iff ceil_ms(click_ts) + horizon < floor_ms(min of both
+# streams' max event time) - delay. The oracle encodes exactly that;
+# matched rows are never withheld.
 # --------------------------------------------------------------------------
 @register("st_left_outer_join", oracle="""
 WITH c AS (
-  SELECT user_id, ts AS click_ts, event_id AS click_id
+  SELECT user_id, ts AS click_ts, event_id AS click_id,
+         CASE WHEN date_trunc('milliseconds', ts) = ts
+              THEN ts
+              ELSE date_trunc('milliseconds', ts) + INTERVAL 1 MILLISECOND
+         END AS click_ceil_ms
   FROM events WHERE event_type = 'click'
 ),
 p AS (
@@ -195,7 +202,9 @@ p AS (
   FROM events WHERE event_type = 'purchase'
 ),
 wm AS (
-  SELECT least((SELECT max(click_ts) FROM c), (SELECT max(pts) FROM p))
+  SELECT date_trunc('milliseconds',
+                    least((SELECT max(click_ts) FROM c),
+                          (SELECT max(pts) FROM p)))
          - INTERVAL 2 HOUR AS w
 )
 SELECT c.user_id, c.click_id, p.pid AS purchase_id,
@@ -211,7 +220,7 @@ WHERE NOT EXISTS (
         SELECT 1 FROM p
         WHERE p.pu = c.user_id AND p.pts >= c.click_ts
           AND p.pts <= c.click_ts + INTERVAL 30 MINUTE)
-  AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+  AND c.click_ceil_ms + INTERVAL 30 MINUTE < wm.w
 """)
 def st_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.streaming.ops import (

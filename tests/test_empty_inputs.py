@@ -167,3 +167,45 @@ def test_round5_ops_tolerate_empty_documents(spark, sf_dir, tmp_path):
     # global-summary ops: either no row or an all-null/zero row — not a crash
     rows = qs["q_cohens_kappa"](spark, d).collect()
     assert rows == [] or rows[0].n in (0, None)
+
+
+def test_lateness_family_tolerates_empty_events(spark, tmp_path):
+    """The sharded high-water-mark ops collect min/max event_id as
+    driver state; on an EMPTY events table they must return empty
+    results, not crash on int(None) (round-5 review finding)."""
+    import os
+
+    d = str(tmp_path / "sf_empty_ev")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    from sanctions_data_pipeline_spark.plans import registry
+    qs = registry.queries()
+    assert qs["q_lateness_profile"](spark, d).collect() == []
+    assert qs["q_watermark_advice"](spark, d).collect() == []
+    # dynamic-partition overwrite must also survive an empty source
+    assert qs["io_dynamic_partition_overwrite"](spark, d).collect() == []
+
+
+def test_dynamic_partition_overwrite_empty_slice_keeps_partition(spark, tmp_path):
+    """Dynamic mode replaces ONLY partitions present in the write: if
+    no 'error' row has an even user_id, the write is empty and the
+    original error partition must survive intact (round-5 review
+    finding — the op and oracle both encode this)."""
+    import os
+
+    d = str(tmp_path / "sf_odd_err")
+    os.makedirs(d, exist_ok=True)
+    rows = [(i, None, 2 * i + 1, "error", 0.0, None) for i in range(5)] + \
+           [(10 + i, None, i, "click", 0.0, None) for i in range(7)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string"
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    from sanctions_data_pipeline_spark.plans import registry
+    got = {r.event_type: r.n_rows for r in
+           registry.queries()["io_dynamic_partition_overwrite"](
+               spark, d).collect()}
+    assert got == {"error": 5, "click": 7}  # error partition untouched

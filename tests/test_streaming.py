@@ -454,15 +454,56 @@ def test_left_outer_stream_join_withholds_only_the_unprovable_tail(spark, sf_dir
         .select("event_id", "ts", "user_id").collect()
     purchases = bev.filter(F.col("event_type") == "purchase") \
         .select("event_id", "ts", "user_id").collect()
-    wm = (min(max(r.ts for r in clicks), max(r.ts for r in purchases))
+    def floor_ms(t):
+        return t - datetime.timedelta(microseconds=t.microsecond % 1000)
+
+    def ceil_ms(t):
+        f = floor_ms(t)
+        return f if f == t else f + datetime.timedelta(milliseconds=1)
+
+    # Spark tracks watermarks in MILLISECONDS: terminal wm floors the
+    # stream maxes, and the click-side eviction bound ceils the click
+    # (pinned by test_left_outer_join_millisecond_boundaries)
+    wm = (floor_ms(min(max(r.ts for r in clicks),
+                       max(r.ts for r in purchases)))
           - datetime.timedelta(hours=2))
     horizon = datetime.timedelta(minutes=30)
     matched_click_ids = {m[1] for m in want_matched}
     want_nulls = {r.event_id for r in clicks
                   if r.event_id not in matched_click_ids
-                  and r.ts + horizon < wm}
+                  and ceil_ms(r.ts) + horizon < wm}
     withheld = {r.event_id for r in clicks
                 if r.event_id not in matched_click_ids
-                and r.ts + horizon >= wm}
+                and ceil_ms(r.ts) + horizon >= wm}
     assert nulls == want_nulls
     assert nulls.isdisjoint(withheld)
+
+
+def test_left_outer_join_millisecond_boundaries(spark, tmp_path):
+    """Pins the exact eviction boundary of the outer stream-stream
+    join: Spark tracks watermarks in MILLISECONDS, so a null row is
+    emitted iff ceil_ms(click_ts) + horizon < floor_ms(min stream max)
+    - delay. Four clicks straddle the boundary: +30m equal to the
+    watermark (withheld), 1us inside but sub-ms on the click
+    (ceil rounds it out -> withheld), exactly 1ms inside (emitted),
+    and the sub-ms-max case that a us-exact rule would wrongly emit."""
+    import datetime as dt
+
+    us = lambda h, m, s, micro: dt.datetime(2024, 1, 1, h, m, s, micro)
+    rows = [
+        (1, us(7, 30, 0, 0), 2, "click", 0.0, None),        # +30m == wm
+        (2, us(7, 29, 59, 999999), 3, "click", 0.0, None),  # ceil -> == wm
+        (3, us(7, 29, 59, 999000), 6, "click", 0.0, None),  # wm - 1ms
+        (4, us(7, 30, 0, 500), 7, "click", 0.0, None),      # sub-ms late
+        (5, us(10, 0, 0, 999), 4, "click", 0.0, None),      # max (sub-ms)
+        (6, us(10, 0, 0, 999), 5, "purchase", 1.0, None),   # max (sub-ms)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from sanctions_data_pipeline_spark.plans import registry
+    out = registry.queries()["st_left_outer_join"](
+        spark, str(tmp_path)).collect()
+    emitted = {r.click_id for r in out if r.purchase_id is None}
+    assert emitted == {3}  # only the click a full ms inside the cutoff
