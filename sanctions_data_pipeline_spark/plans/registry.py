@@ -163,37 +163,43 @@ _R04_CHECKED = frozenset({
 
 _DRIVER_CHECKED = _DRIVER_CHECKED | _R04_CHECKED
 
-# Explicit priority for the round-5 driver 50-entry correctness window:
-# 50 never-driver-checked SQL-oracled entries, oldest stragglers first
-# (round-2/3-era streaming/sanctions/funnel/dedup ops), then a
-# family-diverse slice of the round-4-era analytics pool. Names absent
-# from the registry are skipped; unlisted unchecked names follow in
-# registration order.
+# Queries the round-5 driver hash-verified (CORRECTNESS_r05.json: 50/50
+# green — the streaming/analytics/stats straggler window).
+_R05_CHECKED = frozenset({
+    "st_scd2_lookup", "st_anomaly", "st_topk_trending", "s_velocity_check",
+    "q_funnel_ttc", "dp_rendezvous_shards", "tx_heaps_fit",
+    "dd_sorted_neighborhood", "tx_burstiness", "q_pareto_abc",
+    "q_market_basket", "q_rfm_segmentation", "q_cohort_ltv",
+    "gr_local_clustering", "q_cep_pattern", "q_skyline", "q_path_analysis",
+    "sim_ndcg_eval", "q_ab_ztest", "q_dormancy_reactivation",
+    "q_gini_coefficient", "q_weekday_seasonality", "q_lorenz_deciles",
+    "q_hhi_concentration", "q_chi_square", "q_anova_f", "q_zscore_outliers",
+    "q_winsorize", "q_islands_streaks", "q_listagg_nations", "dq_referential",
+    "tx_code_detect", "dp_span_mask", "sim_reciprocal_nn", "gr_degree_stats",
+    "tx_sentence_stats", "tok_char_coverage", "io_jsonl_roundtrip",
+    "io_partitioned_pruned", "q_mann_kendall", "q_acf", "q_ks_test",
+    "q_theil_index", "dq_uniqueness", "q_runs_test", "q_cramers_v",
+    "q_welch_ttest", "sim_mrr_eval", "q_levene_test", "io_csv_roundtrip",
+})
+
+_DRIVER_CHECKED = _DRIVER_CHECKED | _R05_CHECKED
+
+# Explicit priority for the round-6 driver 50-entry correctness window:
+# 50 never-driver-checked SQL-oracled entries — the round-4-era
+# analytics2 pool in registration order. Names absent from the registry
+# are skipped; unlisted unchecked names follow in registration order.
 #
-# Rotation plan for the remaining never-checked oracled pool (112 at
-# round-5 close: 87 pre-round-5 + the 25 new round-5 oracled ops) —
-# round 6 is mechanical: move the ROUND-6 block below into
-# _ORACLE_PRIORITY and fold this window into _R05_CHECKED. The ROUND-7
-# block holds 62 names (the driver window takes 50; the trailing 12 +
-# any round-6/7 additions form round 8). The staging test
+# Rotation plan for the remaining never-checked oracled pool (62 at
+# round-6 open: the ROUND-7 block below) — round 7 is mechanical: fold
+# this window into _R06_CHECKED, move the first 50 ROUND-7 names into
+# _ORACLE_PRIORITY, and re-stage the trailing 12 + any round-6/7
+# additions as the ROUND-8 block. The staging test
 # (tests/test_plans.py::test_rotation_staging_covers_remaining_pool)
-# keeps these blocks exactly equal to the never-checked pool.
+# keeps the staged blocks exactly equal to the never-checked pool.
 #
-# ROUND-6 WINDOW (next 50, in order):
-#   q_seasonal_decompose tx_lexical_diversity q_bollinger_bands
-#   q_drawdown q_rsi q_spearman_corr tt_reservoir_sample
-#   q_interevent_stats q_user_entropy tx_bigram_pmi io_orc_roundtrip
-#   q_pettitt_test s_round_amount_bias q_business_days emb_norm_stats
-#   sim_cosine_histogram q_quantile_bins q_poisson_dispersion
-#   gr_transitivity tok_oov_rate pr_user_recs io_schema_evolution
-#   q_grubbs_test q_hourly_heatmap q_asof_nearest q_concurrency_profile
-#   tt_temporal_split tx_boilerplate q_durbin_watson q_rolling_mad
-#   q_theil_sen sim_threshold_eval emb_centroid_classify
-#   q_lateness_profile sim_roc_auc q_growth_accounting st_hourly_heatmap
-#   dq_psi_drift q_event_study q_ols_trend s_duplicate_payments
-#   q_activity_distribution gr_powerlaw_alpha tx_keyness
-#   q_price_volume_mix q_kaplan_meier q_waterfall_decomp emb_dim_variance
-#   q_seasonality_strength q_basket_profile
+# STAGED ROTATION BLOCKS (parsed by the staging test — everything from
+# here to the priority-tuple assignment below must name exactly the
+# never-checked SQL-oracled entries not already in the priority tuple):
 # ROUND-7 WINDOW (62 names; first 50 fit the window, rest -> round 8):
 #   q_price_dispersion tok_vocab_overlap q_mann_whitney q_friedman_test
 #   sim_avg_precision q_control_chart q_rolling_corr q_cumulative_unique
@@ -214,23 +220,22 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R04_CHECKED
 #   q_audience_overlap io_dynamic_partition_overwrite
 #   q_watermark_advice
 _ORACLE_PRIORITY = (
-    # round-2/3-era stragglers, never driver-checked
-    "st_scd2_lookup", "st_anomaly", "st_topk_trending", "s_velocity_check",
-    "q_funnel_ttc", "dp_rendezvous_shards", "tx_heaps_fit",
-    "dd_sorted_neighborhood", "tx_burstiness", "q_pareto_abc",
-    "q_market_basket", "q_rfm_segmentation", "q_cohort_ltv",
-    "gr_local_clustering", "q_cep_pattern", "q_skyline", "q_path_analysis",
-    "sim_ndcg_eval", "q_ab_ztest", "q_dormancy_reactivation",
-    "q_gini_coefficient", "q_weekday_seasonality",
-    # round-4-era analytics pool, family-diverse slice
-    "q_lorenz_deciles", "q_hhi_concentration", "q_chi_square", "q_anova_f",
-    "q_zscore_outliers", "q_winsorize", "q_islands_streaks",
-    "q_listagg_nations", "dq_referential", "tx_code_detect", "dp_span_mask",
-    "sim_reciprocal_nn", "gr_degree_stats", "tx_sentence_stats",
-    "tok_char_coverage", "io_jsonl_roundtrip", "io_partitioned_pruned",
-    "q_mann_kendall", "q_acf", "q_ks_test", "q_theil_index", "dq_uniqueness",
-    "q_runs_test", "q_cramers_v", "q_welch_ttest", "sim_mrr_eval",
-    "q_levene_test", "io_csv_roundtrip",
+    "q_seasonal_decompose", "tx_lexical_diversity", "q_bollinger_bands",
+    "q_drawdown", "q_rsi", "q_spearman_corr", "tt_reservoir_sample",
+    "q_interevent_stats", "q_user_entropy", "tx_bigram_pmi",
+    "io_orc_roundtrip", "q_pettitt_test", "s_round_amount_bias",
+    "q_business_days", "emb_norm_stats", "sim_cosine_histogram",
+    "q_quantile_bins", "q_poisson_dispersion", "gr_transitivity",
+    "tok_oov_rate", "pr_user_recs", "io_schema_evolution", "q_grubbs_test",
+    "q_hourly_heatmap", "q_asof_nearest", "q_concurrency_profile",
+    "tt_temporal_split", "tx_boilerplate", "q_durbin_watson",
+    "q_rolling_mad", "q_theil_sen", "sim_threshold_eval",
+    "emb_centroid_classify", "q_lateness_profile", "sim_roc_auc",
+    "q_growth_accounting", "st_hourly_heatmap", "dq_psi_drift",
+    "q_event_study", "q_ols_trend", "s_duplicate_payments",
+    "q_activity_distribution", "gr_powerlaw_alpha", "tx_keyness",
+    "q_price_volume_mix", "q_kaplan_meier", "q_waterfall_decomp",
+    "emb_dim_variance", "q_seasonality_strength", "q_basket_profile",
 )
 
 

@@ -384,7 +384,7 @@ def test_rotation_staging_covers_remaining_pool():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src = open(os.path.join(
         root, "sanctions_data_pipeline_spark/plans/registry.py")).read()
-    block = src.split("ROUND-6 WINDOW")[1].split("_ORACLE_PRIORITY = (")[0]
+    block = src.split("STAGED ROTATION BLOCKS")[1].split("_ORACLE_PRIORITY = (")[0]
     staged = {c for c in re.findall(r"[a-z][a-z0-9_]+", block)
               if c in reg.REGISTRY}
     checked = reg._DRIVER_CHECKED | set(reg._ORACLE_PRIORITY)
