@@ -569,8 +569,11 @@ def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type",
                     F.explode(F.sequence("h0", "h1",
                                          F.expr("interval 1 hour"))).alias("h")))
+    # floor (not cast-truncate) so pre-1970 hours index identically to
+    # the oracle's epoch(h) // 3600
     g = (grid.join(c, ["event_type", "h"], "left")
-         .withColumn("eh", (F.unix_timestamp("h") / 3600).cast("bigint")))
+         .withColumn("eh", F.floor(F.unix_micros("h")
+                                   / F.lit(3600000000)).cast("bigint")))
     w_prev = (W.partitionBy("event_type").orderBy("eh")
               .rowsBetween(W.unboundedPreceding, -1))
     w_next = (W.partitionBy("event_type").orderBy("eh")
@@ -1349,9 +1352,13 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.col("m").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     den = m * F.col("sxx").cast("double") - sx * sx
+    # Guard on the EXACT bigint denominator (mirrors the oracle): the
+    # double-computed `den` can cancel to 0.0 past ~2^53 while the exact
+    # value is positive, which would emit NULL vs the oracle's number.
+    den_exact = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
     return w.select(
         "day", "m",
-        F.when((F.col("m") > 1) & (den > 0),
+        F.when((F.col("m") > 1) & (den_exact > 0),
                F.round((m * F.col("sxy").cast("double") - sx * sy) / den, 6))
         .alias("beta"))
 
@@ -1582,11 +1589,17 @@ FROM events GROUP BY event_type
 def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
+    import uuid
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type")
+    # per-invocation unique leaf: two concurrent runs (parallel test
+    # workers, or two drivers on the same box) must not race on the
+    # path. The partitionOverwriteMode set/restore below is still
+    # session-global — documented single-session-only.
     path = os.path.join(tempfile.gettempdir(), "spark_graft_io",
-                        os.path.basename(sf_dir.rstrip("/")), "events_dpo")
+                        os.path.basename(sf_dir.rstrip("/")),
+                        f"events_dpo_{uuid.uuid4().hex}")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

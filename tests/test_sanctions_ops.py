@@ -89,8 +89,11 @@ def test_gender_dictionary_round5_widening():
     missed = [n for n in previously_missed if dic.get(n) != "female"]
     assert not missed, missed
     # ambiguous names keep the reference's default-male resolution
+    # ("ola" is a common Norwegian/Yoruba male name, "randi" a common
+    # Norwegian male-adjacent/US-female split — both cross-culturally
+    # ambiguous, so excluded per the module contract; ADVICE r05)
     for n in ["dana", "robin", "kim", "sasha", "jordan", "casey",
-              "rayan", "derya", "remi", "tunde"]:
+              "rayan", "derya", "remi", "tunde", "ola", "randi"]:
         assert dic.get(n) != "female", n
 
 
