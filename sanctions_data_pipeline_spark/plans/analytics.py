@@ -67,8 +67,12 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     spend = (orders.groupBy("o_custkey")
              .agg(_spend_x4_col().alias("x4")))
-    d = spend.select(
-        "x4", F.ntile(10).over(W.orderBy("x4", "o_custkey")).alias("decile"))
+    from sanctions_data_pipeline_spark.plans.helpers import sharded_ntile
+
+    # sharded NTILE(10) over customer spend — no one-task sort; the
+    # cum/tot windows below run on the bounded 10-row decile grid
+    d = sharded_ntile(spend, F.col("x4"),
+                      [F.asc("x4"), F.asc("o_custkey")], 10, "decile")
     g = d.groupBy("decile").agg(lcount("n_customers"),
                                 F.sum("x4").cast("bigint").alias("dx4"))
     cum = F.sum("dx4").over(W.orderBy("decile")).cast("bigint")

@@ -882,12 +882,17 @@ FROM d GROUP BY bin
 @register("q_quantile_bins", oracle=_QBINS_ORACLE)
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    d = orders.select(
-        "o_orderkey",
+    from sanctions_data_pipeline_spark.plans.helpers import sharded_ntile
+
+    pre = orders.select(
+        "o_orderkey", F.col("o_totalprice"),
         (F.round(F.col("o_totalprice").cast("decimal(18,4)"), 4) * 10000)
-        .cast("bigint").alias("v4"),
-        F.ntile(10).over(W.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bin"))
+        .cast("bigint").alias("v4"))
+    # sharded NTILE (the SURVEY "sampled range partitioner" promise):
+    # range-shard on price, per-shard rank, broadcast count carry-in
+    d = sharded_ntile(pre, F.col("o_totalprice"),
+                      [F.asc("o_totalprice"), F.asc("o_orderkey")],
+                      10, "bin")
     return d.groupBy("bin").agg(
         lcount("n"),
         (F.min("v4") / F.lit(10000.0)).alias("lo"),
@@ -1436,9 +1441,10 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # temporal.py:409): classic +1/−1 sweep — every window start adds one,
 # every end subtracts one, ends sort before starts at the same µs so
 # touching windows don't double-count — then per-day max of the
-# running sum. The sweep is one global window over 2·n points of
-# (bigint, int); at cluster scale partition the sweep by day and
-# seed each day with the carry-in (documented; the day grid is tiny).
+# running sum. The sweep runs the SHARDED prefix-sum plan
+# (helpers.sharded_global_window): µs-range shards sweep in parallel,
+# each seeded with the broadcast carry-in of the preceding shards'
+# delta totals — value-identical to the one-task global window.
 # ---------------------------------------------------------------------------
 _CONCURRENCY_ORACLE = """
 WITH pts AS (
@@ -1468,10 +1474,14 @@ def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") + F.lit(30 * 60 * 1000000)).alias("us"),
         F.lit(-1).alias("delta"))
     pts = starts.unionByName(ends)
-    run = pts.select(
-        "us", "delta",
-        F.sum("delta").over(W.orderBy("us", "delta").rowsBetween(
-            W.unboundedPreceding, 0)).cast("bigint").alias("conc"))
+    # sharded global prefix-sum (range-shard on us + broadcast carry-in)
+    # instead of the single-partition Window.orderBy sweep: the 2|events|
+    # sweep points sort n_shards-way parallel
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_global_window)
+    run = sharded_global_window(
+        pts, F.col("us"), [F.asc("us"), F.asc("delta")],
+        sums=[("delta", "conc")])
     return (run.groupBy(
         F.date_format((F.col("us") / 1000000).cast("timestamp"),
                       "yyyy-MM-dd").alias("day"))
@@ -5807,13 +5817,14 @@ def q_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy("o_custkey").agg(
         (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 4)
          * 10000).cast("bigint").alias("x4"))
-    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    r = spend.select(
-        "x4",
-        F.row_number().over(W.orderBy(F.desc("x4"), "o_custkey"))
-        .alias("rk"),
-        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
-        F.sum("x4").over(wall).cast("bigint").alias("tot4"))
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_global_window)
+
+    # sharded global rank + broadcast totals instead of one-partition
+    # row_number + unbounded-frame count/sum windows
+    r = sharded_global_window(
+        spend, -F.col("x4"), [F.desc("x4"), F.asc("o_custkey")],
+        rn="rk", count_total="n", sum_totals=[("x4", "tot4")])
     p = spark.createDataFrame([(1,), (5,), (10,), (20,)], "pct long")
     j = F.broadcast(p).join(r, F.lit(True))
     thresh = F.ceil(F.col("n").cast("double") * F.col("pct") / 100.0)

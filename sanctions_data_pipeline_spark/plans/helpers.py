@@ -91,6 +91,129 @@ def sql_pround6(expr: str) -> str:
     return f"CAST(FLOOR(({expr}) * 1000000 + 0.5) AS BIGINT) / 1000000.0"
 
 
+def str_prefix_key(col) -> Column:
+    """Order-preserving bigint from a string's first 7 UTF-8 bytes.
+
+    Spark's default UTF8_BINARY collation compares strings by unsigned
+    UTF-8 bytes; the big-endian value of the first 7 bytes (right-padded
+    with 0x00) is monotone non-decreasing in that order, so it can
+    serve as the range-shard key of :func:`sharded_global_window` for a
+    string-ordered window. Strings equal in their first 7 bytes collide
+    to the same key (same shard — local ordering still separates them).
+    hex() of fixed-width bytes sorts like the bytes ('0'<'9'<'A'<'F'),
+    rpad truncates-or-pads to exactly 14 hex digits (7 bytes < 2^56).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.rpad(F.hex(F.encode(c, "utf-8")), 14, "0"),
+                  16, 10).cast("bigint")
+
+
+def sharded_global_window(df, key, order, *, rn=None, sums=(),
+                          count_total=None, sum_totals=(), n_shards=32):
+    """Global row_number / running sums over a TOTAL order without a
+    single-partition sort — the scale-out replacement for
+    ``Window.orderBy(...)`` with no partitionBy (which Spark plans as
+    ONE task holding every row).
+
+    Plan shape: fixed-width range shards on a numeric ``key`` that is
+    monotone non-decreasing along ``order`` (for ``ORDER BY x DESC``
+    pass ``key=-x``; for a leading string column pass
+    :func:`str_prefix_key`), a per-shard window (n_shards-way parallel
+    sort), and a broadcast carry-in of per-shard prefix aggregates —
+    value-identical to the global window, same idiom as
+    :func:`sharded_lateness_hours`. Driver state is two doubles
+    (key min/max); the carry table is n_shards rows. Rows with equal
+    keys always land in the same shard, so any tiebreak columns in
+    ``order`` stay within one local sort.
+
+    Args:
+        key: numeric Column, monotone along the order's leading column.
+        order: sequence of Columns defining the total order (the
+            per-shard window ORDER BY — must be a total order for
+            deterministic ranks, exactly as the global form required).
+        rn: alias for the global 1-based row_number (bigint), or None.
+        sums: iterable of ``(src_col_name, alias)`` — running INCLUSIVE
+            sums along the order (bigint).
+        count_total: alias to attach the global row count to every row.
+        sum_totals: iterable of ``(src_col_name, alias)`` — global sums
+            attached to every row (the q_top_share shape, replacing
+            unbounded-frame windows).
+
+    Empty input degenerates to a constant shard id (no driver crash,
+    empty result with the right schema).
+    """
+    from pyspark.sql import Window as W
+
+    sums = list(sums)
+    sum_totals = list(sum_totals)
+    d = df.withColumn("__skey", key.cast("double"))
+    mn, mx = d.agg(F.min("__skey"), F.max("__skey")).first()
+    if mn is None:
+        shard = F.lit(0).cast("bigint")
+    else:
+        width = (float(mx) - float(mn)) / n_shards or 1.0
+        shard = F.greatest(
+            F.least(F.floor((F.col("__skey") - float(mn)) / width),
+                    F.lit(n_shards - 1)),
+            F.lit(0)).cast("bigint")
+    d = d.withColumn("__shard", shard)
+    wloc = W.partitionBy("__shard").orderBy(*order)
+    wcum = wloc.rowsBetween(W.unboundedPreceding, 0)
+    loc = d.withColumn("__lrn", F.row_number().over(wloc))
+    for c, a in sums:
+        loc = loc.withColumn(a, F.sum(c).over(wcum))
+    # carry table: <= n_shards rows; its own global windows are bounded
+    # by construction (the groupBy above), so the single-partition sort
+    # they plan to is over n_shards rows, not the corpus
+    per = d.groupBy("__shard").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[F.sum(c).alias(f"__ps_{a}") for c, a in sums + sum_totals],
+    )
+    wprev = W.orderBy("__shard").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy("__shard").rowsBetween(W.unboundedPreceding,
+                                            W.unboundedFollowing)
+    carry_cols = [F.coalesce(F.sum("__cnt").over(wprev), F.lit(0))
+                  .alias("__off_cnt")]
+    for _, a in sums:
+        carry_cols.append(F.coalesce(F.sum(f"__ps_{a}").over(wprev),
+                                     F.lit(0)).alias(f"__off_{a}"))
+    if count_total:
+        carry_cols.append(F.sum("__cnt").over(wall).cast("bigint")
+                          .alias(count_total))
+    for _, a in sum_totals:
+        carry_cols.append(F.sum(f"__ps_{a}").over(wall).cast("bigint")
+                          .alias(a))
+    carry = per.select("__shard", *carry_cols)
+    out = loc.join(F.broadcast(carry), "__shard")
+    if rn:
+        out = out.withColumn(rn, (F.col("__lrn")
+                                  + F.col("__off_cnt")).cast("bigint"))
+    for _, a in sums:
+        out = out.withColumn(a, (F.col(a) + F.col(f"__off_{a}"))
+                             .cast("bigint"))
+    drop = ["__skey", "__shard", "__lrn", "__off_cnt"]
+    drop += [f"__off_{a}" for _, a in sums]
+    return out.drop(*drop)
+
+
+def sharded_ntile(df, key, order, k, alias, n_shards=32):
+    """Global NTILE(k) along a total order via :func:`sharded_global_window`
+    — SQL NTILE semantics reconstructed from the global row_number and
+    count (with n rows: the first n%k tiles get ceil(n/k) rows, the
+    rest floor(n/k)), identical to Spark's and DuckDB's NTILE, without
+    the single-partition sort the native fn plans to when unpartitioned."""
+    out = sharded_global_window(df, key, order, rn="__grn",
+                                count_total="__n", n_shards=n_shards)
+    q = F.floor(F.col("__n") / k)
+    r = F.col("__n") % k
+    first_zone = r * (q + 1)
+    bucket = (F.when(F.col("__grn") <= first_zone,
+                     F.ceil(F.col("__grn") / (q + 1)))
+              .otherwise(r + F.ceil((F.col("__grn") - first_zone) / q)))
+    return (out.withColumn(alias, bucket.cast("bigint"))
+            .drop("__grn", "__n"))
+
+
 def sharded_lateness_hours(ev):
     """Whole-hours lateness of each event vs the event_id-order
     high-water-mark, computed with the SHARDED prefix-max plan:

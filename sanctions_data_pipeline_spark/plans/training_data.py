@@ -1590,12 +1590,16 @@ FROM documents
 def dp_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from sanctions_data_pipeline_spark.plans.helpers import sharded_ntile
+
     docs = load_table(spark, sf_dir, "documents")
     score = F.col("n_chars") / F.size(tx.tokens(F.col("text")))
-    return (docs.select("doc_id", score.alias("__raw"))
-            .select("doc_id", F.round("__raw", 6).alias("score"),
-                    F.ntile(4).over(W.orderBy("__raw", "doc_id"))
-                     .cast("bigint").alias("phase")))
+    # sharded NTILE(4): range-shard on the raw score, per-shard rank,
+    # broadcast count carry-in — no single-partition corpus sort
+    t = sharded_ntile(docs.select("doc_id", score.alias("__raw")),
+                      F.col("__raw"), [F.asc("__raw"), F.asc("doc_id")],
+                      4, "phase")
+    return t.select("doc_id", F.round("__raw", 6).alias("score"), "phase")
 
 
 # --------------------------------------------------------------------------
@@ -1717,11 +1721,17 @@ FROM ranked
 def dp_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_global_window)
+
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(tx.tokens(F.col("text"))).cast("bigint")
-    ranked = docs.select("doc_id", n_tok.alias("n_tokens")).withColumn(
-        "__rk", F.row_number().over(
-            W.orderBy(F.desc("n_tokens"), F.asc("doc_id"))) - 1)
+    # sharded global rank (range-shard on -n_tokens + broadcast count
+    # carry-in) — no single-partition corpus sort
+    ranked = sharded_global_window(
+        docs.select("doc_id", n_tok.alias("n_tokens")),
+        -F.col("n_tokens"), [F.desc("n_tokens"), F.asc("doc_id")],
+        rn="__rn").withColumn("__rk", F.col("__rn") - 1)
     fwd = F.col("__rk") % _N_SHARDS
     shard = F.when((F.col("__rk") / _N_SHARDS).cast("long") % 2 == 0, fwd) \
              .otherwise(_N_SHARDS - 1 - fwd)

@@ -1017,11 +1017,14 @@ def mix_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tx.quality_score(F.col("text")).alias("score"),
         F.size(tx.tokens(F.col("text"))).alias("n_tok"))
-    w = (W.orderBy(F.desc("score"), F.asc("doc_id"))
-         .rowsBetween(W.unboundedPreceding, 0))
-    ordered = scored.select(
-        "doc_id", "score", "n_tok",
-        F.sum("n_tok").over(w).alias("cum_tok"))
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_global_window)
+
+    # sharded prefix-sum down the quality order (range-shard on -score
+    # + broadcast carry-in) — no single-partition corpus sort
+    ordered = sharded_global_window(
+        scored, -F.col("score"), [F.desc("score"), F.asc("doc_id")],
+        sums=[("n_tok", "cum_tok")])
     return (ordered
             .filter(F.col("cum_tok") - F.col("n_tok") < _BUDGET_TOKENS)
             .select("doc_id", "score",

@@ -773,9 +773,13 @@ def tx_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.plans.training_data2 import (
         tx_perplexity)
 
+    from sanctions_data_pipeline_spark.plans.helpers import sharded_ntile
+
     p = tx_perplexity(spark, sf_dir)
-    t = F.ntile(3).over(W.orderBy("ppl", "doc_id")).cast("bigint")
-    return (p.withColumn("tercile", t)
+    # sharded NTILE(3) on perplexity — no single-partition corpus sort
+    # (mix_ccnet_sampling composes this, so it scales out too)
+    return (sharded_ntile(p, F.col("ppl"),
+                          [F.asc("ppl"), F.asc("doc_id")], 3, "tercile")
             .withColumn("bucket",
                         F.when(F.col("tercile") == 1, "head")
                         .when(F.col("tercile") == 2, "middle")
@@ -2362,12 +2366,18 @@ def tx_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     f2 = (t.select("doc_id", F.explode("toks").alias("tok"))
           .groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
           .groupBy("doc_id").agg(lcount("n_new")))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    curve = (n_tok.join(f2, "doc_id", "left")
-             .select("doc_id", "n",
-                     F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"))
-             .select(F.sum("n").over(w).alias("cum_tokens"),
-                     F.sum("n_new").over(w).alias("cum_vocab")))
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_global_window)
+
+    # sharded prefix-sums along doc_id (range-shard + broadcast
+    # carry-in) — the growth curve no longer needs a one-task sort
+    curve = sharded_global_window(
+        n_tok.join(f2, "doc_id", "left")
+        .select("doc_id", "n",
+                F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new")),
+        F.col("doc_id"), [F.asc("doc_id")],
+        sums=[("n", "cum_tokens"), ("n_new", "cum_vocab")]
+    ).select("cum_tokens", "cum_vocab")
     pts = curve.select(
         F.log(F.col("cum_tokens").cast("double")).alias("x"),
         F.log(F.col("cum_vocab").cast("double")).alias("y"))
@@ -2438,9 +2448,15 @@ def dd_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tx.tokens(F.col("text"))
     t = docs.select("doc_id", toks.alias("toks"),
                     F.concat_ws(" ", F.slice(toks, 1, 3)).alias("bkey"))
-    r = t.select("doc_id", "toks",
-                 F.row_number().over(W.orderBy("bkey", "doc_id"))
-                 .alias("rnk"))
+    # classic SNM sharding: range-shard on the blocking key's 7-byte
+    # prefix (order-preserving under UTF8_BINARY), per-shard rank +
+    # broadcast count carry-in — the global sort is n_shards-way
+    # parallel and the w=5 band never crosses one task's memory
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_global_window, str_prefix_key)
+    r = sharded_global_window(
+        t, str_prefix_key("bkey"), [F.asc("bkey"), F.asc("doc_id")],
+        rn="rnk").select("doc_id", "toks", "rnk")
     # EQUI-join formulation of the window: each left record explodes
     # into its w-1 partner ranks, so the join is a hash join on rnk
     # (replication factor w-1) — never a non-equi nested loop
@@ -2561,12 +2577,16 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 * (F.lit(1).cast("decimal(8,4)")
                                    - drate("l_discount"))), 4) * 10000)
                  .cast("bigint")).alias("r4")))
-    tot = rev.agg(F.sum("r4").cast("bigint").alias("t"))
-    w = W.orderBy(F.desc("r4"), F.asc("l_partkey")) \
-         .rowsBetween(W.unboundedPreceding, 0)
-    c = rev.withColumn("cum", F.sum("r4").over(w).cast("bigint"))
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_global_window)
+
+    # sharded prefix-sum down the revenue order + broadcast total —
+    # filter-bounded today, but the idiom now scales past the filter
+    c = sharded_global_window(
+        rev, -F.col("r4"), [F.desc("r4"), F.asc("l_partkey")],
+        sums=[("r4", "cum")], sum_totals=[("r4", "t")])
     share = F.col("cum").cast("double") / F.col("t")
-    return (c.crossJoin(F.broadcast(tot))
+    return (c
             .select("l_partkey",
                     (F.col("r4") / F.lit(10000.0)).alias("revenue"),
                     F.round(share, 6).alias("cum_share"),
@@ -2683,11 +2703,18 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
               _as_exact_double(
                   F.sum(F.col("o_totalprice").cast("decimal(18,4)")))
               .alias("monetary")))
-    r = F.ntile(5).over(W.orderBy("last_us", "o_custkey")).cast("bigint")
-    f = F.ntile(5).over(W.orderBy("freq", "o_custkey")).cast("bigint")
-    m = F.ntile(5).over(W.orderBy("monetary", "o_custkey")).cast("bigint")
-    scored = o.select(F.col("o_custkey").alias("custkey"), "freq",
-                      "monetary", r.alias("r"), f.alias("f"), m.alias("m"))
+    from sanctions_data_pipeline_spark.plans.helpers import sharded_ntile
+
+    # three sharded NTILE(5)s, one per RFM axis — each a range-shard +
+    # per-shard rank + broadcast count carry-in, never a one-task sort
+    q = sharded_ntile(o, F.col("last_us"),
+                      [F.asc("last_us"), F.asc("o_custkey")], 5, "r")
+    q = sharded_ntile(q, F.col("freq"),
+                      [F.asc("freq"), F.asc("o_custkey")], 5, "f")
+    q = sharded_ntile(q, F.col("monetary"),
+                      [F.asc("monetary"), F.asc("o_custkey")], 5, "m")
+    scored = q.select(F.col("o_custkey").alias("custkey"), "freq",
+                      "monetary", "r", "f", "m")
     return scored.withColumn(
         "rfm_code", F.concat(F.col("r").cast("string"),
                              F.col("f").cast("string"),
@@ -3381,8 +3408,13 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg((F.round(F.sum(F.col("o_totalprice")
                                  .cast("decimal(18,4)")), 4) * 10000)
                   .cast("bigint").alias("x4")))
-    ranked = spend.select(
-        "x4", F.row_number().over(W.orderBy("x4", "o_custkey")).alias("i"))
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_global_window)
+
+    # sharded global rank over spend — no single-partition customer sort
+    ranked = sharded_global_window(
+        spend, F.col("x4"), [F.asc("x4"), F.asc("o_custkey")],
+        rn="i").select("x4", "i")
     # Per-element i*x4 stays well inside int64 (n * max_x4 ~ 9e17 even at
     # sf1000) but the SUM crosses int64 around sf0.3 — accumulate in
     # DECIMAL(38,0) (exact, ~1e38 headroom) and convert to double only

@@ -393,3 +393,117 @@ def test_rotation_staging_covers_remaining_pool():
     assert staged == remaining, (
         f"unstaged={sorted(remaining - staged)} "
         f"stale={sorted(staged - remaining)}")
+
+
+# ---------------------------------------------------------------------------
+# The sharded-global-window family (VERDICT r05 "what's wrong"): ops
+# whose global rank / running sum / NTILE used to plan a
+# single-partition WindowExec over ROW-SCALE input. They now go through
+# plans/helpers.sharded_global_window / sharded_ntile (range-shard on
+# an order-monotone key, per-shard window, broadcast carry-in). These
+# tests pin the plans: the only SinglePartition exchanges left must
+# feed from bounded relations — the n_shards-row carry table
+# (HashAggregate keys=[__shard...]), a global reduction
+# (HashAggregate keys=[], partial-aggregated upstream), or an
+# op-specific bounded grid listed below.
+# ---------------------------------------------------------------------------
+_SHARDED_FAMILY = [
+    "q_concurrency_profile", "mix_budget_fill", "dp_curriculum",
+    "dp_balanced_shards", "dd_sorted_neighborhood", "q_pareto_abc",
+    "tx_ccnet_buckets", "mix_ccnet_sampling", "tx_heaps_fit",
+    "q_rfm_segmentation", "q_gini_coefficient", "q_quantile_bins",
+    "q_lorenz_deciles", "q_top_share",
+]
+
+# per-op additional bounded single-partition feeds (grids bounded by
+# construction, not by data size)
+_BOUNDED_SP_KEYS = {
+    "q_lorenz_deciles": ("decile",),  # 10-row decile grid cum/tot
+}
+
+
+@pytest.mark.parametrize("name", _SHARDED_FAMILY)
+def test_no_row_scale_single_partition_window(spark, sf_dir, name):
+    df = queries()[name](spark, sf_dir)
+    p = plan_of(df, "simple")
+    assert "__shard" in p, f"{name}: sharded path missing from plan"
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln or "ReusedExchange" in ln:
+            continue
+        # walk down to the first CARDINALITY-DEFINING node under the
+        # exchange (Project/Filter/Sort/Window are pass-throughs): a
+        # HashAggregate bounds rows to its key-space; a Scan / Join /
+        # Generate / Union / Range means row-scale data crossed into
+        # one partition
+        child = next(
+            (l for l in lines[i + 1:]
+             if any(t in l for t in ("HashAggregate", "Scan", "Join",
+                                     "Generate", "Union", "Range",
+                                     "Exchange"))),
+            "")
+        ok = ("HashAggregate(keys=[]" in child
+              or "HashAggregate(keys=[__shard" in child
+              or any(f"HashAggregate(keys=[{k}" in child
+                     for k in _BOUNDED_SP_KEYS.get(name, ())))
+        assert ok, (f"{name}: single-partition exchange fed by a "
+                    f"row-scale relation:\n  {ln}\n  child: {child}")
+
+
+def test_sharded_global_window_matches_native_global_window(spark):
+    """Carry-in replay (the r05 lateness pattern, generalized): on a
+    synthetic frame with heavy key ties and negative values, the
+    sharded rank / running-sum / NTILE / totals must be value-identical
+    to the native unpartitioned Window forms, including string-prefix
+    keys and the k > n NTILE edge."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_global_window, sharded_ntile, str_prefix_key)
+
+    random.seed(7)
+    rows = [(i, random.randint(-50, 50),
+             random.choice(["apple", "über", "b", "zeta", "apple pie", ""]))
+            for i in range(2003)]
+    df = spark.createDataFrame(rows, "id long, v long, s string")
+
+    g = df.select(
+        "id",
+        F.row_number().over(W.orderBy(F.desc("v"), "id"))
+        .cast("bigint").alias("rn"),
+        F.sum("v").over(W.orderBy(F.desc("v"), "id")
+                        .rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint").alias("cv"))
+    s = sharded_global_window(
+        df, -F.col("v"), [F.desc("v"), F.asc("id")], rn="rn2",
+        sums=[("v", "cv2")], count_total="n", sum_totals=[("v", "tot")],
+        n_shards=7)
+    tot = df.agg(F.sum("v")).first()[0]
+    assert s.filter((F.col("n") != 2003) | (F.col("tot") != tot)).count() == 0
+    j = g.join(s.select("id", "rn2", "cv2"), "id")
+    assert j.filter((F.col("rn") != F.col("rn2"))
+                    | (F.col("cv") != F.col("cv2"))).count() == 0
+
+    for k in (4, 3000):  # k < n and k > n
+        gk = df.select("id", F.ntile(k).over(W.orderBy("v", "id"))
+                       .cast("bigint").alias("t"))
+        sk = sharded_ntile(df, F.col("v"), [F.asc("v"), F.asc("id")],
+                           k, "t2", n_shards=7)
+        assert (gk.join(sk.select("id", "t2"), "id")
+                .filter(F.col("t") != F.col("t2")).count() == 0), k
+
+    gs = df.select("id", F.row_number().over(W.orderBy("s", "id"))
+                   .cast("bigint").alias("r"))
+    ss = sharded_global_window(df, str_prefix_key("s"),
+                               [F.asc("s"), F.asc("id")], rn="r2",
+                               n_shards=7)
+    assert (gs.join(ss.select("id", "r2"), "id")
+            .filter(F.col("r") != F.col("r2")).count() == 0)
+
+    empty = df.filter(F.lit(False))
+    assert sharded_global_window(empty, F.col("v"), [F.asc("v")],
+                                 rn="r").count() == 0
+    assert sharded_ntile(empty, F.col("v"), [F.asc("v")], 5, "t").count() == 0
