@@ -1010,38 +1010,129 @@ def tok_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
 # thresholds): for every LSH candidate pair, the MinHash Jaccard
 # ESTIMATE (fraction of agreeing signature components) against the
 # exact Jaccard the verifier computed, with the absolute error. The
-# in-engine counterpart of dd_lsh_tuning's analytic S-curve. Rows-only
-# (signatures are xxhash64-based, no DuckDB twin); pytest replays the
-# estimate from the signatures and pins the MMDS error bound
-# (stderr ~ 1/sqrt(n_hashes)) corpus-wide.
+# in-engine counterpart of dd_lsh_tuning's analytic S-curve. Built on
+# the PORTABLE md5 machinery (dd_minhash_lsh_portable's conventions:
+# 32-bit md5 shingle ids, per-hash md5("h:" || hs) minhashes) so the
+# whole estimate-vs-exact study replays verbatim in DuckDB; the xxhash
+# production index keeps its own pytest pins (dd_minhash_lsh). The
+# pytest replay additionally recomputes the md5 pipeline in pure
+# python and pins the corpus-wide MMDS error bound
+# (stderr ~ 1/sqrt(n_hashes)).
 #
 # Scale: signatures are map-side; the only shuffles are the LSH
-# bucket join (inherited) and two id-key joins carrying (id, 32-long
-# array) rows.
+# bucket join and two id-key joins carrying (id, 16-long) rows.
 # ---------------------------------------------------------------------------
-_MHE_HASHES = 32
+_MHE_N, _MHE_BANDS, _MHE_R, _MHE_K = 16, 8, 2, 3
+
+_MHE_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_MHE_TOKS = f"string_split({_MHE_NORM}, ' ')"
+
+_MHE_ORACLE = f"""
+WITH arr AS (
+  SELECT doc_id, {_MHE_TOKS} AS t FROM documents WHERE length(text) > 0
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8))::BIGINT AS hs
+  FROM arr, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= {_MHE_K}
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(
+             f"min(('0x' || substr(md5('{h}:' || hs), 1, 8))::BIGINT) AS m{h}"
+             for h in range(_MHE_N))}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, b,
+         CASE b {" ".join(
+             f"WHEN {b} THEN m{_MHE_R * b} || ':' || m{_MHE_R * b + 1}"
+             for b in range(_MHE_BANDS))} END AS bsig
+  FROM sig, unnest(range(0, {_MHE_BANDS})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+  FROM banded l JOIN banded r ON l.b = r.b AND l.bsig = r.bsig
+  WHERE l.doc_id < r.doc_id
+),
+sets AS (
+  SELECT doc_id, list(hs) AS ls FROM sh GROUP BY doc_id
+)
+SELECT c.i, c.j,
+       round(CAST(len(list_intersect(a.ls, b.ls)) AS DOUBLE)
+             / CAST(len(list_distinct(a.ls || b.ls)) AS DOUBLE), 6)
+         AS jac_exact,
+       round(({" + ".join(
+           f"CASE WHEN si.m{h} = sj.m{h} THEN 1 ELSE 0 END"
+           for h in range(_MHE_N))}) / {float(_MHE_N)}, 6) AS jac_est,
+       round(abs(
+           round(({" + ".join(
+               f"CASE WHEN si.m{h} = sj.m{h} THEN 1 ELSE 0 END"
+               for h in range(_MHE_N))}) / {float(_MHE_N)}, 6)
+           - round(CAST(len(list_intersect(a.ls, b.ls)) AS DOUBLE)
+                   / CAST(len(list_distinct(a.ls || b.ls)) AS DOUBLE), 6)), 6)
+         AS abs_err
+FROM cand c
+JOIN sets a ON a.doc_id = c.i JOIN sets b ON b.doc_id = c.j
+JOIN sig si ON si.doc_id = c.i JOIN sig sj ON sj.doc_id = c.j
+"""
 
 
-@register("dd_minhash_est_error")
+@register("dd_minhash_est_error", oracle=_MHE_ORACLE)
 def dd_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sanctions_data_pipeline_spark.operators import dedup as dd
+    from sanctions_data_pipeline_spark.operators import textstats as tx
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs, n_hashes=_MHE_HASHES, bands=8,
-                                 threshold=0.0)   # keep ALL candidates
-    sigs = dd.minhash_signatures(docs, n_hashes=_MHE_HASHES)
-    si = sigs.select(F.col("doc_id").alias("i"), F.col("sig").alias("sig_i"))
-    sj = sigs.select(F.col("doc_id").alias("j"), F.col("sig").alias("sig_j"))
-    est = (F.size(F.filter(
-        F.zip_with(F.col("sig_i"), F.col("sig_j"),
-                   lambda a, b: a == b), lambda x: x))
-        .cast("double") / F.lit(float(_MHE_HASHES)))
-    return (pairs.join(si, "i").join(sj, "j")
-            .select("i", "j", F.col("jac").alias("jac_exact"),
-                    F.round(est, 6).alias("jac_est"))
-            .withColumn("abs_err",
-                        F.round(F.abs(F.col("jac_est")
-                                      - F.col("jac_exact")), 6)))
+    def md5_32(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    arr = docs.select("doc_id", tx.tokens(F.col("text")).alias("t")) \
+              .filter(F.size("t") >= _MHE_K)
+    sh = arr.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(t) - 3),"
+            " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).alias("s"),
+    ).select("doc_id", md5_32(F.col("s")).alias("hs")).distinct()
+    sig = sh.groupBy("doc_id").agg(*[
+        F.min(md5_32(F.concat_ws(":", F.lit(h), F.col("hs")))).alias(f"m{h}")
+        for h in range(_MHE_N)
+    ])
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.concat_ws(":", *[F.col(f"m{_MHE_R * b + r}")
+                               for r in range(_MHE_R)])
+            for b in range(_MHE_BANDS)
+        ])).alias("b", "bsig"),
+    )
+    cand = (banded.select(F.col("doc_id").alias("i"), "b", "bsig")
+            .join(banded.select(F.col("doc_id").alias("j"), "b", "bsig"),
+                  ["b", "bsig"])
+            .filter(F.col("i") < F.col("j"))
+            .select("i", "j").distinct())
+    sets = sh.groupBy("doc_id").agg(F.collect_set("hs").alias("ls"))
+    jac = F.round(
+        F.size(F.array_intersect("ls_i", "ls_j")).cast("double")
+        / F.size(F.array_union("ls_i", "ls_j")).cast("double"), 6)
+    est = F.round(
+        sum(F.when(F.col(f"mi{h}") == F.col(f"mj{h}"), 1).otherwise(0)
+            for h in range(_MHE_N)) / F.lit(float(_MHE_N)), 6)
+    return (
+        cand
+        .join(sets.select(F.col("doc_id").alias("i"),
+                          F.col("ls").alias("ls_i")), "i")
+        .join(sets.select(F.col("doc_id").alias("j"),
+                          F.col("ls").alias("ls_j")), "j")
+        .join(sig.select(F.col("doc_id").alias("i"),
+                         *[F.col(f"m{h}").alias(f"mi{h}")
+                           for h in range(_MHE_N)]), "i")
+        .join(sig.select(F.col("doc_id").alias("j"),
+                         *[F.col(f"m{h}").alias(f"mj{h}")
+                           for h in range(_MHE_N)]), "j")
+        .select("i", "j", jac.alias("jac_exact"), est.alias("jac_est"),
+                F.round(F.abs(est - jac), 6).alias("abs_err")))
 
 
 # ---------------------------------------------------------------------------

@@ -219,6 +219,8 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R05_CHECKED
 #   s_translit_match q_rolling_beta q_session_stats ml_kmeans_step
 #   q_audience_overlap io_dynamic_partition_overwrite
 #   q_watermark_advice
+#   (round-6 rows-only -> oracled conversions, never driver-checked:)
+#   dd_minhash_est_error gr_label_prop gr_bfs_layers q_cusum_changepoint
 _ORACLE_PRIORITY = (
     "q_seasonal_decompose", "tx_lexical_diversity", "q_bollinger_bands",
     "q_drawdown", "q_rsi", "q_spearman_corr", "tt_reservoir_sample",

@@ -1304,11 +1304,36 @@ def dp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gr_bfs_layers — multi-hop reachability over the part co-purchase
 # graph from the 3 lowest part ids: layer = min hops from any seed.
 # The "expand a seed set through a similarity graph" primitive
-# (active-learning / contamination-spread analyses). Rows-only: the
-# iterative frontier loop is pinned against a driver-side BFS on the
-# collected edge list in tests.
+# (active-learning / contamination-spread analyses). The oracle
+# unrolls the bounded hop count as chained min-union CTEs (layer =
+# min round a node first appears — exactly BFS); the driver-side BFS
+# replay in tests stays as a third independent check.
 # --------------------------------------------------------------------------
-@register("gr_bfs_layers")
+_BFS_HOPS = 4
+
+_BFS_ORACLE = (
+    """
+WITH co AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_partkey < 200),
+edges AS (SELECT DISTINCT a.p AS src, b.p AS dst
+          FROM co a JOIN co b ON a.o = b.o WHERE a.p <> b.p),
+l0 AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS id,
+              CAST(0 AS BIGINT) AS layer)"""
+    + "".join(
+        f"""
+,l{k} AS (SELECT id, min(layer) AS layer FROM (
+    SELECT id, layer FROM l{k - 1}
+    UNION ALL
+    SELECT e.dst AS id, CAST({k} AS BIGINT) AS layer
+    FROM edges e JOIN l{k - 1} p ON p.id = e.src
+  ) GROUP BY id)"""
+        for k in range(1, _BFS_HOPS + 1))
+    + f"""
+SELECT id, CAST(layer AS BIGINT) AS layer FROM l{_BFS_HOPS}"""
+)
+
+
+@register("gr_bfs_layers", oracle=_BFS_ORACLE)
 def gr_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.operators.graph import (
         bfs_layers, copurchase_edges)
@@ -1316,7 +1341,7 @@ def gr_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
     edges = copurchase_edges(li)
     seeds = spark.range(3).select(F.col("id"))
-    return (bfs_layers(edges, seeds, max_hops=4, id_col="id")
+    return (bfs_layers(edges, seeds, max_hops=_BFS_HOPS, id_col="id")
             .select("id", F.col("layer").cast("bigint").alias("layer")))
 
 

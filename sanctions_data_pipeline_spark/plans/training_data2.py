@@ -213,15 +213,47 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Raghavan et al. 2007) over the co-purchase graph, made fully
 # deterministic: each round every node adopts the most frequent label
 # among its neighbors (ties → smallest label), all nodes update
-# simultaneously, fixed round count. Rows-only (iterative, not
-# SQL-expressible); pytest replays the identical rounds in pure Python.
+# simultaneously, fixed round count. The oracle unrolls the identical
+# 4 rounds as chained CTEs (the gr_pagerank discipline — bounded-round
+# iteration IS SQL-expressible); labels are exact integers, so no
+# float-order concerns. The pure-Python pytest replay stays as a third
+# independent check.
 #
 # Scale: per-round state is (node, label) longs; each round is one
 # shuffle join on node + one (node, label) count agg + one max_by —
 # the same bounded-lineage loop discipline as dd_cluster/pr_copurchase
 # (persist per round, unpersist the previous round's table).
 # ---------------------------------------------------------------------------
-@register("gr_label_prop")
+_LP_ROUNDS = 4
+
+
+def _lp_oracle() -> str:
+    ctes = ["""
+co AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       FROM lineitem WHERE l_partkey < 200),
+edges AS (
+  SELECT a.p AS src, b.p AS dst FROM co a JOIN co b ON a.o = b.o
+  WHERE a.p <> b.p
+  GROUP BY a.p, b.p HAVING count(*) >= 3
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""]
+    for i in range(1, _LP_ROUNDS + 1):
+        ctes.append(f"""
+v{i} AS (SELECT e.src, l.label, count(*) AS cnt
+         FROM edges e JOIN l{i - 1} l ON l.node = e.dst
+         GROUP BY e.src, l.label),
+l{i} AS (SELECT src AS node, label FROM v{i}
+         QUALIFY row_number() OVER (PARTITION BY src
+                                    ORDER BY cnt DESC, label) = 1)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+SELECT label AS community, CAST(count(*) AS BIGINT) AS community_size
+FROM l{_LP_ROUNDS} GROUP BY label"""
+    )
+
+
+@register("gr_label_prop", oracle=_lp_oracle())
 def gr_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
     # sparsify: keep pairs co-purchased in >= 3 orders, otherwise the
@@ -237,7 +269,7 @@ def gr_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("label", F.col("node"))
               .persist())
     labels.count()
-    for _ in range(4):
+    for _ in range(_LP_ROUNDS):
         votes = (sym.join(labels.withColumnRenamed("node", "dst"), "dst")
                  .groupBy("src", "label").agg(lcount("cnt")))
         nxt = (votes.groupBy("src")

@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from sanctions_data_pipeline_spark.catalog import load_table
 from sanctions_data_pipeline_spark.operators import similarity as sim
 from sanctions_data_pipeline_spark.operators import textstats as tx
-from sanctions_data_pipeline_spark.plans.helpers import lcount
+from sanctions_data_pipeline_spark.plans.helpers import (
+    lcount, pround6, sql_pround6,
+)
 from sanctions_data_pipeline_spark.plans.registry import register
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -3037,46 +3039,117 @@ def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_cusum_changepoint — CUSUM changepoint detection (Page, Biometrika
 # 1954) over the daily event-count series: S_t = max(0, S_{t-1} + x_t
-# - mean - slack), alarm when S_t > h. The recursion is inherently
-# sequential over DAYS — a bounded, calendar-sized series — so it runs
-# as one higher-order fold over the sorted day array (the tok_bpe
-# chained-fold discipline), never a driver loop over raw events.
-# Rows-only (the recursive max-fold has no clean portable SQL twin);
-# pytest replays the recursion exactly.
+# - mean - slack), alarm when S_t > h. The recursion has the exact
+# closed form S_t = P_t - min_{0<=j<=t} P_j with P_t the prefix sum of
+# (x - mean - k) — so it runs as windows over the bounded calendar-day
+# series (NO driver loop, no collect) and the oracle replays the same
+# prefix-sum/running-min expression tree verbatim: P_t derives from
+# the EXACT bigint running sum (P_t = cum_x - t*(mean+k)), so every
+# double is one identical IEEE tree on both engines. The pytest replay
+# pins BOTH this closed form (exactly) and the original recursion
+# (within float tolerance).
 #
 # Scale: the corpus-wide work is one map-side date_trunc + count agg;
-# the fold input is |days| rows regardless of event volume.
+# the window input is |days| rows regardless of event volume.
 # ---------------------------------------------------------------------------
 _CUSUM_SLACK = 0.5   # slack k, in stddev units
 _CUSUM_H = 4.0       # alarm threshold, in stddev units
 
+_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(n) AS BIGINT) AS sx,
+         CAST(sum(n * n) AS BIGINT) AS sxx
+  FROM daily
+),
+par AS (
+  SELECT CAST(sx AS DOUBLE) / nd AS mean,
+         CASE WHEN sqrt(greatest(CAST(sxx AS DOUBLE) / nd
+                  - (CAST(sx AS DOUBLE) / nd) * (CAST(sx AS DOUBLE) / nd),
+                  0.0)) = 0.0 THEN 1.0
+              ELSE sqrt(greatest(CAST(sxx AS DOUBLE) / nd
+                  - (CAST(sx AS DOUBLE) / nd) * (CAST(sx AS DOUBLE) / nd),
+                  0.0)) END AS sd
+  FROM st
+),
+cum AS (
+  SELECT day, n,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cx
+  FROM daily
+),
+p AS (
+  SELECT day, n, mean, sd,
+         CAST(cx AS DOUBLE) - i * (mean + {_CUSUM_SLACK} * sd) AS ph,
+         -CAST(cx AS DOUBLE) + i * (mean - {_CUSUM_SLACK} * sd) AS pl
+  FROM cum, par
+),
+m AS (
+  SELECT day, n, sd,
+         ph - least(0.0, min(ph) OVER (ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING)) AS sh,
+         pl - least(0.0, min(pl) OVER (ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING)) AS sl
+  FROM p
+)
+SELECT day, n AS n_events,
+       {sql_pround6("sh / sd")} AS cusum_hi,
+       {sql_pround6("sl / sd")} AS cusum_lo,
+       CAST(CASE WHEN sh > {_CUSUM_H} * sd OR sl > {_CUSUM_H} * sd
+                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM m
+"""
 
-@register("q_cusum_changepoint")
+
+@register("q_cusum_changepoint", oracle=_CUSUM_ORACLE)
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"),
                                       "yyyy-MM-dd").alias("day"))
              .agg(lcount("n")))
-    days = (daily.agg(F.array_sort(F.collect_list(
-        F.struct(F.col("day").alias("d"), F.col("n").alias("n")))))
-        .collect()[0][0])     # bounded: one row per calendar day
-    _CUSUM_SCHEMA = ("day string, n_events bigint, cusum_hi double, "
-                     "cusum_lo double, alarm boolean")
-    if not days:              # empty events table -> empty result, same schema
-        return spark.createDataFrame([], _CUSUM_SCHEMA)
-    xs = [int(r["n"]) for r in days]
-    mean = sum(xs) / len(xs)
-    var = sum((x - mean) ** 2 for x in xs) / len(xs)
-    sd = var ** 0.5 or 1.0
-    k, h = _CUSUM_SLACK * sd, _CUSUM_H * sd
-    s_hi = s_lo = 0.0
-    rows = []
-    for r, x in zip(days, xs):
-        s_hi = max(0.0, s_hi + (x - mean) - k)
-        s_lo = max(0.0, s_lo - (x - mean) - k)
-        rows.append((r["d"], x, round(s_hi / sd, 6), round(s_lo / sd, 6),
-                     s_hi > h or s_lo > h))
-    return spark.createDataFrame(rows, _CUSUM_SCHEMA)
+    st = daily.agg(F.count(F.lit(1)).cast("bigint").alias("nd"),
+                   F.sum("n").cast("bigint").alias("sx"),
+                   F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sxx"))
+    mean = F.col("sx").cast("double") / F.col("nd")
+    var = F.greatest(F.col("sxx").cast("double") / F.col("nd") - mean * mean,
+                     F.lit(0.0))
+    sd0 = F.sqrt(var)
+    par = st.select(mean.alias("mean"),
+                    F.when(sd0 == 0.0, 1.0).otherwise(sd0).alias("sd"))
+    wday = W.orderBy("day")      # bounded: one row per calendar day
+    cum = daily.select(
+        "day", "n",
+        F.row_number().over(wday).cast("bigint").alias("i"),
+        F.sum("n").over(wday.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint").alias("cx"))
+    p = cum.crossJoin(F.broadcast(par)).select(
+        "day", "n", "mean", "sd",
+        (F.col("cx").cast("double")
+         - F.col("i") * (F.col("mean") + _CUSUM_SLACK * F.col("sd")))
+        .alias("ph"),
+        (-F.col("cx").cast("double")
+         + F.col("i") * (F.col("mean") - _CUSUM_SLACK * F.col("sd")))
+        .alias("pl"))
+    wmin = wday.rowsBetween(W.unboundedPreceding, 0)
+    m = p.select(
+        "day", "n", "sd",
+        (F.col("ph") - F.least(F.lit(0.0), F.min("ph").over(wmin)))
+        .alias("sh"),
+        (F.col("pl") - F.least(F.lit(0.0), F.min("pl").over(wmin)))
+        .alias("sl"))
+    return m.select(
+        "day", F.col("n").alias("n_events"),
+        pround6(F.col("sh") / F.col("sd")).alias("cusum_hi"),
+        pround6(F.col("sl") / F.col("sd")).alias("cusum_lo"),
+        F.when((F.col("sh") > _CUSUM_H * F.col("sd"))
+               | (F.col("sl") > _CUSUM_H * F.col("sd")), 1).otherwise(0)
+        .cast("bigint").alias("alarm"))
 
 
 # ---------------------------------------------------------------------------

@@ -376,21 +376,47 @@ def test_st_topk_trending_ranks(spark, sf_dir):
 
 
 def test_minhash_est_error_replay(spark, sf_dir):
-    from sanctions_data_pipeline_spark.operators import dedup as dd
+    """Pure-python replay of the portable md5 pipeline (shingle ids,
+    16 minhashes, exact set Jaccard) for every emitted pair, plus the
+    corpus-wide MMDS error bound — fully independent of both Spark and
+    the DuckDB oracle."""
+    import hashlib
+    import re
+
+    import duckdb
 
     rows = _run(spark, sf_dir, "dd_minhash_est_error").collect()
     assert rows
-    sigs = {r.doc_id: list(r.sig) for r in dd.minhash_signatures(
-        load_table(spark, sf_dir, "documents"), n_hashes=32).collect()}
+
+    def md5_32(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        " WHERE length(text) > 0").fetchall()
+    shingles, sigs = {}, {}
+    for doc_id, text in docs:
+        toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        if len(toks) < 3:
+            continue
+        hs = {md5_32(" ".join(toks[i:i + 3]))
+              for i in range(len(toks) - 2)}
+        shingles[doc_id] = hs
+        sigs[doc_id] = [min(md5_32(f"{h}:{x}") for x in hs)
+                        for h in range(16)]
     errs = []
     for r in rows:
-        est = sum(a == b for a, b in zip(sigs[r.i], sigs[r.j])) / 32.0
-        assert abs(r.jac_est - round(est, 6)) < 1e-9
-        assert abs(r.abs_err - round(abs(r.jac_est - r.jac_exact), 6)) < 1e-9
+        a, b = shingles[r.i], shingles[r.j]
+        jac = round(len(a & b) / len(a | b), 6)
+        est = round(sum(x == y for x, y in zip(sigs[r.i], sigs[r.j]))
+                    / 16.0, 6)
+        assert abs(r.jac_exact - jac) < 1e-9, (r.i, r.j)
+        assert abs(r.jac_est - est) < 1e-9, (r.i, r.j)
+        assert abs(r.abs_err - round(abs(est - jac), 6)) < 1e-9
         errs.append(r.abs_err)
-    # MMDS: stderr of the estimator ~ sqrt(j(1-j)/n) <= 1/(2*sqrt(32));
+    # MMDS: stderr of the estimator ~ sqrt(j(1-j)/n) <= 1/(2*sqrt(16));
     # the corpus-wide mean abs error stays well inside 2x that bound
-    assert sum(errs) / len(errs) < 2.0 / (2 * 32 ** 0.5)
+    assert sum(errs) / len(errs) < 2.0 / (2 * 16 ** 0.5)
 
 
 def test_partitioned_write_prunes_to_one_partition(spark, sf_dir):

@@ -1413,25 +1413,48 @@ def test_q_path_analysis_matches_python_sessionizer(spark, sf_dir):
 
 
 def test_q_cusum_changepoint_recursion_replay(spark, sf_dir):
+    """Two independent replays: (a) the closed prefix-sum/running-min
+    form the engine computes, pinned EXACTLY (same IEEE expression
+    tree in python), and (b) Page's original max(0, ...) recursion,
+    pinned within float tolerance — proving the closed form IS the
+    recursion, not just close to it."""
+    import math
     from collections import Counter
 
     ev = load_table(spark, sf_dir, "events").collect()
     daily = Counter(e.ts.strftime("%Y-%m-%d") for e in ev)
     days = sorted(daily)
     xs = [daily[d] for d in days]
-    mean = sum(xs) / len(xs)
-    sd = (sum((x - mean) ** 2 for x in xs) / len(xs)) ** 0.5 or 1.0
+    nd = len(xs)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    mean = sx / nd
+    sd = math.sqrt(max(sxx / nd - mean * mean, 0.0)) or 1.0
     k, h = 0.5 * sd, 4.0 * sd
-    s_hi = s_lo = 0.0
+
+    def p6(x):
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    # (a) closed form, exact
     expect = {}
-    for d, x in zip(days, xs):
-        s_hi = max(0.0, s_hi + (x - mean) - k)
-        s_lo = max(0.0, s_lo - (x - mean) - k)
-        expect[d] = (x, round(s_hi / sd, 6), round(s_lo / sd, 6),
-                     s_hi > h or s_lo > h)
+    cx, mh, ml = 0, 0.0, 0.0
+    for i, (d, x) in enumerate(zip(days, xs), start=1):
+        cx += x
+        ph = float(cx) - i * (mean + 0.5 * sd)
+        pl = -float(cx) + i * (mean - 0.5 * sd)
+        mh, ml = min(mh, ph), min(ml, pl)
+        sh, sl = ph - min(0.0, mh), pl - min(0.0, ml)
+        expect[d] = (x, p6(sh / sd), p6(sl / sd),
+                     1 if (sh > h or sl > h) else 0)
     got = {r.day: (r.n_events, r.cusum_hi, r.cusum_lo, r.alarm)
            for r in _run(spark, sf_dir, "q_cusum_changepoint").collect()}
     assert got == expect
+    # (b) the original recursion, within tolerance
+    s_hi = s_lo = 0.0
+    for d, x in zip(days, xs):
+        s_hi = max(0.0, s_hi + (x - mean) - k)
+        s_lo = max(0.0, s_lo - (x - mean) - k)
+        assert abs(got[d][1] - s_hi / sd) < 2e-6, d
+        assert abs(got[d][2] - s_lo / sd) < 2e-6, d
     # CUSUM laws: statistics never negative
     assert all(hi >= 0 and lo >= 0 for _, hi, lo, _ in got.values())
 
