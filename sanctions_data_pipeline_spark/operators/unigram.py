@@ -38,14 +38,28 @@ def _cost_map(model: dict[str, float]) -> Column:
 
 def viterbi_pieces(word: Column, model: dict[str, float]) -> Column:
     """array<string> of the min-cost segmentation of ``word`` into
-    model pieces (lengths 1..MAX_PIECE_LEN).
+    model pieces (lengths 1..MAX_PIECE_LEN), with the model shipped as
+    a literal map expression (right for tiny trained models).
 
     Tie rule (replayed bit-identically by tests): candidate piece
     lengths are tried ascending and a longer piece replaces the
     incumbent only on STRICTLY smaller cost — equal-cost lattices
     resolve to the shortest piece ending at each position.
     """
-    m = _cost_map(model)
+    return _viterbi_lattice(word, _cost_map(model))
+
+
+def viterbi_pieces_map(word: Column, cost_map: Column) -> Column:
+    """Same lattice, but the piece -> cost lookup probes a per-row MAP
+    COLUMN instead of a literal expression — the 32k-piece scale form
+    (see :func:`segment_words`): the map column carries only the
+    pieces that actually occur in ``word``, built by a broadcast
+    position-substring join, so a real vocab never inflates the plan.
+    """
+    return _viterbi_lattice(word, cost_map)
+
+
+def _viterbi_lattice(word: Column, m: Column) -> Column:
     n = F.length(word)
 
     # dp pass: acc[i+1] = struct(cost, bp) for prefix length i
@@ -53,7 +67,8 @@ def viterbi_pieces(word: Column, model: dict[str, float]) -> Column:
         best = None
         for ln in range(1, MAX_PIECE_LEN + 1):
             piece = F.substring(word, (i - ln + 1).cast("int"), ln)
-            # element_at on a missing map key is NULL -> out-of-vocab
+            # element_at on a missing map key (or a NULL map, for words
+            # with no in-vocab substring) is NULL -> out-of-vocab
             c = (F.when(i - ln >= 0,
                         F.element_at(acc, (i - ln + 1).cast("int"))["cost"]
                         + F.coalesce(F.element_at(m, piece), F.lit(_INF)))
@@ -88,6 +103,67 @@ def viterbi_pieces(word: Column, model: dict[str, float]) -> Column:
                  F.array().cast("array<string>").alias("pieces")),
         back)
     return walked["pieces"]
+
+
+LITERAL_MAP_MAX = 256
+
+
+def segment_words(words_df, word_col: str, model: dict[str, float],
+                  out_col: str = "piece",
+                  literal_map_max: int = LITERAL_MAP_MAX):
+    """Segment every word of ``words_df[word_col]`` with the model and
+    EXPLODE the pieces into ``out_col`` — choosing the physical lookup
+    strategy by model size (the documented scale switch):
+
+    - ``len(model) <= literal_map_max``: the literal-map expression
+      (:func:`viterbi_pieces`) — zero joins, right for the tiny trained
+      models the registry produces.
+    - larger: a BROADCAST position-substring join — every <=
+      MAX_PIECE_LEN substring of each word probes the broadcast
+      (piece, cost) table once, the per-word hits fold into a map
+      column, and the identical lattice (:func:`viterbi_pieces_map`)
+      runs over it. A 32k-piece vocab ships as ~32k broadcast rows
+      instead of a 64k-literal expression tree.
+
+    Both paths produce identical segmentations (pinned by
+    tests/test_training_ext3.py's equality test, which forces the join
+    path with ``literal_map_max=0``).
+    """
+    seg = segmented_words(words_df, word_col, model,
+                          literal_map_max=literal_map_max)
+    return seg.select(*[F.col(c) for c in words_df.columns],
+                      F.explode("__pieces").alias(out_col))
+
+
+def segmented_words(words_df, word_col: str, model: dict[str, float],
+                    literal_map_max: int = LITERAL_MAP_MAX):
+    """:func:`segment_words` before the explode: the input frame plus a
+    ``__pieces`` array<string> column (the ordered segmentation)."""
+    if len(model) <= literal_map_max:
+        return words_df.select(
+            "*", viterbi_pieces(F.col(word_col), model).alias("__pieces"))
+
+    spark = words_df.sparkSession
+    model_df = spark.createDataFrame(
+        [(p, -math.log(v)) for p, v in sorted(model.items())],
+        "piece string, cost double")
+    w = F.col(word_col)
+    # all distinct substrings of length 1..MAX_PIECE_LEN per word
+    subs = []
+    for ln in range(1, MAX_PIECE_LEN + 1):
+        subs.append(F.when(F.length(w) >= ln, F.transform(
+            F.sequence(F.lit(1), F.length(w) - ln + 1),
+            (lambda L: lambda i: F.substring(w, i.cast("int"), L))(ln)))
+            .otherwise(F.array().cast("array<string>")))
+    cand = words_df.select(
+        word_col, F.explode(F.array_distinct(F.concat(*subs))).alias("piece"))
+    hits = (cand.join(F.broadcast(model_df), "piece")
+            .groupBy(word_col)
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("piece", "cost"))).alias("__pm")))
+    return (words_df.join(hits, word_col, "left")
+            .select(*[F.col(c) for c in words_df.columns],
+                    viterbi_pieces_map(w, F.col("__pm")).alias("__pieces")))
 
 
 def viterbi_pieces_py(word: str, model: dict[str, float]) -> list[str]:

@@ -1495,8 +1495,9 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table (the profiling pass every warehouse runs before declaring keys
 # and building dashboards): per column, row count, exact distinct
 # count, null count, uniqueness ratio. One pass per column expressed as
-# a union of exact aggregates; at 100 TB swap count_distinct for the
-# approx_count_distinct sketch the engine also ships (q_approx_sketch).
+# a union of exact aggregates; uniqueness_profile(approx=True) is the
+# 100 TB switch — HLL++ sketches instead of exact distincts
+# (q_approx_sketch's machinery), pinned within rsd by tests.
 # ---------------------------------------------------------------------------
 _UNIQ_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
               "o_orderpriority")
@@ -1511,24 +1512,37 @@ SELECT '{c}' AS col,
 FROM orders""" for c in _UNIQ_COLS)
 
 
-@register("dq_uniqueness", oracle=_UNIQ_ORACLE)
-def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+def uniqueness_profile(df: DataFrame, cols=_UNIQ_COLS,
+                       approx: bool = False, rsd: float = 0.01) -> DataFrame:
+    """Per-column cardinality/null profile. ``approx=True`` is the
+    100 TB switch: COUNT(DISTINCT) becomes the HyperLogLog++ sketch
+    (approx_count_distinct, relative error ``rsd``) — fixed-size
+    mergeable state through the map-side combine instead of a per-value
+    shuffle; rows/nulls stay exact either way. The registry form keeps
+    the exact path (the oracle is exact); the equality-within-rsd pin
+    lives in tests/test_analytics.py."""
+    nd = (F.approx_count_distinct(F.col("__c"), rsd=rsd) if approx
+          else F.count_distinct(F.col("__c")))
     parts = []
-    for c in _UNIQ_COLS:
-        parts.append(orders.agg(
+    for c in cols:
+        parts.append(df.withColumn("__c", F.col(c)).agg(
             lcount("n_rows"),
-            F.count_distinct(F.col(c)).cast("bigint").alias("n_distinct"),
-            (F.count(F.lit(1)) - F.count(F.col(c))).cast("bigint")
+            nd.cast("bigint").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.count(F.col("__c"))).cast("bigint")
             .alias("n_nulls"),
-            F.round(F.count_distinct(F.col(c)).cast("double")
-                    / F.count(F.lit(1)), 6).alias("uniqueness"))
+            F.round(nd.cast("double") / F.count(F.lit(1)), 6)
+            .alias("uniqueness"))
             .select(F.lit(c).alias("col"), "n_rows", "n_distinct",
                     "n_nulls", "uniqueness"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register("dq_uniqueness", oracle=_UNIQ_ORACLE)
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uniqueness_profile(load_table(spark, sf_dir, "orders"))
 
 
 # ---------------------------------------------------------------------------

@@ -1012,9 +1012,11 @@ def tt_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: E-step runs over the DISTINCT word inventory (the
 # tok_bpe_merges discipline) as one map stage per round; the model is
 # bounded driver state (seed cap + alphabet, the top-V vocab
-# contract); M-step counts are a bounded groupBy. At a 32k-piece real
-# vocab the literal cost map becomes a broadcast position-substring
-# join — same lattice (documented in operators/unigram.py).
+# contract); M-step counts are a bounded groupBy. The E-step goes
+# through unigram.segment_words, which SWITCHES strategy by model
+# size: literal cost map here, broadcast position-substring join past
+# LITERAL_MAP_MAX pieces (32k-vocab scale path; equality of the two
+# paths is pinned in tests).
 # ---------------------------------------------------------------------------
 _UNI_SEED = 40
 _UNI_ROUNDS = 2
@@ -1064,9 +1066,10 @@ def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vc: dict[str, int] = {}
     for _ in range(_UNI_ROUNDS):
-        seg = words.select(
-            "c", F.explode(ug.viterbi_pieces(F.col("w"), model))
-            .alias("piece"))
+        # segment_words picks the lookup strategy by model size: the
+        # literal map here (tiny trained model), the broadcast
+        # position-substring join past ug.LITERAL_MAP_MAX pieces
+        seg = ug.segment_words(words, "w", model).select("c", "piece")
         vc = {r.piece: int(r.n)
               for r in seg.groupBy("piece")
               .agg(F.sum("c").alias("n")).collect()}

@@ -702,3 +702,24 @@ def test_lexical_diversity_replay(spark, sf_dir):
             assert abs(r.herdan_c
                        - math.log(len(set(toks))) / math.log(len(toks))) < 1e-4
             assert 0.0 < r.herdan_c <= 1.0
+
+
+def test_uniqueness_profile_approx_switch_within_rsd(spark, sf_dir):
+    """The 100 TB switch: approx=True (HLL++ sketch) must agree with
+    the exact path — n_rows/n_nulls identical, n_distinct within a few
+    relative standard deviations."""
+    from sanctions_data_pipeline_spark.plans.analytics import (
+        uniqueness_profile)
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {r.col: r for r in uniqueness_profile(orders).collect()}
+    approx = {r.col: r
+              for r in uniqueness_profile(orders, approx=True,
+                                           rsd=0.01).collect()}
+    assert exact.keys() == approx.keys()
+    for c, e in exact.items():
+        a = approx[c]
+        assert a.n_rows == e.n_rows and a.n_nulls == e.n_nulls, c
+        assert abs(a.n_distinct - e.n_distinct) <= max(
+            4, 0.05 * e.n_distinct), (c, a.n_distinct, e.n_distinct)
+        assert abs(a.uniqueness - e.uniqueness) <= 0.05 + 1e-9, c

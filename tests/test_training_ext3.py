@@ -1660,3 +1660,38 @@ def test_q_weekday_seasonality_accounting(spark, sf_dir):
     # indices average ~1 weighted by days
     wsum = sum(got[d][3] * got[d][0] for d in got)
     assert abs(wsum / sum(got[d][0] for d in got) - 1.0) < 0.01
+
+
+def test_segment_words_join_path_equals_literal_path(spark, sf_dir):
+    """The 32k-vocab scale switch: forcing the broadcast
+    position-substring join (literal_map_max=0) must segment every
+    distinct sf-fixture word identically to the literal-map lattice."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+    from sanctions_data_pipeline_spark.operators import unigram as ug
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+             .filter(F.col("w") != "").distinct())
+    # a model with multi-char pieces, single chars, and gaps (some
+    # words have NO in-vocab substring -> NULL map branch)
+    sample = [r.w for r in words.limit(200).collect()]
+    model = {}
+    for w in sample[:50]:
+        for piece in (w[:2], w[:1], w[-3:]):
+            if piece:
+                model[piece] = model.get(piece, 0) + 1
+    tot = sum(model.values())
+    model = {p: c / tot for p, c in model.items()}
+
+    lit = {r.w: list(r["__pieces"]) for r in ug.segmented_words(
+        words, "w", model, literal_map_max=10 ** 6).collect()}
+    join = {r.w: list(r["__pieces"]) for r in ug.segmented_words(
+        words, "w", model, literal_map_max=0).collect()}
+    assert lit == join and lit  # ORDERED segmentations identical
+    # and the join path replays the pure-python lattice too
+    for w_ in sample[:80]:
+        assert join[w_] == ug.viterbi_pieces_py(w_, model), w_
