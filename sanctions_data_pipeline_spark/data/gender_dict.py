@@ -42,18 +42,29 @@ MALE_NAME_PATTERNS = [
 
 def rows() -> list[tuple[str, str]]:
     """Merged dictionary: compact base lists + the extended
-    international lists (gender_names_ext + gender_names_ext2, ~4k
-    names), deduplicated with male-wins-conflict. Male-wins preserves
-    the reference's resolution for ambiguous names (main.py:784:
-    Female only on an explicit female entry, everything else Male),
-    and a single row per name keeps the broadcast dictionary join from
-    fanning out."""
+    international lists (gender_names_ext + gender_names_ext2) + the
+    round-6 bulk lists (gender_names_bulk, ~6k), deduplicated with
+    male-wins-conflict. Male-wins preserves the reference's resolution
+    for ambiguous names (main.py:784: Female only on an explicit
+    female entry, everything else Male), and a single row per name
+    keeps the broadcast dictionary join from fanning out.
+
+    Precedence: the hand-curated ext/ext2 judgments stand (they
+    predate the bulk import and were reviewed case by case); the BULK
+    lists are additionally screened through AMBIGUOUS_EXCLUDE, and a
+    bulk-male entry never flips an ext-female one (nor vice versa) —
+    the bulk import can only ADD names, not re-gender reviewed ones."""
+    from sanctions_data_pipeline_spark.data import gender_names_bulk as blk
     from sanctions_data_pipeline_spark.data import gender_names_ext as ext
     from sanctions_data_pipeline_spark.data import gender_names_ext2 as ext2
 
-    male = set(MALE_NAMES) | set(ext.MALE_EXT)
-    female = (set(FEMALE_NAMES) | set(ext.FEMALE_EXT)
-              | set(ext2.FEMALE_EXT2)) - male
+    male_prev = set(MALE_NAMES) | set(ext.MALE_EXT)
+    female_prev = (set(FEMALE_NAMES) | set(ext.FEMALE_EXT)
+                   | set(ext2.FEMALE_EXT2)) - male_prev
+    screen = set(blk.AMBIGUOUS_EXCLUDE)
+    male = male_prev | (set(blk.MALE_BULK) - screen - female_prev)
+    female = (female_prev
+              | (set(blk.FEMALE_BULK) - screen - male_prev)) - male
     return sorted([(n, "female") for n in female]
                   + [(n, "male") for n in male])
 

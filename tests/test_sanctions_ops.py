@@ -318,3 +318,43 @@ def test_s_phonetic_screen_matches_python_soundex(spark, sf_dir):
     for pair in (("Muhamad", "MOHAMMED"), ("Marya", "MARIA"),
                  ("Fatema", "FATIMA"), ("Sfetlana", "SVETLANA")):
         assert pair in hits, pair
+
+
+def test_gender_dictionary_round6_bulk_import():
+    """Round-6 bulk widening (VERDICT r05 item 4): the dictionary
+    roughly doubles via gender_names_bulk; a held-out non-Western
+    female sample now resolves Female; the ambiguity screen holds —
+    NO name on AMBIGUOUS_EXCLUDE may resolve female, including the
+    male-in-a-major-language names removed from the ext lists this
+    round (the 'ola' advice generalized)."""
+    from sanctions_data_pipeline_spark.data import gender_dict
+    from sanctions_data_pipeline_spark.data import gender_names_bulk as blk
+
+    dic = dict(gender_dict.rows())
+    assert len(dic) >= 7500
+    held_out_female = [
+        # West/East African
+        "fatoumata", "aminata", "hodan", "fadumo", "hauwa", "tsehay",
+        "meseret", "chiamaka", "funmilayo", "akosua",
+        # Central Asian / Caucasus
+        "aigerim", "gulnara", "dinara", "zarina", "tatevik", "ketevan",
+        # Middle East / South Asia
+        "zeynep", "ayse", "niloufar", "fereshteh", "bushra", "nandini",
+        "meenakshi", "lakshmi", "farzana", "rukhsana",
+        # East/SE Asia
+        "ayaka", "michiko", "sayuri", "jieun", "thuy", "siti",
+        # Europe beyond Anglo
+        "tetiana", "oksana", "malgorzata", "eleni", "stavroula",
+        "niamh", "mihaela", "reka", "angharad", "aoife",
+    ]
+    missed = [n for n in held_out_female if dic.get(n) != "female"]
+    assert not missed, missed
+    # the belt-and-braces screen: nothing excluded may be female
+    leaks = [n for n in blk.AMBIGUOUS_EXCLUDE if dic.get(n) == "female"]
+    assert not leaks, leaks
+    # male-in-a-major-language names removed from ext this round
+    for n in ["andrea", "michele", "simone", "joan", "carol", "marian",
+              "mika", "kiran", "suman", "ariel", "hanan", "marjan",
+              "rosario", "janis", "gerd", "zane", "patrice", "nino",
+              "gohar"]:
+        assert dic.get(n) != "female", n
