@@ -1266,7 +1266,7 @@ FROM nl n JOIN lat l ON n.entity_id = l.entity_id
 """
 
 
-@register("s_translit_match", oracle=_TRANSLIT_ORACLE)
+@register("s_translit_match", headline=True, oracle=_TRANSLIT_ORACLE)
 def s_translit_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.functions import names as nmf
 
@@ -1402,7 +1402,7 @@ FROM per_session
 """
 
 
-@register("q_session_stats", oracle=_SESSION_STATS_ORACLE)
+@register("q_session_stats", headline=True, oracle=_SESSION_STATS_ORACLE)
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1480,7 +1480,7 @@ FROM assign WHERE rk = 1 GROUP BY cid
 """
 
 
-@register("ml_kmeans_step", oracle=_KMEANS_STEP_ORACLE)
+@register("ml_kmeans_step", headline=True, oracle=_KMEANS_STEP_ORACLE)
 def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(
@@ -1658,7 +1658,7 @@ GROUP BY target
 """
 
 
-@register("q_watermark_advice", oracle=_WM_ADVICE_ORACLE)
+@register("q_watermark_advice", headline=True, oracle=_WM_ADVICE_ORACLE)
 def q_watermark_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.plans.helpers import (
         sharded_lateness_hours)

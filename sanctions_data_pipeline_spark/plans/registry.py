@@ -200,27 +200,30 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R05_CHECKED
 # STAGED ROTATION BLOCKS (parsed by the staging test — everything from
 # here to the priority-tuple assignment below must name exactly the
 # never-checked SQL-oracled entries not already in the priority tuple):
-# ROUND-7 WINDOW (62 names; first 50 fit the window, rest -> round 8):
-#   q_price_dispersion tok_vocab_overlap q_mann_whitney q_friedman_test
-#   sim_avg_precision q_control_chart q_rolling_corr q_cumulative_unique
-#   q_stickiness emb_davies_bouldin q_conversion_latency q_holiday_lift
-#   s_risk_scorecard q_trade_balance q_sla_attainment q_odds_ratio
-#   dp_pack_efficiency tt_rolling_origin gr_rich_club q_forecast_backtest
+# ROUND-7 WINDOW (next 50, in order):
+#   q_price_dispersion tok_vocab_overlap q_mann_whitney
+#   q_friedman_test sim_avg_precision q_control_chart q_rolling_corr
+#   q_cumulative_unique q_stickiness emb_davies_bouldin
+#   q_conversion_latency q_holiday_lift s_risk_scorecard
+#   q_trade_balance q_sla_attainment q_odds_ratio dp_pack_efficiency
+#   tt_rolling_origin gr_rich_club q_forecast_backtest
 #   q_bootstrap_se gr_temporal_density q_mantel_haenszel
 #   emb_alignment_uniformity io_jsonl_quarantine q_discount_response
-#   q_segment_migration q_hurst_exponent q_weibull_fit gr_degree_gini
-#   q_nbinom_fit q_record_days q_seasonal_mann_kendall dq_table_manifest
-#   q_dormancy_timeline q_top_share emb_knn_accuracy
-#   dd_minhash_lsh_portable dd_simhash_portable q_cohens_kappa
-#   tx_dedup_impact tt_group_kfold s_name_idf_score q_cagr
-#   q_linear_interpolate dq_drift_fdr st_left_outer_join
-#   q_ljung_box q_decile_lift q_price_elasticity q_nelson_aalen
-#   q_group_percentiles tok_mincount_sweep q_kendall_tau q_gk_gamma
-#   s_translit_match q_rolling_beta q_session_stats ml_kmeans_step
-#   q_audience_overlap io_dynamic_partition_overwrite
-#   q_watermark_advice
-#   (round-6 rows-only -> oracled conversions, never driver-checked:)
-#   dd_minhash_est_error gr_label_prop gr_bfs_layers q_cusum_changepoint
+#   q_segment_migration q_hurst_exponent q_weibull_fit
+#   gr_degree_gini q_nbinom_fit q_record_days
+#   q_seasonal_mann_kendall dq_table_manifest q_dormancy_timeline
+#   q_top_share emb_knn_accuracy dd_minhash_lsh_portable
+#   dd_simhash_portable q_cohens_kappa tx_dedup_impact
+#   tt_group_kfold s_name_idf_score q_cagr q_linear_interpolate
+#   dq_drift_fdr st_left_outer_join q_ljung_box q_decile_lift
+#   q_price_elasticity
+# ROUND-8 WINDOW (16 so far; round-7 additions append here):
+#   q_nelson_aalen q_group_percentiles tok_mincount_sweep
+#   q_kendall_tau q_gk_gamma s_translit_match q_rolling_beta
+#   q_session_stats ml_kmeans_step q_audience_overlap
+#   io_dynamic_partition_overwrite q_watermark_advice
+#   dd_minhash_est_error gr_label_prop gr_bfs_layers
+#   q_cusum_changepoint
 _ORACLE_PRIORITY = (
     "q_seasonal_decompose", "tx_lexical_diversity", "q_bollinger_bands",
     "q_drawdown", "q_rsi", "q_spearman_corr", "tt_reservoir_sample",

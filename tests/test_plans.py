@@ -183,6 +183,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 "q_cohens_kappa",
                 # one-row (h0, h1) bounds broadcast (the q_gap_fill grid)
                 "q_linear_interpolate",
+                # one-row (mean, sd) stats broadcast over the bounded
+                # day series (the closed-form CUSUM parameters)
+                "q_cusum_changepoint",
                 # 4-row coverage-target lattice over the lateness histogram
                 "q_watermark_advice"}
 
