@@ -22,17 +22,29 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
     spark = get_spark("bench")
     timings: dict[str, float] = {}
-    # warm the JVM/session once so q-to-q timings measure the query, not
+    # warm the JVM/session so q-to-q timings measure the query, not
     # session startup: a scan, a codegen'd shuffle agg, and a broadcast
-    # join exercise the scan/exchange/codegen paths the queries use
+    # join exercise the scan/exchange/codegen paths the queries use.
+    # THREE iterations (not one): the first queries of a run were
+    # measurably penalized by host-level CPU ramp-up / cold page cache
+    # on an otherwise idle box, which best-of-2 cannot wash out when
+    # both runs of query #1 land inside the ramp window.
     from pyspark.sql import functions as F
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    warm = (spark.range(1_000_000)
-            .groupBy((F.col("id") % 64).alias("k"))
-            .agg(F.sum((F.col("id") * 2).cast("decimal(18,4)")).alias("s"),
-                 F.count(F.lit(1)).alias("c")))
-    warm.join(F.broadcast(spark.range(64).withColumnRenamed("id", "k")), "k") \
-        .write.format("noop").mode("overwrite").save()
+    # touch the two big fact tables so the page cache is hot before
+    # the first timed query (documents-heavy queries lead the run)
+    for t in ("documents", "lineitem"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).write.format("noop") \
+                .mode("overwrite").save()
+    for _ in range(3):
+        warm = (spark.range(1_000_000)
+                .groupBy((F.col("id") % 64).alias("k"))
+                .agg(F.sum((F.col("id") * 2).cast("decimal(18,4)")).alias("s"),
+                     F.count(F.lit(1)).alias("c")))
+        warm.join(F.broadcast(spark.range(64).withColumnRenamed("id", "k")),
+                  "k").write.format("noop").mode("overwrite").save()
     for name, qd in registry.headline_queries().items():
         runs = []
         for _ in range(2):  # best-of-2: report steady-state, not jitter
