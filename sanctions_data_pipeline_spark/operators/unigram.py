@@ -108,6 +108,24 @@ def _viterbi_lattice(word: Column, m: Column) -> Column:
 LITERAL_MAP_MAX = 256
 
 
+def substrings_up_to_max(word: Column) -> Column:
+    """array<string> of ALL substrings of ``word`` with lengths
+    1..MAX_PIECE_LEN (with duplicates, in position-major order) — the
+    candidate-piece generator shared by the unigram seed counting and
+    the broadcast-join segmentation path. The inner lambda captures the
+    loop length via a factory ((lambda L: ...)(ln)): a defaulted 2-arg
+    lambda would be (element, index) to the HOF layer and shadow the
+    length with the index."""
+    n = F.length(word)
+    subs = []
+    for ln in range(1, MAX_PIECE_LEN + 1):
+        subs.append(F.when(n >= ln, F.transform(
+            F.sequence(F.lit(1), n - ln + 1),
+            (lambda L: lambda i: F.substring(word, i.cast("int"), L))(ln)))
+            .otherwise(F.array().cast("array<string>")))
+    return F.concat(*subs)
+
+
 def segment_words(words_df, word_col: str, model: dict[str, float],
                   out_col: str = "piece",
                   literal_map_max: int = LITERAL_MAP_MAX):
@@ -148,15 +166,16 @@ def segmented_words(words_df, word_col: str, model: dict[str, float],
         [(p, -math.log(v)) for p, v in sorted(model.items())],
         "piece string, cost double")
     w = F.col(word_col)
-    # all distinct substrings of length 1..MAX_PIECE_LEN per word
-    subs = []
-    for ln in range(1, MAX_PIECE_LEN + 1):
-        subs.append(F.when(F.length(w) >= ln, F.transform(
-            F.sequence(F.lit(1), F.length(w) - ln + 1),
-            (lambda L: lambda i: F.substring(w, i.cast("int"), L))(ln)))
-            .otherwise(F.array().cast("array<string>")))
+    # all distinct substrings of length 1..MAX_PIECE_LEN per word;
+    # .distinct() ALSO dedupes across duplicate word rows — without it
+    # a words_df with repeated word values would feed duplicate
+    # (piece, cost) entries into map_from_entries and crash with
+    # DUPLICATED_MAP_KEY (the literal path tolerates duplicates, and
+    # the two paths must stay interchangeable)
     cand = words_df.select(
-        word_col, F.explode(F.array_distinct(F.concat(*subs))).alias("piece"))
+        word_col,
+        F.explode(F.array_distinct(substrings_up_to_max(w))).alias("piece"),
+    ).distinct()
     hits = (cand.join(F.broadcast(model_df), "piece")
             .groupBy(word_col)
             .agg(F.map_from_entries(

@@ -5824,7 +5824,8 @@ def q_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row_number + unbounded-frame count/sum windows
     r = sharded_global_window(
         spend, -F.col("x4"), [F.desc("x4"), F.asc("o_custkey")],
-        rn="rk", count_total="n", sum_totals=[("x4", "tot4")])
+        rn="rk", count_total="n", sum_totals=[("x4", "tot4")],
+        nulls="last")
     p = spark.createDataFrame([(1,), (5,), (10,), (20,)], "pct long")
     j = F.broadcast(p).join(r, F.lit(True))
     thresh = F.ceil(F.col("n").cast("double") * F.col("pct") / 100.0)

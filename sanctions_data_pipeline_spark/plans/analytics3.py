@@ -1320,7 +1320,12 @@ w AS (
   WINDOW win AS (ORDER BY i ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
 )
 SELECT day, m,
+       -- both guards: the exact bigint one (true degeneracy) AND the
+       -- double-computed denominator != 0 (cancellation past ~2^53 —
+       -- Spark's x/0.0 is NULL while DuckDB's is inf, so both engines
+       -- must agree to emit NULL there)
        CASE WHEN m > 1 AND m * sxx - sx * sx > 0
+                 AND CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
             THEN round((CAST(m AS DOUBLE) * sxy
                         - CAST(sx AS DOUBLE) * sy)
                        / (CAST(m AS DOUBLE) * sxx
@@ -1352,13 +1357,15 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.col("m").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     den = m * F.col("sxx").cast("double") - sx * sx
-    # Guard on the EXACT bigint denominator (mirrors the oracle): the
-    # double-computed `den` can cancel to 0.0 past ~2^53 while the exact
-    # value is positive, which would emit NULL vs the oracle's number.
+    # Guard on the EXACT bigint denominator (true degeneracy) AND on
+    # the double-computed one (cancellation past ~2^53): when the
+    # double den collapses to 0.0 while the exact value is positive,
+    # Spark's x/0.0 is NULL but DuckDB's is inf — so both sides'
+    # oracles agree to emit NULL in that regime instead of dividing.
     den_exact = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
     return w.select(
         "day", "m",
-        F.when((F.col("m") > 1) & (den_exact > 0),
+        F.when((F.col("m") > 1) & (den_exact > 0) & (den != 0.0),
                F.round((m * F.col("sxy").cast("double") - sx * sy) / den, 6))
         .alias("beta"))
 
@@ -1589,17 +1596,21 @@ FROM events GROUP BY event_type
 def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import uuid
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type")
-    # per-invocation unique leaf: two concurrent runs (parallel test
-    # workers, or two drivers on the same box) must not race on the
-    # path. The partitionOverwriteMode set/restore below is still
+    # PER-PROCESS-stable leaf: two concurrent PROCESSES (parallel test
+    # workers, two drivers on one box) must not race on the path, but
+    # repeat invocations within a process overwrite IN PLACE — a
+    # per-invocation uuid would leak one parquet copy of events into
+    # /tmp per call, unbounded on long-lived hosts. The returned frame
+    # reads lazily from the path, so the scratch dir cannot be removed
+    # here; bounding it to one live copy per process is the cleanup.
+    # The partitionOverwriteMode set/restore below is still
     # session-global — documented single-session-only.
     path = os.path.join(tempfile.gettempdir(), "spark_graft_io",
                         os.path.basename(sf_dir.rstrip("/")),
-                        f"events_dpo_{uuid.uuid4().hex}")
+                        f"events_dpo_pid{os.getpid()}")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

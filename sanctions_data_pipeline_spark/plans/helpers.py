@@ -109,7 +109,8 @@ def str_prefix_key(col) -> Column:
 
 
 def sharded_global_window(df, key, order, *, rn=None, sums=(),
-                          count_total=None, sum_totals=(), n_shards=32):
+                          count_total=None, sum_totals=(), n_shards=32,
+                          nulls="first"):
     """Global row_number / running sums over a TOTAL order without a
     single-partition sort — the scale-out replacement for
     ``Window.orderBy(...)`` with no partitionBy (which Spark plans as
@@ -138,12 +139,24 @@ def sharded_global_window(df, key, order, *, rn=None, sums=(),
         sum_totals: iterable of ``(src_col_name, alias)`` — global sums
             attached to every row (the q_top_share shape, replacing
             unbounded-frame windows).
+        nulls: where a NULL key sorts under the leading order column —
+            "first" for an ascending leading column (Spark/DuckDB
+            default NULLS FIRST → shard 0), "last" for a descending
+            one (NULLS LAST → the top shard). Must match ``order`` or
+            NULL-key rows rank differently than the native window.
 
     Empty input degenerates to a constant shard id (no driver crash,
     empty result with the right schema).
+
+    Cost note: the key-bounds pass is one extra eager job over the
+    input lineage (driver state: two doubles). When CHAINING calls
+    (q_rfm_segmentation's three NTILEs), persist the shared input
+    first or each bounds job re-executes the upstream plan.
     """
     from pyspark.sql import Window as W
 
+    assert nulls in ("first", "last")
+    null_shard = 0 if nulls == "first" else n_shards - 1
     sums = list(sums)
     sum_totals = list(sum_totals)
     d = df.withColumn("__skey", key.cast("double"))
@@ -152,9 +165,14 @@ def sharded_global_window(df, key, order, *, rn=None, sums=(),
         shard = F.lit(0).cast("bigint")
     else:
         width = (float(mx) - float(mn)) / n_shards or 1.0
+        # coalesce must wrap the floor DIRECTLY: Spark's least/greatest
+        # skip NULL operands (least(NULL, k) = k), so a NULL key would
+        # silently land in the clamp bound instead of null_shard
         shard = F.greatest(
-            F.least(F.floor((F.col("__skey") - float(mn)) / width),
-                    F.lit(n_shards - 1)),
+            F.least(
+                F.coalesce(F.floor((F.col("__skey") - float(mn)) / width),
+                           F.lit(null_shard)),
+                F.lit(n_shards - 1)),
             F.lit(0)).cast("bigint")
     d = d.withColumn("__shard", shard)
     wloc = W.partitionBy("__shard").orderBy(*order)
@@ -196,14 +214,15 @@ def sharded_global_window(df, key, order, *, rn=None, sums=(),
     return out.drop(*drop)
 
 
-def sharded_ntile(df, key, order, k, alias, n_shards=32):
+def sharded_ntile(df, key, order, k, alias, n_shards=32, nulls="first"):
     """Global NTILE(k) along a total order via :func:`sharded_global_window`
     — SQL NTILE semantics reconstructed from the global row_number and
     count (with n rows: the first n%k tiles get ceil(n/k) rows, the
     rest floor(n/k)), identical to Spark's and DuckDB's NTILE, without
     the single-partition sort the native fn plans to when unpartitioned."""
     out = sharded_global_window(df, key, order, rn="__grn",
-                                count_total="__n", n_shards=n_shards)
+                                count_total="__n", n_shards=n_shards,
+                                nulls=nulls)
     q = F.floor(F.col("__n") / k)
     r = F.col("__n") % k
     first_zone = r * (q + 1)

@@ -1756,7 +1756,7 @@ def dp_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = sharded_global_window(
         docs.select("doc_id", n_tok.alias("n_tokens")),
         -F.col("n_tokens"), [F.desc("n_tokens"), F.asc("doc_id")],
-        rn="__rn").withColumn("__rk", F.col("__rn") - 1)
+        rn="__rn", nulls="last").withColumn("__rk", F.col("__rn") - 1)
     fwd = F.col("__rk") % _N_SHARDS
     shard = F.when((F.col("__rk") / _N_SHARDS).cast("long") % 2 == 0, fwd) \
              .otherwise(_N_SHARDS - 1 - fwd)

@@ -1056,7 +1056,7 @@ def mix_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + broadcast carry-in) — no single-partition corpus sort
     ordered = sharded_global_window(
         scored, -F.col("score"), [F.desc("score"), F.asc("doc_id")],
-        sums=[("n_tok", "cum_tok")])
+        sums=[("n_tok", "cum_tok")], nulls="last")
     return (ordered
             .filter(F.col("cum_tok") - F.col("n_tok") < _BUDGET_TOKENS)
             .select("doc_id", "score",

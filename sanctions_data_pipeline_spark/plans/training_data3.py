@@ -1033,21 +1033,10 @@ def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     words.count()
 
     # candidate substrings, lengths 1..MAX_PIECE_LEN, weighted by word
-    # count; sequence() guards keep short words from descending ranges
-    n = F.length("w")
-
-    def sub_of(ln: int):
-        # factory, not a defaulted lambda: a 2-arg lambda would be
-        # (element, index) to the HOF layer and shadow ln with the index
-        return lambda i: F.substring(F.col("w"), i.cast("int"), ln)
-
-    subs = []
-    for ln in range(1, ug.MAX_PIECE_LEN + 1):
-        subs.append(F.when(n >= ln, F.transform(
-            F.sequence(F.lit(1), n - ln + 1), sub_of(ln)))
-            .otherwise(F.array().cast("array<string>")))
-    cand = (words.select("c", F.explode(F.concat(*subs)).alias("piece"))
-            .groupBy("piece").agg(F.sum("c").alias("cnt")))
+    # count (shared generator with the broadcast-join segmentation path)
+    cand = (words.select(
+        "c", F.explode(ug.substrings_up_to_max(F.col("w"))).alias("piece"))
+        .groupBy("piece").agg(F.sum("c").alias("cnt")))
 
     top = {r.piece: int(r.cnt)
            for r in cand.orderBy(F.desc("cnt"), F.asc("piece"))
@@ -2589,7 +2578,7 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter-bounded today, but the idiom now scales past the filter
     c = sharded_global_window(
         rev, -F.col("r4"), [F.desc("r4"), F.asc("l_partkey")],
-        sums=[("r4", "cum")], sum_totals=[("r4", "t")])
+        sums=[("r4", "cum")], sum_totals=[("r4", "t")], nulls="last")
     share = F.col("cum").cast("double") / F.col("t")
     return (c
             .select("l_partkey",
@@ -2711,7 +2700,11 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.plans.helpers import sharded_ntile
 
     # three sharded NTILE(5)s, one per RFM axis — each a range-shard +
-    # per-shard rank + broadcast count carry-in, never a one-task sort
+    # per-shard rank + broadcast count carry-in, never a one-task sort.
+    # Persist the per-customer rollup first: each ntile runs a
+    # key-bounds job, and without the persist each bounds job would
+    # re-execute the orders aggregation plus every preceding ntile.
+    o = o.persist()
     q = sharded_ntile(o, F.col("last_us"),
                       [F.asc("last_us"), F.asc("o_custkey")], 5, "r")
     q = sharded_ntile(q, F.col("freq"),

@@ -510,3 +510,31 @@ def test_sharded_global_window_matches_native_global_window(spark):
     assert sharded_global_window(empty, F.col("v"), [F.asc("v")],
                                  rn="r").count() == 0
     assert sharded_ntile(empty, F.col("v"), [F.asc("v")], 5, "t").count() == 0
+
+
+def test_sharded_global_window_null_keys_match_native(spark):
+    """NULL-key rows must land where the native window's default null
+    ordering puts them: NULLS FIRST for an ascending leading column,
+    NULLS LAST for a descending one (code-review r06 finding)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_global_window)
+
+    rows = [(1, 5), (2, None), (3, 1), (4, 9), (5, None), (6, -2)]
+    df = spark.createDataFrame(rows, "id long, v long")
+
+    ga = df.select("id", F.row_number().over(W.orderBy(F.asc("v"), "id"))
+                   .cast("bigint").alias("rn"))
+    sa = sharded_global_window(df, F.col("v"), [F.asc("v"), F.asc("id")],
+                               rn="rn2", n_shards=4)
+    assert (ga.join(sa.select("id", "rn2"), "id")
+            .filter(F.col("rn") != F.col("rn2")).count() == 0)
+
+    gd = df.select("id", F.row_number().over(W.orderBy(F.desc("v"), "id"))
+                   .cast("bigint").alias("rn"))
+    sd = sharded_global_window(df, -F.col("v"), [F.desc("v"), F.asc("id")],
+                               rn="rn2", n_shards=4, nulls="last")
+    assert (gd.join(sd.select("id", "rn2"), "id")
+            .filter(F.col("rn") != F.col("rn2")).count() == 0)

@@ -1695,3 +1695,24 @@ def test_segment_words_join_path_equals_literal_path(spark, sf_dir):
     # and the join path replays the pure-python lattice too
     for w_ in sample[:80]:
         assert join[w_] == ug.viterbi_pieces_py(w_, model), w_
+
+
+def test_segment_words_join_path_tolerates_duplicate_words(spark):
+    """The broadcast-join path must accept duplicate word rows (the
+    literal path always did) — map_from_entries crashed with
+    DUPLICATED_MAP_KEY before the per-(word, piece) distinct
+    (code-review r06 finding)."""
+    from pyspark.sql import functions as F
+
+    from sanctions_data_pipeline_spark.operators import unigram as ug
+
+    df = spark.createDataFrame(
+        [("banana",), ("banana",), ("band",)], "w string")
+    model = {"ba": 0.4, "na": 0.4, "nd": 0.2}
+    rows = ug.segment_words(df, "w", model, literal_map_max=0).collect()
+    by_word = {}
+    for r in rows:
+        by_word.setdefault(r.w, []).append(r.piece)
+    # two banana rows -> two segmentations' worth of pieces
+    assert len(by_word["banana"]) == 2 * len(
+        ug.viterbi_pieces_py("banana", model))
