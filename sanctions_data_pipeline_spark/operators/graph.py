@@ -67,6 +67,42 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks
 
 
+def fold_pagerank(edges: DataFrame, iters: int = 2,
+                  damping: float = 0.85) -> DataFrame:
+    """PageRank whose per-node neighbor sums are SORTED sequential
+    folds — bit-identical across engines, so bounded-iteration callers
+    (gr_pagerank, pr_copurchase) carry exact unrolled SQL oracles.
+    :func:`pagerank` is the long-run twin (partition-order F.sum,
+    pre-divided edge weights, two-hop checkpointing) for iteration
+    counts where an unrolled oracle stops being practical.
+
+    ``edges``: symmetric (src, dst) list, no dangling nodes (every
+    node appears as a src). Returns (node, d, pr) — degree and the
+    unrounded rank after ``iters`` damped power iterations from the
+    uniform start.
+    """
+    from sanctions_data_pipeline_spark.plans.helpers import lcount
+
+    e = edges.select("src", "dst").persist()
+    deg = e.groupBy("src").agg(lcount("d"))
+    n = float(deg.count())  # bounded driver scalar (node count)
+    fold = F.aggregate(F.array_sort(F.collect_list("contrib")),
+                       F.lit(0.0), lambda a, x: a + x)
+    pr = deg.select(F.col("src").alias("node"),
+                    (F.lit(1.0) / F.lit(n)).alias("pr"))
+    for _ in range(iters):
+        contribs = (e
+                    .join(pr.withColumnRenamed("node", "src"), "src")
+                    .join(deg, "src")
+                    .select(F.col("dst").alias("node"),
+                            (F.col("pr") / F.col("d")).alias("contrib")))
+        pr = (contribs.groupBy("node")
+              .agg((F.lit((1.0 - damping)) / F.lit(n)
+                    + F.lit(damping) * fold).alias("pr")))
+    return pr.join(deg.withColumnRenamed("src", "node"), "node") \
+             .select("node", F.col("d").cast("bigint").alias("d"), "pr")
+
+
 def copurchase_edges(lineitem: DataFrame,
                      order_col: str = "l_orderkey",
                      item_col: str = "l_partkey") -> DataFrame:

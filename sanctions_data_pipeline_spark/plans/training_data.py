@@ -880,19 +880,48 @@ def dp_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pr_copurchase — damped PageRank over the part co-purchase graph
 # (parts linked when bought in the same order): the "importance in a
 # similarity graph" primitive for curriculum/centrality-weighted
-# sampling. Rows-only: float power iteration has no order-independent
-# exact form; tests pin it against a dense numpy power iteration.
+# sampling. The 8 power iterations run as SORTED per-node folds
+# (operators/graph.fold_pagerank — bit-identical doubles on both
+# engines), so the oracle unrolls the same 8 iterations as chained
+# CTEs (the gr_pagerank discipline at 4x the depth); the numpy
+# power-iteration pytest pin stays as a third independent check.
 # --------------------------------------------------------------------------
-@register("pr_copurchase")
+_PR_CP_ITERS = 8
+
+
+def _pr_copurchase_oracle(iters: int = _PR_CP_ITERS) -> str:
+    head = """
+co AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       FROM lineitem WHERE l_partkey < 200),
+edges AS (SELECT DISTINCT a.p AS src, b.p AS dst
+          FROM co a JOIN co b ON a.o = b.o WHERE a.p <> b.p),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+it0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg)"""
+    its = "".join(f"""
+,it{i} AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT n FROM nn) + 0.85 * list_aggregate(
+           list_sort(list(p.pr / d.d)), 'sum') AS pr
+  FROM edges e JOIN it{i - 1} p ON e.src = p.node
+               JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)""" for i in range(1, iters + 1))
+    return (f"WITH {head}{its}\n"
+            f"SELECT node AS id, round(pr, 8) AS rank FROM it{iters}")
+
+
+@register("pr_copurchase", oracle=_pr_copurchase_oracle())
 def pr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.operators.graph import (
-        copurchase_edges, pagerank)
+        copurchase_edges, fold_pagerank)
 
     li = load_table(spark, sf_dir, "lineitem")
     # bound the graph so the demo is wieldy at any sf: parts < 200
     li = li.filter(F.col("l_partkey") < 200)
-    return (pagerank(copurchase_edges(li), n_iters=8)
-            .select("id", F.round("rank", 8).alias("rank")))
+    return (fold_pagerank(copurchase_edges(li), iters=_PR_CP_ITERS)
+            .select(F.col("node").alias("id"),
+                    F.round("pr", 8).alias("rank")))
 
 
 # --------------------------------------------------------------------------
@@ -963,28 +992,71 @@ def tx_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # handled by one vectorized numpy call. This is the grouped-training
 # primitive (per-segment calibration, per-language thresholds, ...);
 # state never leaves the executor and only (group, coefficients) rows
-# come back. Rows-only: pinned against driver-side numpy lstsq.
+# come back. The fit is the CLOSED-FORM simple regression from exact
+# integer moments (n, Σx, Σy, Σxy, Σx² in arbitrary-precision python
+# ints), so slope = (nΣxy − ΣxΣy)/(nΣx² − Σx²) is ONE double division
+# of exact integers and intercept one further identical IEEE tree —
+# the same values DuckDB computes from the same moments (exact while
+# the moment products stay under 2^53 — the fixture regime by orders
+# of magnitude). The lstsq pytest pin stays as the numerical check
+# that the closed form IS the least-squares solution.
 # --------------------------------------------------------------------------
-@register("ml_group_fit")
+_GROUP_FIT_ORACLE = f"""
+WITH f AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS x,
+         CAST(len({_TOKS}) AS BIGINT) AS y
+  FROM documents
+),
+m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM f GROUP BY lang
+),
+s AS (
+  SELECT lang, n, sx, sy,
+         CASE WHEN n * sxx - sx * sx > 0
+              THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+  FROM m
+)
+SELECT lang, round(slope, 6) AS slope,
+       round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept,
+       n AS n_docs
+FROM s
+"""
+
+
+@register("ml_group_fit", oracle=_GROUP_FIT_ORACLE)
 def ml_group_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
     feats = docs.select(
         "lang",
-        F.length("text").cast("double").alias("x"),
-        F.size(tx.tokens(F.col("text"))).cast("double").alias("y"))
+        F.length("text").cast("long").alias("x"),
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("y"))
 
     def fit(pdf):
-        x, y = pdf["x"].to_numpy(), pdf["y"].to_numpy()
-        a = np.vstack([x, np.ones_like(x)]).T
-        (slope, intercept), res, _, _ = np.linalg.lstsq(a, y, rcond=None)
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y"]]
+        n, sx, sy = len(xs), sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        den = n * sxx - sx * sx            # exact python int
+        if den > 0:
+            slope = float(n * sxy - sx * sy) / float(den)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+            slope_r, icept_r = round(slope, 6), round(intercept, 6)
+        else:
+            slope_r = icept_r = None
         return pd.DataFrame({
             "lang": [pdf["lang"].iloc[0]],
-            "slope": [round(float(slope), 6)],
-            "intercept": [round(float(intercept), 6)],
-            "n_docs": [len(pdf)],
+            "slope": [slope_r],
+            "intercept": [icept_r],
+            "n_docs": [n],
         })
 
     fit.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}

@@ -242,6 +242,8 @@ FROM it2 JOIN deg ON it2.node = deg.src
 
 @register("gr_pagerank", oracle=_PR_ORACLE)
 def gr_pagerank(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators.graph import fold_pagerank
+
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
     co = li.select(F.col("l_orderkey").alias("o"),
                    F.col("l_partkey").alias("p")).distinct()
@@ -249,26 +251,10 @@ def gr_pagerank(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataFrame:
              .filter(F.col("p") != F.col("q"))
              .groupBy(F.col("p").alias("src"), F.col("q").alias("dst"))
              .agg(lcount("w")).filter(F.col("w") >= 3)
-             .select("src", "dst").persist())
-    deg = edges.groupBy("src").agg(lcount("d"))
-    n = float(deg.count())  # bounded driver scalar (node count)
-
-    fold = F.aggregate(F.array_sort(F.collect_list("contrib")),
-                       F.lit(0.0), lambda a, x: a + x)
-    pr = deg.select(F.col("src").alias("node"),
-                    (F.lit(1.0) / F.lit(n)).alias("pr"))
-    for _ in range(iters):
-        contribs = (edges
-                    .join(pr.withColumnRenamed("node", "src"), "src")
-                    .join(deg, "src")
-                    .select(F.col("dst").alias("node"),
-                            (F.col("pr") / F.col("d")).alias("contrib")))
-        pr = (contribs.groupBy("node")
-              .agg((F.lit(0.15) / F.lit(n) + F.lit(0.85) * fold).alias("pr")))
-    out = (pr.join(deg.withColumnRenamed("src", "node"), "node")
-           .select("node", F.col("d").cast("bigint").alias("degree"),
-                   F.round("pr", 6).alias("pagerank")))
-    return out
+             .select("src", "dst"))
+    return (fold_pagerank(edges, iters=iters)
+            .select("node", F.col("d").alias("degree"),
+                    F.round("pr", 6).alias("pagerank")))
 
 
 # ---------------------------------------------------------------------------
