@@ -1693,3 +1693,100 @@ def q_watermark_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("watermark_hours"),
                  F.round(F.min(F.when(share >= F.col("target"), share)), 6)
                  .alias("kept_share")))
+
+
+# ---------------------------------------------------------------------------
+# io_bucketed_join — the co-located fact-fact join: orders and a
+# lineitem slice written as BUCKETED tables (bucketBy on the join key,
+# same bucket count both sides), then joined WITHOUT a shuffle — the
+# physical plan reads both sides bucket-aligned and sort-merge-joins
+# in place. At 100 TB this is the storage-layout answer to the
+# largest recurring exchange in the warehouse (orders x lineitem);
+# tests/test_plans.py pins that the join subtree contains ZERO
+# Exchange nodes. Table names are per-process (no cross-process race);
+# repeat invocations overwrite in place (bounded warehouse footprint).
+# The oracle computes the identical aggregate straight from the
+# pristine parquet — any bucketing/round-trip corruption breaks the
+# value hash.
+# ---------------------------------------------------------------------------
+_BUCKETED_ORACLE = f"""
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {sql_dsum("CAST(l.l_extendedprice AS DECIMAL(18,4))", "gross")}
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_partkey < 2000
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("io_bucketed_join", oracle=_BUCKETED_ORACLE)
+def io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from sanctions_data_pipeline_spark.plans.helpers import dsum, dval
+
+    pid = os.getpid()
+    to, tl = f"io_bkt_orders_{pid}", f"io_bkt_lineitem_{pid}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < 2000).select("l_orderkey", "l_extendedprice")
+    (orders.write.mode("overwrite").format("parquet")
+     .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to))
+    (li.write.mode("overwrite").format("parquet")
+     .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl))
+    bo, bl = spark.table(to), spark.table(tl)
+    return (bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(lcount("n_lines"),
+                 dsum(dval("l_extendedprice"), "gross")))
+
+
+# ---------------------------------------------------------------------------
+# io_parquet_codecs — parquet compression-codec fidelity sweep: the
+# documents table written with zstd / gzip / snappy / lz4 and read
+# back; per codec the row count, exact total chars, and an
+# order-independent content checksum (SUM of 32-bit md5 prefixes —
+# exact bigint, so ANY row corruption flips it). The oracle computes
+# the same triple once from the pristine parquet crossed with the
+# codec lattice: all four codecs must round-trip bit-identically.
+# Scratch dirs are per-process and overwritten in place.
+# ---------------------------------------------------------------------------
+_CODECS = ["zstd", "gzip", "snappy", "lz4"]
+
+_CODEC_ORACLE = f"""
+WITH c AS (SELECT unnest(['{"', '".join(_CODECS)}']) AS codec),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT)
+           AS content_sum
+  FROM documents
+)
+SELECT codec, n_docs, total_chars, content_sum FROM c, s
+"""
+
+
+@register("io_parquet_codecs", oracle=_CODEC_ORACLE)
+def io_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        os.path.basename(sf_dir.rstrip("/")),
+                        f"codecs_pid{os.getpid()}")
+    out = None
+    md5_32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    for codec in _CODECS:
+        p = os.path.join(base, codec)
+        docs.write.mode("overwrite").option("compression", codec).parquet(p)
+        back = (spark.read.parquet(p)
+                .agg(lcount("n_docs"),
+                     F.sum(F.length("text")).cast("bigint")
+                     .alias("total_chars"),
+                     F.sum(md5_32).cast("bigint").alias("content_sum"))
+                .select(F.lit(codec).alias("codec"), "n_docs",
+                        "total_chars", "content_sum"))
+        out = back if out is None else out.unionByName(back)
+    return out

@@ -538,3 +538,20 @@ def test_sharded_global_window_null_keys_match_native(spark):
                                rn="rn2", n_shards=4, nulls="last")
     assert (gd.join(sd.select("id", "rn2"), "id")
             .filter(F.col("rn") != F.col("rn2")).count() == 0)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """io_bucketed_join's storage layout must eliminate the join
+    shuffle entirely: both sides are bucketed by the join key with the
+    same bucket count, so the sort-merge join reads bucket-aligned —
+    the plan may contain NO shuffle Exchange anywhere below the join
+    (the final groupBy agg above it still exchanges on its own key)."""
+    df = queries()["io_bucketed_join"](spark, sf_dir)
+    p = plan_of(df, "simple")
+    lines = p.splitlines()
+    join_i = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln
+                  or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln)
+    below = "\n".join(lines[join_i:])
+    assert "Exchange hashpartitioning" not in below, below
+    # and the scans really are the bucketed tables
+    assert "SelectedBucketsCount" in p or "Bucketed: true" in p, p
