@@ -1790,3 +1790,126 @@ def io_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "total_chars", "content_sum"))
         out = back if out is None else out.unionByName(back)
     return out
+
+
+# ---------------------------------------------------------------------------
+# io_compact_small_files — the small-files compaction pass every
+# long-lived lake needs: the events table deliberately written as MANY
+# tiny files (64 partitions), then compacted to a handful of
+# right-sized ones (repartition to ceil(bytes / target)), with content
+# identity proven across both layouts. At 100 TB the small-files
+# problem dominates NameNode/listing/open costs; the fix is exactly
+# this periodic rewrite. The pytest additionally pins that compaction
+# really reduced the file count ~16x; the oracle checks the content
+# triple straight from the pristine parquet (both layouts must
+# round-trip identically). Scratch dirs are per-process, overwritten
+# in place.
+# ---------------------------------------------------------------------------
+_COMPACT_ORACLE = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT)
+              AS BIGINT) AS id_sum,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events
+)
+SELECT layout, n_rows, id_sum, n_users
+FROM (SELECT unnest(['small_files', 'compacted']) AS layout), s
+"""
+
+
+@register("io_compact_small_files", oracle=_COMPACT_ORACLE)
+def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import os
+    import tempfile
+
+    _TARGET_BYTES = 32 * 1024 * 1024
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        os.path.basename(sf_dir.rstrip("/")),
+                        f"compact_pid{os.getpid()}")
+    small = os.path.join(base, "small")
+    ev.repartition(64).write.mode("overwrite").parquet(small)
+    # size-aware compaction: one output file per _TARGET_BYTES of input
+    sz = sum(f.stat().st_size
+             for f in os.scandir(small) if f.name.endswith(".parquet"))
+    n_out = max(1, math.ceil(sz / _TARGET_BYTES))
+    compacted = os.path.join(base, "compacted")
+    (spark.read.parquet(small).repartition(n_out)
+     .write.mode("overwrite").parquet(compacted))
+
+    md5_32 = F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                                1, 8), 16, 10).cast("bigint")
+    out = None
+    for layout, p in [("small_files", small), ("compacted", compacted)]:
+        agg = (spark.read.parquet(p)
+               .agg(lcount("n_rows"),
+                    F.sum(md5_32).cast("bigint").alias("id_sum"),
+                    F.count_distinct(F.col("user_id")).cast("bigint")
+                    .alias("n_users"))
+               .select(F.lit(layout).alias("layout"), "n_rows",
+                       "id_sum", "n_users"))
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q_mergeable_stats — partial-aggregate MERGE discipline made visible:
+# per-half (even/odd event_id) moment states (n, Σx, Σx² as exact x4
+# bigints) merged into global mean/variance via the parallel
+# combination rule — the algebra behind every map-side combine and
+# every sketch merge in the engine. Because the states are exact
+# integers, the merged result is bit-identical to the direct
+# computation (the oracle computes it directly — any drift in the
+# merge algebra breaks the hash).
+# ---------------------------------------------------------------------------
+_MERGE_STATS_ORACLE = """
+WITH x AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4,
+         event_id % 2 AS half
+  FROM events
+),
+per AS (
+  SELECT half, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v4) AS BIGINT) AS s1,
+         CAST(sum(v4 * v4) AS BIGINT) AS s2
+  FROM x GROUP BY half
+),
+m AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(s1) AS BIGINT) AS s1,
+         CAST(sum(s2) AS BIGINT) AS s2, CAST(count(*) AS BIGINT) AS n_parts
+  FROM per
+)
+SELECT n AS n_rows, n_parts,
+       round(CAST(s1 AS DOUBLE) / n / 10000.0, 6) AS mean,
+       round((CAST(s2 AS DOUBLE) / n
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / 100000000.0, 6) AS variance
+FROM m
+"""
+
+
+@register("q_mergeable_stats", oracle=_MERGE_STATS_ORACLE)
+def q_mergeable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint")
+        .alias("v4"),
+        (F.col("event_id") % 2).alias("half"))
+    per = x.groupBy("half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v4").cast("bigint").alias("s1"),
+        F.sum(F.col("v4") * F.col("v4")).cast("bigint").alias("s2"))
+    m = per.agg(F.sum("n").cast("bigint").alias("n"),
+                F.sum("s1").cast("bigint").alias("s1"),
+                F.sum("s2").cast("bigint").alias("s2"),
+                F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    s1d = F.col("s1").cast("double") / F.col("n")
+    return m.select(
+        F.col("n").alias("n_rows"), "n_parts",
+        F.round(s1d / 10000.0, 6).alias("mean"),
+        F.round((F.col("s2").cast("double") / F.col("n") - s1d * s1d)
+                / 100000000.0, 6).alias("variance"))

@@ -217,14 +217,15 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R05_CHECKED
 #   tt_group_kfold s_name_idf_score q_cagr q_linear_interpolate
 #   dq_drift_fdr st_left_outer_join q_ljung_box q_decile_lift
 #   q_price_elasticity
-# ROUND-8 WINDOW (20 so far; round-7 additions append here):
+# ROUND-8 WINDOW (22 so far; round-7 additions append here):
 #   q_nelson_aalen q_group_percentiles tok_mincount_sweep
 #   q_kendall_tau q_gk_gamma s_translit_match q_rolling_beta
 #   q_session_stats ml_kmeans_step q_audience_overlap
 #   io_dynamic_partition_overwrite q_watermark_advice
 #   dd_minhash_est_error gr_label_prop gr_bfs_layers
 #   q_cusum_changepoint pr_copurchase ml_group_fit
-#   io_bucketed_join io_parquet_codecs
+#   io_bucketed_join io_parquet_codecs io_compact_small_files
+#   q_mergeable_stats
 _ORACLE_PRIORITY = (
     "q_seasonal_decompose", "tx_lexical_diversity", "q_bollinger_bands",
     "q_drawdown", "q_rsi", "q_spearman_corr", "tt_reservoir_sample",

@@ -689,3 +689,49 @@ def test_watermark_advice_out_of_order_replay(spark, tmp_path):
         assert abs(g.kept_share - round(cumshare[wm], 6)) < 1e-9
     wms = [got[t].watermark_hours for t in (0.95, 0.99, 0.999, 1.0)]
     assert wms == sorted(wms)
+
+
+def test_compact_small_files_reduces_file_count(spark, sf_dir):
+    """io_compact_small_files must actually compact: the small layout
+    has 64 data files, the compacted one at most a handful, with
+    identical content triples across both layouts."""
+    import os
+    import tempfile
+
+    from sanctions_data_pipeline_spark.plans import registry
+
+    rows = {r.layout: r for r in registry.queries()[
+        "io_compact_small_files"](spark, sf_dir).collect()}
+    assert rows["small_files"].n_rows == rows["compacted"].n_rows
+    assert rows["small_files"].id_sum == rows["compacted"].id_sum
+    assert rows["small_files"].n_users == rows["compacted"].n_users
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_io",
+                        os.path.basename(sf_dir.rstrip("/")),
+                        f"compact_pid{os.getpid()}")
+
+    def nfiles(p):
+        return sum(1 for f in os.scandir(p) if f.name.endswith(".parquet"))
+
+    assert nfiles(os.path.join(base, "small")) == 64
+    assert nfiles(os.path.join(base, "compacted")) <= 8
+
+
+def test_mergeable_stats_matches_direct_variance(spark, sf_dir):
+    """The merged per-half moment states must equal the direct
+    single-pass population variance (python replay on exact x4 ints)."""
+    from decimal import Decimal
+
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.plans import registry
+
+    got = registry.queries()["q_mergeable_stats"](
+        spark, sf_dir).collect()[0]
+    vals = [int(Decimal(str(r.value)).quantize(Decimal("0.0001")) * 10000)
+            for r in load_table(spark, sf_dir, "events")
+            .select("value").collect()]
+    n, s1, s2 = len(vals), sum(vals), sum(v * v for v in vals)
+    mean = s1 / n / 10000.0
+    var = (s2 / n - (s1 / n) ** 2) / 1e8
+    assert got.n_rows == n and got.n_parts == 2
+    assert abs(got.mean - mean) < 1e-6
+    assert abs(got.variance - var) < 1e-6
