@@ -45,9 +45,18 @@ def main() -> None:
                      F.count(F.lit(1)).alias("c")))
         warm.join(F.broadcast(spark.range(64).withColumnRenamed("id", "k")),
                   "k").write.format("noop").mode("overwrite").save()
+    # best-of-N per query (N >= 3): the measurement host shows large
+    # invisible noise phases (BENCH_BASELINE.md round-6: 59.5-85.1 s
+    # total across 10 identical-code runs, a DIFFERENT slow set each
+    # run). A single-shot record cannot distinguish a code regression
+    # from a host phase; per-query min over N runs + the median beside
+    # it make the JSON itself the evidence (VERDICT r06 "what's wrong"
+    # item 1). total = sum of per-query mins (the best-composite).
+    n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    medians: dict[str, float] = {}
     for name, qd in registry.headline_queries().items():
         runs = []
-        for _ in range(2):  # best-of-2: report steady-state, not jitter
+        for _ in range(n_runs):
             t0 = time.time()
             df = qd.build(spark, sf_dir)
             # noop sink materializes every column (count() would let
@@ -55,6 +64,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
+        srt = sorted(runs)
+        mid = len(srt) // 2
+        med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+        medians[name] = round(med, 3)
     total = round(sum(timings.values()), 3)
     try:
         sf_out: float | str = float(sf)
@@ -64,7 +77,9 @@ def main() -> None:
         "metric": "headline_query_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,            # per-query min over runs_per_query
+        "queries_median": medians,     # per-query median (noise context)
+        "runs_per_query": n_runs,
         "sf": sf_out,
     }))
 

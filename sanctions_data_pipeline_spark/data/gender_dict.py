@@ -51,10 +51,13 @@ def rows() -> list[tuple[str, str]]:
 
     Precedence: the hand-curated ext/ext2 judgments stand (they
     predate the bulk import and were reviewed case by case); the BULK
-    lists are additionally screened through AMBIGUOUS_EXCLUDE, and a
-    bulk-male entry never flips an ext-female one (nor vice versa) —
-    the bulk import can only ADD names, not re-gender reviewed ones."""
+    lists (round-6 wave + the round-7 gender_names_bulk2 wave) are
+    additionally screened through AMBIGUOUS_EXCLUDE, and a bulk-male
+    entry never flips an ext-female one (nor vice versa) — each bulk
+    wave can only ADD names, not re-gender previously reviewed ones;
+    the round-7 wave likewise cannot re-gender a round-6 entry."""
     from sanctions_data_pipeline_spark.data import gender_names_bulk as blk
+    from sanctions_data_pipeline_spark.data import gender_names_bulk2 as blk2
     from sanctions_data_pipeline_spark.data import gender_names_ext as ext
     from sanctions_data_pipeline_spark.data import gender_names_ext2 as ext2
 
@@ -65,6 +68,9 @@ def rows() -> list[tuple[str, str]]:
     male = male_prev | (set(blk.MALE_BULK) - screen - female_prev)
     female = (female_prev
               | (set(blk.FEMALE_BULK) - screen - male_prev)) - male
+    # round-7 wave: same discipline, one precedence level lower
+    male = male | (set(blk2.MALE_BULK2) - screen - female)
+    female = (female | (set(blk2.FEMALE_BULK2) - screen - male)) - male
     return sorted([(n, "female") for n in female]
                   + [(n, "male") for n in male])
 

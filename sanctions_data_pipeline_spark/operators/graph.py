@@ -68,7 +68,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 def fold_pagerank(edges: DataFrame, iters: int = 2,
-                  damping: float = 0.85) -> DataFrame:
+                  damping: float = 0.85,
+                  teleport: float = 0.15) -> DataFrame:
     """PageRank whose per-node neighbor sums are SORTED sequential
     folds — bit-identical across engines, so bounded-iteration callers
     (gr_pagerank, pr_copurchase) carry exact unrolled SQL oracles.
@@ -76,10 +77,19 @@ def fold_pagerank(edges: DataFrame, iters: int = 2,
     pre-divided edge weights, two-hop checkpointing) for iteration
     counts where an unrolled oracle stops being practical.
 
+    ``teleport`` is passed as an EXPLICIT constant rather than computed
+    as ``1.0 - damping``: Python evaluates ``1.0 - 0.85`` to
+    0.15000000000000002, one ulp away from the double that the literal
+    ``0.15`` in the DuckDB oracle SQL parses to — and one ulp is enough
+    to flip a rounded rank on a decimal boundary. Callers must keep
+    ``teleport`` textually equal to the constant in their oracle.
+
     ``edges``: symmetric (src, dst) list, no dangling nodes (every
     node appears as a src). Returns (node, d, pr) — degree and the
     unrounded rank after ``iters`` damped power iterations from the
-    uniform start.
+    uniform start. The returned frame is persisted and materialized
+    (bounded: one row per node); the edge cache is released before
+    returning (the gr_label_prop persist/unpersist discipline).
     """
     from sanctions_data_pipeline_spark.plans.helpers import lcount
 
@@ -97,10 +107,14 @@ def fold_pagerank(edges: DataFrame, iters: int = 2,
                     .select(F.col("dst").alias("node"),
                             (F.col("pr") / F.col("d")).alias("contrib")))
         pr = (contribs.groupBy("node")
-              .agg((F.lit((1.0 - damping)) / F.lit(n)
+              .agg((F.lit(teleport) / F.lit(n)
                     + F.lit(damping) * fold).alias("pr")))
-    return pr.join(deg.withColumnRenamed("src", "node"), "node") \
-             .select("node", F.col("d").cast("bigint").alias("d"), "pr")
+    out = (pr.join(deg.withColumnRenamed("src", "node"), "node")
+           .select("node", F.col("d").cast("bigint").alias("d"), "pr")
+           .persist())
+    out.count()  # bounded action: one row per node
+    e.unpersist()  # out is materialized; result no longer depends on e
+    return out
 
 
 def copurchase_edges(lineitem: DataFrame,

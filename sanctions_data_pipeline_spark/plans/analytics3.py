@@ -1722,11 +1722,17 @@ GROUP BY o.o_orderpriority
 @register("io_bucketed_join", oracle=_BUCKETED_ORACLE)
 def io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import re
 
     from sanctions_data_pipeline_spark.plans.helpers import dsum, dval
 
+    # scope by pid AND sf: a second scale factor in the same process
+    # must not overwrite tables an earlier lazily-evaluated result
+    # still reads from (the events_dpo/codecs scratch-path convention)
+    sf_tag = re.sub(r"[^a-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")).lower())
     pid = os.getpid()
-    to, tl = f"io_bkt_orders_{pid}", f"io_bkt_lineitem_{pid}"
+    to = f"io_bkt_orders_{sf_tag}_{pid}"
+    tl = f"io_bkt_lineitem_{sf_tag}_{pid}"
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority")
     li = load_table(spark, sf_dir, "lineitem").filter(

@@ -152,7 +152,10 @@ _R04_CHECKED = frozenset({
     "emb_matryoshka_eval", "pr_item_cosine", "dd_lsh_tuning",
     "dd_threshold_sweep", "sim_maxsim", "sim_hard_negatives", "dd_winnow",
     "gr_link_predict", "tt_kfold", "dd_dup_stats", "tx_gopher_rules",
-    "dd_soft_dedup", "tt_dedup_aware_split", "gr_pagerank", "dd_line_dedup",
+    # gr_pagerank was r04-checked but its plan changed in round 7 (the
+    # fold_pagerank teleport-constant fix) — returned to the never-
+    # checked pool (ROUND-8 staged block) so the driver re-verifies it.
+    "dd_soft_dedup", "tt_dedup_aware_split", "dd_line_dedup",
     "tx_bm25", "sim_rrf_fusion", "sim_ann_hamming", "dp_sft_format",
     "tx_ccnet_buckets", "dp_fim_transform", "tt_bloom_contamination",
     "gr_hits", "q_attribution", "tx_html_strip", "q_time_weighted_avg",
@@ -184,49 +187,9 @@ _R05_CHECKED = frozenset({
 
 _DRIVER_CHECKED = _DRIVER_CHECKED | _R05_CHECKED
 
-# Explicit priority for the round-6 driver 50-entry correctness window:
-# 50 never-driver-checked SQL-oracled entries — the round-4-era
-# analytics2 pool in registration order. Names absent from the registry
-# are skipped; unlisted unchecked names follow in registration order.
-#
-# Rotation plan for the remaining never-checked oracled pool (62 at
-# round-6 open: the ROUND-7 block below) — round 7 is mechanical: fold
-# this window into _R06_CHECKED, move the first 50 ROUND-7 names into
-# _ORACLE_PRIORITY, and re-stage the trailing 12 + any round-6/7
-# additions as the ROUND-8 block. The staging test
-# (tests/test_plans.py::test_rotation_staging_covers_remaining_pool)
-# keeps the staged blocks exactly equal to the never-checked pool.
-#
-# STAGED ROTATION BLOCKS (parsed by the staging test — everything from
-# here to the priority-tuple assignment below must name exactly the
-# never-checked SQL-oracled entries not already in the priority tuple):
-# ROUND-7 WINDOW (next 50, in order):
-#   q_price_dispersion tok_vocab_overlap q_mann_whitney
-#   q_friedman_test sim_avg_precision q_control_chart q_rolling_corr
-#   q_cumulative_unique q_stickiness emb_davies_bouldin
-#   q_conversion_latency q_holiday_lift s_risk_scorecard
-#   q_trade_balance q_sla_attainment q_odds_ratio dp_pack_efficiency
-#   tt_rolling_origin gr_rich_club q_forecast_backtest
-#   q_bootstrap_se gr_temporal_density q_mantel_haenszel
-#   emb_alignment_uniformity io_jsonl_quarantine q_discount_response
-#   q_segment_migration q_hurst_exponent q_weibull_fit
-#   gr_degree_gini q_nbinom_fit q_record_days
-#   q_seasonal_mann_kendall dq_table_manifest q_dormancy_timeline
-#   q_top_share emb_knn_accuracy dd_minhash_lsh_portable
-#   dd_simhash_portable q_cohens_kappa tx_dedup_impact
-#   tt_group_kfold s_name_idf_score q_cagr q_linear_interpolate
-#   dq_drift_fdr st_left_outer_join q_ljung_box q_decile_lift
-#   q_price_elasticity
-# ROUND-8 WINDOW (22 so far; round-7 additions append here):
-#   q_nelson_aalen q_group_percentiles tok_mincount_sweep
-#   q_kendall_tau q_gk_gamma s_translit_match q_rolling_beta
-#   q_session_stats ml_kmeans_step q_audience_overlap
-#   io_dynamic_partition_overwrite q_watermark_advice
-#   dd_minhash_est_error gr_label_prop gr_bfs_layers
-#   q_cusum_changepoint pr_copurchase ml_group_fit
-#   io_bucketed_join io_parquet_codecs io_compact_small_files
-#   q_mergeable_stats
-_ORACLE_PRIORITY = (
+# Queries the round-6 driver hash-verified (CORRECTNESS_r06.json: 50/50
+# green — the analytics2 window).
+_R06_CHECKED = frozenset({
     "q_seasonal_decompose", "tx_lexical_diversity", "q_bollinger_bands",
     "q_drawdown", "q_rsi", "q_spearman_corr", "tt_reservoir_sample",
     "q_interevent_stats", "q_user_entropy", "tx_bigram_pmi",
@@ -243,6 +206,51 @@ _ORACLE_PRIORITY = (
     "q_activity_distribution", "gr_powerlaw_alpha", "tx_keyness",
     "q_price_volume_mix", "q_kaplan_meier", "q_waterfall_decomp",
     "emb_dim_variance", "q_seasonality_strength", "q_basket_profile",
+})
+
+_DRIVER_CHECKED = _DRIVER_CHECKED | _R06_CHECKED
+
+# Explicit priority for the round-7 driver 50-entry correctness window:
+# 50 never-driver-checked SQL-oracled entries (the pre-staged ROUND-7
+# block, promoted). Names absent from the registry are skipped;
+# unlisted unchecked names follow in registration order.
+#
+# Rotation plan for the remaining never-checked oracled pool (the
+# ROUND-8 block below) — round 8 is mechanical: fold this window into
+# _R07_CHECKED, move the ROUND-8 names into _ORACLE_PRIORITY, and stage
+# any round-7/8 additions as a ROUND-9 block. The staging test
+# (tests/test_plans.py::test_rotation_staging_covers_remaining_pool)
+# keeps the staged blocks exactly equal to the never-checked pool.
+#
+# STAGED ROTATION BLOCKS (parsed by the staging test — everything from
+# here to the priority-tuple assignment below must name exactly the
+# never-checked SQL-oracled entries not already in the priority tuple):
+# ROUND-8 WINDOW (22 staged at round-7 open; round-7 additions append):
+#   q_nelson_aalen q_group_percentiles tok_mincount_sweep
+#   q_kendall_tau q_gk_gamma s_translit_match q_rolling_beta
+#   q_session_stats ml_kmeans_step q_audience_overlap
+#   io_dynamic_partition_overwrite q_watermark_advice
+#   dd_minhash_est_error gr_label_prop gr_bfs_layers
+#   q_cusum_changepoint pr_copurchase ml_group_fit
+#   io_bucketed_join io_parquet_codecs io_compact_small_files
+#   q_mergeable_stats gr_pagerank
+_ORACLE_PRIORITY = (
+    "q_price_dispersion", "tok_vocab_overlap", "q_mann_whitney",
+    "q_friedman_test", "sim_avg_precision", "q_control_chart",
+    "q_rolling_corr", "q_cumulative_unique", "q_stickiness",
+    "emb_davies_bouldin", "q_conversion_latency", "q_holiday_lift",
+    "s_risk_scorecard", "q_trade_balance", "q_sla_attainment",
+    "q_odds_ratio", "dp_pack_efficiency", "tt_rolling_origin",
+    "gr_rich_club", "q_forecast_backtest", "q_bootstrap_se",
+    "gr_temporal_density", "q_mantel_haenszel", "emb_alignment_uniformity",
+    "io_jsonl_quarantine", "q_discount_response", "q_segment_migration",
+    "q_hurst_exponent", "q_weibull_fit", "gr_degree_gini", "q_nbinom_fit",
+    "q_record_days", "q_seasonal_mann_kendall", "dq_table_manifest",
+    "q_dormancy_timeline", "q_top_share", "emb_knn_accuracy",
+    "dd_minhash_lsh_portable", "dd_simhash_portable", "q_cohens_kappa",
+    "tx_dedup_impact", "tt_group_kfold", "s_name_idf_score", "q_cagr",
+    "q_linear_interpolate", "dq_drift_fdr", "st_left_outer_join",
+    "q_ljung_box", "q_decile_lift", "q_price_elasticity",
 )
 
 

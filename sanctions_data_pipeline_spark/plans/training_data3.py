@@ -2690,6 +2690,12 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist the per-customer rollup first: each ntile runs a
     # key-bounds job, and without the persist each bounds job would
     # re-execute the orders aggregation plus every preceding ntile.
+    # DELIBERATELY not unpersisted: the returned lazy plan references
+    # this subtree 8x (2 scans per chained ntile), so dropping the
+    # cache before the caller materializes would multiply the orders
+    # agg. One per-customer table stays cached per invocation — the
+    # same single-bounded-table retention as gr_label_prop's final
+    # labels; Spark evicts it LRU under memory pressure.
     o = o.persist()
     q = sharded_ntile(o, F.col("last_us"),
                       [F.asc("last_us"), F.asc("o_custkey")], 5, "r")

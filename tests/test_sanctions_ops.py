@@ -358,3 +358,67 @@ def test_gender_dictionary_round6_bulk_import():
               "rosario", "janis", "gerd", "zane", "patrice", "nino",
               "gohar"]:
         assert dic.get(n) != "female", n
+
+
+def test_gender_dictionary_round7_coverage_pin():
+    """Round-7 widening (VERDICT r06 task 3): the dictionary nearly
+    doubles again via gender_names_bulk2, and — the piece r05/r06 were
+    missing — a HELD-OUT coverage pin: a sample of transliterated
+    given names in the exact shape real EU/UN sanction aliases arrive
+    (Arabic incl. Abd-/-ullah/-uddin compounds, Persian, Turkish,
+    Central-Asian, Caucasus, Slavic, Horn-of-Africa), written from
+    alias conventions rather than copied from any wave list, must
+    resolve at a floor hit-rate. This guards dictionary BREADTH the
+    way list-size pins cannot: deleting a regional family of names
+    fails this test even if the total count stays high."""
+    from sanctions_data_pipeline_spark.data import gender_dict
+    from sanctions_data_pipeline_spark.data import gender_names_bulk2 as b2
+
+    dic = dict(gender_dict.rows())
+    assert len(dic) >= 16500  # 9,096 at round-6 close -> ~17k
+    # the wave ships conflict-free and fully screened
+    assert not (set(b2.MALE_BULK2) & set(b2.FEMALE_BULK2))
+
+    held_out_male = [
+        # Arabic compounds & variants (sanction-alias spellings)
+        "abdulhakim", "abdelkader", "abd-al-rahman", "saifullah",
+        "najibullah", "salahuddin", "sirajuddin", "muhammed", "magomed",
+        "zakariya", "moustafa", "yasser", "walid", "ziyad", "tarek",
+        # Persian / Turkish / Kurdish
+        "alireza", "gholamreza", "behrouz", "jamshid", "firouz",
+        "ramazan", "selahattin", "zekeriya", "serdar", "soran",
+        # Central Asia / Caucasus / Chechnya
+        "alisher", "bakhtiyor", "shavkat", "nursultan", "daniyar",
+        "vakhtang", "tigran", "ramzan", "zelimkhan", "aslanbek",
+        # Slavic / Balkan
+        "vyacheslav", "zoran", "nebojsa", "miroslav", "bohdan",
+        "oleksandr", "radovan", "slobodan", "dzhokhar", "mirsad",
+        # Horn of Africa / West Africa
+        "abdullahi", "warsame", "tesfaye", "getachew", "ousmane",
+        "mamadou", "abdoulaye", "cheikh", "yakubu", "alhassan",
+    ]
+    held_out_female = [
+        # Arabic / Persian / Turkish
+        "khadijah", "sumaya", "rasha", "abeer", "nasreen", "shirin",
+        "golnaz", "mahnaz", "aysel", "havva",
+        # Central Asia / Caucasus
+        "gulmira", "feruza", "saltanat", "zulfiya", "gayane", "lusine",
+        # Slavic / Balkan
+        "oleksandra", "snezana", "jasmina", "mirjana", "lyudmila",
+        "yaroslava", "milica", "emina",
+        # Horn / West Africa / South Asia
+        "khadra", "senait", "tigist", "aissatou", "nafisa", "shabana",
+        "farida", "sharmila",
+    ]
+    male_hits = sum(1 for n in held_out_male if dic.get(n) == "male")
+    fem_hits = sum(1 for n in held_out_female if dic.get(n) == "female")
+    # floors: >=90% of the male sample, >=90% of the female sample
+    assert male_hits >= int(0.9 * len(held_out_male)), sorted(
+        n for n in held_out_male if dic.get(n) != "male")
+    assert fem_hits >= int(0.9 * len(held_out_female)), sorted(
+        n for n in held_out_female if dic.get(n) != "female")
+    # regression guard on the reference cascade: compounds that only
+    # ever arrive hyphenated must stay resolvable via the dictionary
+    # (the cleaner preserves in-token hyphens)
+    for n in ["jean-pierre", "abd-al-aziz", "marie-claire"]:
+        assert n in dic, n
