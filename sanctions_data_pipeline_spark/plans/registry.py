@@ -114,8 +114,10 @@ _R02_CHECKED = frozenset({
     "sim_topk_bruteforce", "sim_ann_lsh", "st_tumbling", "st_session",
     "st_dedup", "st_user_state", "st_stream_static", "st_sliding",
     "st_stream_stream", "st_foreach_upsert", "tx_langid", "q_lateral_topk",
-    # rows-only rows the r02 driver recorded (still driver-checked):
-    "xml_entity_extract", "xml_pysource_split", "pdf_chunk_extract",
+    # rows-only rows the r02 driver recorded (still driver-checked).
+    # xml_entity_extract / xml_pysource_split / pdf_chunk_extract /
+    # xml_stream_split gained SQL oracles in round 7 and moved back to
+    # the never-checked pool (ROUND-8 staged) for hash verification:
     "pipeline_e2e", "dd_minhash_lsh", "dd_simhash", "sim_ann_ivf",
     "sim_ann_pq", "st_chained_windows",
 })
@@ -233,7 +235,8 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R06_CHECKED
 #   dd_minhash_est_error gr_label_prop gr_bfs_layers
 #   q_cusum_changepoint pr_copurchase ml_group_fit
 #   io_bucketed_join io_parquet_codecs io_compact_small_files
-#   q_mergeable_stats gr_pagerank
+#   q_mergeable_stats gr_pagerank q_holt_forecast xml_stream_split
+#   xml_pysource_split pdf_chunk_extract xml_entity_extract
 _ORACLE_PRIORITY = (
     "q_price_dispersion", "tok_vocab_overlap", "q_mann_whitney",
     "q_friedman_test", "sim_avg_precision", "q_control_chart",

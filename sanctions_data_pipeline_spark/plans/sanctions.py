@@ -411,7 +411,44 @@ def _fixture_path(name: str) -> str:
     return fixture_path(name)
 
 
-@register("xml_entity_extract")
+def _xml_entity_oracle() -> str:
+    """VALUES oracle for xml_entity_extract (round-7 conversion): an
+    import-time ElementTree walk of the fixture feed counting child
+    elements per sanctionEntity — independent of both the Spark native
+    XML source and sources/xml_source.py's struct transforms."""
+    import xml.etree.ElementTree as ET
+
+    def q(v):
+        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+    rows = []
+    root = ET.parse(_fixture_path("feed.xml")).getroot()
+    for elem in root.iter():
+        if elem.tag.rsplit("}", 1)[-1] != "sanctionEntity":
+            continue
+        counts = {}
+        for ch in elem:
+            counts[ch.tag.rsplit("}", 1)[-1]] = \
+                counts.get(ch.tag.rsplit("}", 1)[-1], 0) + 1
+        subject = elem.find("{*}subjectType")
+        rows.append(
+            f"({q(elem.get('euReferenceNumber'))}, "
+            f"{q(subject.get('classificationCode') if subject is not None else None)}, "
+            f"{counts.get('nameAlias', 0)}, {counts.get('birthdate', 0)}, "
+            f"{counts.get('address', 0)}, {counts.get('citizenship', 0)})")
+    return f"""
+SELECT eu_ref, classification,
+       CAST(n_aliases AS INTEGER) AS n_aliases,
+       CAST(n_birthdates AS INTEGER) AS n_birthdates,
+       CAST(n_addresses AS INTEGER) AS n_addresses,
+       CAST(n_citizenships AS INTEGER) AS n_citizenships
+FROM (VALUES {", ".join(rows)})
+     t(eu_ref, classification, n_aliases, n_birthdates, n_addresses,
+       n_citizenships)
+"""
+
+
+@register("xml_entity_extract", oracle=_xml_entity_oracle())
 def xml_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native XML source -> typed entity table (reference main.py:149-180
     splits the feed with a driver loop; this is one distributed scan)."""
@@ -429,7 +466,58 @@ def xml_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pdf_chunk_extract")
+def _pdf_chunk_oracle() -> str:
+    """VALUES oracle for pdf_chunk_extract: a pure-``re`` replica of
+    the reference chunk/parse semantics (main.py:261-283, 444-511) run
+    at import time over the .txt GROUND TRUTH the fixture PDF was
+    generated from — so the oracle exercises none of the Spark path
+    and none of the PDF decode; a regression anywhere in binaryFile
+    scan -> vendored extractor -> chunker -> field parser breaks the
+    value hash. (tests/test_pipeline.py separately pins decode<->txt
+    equivalence and exact field values.)"""
+    import re
+
+    with open(_fixture_path("travel_ban.txt"), encoding="utf-8") as fh:
+        text = fh.read()
+    rows = []
+    for i, chunk in enumerate(re.split(r"(?=Entity\s+\d+\b)", text)):
+        c = chunk.strip(" ")  # Spark trim() strips spaces only
+        if not c.lower().startswith("entity"):
+            continue
+        m = re.search(r"(?i)Programme\s*[:\-]\s*([A-Za-z0-9]+)", c)
+        programme = m.group(1).upper() if m else "GEN"
+        txt = c.replace(" ", " ").replace("\r", "\n")
+        mi = re.search(r"(?i)Name/Alias\s*:[ \t]*(\S[^\n]*)", txt)
+        mn = re.search(r"(?i)Name/Alias\s*:[ \t]*\n\s*(\S[^\n]*)", txt)
+        raw = (mi.group(1) if mi and mi.group(1) else
+               (mn.group(1) if mn else ""))
+        pdf_name = re.split(
+            r"(?i)\b(title|function|birth information|birth date|"
+            r"citizenship information|contact information|"
+            r"identity information|address|remark|url|programme)\b\s*:",
+            raw)[0].strip(" ")
+        numbers = " / ".join(re.findall(
+            r"(?im)^\s*Number\s*:[ \t]*(\S[^\n]*)", c))
+        mp = re.search(r"(?im)^\s*Programme\s*:[ \t]*(\S[^\n]*)", txt)
+        prog_last = (mp.group(1).split("|")[-1].strip(" ") if mp else "")
+        parts = ([f"Number: {numbers}"] if numbers else []) \
+            + ([f"Programme: {prog_last}"] if prog_last else [])
+        rem2 = "; ".join(parts)
+
+        def q(v):
+            return "'" + v.replace("'", "''") + "'"
+
+        rows.append(f"('travel_ban.pdf', {i}, {q(programme)}, "
+                    f"{q(pdf_name)}, {q(numbers)}, {q(rem2)})")
+    return f"""
+SELECT doc_path, CAST(chunk_idx AS INTEGER) AS chunk_idx, programme,
+       pdf_name, numbers, rem2
+FROM (VALUES {", ".join(rows)})
+     t(doc_path, chunk_idx, programme, pdf_name, numbers, rem2)
+"""
+
+
+@register("pdf_chunk_extract", oracle=_pdf_chunk_oracle())
 def pdf_chunk_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF bytes -> text -> entity chunker + field line-parser
     (reference main.py:250-258 page extraction, 261-283 chunking,
@@ -491,10 +579,40 @@ def s_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a driver loop writing entity{N}.xml temp files) as a CUSTOM PYTHON
 # DATA SOURCE (Spark 4 DataSource API): one row per sanctionEntity with
 # file provenance, partition-per-feed-file parallelism, streamed
-# ElementTree parse. Rows-only (input is the XML fixture, not parquet);
-# field values pinned by tests/test_pipeline.py.
+# ElementTree parse. Oracled (round-7): same VALUES-literal oracle as
+# xml_stream_split (import-time ElementTree walk, datasource module
+# never imported), file provenance 'feed.xml'; field values also
+# pinned by tests/test_pipeline.py.
 # --------------------------------------------------------------------------
-@register("xml_pysource_split")
+def _xml_split_oracle(fname: str) -> str:
+    import xml.etree.ElementTree as ET
+
+    def q(v):  # SQL string literal or NULL
+        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+    rows, seq = [], 0
+    root = ET.parse(_fixture_path("feed.xml")).getroot()
+    for elem in root.iter():
+        if elem.tag.rsplit("}", 1)[-1] != "sanctionEntity":
+            continue
+        seq += 1
+        subject = elem.find("{*}subjectType")
+        rows.append(
+            f"('{fname}', {seq}, {q(elem.get('euReferenceNumber'))}, "
+            f"{q(subject.get('code') if subject is not None else None)}, "
+            f"{sum(1 for x in elem.iter() if x.tag.rsplit('}', 1)[-1] == 'nameAlias')}, "
+            f"{len(ET.tostring(elem, encoding='unicode'))})")
+    vals = ", ".join(rows)
+    return f"""
+SELECT file, CAST(entity_seq AS INTEGER) AS entity_seq, eu_ref,
+       subject_code, CAST(n_aliases AS INTEGER) AS n_aliases,
+       CAST(xml_len AS INTEGER) AS xml_len
+FROM (VALUES {vals})
+     t(file, entity_seq, eu_ref, subject_code, n_aliases, xml_len)
+"""
+
+
+@register("xml_pysource_split", oracle=_xml_split_oracle("feed.xml"))
 def xml_pysource_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.sources import python_datasource as pds
 
@@ -510,10 +628,16 @@ def xml_pysource_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Spark 4 Python streaming data source, sources/python_datasource.py
 # SanctionsFeedStreamReader): new snapshot files enter per micro-batch
 # with monotone {"files_done"} offsets and deterministic replay.
-# Rows-only; incremental-arrival + checkpoint-resume semantics pinned
-# by tests/test_pipeline.py::test_streaming_datasource_incremental_arrival.
+# Oracled (round-7 conversion): the drained availableNow output is
+# fully deterministic (the reader emits file BASENAMES), so the oracle
+# is a VALUES literal produced by an import-time ElementTree walk of
+# the same fixture — a parse that never touches the datasource module,
+# so it cross-checks the whole Spark-side machinery (registration,
+# partition planning, streaming offsets, append drain). The
+# incremental-arrival + checkpoint-resume semantics stay pinned by
+# tests/test_pipeline.py::test_streaming_datasource_incremental_arrival.
 # --------------------------------------------------------------------------
-@register("xml_stream_split")
+@register("xml_stream_split", oracle=_xml_split_oracle("snap1.xml"))
 def xml_stream_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile

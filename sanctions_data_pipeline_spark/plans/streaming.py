@@ -258,13 +258,17 @@ def st_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # st_chained_windows — TWO stateful window aggregations chained in one
 # streaming query (15-min tumbling -> hourly re-agg), Spark's
-# multi-stateful-operator support. Rows-only: append mode emits coarse
-# windows as the PROPAGATED watermark passes them, and the exact
-# emission cutoff is an internal propagation policy (each downstream
-# operator is held back by the upstream window length) — so instead of
-# hardcoding that rule into SQL, tests pin every emitted row against
-# the batch two-level re-agg and check the emitted set is a clean
-# prefix of event time.
+# multi-stateful-operator support. Rows-only BY MEASUREMENT, not just
+# by design: a round-7 conversion attempt pinned the drained
+# availableNow emission set at two scale factors and got two DIFFERENT
+# cutoff rules — sf0.001 (single micro-batch) emits hourly windows
+# with end <= max(ts) - wm(2h) - outer(1h), while sf0.01 (multi-batch)
+# emits one window MORE than that rule allows, because the propagated
+# watermark ratchets per micro-batch and the final batch flushes
+# against an intermediate value that depends on file/batch
+# partitioning. No static SQL over the events table expresses that, so
+# the pytest pins (emitted set == batch re-agg prefix; values exact)
+# stay the correctness evidence.
 # --------------------------------------------------------------------------
 @register("st_chained_windows")
 def st_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3216,15 +3216,65 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # level/trend recursions l_t = a x_t + (1-a)(l + b),
 # b_t = g(l_t - l) + (1-g) b. Like q_cusum_changepoint, the recursion
 # is sequential over the CALENDAR-bounded day series (one fold over
-# |days| values; the corpus-wide work is the map-side daily count
-# agg). Rows-only; pytest replays the recursion exactly.
+# |days| values; the corpus-wide work is the map-side daily count agg).
+#
+# Oracled (round-7 conversion): DuckDB replays the identical recursion
+# as a WITH RECURSIVE walk over the day-ordered series. Bit-identical
+# doubles hold because both engines evaluate the SAME IEEE expression
+# tree in the same order — including the deliberately-unsimplified
+# (1 - 0.5) and (1 - 0.3) factors, which must stay as written: Python
+# computes 1 - 0.3 = 0.7000000000000000444..., one ulp away from the
+# double the literal 0.7 parses to (the fold_pagerank teleport lesson).
+# Rounding happens in the ENGINES (F.round / round), not in Python
+# (python round is half-even; the engines' are half-up-compatible).
 # ---------------------------------------------------------------------------
 _HOLT_ALPHA = 0.5
 _HOLT_GAMMA = 0.3
 _HOLT_HORIZON = 7
 
+_HOLT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+ord AS (SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM daily),
+init AS (
+  SELECT CAST((SELECT n FROM ord WHERE rn = 1) AS DOUBLE) AS l0,
+         coalesce(CAST((SELECT n FROM ord WHERE rn = 2) AS DOUBLE)
+                  - CAST((SELECT n FROM ord WHERE rn = 1) AS DOUBLE),
+                  0.0) AS b0
+),
+rec AS (
+  SELECT o.rn, o.day, o.n,
+         {_HOLT_ALPHA} * o.n + (1 - {_HOLT_ALPHA}) * (i.l0 + i.b0) AS level,
+         {_HOLT_GAMMA} * ({_HOLT_ALPHA} * o.n
+                          + (1 - {_HOLT_ALPHA}) * (i.l0 + i.b0) - i.l0)
+           + (1 - {_HOLT_GAMMA}) * i.b0 AS trend
+  FROM ord o, init i WHERE o.rn = 1
+  UNION ALL
+  SELECT o.rn, o.day, o.n,
+         {_HOLT_ALPHA} * o.n + (1 - {_HOLT_ALPHA}) * (r.level + r.trend),
+         {_HOLT_GAMMA} * ({_HOLT_ALPHA} * o.n
+                          + (1 - {_HOLT_ALPHA}) * (r.level + r.trend)
+                          - r.level)
+           + (1 - {_HOLT_GAMMA}) * r.trend
+  FROM rec r JOIN ord o ON o.rn = r.rn + 1
+),
+last AS (SELECT day, level, trend FROM rec ORDER BY rn DESC LIMIT 1)
+SELECT day, n AS n_events, round(level, 6) AS level,
+       round(trend, 6) AS trend, round(level + trend, 6) AS forecast,
+       FALSE AS is_future
+FROM rec
+UNION ALL
+SELECT strftime(CAST(l.day AS DATE) + CAST(h.h AS INTEGER), '%Y-%m-%d'),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       round(l.level + h.h * l.trend, 6), TRUE
+FROM (SELECT unnest(range(1, {_HOLT_HORIZON + 1})) AS h) h, last l
+"""
 
-@register("q_holt_forecast")
+
+@register("q_holt_forecast", oracle=_HOLT_ORACLE)
 def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"),
@@ -3245,15 +3295,19 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_l, prev_b = level, trend
         level = a * x + (1 - a) * (prev_l + prev_b)
         trend = g * (level - prev_l) + (1 - g) * prev_b
-        rows.append((r["d"], x, round(level, 6), round(trend, 6),
-                     round(level + trend, 6), False))
+        rows.append((r["d"], x, level, trend, level + trend, False))
     import datetime as dt
     last = dt.date.fromisoformat(days[-1]["d"])
     for hstep in range(1, _HOLT_HORIZON + 1):
         rows.append(((last + dt.timedelta(days=hstep)).isoformat(),
-                     None, None, None,
-                     round(level + hstep * trend, 6), True))
-    return spark.createDataFrame(rows, _HOLT_SCHEMA)
+                     None, None, None, level + hstep * trend, True))
+    raw = spark.createDataFrame(rows, _HOLT_SCHEMA)
+    # round ENGINE-side (F.round): python round() is half-even and can
+    # diverge from DuckDB's round at exact 6dp .5 ties
+    return raw.select(
+        "day", "n_events", F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"), "is_future")
 
 
 # ---------------------------------------------------------------------------

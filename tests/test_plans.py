@@ -555,3 +555,78 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange hashpartitioning" not in below, below
     # and the scans really are the bucketed tables
     assert "SelectedBucketsCount" in p or "Bucketed: true" in p, p
+
+
+# ---------------------------------------------------------------------------
+# Rows-only evidence lint (VERDICT r06 task 7): SURVEY §2 claims every
+# rows-only registry entry carries pytest VALUE pins against an
+# independent implementation. This test makes that claim structural:
+# each rows-only op must name its pinning test here, and the named
+# test function must actually exist in the named file — so a future
+# rows-only op cannot ship without consciously registering its
+# evidence, and a renamed/deleted pin test fails loudly.
+# ---------------------------------------------------------------------------
+_ROWS_ONLY_VALUE_PINS = {
+    "dd_cut_regions": ("test_training_ext.py", "test_cut_regions_excises_planted_duplicate"),
+    "dd_minhash_lsh": ("test_dedup_similarity.py", "test_minhash_lsh_portable_replay"),
+    "dd_simhash": ("test_dedup_similarity.py", "test_simhash_portable_replay"),
+    "dp_pack_sequences": ("test_training_ext.py", "test_pack_sequences_window_and_conservation_laws"),
+    "dp_packing_bestfit": ("test_training_ext3.py", "test_dp_packing_bestfit_beats_or_ties_contiguous_pack"),
+    "emb_isotropy": ("test_training_ext3.py", "test_emb_isotropy_abtt_improves_isotropy"),
+    "emb_kmeans_train": ("test_training_ext3.py", "test_emb_kmeans_train_cells_match_replay"),
+    "emb_knn_graph_ivf": ("test_dedup_similarity.py", "test_knn_graph_ivf_recall_against_exact"),
+    "emb_pca": ("test_training_ext.py", "test_emb_pca_matches_numpy"),
+    "emb_procrustes_align": ("test_training_ext3.py", "test_emb_procrustes_align_recovers_quantization_geometry"),
+    "emb_semantic_dedup": ("test_dedup_similarity.py", "test_semantic_dedup_keeps_prototypical_member"),
+    "emb_whiten": ("test_training_ext3.py", "test_emb_whiten_unit_variance_and_numpy_replay"),
+    "ml_logreg": ("test_training_ext.py", "test_logreg_matches_driver_recompute_and_learns"),
+    "mm_audio_windows": ("test_multimodal.py", "test_mm_audio_windows_rollup_is_deterministic"),
+    "mm_decode": ("test_multimodal.py", "test_decode_matches_python_recomputation"),
+    "mm_frames": ("test_multimodal.py", "test_decode_matches_python_recomputation"),
+    "mm_luma_hist": ("test_multimodal.py", "test_mm_luma_hist_replay"),
+    "mm_phash": ("test_multimodal.py", "test_mm_phash_pairs_exact_dups_and_replays"),
+    "mm_resize": ("test_multimodal.py", "test_mm_phash_pairs_exact_dups_and_replays"),
+    "mm_spectral": ("test_multimodal.py", "test_mm_spectral_matches_numpy_replay"),
+    "pipeline_e2e": ("test_pipeline.py", "test_pipeline_end_to_end"),
+    "pr_implicit_als": ("test_training_ext3.py", "test_pr_implicit_als_matches_numpy_replay"),
+    "q_approx_sketch": ("test_relational.py", "test_approx_sketch_within_tolerance"),
+    "q_sketch_merge": ("test_relational_ext.py", "test_sketch_merge_identity_and_accuracy"),
+    "s_alias_graph": ("test_analytics2.py", "test_alias_graph_replay"),
+    "s_phonetic_screen": ("test_sanctions_ops.py", "test_s_phonetic_screen_matches_python_soundex"),
+    "sim_ann_ivf": ("test_ivf.py", "test_ivf_recall_floor_and_validity"),
+    "sim_ann_ivfpq": ("test_ivf.py", "test_sim_ann_ivfpq_recall_vs_bruteforce"),
+    "sim_ann_pq": ("test_ivf.py", "test_pq_topk_recall_and_determinism"),
+    "sim_mmr_diversify": ("test_training_ext3.py", "test_sim_mmr_diversify_matches_greedy_replay"),
+    "st_chained_windows": ("test_streaming.py", "test_chained_windows_match_batch_rollup_prefix"),
+    "tok_bpe_encode": ("test_training_ext2.py", "test_tok_bpe_encode_matches_python_replay"),
+    "tok_bpe_merges": ("test_training_ext2.py", "test_tok_bpe_merges_matches_python_bpe"),
+    "tok_fertility": ("test_training_ext3.py", "test_tok_fertility_ordering_laws"),
+    "tok_unigram_lm": ("test_training_ext3.py", "test_tok_unigram_lm_matches_python_em_replay"),
+    "tok_wordpiece": ("test_analytics.py", "test_wordpiece_replay"),
+    "tx_compress_ratio": ("test_training_ext.py", "test_compress_ratio_matches_direct_zlib"),
+    "xml_xpath_extract": ("test_training_ext2.py", "test_xml_xpath_matches_python_datasource"),
+}
+
+
+def test_rows_only_entries_have_registered_value_pins():
+    import os
+    import re
+
+    from sanctions_data_pipeline_spark.plans import registry as reg
+
+    reg.queries()
+    rows_only = {n for n, qd in reg.REGISTRY.items() if not qd.oracle}
+    assert rows_only == set(_ROWS_ONLY_VALUE_PINS), (
+        f"unmapped rows-only ops (add a value-pin test + register it "
+        f"here): {sorted(rows_only - set(_ROWS_ONLY_VALUE_PINS))}; "
+        f"stale entries (op gained an oracle or was removed): "
+        f"{sorted(set(_ROWS_ONLY_VALUE_PINS) - rows_only)}")
+    here = os.path.dirname(os.path.abspath(__file__))
+    srcs: dict[str, str] = {}
+    for op, (fname, test_fn) in _ROWS_ONLY_VALUE_PINS.items():
+        path = os.path.join(here, fname)
+        assert os.path.exists(path), f"{op}: {fname} missing"
+        if fname not in srcs:
+            srcs[fname] = open(path).read()
+        assert re.search(rf"^def {re.escape(test_fn)}\b", srcs[fname],
+                         re.M), f"{op}: {fname} has no {test_fn}"
