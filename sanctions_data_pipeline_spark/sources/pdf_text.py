@@ -27,8 +27,14 @@ import zlib
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\n?endstream", re.S)
 _OP_RE = re.compile(r"[A-Za-z'\"*]+")
 
-# operators that move to a new line before/while showing text
-_NEWLINE_OPS = {"Td", "TD", "T*", "'", '"'}
+# operators that move to a new line before/while showing text. Tm
+# (set text matrix) is how real layout engines jump between columns
+# and absolute line positions — treating it as a line move keeps
+# multi-column EU-layout documents (fixture travel_ban_layout.pdf)
+# from concatenating a column start onto the previous column's last
+# line. Stream order is reading order for these documents, matching
+# the reference's PyPDF2 page-concat semantics (main.py:250-258).
+_NEWLINE_OPS = {"Td", "TD", "T*", "Tm", "'", '"'}
 _SHOW_OPS = {"Tj", "TJ", "'", '"'}
 
 
