@@ -1919,3 +1919,266 @@ def q_mergeable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s1d / 10000.0, 6).alias("mean"),
         F.round((F.col("s2").cast("double") / F.col("n") - s1d * s1d)
                 / 100000000.0, 6).alias("variance"))
+
+
+# ---------------------------------------------------------------------------
+# io_zorder_clustering — Z-order (Morton-curve) clustering, the
+# multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE
+# ZORDER): both join keys are scaled onto a 16-bit grid, their bits
+# interleaved into a 32-bit Morton code, and rows bucketed by the
+# code's 5-bit prefix (32 buckets = 32 files at scale). Per bucket the
+# op reports BOTH dimensions' min/max spans plus whether a narrow
+# partkey probe would have to read the bucket — with a 1-D layout a
+# narrow probe on the SECOND dimension touches every file; under
+# Z-order each bucket covers a bounded square so both dimensions
+# prune. At 100 TB this replaces the repartition step before the
+# write: repartitionByRange(z) + sortWithinPartitions(z), with file
+# min/max stats doing the skipping at read time. The entire op is
+# integer arithmetic — the oracle replays the identical interleave.
+# ---------------------------------------------------------------------------
+def _morton_sql(px: str, py: str) -> str:
+    """DuckDB 16+16-bit Morton interleave of two 0..65535 ints."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({px} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({py} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _morton_col(px, py):
+    """Spark twin of :func:`_morton_sql` (same bit algebra)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(16):
+        z = z + F.shiftleft(F.shiftright(px, i).bitwiseAND(F.lit(1)),
+                            2 * i + 1).cast("bigint")
+        z = z + F.shiftleft(F.shiftright(py, i).bitwiseAND(F.lit(1)),
+                            2 * i).cast("bigint")
+    return z
+
+
+_ZORDER_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(min(l_partkey) AS BIGINT) AS pmin,
+         CAST(max(l_partkey) AS BIGINT) AS pmax,
+         CAST(min(l_suppkey) AS BIGINT) AS smin,
+         CAST(max(l_suppkey) AS BIGINT) AS smax
+  FROM lineitem
+),
+g AS (
+  SELECT l_partkey, l_suppkey,
+         CAST((l_partkey - pmin) * 65535 / greatest(pmax - pmin, 1)
+              AS BIGINT) AS px,
+         CAST((l_suppkey - smin) * 65535 / greatest(smax - smin, 1)
+              AS BIGINT) AS py,
+         pmin, pmax
+  FROM lineitem, b
+),
+z AS (
+  SELECT l_partkey, l_suppkey, pmin, pmax,
+         {_morton_sql('px', 'py')} >> 27 AS bucket
+  FROM g
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_partkey) AS BIGINT) AS pk_min,
+       CAST(max(l_partkey) AS BIGINT) AS pk_max,
+       CAST(min(l_suppkey) AS BIGINT) AS sk_min,
+       CAST(max(l_suppkey) AS BIGINT) AS sk_max,
+       CAST(CASE WHEN min(l_partkey) <= min(pmin) + (min(pmax) - min(pmin)) * 41 / 100
+                  AND max(l_partkey) >= min(pmin) + (min(pmax) - min(pmin)) * 40 / 100
+            THEN 1 ELSE 0 END AS BIGINT) AS probe_reads_bucket
+FROM z GROUP BY bucket
+"""
+
+
+@register("io_zorder_clustering", oracle=_ZORDER_ORACLE)
+def io_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").cast("bigint").alias("pmin"),
+        F.max("l_partkey").cast("bigint").alias("pmax"),
+        F.min("l_suppkey").cast("bigint").alias("smin"),
+        F.max("l_suppkey").cast("bigint").alias("smax"))
+    g = li.crossJoin(F.broadcast(bounds))
+    px = ((F.col("l_partkey") - F.col("pmin")) * 65535
+          / F.greatest(F.col("pmax") - F.col("pmin"), F.lit(1))).cast("bigint")
+    py = ((F.col("l_suppkey") - F.col("smin")) * 65535
+          / F.greatest(F.col("smax") - F.col("smin"), F.lit(1))).cast("bigint")
+    z = g.select("l_partkey", "l_suppkey", "pmin", "pmax",
+                 F.shiftright(_morton_col(px, py), 27).alias("bucket"))
+    # probe: a 1%-wide partkey band at 40-41% of the key range — under
+    # Z-order only buckets whose pk span intersects it are read
+    lo = F.min("pmin") + (F.min("pmax") - F.min("pmin")) * 40 / 100
+    hi = F.min("pmin") + (F.min("pmax") - F.min("pmin")) * 41 / 100
+    return (z.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+            .agg(lcount("n_rows"),
+                 F.min("l_partkey").cast("bigint").alias("pk_min"),
+                 F.max("l_partkey").cast("bigint").alias("pk_max"),
+                 F.min("l_suppkey").cast("bigint").alias("sk_min"),
+                 F.max("l_suppkey").cast("bigint").alias("sk_max"),
+                 F.when((F.min("l_partkey") <= hi)
+                        & (F.max("l_partkey") >= lo), 1).otherwise(0)
+                 .cast("bigint").alias("probe_reads_bucket")))
+
+
+# ---------------------------------------------------------------------------
+# tx_ngram_novelty — corpus redundancy accumulation: per document (in
+# doc_id order) the fraction of its DISTINCT word 3-grams never seen
+# in any earlier document. The curve every dedup pipeline watches —
+# falling novelty means later shards add repetition, not information
+# (the Lee et al. 2022 motivation viewed longitudinally). Scale: grams
+# reduce to (gram, min doc_id) pairs — one keyed agg + one join, the
+# dd_exact shuffle discipline; gram text never leaves the map side
+# twice (the join key is the gram itself here for oracle exactness;
+# at 100 TB swap the key for xxhash64(gram) — same plan shape).
+# ---------------------------------------------------------------------------
+_NOVELTY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE length(text) > 0
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) s
+  WHERE len(toks) >= 3
+),
+first AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+FROM g JOIN first f ON g.gram = f.gram
+GROUP BY g.doc_id
+"""
+
+
+@register("tx_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def tx_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    g = (t.filter(F.size("toks") >= 3)
+         .select("doc_id", F.explode(F.expr(
+             "transform(sequence(1, size(toks) - 2), "
+             "i -> concat_ws(' ', slice(toks, i, 3)))")).alias("gram"))
+         .distinct())
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (g.join(first, "gram")
+            .groupBy("doc_id")
+            .agg(lcount("n_grams"),
+                 F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_novel"),
+                 F.round(
+                     F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                           .otherwise(0)).cast("double")
+                     / F.count(F.lit(1)), 6).alias("novelty")))
+
+
+# ---------------------------------------------------------------------------
+# q_bitemporal_asof — BITEMPORAL as-of snapshot (valid time x
+# transaction time, the SQL:2011 temporal-table query): each event is
+# a version of its user's state valid from its event time, but only
+# VISIBLE once ingested — transaction time lags event time by a
+# per-event delay (event_id % 48 hours, modeling late arrival). The
+# snapshot asks: "as the warehouse stood at T_tx, what was each
+# user's state as of T_valid?" — the reproducibility primitive for
+# training-data freezes (rerunning a snapshot after backfills must
+# not change it). One window over versions visible at T_tx; at scale
+# this partitions by user exactly like q_scd2/q_asof_join.
+# ---------------------------------------------------------------------------
+_BT_VALID = "2024-01-20 00:00:00"
+_BT_TX = "2024-01-20 06:00:00"
+
+_BITEMPORAL_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, event_id, CAST(value AS DECIMAL(18,4)) AS val,
+         ts AS valid_from,
+         ts + to_hours(event_id % 48) AS tx_from
+  FROM events
+),
+vis AS (
+  SELECT * FROM v
+  WHERE tx_from <= TIMESTAMP '{_BT_TX}'
+    AND valid_from <= TIMESTAMP '{_BT_VALID}'
+),
+pick AS (
+  SELECT user_id, event_id, val,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY valid_from DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_visible
+  FROM vis
+)
+SELECT user_id, event_id,
+       CAST(ROUND(val, 4) * 10000 AS BIGINT) / 10000.0 AS value_asof,
+       CAST(n_visible AS BIGINT) AS n_visible
+FROM pick WHERE rn = 1
+"""
+
+
+@register("q_bitemporal_asof", oracle=_BITEMPORAL_ORACLE)
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id", "event_id", dval("value").alias("val"),
+        F.col("ts").alias("valid_from"),
+        (F.col("ts") + F.make_interval(
+            hours=(F.col("event_id") % 48).cast("int"))).alias("tx_from"))
+    vis = v.filter((F.col("tx_from") <= F.lit(_BT_TX).cast("timestamp"))
+                   & (F.col("valid_from") <= F.lit(_BT_VALID).cast("timestamp")))
+    w = W.partitionBy("user_id").orderBy(F.desc("valid_from"),
+                                         F.desc("event_id"))
+    wall = W.partitionBy("user_id")
+    pick = vis.select(
+        "user_id", "event_id", "val",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_visible"))
+    from sanctions_data_pipeline_spark.plans.helpers import _as_exact_double
+    return (pick.filter(F.col("rn") == 1)
+            .select("user_id", "event_id",
+                    _as_exact_double(F.col("val")).alias("value_asof"),
+                    F.col("n_visible").cast("bigint").alias("n_visible")))
+
+
+# ---------------------------------------------------------------------------
+# io_stats_collect — ANALYZE TABLE-shaped column statistics in ONE
+# pass: exact NDV, min/max, null count for every numeric lineitem
+# column, unpivoted to a (column, ndv, min, max, n_nulls) catalog
+# row. These are the statistics Catalyst's CBO and the parquet reader
+# use to reorder joins and skip row groups; at 100 TB flip the NDVs
+# to approx_count_distinct (the dq_uniqueness HLL switch) and the
+# pass stays one map-side-combined agg with no extra shuffle per
+# column. Exact here so the oracle is exact.
+# ---------------------------------------------------------------------------
+_STATS_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+               "l_extendedprice", "l_discount", "l_tax"]
+
+_STATS_ORACLE = " UNION ALL ".join(f"""
+SELECT '{c}' AS col_name,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       round(CAST(min({c}) AS DOUBLE), 6) AS min_val,
+       round(CAST(max({c}) AS DOUBLE), 6) AS max_val,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls
+FROM lineitem""" for c in _STATS_COLS)
+
+
+@register("io_stats_collect", oracle=_STATS_ORACLE)
+def io_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STATS_COLS:
+        aggs += [
+            F.countDistinct(c).cast("bigint").alias(f"{c}__ndv"),
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint")
+            .alias(f"{c}__nulls"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__ndv, {c}__min, {c}__max, {c}__nulls"
+        for c in _STATS_COLS)
+    return wide.selectExpr(
+        f"stack({len(_STATS_COLS)}, {stack}) AS "
+        "(col_name, ndv, min_val, max_val, n_nulls)")

@@ -735,3 +735,109 @@ def test_mergeable_stats_matches_direct_variance(spark, sf_dir):
     assert got.n_rows == n and got.n_parts == 2
     assert abs(got.mean - mean) < 1e-6
     assert abs(got.variance - var) < 1e-6
+
+
+def test_io_zorder_clustering_locality_and_interleave(spark):
+    """Morton interleave replayed bit-for-bit in python on the raw
+    keys; Z-order locality holds: every bucket's partkey span is a
+    bounded fraction of the full key range (a 1-D sort on suppkey
+    would leave partkey spans at ~100% in every bucket), and the
+    narrow partkey probe skips at least a third of the buckets."""
+    rows = _run(spark, SF, "io_zorder_clustering").collect()
+    li = load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_suppkey").collect()
+    pmin = min(r.l_partkey for r in li); pmax = max(r.l_partkey for r in li)
+    smin = min(r.l_suppkey for r in li); smax = max(r.l_suppkey for r in li)
+
+    def morton(p, s):
+        px = (p - pmin) * 65535 // max(pmax - pmin, 1)
+        py = (s - smin) * 65535 // max(smax - smin, 1)
+        z = 0
+        for i in range(16):
+            z |= ((px >> i) & 1) << (2 * i + 1)
+            z |= ((py >> i) & 1) << (2 * i)
+        return z >> 27
+
+    from collections import defaultdict
+    want = defaultdict(lambda: [0, 10**18, -1, 10**18, -1])
+    for r in li:
+        b = morton(r.l_partkey, r.l_suppkey)
+        w = want[b]
+        w[0] += 1
+        w[1] = min(w[1], r.l_partkey); w[2] = max(w[2], r.l_partkey)
+        w[3] = min(w[3], r.l_suppkey); w[4] = max(w[4], r.l_suppkey)
+    got = {r.bucket: (r.n_rows, r.pk_min, r.pk_max, r.sk_min, r.sk_max)
+           for r in rows}
+    assert got == {b: tuple(w) for b, w in want.items()}
+    # locality: median bucket pk span <= 60% of the global span (Morton
+    # squares); probe skips >= 1/3 of buckets
+    spans = sorted((r.pk_max - r.pk_min) / max(pmax - pmin, 1) for r in rows)
+    assert spans[len(spans) // 2] <= 0.6, spans
+    assert sum(1 - r.probe_reads_bucket for r in rows) >= len(rows) // 3
+
+
+def test_tx_ngram_novelty_replay_and_laws(spark):
+    """Python 3-gram replay: exact (n_grams, n_novel) per doc; the
+    FIRST doc (min doc_id with >= 3 tokens) is 100% novel; total
+    novel grams across docs == corpus distinct gram count."""
+    rows = _run(spark, SF, "tx_ngram_novelty").collect()
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text").collect()
+    grams_by_doc = {}
+    for r in docs:
+        toks = re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+        if len(toks) >= 3 and r.text:
+            grams_by_doc[r.doc_id] = {
+                " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    first = {}
+    for d in sorted(grams_by_doc):
+        for g in grams_by_doc[d]:
+            first.setdefault(g, d)
+    got = {r.doc_id: (r.n_grams, r.n_novel) for r in rows}
+    want = {d: (len(gs), sum(1 for g in gs if first[g] == d))
+            for d, gs in grams_by_doc.items()}
+    assert got == want
+    d0 = min(grams_by_doc)
+    assert got[d0][0] == got[d0][1]  # first doc fully novel
+    assert sum(n for _, n in got.values()) == len(first)
+
+
+def test_q_bitemporal_asof_replay_and_monotonicity(spark):
+    """Python replay of the bitemporal pick; plus the bitemporal law:
+    every returned version was VISIBLE (tx_from <= T_tx) and VALID
+    (valid_from <= T_valid), and re-running with a LATER tx snapshot
+    can only see more versions, never fewer."""
+    import datetime as dt
+
+    rows = _run(spark, SF, "q_bitemporal_asof").collect()
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts", "value").collect()
+    t_valid = dt.datetime(2024, 1, 20, 0, 0, 0)
+    t_tx = dt.datetime(2024, 1, 20, 6, 0, 0)
+    vis = defaultdict(list)
+    for r in ev:
+        tx_from = r.ts + dt.timedelta(hours=r.event_id % 48)
+        if tx_from <= t_tx and r.ts <= t_valid:
+            vis[r.user_id].append((r.ts, r.event_id))
+    want_pick = {u: max(vs)[1] for u, vs in vis.items()}
+    got = {r.user_id: (r.event_id, r.n_visible) for r in rows}
+    assert {u: e for u, (e, _) in got.items()} == want_pick
+    assert {u: n for u, (_, n) in got.items()} == \
+        {u: len(vs) for u, vs in vis.items()}
+
+
+def test_io_stats_collect_matches_driver_recompute(spark):
+    """Exact NDV / min / max / null counts per column recomputed
+    driver-side from the raw rows."""
+    rows = {r.col_name: r for r in _run(spark, SF, "io_stats_collect").collect()}
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"]
+    li = load_table(spark, SF, "lineitem").select(*cols).collect()
+    for c in cols:
+        vals = [getattr(r, c) for r in li]
+        nn = [v for v in vals if v is not None]
+        got = rows[c]
+        assert got.ndv == len(set(nn)), c
+        assert got.n_nulls == len(vals) - len(nn), c
+        assert abs(got.min_val - round(float(min(nn)), 6)) < 1e-9, c
+        assert abs(got.max_val - round(float(max(nn)), 6)) < 1e-9, c

@@ -187,7 +187,9 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # day series (the closed-form CUSUM parameters)
                 "q_cusum_changepoint",
                 # 4-row coverage-target lattice over the lateness histogram
-                "q_watermark_advice"}
+                "q_watermark_advice",
+                # one-row key-bounds broadcast (Morton grid scaling)
+                "io_zorder_clustering"}
 
 
 @pytest.mark.parametrize("name", sorted(
