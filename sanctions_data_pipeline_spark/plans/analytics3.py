@@ -2182,3 +2182,308 @@ def io_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_STATS_COLS)}, {stack}) AS "
         "(col_name, ndv, min_val, max_val, n_nulls)")
+
+
+# ---------------------------------------------------------------------------
+# q_join_cardinality_estimate — the CBO's join-size estimation made
+# inspectable: for orders x lineitem on orderkey, the classic
+# |O| * |L| / max(ndv_O, ndv_L) estimate next to the EXACT output
+# cardinality (sum over keys of count products). At 100 TB this is
+# the number every join reorder decision hangs on; the op shows the
+# estimate's error on real key distributions. Everything is exact
+# integer algebra except the final ratio.
+# ---------------------------------------------------------------------------
+_JOINCARD_ORACLE = """
+WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv
+           FROM orders),
+l AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv
+      FROM lineitem),
+x AS (
+  SELECT CAST(sum(oc * lc) AS BIGINT) AS exact_card
+  FROM (SELECT o_orderkey AS k, count(*) AS oc FROM orders GROUP BY 1) a
+  JOIN (SELECT l_orderkey AS k, count(*) AS lc FROM lineitem GROUP BY 1) b
+    ON a.k = b.k
+)
+SELECT o.n AS n_orders, l.n AS n_lineitem,
+       o.ndv AS ndv_orders, l.ndv AS ndv_lineitem,
+       CAST(o.n * l.n / greatest(o.ndv, l.ndv) AS BIGINT) AS est_card,
+       x.exact_card,
+       round(CAST(o.n * l.n / greatest(o.ndv, l.ndv) AS DOUBLE)
+             / x.exact_card, 6) AS est_over_exact
+FROM o, l, x
+"""
+
+
+@register("q_join_cardinality_estimate", oracle=_JOINCARD_ORACLE)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                   F.countDistinct("o_orderkey").cast("bigint")
+                   .alias("ndv_orders"))
+    l = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitem"),
+               F.countDistinct("l_orderkey").cast("bigint")
+               .alias("ndv_lineitem"))
+    oc = orders.groupBy(F.col("o_orderkey").alias("k")).agg(lcount("oc"))
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(lcount("lc"))
+    x = (oc.join(lc, "k")
+         .agg(F.sum(F.col("oc") * F.col("lc")).cast("bigint")
+              .alias("exact_card")))
+    est = (F.col("n_orders") * F.col("n_lineitem")
+           / F.greatest("ndv_orders", "ndv_lineitem")).cast("bigint")
+    return (o.crossJoin(l).crossJoin(x)
+            .select("n_orders", "n_lineitem", "ndv_orders", "ndv_lineitem",
+                    est.alias("est_card"), "exact_card",
+                    F.round(est.cast("double") / F.col("exact_card"), 6)
+                    .alias("est_over_exact")))
+
+
+# ---------------------------------------------------------------------------
+# dd_bloom_prejoin — runtime bloom-filter pre-join pruning (the
+# row-level-filtering optimization Spark applies to selective joins),
+# expressed relationally so the mechanism is measurable: the selective
+# side's keys set k=3 md5-derived bits in an m=4096-bit filter; a
+# probe-side key passes if all 3 of its bits are set. Reported: keys
+# probed, keys passing, true matches, false positives, fp rate — the
+# quantity that decides whether the bloom pays for itself before a
+# 100 TB shuffle. Set-membership runs as an equi-join on bit index
+# (never a driver-side bitmap), so the plan is two tiny aggs + one
+# broadcast join.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+_BLOOM_ORACLE = f"""
+WITH sel AS (
+  SELECT DISTINCT s_suppkey AS key FROM supplier WHERE s_acctbal > 9000
+),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('b' || CAST(i AS VARCHAR) || ':'
+                              || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+           % {_BLOOM_M} AS bit
+  FROM sel, (SELECT unnest(range(0, {_BLOOM_K})) AS i) h
+),
+probe AS (SELECT DISTINCT l_suppkey AS key FROM lineitem),
+pb AS (
+  SELECT key,
+         ('0x' || substr(md5('b' || CAST(i AS VARCHAR) || ':'
+                              || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+           % {_BLOOM_M} AS bit,
+         i
+  FROM probe, (SELECT unnest(range(0, {_BLOOM_K})) AS i) h
+),
+hit AS (
+  SELECT pb.key, count(DISTINCT pb.i) AS n_hit
+  FROM pb JOIN bits ON pb.bit = bits.bit
+  GROUP BY pb.key
+),
+passed AS (SELECT key FROM hit WHERE n_hit = {_BLOOM_K})
+SELECT CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_probed,
+       CAST((SELECT count(*) FROM passed) AS BIGINT) AS n_passed,
+       CAST((SELECT count(*) FROM passed WHERE key IN
+             (SELECT key FROM sel)) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM passed WHERE key NOT IN
+             (SELECT key FROM sel)) AS BIGINT) AS n_false_pos,
+       round(CAST((SELECT count(*) FROM passed WHERE key NOT IN
+                   (SELECT key FROM sel)) AS DOUBLE)
+             / greatest((SELECT count(*) FROM probe)
+                        - (SELECT count(*) FROM sel
+                           WHERE key IN (SELECT key FROM probe)), 1), 6)
+         AS fp_rate
+"""
+
+
+def _bloom_bits(key_col, tag: str):
+    """k md5-derived bit indices for a key — identical algebra to the
+    oracle's ('0x' || substr(md5(...),1,8))::BIGINT % m."""
+    cols = []
+    for i in range(_BLOOM_K):
+        h = F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"b{i}:"), key_col.cast("string"))), 1, 8), 16, 10)
+        cols.append((h.cast("bigint") % _BLOOM_M).alias(f"bit_{i}"))
+    return cols
+
+
+@register("dd_bloom_prejoin", oracle=_BLOOM_ORACLE)
+def dd_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = (sup.filter(F.col("s_acctbal") > 9000)
+           .select(F.col("s_suppkey").alias("key")).distinct())
+    hexpr = ("cast(conv(substring(md5(concat('b', cast(i as string), ':', "
+             "cast(key as string))), 1, 8), 16, 10) as bigint) % "
+             f"{_BLOOM_M}")
+    bits = (sel.select("key", F.explode(F.expr(
+        f"sequence(0, {_BLOOM_K - 1})")).alias("i"))
+        .selectExpr(f"{hexpr} as bit").distinct())
+    probe = li.select(F.col("l_suppkey").alias("key")).distinct()
+    pb = probe.select("key", F.explode(F.expr(
+        f"sequence(0, {_BLOOM_K - 1})")).alias("i")) \
+        .selectExpr("key", "i", f"{hexpr} as bit")
+    hit = (pb.join(F.broadcast(bits), "bit")
+           .groupBy("key").agg(F.countDistinct("i").alias("n_hit")))
+    passed = hit.filter(F.col("n_hit") == _BLOOM_K).select("key")
+    truth = passed.join(sel, "key", "left_semi")
+    fp = passed.join(sel, "key", "left_anti")
+    n_probed = probe.agg(lcount("n")).withColumnRenamed("n", "n_probed")
+    n_passed = passed.agg(lcount("n")).withColumnRenamed("n", "n_passed")
+    n_true = truth.agg(lcount("n")).withColumnRenamed("n", "n_true")
+    n_fp = fp.agg(lcount("n")).withColumnRenamed("n", "n_false_pos")
+    n_neg = (probe.join(sel, "key", "left_anti")
+             .agg(lcount("n")).withColumnRenamed("n", "n_neg"))
+    return (n_probed.crossJoin(n_passed).crossJoin(n_true).crossJoin(n_fp)
+            .crossJoin(n_neg)
+            .select("n_probed", "n_passed", "n_true", "n_false_pos",
+                    F.round(F.col("n_false_pos").cast("double")
+                            / F.greatest("n_neg", F.lit(1)), 6)
+                    .alias("fp_rate")))
+
+
+# ---------------------------------------------------------------------------
+# tt_purged_cv — purged time-series cross-validation with embargo
+# (the leakage-safe CV for temporally autocorrelated data, de Prado
+# 2018): the event-day range splits into 5 contiguous test folds;
+# each fold's training set excludes the test days PLUS a 2-day
+# embargo on both sides, so label leakage through autocorrelation
+# cannot cross the boundary. Pure calendar arithmetic over the daily
+# rollup — the corpus-wide work is one map-side day agg.
+# ---------------------------------------------------------------------------
+_PCV_FOLDS = 5
+_PCV_EMBARGO = 2
+
+_PURGED_CV_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) + 1 AS d1 FROM d),
+f AS (SELECT unnest(range(0, {_PCV_FOLDS})) AS fold),
+bounds AS (
+  SELECT fold,
+         d0 + (d1 - d0) * fold / {_PCV_FOLDS} AS t0,
+         d0 + (d1 - d0) * (fold + 1) / {_PCV_FOLDS} AS t1
+  FROM f, b
+)
+SELECT CAST(bo.fold AS BIGINT) AS fold,
+       CAST(sum(CASE WHEN d.day >= bo.t0 AND d.day < bo.t1
+                     THEN d.n ELSE 0 END) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN d.day < bo.t0 - {_PCV_EMBARGO}
+                       OR d.day >= bo.t1 + {_PCV_EMBARGO}
+                     THEN d.n ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN (d.day >= bo.t0 - {_PCV_EMBARGO}
+                           AND d.day < bo.t0)
+                       OR (d.day >= bo.t1
+                           AND d.day < bo.t1 + {_PCV_EMBARGO})
+                     THEN d.n ELSE 0 END) AS BIGINT) AS n_embargoed
+FROM bounds bo, d
+GROUP BY bo.fold
+"""
+
+
+@register("tt_purged_cv", oracle=_PURGED_CV_ORACLE)
+def tt_purged_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = (ev.groupBy(F.floor(F.unix_micros(F.date_trunc("day", "ts"))
+                            / F.lit(86400000000)).cast("bigint")
+                    .alias("day"))
+         .agg(lcount("n")))
+    b = d.agg(F.min("day").alias("d0"), (F.max("day") + 1).alias("d1"))
+    folds = spark.range(_PCV_FOLDS).withColumnRenamed("id", "fold")
+    bounds = folds.crossJoin(F.broadcast(b)).select(
+        "fold",
+        (F.col("d0") + (F.col("d1") - F.col("d0")) * F.col("fold")
+         / _PCV_FOLDS).cast("bigint").alias("t0"),
+        (F.col("d0") + (F.col("d1") - F.col("d0")) * (F.col("fold") + 1)
+         / _PCV_FOLDS).cast("bigint").alias("t1"))
+    j = d.crossJoin(F.broadcast(bounds))
+    in_test = (F.col("day") >= F.col("t0")) & (F.col("day") < F.col("t1"))
+    in_train = ((F.col("day") < F.col("t0") - _PCV_EMBARGO)
+                | (F.col("day") >= F.col("t1") + _PCV_EMBARGO))
+    in_emb = (((F.col("day") >= F.col("t0") - _PCV_EMBARGO)
+               & (F.col("day") < F.col("t0")))
+              | ((F.col("day") >= F.col("t1"))
+                 & (F.col("day") < F.col("t1") + _PCV_EMBARGO)))
+    return (j.groupBy(F.col("fold").cast("bigint").alias("fold"))
+            .agg(F.sum(F.when(in_test, F.col("n")).otherwise(0))
+                 .cast("bigint").alias("n_test"),
+                 F.sum(F.when(in_train, F.col("n")).otherwise(0))
+                 .cast("bigint").alias("n_train"),
+                 F.sum(F.when(in_emb, F.col("n")).otherwise(0))
+                 .cast("bigint").alias("n_embargoed")))
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_mv — incremental materialized-view maintenance: the
+# priority-revenue rollup maintained as BASE (orders strictly before
+# the latest order date) merged with the DELTA (the latest day only),
+# checked cell-by-cell against the full recompute. Decimal-exact
+# sums make merge == recompute an integer identity; diff_units is 0
+# in every row or the maintenance algebra is broken. At 100 TB this
+# is the difference between reprocessing a day and reprocessing the
+# warehouse.
+# ---------------------------------------------------------------------------
+_INC_MV_ORACLE = """
+WITH mx AS (SELECT max(o_orderdate) AS d FROM orders),
+base AS (
+  SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS rev4
+  FROM orders, mx WHERE o_orderdate < mx.d GROUP BY 1
+),
+delta AS (
+  SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS rev4
+  FROM orders, mx WHERE o_orderdate = mx.d GROUP BY 1
+),
+merged AS (
+  SELECT pri, CAST(sum(n) AS BIGINT) AS n_merged,
+         CAST(sum(rev4) AS BIGINT) AS rev4_merged
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+  GROUP BY pri
+),
+full_r AS (
+  SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n_full,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS rev4_full
+  FROM orders GROUP BY 1
+)
+SELECT m.pri AS priority, m.n_merged, m.rev4_merged / 10000.0 AS rev_merged,
+       CAST(m.n_merged - f.n_full AS BIGINT) AS diff_rows,
+       CAST(m.rev4_merged - f.rev4_full AS BIGINT) AS diff_units
+FROM merged m JOIN full_r f ON m.pri = f.pri
+"""
+
+
+@register("q_incremental_mv", oracle=_INC_MV_ORACLE)
+def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("d"))
+    o = orders.crossJoin(F.broadcast(mx))
+    rev4 = (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 4)
+            * 10000).cast("bigint")
+
+    def rollup(df):
+        return df.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            rev4.alias("rev4"))
+
+    base = rollup(o.filter(F.col("o_orderdate") < F.col("d")))
+    delta = rollup(o.filter(F.col("o_orderdate") == F.col("d")))
+    merged = (base.unionAll(delta).groupBy("pri")
+              .agg(F.sum("n").cast("bigint").alias("n_merged"),
+                   F.sum("rev4").cast("bigint").alias("rev4_merged")))
+    full_r = rollup(orders).select(
+        "pri", F.col("n").alias("n_full"), F.col("rev4").alias("rev4_full"))
+    return (merged.join(full_r, "pri")
+            .select(F.col("pri").alias("priority"), "n_merged",
+                    (F.col("rev4_merged") / F.lit(10000.0))
+                    .alias("rev_merged"),
+                    (F.col("n_merged") - F.col("n_full")).cast("bigint")
+                    .alias("diff_rows"),
+                    (F.col("rev4_merged") - F.col("rev4_full"))
+                    .cast("bigint").alias("diff_units")))

@@ -841,3 +841,68 @@ def test_io_stats_collect_matches_driver_recompute(spark):
         assert got.n_nulls == len(vals) - len(nn), c
         assert abs(got.min_val - round(float(min(nn)), 6)) < 1e-9, c
         assert abs(got.max_val - round(float(max(nn)), 6)) < 1e-9, c
+
+
+def test_q_join_cardinality_estimate_exact_law(spark):
+    """exact_card recomputed driver-side; the NDV estimate obeys its
+    own formula; for TPC-H's FK join (every lineitem has an order)
+    exact == |lineitem|."""
+    r = _run(spark, SF, "q_join_cardinality_estimate").collect()[0]
+    li = load_table(spark, SF, "lineitem").select("l_orderkey").collect()
+    orders = load_table(spark, SF, "orders").select("o_orderkey").collect()
+    oc = Counter(x.o_orderkey for x in orders)
+    lc = Counter(x.l_orderkey for x in li)
+    assert r.exact_card == sum(oc[k] * lc.get(k, 0) for k in oc)
+    assert r.exact_card == len(li)  # FK: every line joins exactly one order
+    assert r.est_card == (r.n_orders * r.n_lineitem
+                          // max(r.ndv_orders, r.ndv_lineitem))
+
+
+def test_dd_bloom_prejoin_replay_and_guarantees(spark):
+    """Bloom law: NO false negatives (every true key passes); fp rate
+    replayed exactly from an independent python bloom with the same
+    md5 bit derivation."""
+    r = _run(spark, SF, "dd_bloom_prejoin").collect()[0]
+    sup = load_table(spark, SF, "supplier").collect()
+    li = load_table(spark, SF, "lineitem").select("l_suppkey").collect()
+    sel = {s.s_suppkey for s in sup if s.s_acctbal > 9000}
+    probe = {x.l_suppkey for x in li}
+
+    def bits(key):
+        return {int(hashlib.md5(f"b{i}:{key}".encode()).hexdigest()[:8], 16)
+                % 4096 for i in range(3)}
+
+    filt = set()
+    for k in sel:
+        filt |= bits(k)
+    passed = {k for k in probe if bits(k) <= filt}
+    assert r.n_probed == len(probe)
+    assert r.n_passed == len(passed)
+    assert r.n_true == len(passed & sel)
+    assert sel & probe <= passed          # no false negatives
+    assert r.n_false_pos == len(passed - sel)
+
+
+def test_tt_purged_cv_partition_laws(spark):
+    """Every event lands in exactly one of test/train/embargo per
+    fold; test folds are disjoint across folds and cover the corpus."""
+    rows = _run(spark, SF, "tt_purged_cv").collect()
+    n_events = load_table(spark, SF, "events").count()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_test + r.n_train + r.n_embargoed == n_events, r
+    assert sum(r.n_test for r in rows) == n_events  # folds partition time
+
+
+def test_q_incremental_mv_merge_equals_recompute(spark):
+    """The MV maintenance identity: merged base+delta equals the full
+    recompute in every cell (diff columns all zero), and the merged
+    totals replay from raw orders."""
+    rows = _run(spark, SF, "q_incremental_mv").collect()
+    assert rows and all(r.diff_rows == 0 and r.diff_units == 0 for r in rows)
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderpriority", "o_totalprice").collect()
+    want = Counter()
+    for o in orders:
+        want[o.o_orderpriority] += 1
+    assert {r.priority: r.n_merged for r in rows} == dict(want)

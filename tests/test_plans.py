@@ -189,7 +189,11 @@ _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
                 # 4-row coverage-target lattice over the lateness histogram
                 "q_watermark_advice",
                 # one-row key-bounds broadcast (Morton grid scaling)
-                "io_zorder_clustering"}
+                "io_zorder_clustering",
+                # one-row scalar broadcasts: table totals / max-date /
+                # fold bounds crossed onto bounded relations
+                "q_join_cardinality_estimate", "dd_bloom_prejoin",
+                "tt_purged_cv", "q_incremental_mv"}
 
 
 @pytest.mark.parametrize("name", sorted(
