@@ -2487,3 +2487,204 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("diff_rows"),
                     (F.col("rev4_merged") - F.col("rev4_full"))
                     .cast("bigint").alias("diff_units")))
+
+
+# ---------------------------------------------------------------------------
+# ml_decision_stump — ML training as pure SQL aggregation: the best
+# single-threshold split ("decision stump", the AdaBoost weak
+# learner) for predicting urgent orders (priority 1/2) from
+# o_totalprice. Candidate thresholds are a fixed 15-point grid over
+# the exact [min, max] price range; for each the weighted Gini
+# impurity comes from four exact integer counts, so the whole
+# training pass is ONE groupBy over (order, threshold-grid-cross) —
+# no iterations, no driver state; at 100 TB the grid cross is a
+# 15-row broadcast. Deterministic tiebreak: smallest threshold.
+# ---------------------------------------------------------------------------
+_STUMP_GRID = 16  # thresholds at k/16 of the range, k = 1..15
+
+_STUMP_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(ROUND(min(CAST(o_totalprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS lo4,
+         CAST(ROUND(max(CAST(o_totalprice AS DECIMAL(18,4))), 4) * 10000
+              AS BIGINT) AS hi4
+  FROM orders
+),
+grid AS (
+  SELECT CAST(k AS BIGINT) AS k,
+         lo4 + (hi4 - lo4) * k // {_STUMP_GRID} AS thr
+  FROM b, (SELECT unnest(range(1, {_STUMP_GRID})) AS k) g
+),
+lab AS (
+  SELECT CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 4) * 10000
+              AS BIGINT) AS price,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+cnt AS (
+  SELECT g.k, g.thr,
+         CAST(sum(CASE WHEN l.price <= g.thr THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_l,
+         CAST(sum(CASE WHEN l.price <= g.thr AND l.y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS p_l,
+         CAST(sum(CASE WHEN l.price > g.thr THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_r,
+         CAST(sum(CASE WHEN l.price > g.thr AND l.y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS p_r,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lab l, grid g
+  GROUP BY g.k, g.thr
+),
+gini AS (
+  SELECT k, thr, n_l, n_r,
+         round((CASE WHEN n_l = 0 THEN 0.0 ELSE
+                  CAST(n_l AS DOUBLE) / n
+                  * (1 - (CAST(p_l AS DOUBLE) / n_l)
+                       * (CAST(p_l AS DOUBLE) / n_l)
+                     - (1 - CAST(p_l AS DOUBLE) / n_l)
+                       * (1 - CAST(p_l AS DOUBLE) / n_l)) END)
+               + (CASE WHEN n_r = 0 THEN 0.0 ELSE
+                  CAST(n_r AS DOUBLE) / n
+                  * (1 - (CAST(p_r AS DOUBLE) / n_r)
+                       * (CAST(p_r AS DOUBLE) / n_r)
+                     - (1 - CAST(p_r AS DOUBLE) / n_r)
+                       * (1 - CAST(p_r AS DOUBLE) / n_r)) END), 6)
+           AS gini_w
+  FROM cnt
+)
+SELECT k, thr / 10000.0 AS threshold,
+       n_left, n_right, gini_w,
+       CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM (SELECT k, thr, n_l AS n_left, n_r AS n_right, gini_w,
+             row_number() OVER (ORDER BY gini_w, k) AS rnk
+      FROM gini) t
+"""
+
+
+@register("ml_decision_stump", oracle=_STUMP_ORACLE)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        (F.round(F.min(F.col("o_totalprice").cast("decimal(18,4)")), 4)
+         * 10000).cast("bigint").alias("lo4"),
+        (F.round(F.max(F.col("o_totalprice").cast("decimal(18,4)")), 4)
+         * 10000).cast("bigint").alias("hi4"))
+    grid = (spark.range(1, _STUMP_GRID).withColumnRenamed("id", "k")
+            .crossJoin(F.broadcast(b))
+            .select("k", (F.col("lo4") + F.expr(
+                f"(hi4 - lo4) * k div {_STUMP_GRID}"))
+                .cast("bigint").alias("thr")))
+    lab = orders.select(
+        (F.round(F.col("o_totalprice").cast("decimal(18,4)"), 4) * 10000)
+        .cast("bigint").alias("price"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0).alias("y"))
+    j = lab.crossJoin(F.broadcast(grid))
+    left = F.col("price") <= F.col("thr")
+    cnt = j.groupBy("k", "thr").agg(
+        F.sum(F.when(left, 1).otherwise(0)).cast("bigint").alias("n_l"),
+        F.sum(F.when(left & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint").alias("p_l"),
+        F.sum(F.when(~left, 1).otherwise(0)).cast("bigint").alias("n_r"),
+        F.sum(F.when((~left) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint").alias("p_r"),
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def side_gini(nn, pp):
+        p = pp.cast("double") / nn
+        return F.when(nn == 0, 0.0).otherwise(
+            nn.cast("double") / F.col("n")
+            * (1 - p * p - (1 - p) * (1 - p)))
+
+    gini = cnt.select(
+        "k", "thr", F.col("n_l").alias("n_left"),
+        F.col("n_r").alias("n_right"),
+        F.round(side_gini(F.col("n_l"), F.col("p_l"))
+                + side_gini(F.col("n_r"), F.col("p_r")), 6).alias("gini_w"))
+    wr = W.orderBy("gini_w", "k")
+    return (gini.withColumn("rnk", F.row_number().over(wr))
+            .select("k", (F.col("thr") / F.lit(10000.0)).alias("threshold"),
+                    "n_left", "n_right", "gini_w",
+                    F.when(F.col("rnk") == 1, 1).otherwise(0)
+                    .cast("bigint").alias("is_best")))
+
+
+# ---------------------------------------------------------------------------
+# dq_expectations — a declarative expectation suite (the
+# great-expectations shape) over lineitem, one pass per table + one
+# FK probe: row volume, domain ranges, null contract, referential
+# integrity, composite-key uniqueness. Output is the audit artifact
+# CI gates on: (check, metric, passed). Each check is a plain
+# aggregate, so the suite costs two scans at any scale; the fk check
+# is the only join and it is an anti-join on the FK.
+# ---------------------------------------------------------------------------
+_EXPECT_ORACLE = """
+WITH li AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS qty_out,
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS disc_out,
+         CAST(count(*) - count(l_shipdate) AS BIGINT) AS ship_nulls,
+         CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+              AS BIGINT) AS dup_keys
+  FROM lineitem
+),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS orphans
+  FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT 'row_count_positive' AS check_name,
+       CAST(n_rows AS DOUBLE) AS metric, n_rows > 0 AS passed FROM li
+UNION ALL SELECT 'quantity_in_1_50', CAST(qty_out AS DOUBLE),
+       qty_out = 0 FROM li
+UNION ALL SELECT 'discount_in_0_01', CAST(disc_out AS DOUBLE),
+       disc_out = 0 FROM li
+UNION ALL SELECT 'shipdate_not_null', CAST(ship_nulls AS DOUBLE),
+       ship_nulls = 0 FROM li
+UNION ALL SELECT 'orderkey_linenumber_unique', CAST(dup_keys AS DOUBLE),
+       dup_keys = 0 FROM li
+UNION ALL SELECT 'fk_orderkey_exists', CAST(orphans AS DOUBLE),
+       orphans = 0 FROM fk
+"""
+
+
+@register("dq_expectations", oracle=_EXPECT_ORACLE)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    wide = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when((F.col("l_quantity") < 1)
+                     | (F.col("l_quantity") > 50), 1).otherwise(0))
+        .cast("bigint").alias("qty_out"),
+        F.sum(F.when((F.col("l_discount") < 0)
+                     | (F.col("l_discount") > 0.1), 1).otherwise(0))
+        .cast("bigint").alias("disc_out"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).cast("bigint")
+        .alias("ship_nulls"),
+        (F.count(F.lit(1))
+         - F.countDistinct("l_orderkey", "l_linenumber")).cast("bigint")
+        .alias("dup_keys"))
+    orphans = (li.join(orders, li.l_orderkey == orders.o_orderkey,
+                       "left_anti")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("orphans")))
+    w = wide.crossJoin(orphans)
+    checks = [
+        ("row_count_positive", F.col("n_rows"), F.col("n_rows") > 0),
+        ("quantity_in_1_50", F.col("qty_out"), F.col("qty_out") == 0),
+        ("discount_in_0_01", F.col("disc_out"), F.col("disc_out") == 0),
+        ("shipdate_not_null", F.col("ship_nulls"), F.col("ship_nulls") == 0),
+        ("orderkey_linenumber_unique", F.col("dup_keys"),
+         F.col("dup_keys") == 0),
+        ("fk_orderkey_exists", F.col("orphans"), F.col("orphans") == 0),
+    ]
+    parts = [w.select(F.lit(nm).alias("check_name"),
+                      m.cast("double").alias("metric"),
+                      p.alias("passed")) for nm, m, p in checks]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    return out

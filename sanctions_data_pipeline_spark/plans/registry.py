@@ -239,7 +239,7 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R06_CHECKED
 #   xml_pysource_split pdf_chunk_extract xml_entity_extract
 #   io_zorder_clustering tx_ngram_novelty q_bitemporal_asof
 #   io_stats_collect q_join_cardinality_estimate dd_bloom_prejoin
-#   tt_purged_cv q_incremental_mv
+#   tt_purged_cv q_incremental_mv ml_decision_stump dq_expectations
 _ORACLE_PRIORITY = (
     "q_price_dispersion", "tok_vocab_overlap", "q_mann_whitney",
     "q_friedman_test", "sim_avg_precision", "q_control_chart",

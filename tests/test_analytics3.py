@@ -906,3 +906,80 @@ def test_q_incremental_mv_merge_equals_recompute(spark):
     for o in orders:
         want[o.o_orderpriority] += 1
     assert {r.priority: r.n_merged for r in rows} == dict(want)
+
+
+def test_ml_decision_stump_replay(spark):
+    """Gini grid replayed in python over the raw orders; exactly one
+    best row; the best split genuinely separates (gini below the
+    no-split baseline impurity)."""
+    rows = _run(spark, SF, "ml_decision_stump").collect()
+    orders = load_table(spark, SF, "orders").select(
+        "o_totalprice", "o_orderpriority").collect()
+    price = [(round(Decimal(str(o.o_totalprice)), 4) * 10000,
+              1 if o.o_orderpriority in ("1-URGENT", "2-HIGH") else 0)
+             for o in orders]
+    lo = min(p for p, _ in price); hi = max(p for p, _ in price)
+    n = len(price)
+
+    def gini(k):
+        thr = lo + (hi - lo) * k // 16
+        nl = sum(1 for p, _ in price if p <= thr)
+        pl = sum(y for p, y in price if p <= thr)
+        nr, pr = n - nl, sum(y for _, y in price) - pl
+
+        def side(nn, pp):
+            if nn == 0:
+                return 0.0
+            q = pp / nn
+            return nn / n * (1 - q * q - (1 - q) * (1 - q))
+        return round(side(nl, pl) + side(nr, pr), 6), nl, nr
+
+    want = {k: gini(k) for k in range(1, 16)}
+    got = {r.k: (r.gini_w, r.n_left, r.n_right) for r in rows}
+    assert got == want
+    assert sum(r.is_best for r in rows) == 1
+    best = min(want.values())[0]
+    py = sum(y for _, y in price) / n
+    baseline = round(1 - py * py - (1 - py) * (1 - py), 6)
+    assert best <= baseline
+
+
+def test_dq_expectations_pass_and_detect(spark):
+    """The suite reports honestly on the pristine warehouse: five
+    expectations pass and the composite-key uniqueness one FAILS
+    (the synthetic lineitem genuinely repeats (l_orderkey,
+    l_linenumber) — a passing suite that can't fail proves nothing);
+    the metric equals the true duplicate count. Injecting an orphan
+    FK row then flips exactly the FK check."""
+    import unittest.mock as mock
+
+    from pyspark.sql import functions as F
+
+    from sanctions_data_pipeline_spark.plans import analytics3 as a3
+    from sanctions_data_pipeline_spark.plans.analytics3 import dq_expectations
+
+    rows = {r.check_name: r for r in _run(spark, SF, "dq_expectations").collect()}
+    assert len(rows) == 6
+    li = load_table(spark, SF, "lineitem")
+    n = li.count()
+    n_dup = n - li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert rows["orderkey_linenumber_unique"].passed is False
+    assert rows["orderkey_linenumber_unique"].metric == float(n_dup) > 0
+    for name in ("row_count_positive", "quantity_in_1_50",
+                 "discount_in_0_01", "shipdate_not_null",
+                 "fk_orderkey_exists"):
+        assert rows[name].passed is True, name
+
+    # adversarial: inject an orphan lineitem row -> the FK check flips
+    broken = li.unionByName(li.limit(1).withColumn(
+        "l_orderkey", F.lit(10**12)))
+    orig = a3.load_table
+
+    def fake(spark_, sf_, t):
+        return broken if t == "lineitem" else orig(spark_, sf_, t)
+
+    with mock.patch.object(a3, "load_table", side_effect=fake):
+        rows2 = {r.check_name: r.passed
+                 for r in dq_expectations(spark, SF).collect()}
+    assert rows2["fk_orderkey_exists"] is False
+    assert rows2["row_count_positive"] is True
