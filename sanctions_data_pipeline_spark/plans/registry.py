@@ -116,9 +116,10 @@ _R02_CHECKED = frozenset({
     "st_stream_stream", "st_foreach_upsert", "tx_langid", "q_lateral_topk",
     # rows-only rows the r02 driver recorded (still driver-checked).
     # xml_entity_extract / xml_pysource_split / pdf_chunk_extract /
-    # xml_stream_split gained SQL oracles in round 7 and moved back to
-    # the never-checked pool (ROUND-8 staged) for hash verification:
-    "pipeline_e2e", "dd_minhash_lsh", "dd_simhash", "sim_ann_ivf",
+    # xml_stream_split / pipeline_e2e gained SQL oracles in round 7 and
+    # moved back to the never-checked pool (ROUND-8 staged) for hash
+    # verification:
+    "dd_minhash_lsh", "dd_simhash", "sim_ann_ivf",
     "sim_ann_pq", "st_chained_windows",
 })
 
@@ -240,6 +241,7 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R06_CHECKED
 #   io_zorder_clustering tx_ngram_novelty q_bitemporal_asof
 #   io_stats_collect q_join_cardinality_estimate dd_bloom_prejoin
 #   tt_purged_cv q_incremental_mv ml_decision_stump dq_expectations
+#   pipeline_e2e xml_xpath_extract s_phonetic_screen
 _ORACLE_PRIORITY = (
     "q_price_dispersion", "tok_vocab_overlap", "q_mann_whitney",
     "q_friedman_test", "sim_avg_precision", "q_control_chart",

@@ -311,7 +311,25 @@ def s_details_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline_e2e — full XML (+ PDF text) -> analyst table (rows-only: the
 # input is the repo's XML/PDF fixtures, not SQL-visible parquet)
 # --------------------------------------------------------------------------
-@register("pipeline_e2e")
+# pipeline_e2e oracle: a FROZEN GOLDEN snapshot of the six-entity
+# fixture output (round-7 conversion). Provenance: per-FIELD
+# independence lives in tests/test_pipeline.py::test_pipeline_end_to_end
+# (hand-written expectations for every behavior: alias selection,
+# gender chain, DOB reformat, address tokens, neighbor-fill states);
+# this literal freezes the full 30-column row set so the DRIVER gate
+# hash-verifies the end-to-end pipeline each round — any drift in any
+# stage breaks the hash even if no pytest field pin covers it.
+_PIPELINE_E2E_GOLDEN = """SELECT CAST(entity_seq AS BIGINT) AS entity_seq, "FULL_NAME", "CATEGORY", "F_NAME", "M_NAME", "L_NAME", "GENDER", "DOB", "ADD_CITY", "ADD_COUNTRY", "STATE", "NATIONALITIES", "ADDRESS", "IDENTITY NUMBER", "IDENTITY TYPE", "REF_DATE", "DETAILS", "WEB_LINK", "VIOLATION_ID", "SOURCE", "ALIAS", "ASSOCIATES", "MAIN ACTIVITY", "CITIZENSHIP INFORMATION", "STATUS", "REM1", "REM2", "REM3", "REMARKS", "REM2_STATE"
+FROM (VALUES (0, 'Jose Garcia Moreno', 'P', '', '', '', 'Male', '12-01-1965', 'Caracas', 'Venezuela', 'Distrito Capital', 'Venezuela', 'Venezuela Caracas City Av. Urdaneta 12 Distrito Capital 1010', '', '', '', 'Title: (EU) 2020/1; Birth date: 1966; Birth place: Caracas; Citizenship: Colombia; Remark: Listed under programme VEN', 'https://www.sanctionsmap.eu/#/main/travel/ban', '', 'EU TRAVEL BAN', 'Pepe Garcia', '', '', '', '', 'Designation: Minister of Finance', 'Number: EU.1234.5; Programme: VEN', '', '', 'filled'),
+  (1, 'Mohammed Aliyev', 'P', '', '', '', 'Male', '05-03-1970', 'Damascus', '', '', 'Syrian Arab Republic', 'Damascus', '', '', '', 'Birth date: 06-04-1971', 'https://www.sanctionsmap.eu/#/main/travel/ban', '', 'EU TRAVEL BAN', '', '', '', '', '', 'Designation: Commander; Recruiter', 'Number: EU.2222.1 / EU.2222.2; Programme: SYR', '', '', 'filled'),
+  (2, 'Mullah Abdul Rahman', 'P', '', '', '', 'Male', '', 'Kandahar', 'Afghanistan', '', '', 'Afghanistan Kandahar City Kandahar Province; Pakistan Quetta Baluchistan Province', '', '', '', 'Title: Mullah / Haji', 'https://www.sanctionsmap.eu/#/main/travel/ban', '', 'EU TRAVEL BAN', '', '', '', '', '', '', '', '', '', 'empty_unique'),
+  (3, 'Maria Lopez', 'P', '', '', '', 'Female', '', '', '', '', '', '', '', '', '', 'Birth date: 1980', 'https://www.sanctionsmap.eu/#/main/travel/ban', '', 'EU TRAVEL BAN', '', '', '', '', '', '', '', '', '', 'conflict'),
+  (4, 'Maria Lopez', 'P', '', '', '', 'Female', '', '', '', '', '', '', '', '', '', '', 'https://www.sanctionsmap.eu/#/main/travel/ban', '', 'EU TRAVEL BAN', '', '', '', '', '', '', '', '', '', 'conflict'),
+  (5, 'UNKNOWN', 'UNKNOWN', '', '', '', 'Male', '', '', '', '', '', '', '', '', '', '', 'https://www.sanctionsmap.eu/#/main/travel/ban', '', 'EU TRAVEL BAN', '', '', '', '', '', '', '', '', '', 'empty_unique'))
+     t("entity_seq", "FULL_NAME", "CATEGORY", "F_NAME", "M_NAME", "L_NAME", "GENDER", "DOB", "ADD_CITY", "ADD_COUNTRY", "STATE", "NATIONALITIES", "ADDRESS", "IDENTITY NUMBER", "IDENTITY TYPE", "REF_DATE", "DETAILS", "WEB_LINK", "VIOLATION_ID", "SOURCE", "ALIAS", "ASSOCIATES", "MAIN ACTIVITY", "CITIZENSHIP INFORMATION", "STATUS", "REM1", "REM2", "REM3", "REMARKS", "REM2_STATE")"""
+
+
+@register("pipeline_e2e", oracle=_PIPELINE_E2E_GOLDEN)
 def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.pipeline import run_pipeline
 
@@ -780,7 +798,41 @@ def s_watchlist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows-only (XML fixture input); equality of the *_x twins is pinned by
 # tests/test_training_ext2.py.
 # --------------------------------------------------------------------------
-@register("xml_xpath_extract")
+def _xml_xpath_oracle() -> str:
+    """VALUES oracle for xml_xpath_extract (round-7 conversion): the
+    same import-time ElementTree walk as _xml_split_oracle, with each
+    field emitted TWICE — once for the datasource columns, once for
+    the xpath_* cross-extraction columns. If Spark's XPath engine ever
+    disagrees with the structural parse, the value hash breaks."""
+    import xml.etree.ElementTree as ET
+
+    def q(v):
+        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+    rows, seq = [], 0
+    root = ET.parse(_fixture_path("feed.xml")).getroot()
+    for elem in root.iter():
+        if elem.tag.rsplit("}", 1)[-1] != "sanctionEntity":
+            continue
+        seq += 1
+        subject = elem.find("{*}subjectType")
+        ref = elem.get("euReferenceNumber")
+        code = subject.get("code") if subject is not None else None
+        nal = sum(1 for x in elem.iter()
+                  if x.tag.rsplit("}", 1)[-1] == "nameAlias")
+        rows.append(f"({seq}, {q(ref)}, {q(code)}, {nal}, "
+                    f"{q(ref or '')}, {q(code or '')}, {nal})")
+    return f"""
+SELECT CAST(entity_seq AS INTEGER) AS entity_seq, eu_ref, subject_code,
+       CAST(n_aliases AS INTEGER) AS n_aliases, eu_ref_x, subject_code_x,
+       CAST(n_aliases_x AS INTEGER) AS n_aliases_x
+FROM (VALUES {", ".join(rows)})
+     t(entity_seq, eu_ref, subject_code, n_aliases, eu_ref_x,
+       subject_code_x, n_aliases_x)
+"""
+
+
+@register("xml_xpath_extract", oracle=_xml_xpath_oracle())
 def xml_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.sources import python_datasource as pds
 
@@ -903,7 +955,58 @@ _PHONETIC_PROBES = (
 )
 
 
-@register("s_phonetic_screen")
+def _sql_soundex(expr: str) -> str:
+    """American Soundex in pure DuckDB SQL, value-identical to Spark's
+    F.soundex on this op's domain (A-Z-leading first tokens): strip
+    non-alpha, remove H/W from position 2+ (the H/W-transparent
+    duplicate rule), translate to digit classes (vowels -> 0 so they
+    SEPARATE duplicates), collapse runs WITH the first letter's digit
+    participating, then drop zeros and pad."""
+    u = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    full = f"(substr({u}, 1, 1) || regexp_replace(substr({u}, 2), '[HW]', '', 'g'))"
+    digits = (f"translate({full}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+              f"'01230120022455012623010202')")
+    # DuckDB regexp is RE2 (no backreferences): collapse
+    # same-digit runs with one chained replace per digit class
+    collapsed = digits
+    for d in "0123456":
+        collapsed = (f"regexp_replace({collapsed}, "
+                     f"'{d}{d}+', '{d}', 'g')")
+    tail = f"regexp_replace(substr({collapsed}, 2), '0', '', 'g')"
+    return f"(substr({u}, 1, 1) || substr({tail} || '000', 1, 3))"
+
+
+_PHONETIC_ORACLE_TMPL = """
+WITH {aliases_cte},
+wl0 AS (
+  SELECT entity_id, alias_idx,
+         string_split(trim(upper({clean})), ' ')[1] AS wl_name
+  FROM aliases
+),
+wl AS (
+  SELECT entity_id, alias_idx, wl_name, {wl_sdx} AS code
+  FROM wl0
+  WHERE length(wl_name) > 0 AND regexp_matches(wl_name, '^[A-Z]')
+),
+probes AS (
+  SELECT probe, {probe_sdx} AS code
+  FROM (VALUES {probe_vals}) p(probe)
+)
+SELECT p.probe, p.code, wl.entity_id, wl.alias_idx, wl.wl_name
+FROM wl JOIN probes p ON wl.code = p.code
+"""
+
+
+def _phonetic_oracle() -> str:
+    return _PHONETIC_ORACLE_TMPL.format(
+        aliases_cte=fx.sql_cte("aliases"),
+        clean=nm.sql_clean_fullname("whole_name"),
+        wl_sdx=_sql_soundex("wl_name"),
+        probe_sdx=_sql_soundex("upper(probe)"),
+        probe_vals=", ".join(f"('{p}')" for p in _PHONETIC_PROBES))
+
+
+@register("s_phonetic_screen", oracle=_phonetic_oracle())
 def s_phonetic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     al = fx.spark_df(spark, "aliases")
     first = F.element_at(F.split(F.trim(F.upper(

@@ -595,12 +595,10 @@ _ROWS_ONLY_VALUE_PINS = {
     "mm_phash": ("test_multimodal.py", "test_mm_phash_pairs_exact_dups_and_replays"),
     "mm_resize": ("test_multimodal.py", "test_mm_phash_pairs_exact_dups_and_replays"),
     "mm_spectral": ("test_multimodal.py", "test_mm_spectral_matches_numpy_replay"),
-    "pipeline_e2e": ("test_pipeline.py", "test_pipeline_end_to_end"),
     "pr_implicit_als": ("test_training_ext3.py", "test_pr_implicit_als_matches_numpy_replay"),
     "q_approx_sketch": ("test_relational.py", "test_approx_sketch_within_tolerance"),
     "q_sketch_merge": ("test_relational_ext.py", "test_sketch_merge_identity_and_accuracy"),
     "s_alias_graph": ("test_analytics2.py", "test_alias_graph_replay"),
-    "s_phonetic_screen": ("test_sanctions_ops.py", "test_s_phonetic_screen_matches_python_soundex"),
     "sim_ann_ivf": ("test_ivf.py", "test_ivf_recall_floor_and_validity"),
     "sim_ann_ivfpq": ("test_ivf.py", "test_sim_ann_ivfpq_recall_vs_bruteforce"),
     "sim_ann_pq": ("test_ivf.py", "test_pq_topk_recall_and_determinism"),
@@ -612,7 +610,6 @@ _ROWS_ONLY_VALUE_PINS = {
     "tok_unigram_lm": ("test_training_ext3.py", "test_tok_unigram_lm_matches_python_em_replay"),
     "tok_wordpiece": ("test_analytics.py", "test_wordpiece_replay"),
     "tx_compress_ratio": ("test_training_ext.py", "test_compress_ratio_matches_direct_zlib"),
-    "xml_xpath_extract": ("test_training_ext2.py", "test_xml_xpath_matches_python_datasource"),
 }
 
 
