@@ -1548,11 +1548,48 @@ def tt_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sanctions.py:86) are aliases of the same underlying actor; the
 # transitive closure is exactly connected components over the
 # shared-key pair graph (operators/dedup.py:417's min-label
-# propagation + pointer jumping). Rows-only: the iterative CC has no
-# single-query SQL twin; exact cluster semantics pinned in
-# tests/test_analytics2.py via a python union-find replay.
+# propagation + pointer jumping). Oracled (round-7 conversion): the
+# transitive closure replays in DuckDB as a WITH RECURSIVE
+# reachability walk (component id = min reachable id — exact on any
+# graph, practical on the fixture's entity count); the python
+# union-find replay in tests/test_analytics2.py stays as the third
+# independent check.
 # ---------------------------------------------------------------------------
-@register("s_alias_graph")
+def _alias_graph_oracle() -> str:
+    from sanctions_data_pipeline_spark.data import sanctions_fixture as fx
+    from sanctions_data_pipeline_spark.functions import names as _nm
+
+    return f"""
+WITH RECURSIVE {fx.sql_cte("aliases")},
+vk AS (
+  SELECT DISTINCT entity_id, v[i] AS variant_key
+  FROM (SELECT entity_id, {_nm.sql_variant_keys("whole_name")} AS v
+        FROM aliases) q,
+       LATERAL (SELECT generate_subscripts(v, 1) AS i) s
+),
+pairs AS (
+  SELECT DISTINCT a.entity_id AS i, b.entity_id AS j
+  FROM vk a JOIN vk b USING (variant_key)
+  WHERE a.entity_id < b.entity_id
+),
+edges AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+nodes AS (SELECT DISTINCT entity_id AS id FROM vk),
+reach AS (
+  SELECT id AS a, id AS b FROM nodes
+  UNION
+  SELECT r.a, e.j AS b FROM reach r JOIN edges e ON r.b = e.i
+),
+comp AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a)
+SELECT CAST(c.id AS INTEGER) AS entity_id,
+       CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       CAST(z.cnt AS BIGINT) AS cluster_size
+FROM comp c JOIN (SELECT cluster_id, count(*) AS cnt
+                  FROM comp GROUP BY cluster_id) z
+  ON c.cluster_id = z.cluster_id
+"""
+
+
+@register("s_alias_graph", oracle=_alias_graph_oracle())
 def s_alias_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.operators.dedup import (
         connected_components)

@@ -598,7 +598,6 @@ _ROWS_ONLY_VALUE_PINS = {
     "pr_implicit_als": ("test_training_ext3.py", "test_pr_implicit_als_matches_numpy_replay"),
     "q_approx_sketch": ("test_relational.py", "test_approx_sketch_within_tolerance"),
     "q_sketch_merge": ("test_relational_ext.py", "test_sketch_merge_identity_and_accuracy"),
-    "s_alias_graph": ("test_analytics2.py", "test_alias_graph_replay"),
     "sim_ann_ivf": ("test_ivf.py", "test_ivf_recall_floor_and_validity"),
     "sim_ann_ivfpq": ("test_ivf.py", "test_sim_ann_ivfpq_recall_vs_bruteforce"),
     "sim_ann_pq": ("test_ivf.py", "test_pq_topk_recall_and_determinism"),
