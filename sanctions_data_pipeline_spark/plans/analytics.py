@@ -892,8 +892,12 @@ def tok_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus itself (all single characters + the most frequent length-2..4
 # word substrings, position-tagged), bounded driver state like the
 # unigram model. The greedy loop runs as one JVM higher-order fold per
-# word — no Python per row. Rows-only (the trained vocab has no SQL
-# twin); pytest replays train + encode in pure python.
+# word — no Python per row. Oracled (round-7 conversion): the trained
+# vocab DOES have a SQL twin — the top-60 ranking is deterministic
+# (count desc, piece asc) and the greedy longest-match walk replays
+# as a WITH RECURSIVE cursor over (word, pos) with a precomputed
+# best-match-length table; the pure-python train+encode replay in
+# tests/test_analytics.py stays as the third independent check.
 #
 # Scale: vocab training is one bounded TakeOrdered over substring
 # counts; encoding is a map-side corpus pass over DISTINCT words.
@@ -981,7 +985,69 @@ def wordpiece_pieces(word, vocab: set[str]):
     return F.aggregate(F.sequence(F.lit(1), n), init, step)
 
 
-@register("tok_wordpiece")
+_WORDPIECE_ORACLE = f"""
+WITH RECURSIVE
+t AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+),
+tw AS (SELECT doc_id, w FROM t WHERE length(w) > 0),
+words AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY w),
+subs AS (
+  SELECT CASE WHEN i = 1 THEN substr(w, 1, CAST(ln AS INTEGER))
+              ELSE '##' || substr(w, CAST(i AS INTEGER),
+                                  CAST(ln AS INTEGER)) END AS p,
+         sum(c) AS n
+  FROM words,
+       LATERAL (SELECT unnest(range(2, {_WP_MAX_LEN + 1})) AS ln) l,
+       LATERAL (SELECT unnest(range(1, length(w) - ln + 2)) AS i) s
+  GROUP BY 1
+),
+top AS (SELECT p FROM subs ORDER BY n DESC, p LIMIT {_WP_VOCAB}),
+chars AS (
+  SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS ch
+  FROM words, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) s
+),
+vocab AS (
+  SELECT p FROM top
+  UNION SELECT ch FROM chars
+  UNION SELECT '##' || ch FROM chars
+),
+dw AS (SELECT DISTINCT w FROM tw),
+pos AS (
+  SELECT w, CAST(i AS INTEGER) AS pos
+  FROM dw, LATERAL (SELECT unnest(range(0, length(w))) AS i) s
+),
+best AS (
+  SELECT p.w, p.pos, CAST(max(l.ln) AS INTEGER) AS best_ln
+  FROM pos p
+  JOIN (SELECT unnest(range(1, {_WP_MAX_LEN + 1})) AS ln) l
+    ON p.pos + l.ln <= length(p.w)
+  JOIN vocab v
+    ON v.p = CASE WHEN p.pos = 0
+                  THEN substr(p.w, 1, CAST(l.ln AS INTEGER))
+                  ELSE '##' || substr(p.w, p.pos + 1,
+                                      CAST(l.ln AS INTEGER)) END
+  GROUP BY p.w, p.pos
+),
+walk AS (
+  SELECT w, 0 AS pos, 0 AS np FROM dw
+  UNION ALL
+  SELECT wk.w, wk.pos + b.best_ln, wk.np + 1
+  FROM walk wk JOIN best b ON b.w = wk.w AND b.pos = wk.pos
+  WHERE wk.pos < length(wk.w)
+),
+enc AS (SELECT w, CAST(max(np) AS BIGINT) AS np FROM walk GROUP BY w)
+SELECT tw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(e.np) AS BIGINT) AS n_pieces,
+       CAST(0 AS BIGINT) AS n_unk_words,
+       round(CAST(sum(e.np) AS DOUBLE) / count(*), 6) AS pieces_per_word
+FROM tw JOIN enc e ON tw.w = e.w
+GROUP BY tw.doc_id
+"""
+
+
+@register("tok_wordpiece", oracle=_WORDPIECE_ORACLE)
 def tok_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.operators import textstats as tx
 

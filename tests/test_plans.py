@@ -607,7 +607,6 @@ _ROWS_ONLY_VALUE_PINS = {
     "tok_bpe_merges": ("test_training_ext2.py", "test_tok_bpe_merges_matches_python_bpe"),
     "tok_fertility": ("test_training_ext3.py", "test_tok_fertility_ordering_laws"),
     "tok_unigram_lm": ("test_training_ext3.py", "test_tok_unigram_lm_matches_python_em_replay"),
-    "tok_wordpiece": ("test_analytics.py", "test_wordpiece_replay"),
     "tx_compress_ratio": ("test_training_ext.py", "test_compress_ratio_matches_direct_zlib"),
 }
 
