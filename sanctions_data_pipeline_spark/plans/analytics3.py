@@ -1991,7 +1991,7 @@ FROM z GROUP BY bucket
 """
 
 
-@register("io_zorder_clustering", oracle=_ZORDER_ORACLE)
+@register("io_zorder_clustering", headline=True, oracle=_ZORDER_ORACLE)
 def io_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bounds = li.agg(
@@ -2054,7 +2054,7 @@ GROUP BY g.doc_id
 """
 
 
-@register("tx_ngram_novelty", oracle=_NOVELTY_ORACLE)
+@register("tx_ngram_novelty", headline=True, oracle=_NOVELTY_ORACLE)
 def tx_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length("text") > 0)
