@@ -2208,9 +2208,9 @@ x AS (
 )
 SELECT o.n AS n_orders, l.n AS n_lineitem,
        o.ndv AS ndv_orders, l.ndv AS ndv_lineitem,
-       CAST(o.n * l.n / greatest(o.ndv, l.ndv) AS BIGINT) AS est_card,
+       CAST(o.n * l.n / greatest(o.ndv, l.ndv, 1) AS BIGINT) AS est_card,
        x.exact_card,
-       round(CAST(o.n * l.n / greatest(o.ndv, l.ndv) AS DOUBLE)
+       round(CAST(o.n * l.n / greatest(o.ndv, l.ndv, 1) AS DOUBLE)
              / x.exact_card, 6) AS est_over_exact
 FROM o, l, x
 """
@@ -2231,8 +2231,10 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = (oc.join(lc, "k")
          .agg(F.sum(F.col("oc") * F.col("lc")).cast("bigint")
               .alias("exact_card")))
+    # greatest(..., 1): an empty side has ndv 0 and ANSI mode raises
+    # DIVIDE_BY_ZERO — the estimate is 0 either way
     est = (F.col("n_orders") * F.col("n_lineitem")
-           / F.greatest("ndv_orders", "ndv_lineitem")).cast("bigint")
+           / F.greatest("ndv_orders", "ndv_lineitem", F.lit(1))).cast("bigint")
     return (o.crossJoin(l).crossJoin(x)
             .select("n_orders", "n_lineitem", "ndv_orders", "ndv_lineitem",
                     est.alias("est_card"), "exact_card",

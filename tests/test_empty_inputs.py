@@ -209,3 +209,48 @@ def test_dynamic_partition_overwrite_empty_slice_keeps_partition(spark, tmp_path
            registry.queries()["io_dynamic_partition_overwrite"](
                spark, d).collect()}
     assert got == {"error": 5, "click": 7}  # error partition untouched
+
+
+def test_round7_ops_tolerate_empty_tables(spark, sf_dir, tmp_path):
+    """Round-7 additions must run (empty or well-defined bounded
+    output) when their driving table is EMPTY — the straggler /
+    fresh-partition shape. Covers documents-, events-, lineitem- and
+    orders-driven new ops."""
+    import os
+
+    d = str(tmp_path / "sf_empty7")
+    os.makedirs(d, exist_ok=True)
+    from sanctions_data_pipeline_spark.plans import registry
+    qs = registry.queries()
+
+    # all four driving tables emptied at once (dims intact)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "embeddings"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(d, f"{t}.parquet"))
+    for t in ("documents", "events", "lineitem", "orders"):
+        load_table(spark, sf_dir, t).limit(0).write.parquet(
+            os.path.join(d, f"{t}.parquet"), mode="overwrite")
+
+    # empty-result ops
+    for name in ("tx_ngram_novelty", "q_bitemporal_asof",
+                 "io_zorder_clustering", "q_incremental_mv"):
+        assert qs[name](spark, d).collect() == [], name
+    # bounded-output ops: defined row sets with zero/NULL metrics
+    stats = qs["io_stats_collect"](spark, d).collect()
+    assert len(stats) == 7 and all(r.ndv == 0 and r.n_nulls == 0
+                                   for r in stats)
+    folds = qs["tt_purged_cv"](spark, d).collect()
+    assert folds == [] or all(
+        r.n_test == 0 and r.n_train == 0 for r in folds)
+    bloom = qs["dd_bloom_prejoin"](spark, d).collect()
+    assert len(bloom) == 1 and bloom[0].n_probed == 0 \
+        and bloom[0].n_passed == 0
+    card = qs["q_join_cardinality_estimate"](spark, d).collect()
+    assert card == [] or card[0].exact_card in (None, 0)
+    stump = qs["ml_decision_stump"](spark, d).collect()
+    assert stump == [] or all(r.n_left == 0 and r.n_right == 0
+                              for r in stump)
+    dq = {r.check_name: r for r in qs["dq_expectations"](spark, d).collect()}
+    assert len(dq) == 6 and dq["row_count_positive"].passed is False
