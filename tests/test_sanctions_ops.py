@@ -375,7 +375,7 @@ def test_gender_dictionary_round7_coverage_pin():
     from sanctions_data_pipeline_spark.data import gender_names_bulk2 as b2
 
     dic = dict(gender_dict.rows())
-    assert len(dic) >= 16500  # 9,096 at round-6 close -> ~17k
+    assert len(dic) >= 20000  # the r05/r06 verdict target, reached round 7
     # the wave ships conflict-free and fully screened
     assert not (set(b2.MALE_BULK2) & set(b2.FEMALE_BULK2))
 
