@@ -1,7 +1,19 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO JSON lines:
+  1. detail:  {"detail": "per_query", "queries": {...min...},
+               "queries_median": {...}}
+  2. summary: {"metric": ..., "value": total_sec, "unit": "sec",
+               "sf": ..., "n_queries": N, "runs_per_query": N,
+               "legacy20_subtotal": sec, "likeforlike45_subtotal": sec}
+
+The SUMMARY is the LAST line and stays well under 2000 chars: the
+driver records only the tail of stdout, and round 7's single combined
+line outgrew that window (BENCH_r07.json "parsed": null — VERDICT r07
+"what's wrong" item 1). Per-query dicts ride the preceding line for
+human/builder analysis; the gate subtotals (legacy-20 <= 21.5 s on an
+idle box, 45-query like-for-like vs BENCH_r05) are computed here so
+the official record carries them directly.
 """
 
 from __future__ import annotations
@@ -15,6 +27,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sanctions_data_pipeline_spark.plans import registry
 from sanctions_data_pipeline_spark.session import get_spark
+
+# The BENCH_r01 query set (frozen r01 total 28.83 s): the regression
+# gate is best-of-N subtotal <= 21.5 s on an idle box (BENCH_BASELINE.md
+# "Legacy-20 regression gate", enforced from round 7).
+LEGACY_20 = frozenset({
+    "dd_cluster", "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard",
+    "dd_simhash", "dd_span_dedup", "mm_decode", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "q_asof_join", "q_events_bucketed", "q_range_join", "q_sessionize",
+    "q_skew_salted", "sim_ann_lsh", "sim_topk_bruteforce", "st_session",
+    "tx_langid",
+})
+
+# The BENCH_r05 45-query headline set: the like-for-like series used to
+# compare rounds after the headline set grew (r05 single-shot 54.69 s;
+# r07 best-of-3 45.54 s).
+LIKE_FOR_LIKE_45 = frozenset({
+    "dd_cluster", "dd_exact", "dd_line_dedup", "dd_minhash_lsh",
+    "dd_minhash_lsh_portable", "dd_ngram_jaccard", "dd_simhash",
+    "dd_span_dedup", "dd_winnow", "dp_span_mask", "dq_drift_fdr",
+    "emb_centroid_classify", "mm_decode", "mm_phash", "pr_user_recs",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q_asof_join", "q_attribution",
+    "q_bollinger_bands", "q_events_bucketed", "q_hhi_concentration",
+    "q_kaplan_meier", "q_linear_interpolate", "q_lorenz_deciles",
+    "q_range_join", "q_recursive_walk", "q_sessionize", "q_skew_salted",
+    "q_winsorize", "sim_ann_ivfpq", "sim_ann_lsh", "sim_maxsim",
+    "sim_rrf_fusion", "sim_topk_bruteforce", "st_session",
+    "tok_bpe_merges", "tok_unigram_lm", "tx_bigram_pmi", "tx_bm25",
+    "tx_keyness", "tx_langid", "tx_perplexity",
+})
 
 
 def main() -> None:
@@ -68,20 +111,38 @@ def main() -> None:
         mid = len(srt) // 2
         med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
         medians[name] = round(med, 3)
-    total = round(sum(timings.values()), 3)
     try:
         sf_out: float | str = float(sf)
     except ValueError:  # scaled tiers like "0.1x3" (tools/scale_up.py)
         sf_out = sf
-    print(json.dumps({
+    for line in emit_lines(timings, medians, n_runs, sf_out):
+        print(line)
+
+
+def emit_lines(timings: dict[str, float], medians: dict[str, float],
+               n_runs: int, sf_out) -> list[str]:
+    """Detail line first (can be arbitrarily long), compact summary
+    LAST so the driver's bounded stdout tail always parses it. The
+    summary size is independent of the headline-set size."""
+    total = round(sum(timings.values()), 3)
+    detail = json.dumps({
+        "detail": "per_query",
+        "queries": timings,            # per-query min over runs_per_query
+        "queries_median": medians,     # per-query median (noise context)
+    })
+    summary = json.dumps({
         "metric": "headline_query_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,            # per-query min over runs_per_query
-        "queries_median": medians,     # per-query median (noise context)
-        "runs_per_query": n_runs,
         "sf": sf_out,
-    }))
+        "n_queries": len(timings),
+        "runs_per_query": n_runs,
+        "legacy20_subtotal": round(
+            sum(v for k, v in timings.items() if k in LEGACY_20), 3),
+        "likeforlike45_subtotal": round(
+            sum(v for k, v in timings.items() if k in LIKE_FOR_LIKE_45), 3),
+    })
+    return [detail, summary]
 
 
 if __name__ == "__main__":

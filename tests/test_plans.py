@@ -380,6 +380,41 @@ def test_survey_registry_sync():
         m and m.group(1), len(qs) - len(os_))
 
 
+def test_bench_summary_line_is_last_and_bounded():
+    """The driver records only the tail of bench.py's stdout (~2000
+    chars); BENCH_r07.json lost its headline ("parsed": null) when the
+    single combined JSON line outgrew that window. Pin the round-8
+    contract: the LAST emitted line is a compact summary that parses,
+    carries the metric + gate subtotals, and stays bounded even if the
+    headline set triples."""
+    import json as _json
+
+    import bench
+
+    # 160 synthetic headliners — 3x the current 51-query set
+    timings = {f"q_synthetic_{i:03d}": 1.234 for i in range(160)}
+    timings.update({k: 0.5 for k in bench.LEGACY_20})
+    medians = {k: v + 0.1 for k, v in timings.items()}
+    lines = bench.emit_lines(timings, medians, 3, 0.1)
+    summary = _json.loads(lines[-1])
+    assert summary["metric"] == "headline_query_total_runtime"
+    assert summary["unit"] == "sec"
+    assert summary["runs_per_query"] == 3
+    assert summary["n_queries"] == len(timings)
+    assert summary["legacy20_subtotal"] == round(0.5 * 20, 3)
+    assert "likeforlike45_subtotal" in summary
+    assert len(lines[-1]) < 1000, len(lines[-1])
+    # the per-query detail parses too, on a PRECEDING line
+    detail = _json.loads(lines[0])
+    assert detail["queries"] == timings
+    assert detail["queries_median"] == medians
+    # the gate/like-for-like sets are subsets of the real registry
+    from sanctions_data_pipeline_spark.plans import registry as reg
+    names = set(reg.queries())
+    assert bench.LEGACY_20 <= names
+    assert bench.LIKE_FOR_LIKE_45 <= names
+
+
 def test_rotation_staging_covers_remaining_pool():
     """plans/registry.py stages the round-6/7 driver windows as
     comments; they must name EXACTLY the still-never-driver-checked
