@@ -213,37 +213,9 @@ _R06_CHECKED = frozenset({
 
 _DRIVER_CHECKED = _DRIVER_CHECKED | _R06_CHECKED
 
-# Explicit priority for the round-7 driver 50-entry correctness window:
-# 50 never-driver-checked SQL-oracled entries (the pre-staged ROUND-7
-# block, promoted). Names absent from the registry are skipped;
-# unlisted unchecked names follow in registration order.
-#
-# Rotation plan for the remaining never-checked oracled pool (the
-# ROUND-8 block below) — round 8 is mechanical: fold this window into
-# _R07_CHECKED, move the ROUND-8 names into _ORACLE_PRIORITY, and stage
-# any round-7/8 additions as a ROUND-9 block. The staging test
-# (tests/test_plans.py::test_rotation_staging_covers_remaining_pool)
-# keeps the staged blocks exactly equal to the never-checked pool.
-#
-# STAGED ROTATION BLOCKS (parsed by the staging test — everything from
-# here to the priority-tuple assignment below must name exactly the
-# never-checked SQL-oracled entries not already in the priority tuple):
-# ROUND-8 WINDOW (22 staged at round-7 open; round-7 additions append):
-#   q_nelson_aalen q_group_percentiles tok_mincount_sweep
-#   q_kendall_tau q_gk_gamma s_translit_match q_rolling_beta
-#   q_session_stats ml_kmeans_step q_audience_overlap
-#   io_dynamic_partition_overwrite q_watermark_advice
-#   dd_minhash_est_error gr_label_prop gr_bfs_layers
-#   q_cusum_changepoint pr_copurchase ml_group_fit
-#   io_bucketed_join io_parquet_codecs io_compact_small_files
-#   q_mergeable_stats gr_pagerank q_holt_forecast xml_stream_split
-#   xml_pysource_split pdf_chunk_extract xml_entity_extract
-#   io_zorder_clustering tx_ngram_novelty q_bitemporal_asof
-#   io_stats_collect q_join_cardinality_estimate dd_bloom_prejoin
-#   tt_purged_cv q_incremental_mv ml_decision_stump dq_expectations
-#   pipeline_e2e xml_xpath_extract s_phonetic_screen s_alias_graph
-#   tok_wordpiece dp_padding_batches
-_ORACLE_PRIORITY = (
+# Queries the round-7 driver hash-verified (CORRECTNESS_r07.json: 50/50
+# green — the analytics2/analytics3 tail window).
+_R07_CHECKED = frozenset({
     "q_price_dispersion", "tok_vocab_overlap", "q_mann_whitney",
     "q_friedman_test", "sim_avg_precision", "q_control_chart",
     "q_rolling_corr", "q_cumulative_unique", "q_stickiness",
@@ -260,6 +232,46 @@ _ORACLE_PRIORITY = (
     "tx_dedup_impact", "tt_group_kfold", "s_name_idf_score", "q_cagr",
     "q_linear_interpolate", "dq_drift_fdr", "st_left_outer_join",
     "q_ljung_box", "q_decile_lift", "q_price_elasticity",
+})
+
+_DRIVER_CHECKED = _DRIVER_CHECKED | _R07_CHECKED
+
+# Explicit priority for the round-8 driver 50-entry correctness window:
+# the 44 staged-at-round-7 never-driver-checked SQL-oracled entries
+# (including the 4 r02 `no_oracle`-era entries that gained SQL oracles
+# in round 7 — pipeline_e2e, xml_entity_extract, pdf_chunk_extract,
+# xml_pysource_split — and gr_pagerank, whose plan changed in round 7),
+# plus rows-only entries that gain SQL oracles during round 8 (appended
+# to fill the window to 50). Names absent from the registry are
+# skipped; unlisted unchecked names follow in registration order.
+#
+# Rotation plan — round 9 is mechanical: fold this window into
+# _R08_CHECKED, move any ROUND-9 staged names into _ORACLE_PRIORITY,
+# and stage later additions as a ROUND-10 block. The staging test
+# (tests/test_plans.py::test_rotation_staging_covers_remaining_pool)
+# keeps the staged blocks exactly equal to the never-checked pool.
+#
+# STAGED ROTATION BLOCKS (parsed by the staging test — everything from
+# here to the priority-tuple assignment below must name exactly the
+# never-checked SQL-oracled entries not already in the priority tuple):
+# ROUND-9 WINDOW (empty at round-8 open; round-8 oracled additions
+# beyond the 50-entry round-8 window append here):
+_ORACLE_PRIORITY = (
+    "q_nelson_aalen", "q_group_percentiles", "tok_mincount_sweep",
+    "q_kendall_tau", "q_gk_gamma", "s_translit_match", "q_rolling_beta",
+    "q_session_stats", "ml_kmeans_step", "q_audience_overlap",
+    "io_dynamic_partition_overwrite", "q_watermark_advice",
+    "dd_minhash_est_error", "gr_label_prop", "gr_bfs_layers",
+    "q_cusum_changepoint", "pr_copurchase", "ml_group_fit",
+    "io_bucketed_join", "io_parquet_codecs", "io_compact_small_files",
+    "q_mergeable_stats", "gr_pagerank", "q_holt_forecast",
+    "xml_stream_split", "xml_pysource_split", "pdf_chunk_extract",
+    "xml_entity_extract", "io_zorder_clustering", "tx_ngram_novelty",
+    "q_bitemporal_asof", "io_stats_collect",
+    "q_join_cardinality_estimate", "dd_bloom_prejoin", "tt_purged_cv",
+    "q_incremental_mv", "ml_decision_stump", "dq_expectations",
+    "pipeline_e2e", "xml_xpath_extract", "s_phonetic_screen",
+    "s_alias_graph", "tok_wordpiece", "dp_padding_batches",
 )
 
 
