@@ -84,7 +84,10 @@ _R01_PROVEN = frozenset({
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q_top_customers_window", "q_priority_pivot",
     "q_rollup_sales", "q_semi_anti", "q_distinct_union", "q_events_bucketed",
-    "q_sessionize", "q_skew_salted", "q_cube_sales", "q_approx_sketch",
+    # q_approx_sketch was r01-checked as rows-only; it gained a SQL
+    # oracle in round 8 (exact counts + invariant booleans) and moved
+    # into the round-8 window for hash verification.
+    "q_sessionize", "q_skew_salted", "q_cube_sales",
     "q17_small_qty", "q_grouping_sets", "q_percentile", "q_moving_avg",
     "q_argmax", "q_intersect_except", "q_json_props", "q_gap_fill",
     "q_unpivot", "q_stats_moments", "q_upsert_latest", "q13_custdist",
@@ -272,6 +275,10 @@ _ORACLE_PRIORITY = (
     "q_incremental_mv", "ml_decision_stump", "dq_expectations",
     "pipeline_e2e", "xml_xpath_extract", "s_phonetic_screen",
     "s_alias_graph", "tok_wordpiece", "dp_padding_batches",
+    # round-8 oracle conversions (were rows-only; exact-count +
+    # invariant-boolean oracles for the sketch ops, full shard
+    # accounting for the packer) — fill the window to 47:
+    "q_approx_sketch", "q_sketch_merge", "dp_pack_sequences",
 )
 
 

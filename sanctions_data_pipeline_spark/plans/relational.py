@@ -441,17 +441,38 @@ def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t-digest-style approximate quantiles. THE at-scale substitute for
 # exact COUNT(DISTINCT)/percentile: fixed-size mergeable sketch state
 # flows through the map-side combine, no per-key explosion, one narrow
-# shuffle of sketch buffers. Rows-only (sketch internals are
-# engine-specific); tests/test_relational.py pins accuracy vs exact.
+# shuffle of sketch buffers.
+#
+# Oracle contract: sketch ESTIMATES are engine-specific, so the query
+# emits (a) the exact counts (hash-verified cross-engine) and (b) the
+# accuracy invariants AS BOOLEAN COLUMNS computed in-query — HLL++
+# estimate within 3*rsd of the exact distinct, approx-median inside
+# the exact [p45, p55] band — which the oracle states as literals.
+# A sketch regression flips a boolean and fails the driver hash; the
+# raw-estimate tolerance pin in tests/test_relational.py remains.
 # --------------------------------------------------------------------------
-@register("q_approx_sketch")
+@register("q_approx_sketch", oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_within_rsd,
+       TRUE AS median_in_band
+FROM events GROUP BY event_type
+""")
 def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
-            lcount("n_events"),
-        )
-    )
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.45)").alias("p45"),
+        F.expr("percentile(value, 0.55)").alias("p55"),
+        lcount("n_events"))
+    tol = F.greatest(F.lit(2.0), F.lit(0.03) * F.col("exact_users"))
+    return agg.select(
+        "event_type", "n_events",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= tol)
+        .alias("users_within_rsd"),
+        ((F.col("approx_median") >= F.col("p45"))
+         & (F.col("approx_median") <= F.col("p55"))).alias("median_in_band"))

@@ -768,24 +768,54 @@ def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL, Spark 3.5+): per-event-type user sketches REAGGREGATE to the
 # global estimate by unioning sketch BLOBS, never re-scanning raw
 # rows. This is the at-scale rollup contract (daily sketches -> any
-# period) that plain approx_count_distinct cannot provide. Rows-only:
-# DuckDB's HLL is a different implementation; estimates and the
-# merge-vs-direct identity are pinned in tests/test_relational_ext.py.
+# period) that plain approx_count_distinct cannot provide.
+#
+# Oracle contract (same pattern as q_approx_sketch): DuckDB's HLL is
+# a different implementation, so the estimates cross the driver hash
+# as in-query INVARIANT BOOLEANS — per-type estimate within 2% of the
+# exact distinct, union-of-sketches estimate equal to the direct
+# global sketch's (the merge identity), and that union estimate
+# within 2% of the exact global distinct — beside the exact counts,
+# which hash-match bit-for-bit. Raw estimate values stay pinned in
+# tests/test_relational_ext.py.
 # --------------------------------------------------------------------------
-@register("q_sketch_merge")
+@register("q_sketch_merge", oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+         AS exact_total,
+       TRUE AS est_within_2pct,
+       TRUE AS merge_eq_direct,
+       TRUE AS total_within_2pct
+FROM events GROUP BY event_type
+""")
 def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     per = (ev.groupBy("event_type")
            .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
                 F.count_distinct("user_id").alias("exact_users")))
     merged = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"))
-    return (per.select(
-        "event_type",
-        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
-        F.col("exact_users").cast("bigint").alias("exact_users"))
-        .crossJoin(F.broadcast(
-            merged.select(F.col("est_total").cast("bigint").alias("est_total")))))
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint")
+        .alias("est_total"))
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+        .cast("bigint").alias("direct_total"),
+        F.count_distinct("user_id").alias("exact_total"))
+    est = F.hll_sketch_estimate("sk").cast("bigint")
+    tol = lambda exact: F.greatest(F.lit(2.0), F.lit(0.02) * exact)  # noqa: E731
+    return (per
+            .crossJoin(F.broadcast(merged))
+            .crossJoin(F.broadcast(direct))
+            .select(
+                "event_type",
+                F.col("exact_users").cast("bigint").alias("exact_users"),
+                F.col("exact_total").cast("bigint").alias("exact_total"),
+                (F.abs(est - F.col("exact_users"))
+                 <= tol(F.col("exact_users"))).alias("est_within_2pct"),
+                (F.col("est_total") == F.col("direct_total"))
+                .alias("merge_eq_direct"),
+                (F.abs(F.col("est_total") - F.col("exact_total"))
+                 <= tol(F.col("exact_total"))).alias("total_within_2pct")))
 
 
 # --------------------------------------------------------------------------

@@ -1333,16 +1333,44 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (~16 docs), so no task ever holds a language's whole corpus, exactly
 # how production packers shard before concatenating. JVM-side
 # throughout: transform/flatten/slice on arrays, one window rank +
-# one groupBy shuffle. Rows-only: window-length and token-conservation
-# invariants are pinned in tests (the hash-vocab ids have no SQL twin
-# cheap enough to matter).
+# one groupBy shuffle.
+#
+# The registered query emits the full shard accounting — every
+# (lang, bucket, win_idx) window with its token count — which the SQL
+# oracle reproduces end-to-end (same md5 doc order, same 16-doc
+# bucketing, same 512-slice arithmetic), so window layout is
+# hash-verified cross-engine. The window CONTENT (hash-vocab ids via
+# xxhash64, which has no DuckDB twin) stays pinned by the
+# determinism/conservation pytest over `dp_pack_sequences_full`.
 # --------------------------------------------------------------------------
 _EOD = 50_000  # one past the hash-vocab max id
 _SEQ_LEN = 512
 
+_PACK_SEQ_ORACLE = f"""
+WITH d AS (
+  SELECT lang, doc_id, CAST(len({_TOKS}) + 1 AS BIGINT) AS n
+  FROM documents
+),
+r AS (
+  SELECT lang, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           - 1 AS rnk
+  FROM d
+),
+b AS (
+  SELECT lang, CAST(rnk // 16 AS INT) AS bucket,
+         CAST(SUM(n) AS BIGINT) AS flat
+  FROM r GROUP BY 1, 2
+)
+SELECT lang, bucket, CAST(u.i AS INT) AS win_idx,
+       CAST(LEAST({_SEQ_LEN}, flat - u.i * {_SEQ_LEN}) AS INT) AS n_tokens
+FROM b, unnest(range(0, (flat + {_SEQ_LEN - 1}) // {_SEQ_LEN})) u(i)
+"""
 
-@register("dp_pack_sequences")
-def dp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def dp_pack_sequences_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing with window content (ids_md5) — the pytest surface."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1370,6 +1398,12 @@ def dp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "bucket", "win_idx",
         F.size("input_ids").alias("n_tokens"),
         F.md5(F.cast("string", F.to_json("input_ids"))).alias("ids_md5"))
+
+
+@register("dp_pack_sequences", oracle=_PACK_SEQ_ORACLE)
+def dp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_pack_sequences_full(spark, sf_dir).select(
+        "lang", "bucket", "win_idx", "n_tokens")
 
 
 # --------------------------------------------------------------------------

@@ -613,7 +613,6 @@ _ROWS_ONLY_VALUE_PINS = {
     "dd_cut_regions": ("test_training_ext.py", "test_cut_regions_excises_planted_duplicate"),
     "dd_minhash_lsh": ("test_dedup_similarity.py", "test_minhash_lsh_portable_replay"),
     "dd_simhash": ("test_dedup_similarity.py", "test_simhash_portable_replay"),
-    "dp_pack_sequences": ("test_training_ext.py", "test_pack_sequences_window_and_conservation_laws"),
     "dp_packing_bestfit": ("test_training_ext3.py", "test_dp_packing_bestfit_beats_or_ties_contiguous_pack"),
     "emb_isotropy": ("test_training_ext3.py", "test_emb_isotropy_abtt_improves_isotropy"),
     "emb_kmeans_train": ("test_training_ext3.py", "test_emb_kmeans_train_cells_match_replay"),
@@ -631,8 +630,6 @@ _ROWS_ONLY_VALUE_PINS = {
     "mm_resize": ("test_multimodal.py", "test_mm_phash_pairs_exact_dups_and_replays"),
     "mm_spectral": ("test_multimodal.py", "test_mm_spectral_matches_numpy_replay"),
     "pr_implicit_als": ("test_training_ext3.py", "test_pr_implicit_als_matches_numpy_replay"),
-    "q_approx_sketch": ("test_relational.py", "test_approx_sketch_within_tolerance"),
-    "q_sketch_merge": ("test_relational_ext.py", "test_sketch_merge_identity_and_accuracy"),
     "sim_ann_ivf": ("test_ivf.py", "test_ivf_recall_floor_and_validity"),
     "sim_ann_ivfpq": ("test_ivf.py", "test_sim_ann_ivfpq_recall_vs_bruteforce"),
     "sim_ann_pq": ("test_ivf.py", "test_pq_topk_recall_and_determinism"),

