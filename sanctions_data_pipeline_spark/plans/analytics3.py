@@ -1608,6 +1608,9 @@ def io_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
     # here; bounding it to one live copy per process is the cleanup.
     # The partitionOverwriteMode set/restore below is still
     # session-global — documented single-session-only.
+    from sanctions_data_pipeline_spark.plans.helpers import reap_stale_scratch
+
+    reap_stale_scratch(spark)
     path = os.path.join(tempfile.gettempdir(), "spark_graft_io",
                         os.path.basename(sf_dir.rstrip("/")),
                         f"events_dpo_pid{os.getpid()}")
@@ -1724,8 +1727,10 @@ def io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import re
 
-    from sanctions_data_pipeline_spark.plans.helpers import dsum, dval
+    from sanctions_data_pipeline_spark.plans.helpers import (
+        dsum, dval, reap_stale_scratch)
 
+    reap_stale_scratch(spark)
     # scope by pid AND sf: a second scale factor in the same process
     # must not overwrite tables an earlier lazily-evaluated result
     # still reads from (the events_dpo/codecs scratch-path convention)
@@ -1778,6 +1783,9 @@ def io_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from sanctions_data_pipeline_spark.plans.helpers import reap_stale_scratch
+
+    reap_stale_scratch(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = os.path.join(tempfile.gettempdir(), "spark_graft_io",
                         os.path.basename(sf_dir.rstrip("/")),
@@ -1830,8 +1838,11 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from sanctions_data_pipeline_spark.plans.helpers import reap_stale_scratch
+
     _TARGET_BYTES = 32 * 1024 * 1024
 
+    reap_stale_scratch(spark)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type")
     base = os.path.join(tempfile.gettempdir(), "spark_graft_io",

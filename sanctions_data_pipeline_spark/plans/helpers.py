@@ -270,3 +270,62 @@ def sharded_lateness_hours(ev):
             .select(F.floor((F.greatest("local_hwm", "carry_hwm")
                              - F.col("us")) / F.lit(3600000000.0))
                     .cast("bigint").alias("late_hours")))
+
+
+def reap_stale_scratch(spark) -> None:
+    """Delete pid-scoped scratch left by DEAD processes.
+
+    The io_* ops that materialize scratch (bucketed warehouse tables,
+    /tmp/spark_graft_io dirs) scope it by pid so concurrent processes
+    (pytest + bench + the driver) never clobber a layout another live
+    process is still lazily reading. The flip side is accumulation:
+    every run leaves its pid's dirs behind. Each scratch-writing op
+    calls this reaper first — scratch whose owning pid no longer
+    exists is unreachable by construction (its catalog entries died
+    with the process), so removing it is always safe, and the total
+    footprint stays bounded by the number of LIVE processes.
+    """
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    def _alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else
+        return True
+
+    me = os.getpid()
+    pat = re.compile(r"_(?:pid)?(\d+)$")
+
+    def _reap_dir(root: str) -> None:
+        try:
+            entries = list(os.scandir(root))
+        except OSError:
+            return
+        for d in entries:
+            m = pat.search(d.name)
+            if not (d.is_dir() and m):
+                continue
+            pid = int(m.group(1))
+            if pid != me and not _alive(pid):
+                shutil.rmtree(d.path, ignore_errors=True)
+
+    # warehouse tables (io_bkt_*_<pid>): the dead process's in-memory
+    # catalog is gone, only the data dirs remain
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    _reap_dir(re.sub(r"^file:(//)?", "", wh))
+    # /tmp scratch (codecs_pid*/compact_pid*/events_dpo_pid*), one
+    # level below the per-sf dirs
+    io_root = os.path.join(tempfile.gettempdir(), "spark_graft_io")
+    try:
+        sf_dirs = list(os.scandir(io_root))
+    except OSError:
+        return
+    for sf in sf_dirs:
+        if sf.is_dir():
+            _reap_dir(sf.path)

@@ -1014,3 +1014,39 @@ def test_dp_padding_batches_replay_and_efficiency_law(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan.split(
         "HashAggregate(keys=[__shard")[0] or True  # carry-only
+
+
+def test_reap_stale_scratch_bounds_accumulation(spark, sf_dir):
+    """Scratch dirs owned by dead pids are removed on the next
+    scratch-writing op; live-pid and non-pid dirs survive (VERDICT r07
+    item 5: ~300 orphaned pid-scoped tables had accumulated)."""
+    import os
+    import re
+    import tempfile
+
+    from sanctions_data_pipeline_spark.plans.helpers import reap_stale_scratch
+    from sanctions_data_pipeline_spark.plans.registry import queries
+
+    wh = re.sub(r"^file:(//)?", "",
+                spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    os.makedirs(wh, exist_ok=True)
+    # a pid that cannot exist (> kernel pid_max default) = dead owner
+    dead_wh = os.path.join(wh, "io_bkt_orders_sfx_99999999")
+    live_wh = os.path.join(wh, f"io_bkt_orders_sfx_{os.getpid()}")
+    io_root = os.path.join(tempfile.gettempdir(), "spark_graft_io", "sfx")
+    dead_io = os.path.join(io_root, "codecs_pid99999999")
+    plain_io = os.path.join(io_root, "docs_jsonl")  # not pid-scoped
+    for d in (dead_wh, live_wh, dead_io, plain_io):
+        os.makedirs(d, exist_ok=True)
+
+    reap_stale_scratch(spark)
+    assert not os.path.exists(dead_wh)
+    assert not os.path.exists(dead_io)
+    assert os.path.exists(live_wh)   # owner (this process) is alive
+    assert os.path.exists(plain_io)  # overwrite-in-place dirs untouched
+
+    # and the scratch-writing op itself still runs green after reaping
+    rows = queries()["io_bucketed_join"](spark, sf_dir).collect()
+    assert rows
+    os.rmdir(live_wh)
+    os.rmdir(plain_io)
