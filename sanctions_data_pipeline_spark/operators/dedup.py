@@ -128,6 +128,14 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
 
     Output: (i, j, jac) with i < j and jac >= threshold.
     """
+    sets = _shingle_sets(docs, block_cols, k, id_col, text_col)
+    return _allpairs_from_sets(sets, block_cols, threshold)
+
+
+def _shingle_sets(docs: DataFrame, block_cols: list[str], k: int,
+                  id_col: str, text_col: str) -> DataFrame:
+    """(block..., i, shh, n) with empty shingle sets dropped — the
+    shared input shape of the AllPairs core and the collapsed-CC path."""
     # shingling is the CPU-heavy map stage; a small local corpus arrives
     # as ONE parquet split (a single row group can't split), which would
     # serialize it on one core — at 100 TB the scan has thousands of
@@ -137,12 +145,16 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par, id_col)
-    sets = docs.select(
+    return docs.select(
         *block_cols,
         F.col(id_col).alias("i"),
         shingle_hashes(F.col(text_col), k).alias("shh"),
     ).withColumn("n", F.size("shh")).filter(F.col("n") > 0)
 
+
+def _allpairs_from_sets(sets: DataFrame, block_cols: list[str],
+                        threshold: float) -> DataFrame:
+    """AllPairs prefix-filter core over prepared (i, shh, n) sets."""
     ex = sets.select("i", *block_cols, "n", F.explode("shh").alias("h"))
     dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("dfq"))
     ordered = (
@@ -412,6 +424,82 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         # bucket collision replicated across C(c,2) combos
         .distinct()
     )
+
+
+def ngram_jaccard_components(docs: DataFrame, block_cols: list[str],
+                             threshold: float, k: int = 3,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Connected components of the shingle-Jaccard near-dup graph
+    WITHOUT enumerating intra-duplicate-group pairs.
+
+    Semantically equal to
+    ``connected_components(ngram_jaccard_pairs(docs, ...))`` — Jaccard
+    depends only on the shingle SET, and the shingle set is a function
+    of the NORMALIZED text, so documents with identical
+    (block, md5(normalized_text)) are (a) pairwise similarity 1.0 >=
+    any threshold, hence one clique/component, and (b) interchangeable
+    with respect to every other document. The op therefore collapses
+    each identical-text group to its min-id representative BEFORE
+    shingling, runs AllPairs + CC on representatives only, and members
+    inherit their representative's component label through one
+    broadcast join.
+
+    Scale rationale: near-dup PAIR enumeration is output-sensitive —
+    a corpus where documents carry K exact copies yields K-cliques and
+    O(K^2) pairs (the ×30 bench tier: ~65M pairs, 64 of dd_cluster's
+    66 s). Component-finding doesn't need those pairs: duplicate mass
+    now costs one linear 16-byte-keyed groupBy, and shingling (the
+    CPU-heavy map stage) runs on the distinct-text corpus, never a
+    quadratic join and never extra CC rounds. This is the standard
+    exact-dedup-before-near-dedup staging (C4/RefinedWeb), fused into
+    the component op so its contract is unchanged.
+
+    A node appears in the output iff it appears in some >=threshold
+    pair, i.e. its (non-empty-shingle) group has >= 2 members
+    (pairwise Jaccard 1.0) or its representative pairs with another
+    representative. cluster_id is the min doc id of the component:
+    rep = min of its group, and CC labels a rep component with its
+    min rep. Empty-shingle docs (< k tokens) pair with nothing — the
+    pairwise form yields no edge for them — so their groups are
+    excluded no matter the multiplicity.
+    """
+    # re-widen after the groupBy (AQE coalesces the small shuffle,
+    # which would serialize the CPU-heavy shingling/AllPairs stages);
+    # shingle each distinct text ONCE, into the persisted group table
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    groups = (docs
+              .select(*block_cols, F.col(id_col).alias("i"),
+                      F.col(text_col).alias("__t"))
+              .groupBy(*block_cols,
+                       F.md5(normalized_text(F.col("__t"))).alias("__key"))
+              .agg(F.min("i").alias("rep"),
+                   F.min_by("__t", "i").alias("rep_text"),
+                   F.collect_list("i").alias("members"))
+              .repartition(par, "rep")
+              .withColumn("shh", shingle_hashes(F.col("rep_text"), k))
+              .drop("rep_text")
+              .persist())
+    rep_sets = (groups
+                .select(*block_cols, F.col("rep").alias("i"), "shh")
+                .withColumn("n", F.size("shh")).filter(F.col("n") > 0))
+    rep_pairs = _allpairs_from_sets(rep_sets, block_cols, threshold) \
+        .select("i", "j")
+    rep_labels = connected_components(rep_pairs) \
+        .select(F.col("id").alias("rep"), "cluster_id")
+    mem = groups.select(
+        "rep", F.size("members").alias("gsz"),
+        F.size("shh").alias("n_sh"),
+        F.explode("members").alias("id"))
+    out = (mem.join(F.broadcast(rep_labels), "rep", "left")
+           .filter(((F.col("gsz") >= 2) & (F.col("n_sh") > 0))
+                   | F.col("cluster_id").isNotNull())
+           .select("id",
+                   F.coalesce("cluster_id", "rep").alias("cluster_id")))
+    # the result is consumed lazily downstream; groups is tiny after
+    # CC materialized, and unpersisting here would drop it before the
+    # member-expansion join runs. Spark evicts LRU if memory is needed.
+    return out
 
 
 def connected_components(pairs: DataFrame, src: str = "i", dst: str = "j",

@@ -326,8 +326,10 @@ SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """)
 def dd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, ["lang"], threshold=0.5, k=3)
-    return dd.connected_components(pairs)
+    # collapsed-clique CC: identical shingle-sets merge before AllPairs,
+    # so duplicate mass never enumerates intra-group pairs (see
+    # operators/dedup.ngram_jaccard_components)
+    return dd.ngram_jaccard_components(docs, ["lang"], threshold=0.5, k=3)
 
 
 # --------------------------------------------------------------------------
@@ -553,8 +555,7 @@ WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
 """)
 def dd_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(docs, ["lang"], threshold=0.5, k=3)
-    labels = dd.connected_components(pairs)
+    labels = dd.ngram_jaccard_components(docs, ["lang"], threshold=0.5, k=3)
     drop = labels.filter(F.col("id") != F.col("cluster_id")) \
                  .select(F.col("id").alias("doc_id"))
     return (docs.join(F.broadcast(drop), "doc_id", "left_anti")

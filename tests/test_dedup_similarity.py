@@ -380,3 +380,41 @@ def test_simhash_portable_replay(spark):
                 want[(ids[x], ids[y])] = d
     assert got == want
     assert want, "fixture should contain near-identical fingerprints"
+
+
+def test_ngram_jaccard_components_equals_pairwise_cc(spark, sf_dir):
+    """The collapsed-clique component op (exact-dedup-before-near-dedup
+    fused into CC) must return EXACTLY the pairwise composition's
+    result — including on a corpus with heavy duplicate multiplicity
+    and sub-k-token docs (empty shingle sets never form edges, no
+    matter how many identical copies exist)."""
+    from pyspark.sql import functions as F
+
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+
+    def both(docs):
+        ref = dd.connected_components(
+            dd.ngram_jaccard_pairs(docs, ["lang"], 0.5, 3))
+        got = dd.ngram_jaccard_components(docs, ["lang"], 0.5, 3)
+        return ({(r.id, r.cluster_id) for r in ref.collect()},
+                {(r.id, r.cluster_id) for r in got.collect()})
+
+    ref, got = both(load_table(spark, sf_dir, "documents"))
+    assert got == ref and ref  # non-trivial on the fixture corpus
+
+    # synthetic: 3 copies of two near-dup texts (one 6-clique once the
+    # near-dup edge joins the two identical-triples), 4 copies of a
+    # 2-token doc (empty shingle set -> excluded despite multiplicity),
+    # one unique long doc (no pair -> not in output)
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta eta iota"   # jac >= 0.5 vs a
+    rows = ([(i, a, "en") for i in range(10, 13)]
+            + [(i, b, "en") for i in range(20, 23)]
+            + [(i, "too short", "en") for i in range(30, 34)]
+            + [(40, "totally different words entirely unrelated "
+                    "content here nothing shared", "en")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ref, got = both(docs)
+    assert got == ref
+    assert {r for r in got} == {(i, 10) for i in (10, 11, 12, 20, 21, 22)}
