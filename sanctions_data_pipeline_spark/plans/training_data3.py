@@ -763,7 +763,14 @@ def tx_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sanctions_data_pipeline_spark.plans.helpers import sharded_ntile
 
-    p = tx_perplexity(spark, sf_dir)
+    # materialize the LM scoring ONCE per invocation chain: the
+    # sharded NTILE's key-bounds job plus its window/carry branches
+    # would otherwise re-execute the whole tx_perplexity pipeline
+    # (vocab build, bigram joins) ~3x per action — and
+    # mix_ccnet_sampling, composing this op, inherits the same single
+    # materialization. The cached table is (doc_id, n_bigrams, ppl) —
+    # corpus-linear and 3 columns wide, never the bigram stream.
+    p = tx_perplexity(spark, sf_dir).persist()
     # sharded NTILE(3) on perplexity — no single-partition corpus sort
     # (mix_ccnet_sampling composes this, so it scales out too)
     return (sharded_ntile(p, F.col("ppl"),
