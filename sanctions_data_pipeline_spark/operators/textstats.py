@@ -108,6 +108,37 @@ def compression_ratio_udf():
     return pandas_udf(_ratio, "double")
 
 
+def compression_audit_udf():
+    """Vectorized zlib audit: per row (compress_ratio, comp_len,
+    roundtrip_ok). The boolean/length lanes let an oracle-checked
+    query assert REAL deflate properties (decompress(compress(x)) == x
+    and the stored-block size bound) while the engine-specific ratio
+    stays available for pytest value pins."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _audit(texts):
+        def one(s):
+            if s is None:
+                return None
+            raw = s.encode("utf-8")
+            if not raw:
+                return (1.0, 0, True)
+            comp = zlib.compress(raw, 6)
+            return (round(len(comp) / len(raw), 6), len(comp),
+                    zlib.decompress(comp) == raw)
+        return pd.DataFrame(
+            [one(s) or (None, None, None) for s in texts],
+            columns=["compress_ratio", "comp_len", "roundtrip_ok"])
+
+    _audit.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(
+        _audit,
+        "compress_ratio double, comp_len bigint, roundtrip_ok boolean")
+
+
 def adjacent_pairs(col: Column) -> Column:
     """Adjacent-token pairs of an array column as array<struct<w1,w2>>.
 

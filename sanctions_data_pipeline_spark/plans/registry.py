@@ -275,10 +275,13 @@ _ORACLE_PRIORITY = (
     "q_incremental_mv", "ml_decision_stump", "dq_expectations",
     "pipeline_e2e", "xml_xpath_extract", "s_phonetic_screen",
     "s_alias_graph", "tok_wordpiece", "dp_padding_batches",
-    # round-8 oracle conversions (were rows-only; exact-count +
-    # invariant-boolean oracles for the sketch ops, full shard
-    # accounting for the packer) — fill the window to 47:
+    # round-8 oracle conversions (were rows-only): exact-count +
+    # invariant-boolean oracles for the sketch ops and the zlib audit,
+    # full shard accounting for the packer, portable-SQL token surgery
+    # for the region cut, and the unrolled greedy chain for MMR —
+    # fill the window to exactly 50:
     "q_approx_sketch", "q_sketch_merge", "dp_pack_sequences",
+    "dd_cut_regions", "tx_compress_ratio", "sim_mmr_diversify",
 )
 
 

@@ -975,16 +975,42 @@ def tx_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # tx_compress_ratio — zlib compressibility per document, the
 # repetition/boilerplate signal used alongside the Gopher rules.
-# Rows-only: deflate has no SQL twin; tests pin the values against
-# direct zlib on the same strings. Deterministic (fixed level, no
-# timestamps in the deflate stream).
+# Deterministic (fixed level, no timestamps in the deflate stream).
+#
+# Oracle contract (round 8, the q_approx_sketch pattern): deflate has
+# no SQL twin, so the driver-hashed output carries the exact char
+# count plus two REAL deflate invariants computed in-query —
+# decompress(compress(text)) == text (round-trip identity) and
+# comp_len <= utf8_len + 64 (zlib's stored-block worst case: 2 + 5
+# bytes per 65535-byte block + zlib header/trailer; 64 covers any
+# fixture doc) — which the oracle states as literals. A codec
+# regression (corruption, truncation, runaway expansion) flips a
+# boolean and fails the hash; the exact per-doc RATIOS stay pinned by
+# tests/test_training_ext.py over tx_compress_ratio_full.
 # --------------------------------------------------------------------------
-@register("tx_compress_ratio")
-def tx_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tx_compress_ratio_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-bearing variant — the pytest value-pin surface."""
     docs = load_table(spark, sf_dir, "documents")
-    ratio = tx.compression_ratio_udf()
+    audit = tx.compression_audit_udf()(F.col("text"))
     return docs.select("doc_id", F.length("text").alias("n_chars_calc"),
-                       ratio(F.col("text")).alias("compress_ratio"))
+                       F.octet_length("text").alias("n_bytes"),
+                       audit.alias("a")).select(
+        "doc_id", "n_chars_calc", "n_bytes", "a.compress_ratio",
+        "a.comp_len", "a.roundtrip_ok")
+
+
+@register("tx_compress_ratio", oracle="""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+       TRUE AS roundtrip_ok, TRUE AS within_deflate_bound
+FROM documents
+""")
+def tx_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full = tx_compress_ratio_full(spark, sf_dir)
+    return full.select(
+        "doc_id", F.col("n_chars_calc").cast("bigint").alias("n_chars_calc"),
+        "roundtrip_ok",
+        (F.col("comp_len") <= F.col("n_bytes") + F.lit(64))
+        .alias("within_deflate_bound"))
 
 
 # --------------------------------------------------------------------------
@@ -1920,11 +1946,55 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # action step). Regions collect per doc (few per doc by construction),
 # the token filter is a higher-order expression over the split token
 # array — no Python, no shuffle beyond the region agg + one broadcast-
-# able join. Rows-only: token-index surgery in portable SQL obscures
-# more than it proves; exact cut semantics pinned in
-# tests/test_training_ext.py against a planted duplicate.
+# able join. Oracle (round 8): the dd_dup_regions oracle extended with
+# the same token-index surgery in DuckDB lambdas — regions collect to
+# a struct list per doc, kept indices are the 0-based positions no
+# region covers, clean_text re-joins the kept tokens. The planted-
+# duplicate pin in tests/test_training_ext.py remains as the
+# independent-semantics check.
 # --------------------------------------------------------------------------
-@register("dd_cut_regions")
+_CUT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, i - 1 AS pos,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                   toks[i+4], toks[i+5], toks[i+6], toks[i+7]) AS span
+  FROM t, LATERAL unnest(range(1, len(toks) - 6)) AS u(i)
+  WHERE len(toks) >= 8
+), sdf AS (
+  SELECT span FROM s GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM s JOIN sdf USING (span)
+), regs AS (
+  SELECT doc_id, MIN(pos) AS st, MAX(pos) + 7 AS en
+  FROM dup GROUP BY doc_id, grp
+  HAVING MAX(pos) - MIN(pos) + 8 >= 10
+), rl AS (
+  SELECT doc_id, list({{'s': st, 'e': en}}) AS rs FROM regs GROUP BY doc_id
+), m AS (
+  SELECT t.doc_id, t.toks,
+         coalesce(rl.rs, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS rs
+  FROM t LEFT JOIN rl USING (doc_id)
+), kept AS (
+  SELECT doc_id, toks,
+         list_filter(range(1, len(toks) + 1),
+                     i -> len(list_filter(rs,
+                              r -> i - 1 >= r.s AND i - 1 <= r.e)) = 0)
+           AS ki
+  FROM m
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens_before,
+       coalesce(array_to_string(list_transform(ki, i -> toks[i]), ' '), '')
+         AS clean_text,
+       CAST(len(ki) AS BIGINT) AS n_tokens_after
+FROM kept
+"""
+
+
+@register("dd_cut_regions", oracle=_CUT_ORACLE)
 def dd_cut_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.cut_regions(docs)

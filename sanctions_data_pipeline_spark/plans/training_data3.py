@@ -267,10 +267,53 @@ def gr_pagerank(spark: SparkSession, sf_dir: str, iters: int = 2) -> DataFrame:
 # via TakeOrdered — the sim_topk_bruteforce path, or IVF at corpus
 # scale); the greedy loop is inherently sequential and runs on the
 # bounded M-row candidate set driver-side (M=50 here — same bounded-
-# collect discipline as the top-V vocab). Rows-only: the greedy
-# argmax chain is not SQL-expressible; pytest replays it in numpy.
+# collect discipline as the top-V vocab).
+#
+# Oracle (round 8): the greedy chain UNROLLS — k is a literal, so the
+# selection is k chained CTEs, each picking argmax(score DESC, vec_id)
+# over the not-yet-selected candidates with red = max cosine against
+# the selected CTE. Every float is one identical IEEE tree on both
+# sides (sequential-fold dots == list_inner_product, the established
+# float discipline), so scores — and therefore the argmax at every
+# round — match bit-for-bit; the numpy greedy replay stays in pytest.
 # ---------------------------------------------------------------------------
-@register("sim_mmr_diversify")
+_MMR_K, _MMR_M, _MMR_LAM = 10, 50, 0.7
+
+def _mmr_oracle(k: int = _MMR_K, m: int = _MMR_M,
+                lam: float = _MMR_LAM) -> str:
+    cos = ("list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a}))"
+           " * sqrt(list_inner_product({b}, {b})))")
+    parts = [f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE label = 0 ORDER BY vec_id LIMIT 1),
+cand AS MATERIALIZED (
+  SELECT e.vec_id, e.v, {cos.format(a="e.v", b="q.qv")} AS rel
+  FROM e, q WHERE e.label <> 0
+  ORDER BY rel DESC, e.vec_id LIMIT {m}
+),
+p1 AS MATERIALIZED (
+  SELECT vec_id, v, {lam} * rel - (1.0 - {lam}) * 0.0 AS score
+  FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+s1 AS MATERIALIZED (SELECT vec_id, v FROM p1)"""]
+    for i in range(2, k + 1):
+        red = (f"(SELECT max({cos.format(a='c.v', b='s.v')}) "
+               f"FROM s{i-1} s)")
+        parts.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.v, {lam} * c.rel - (1.0 - {lam}) * {red} AS score
+  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s{i-1})
+  ORDER BY score DESC, c.vec_id LIMIT 1),
+s{i} AS MATERIALIZED (SELECT vec_id, v FROM s{i-1}
+         UNION ALL SELECT vec_id, v FROM p{i})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS rank, vec_id, "
+        f"CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS mmr "
+        f"FROM p{i}" for i in range(1, k + 1))
+    return "".join(parts) + "\n" + sel
+
+
+@register("sim_mmr_diversify", oracle=_mmr_oracle())
 def sim_mmr_diversify(spark: SparkSession, sf_dir: str, k: int = 10,
                       m: int = 50, lam: float = 0.7) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -308,7 +351,9 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str, k: int = 10,
                 best = (key, (vid, v, rel), score)
         selected.append(best[1])
         pool.remove(best[1])
-        rows.append((len(selected), best[1][0], round(best[2], 6)))
+        import math
+        rows.append((len(selected), best[1][0],
+                     math.floor(best[2] * 1e6 + 0.5) / 1e6))
     return spark.createDataFrame(rows, "rank int, vec_id bigint, mmr double")
 
 

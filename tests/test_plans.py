@@ -610,7 +610,6 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
 # evidence, and a renamed/deleted pin test fails loudly.
 # ---------------------------------------------------------------------------
 _ROWS_ONLY_VALUE_PINS = {
-    "dd_cut_regions": ("test_training_ext.py", "test_cut_regions_excises_planted_duplicate"),
     "dd_minhash_lsh": ("test_dedup_similarity.py", "test_minhash_lsh_portable_replay"),
     "dd_simhash": ("test_dedup_similarity.py", "test_simhash_portable_replay"),
     "dp_packing_bestfit": ("test_training_ext3.py", "test_dp_packing_bestfit_beats_or_ties_contiguous_pack"),
@@ -633,13 +632,11 @@ _ROWS_ONLY_VALUE_PINS = {
     "sim_ann_ivf": ("test_ivf.py", "test_ivf_recall_floor_and_validity"),
     "sim_ann_ivfpq": ("test_ivf.py", "test_sim_ann_ivfpq_recall_vs_bruteforce"),
     "sim_ann_pq": ("test_ivf.py", "test_pq_topk_recall_and_determinism"),
-    "sim_mmr_diversify": ("test_training_ext3.py", "test_sim_mmr_diversify_matches_greedy_replay"),
     "st_chained_windows": ("test_streaming.py", "test_chained_windows_match_batch_rollup_prefix"),
     "tok_bpe_encode": ("test_training_ext2.py", "test_tok_bpe_encode_matches_python_replay"),
     "tok_bpe_merges": ("test_training_ext2.py", "test_tok_bpe_merges_matches_python_bpe"),
     "tok_fertility": ("test_training_ext3.py", "test_tok_fertility_ordering_laws"),
     "tok_unigram_lm": ("test_training_ext3.py", "test_tok_unigram_lm_matches_python_em_replay"),
-    "tx_compress_ratio": ("test_training_ext.py", "test_compress_ratio_matches_direct_zlib"),
 }
 
 

@@ -188,16 +188,25 @@ def test_keywords_ranked_and_capped(spark, sf_dir):
 def test_compress_ratio_matches_direct_zlib(spark, sf_dir):
     import zlib
     from sanctions_data_pipeline_spark.catalog import load_table
-    got = {r.doc_id: r.compress_ratio
-           for r in _run(spark, sf_dir, "tx_compress_ratio").collect()}
+    from sanctions_data_pipeline_spark.plans.training_data import (
+        tx_compress_ratio_full)
+    got = {r.doc_id: r for r in tx_compress_ratio_full(spark, sf_dir)
+           .collect()}
     for d in load_table(spark, sf_dir, "documents").limit(25).collect():
         raw = d.text.encode("utf-8")
-        want = round(len(zlib.compress(raw, 6)) / len(raw), 6)
-        assert got[d.doc_id] == want
+        comp = zlib.compress(raw, 6)
+        g = got[d.doc_id]
+        assert g.compress_ratio == round(len(comp) / len(raw), 6)
+        assert g.comp_len == len(comp)
+        assert g.roundtrip_ok
     # repetitive word soup compresses well; tiny docs can exceed 1.0
     # (zlib header overhead), but never by much
-    assert all(0.0 < v < 1.3 for v in got.values())
-    assert min(got.values()) < 0.6
+    ratios = [r.compress_ratio for r in got.values()]
+    assert all(0.0 < v < 1.3 for v in ratios)
+    assert min(ratios) < 0.6
+    # and the registered (oracled) audit view holds its invariants
+    reg = _run(spark, sf_dir, "tx_compress_ratio").collect()
+    assert all(r.roundtrip_ok and r.within_deflate_bound for r in reg)
 
 
 def test_group_fit_matches_driver_lstsq(spark, sf_dir):
