@@ -97,7 +97,16 @@ def main() -> None:
     # item 1). total = sum of per-query mins (the best-composite).
     n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     medians: dict[str, float] = {}
-    for name, qd in registry.headline_queries().items():
+    # optional positional args: bench only the named queries (any
+    # registry entry, headline or not) — the per-op tier spot-check
+    # workflow (BENCH_BASELINE ×10/×30 tables) without ad-hoc scripts
+    selected = sys.argv[1:]
+    if selected:
+        registry.queries()  # force plan-module load before REGISTRY access
+        todo = {n: registry.REGISTRY[n] for n in selected}
+    else:
+        todo = registry.headline_queries()
+    for name, qd in todo.items():
         runs = []
         for _ in range(n_runs):
             t0 = time.time()
