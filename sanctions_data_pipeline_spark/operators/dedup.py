@@ -468,12 +468,6 @@ def ngram_jaccard_components(docs: DataFrame, block_cols: list[str],
     # which would serialize the CPU-heavy shingling/AllPairs stages);
     # shingle each distinct text ONCE, into the persisted group table
     par = docs.sparkSession.sparkContext.defaultParallelism
-    global _last_cc_groups
-    if _last_cc_groups is not None:
-        try:
-            _last_cc_groups.unpersist()
-        except Exception:
-            pass
     groups = (docs
               .select(*block_cols, F.col(id_col).alias("i"),
                       F.col(text_col).alias("__t"))
@@ -486,7 +480,6 @@ def ngram_jaccard_components(docs: DataFrame, block_cols: list[str],
               .withColumn("shh", shingle_hashes(F.col("rep_text"), k))
               .drop("rep_text")
               .persist())
-    _last_cc_groups = groups
     rep_sets = (groups
                 .select(*block_cols, F.col("rep").alias("i"), "shh")
                 .withColumn("n", F.size("shh")).filter(F.col("n") > 0))
@@ -503,9 +496,9 @@ def ngram_jaccard_components(docs: DataFrame, block_cols: list[str],
                    | F.col("cluster_id").isNotNull())
            .select("id",
                    F.coalesce("cluster_id", "rep").alias("cluster_id")))
-    # the result is consumed lazily downstream, so groups must stay
-    # persisted past this return; the release happens at the NEXT
-    # invocation (one live group table per process, see above)
+    # the result is consumed lazily downstream; groups is tiny after
+    # CC materialized, and unpersisting here would drop it before the
+    # member-expansion join runs. Spark evicts LRU if memory is needed.
     return out
 
 
@@ -604,24 +597,7 @@ def connected_components(pairs: DataFrame, src: str = "i", dst: str = "j",
     base.unpersist()
     sym.unpersist()
     edges.unpersist()
-    # the returned label table stays persisted (the consumer reads it
-    # lazily); bound the long-session footprint by releasing the
-    # previous invocation's table on the next call — one live label
-    # table per process, the reap_stale_scratch discipline in-memory
-    global _last_cc_labels
-    prev = _last_cc_labels
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:  # session may be stopped; never fail the query
-            pass
-    out = labels.select(F.col("id"), F.col("label").alias("cluster_id"))
-    _last_cc_labels = labels
-    return out
-
-
-_last_cc_labels: DataFrame | None = None
-_last_cc_groups: DataFrame | None = None
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
 def dup_regions(docs: DataFrame, k: int = 8, min_tokens: int = 10,
