@@ -463,7 +463,25 @@ def ngram_jaccard_components(docs: DataFrame, block_cols: list[str],
     min rep. Empty-shingle docs (< k tokens) pair with nothing — the
     pairwise form yields no edge for them — so their groups are
     excluded no matter the multiplicity.
+
+    PATH SELECTION (the CBO idiom — decide the plan from a cheap
+    statistic, not a guess): the collapse costs one text-mass groupBy
+    (~3 s constant at sf0.1) that only pays when duplicate mass
+    exists. One map-side probe (count vs approx distinct text-hash,
+    rsd 5%) picks the path: duplicate ratio <= ~1.15 -> the direct
+    pairwise composition (identical result, no collapse overhead);
+    above it -> collapse-first. Both paths are pinned row-identical
+    by tests/test_dedup_similarity.py.
     """
+    st = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(
+            F.md5(normalized_text(F.col(text_col))), rsd=0.05).alias("d")
+    ).first()
+    if not st["n"] or st["n"] <= st["d"] * 1.15:
+        return connected_components(
+            ngram_jaccard_pairs(docs, block_cols, threshold, k,
+                                id_col, text_col))
     # re-widen after the groupBy (AQE coalesces the small shuffle,
     # which would serialize the CPU-heavy shingling/AllPairs stages);
     # shingle each distinct text ONCE, into the persisted group table
