@@ -257,8 +257,9 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R07_CHECKED
 # STAGED ROTATION BLOCKS (parsed by the staging test — everything from
 # here to the priority-tuple assignment below must name exactly the
 # never-checked SQL-oracled entries not already in the priority tuple):
-# ROUND-9 WINDOW (empty at round-8 open; round-8 oracled additions
-# beyond the 50-entry round-8 window append here):
+# ROUND-9 WINDOW (round-8 oracled additions beyond the 50-entry
+# round-8 window):
+#   dp_packing_bestfit
 _ORACLE_PRIORITY = (
     "q_nelson_aalen", "q_group_percentiles", "tok_mincount_sweep",
     "q_kendall_tau", "q_gk_gamma", "s_translit_match", "q_rolling_beta",

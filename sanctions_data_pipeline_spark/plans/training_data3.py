@@ -2236,8 +2236,54 @@ def emb_procrustes_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inside one applyInPandas group (the ml_group_fit contract); shards
 # are the parallel unit, as in every real packing pipeline. Bin state
 # is a heap of open-bin remainders, O(bins) per shard.
+#
+# Oracle (round 8): the per-shard fold is ALL-INTEGER state, so a
+# DuckDB recursive CTE replays it exactly — one doc per recursion
+# level, bins carried as a BIGINT list, best-fit = first index of
+# list_min(list_filter(bins, b -> b >= ntok)) (identical tie rule to
+# the python loop's strict-< scan). Shards advance in lockstep and
+# drop out of the recursion when exhausted; the pytest BFD-vs-
+# contiguous bound check remains.
 # ---------------------------------------------------------------------------
-@register("dp_packing_bestfit")
+_BFD_ORACLE = f"""
+WITH RECURSIVE
+t AS (SELECT lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS ntok
+      FROM documents),
+r AS (SELECT lang, ntok,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY ntok DESC, doc_id) AS rn
+      FROM t),
+g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ntok) AS BIGINT) AS tot
+      FROM t GROUP BY lang),
+step AS (
+  SELECT lang, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS bins FROM g
+  UNION ALL
+  SELECT lang, i + 1,
+         CASE WHEN fit IS NULL THEN list_append(bins, 2048 - ntok)
+              ELSE list_transform(bins, (b, j) ->
+                     CASE WHEN j = list_position(bins, fit)
+                          THEN b - ntok ELSE b END)
+         END AS bins
+  FROM (
+    SELECT s.lang, s.i, s.bins, x.ntok,
+           list_min(list_filter(s.bins, b -> b >= x.ntok)) AS fit
+    FROM step s JOIN r x ON x.lang = s.lang AND x.rn = s.i + 1
+  )
+),
+fin AS (
+  SELECT s.lang, s.bins FROM step s JOIN g ON s.lang = g.lang AND s.i = g.n
+)
+SELECT g.lang, g.n AS n_docs, g.tot AS total_tokens,
+       CAST(len(f.bins) AS BIGINT) AS n_bins_bfd,
+       round(CASE WHEN len(f.bins) = 0 THEN 0.0
+                  ELSE g.tot * 1.0 / (len(f.bins) * 2048) END, 6)
+         AS fill_ratio
+FROM g JOIN fin f USING (lang)
+"""
+
+
+@register("dp_packing_bestfit", oracle=_BFD_ORACLE)
 def dp_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 

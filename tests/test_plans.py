@@ -612,7 +612,6 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
 _ROWS_ONLY_VALUE_PINS = {
     "dd_minhash_lsh": ("test_dedup_similarity.py", "test_minhash_lsh_portable_replay"),
     "dd_simhash": ("test_dedup_similarity.py", "test_simhash_portable_replay"),
-    "dp_packing_bestfit": ("test_training_ext3.py", "test_dp_packing_bestfit_beats_or_ties_contiguous_pack"),
     "emb_isotropy": ("test_training_ext3.py", "test_emb_isotropy_abtt_improves_isotropy"),
     "emb_kmeans_train": ("test_training_ext3.py", "test_emb_kmeans_train_cells_match_replay"),
     "emb_knn_graph_ivf": ("test_dedup_similarity.py", "test_knn_graph_ivf_recall_against_exact"),
