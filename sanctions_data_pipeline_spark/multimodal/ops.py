@@ -85,7 +85,9 @@ def _fake_decode(media_type: str, buf) -> tuple[int, int, int, list[float]]:
     height = 16 + (s * 7 + 3) % 240
     n_frames = 1 + s % 30 if media_type == "video" else 1
     hist = np.bincount(a >> 5, minlength=8).astype("float64")
-    feats = (hist / max(n, 1)).round(6)
+    # portable 6dp rounding (floor(x*1e6+0.5)): same IEEE tree as the
+    # DuckDB oracle's FLOOR form; np.round's half-to-even has no twin
+    feats = np.floor(hist / max(n, 1) * 1e6 + 0.5) / 1e6
     return width, height, n_frames, feats.tolist()
 
 

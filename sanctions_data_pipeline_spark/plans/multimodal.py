@@ -1,9 +1,14 @@
 """Multimodal suite (SURVEY.md §2): binary media columns decoded via
 Arrow-batched mapInPandas.
 
-mm_decode is rows-only: the fake codec's byte math has no DuckDB twin
-(no byte-level blob explode); determinism and exact values are pinned
-by ``tests/test_multimodal.py`` against a pure-Python recomputation.
+mm_decode gained a SQL oracle in round 8: the deterministic byte
+kernel is pure integer math over the utf-8 payload plus two
+portably-rounded ratios, and DuckDB CAN explode blob bytes
+(hex(encode(text)) -> per-position '0x..'::BIGINT), so the whole fake
+codec replays cross-engine. The remaining mm_ ops stay rows-only
+(PNG/FFT/PCM float kernels have no SQL twin); determinism and exact
+values are pinned by ``tests/test_multimodal.py`` against pure-Python
+recomputations.
 """
 
 from __future__ import annotations
@@ -12,18 +17,62 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sanctions_data_pipeline_spark.catalog import load_table
 from sanctions_data_pipeline_spark.multimodal.ops import attach_media, decode_features
+from sanctions_data_pipeline_spark.plans.helpers import pround6
 from sanctions_data_pipeline_spark.plans.registry import register
 
+_R6 = "FLOOR(({x}) * 1000000 + 0.5) / 1000000.0"
 
-@register("mm_decode", headline=True)
+_DECODE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+           AS media_type,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+by AS (
+  SELECT doc_id,
+         ('0x' || substring(hx, CAST(2 * i - 1 AS INT), 2))::BIGINT AS v
+  FROM b, unnest(range(1, n + 1)) u(i)
+),
+a AS (
+  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS s,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN v // 32 = {k} THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS h{k}" for k in range(8))}
+  FROM by GROUP BY doc_id
+),
+r AS (
+  SELECT b.doc_id, b.media_type, b.n,
+         coalesce(a.s, 0) AS s,
+         {", ".join(
+             _R6.format(x=f"coalesce(a.h{k}, 0) * 1.0 /"
+                          f" (CASE WHEN b.n = 0 THEN 1 ELSE b.n END)")
+             + f" AS r{k}" for k in range(8))}
+  FROM b LEFT JOIN a USING (doc_id)
+)
+SELECT doc_id, media_type, n AS n_bytes,
+       CAST(16 + (s + n) % 240 AS INT) AS width,
+       CAST(16 + (s * 7 + 3) % 240 AS INT) AS height,
+       CAST(CASE WHEN media_type = 'video' THEN 1 + s % 30 ELSE 1 END
+            AS INT) AS n_frames,
+       r0 AS feat0,
+       {_R6.format(x="0.0 + r0 + r1 + r2 + r3 + r4 + r5 + r6 + r7")}
+         AS feat_sum
+FROM r
+"""
+
+
+@register("mm_decode", headline=True, oracle=_DECODE_ORACLE)
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = decode_features(attach_media(docs))
     return feats.select(
         "doc_id", "media_type", "n_bytes", "width", "height", "n_frames",
-        F.round(F.element_at("features", 1), 6).alias("feat0"),
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6)
-         .alias("feat_sum"),
+        pround6(F.element_at("features", 1)).alias("feat0"),
+        pround6(F.aggregate("features", F.lit(0.0), lambda a, x: a + x))
+        .alias("feat_sum"),
     )
 
 

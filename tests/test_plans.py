@@ -621,7 +621,6 @@ _ROWS_ONLY_VALUE_PINS = {
     "emb_whiten": ("test_training_ext3.py", "test_emb_whiten_unit_variance_and_numpy_replay"),
     "ml_logreg": ("test_training_ext.py", "test_logreg_matches_driver_recompute_and_learns"),
     "mm_audio_windows": ("test_multimodal.py", "test_mm_audio_windows_rollup_is_deterministic"),
-    "mm_decode": ("test_multimodal.py", "test_decode_matches_python_recomputation"),
     "mm_frames": ("test_multimodal.py", "test_decode_matches_python_recomputation"),
     "mm_luma_hist": ("test_multimodal.py", "test_mm_luma_hist_replay"),
     "mm_phash": ("test_multimodal.py", "test_mm_phash_pairs_exact_dups_and_replays"),
