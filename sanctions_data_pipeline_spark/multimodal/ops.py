@@ -391,7 +391,11 @@ def window_audio(media_df: DataFrame, frame_len: int = 256,
                 idx = (np.arange(n_wins)[:, None] * hop_len
                        + np.arange(frame_len)[None, :])
                 wins = pcm[idx].astype("float64")
-                rms = np.sqrt((wins * wins).mean(axis=1)).round(6)
+                # sums of int16 squares stay exact in float64 (<= 2^38),
+                # so the mean/sqrt tree is order-independent; portable
+                # floor-rounding matches the DuckDB oracle's FLOOR form
+                rms = np.floor(np.sqrt((wins * wins).mean(axis=1))
+                               * 1e6 + 0.5) / 1e6
                 signs = np.signbit(wins)
                 zcr = (signs[:, 1:] != signs[:, :-1]).sum(axis=1)
                 rows.extend(

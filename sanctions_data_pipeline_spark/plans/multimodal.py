@@ -76,48 +76,143 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_resize")
+_RESIZE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, CAST(32 AS INT) AS width, CAST(8 AS INT) AS height,
+       md5(CASE WHEN n = 0 THEN repeat('00', 256)
+                ELSE array_to_string(list_transform(range(0, 256),
+                       j -> substring(hx, CAST(2 * ((j * n) // 256) + 1
+                                           AS INT), 2)), '')
+           END) AS payload_md5
+FROM b
+"""
+
+
+@register("mm_resize", oracle=_RESIZE_ORACLE)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing (rows-only): deterministic byte-resample
-    kernel inside the real mapInPandas pipeline; emits sizes + a
-    payload digest so the driver's rows-check pins determinism."""
+    """Image-resize plumbing: deterministic nearest-neighbor byte
+    resample inside the real mapInPandas pipeline; emits sizes + a
+    payload digest. Oracle (round 8): output byte j of the 32x8 fake
+    resample is input byte (j*n)//256, so DuckDB rebuilds the exact
+    payload from hex pairs; the digest crosses as md5(hex(bytes))
+    (DuckDB md5 is VARCHAR-only)."""
     from sanctions_data_pipeline_spark.multimodal.ops import resize_images
 
     docs = load_table(spark, sf_dir, "documents")
     out = resize_images(attach_media(docs), 32, 8)
     return out.select("doc_id", "width", "height",
-                      F.md5(F.col("media")).alias("payload_md5"))
+                      F.md5(F.hex(F.col("media"))).alias("payload_md5"))
 
 
-@register("mm_frames")
+# DuckDB cannot md5 a BLOB (VARCHAR only), so binary digests cross the
+# oracle as md5-of-HEX — same bytes, hex-encoded identically (uppercase
+# pairs) by Spark's hex() and DuckDB's hex().
+_FRAMES_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST((greatest(1, (n + 255) // 256) + 1) // 2 AS BIGINT)
+         AS n_frames_sampled,
+       md5(substring(hx, 1, CAST(2 * least(256, n) AS INT)))
+         AS first_frame_md5
+FROM b
+"""
+
+
+@register("mm_frames", oracle=_FRAMES_ORACLE)
 def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing (rows-only): 1→many mapInPandas
-    fan-out; emits per-doc sampled-frame counts + digest of the first
-    frame."""
+    """Video frame-sampling plumbing: 1→many mapInPandas fan-out;
+    emits per-doc sampled-frame counts + a digest of the first frame.
+    Oracle (round 8): the fake kernel chunks the utf-8 payload into
+    256-byte frames and samples every 2nd, so the per-doc count is
+    closed-form from octet_length and the first frame is the payload's
+    leading bytes — digested as md5(hex(bytes)) on both engines."""
     from sanctions_data_pipeline_spark.multimodal.ops import sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
     frames = sample_frames(attach_media(docs), every_n=2)
     return (frames.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_frames_sampled"),
-                 F.md5(F.min_by("frame", F.col("frame_idx"))).alias("first_frame_md5")))
+                 F.md5(F.hex(F.min_by("frame", F.col("frame_idx"))))
+                 .alias("first_frame_md5")))
 
 
-@register("mm_audio_windows")
+_AUDIO_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, k,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS smp
+  FROM (
+    SELECT doc_id, u.k,
+           ('0x' || substring(hx, CAST(4 * u.k + 1 AS INT), 2))::BIGINT
+           + 256 * ('0x' || substring(hx, CAST(4 * u.k + 3 AS INT), 2))::BIGINT
+             AS v
+    FROM b, unnest(range(0, n // 2)) u(k)
+  )
+),
+g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM s GROUP BY doc_id),
+w AS (
+  SELECT g.doc_id, CAST(u.w AS BIGINT) AS w
+  FROM g, unnest(range(0, CASE WHEN ns >= 256
+                               THEN 1 + (ns - 256) // 128 ELSE 0 END)) u(w)
+),
+f AS (
+  SELECT w.doc_id, w.w, CAST(SUM(a.smp * a.smp) AS BIGINT) AS ss
+  FROM w JOIN s a ON a.doc_id = w.doc_id
+                 AND a.k >= w.w * 128 AND a.k < w.w * 128 + 256
+  GROUP BY w.doc_id, w.w
+),
+z AS (
+  SELECT w.doc_id, w.w,
+         CAST(SUM(CASE WHEN (a.smp < 0) <> (c.smp < 0) THEN 1 ELSE 0 END)
+              AS BIGINT) AS zc
+  FROM w JOIN s a ON a.doc_id = w.doc_id
+                 AND a.k >= w.w * 128 AND a.k < w.w * 128 + 255
+         JOIN s c ON c.doc_id = a.doc_id AND c.k = a.k + 1
+  GROUP BY w.doc_id, w.w
+),
+r AS (
+  SELECT f.doc_id,
+         FLOOR(sqrt(f.ss / 256.0) * 1000000 + 0.5) / 1000000.0 AS rms,
+         z.zc
+  FROM f JOIN z ON f.doc_id = z.doc_id AND f.w = z.w
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       FLOOR(MAX(rms) * 1000000 + 0.5) / 1000000.0 AS max_rms,
+       CAST(SUM(zc) AS BIGINT) AS total_zc
+FROM r GROUP BY doc_id
+"""
+
+
+@register("mm_audio_windows", oracle=_AUDIO_ORACLE)
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio windowing (rows-only): int16-PCM interpretation of the
-    media payload framed into 256-sample windows at 128-sample hop,
-    RMS + zero-crossing features per window — real vectorized DSP (no
-    codec needed for raw PCM), pinned by an independent numpy
-    recomputation in tests. Emits a per-doc rollup so the driver's
-    rows-check is compact and deterministic."""
+    """Audio windowing: int16-PCM interpretation of the media payload
+    framed into 256-sample windows at 128-sample hop, RMS +
+    zero-crossing features per window — real vectorized DSP (no codec
+    needed for raw PCM). Oracle (round 8): int16 squares sum EXACTLY in
+    float64 (<= 2^38 per window), /256 is a power-of-2 shift and sqrt
+    is correctly rounded, so DuckDB replays the whole feature tree from
+    hex-pair little-endian samples bit-for-bit; rounding is the shared
+    portable FLOOR form. The numpy pin stays in tests."""
+    from sanctions_data_pipeline_spark.plans.helpers import pround6
     from sanctions_data_pipeline_spark.multimodal.ops import window_audio
 
     docs = load_table(spark, sf_dir, "documents")
     wins = window_audio(attach_media(docs), frame_len=256, hop_len=128)
     return (wins.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-                 F.round(F.max("rms"), 6).alias("max_rms"),
+                 pround6(F.max("rms")).alias("max_rms"),
                  F.sum("zero_crossings").cast("bigint").alias("total_zc")))
 
 
@@ -207,19 +302,74 @@ def mm_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spectral_features(attach_media(docs), frame_len=256, hop_len=128)
 
 
-@register("mm_luma_hist")
+_LUMA_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents WHERE length(text) > 0
+),
+px AS (
+  SELECT doc_id,
+         ('0x' || substring(hx, CAST(2 * ((u.t % n)) + 1 AS INT), 2))::BIGINT
+           AS v
+  FROM b, unnest(range(0, 4096)) u(t)
+),
+wide AS (
+  SELECT doc_id,
+         CAST(SUM(v) AS BIGINT) AS total,
+         [CAST(SUM(CASE WHEN v // 16 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 2 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 3 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 4 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 5 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 6 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 7 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 8 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 9 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 10 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 11 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 12 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 13 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 14 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN v // 16 = 15 THEN 1 ELSE 0 END) AS BIGINT)] AS hist
+  FROM px GROUP BY doc_id
+)
+SELECT doc_id,
+       array_to_string(hist, ',') AS hist16_csv,
+       FLOOR(total / 4096.0 * 1000000 + 0.5) / 1000000.0 AS mean_luma,
+       FLOOR(list_reduce(
+               list_prepend(0.0, list_transform(hist,
+                 h -> CASE WHEN h > 0
+                      THEN (h / 4096.0) * ln(h / 4096.0) ELSE 0.0 END)),
+               (acc, t) -> acc - t)
+             / ln(16.0) * 1000000 + 0.5) / 1000000.0 AS hist_entropy
+FROM wide
+"""
+
+
+@register("mm_luma_hist", oracle=_LUMA_ORACLE)
 def mm_luma_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luminance-histogram profile per image — the exposure/contrast QA
     stat a multimodal ingest runs right after decode: the same
     spec-conformant PNG round-trip as mm_phash (text bytes tiled to a
     64x64 gray raster -> vendored encode -> decode), then a 16-bin
-    luminance histogram, mean luma, and histogram entropy. Rows-only:
-    pinned by a pure-python PNG-path replay in tests/test_multimodal.py.
+    luminance histogram, mean luma, and histogram entropy.
+
+    Oracle (round 8): the PNG round-trip is lossless, so the raster is
+    byte (64*r + c) mod n of the utf-8 payload and DuckDB replays the
+    whole profile from hex pairs — histogram counts are integers, the
+    mean is an exact-integer sum / 4096 (a power-of-2 shift), and the
+    entropy is a SEQUENTIAL subtraction fold of -(h/4096)*ln(h/4096)
+    in bin order (both engines call the same libm ln on the same exact
+    rationals). The histogram crosses as a CSV string (list columns
+    have no canonical cross-engine rendering); the pure-python
+    PNG-path replay stays in tests.
 
     Scale: one Arrow-batched mapInPandas pass (image bytes never
-    shuffle); output is 4 scalars + a 16-long array per doc. The
-    single-split repartition branch mirrors mm_phash (never triggers on
-    real multi-split scans).
+    shuffle); output is 4 scalars per doc. The single-split
+    repartition branch mirrors mm_phash (never triggers on real
+    multi-split scans).
     """
     docs = load_table(spark, sf_dir, "documents")
 
@@ -231,6 +381,9 @@ def mm_luma_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from sanctions_data_pipeline_spark.multimodal import codecs
 
+        def r6(x: float) -> float:
+            return _math.floor(x * 1e6 + 0.5) / 1e6
+
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -239,13 +392,20 @@ def mm_luma_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 png = codecs.encode_png_gray(a)
                 _w, _h, gray = codecs.decode_png(png)
                 hist = np.bincount((gray.ravel() >> 4), minlength=16)
-                p = hist / hist.sum()
-                ent = float(-(p[p > 0] * np.log(p[p > 0])).sum())
-                out.append((int(doc_id), [int(x) for x in hist],
-                            round(float(gray.mean()), 6),
-                            round(ent / _math.log(16.0), 6)))
+                # sequential fold in bin order — the portable order the
+                # SQL oracle replays (np.sum's pairwise order has none)
+                ent = 0.0
+                for h in hist:
+                    if h:
+                        ph = float(h) / 4096.0
+                        ent = ent - ph * _math.log(ph)
+                out.append((int(doc_id),
+                            ",".join(str(int(x)) for x in hist),
+                            r6(int(gray.ravel().astype("int64").sum())
+                               / 4096.0),
+                            r6(ent / _math.log(16.0))))
             yield pd.DataFrame(
-                out, columns=["doc_id", "hist16", "mean_luma",
+                out, columns=["doc_id", "hist16_csv", "mean_luma",
                               "hist_entropy"])
 
     src = docs.filter(F.length("text") > 0).select("doc_id", "text")
@@ -254,5 +414,5 @@ def mm_luma_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = src.repartition(par, "doc_id")
     return src.mapInPandas(
         luma,
-        "doc_id long, hist16 array<long>, mean_luma double,"
+        "doc_id long, hist16_csv string, mean_luma double,"
         " hist_entropy double")

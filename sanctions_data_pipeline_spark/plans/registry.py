@@ -259,7 +259,8 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R07_CHECKED
 # never-checked SQL-oracled entries not already in the priority tuple):
 # ROUND-9 WINDOW (round-8 oracled additions beyond the 50-entry
 # round-8 window):
-#   dp_packing_bestfit mm_decode
+#   dp_packing_bestfit mm_decode mm_frames mm_resize
+#   mm_audio_windows mm_luma_hist
 _ORACLE_PRIORITY = (
     "q_nelson_aalen", "q_group_percentiles", "tok_mincount_sweep",
     "q_kendall_tau", "q_gk_gamma", "s_translit_match", "q_rolling_beta",

@@ -515,7 +515,8 @@ def test_mm_luma_hist_replay(spark, sf_dir):
         p = hist / hist.sum()
         ent = float(-(p[p > 0] * np.log(p[p > 0])).sum()) / math.log(16.0)
         r = got[d.doc_id]
-        assert list(r.hist16) == [int(x) for x in hist]
+        got_hist = [int(x) for x in r.hist16_csv.split(",")]
+        assert got_hist == [int(x) for x in hist]
         assert abs(r.mean_luma - float(gray.mean())) < 1e-5
         assert abs(r.hist_entropy - ent) < 1e-5
-        assert sum(r.hist16) == 64 * 64
+        assert sum(got_hist) == 64 * 64
