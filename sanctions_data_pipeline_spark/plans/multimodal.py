@@ -216,7 +216,49 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("zero_crossings").cast("bigint").alias("total_zc")))
 
 
-@register("mm_phash", headline=True)
+_PHASH_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents WHERE length(text) > 0
+),
+px AS (
+  SELECT doc_id, u.t,
+         ('0x' || substring(hx, CAST(2 * (u.t % n) + 1 AS INT), 2))::BIGINT
+           AS v
+  FROM b, unnest(range(0, 4096)) u(t)
+),
+blk AS (
+  SELECT doc_id,
+         ((t // 64) // 8) * 8 + (t % 64) // 8 AS bidx,
+         CAST(SUM(v) AS BIGINT) AS k
+  FROM px GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS s FROM blk GROUP BY doc_id),
+ph AS (
+  SELECT blk.doc_id,
+         CAST(SUM(CASE WHEN 64 * k > s AND 63 - bidx >= 32
+                       THEN (CAST(1 AS BIGINT) << (63 - bidx - 32))
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN 64 * k > s AND 63 - bidx < 32
+                       THEN (CAST(1 AS BIGINT) << (63 - bidx))
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id
+),
+sp AS (
+  SELECT doc_id,
+         (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+           * 4294967296 + lo AS phash
+  FROM ph
+)
+SELECT a.doc_id AS i, c.doc_id AS j,
+       CAST(bit_count(xor(a.phash, c.phash)) AS INT) AS hamming
+FROM sp a JOIN sp c ON a.doc_id < c.doc_id
+WHERE bit_count(xor(a.phash, c.phash)) <= 4
+"""
+
+
+@register("mm_phash", headline=True, oracle=_PHASH_ORACLE)
 def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup pairs — the multimodal member of
     the dedup family. Per doc, a REAL PNG round-trip (text bytes tiled
@@ -228,8 +270,15 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the mapInPandas stage is one Arrow-batched pass (image bytes
     never shuffle); the self-join shuffles only (combo, bucket, 8-byte
-    hash) rows. Rows-only: pytest pins exact-duplicate docs to
-    hamming=0 pairs and replays a hash in pure python.
+    hash) rows.
+
+    Oracle (round 8): every quantity in the hash is EXACT — the PNG
+    round-trip is lossless, block means are integer sums over a
+    power-of-2 divisor, and bit (i, j) is the integer comparison
+    64 * k_block > S_total — so DuckDB recomputes each 64-bit hash
+    from hex pairs and BRUTE-FORCES all pairs, which simultaneously
+    hash-verifies the values AND proves the pigeonhole bucket join
+    loses no pair. pytest keeps the exact-dup/hamming-0 pin.
     """
     from sanctions_data_pipeline_spark.operators.dedup import simhash_chunk_keys
 

@@ -260,7 +260,7 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R07_CHECKED
 # ROUND-9 WINDOW (round-8 oracled additions beyond the 50-entry
 # round-8 window):
 #   dp_packing_bestfit mm_decode mm_frames mm_resize
-#   mm_audio_windows mm_luma_hist
+#   mm_audio_windows mm_luma_hist mm_phash
 _ORACLE_PRIORITY = (
     "q_nelson_aalen", "q_group_percentiles", "tok_mincount_sweep",
     "q_kendall_tau", "q_gk_gamma", "s_translit_match", "q_rolling_beta",

@@ -620,7 +620,6 @@ _ROWS_ONLY_VALUE_PINS = {
     "emb_semantic_dedup": ("test_dedup_similarity.py", "test_semantic_dedup_keeps_prototypical_member"),
     "emb_whiten": ("test_training_ext3.py", "test_emb_whiten_unit_variance_and_numpy_replay"),
     "ml_logreg": ("test_training_ext.py", "test_logreg_matches_driver_recompute_and_learns"),
-    "mm_phash": ("test_multimodal.py", "test_mm_phash_pairs_exact_dups_and_replays"),
     "mm_spectral": ("test_multimodal.py", "test_mm_spectral_matches_numpy_replay"),
     "pr_implicit_als": ("test_training_ext3.py", "test_pr_implicit_als_matches_numpy_replay"),
     "sim_ann_ivf": ("test_ivf.py", "test_ivf_recall_floor_and_validity"),
