@@ -1072,9 +1072,12 @@ def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # candidate substrings, lengths 1..MAX_PIECE_LEN, weighted by word
     # count (shared generator with the broadcast-join segmentation path)
+    # two collects read this plan (seed top-K + the single-char floor);
+    # persist so the substring explode + count runs once
     cand = (words.select(
         "c", F.explode(ug.substrings_up_to_max(F.col("w"))).alias("piece"))
-        .groupBy("piece").agg(F.sum("c").alias("cnt")))
+        .groupBy("piece").agg(F.sum("c").alias("cnt"))
+        .persist())
 
     top = {r.piece: int(r.cnt)
            for r in cand.orderBy(F.desc("cnt"), F.asc("piece"))
@@ -1089,6 +1092,7 @@ def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot = sum(vals.values())
         return {p: v / tot for p, v in sorted(vals.items())}
 
+    cand.unpersist()
     model = normalize({p: float(c) for p, c in seed.items()})
 
     vc: dict[str, int] = {}
