@@ -418,3 +418,22 @@ def test_ngram_jaccard_components_equals_pairwise_cc(spark, sf_dir):
     ref, got = both(docs)
     assert got == ref
     assert {r for r in got} == {(i, 10) for i in (10, 11, 12, 20, 21, 22)}
+
+    # mixed regime: skewed multiplicities (7/2/1 copies), a near-dup
+    # BRIDGE between two identical-text groups, two DIFFERENT sub-k
+    # texts (distinct empty-shingle groups, still no edges), and a
+    # second language block that must not cross-link
+    c = "one two three four five six seven eight nine"
+    d = "one two three four five six seven eight ten"   # bridges to c
+    e = "completely unrelated content with many extra words here now"
+    rows = ([(i, c, "en") for i in range(100, 107)]       # 7 copies
+            + [(i, d, "en") for i in (200, 201)]          # 2 copies
+            + [(300, e, "en")]                            # singleton
+            + [(400, "hi", "en"), (401, "yo", "en")]      # sub-k, distinct
+            + [(500, c, "fr"), (501, c, "fr")])           # other block
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ref, got = both(docs)
+    assert got == ref
+    comp = {(i, 100) for i in (*range(100, 107), 200, 201)} | {
+        (500, 500), (501, 500)}
+    assert got == comp
