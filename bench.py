@@ -99,22 +99,46 @@ def main() -> None:
     medians: dict[str, float] = {}
     # optional positional args: bench only the named queries (any
     # registry entry, headline or not) — the per-op tier spot-check
-    # workflow (BENCH_BASELINE ×10/×30 tables) without ad-hoc scripts
+    # workflow (BENCH_BASELINE ×10/×30 tables) without ad-hoc scripts.
+    # A subset run is TAGGED in the summary (different metric name +
+    # the selected list) so a gate parser can never mistake a tiny
+    # spot-check subtotal for a passing full-gate run.
     selected = sys.argv[1:]
     if selected:
         registry.queries()  # force plan-module load before REGISTRY access
+        unknown = [n for n in selected if n not in registry.REGISTRY]
+        if unknown:
+            import difflib
+            hints = {n: difflib.get_close_matches(
+                n, registry.REGISTRY.keys(), n=3) for n in unknown}
+            raise SystemExit(
+                "unknown query name(s): "
+                + "; ".join(f"{n} (did you mean {', '.join(h) or '?'}?)"
+                            for n, h in hints.items()))
         todo = {n: registry.REGISTRY[n] for n in selected}
     else:
         todo = registry.headline_queries()
-    for name, qd in todo.items():
-        runs = []
-        for _ in range(n_runs):
+    # INTERLEAVED passes (not N consecutive runs per query): a host
+    # noise phase lasting tens of seconds previously penalized all N
+    # runs of whichever query it straddled (VERDICT r08 "what's wrong"
+    # item 3 — driver medians disagreed with the builder's settled
+    # record). One full pass over every query per run, with the start
+    # point rotated each pass, spreads any sustained phase across
+    # DIFFERENT queries so the per-query min washes it out.
+    load_avgs = [round(v, 2) for v in os.getloadavg()]
+    order = list(todo)
+    all_runs: dict[str, list[float]] = {name: [] for name in order}
+    for r in range(n_runs):
+        shift = (r * len(order)) // n_runs
+        for name in order[shift:] + order[:shift]:
             t0 = time.time()
-            df = qd.build(spark, sf_dir)
+            df = todo[name].build(spark, sf_dir)
             # noop sink materializes every column (count() would let
             # Catalyst prune the aggregates away)
             df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
+            all_runs[name].append(time.time() - t0)
+    load_avgs_after = [round(v, 2) for v in os.getloadavg()]
+    for name, runs in all_runs.items():
         timings[name] = round(min(runs), 3)
         srt = sorted(runs)
         mid = len(srt) // 2
@@ -124,23 +148,35 @@ def main() -> None:
         sf_out: float | str = float(sf)
     except ValueError:  # scaled tiers like "0.1x3" (tools/scale_up.py)
         sf_out = sf
-    for line in emit_lines(timings, medians, n_runs, sf_out):
+    for line in emit_lines(timings, medians, n_runs, sf_out,
+                           subset=sorted(selected) if selected else None,
+                           load_avg=(load_avgs, load_avgs_after)):
         print(line)
 
 
 def emit_lines(timings: dict[str, float], medians: dict[str, float],
-               n_runs: int, sf_out) -> list[str]:
+               n_runs: int, sf_out, subset: list[str] | None = None,
+               load_avg: tuple[list[float], list[float]] | None = None,
+               ) -> list[str]:
     """Detail line first (can be arbitrarily long), compact summary
     LAST so the driver's bounded stdout tail always parses it. The
-    summary size is independent of the headline-set size."""
+    summary size is independent of the headline-set size. Subset runs
+    carry metric "selected_query_total_runtime" and the name list so
+    the official-record metric name can ONLY come from a full run."""
     total = round(sum(timings.values()), 3)
-    detail = json.dumps({
+    detail_obj = {
         "detail": "per_query",
         "queries": timings,            # per-query min over runs_per_query
         "queries_median": medians,     # per-query median (noise context)
-    })
-    summary = json.dumps({
-        "metric": "headline_query_total_runtime",
+    }
+    if load_avg is not None:
+        # 1/5/15-min load before and after: the evidence line for "was
+        # the box busy" when a driver record disagrees with the
+        # builder's settled close (VERDICT r08 what's-wrong item 3)
+        detail_obj["loadavg_before"], detail_obj["loadavg_after"] = load_avg
+    summary_obj = {
+        "metric": ("selected_query_total_runtime" if subset
+                   else "headline_query_total_runtime"),
         "value": total,
         "unit": "sec",
         "sf": sf_out,
@@ -150,8 +186,10 @@ def emit_lines(timings: dict[str, float], medians: dict[str, float],
             sum(v for k, v in timings.items() if k in LEGACY_20), 3),
         "likeforlike45_subtotal": round(
             sum(v for k, v in timings.items() if k in LIKE_FOR_LIKE_45), 3),
-    })
-    return [detail, summary]
+    }
+    if subset:
+        summary_obj["subset"] = subset
+    return [json.dumps(detail_obj), json.dumps(summary_obj)]
 
 
 if __name__ == "__main__":

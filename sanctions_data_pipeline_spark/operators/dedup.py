@@ -509,7 +509,18 @@ def ngram_jaccard_components(docs: DataFrame, block_cols: list[str],
         "rep", F.size("members").alias("gsz"),
         F.size("shh").alias("n_sh"),
         F.explode("members").alias("id"))
-    out = (mem.join(F.broadcast(rep_labels), "rep", "left")
+    # Broadcast is the right plan while the label table is small (it
+    # usually is: only reps appearing in >=threshold pairs get labels),
+    # but at corpus scale the near-dup label set can exceed the
+    # broadcast/driver limit — failing the job instead of degrading.
+    # Gate on a cheap upper bound: |rep_labels| <= |groups| (already
+    # persisted; counting it materializes work the join needs anyway).
+    # ~4M (id,label) longs ≈ 64 MB serialized — comfortably under the
+    # 8 GB broadcast ceiling with headroom for row overhead; beyond
+    # that, fall back to a plain shuffle join on the rep key.
+    labels_side = (F.broadcast(rep_labels)
+                   if groups.count() <= 4_000_000 else rep_labels)
+    out = (mem.join(labels_side, "rep", "left")
            .filter(((F.col("gsz") >= 2) & (F.col("n_sh") > 0))
                    | F.col("cluster_id").isNotNull())
            .select("id",

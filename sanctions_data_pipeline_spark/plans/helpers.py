@@ -302,25 +302,28 @@ def reap_stale_scratch(spark) -> None:
     me = os.getpid()
     pat = re.compile(r"_(?:pid)?(\d+)$")
 
-    def _reap_dir(root: str) -> None:
+    def _reap_dir(root: str, prefix: str = "") -> None:
         try:
             entries = list(os.scandir(root))
         except OSError:
             return
         for d in entries:
             m = pat.search(d.name)
-            if not (d.is_dir() and m):
+            if not (d.is_dir() and m and d.name.startswith(prefix)):
                 continue
             pid = int(m.group(1))
             if pid != me and not _alive(pid):
                 shutil.rmtree(d.path, ignore_errors=True)
 
-    # warehouse tables (io_bkt_*_<pid>): the dead process's in-memory
-    # catalog is gone, only the data dirs remain
+    # warehouse tables: sweep ONLY this repo's scratch prefix (io_bkt_*).
+    # The warehouse may be shared/pre-existing, and a legitimate table
+    # named e.g. snapshot_2024 or events_v2 also matches the _<digits>
+    # suffix pattern — never touch names we didn't create.
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    _reap_dir(re.sub(r"^file:(//)?", "", wh))
+    _reap_dir(re.sub(r"^file:(//)?", "", wh), prefix="io_bkt_")
     # /tmp scratch (codecs_pid*/compact_pid*/events_dpo_pid*), one
-    # level below the per-sf dirs
+    # level below the per-sf dirs — already scoped under our own
+    # spark_graft_io root, so no name-prefix filter is needed
     io_root = os.path.join(tempfile.gettempdir(), "spark_graft_io")
     try:
         sf_dirs = list(os.scandir(io_root))

@@ -261,24 +261,44 @@ WHERE bit_count(xor(a.phash, c.phash)) <= 4
 @register("mm_phash", headline=True, oracle=_PHASH_ORACLE)
 def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup pairs — the multimodal member of
-    the dedup family. Per doc, a REAL PNG round-trip (text bytes tiled
-    to a 64x64 gray raster -> vendored spec-conformant PNG encode ->
-    decode) feeds an average-hash: 8x8 block means thresholded at the
-    image mean -> 64-bit fingerprint. Pairs within hamming<=4 come from
-    the SAME composite two-chunk pigeonhole buckets as dd_simhash
+    the dedup family. Per DISTINCT media payload, a REAL PNG round-trip
+    (text bytes tiled to a 64x64 gray raster -> vendored
+    spec-conformant PNG encode -> decode) feeds an average-hash: 8x8
+    block means thresholded at the image mean -> 64-bit fingerprint.
+    Pairs within hamming<=4 come from the SAME composite two-chunk
+    pigeonhole buckets as dd_simhash
     (operators/dedup.py:simhash_chunk_keys) — exact, never quadratic.
 
-    Scale: the mapInPandas stage is one Arrow-batched pass (image bytes
-    never shuffle); the self-join shuffles only (combo, bucket, 8-byte
-    hash) rows.
+    COLLAPSE-FIRST (round 9 — the operators/dedup.py
+    ngram_jaccard_components idiom): identical media bytes mean
+    identical raster, identical phash, and hamming 0 to each other and
+    the SAME hamming to everything else. So the op groups docs by
+    md5(payload), runs decode+hash+banding on one representative per
+    group, and reconstitutes the pair list afterward: within-group
+    pairs are hamming-0 by construction; cross-group pairs expand the
+    rep-pair list through the member arrays. At K exact copies per
+    image the codec pass and the bucket join now cost |distinct|, not
+    |docs| (and never K^2 bucket-join rows) — only the unavoidable
+    output itself stays K^2, generated by two narrow explodes. The
+    member array per group is driver-safe (never collected) but is one
+    row; pathological single-payload corpora bound it at |docs| ids —
+    the documented cap shared with ngram_jaccard_components.
 
-    Oracle (round 8): every quantity in the hash is EXACT — the PNG
-    round-trip is lossless, block means are integer sums over a
-    power-of-2 divisor, and bit (i, j) is the integer comparison
-    64 * k_block > S_total — so DuckDB recomputes each 64-bit hash
-    from hex pairs and BRUTE-FORCES all pairs, which simultaneously
-    hash-verifies the values AND proves the pigeonhole bucket join
-    loses no pair. pytest keeps the exact-dup/hamming-0 pin.
+    Scale: the mapInPandas stage is one Arrow-batched pass over
+    distinct payloads (image bytes never shuffle); the self-join
+    shuffles only (combo, bucket, 8-byte hash) rep rows; expansion
+    joins key on the rep id. `groups` stays persisted past the return
+    (cache-aliasing discipline documented at operators/dedup.py —
+    repeats share ONE entry, distinct plans evict LRU).
+
+    Oracle (round 8, unchanged by the rewrite): every quantity in the
+    hash is EXACT — the PNG round-trip is lossless, block means are
+    integer sums over a power-of-2 divisor, and bit (i, j) is the
+    integer comparison 64 * k_block > S_total — so DuckDB recomputes
+    each 64-bit hash from hex pairs and BRUTE-FORCES all pairs, which
+    simultaneously hash-verifies the values AND proves the
+    collapse+bucket composition loses no pair. pytest keeps the
+    exact-dup/hamming-0 pin.
     """
     from sanctions_data_pipeline_spark.operators.dedup import simhash_chunk_keys
 
@@ -312,14 +332,21 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
            # 0-size buffer zero-fills) -> bogus hamming-0 pairs AND
            # a quadratic bucket; drop like the other dedup operators
            .select("doc_id", "text"))
-    # The codec pass is CPU-bound Python per row; a small local corpus
-    # arrives as ONE parquet split (a single row group can't split), so
-    # without this the whole pass serializes on one core. At 100 TB the
-    # scan yields thousands of splits and this branch never triggers.
+    # collapse identical payloads; re-widen after the groupBy (AQE
+    # coalesces the small shuffle, which would serialize the CPU-heavy
+    # codec stage) and keep the group table for the three consumers
+    # (rep hashing, within-group pairs, cross-group expansion)
     par = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par, "doc_id")
-    hashed = src.mapInPandas(ahash, "doc_id long, phash long")
+    groups = (src.groupBy(F.md5("text").alias("__key"))
+              .agg(F.min("doc_id").alias("rep"),
+                   F.min_by("text", "doc_id").alias("rep_text"),
+                   F.collect_list("doc_id").alias("members"))
+              .repartition(par, "rep")
+              .persist())
+    hashed = (groups
+              .select(F.col("rep").alias("doc_id"),
+                      F.col("rep_text").alias("text"))
+              .mapInPandas(ahash, "doc_id long, phash long"))
     chunked = hashed.select(
         "doc_id", "phash",
         F.posexplode(F.array(*simhash_chunk_keys(4, col="phash")))
@@ -330,13 +357,33 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = chunked.select(F.col("doc_id").alias("j"),
                            F.col("phash").alias("ph_j"),
                            "combo_id", "combo_val")
-    return (left.join(right, ["combo_id", "combo_val"])
-            .filter(F.col("i") < F.col("j"))
-            .select("i", "j",
-                    F.bit_count(F.col("ph_i").bitwiseXOR(F.col("ph_j")))
-                     .alias("hamming"))
-            .filter(F.col("hamming") <= 4)
-            .distinct())
+    rep_pairs = (left.join(right, ["combo_id", "combo_val"])
+                 .filter(F.col("i") < F.col("j"))
+                 .select("i", "j",
+                         F.bit_count(F.col("ph_i").bitwiseXOR(F.col("ph_j")))
+                          .alias("hamming"))
+                 .filter(F.col("hamming") <= 4)
+                 .distinct())
+    # within-group: every ordered pair of identical payloads, hamming 0
+    # (two narrow explodes — output-sized work, no shuffle, no codec)
+    within = (groups.filter(F.size("members") >= 2)
+              .select(F.explode("members").alias("i"), "members")
+              .select("i", F.explode("members").alias("j"))
+              .filter(F.col("i") < F.col("j"))
+              .select("i", "j", F.lit(0).alias("hamming")))
+    # cross-group: each rep pair expands to members_i x members_j with
+    # the rep hamming (identical payloads hash identically); least/
+    # greatest restores the global i<j orientation
+    cross = (rep_pairs
+             .join(groups.select(F.col("rep").alias("i"),
+                                 F.col("members").alias("mi")), "i")
+             .join(groups.select(F.col("rep").alias("j"),
+                                 F.col("members").alias("mj")), "j")
+             .select(F.explode("mi").alias("a"), "mj", "hamming")
+             .select("a", F.explode("mj").alias("b"), "hamming")
+             .select(F.least("a", "b").alias("i"),
+                     F.greatest("a", "b").alias("j"), "hamming"))
+    return within.unionByName(cross)
 
 
 @register("mm_spectral")

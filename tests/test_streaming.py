@@ -235,15 +235,34 @@ def test_foreach_upsert_kill_resume_and_replay_idempotent(spark, sf_dir, tmp_pat
     ev2 = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
     q2 = start_upsert_latest_sink(ev2, root)
     q2.awaitTermination()
-    # the stream must reach the final batch (all 4 source files
-    # consumed). The marker COUNT is interleaving-dependent: when the
-    # kill lands after batch N+1's offset is logged but before its
-    # commit, Spark resumes from batch N+1 (the offset log defines the
-    # restart point) and the deleted batch-N marker never reappears —
-    # its merge already landed in run 1 and the replayed batch's merge
-    # is idempotent, which the state equality below actually proves.
+    # Both the marker COUNT and the final marker INDEX are interleaving-
+    # dependent: under suite load the kill can land after the offset log
+    # already covers several (or all) remaining source files in one
+    # batch, so the resumed stream may legitimately finish at any marker
+    # index. What the test actually proves is (a) every source file was
+    # consumed — read from the file source's own log, which is
+    # deterministic — and (b) the replayed batch's merge was idempotent,
+    # which the state-equality assert below checks.
     assert committed(), "resume committed nothing"
-    assert committed()[-1] == "3", committed()
+    import glob as _glob
+    import json as _json
+    src_files = {os.path.realpath(p)
+                 for p in _glob.glob(os.path.join(multi, "*.parquet"))}
+    logged: set[str] = set()
+    for entry in _glob.glob(os.path.join(root, "ckpt", "sources", "0", "*")):
+        if os.path.basename(entry).startswith("."):
+            continue
+        with open(entry) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                path = _json.loads(line).get("path", "")
+                if path.startswith("file:"):
+                    path = path[len("file:"):]
+                logged.add(os.path.realpath(path))
+    assert src_files <= logged, (
+        f"source files never consumed: {sorted(src_files - logged)}")
 
     resumed = {r.user_id: (r.last_ts_us, r.last_event_id, r.last_value)
                for r in spark.read.parquet(os.path.join(root, "state")).collect()}
