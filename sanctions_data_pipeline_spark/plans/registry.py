@@ -239,29 +239,10 @@ _R07_CHECKED = frozenset({
 
 _DRIVER_CHECKED = _DRIVER_CHECKED | _R07_CHECKED
 
-# Explicit priority for the round-8 driver 50-entry correctness window:
-# the 44 staged-at-round-7 never-driver-checked SQL-oracled entries
-# (including the 4 r02 `no_oracle`-era entries that gained SQL oracles
-# in round 7 — pipeline_e2e, xml_entity_extract, pdf_chunk_extract,
-# xml_pysource_split — and gr_pagerank, whose plan changed in round 7),
-# plus rows-only entries that gain SQL oracles during round 8 (appended
-# to fill the window to 50). Names absent from the registry are
-# skipped; unlisted unchecked names follow in registration order.
-#
-# Rotation plan — round 9 is mechanical: fold this window into
-# _R08_CHECKED, move any ROUND-9 staged names into _ORACLE_PRIORITY,
-# and stage later additions as a ROUND-10 block. The staging test
-# (tests/test_plans.py::test_rotation_staging_covers_remaining_pool)
-# keeps the staged blocks exactly equal to the never-checked pool.
-#
-# STAGED ROTATION BLOCKS (parsed by the staging test — everything from
-# here to the priority-tuple assignment below must name exactly the
-# never-checked SQL-oracled entries not already in the priority tuple):
-# ROUND-9 WINDOW (round-8 oracled additions beyond the 50-entry
-# round-8 window):
-#   dp_packing_bestfit mm_decode mm_frames mm_resize
-#   mm_audio_windows mm_luma_hist mm_phash
-_ORACLE_PRIORITY = (
+# Queries the round-8 driver hash-verified (CORRECTNESS_r08.json: 50/50
+# green — the analytics3 tail + XML/PDF/pipeline oracle backfills +
+# round-8 rows-only conversions window).
+_R08_CHECKED = frozenset({
     "q_nelson_aalen", "q_group_percentiles", "tok_mincount_sweep",
     "q_kendall_tau", "q_gk_gamma", "s_translit_match", "q_rolling_beta",
     "q_session_stats", "ml_kmeans_step", "q_audience_overlap",
@@ -277,13 +258,57 @@ _ORACLE_PRIORITY = (
     "q_incremental_mv", "ml_decision_stump", "dq_expectations",
     "pipeline_e2e", "xml_xpath_extract", "s_phonetic_screen",
     "s_alias_graph", "tok_wordpiece", "dp_padding_batches",
-    # round-8 oracle conversions (were rows-only): exact-count +
-    # invariant-boolean oracles for the sketch ops and the zlib audit,
-    # full shard accounting for the packer, portable-SQL token surgery
-    # for the region cut, and the unrolled greedy chain for MMR —
-    # fill the window to exactly 50:
     "q_approx_sketch", "q_sketch_merge", "dp_pack_sequences",
     "dd_cut_regions", "tx_compress_ratio", "sim_mmr_diversify",
+})
+
+_DRIVER_CHECKED = _DRIVER_CHECKED | _R08_CHECKED
+
+# Explicit priority for the round-9 driver 50-entry correctness window:
+# (a) the 7 round-8 oracle conversions that arrived after the round-8
+# window was cut (dp_packing_bestfit + the six mm_* hex-pair-replay
+# oracles), (b) the 4 round-9 rows-only conversions (tok_fertility /
+# emb_whiten / emb_pca via fixed-point-exact relational lanes +
+# invariant booleans; st_chained_windows via the stable emitted
+# prefix), (c) re-proofs of the 3 entries whose PLANS changed in round
+# 9 (tx_compress_ratio's true deflate bound; dd_cluster and
+# dd_keep_canonical, whose shared ngram_jaccard_components gained the
+# broadcast-size gate), and (d) oldest-evidence backfill re-proofs
+# (round-1 window) to fill the window to exactly 50. Names absent from
+# the registry are skipped; unlisted unchecked names follow in
+# registration order.
+#
+# Rotation plan — round 10 is mechanical: fold this window into
+# _R09_CHECKED, move any ROUND-10 staged names into _ORACLE_PRIORITY,
+# and stage later additions as a ROUND-11 block. The staging test
+# (tests/test_plans.py::test_rotation_staging_covers_remaining_pool)
+# keeps the staged blocks exactly equal to the never-checked pool.
+#
+# STAGED ROTATION BLOCKS (parsed by the staging test — everything from
+# here to the priority-tuple assignment below must name exactly the
+# never-checked SQL-oracled entries not already in the priority tuple):
+# ROUND-10 WINDOW: (empty — every SQL-oracled entry is driver-checked
+# or in the round-9 priority window below)
+_ORACLE_PRIORITY = (
+    # (a) round-8 conversions staged for this window
+    "dp_packing_bestfit", "mm_decode", "mm_frames", "mm_resize",
+    "mm_audio_windows", "mm_luma_hist", "mm_phash",
+    # (b) round-9 rows-only conversions
+    "tok_fertility", "emb_whiten", "emb_pca", "st_chained_windows",
+    # (c) round-9 changed-plan re-proofs
+    "tx_compress_ratio", "dd_cluster", "dd_keep_canonical",
+    # (d) oldest-evidence backfill (round-1 window) to fill to 50
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q_top_customers_window", "q_priority_pivot",
+    "q_rollup_sales", "q_semi_anti", "q_distinct_union",
+    "q_events_bucketed", "q_sessionize", "q_skew_salted", "q_cube_sales",
+    "q17_small_qty", "q_grouping_sets", "q_percentile", "q_moving_avg",
+    "q_argmax", "q_intersect_except", "q_json_props", "q_gap_fill",
+    "q_unpivot", "q_stats_moments", "q_upsert_latest", "q13_custdist",
+    "q19_disjunctive", "q21_sole_returner", "q_dq_audit",
+    "q_variant_props", "q_keyset_page", "q_robust_stats",
+    "q_period_over_period", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q10_returned_items",
 )
 
 

@@ -258,24 +258,46 @@ def st_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # st_chained_windows — TWO stateful window aggregations chained in one
 # streaming query (15-min tumbling -> hourly re-agg), Spark's
-# multi-stateful-operator support. Rows-only BY MEASUREMENT, not just
-# by design: a round-7 conversion attempt pinned the drained
-# availableNow emission set at two scale factors and got two DIFFERENT
-# cutoff rules — sf0.001 (single micro-batch) emits hourly windows
-# with end <= max(ts) - wm(2h) - outer(1h), while sf0.01 (multi-batch)
-# emits one window MORE than that rule allows, because the propagated
-# watermark ratchets per micro-batch and the final batch flushes
-# against an intermediate value that depends on file/batch
-# partitioning. No static SQL over the events table expresses that, so
-# the pytest pins (emitted set == batch re-agg prefix; values exact)
-# stay the correctness evidence.
+# multi-stateful-operator support.
+#
+# Oracle contract (round 9): the RAW drained emission set is
+# batch-structure-dependent — a round-7 conversion attempt measured
+# two different cutoff rules (sf0.001 single-batch emits hourly
+# windows with end <= max(ts) - wm(2h) - outer(1h); multi-batch
+# structures emit up to end <= max(ts) - wm because the propagated
+# watermark ratchets per micro-batch). But every structure emits AT
+# LEAST the worst-case prefix end <= max(ts) - 3h (one full
+# watermark-propagation delay behind the final watermark), so the
+# registered entry keeps exactly that STABLE PREFIX: deterministic
+# across batch structures, engines and restarts — the subset a
+# downstream consumer may rely on without replaying the trigger
+# sequence. The oracle is the batch hourly rollup under the same
+# cutoff; the raw emission-set-vs-batch-prefix law (including the
+# structure-dependent tail) stays pinned by tests/test_streaming.py.
 # --------------------------------------------------------------------------
-@register("st_chained_windows")
+@register("st_chained_windows", oracle=f"""
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum(_DVAL, "total_value")}
+FROM events, mx
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 3 HOUR
+GROUP BY 1, 2
+""")
 def st_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.catalog import load_table
     from sanctions_data_pipeline_spark.streaming.ops import chained_window_agg
 
     ev = read_events_stream(spark, sf_dir)
-    return run_available_now(chained_window_agg(ev), output_mode="append")
+    drained = run_available_now(chained_window_agg(ev), output_mode="append")
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    if mx is None:
+        return drained
+    return drained.filter(
+        F.to_timestamp("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(mx) - F.expr("INTERVAL 3 HOURS"))
 
 
 # --------------------------------------------------------------------------

@@ -834,13 +834,94 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # emb_pca — distributed PCA spectrum of the embedding corpus: Gram
 # matrix accumulated as vectorized numpy partials per partition
 # (mapInPandas, Arrow batches), eigendecomposition of the tiny d×d
-# covariance on the driver. Rows-only: the spectrum is pinned against
-# a direct numpy PCA in tests/test_training_ext.py (float partials sum
-# in partition order, so bit-exact cross-engine hashing is not
-# meaningful here).
+# covariance on the driver.
+#
+# Oracle contract (round 9, the q_approx_sketch pattern): the
+# eigensolve has no SQL twin (and float partials sum in partition
+# order, so its raw spectrum can't hash cross-engine), but the
+# covariance TRACE is pure relational algebra once components are
+# fixed-point quantized (the emb_whiten quantized-variance form:
+# trace = Σ_d (n·Σxi² − (Σxi)²) / n² / 1e6 — one exact-integer
+# numerator summed over dims, one identical IEEE tree). The driver
+# hashes that exact trace_q per component row plus the REAL spectrum
+# invariants a broken eigensolve flips: eigenvalues non-negative and
+# non-increasing, explained ratios in [0,1], and Σ-eigenvalues
+# (recovered as eig0/ratio0) matching trace_q within quantization +
+# rounding tolerance. The exact spectrum stays pinned by
+# tests/test_training_ext.py over emb_pca_full.
 # --------------------------------------------------------------------------
-@register("emb_pca")
+_PCA_ORACLE = """
+WITH x AS (
+  SELECT CAST(u.i - 1 AS INT) AS dim,
+         CAST(FLOOR(embedding[i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS xi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+),
+m AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(xi) AS BIGINT) AS sx,
+         CAST(SUM(xi * xi) AS BIGINT) AS sxx
+  FROM x GROUP BY dim
+),
+t AS (
+  SELECT CAST(SUM(n * sxx - sx * sx) AS BIGINT) AS num,
+         MIN(n) AS n, CAST(count(*) AS BIGINT) AS d
+  FROM m
+)
+SELECT CAST(u.c AS BIGINT) AS component,
+       TRUE AS nonneg, TRUE AS nonincreasing, TRUE AS ratio_ok,
+       CAST(FLOOR(CAST(num AS DOUBLE) / n / n / 1000000.0 * 1000000 + 0.5)
+            AS BIGINT) / 1000000.0 AS trace_q,
+       TRUE AS trace_ok
+FROM t, unnest(range(0, least(8, d))) u(c)
+"""
+
+
+@register("emb_pca", oracle=_PCA_ORACLE)
 def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    from sanctions_data_pipeline_spark.operators.pca import pca_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = pca_components(emb, k=8)
+    schema = ("component bigint, nonneg boolean, nonincreasing boolean,"
+              " ratio_ok boolean, trace_q double, trace_ok boolean")
+    if not len(pdf):
+        return spark.createDataFrame([], schema)
+    # exact cross-engine trace of the quantized covariance: one global
+    # integer numerator over (dim)-keyed moments, one identical IEEE
+    # division tree (see oracle note)
+    q = (emb.select(F.posexplode("embedding").alias("dim", "x"))
+         .select("dim", F.floor(F.col("x").cast("double") * F.lit(1000.0)
+                                + F.lit(0.5)).cast("bigint").alias("xi"))
+         .groupBy("dim")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("xi").alias("sx"),
+              F.sum(F.col("xi") * F.col("xi")).alias("sxx"))
+         .agg((F.sum(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+              .cast("bigint").alias("num"), F.min("n").alias("n"))
+         .first())
+    trace_q = _math.floor(float(q["num"]) / q["n"] / q["n"] / 1e6
+                          * 1e6 + 0.5) / 1e6
+    evs = [float(v) for v in pdf["eigenvalue"]]
+    ratios = [float(v) for v in pdf["explained_var"]]
+    total = evs[0] / ratios[0] if ratios and ratios[0] > 0 else 0.0
+    rows = []
+    for i, (ev, ra) in enumerate(zip(evs, ratios)):
+        rows.append((
+            i,
+            ev >= -1e-9,
+            i == 0 or ev <= evs[i - 1] + 1e-9,
+            -1e-9 <= ra <= 1.0 + 1e-9,
+            trace_q,
+            (abs(total - trace_q) <= 1e-2 * max(1.0, trace_q)
+             if ratios[0] > 0 else trace_q <= 1e-9),
+        ))
+    return spark.createDataFrame(rows, schema)
+
+
+def emb_pca_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw spectrum (component, eigenvalue, explained_var) — the pytest
+    value-pin surface."""
     from sanctions_data_pipeline_spark.operators.pca import pca_components
 
     emb = load_table(spark, sf_dir, "embeddings")

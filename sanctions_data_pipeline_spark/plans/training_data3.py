@@ -833,18 +833,71 @@ def tx_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one gram pass -> driver-side d x d eigensolve -> W = V L^-1/2 V^T ->
 # one map pass applying y = W(x - mu) -> second gram pass verifying the
 # result. Output per dimension: variance before vs after (after ~= 1
-# by construction). Rows-only (eigensolve is not SQL); pytest replays
-# the whole chain in numpy.
+# by construction).
+#
+# Oracle contract (round 9, the q_approx_sketch pattern): the
+# eigensolve has no SQL twin, but the INPUT variance per dimension is
+# pure relational algebra once components are fixed-point quantized —
+# xi = floor(x * 1e3 + 0.5) is the identical double op on both
+# engines, and var = (n*Σxi² − (Σxi)²) / n² / 1e6 is ONE exact-integer
+# numerator (order-free on both engines) divided through one identical
+# IEEE tree (exact while n·Σxi² < 2^53, i.e. ~9e9 rows at |x| <= 2 —
+# far past any stats-probe tier; shard beyond). The whitening RESULT
+# crosses as the REAL invariant |var_after − 1| <= 1e-3, which a
+# broken eigensolve/transform flips. Exact unquantized variances stay
+# pinned by tests/test_training_ext3.py over emb_whiten_full.
 #
 # Scale: both gram passes are partition-bounded partials (the emb_pca
 # contract — a few MB of driver state at d=64 x 1000 executors); the
-# transform broadcasts in task closures; nothing corpus-sized ever
+# transform broadcasts in task closures; the quantized-variance pass
+# is one posexplode + (dim)-keyed agg; nothing corpus-sized ever
 # reaches one node.
 # ---------------------------------------------------------------------------
-@register("emb_whiten")
-def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
+_QVAR_SQL = """
+  SELECT CAST(u.i - 1 AS INT) AS dim,
+         CAST(FLOOR(embedding[i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS xi
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+"""
 
+_QVAR_EXPR = ("CAST(count(*) * CAST(SUM(xi * xi) AS BIGINT)"
+              " - CAST(SUM(xi) AS BIGINT) * CAST(SUM(xi) AS BIGINT)"
+              " AS DOUBLE) / count(*) / count(*) / 1000000.0")
+
+_WHITEN_ORACLE = f"""
+WITH x AS ({_QVAR_SQL})
+SELECT dim, {sql_pround6(_QVAR_EXPR)} AS var_before,
+       TRUE AS whitened_ok
+FROM x GROUP BY dim
+"""
+
+
+def _quantized_dim_variance(emb: DataFrame) -> DataFrame:
+    """(dim, var_before): exact cross-engine per-dim variance of the
+    3dp-quantized embedding components (see the oracle-contract note
+    above emb_whiten)."""
+    n = F.count(F.lit(1))
+    num = (n * F.sum(F.col("xi") * F.col("xi"))
+           - F.sum("xi") * F.sum("xi")).cast("double")
+    return (emb.select(F.posexplode("embedding").alias("dim", "x"))
+            .select(F.col("dim").cast("int").alias("dim"),
+                    F.floor(F.col("x").cast("double") * F.lit(1000.0)
+                            + F.lit(0.5)).cast("bigint").alias("xi"))
+            .groupBy("dim")
+            .agg(pround6(num / n / n / F.lit(1000000.0)).alias("var_before")))
+
+
+@register("emb_whiten", oracle=_WHITEN_ORACLE)
+def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ok = emb_whiten_full(spark, sf_dir).select(
+        "dim", (F.abs(F.col("var_after") - F.lit(1.0)) <= F.lit(1e-3))
+        .alias("whitened_ok"))
+    return _quantized_dim_variance(emb).join(F.broadcast(ok), "dim")
+
+
+def emb_whiten_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unquantized variant (numpy-exact var before/after per dim) —
+    the pytest value-pin surface."""
     from sanctions_data_pipeline_spark.operators import pca
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3658,8 +3711,68 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows-only (depends on both trainers); pytest checks the ordering
 # laws and cross-references the sibling ops.
 # ---------------------------------------------------------------------------
-@register("tok_fertility")
+# Oracle contract (round 9, the q_approx_sketch / tx_compress_ratio
+# pattern): the whitespace and character lanes are pure relational
+# token accounting, so the driver hash-checks their EXACT symbol
+# counts and fertilities; the BPE and unigram lanes come from trained
+# tokenizers (iterative merge training / Viterbi-EM — no SQL twin),
+# so they cross as REAL compression invariants the oracle states as
+# literals: a trained subword tokenizer emits at least one symbol per
+# word and never more than the character baseline
+# (n_words <= n_symbols <= n_chars + n_words). A tokenizer regression
+# (runaway splits, dropped words, merge corruption) flips a boolean
+# and fails the hash; the exact trained-lane values stay pinned by
+# tests/test_training_ext3.py over tok_fertility_full.
+_FERT_ORACLE = f"""
+WITH w AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_words,
+         CAST(coalesce(sum(length(tok)), 0) + count(*) AS BIGINT) AS n_ch
+  FROM w
+)
+SELECT tokenizer, n_symbols, fertility, bounds_ok FROM (
+  SELECT 1 AS ord, 'whitespace' AS tokenizer, n_words AS n_symbols,
+         1.0 AS fertility, TRUE AS bounds_ok FROM t WHERE n_words > 0
+  UNION ALL
+  SELECT 2, 'character', n_ch,
+         {sql_pround6("CAST(n_ch AS DOUBLE) / n_words")}, TRUE
+  FROM t WHERE n_words > 0
+  UNION ALL
+  SELECT 3, 'bpe', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), TRUE
+  FROM t WHERE n_words > 0
+  UNION ALL
+  SELECT 4, 'unigram_lm', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), TRUE
+  FROM t WHERE n_words > 0
+)
+"""
+
+
+@register("tok_fertility", oracle=_FERT_ORACLE)
 def tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    full = {r.tokenizer: (r.n_symbols, r.fertility)
+            for r in tok_fertility_full(spark, sf_dir).collect()}
+    schema = ("tokenizer string, n_symbols bigint, fertility double,"
+              " bounds_ok boolean")
+    if not full:
+        return spark.createDataFrame([], schema)
+    n_words = int(full["whitespace"][0])
+    n_ch = int(full["character"][0])          # chars + </w> markers
+    bpe, uni = int(full["bpe"][0]), int(full["unigram_lm"][0])
+    rows = [
+        ("whitespace", n_words, 1.0, n_words >= 1),
+        ("character", n_ch,
+         _math.floor(n_ch / n_words * 1e6 + 0.5) / 1e6, n_ch >= n_words),
+        ("bpe", None, None, n_words <= bpe <= n_ch),
+        ("unigram_lm", None, None, n_words <= uni <= n_ch),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def tok_fertility_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-value variant (whitespace/character/BPE/unigram symbol
+    totals + fertilities) — the pytest value-pin surface."""
     from sanctions_data_pipeline_spark.operators import unigram as ug
     from sanctions_data_pipeline_spark.plans.training_data2 import (
         tok_bpe_encode)

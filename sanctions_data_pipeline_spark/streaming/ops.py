@@ -180,10 +180,27 @@ def user_running_stats(events: DataFrame) -> DataFrame:
 
 def run_available_now(sdf: DataFrame, output_mode: str = "complete",
                       table_name: str | None = None) -> DataFrame:
-    """Drain a bounded stream through a memory sink and return the
-    result table (harness-only; see module docstring)."""
+    """Drain a bounded stream and return the result as a DataFrame
+    (harness-only; see module docstring).
+
+    Two drains, selected by ``SPARK_GRAFT_STREAM_DRAIN``:
+
+    - ``memory`` (default): Spark's memory sink — rows live in the
+      driver, which is fine at oracle/test scale and lets the driver
+      hash-compare directly.
+    - ``file``: a foreachBatch parquet drain (the production sink
+      shape) — complete-mode batches overwrite, append/update batches
+      accumulate, and the returned DataFrame is a distributed parquet
+      read, so the driver never holds the result. This is the
+      scaled-bench path: at the ×100 tier st_session's session rows
+      OOMed an 8 GiB driver through the memory sink even though the
+      streaming plan itself is fine (VERDICT r08 what's-wrong item 4).
+      Scratch is pid-scoped under the reap_stale_scratch root.
+    """
     name = table_name or f"st_{uuid.uuid4().hex[:12]}"
     spark = sdf.sparkSession
+    if os.environ.get("SPARK_GRAFT_STREAM_DRAIN", "memory") == "file":
+        return _run_available_now_file_drain(sdf, output_mode, name)
     # Stateful streaming pins one state store per shuffle partition for
     # the life of the checkpoint. These are FRESH bounded drains (new
     # checkpoint every call), so scope the partition count down: 8
@@ -208,6 +225,39 @@ def run_available_now(sdf: DataFrame, output_mode: str = "complete",
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def _run_available_now_file_drain(sdf: DataFrame, output_mode: str,
+                                  name: str) -> DataFrame:
+    """foreachBatch parquet drain for :func:`run_available_now` —
+    complete-mode batches carry the full result (overwrite keeps the
+    last), append/update batches carry deltas (append accumulates)."""
+    from sanctions_data_pipeline_spark.plans.helpers import reap_stale_scratch
+
+    spark = sdf.sparkSession
+    reap_stale_scratch(spark)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_io", "streams",
+                        f"{name}_pid{os.getpid()}")
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
+    try:
+        q = (sdf.writeStream.foreachBatch(sink)
+             .outputMode(output_mode)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not os.path.isdir(out):  # zero batches ran (empty source)
+        return spark.createDataFrame([], sdf.schema)
+    return spark.read.parquet(out)
 
 
 def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:

@@ -340,9 +340,19 @@ def test_registry_contract_invariants():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
     for name, qd in reg.headline_queries().items():
         assert name in qs and qd.headline
-    # the driver's 50-entry window must contain no already-proven entry
+    # the driver's 50-entry window must contain EVERY never-checked
+    # SQL-oracled entry (so nothing escapes driver verification);
+    # while the never-checked pool was > 50 this meant "no proven
+    # entry in the window" — now that the pool fits, surplus window
+    # slots deliberately carry re-proofs (changed plans, oldest
+    # evidence), which is the round-9+ rotation contract
     window = list(qs)[:50]
-    assert not (set(window) & reg._DRIVER_CHECKED)
+    never_checked = {n for n in os_ if n not in reg._DRIVER_CHECKED}
+    if len(never_checked) <= 50:
+        assert never_checked <= set(window), (
+            sorted(never_checked - set(window)))
+    else:
+        assert not (set(window) & reg._DRIVER_CHECKED)
     # every window entry is SQL-oracled (the driver's strongest check)
     assert set(window) <= set(os_)
 
@@ -615,20 +625,16 @@ _ROWS_ONLY_VALUE_PINS = {
     "emb_isotropy": ("test_training_ext3.py", "test_emb_isotropy_abtt_improves_isotropy"),
     "emb_kmeans_train": ("test_training_ext3.py", "test_emb_kmeans_train_cells_match_replay"),
     "emb_knn_graph_ivf": ("test_dedup_similarity.py", "test_knn_graph_ivf_recall_against_exact"),
-    "emb_pca": ("test_training_ext.py", "test_emb_pca_matches_numpy"),
     "emb_procrustes_align": ("test_training_ext3.py", "test_emb_procrustes_align_recovers_quantization_geometry"),
     "emb_semantic_dedup": ("test_dedup_similarity.py", "test_semantic_dedup_keeps_prototypical_member"),
-    "emb_whiten": ("test_training_ext3.py", "test_emb_whiten_unit_variance_and_numpy_replay"),
     "ml_logreg": ("test_training_ext.py", "test_logreg_matches_driver_recompute_and_learns"),
     "mm_spectral": ("test_multimodal.py", "test_mm_spectral_matches_numpy_replay"),
     "pr_implicit_als": ("test_training_ext3.py", "test_pr_implicit_als_matches_numpy_replay"),
     "sim_ann_ivf": ("test_ivf.py", "test_ivf_recall_floor_and_validity"),
     "sim_ann_ivfpq": ("test_ivf.py", "test_sim_ann_ivfpq_recall_vs_bruteforce"),
     "sim_ann_pq": ("test_ivf.py", "test_pq_topk_recall_and_determinism"),
-    "st_chained_windows": ("test_streaming.py", "test_chained_windows_match_batch_rollup_prefix"),
     "tok_bpe_encode": ("test_training_ext2.py", "test_tok_bpe_encode_matches_python_replay"),
     "tok_bpe_merges": ("test_training_ext2.py", "test_tok_bpe_merges_matches_python_bpe"),
-    "tok_fertility": ("test_training_ext3.py", "test_tok_fertility_ordering_laws"),
     "tok_unigram_lm": ("test_training_ext3.py", "test_tok_unigram_lm_matches_python_em_replay"),
 }
 

@@ -127,7 +127,8 @@ def test_array_hof_norm_matches_numpy(spark, sf_dir):
 def test_emb_pca_matches_numpy(spark, sf_dir):
     import numpy as np
     from sanctions_data_pipeline_spark.catalog import load_table
-    rows = _run(spark, sf_dir, "emb_pca").collect()
+    from sanctions_data_pipeline_spark.plans.training_data import emb_pca_full
+    rows = emb_pca_full(spark, sf_dir).collect()
     m = np.vstack([r.embedding for r in
                    load_table(spark, sf_dir, "embeddings").collect()]
                   ).astype(np.float64)
@@ -136,6 +137,15 @@ def test_emb_pca_matches_numpy(spark, sf_dir):
     got = np.array([r.eigenvalue for r in sorted(rows, key=lambda r: r.component)])
     assert np.allclose(got, want, atol=1e-4)
     assert all(a >= b for a, b in zip(got, got[1:]))  # descending spectrum
+    # the registered (oracle-checked) projection: every spectrum
+    # invariant holds and trace_q matches the true trace to
+    # quantization error
+    reg = sorted(_run(spark, sf_dir, "emb_pca").collect(),
+                 key=lambda r: r.component)
+    assert [r.component for r in reg] == list(range(len(want)))
+    for r in reg:
+        assert r.nonneg and r.nonincreasing and r.ratio_ok and r.trace_ok
+        assert abs(r.trace_q - float(np.trace(cov))) < 1e-3
 
 
 def test_cap_per_source_deterministic_and_bounded(spark, sf_dir):

@@ -421,9 +421,19 @@ def test_st_anomaly_matches_exact_decimal_replay(spark, sf_dir):
 def test_emb_whiten_unit_variance_and_numpy_replay(spark, sf_dir):
     import numpy as np
 
+    from sanctions_data_pipeline_spark.plans.training_data3 import (
+        emb_whiten_full)
+
     rows = {r.dim: (r.var_before, r.var_after)
-            for r in _run(spark, sf_dir, "emb_whiten").collect()}
+            for r in emb_whiten_full(spark, sf_dir).collect()}
     assert len(rows) == 64
+    # the registered (oracle-checked) projection: quantized variance
+    # within quantization error of the true one, whitening invariant ok
+    reg = {r.dim: r for r in _run(spark, sf_dir, "emb_whiten").collect()}
+    assert len(reg) == 64
+    for d, r in reg.items():
+        assert abs(r.var_before - rows[d][0]) < 1e-3, (d, r.var_before)
+        assert r.whitened_ok
     # whitening contract: every output dimension has variance ~= 1
     for d, (vb, va) in rows.items():
         assert abs(va - 1.0) < 1e-3, (d, va)
@@ -1621,8 +1631,11 @@ def test_q_gini_coefficient_matches_python(spark, sf_dir):
 
 
 def test_tok_fertility_ordering_laws(spark, sf_dir):
+    from sanctions_data_pipeline_spark.plans.training_data3 import (
+        tok_fertility_full)
+
     rows = {r.tokenizer: (r.n_symbols, r.fertility)
-            for r in _run(spark, sf_dir, "tok_fertility").collect()}
+            for r in tok_fertility_full(spark, sf_dir).collect()}
     assert set(rows) == {"whitespace", "character", "bpe", "unigram_lm"}
     ws, ch = rows["whitespace"], rows["character"]
     bpe, uni = rows["bpe"], rows["unigram_lm"]
@@ -1634,6 +1647,14 @@ def test_tok_fertility_ordering_laws(spark, sf_dir):
     enc = _run(spark, sf_dir, "tok_bpe_encode").collect()
     assert bpe[0] == sum(r.n_bpe_symbols for r in enc)
     assert ch[0] == sum(r.n_raw_symbols for r in enc)
+    # the registered (oracle-checked) projection agrees with the full
+    # lanes: exact relational values + true compression invariants
+    reg = {r.tokenizer: r for r in
+           _run(spark, sf_dir, "tok_fertility").collect()}
+    assert reg["whitespace"].n_symbols == ws[0]
+    assert reg["character"].n_symbols == ch[0]
+    assert all(reg[k].bounds_ok for k in reg)
+    assert reg["bpe"].n_symbols is None and reg["unigram_lm"].fertility is None
 
 
 def test_q_weekday_seasonality_accounting(spark, sf_dir):
