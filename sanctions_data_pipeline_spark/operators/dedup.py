@@ -104,6 +104,87 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
 
+# ---------------------------------------------------------------------------
+# Collapse-first machinery shared by the near-dup PAIR family.
+#
+# Every signature in this module (shingle set, MinHash, SimHash) is a
+# function of the NORMALIZED text, so documents in one identical-
+# normalized-text group are (a) pairwise similarity-1.0 / hamming-0 to
+# each other and (b) interchangeable with respect to every other
+# document. Pair enumeration is output-sensitive — K exact copies form
+# a K-clique, K²/2 pairs — and no plan can EMIT fewer rows than the
+# contract demands; but only a naive plan pays K² inside the candidate
+# join, where K-deep buckets join K-deep buckets carrying signature
+# payloads (measured: dd_ngram_jaccard at the ×100 duplicate-mass tier
+# OOMed an 8 GiB heap in the AllPairs candidate join). The collapsed
+# plan runs signatures + candidate generation on one REPRESENTATIVE
+# per group and reconstitutes the pair list afterward: within-group
+# pairs are emitted as two narrow explodes (streaming, spillable,
+# exactly output-sized), cross-group pairs expand the rep pair list
+# through the member arrays with rep-keyed joins. Selected by the same
+# CBO duplicate-mass probe as ngram_jaccard_components; the direct
+# path keeps zero collapse overhead on dup-free corpora.
+# ---------------------------------------------------------------------------
+def _dup_mass_low(docs: DataFrame, text_col: str) -> bool:
+    """One map-side probe: duplicate ratio <= ~1.15 means collapse-first
+    would cost more than it saves (the ngram_jaccard_components CBO
+    idiom — decide the plan from a cheap statistic, not a guess)."""
+    st = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(
+            F.md5(normalized_text(F.col(text_col))), rsd=0.05).alias("d")
+    ).first()
+    return (not st["n"]) or st["n"] <= st["d"] * 1.15
+
+
+def _text_groups(docs: DataFrame, block_cols: list[str], id_col: str,
+                 text_col: str, persist: bool = True) -> DataFrame:
+    """(block..., __key, rep, rep_text, members) — one row per
+    identical-normalized-text group, re-widened after the groupBy (AQE
+    coalesces the small shuffle, which would serialize the CPU-heavy
+    signature stage downstream). Persisted by default and deliberately
+    NOT unpersisted (the cache-aliasing discipline documented at
+    ngram_jaccard_components: repeats share one entry, distinct plans
+    evict LRU)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    g = (docs
+         .select(*block_cols, F.col(id_col).alias("i"),
+                 F.col(text_col).alias("__t"))
+         .groupBy(*block_cols,
+                  F.md5(normalized_text(F.col("__t"))).alias("__key"))
+         .agg(F.min("i").alias("rep"),
+              F.min_by("__t", "i").alias("rep_text"),
+              F.collect_list("i").alias("members"))
+         .repartition(par, "rep"))
+    return g.persist() if persist else g
+
+
+def _within_group_pairs(groups: DataFrame, extra: list[Column]) -> DataFrame:
+    """All (i < j) pairs inside each group with literal score columns —
+    two narrow explodes, no shuffle, no signature work; output-sized by
+    construction."""
+    return (groups.filter(F.size("members") >= 2)
+            .select(F.explode("members").alias("i"), "members")
+            .select("i", F.explode("members").alias("j"))
+            .filter(F.col("i") < F.col("j"))
+            .select("i", "j", *extra))
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, groups: DataFrame,
+                      val_cols: list[str]) -> DataFrame:
+    """Expand a representative pair list through the member arrays:
+    each (rep_i, rep_j, vals) pair becomes members_i x members_j rows
+    carrying the same vals (identical texts share every signature);
+    least/greatest restores the global i < j orientation."""
+    gi = groups.select(F.col("rep").alias("i"), F.col("members").alias("__mi"))
+    gj = groups.select(F.col("rep").alias("j"), F.col("members").alias("__mj"))
+    return (rep_pairs.join(gi, "i").join(gj, "j")
+            .select(F.explode("__mi").alias("__a"), "__mj", *val_cols)
+            .select("__a", F.explode("__mj").alias("__b"), *val_cols)
+            .select(F.least("__a", "__b").alias("i"),
+                    F.greatest("__a", "__b").alias("j"), *val_cols))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
                         threshold: float, k: int = 3,
                         id_col: str = "doc_id",
@@ -126,10 +207,32 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
     which the rarity ordering keeps small. Verification joins fetch the
     hashed sets for candidate pairs only.
 
-    Output: (i, j, jac) with i < j and jac >= threshold.
+    Output: (i, j, jac) with i < j and jac >= threshold. The pair list
+    is output-sensitive in duplicate multiplicity (K exact copies →
+    K²/2 Jaccard-1.0 pairs, irreducibly); under duplicate mass the
+    CBO probe routes through collapse-first (see the shared machinery
+    above), so only the OUTPUT is K² — shingling and the AllPairs
+    candidate join run on distinct texts, and within-group pairs are
+    emitted as narrow explodes with jac = 1.0 exactly (identical
+    shingle sets).
     """
-    sets = _shingle_sets(docs, block_cols, k, id_col, text_col)
-    return _allpairs_from_sets(sets, block_cols, threshold)
+    if _dup_mass_low(docs, text_col):
+        sets = _shingle_sets(docs, block_cols, k, id_col, text_col)
+        return _allpairs_from_sets(sets, block_cols, threshold)
+    groups = (_text_groups(docs, block_cols, id_col, text_col, persist=False)
+              .withColumn("shh", shingle_hashes(F.col("rep_text"), k))
+              .withColumn("n", F.size("shh"))
+              .drop("rep_text")
+              .persist())
+    rep_sets = groups.filter(F.col("n") > 0).select(
+        *block_cols, F.col("rep").alias("i"), "shh", "n")
+    rep_pairs = _allpairs_from_sets(rep_sets, block_cols, threshold)
+    # docs with empty shingle sets (< k tokens) pair with nothing —
+    # exclude their groups from the within-group cliques too
+    within = _within_group_pairs(groups.filter(F.col("n") > 0),
+                                 [F.lit(1.0).alias("jac")])
+    cross = _expand_rep_pairs(rep_pairs, groups, ["jac"])
+    return within.unionByName(cross)
 
 
 def _shingle_sets(docs: DataFrame, block_cols: list[str], k: int,
@@ -237,7 +340,42 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
     any band signature matches, then is verified with exact Jaccard.
     Output: (i, j, jac) — high recall (not guaranteed total) at ~0 cost
     compared to all-pairs.
+
+    DUPLICATE-MULTIPLICITY (the 100 TB caveat): the CONTRACT is the
+    pair list, output-sensitive by definition — K exact copies form a
+    K-clique and K²/2 pairs exist, irreducibly. Under duplicate mass
+    the CBO probe routes through collapse-first (shared machinery
+    above): MinHash + banding + the bucket join run on one
+    representative per identical-normalized-text group (identical
+    texts have identical signatures, so recall is unchanged), the
+    K-clique is emitted as narrow explodes with jac = 1.0 exactly,
+    and cross-group pairs expand the rep pair list. Only the
+    unavoidable output stays K². If even the output is too large to
+    materialize, consume the components/canonical form instead
+    (ngram_jaccard_components / dd_keep_canonical) or cap band-bucket
+    width into a quarantine list (the standard LSH hot-bucket
+    discipline).
     """
+    if _dup_mass_low(docs, text_col):
+        return _minhash_lsh_pairs_direct(docs, n_hashes, bands, threshold,
+                                         k, id_col, text_col)
+    groups = _text_groups(docs, [], id_col, text_col)
+    reps = groups.select(F.col("rep").alias(id_col),
+                         F.col("rep_text").alias(text_col))
+    rep_pairs = _minhash_lsh_pairs_direct(reps, n_hashes, bands, threshold,
+                                          k, id_col, text_col)
+    # docs with no shingles carry no signature and pair with nothing
+    within = _within_group_pairs(
+        groups.filter(F.size(shingle_hashes(F.col("rep_text"), k)) > 0),
+        [F.lit(1.0).alias("jac")])
+    cross = _expand_rep_pairs(rep_pairs, groups, ["jac"])
+    return within.unionByName(cross)
+
+
+def _minhash_lsh_pairs_direct(docs: DataFrame, n_hashes: int, bands: int,
+                              threshold: float, k: int,
+                              id_col: str, text_col: str) -> DataFrame:
+    """The banding pipeline proper (see minhash_lsh_pairs)."""
     r = n_hashes // bands
     wide = _minhash_wide(docs, n_hashes, k, id_col, text_col)
     # band sig = one codegen'd xxhash64 over the band's r minhash
@@ -404,7 +542,26 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     (see :func:`simhash_chunk_keys`), verified with bit_count. The
     self-join runs only within (combo_id, composite_val) buckets, whose
     key space (~2^26 at h=3) keeps bucket populations bounded even when
-    a boilerplate-heavy corpus concentrates fingerprint mass."""
+    a boilerplate-heavy corpus concentrates fingerprint mass. Under
+    duplicate mass the CBO probe routes through collapse-first (shared
+    machinery above): identical normalized texts have identical
+    fingerprints, so the K-clique is emitted as narrow hamming-0
+    explodes and fingerprinting + the bucket join run on distinct
+    texts only."""
+    if _dup_mass_low(docs, text_col):
+        return _simhash_pairs_direct(docs, max_hamming, id_col, text_col)
+    groups = _text_groups(docs, [], id_col, text_col)
+    reps = groups.select(F.col("rep").alias(id_col),
+                         F.col("rep_text").alias(text_col))
+    rep_pairs = _simhash_pairs_direct(reps, max_hamming, id_col, text_col)
+    within = _within_group_pairs(groups, [F.lit(0).alias("hamming")])
+    cross = _expand_rep_pairs(rep_pairs, groups, ["hamming"])
+    return within.unionByName(cross)
+
+
+def _simhash_pairs_direct(docs: DataFrame, max_hamming: int,
+                          id_col: str, text_col: str) -> DataFrame:
+    """The pigeonhole-bucket pipeline proper (see simhash_pairs)."""
     sh = simhash_fingerprints(docs, id_col, text_col)
     chunked = sh.select(
         id_col, "sh",
@@ -473,28 +630,13 @@ def ngram_jaccard_components(docs: DataFrame, block_cols: list[str],
     above it -> collapse-first. Both paths are pinned row-identical
     by tests/test_dedup_similarity.py.
     """
-    st = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(
-            F.md5(normalized_text(F.col(text_col))), rsd=0.05).alias("d")
-    ).first()
-    if not st["n"] or st["n"] <= st["d"] * 1.15:
+    if _dup_mass_low(docs, text_col):
         return connected_components(
             ngram_jaccard_pairs(docs, block_cols, threshold, k,
                                 id_col, text_col))
-    # re-widen after the groupBy (AQE coalesces the small shuffle,
-    # which would serialize the CPU-heavy shingling/AllPairs stages);
     # shingle each distinct text ONCE, into the persisted group table
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    groups = (docs
-              .select(*block_cols, F.col(id_col).alias("i"),
-                      F.col(text_col).alias("__t"))
-              .groupBy(*block_cols,
-                       F.md5(normalized_text(F.col("__t"))).alias("__key"))
-              .agg(F.min("i").alias("rep"),
-                   F.min_by("__t", "i").alias("rep_text"),
-                   F.collect_list("i").alias("members"))
-              .repartition(par, "rep")
+    # (the shared collapse machinery re-widens after its groupBy)
+    groups = (_text_groups(docs, block_cols, id_col, text_col, persist=False)
               .withColumn("shh", shingle_hashes(F.col("rep_text"), k))
               .drop("rep_text")
               .persist())

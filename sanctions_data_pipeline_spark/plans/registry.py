@@ -295,8 +295,11 @@ _ORACLE_PRIORITY = (
     "mm_audio_windows", "mm_luma_hist", "mm_phash",
     # (b) round-9 rows-only conversions
     "tok_fertility", "emb_whiten", "emb_pca", "st_chained_windows",
-    # (c) round-9 changed-plan re-proofs
+    # (c) round-9 changed-plan re-proofs (deflate bound; the dedup
+    # family's collapse-first pair path + broadcast gate, reaching
+    # every SQL-oracled caller of ngram_jaccard_pairs/components)
     "tx_compress_ratio", "dd_cluster", "dd_keep_canonical",
+    "dd_ngram_jaccard", "corpus_e2e", "tt_leakage_check",
     # (d) oldest-evidence backfill (round-1 window) to fill to 50
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q_top_customers_window", "q_priority_pivot",
@@ -307,8 +310,7 @@ _ORACLE_PRIORITY = (
     "q_unpivot", "q_stats_moments", "q_upsert_latest", "q13_custdist",
     "q19_disjunctive", "q21_sole_returner", "q_dq_audit",
     "q_variant_props", "q_keyset_page", "q_robust_stats",
-    "q_period_over_period", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q10_returned_items",
+    "q_period_over_period", "q4_order_priority",
 )
 
 

@@ -394,8 +394,12 @@ def test_ngram_jaccard_components_equals_pairwise_cc(spark, sf_dir):
     from sanctions_data_pipeline_spark.operators import dedup as dd
 
     def both(docs):
-        ref = dd.connected_components(
-            dd.ngram_jaccard_pairs(docs, ["lang"], 0.5, 3))
+        # reference = the UNCOLLAPSED pairwise composition (since round
+        # 9 ngram_jaccard_pairs itself collapses under duplicate mass,
+        # so it is no longer an independent reference here)
+        ref = dd.connected_components(dd._allpairs_from_sets(
+            dd._shingle_sets(docs, ["lang"], 3, "doc_id", "text"),
+            ["lang"], 0.5))
         got = dd.ngram_jaccard_components(docs, ["lang"], 0.5, 3)
         return ({(r.id, r.cluster_id) for r in ref.collect()},
                 {(r.id, r.cluster_id) for r in got.collect()})
@@ -437,3 +441,43 @@ def test_ngram_jaccard_components_equals_pairwise_cc(spark, sf_dir):
     comp = {(i, 100) for i in (*range(100, 107), 200, 201)} | {
         (500, 500), (501, 500)}
     assert got == comp
+
+
+def test_pair_ops_collapse_path_equals_direct(spark, sf_dir):
+    """Round-9 collapse-first for the PAIR ops (ngram-Jaccard /
+    MinHash-LSH / SimHash): on a duplicate-heavy corpus (ratio > the
+    CBO cutoff, so the collapsed plan is selected) the emitted pair
+    list must be IDENTICAL — same pairs, same scores — to the direct
+    pipeline run on the same input. Covers K-cliques (within-group
+    hamming-0 / jac-1.0), cross-group expansion, sub-k-token exclusion,
+    and the block column."""
+    base = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text")
+    stride = 10 ** len(str(base.agg(F.max("doc_id")).first()[0]))
+    multi = base
+    for k in (1, 2, 3):                     # 4 copies of every doc
+        multi = multi.unionByName(
+            base.select((F.col("doc_id") + F.lit(k * stride))
+                        .alias("doc_id"), "lang", "text"))
+    multi = multi.persist()
+    assert not dd._dup_mass_low(multi, "text")   # collapsed path selected
+
+    got = {(r.i, r.j, r.jac) for r in
+           dd.ngram_jaccard_pairs(multi, ["lang"], 0.5, 3).collect()}
+    want = {(r.i, r.j, r.jac) for r in dd._allpairs_from_sets(
+        dd._shingle_sets(multi, ["lang"], 3, "doc_id", "text"),
+        ["lang"], 0.5).collect()}
+    assert got == want and got
+
+    got = {(r.i, r.j, r.jac) for r in
+           dd.minhash_lsh_pairs(multi, 32, 8, 0.5, 3).collect()}
+    want = {(r.i, r.j, r.jac) for r in dd._minhash_lsh_pairs_direct(
+        multi, 32, 8, 0.5, 3, "doc_id", "text").collect()}
+    assert got == want and got
+
+    got = {(r.i, r.j, r.hamming) for r in
+           dd.simhash_pairs(multi, max_hamming=3).collect()}
+    want = {(r.i, r.j, r.hamming) for r in dd._simhash_pairs_direct(
+        multi, 3, "doc_id", "text").collect()}
+    assert got == want and got
+    multi.unpersist()
