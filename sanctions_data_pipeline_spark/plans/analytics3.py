@@ -102,7 +102,29 @@ WHERE CAST(len(list_intersect(a.ls, b.ls)) AS DOUBLE)
 @register("dd_minhash_lsh_portable", headline=True,
           oracle=_MINHASH_PORTABLE_ORACLE)
 def dd_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    if dd._dup_mass_low(docs, "text"):
+        return _minhash_portable_pairs(docs)
+    # collapse-first (round 9, the operators/dedup.py pair-family
+    # discipline): identical normalized text -> identical md5 shingle
+    # set, signatures and bands; run the banding pipeline on one rep
+    # per group, emit within-group cliques as jac-1.0 explodes
+    groups = dd._text_groups(docs, [], "doc_id", "text")
+    reps = groups.select(F.col("rep").alias("doc_id"),
+                         F.col("rep_text").alias("text"))
+    rep_pairs = _minhash_portable_pairs(reps)
+    within = dd._within_group_pairs(
+        groups.filter(F.size(tx.tokens(F.col("rep_text"))) >= _MH_K),
+        [F.lit(1.0).alias("jac")])
+    cross = dd._expand_rep_pairs(rep_pairs, groups, ["jac"])
+    return within.unionByName(cross)
+
+
+def _minhash_portable_pairs(docs: DataFrame) -> DataFrame:
+    """The md5-portable banding pipeline proper (see
+    dd_minhash_lsh_portable)."""
     arr = docs.select("doc_id", tx.tokens(F.col("text")).alias("t")) \
               .filter(F.size("t") >= _MH_K)
     # 3-shingles as strings, hashed to portable 32-bit ids; the
@@ -195,7 +217,27 @@ WHERE l.doc_id < r.doc_id AND bit_count(xor(l.fp, r.fp)) <= {_SH_H}
 
 @register("dd_simhash_portable", oracle=_SIMHASH_PORTABLE_ORACLE)
 def dd_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    if dd._dup_mass_low(docs, "text"):
+        return _simhash_portable_pairs(docs)
+    # collapse-first (round 9, the operators/dedup.py pair-family
+    # discipline): identical normalized text -> identical md5 token
+    # stream and fingerprint; hamming-0 cliques emitted as explodes
+    groups = dd._text_groups(docs, [], "doc_id", "text")
+    reps = groups.select(F.col("rep").alias("doc_id"),
+                         F.col("rep_text").alias("text"))
+    rep_pairs = _simhash_portable_pairs(reps)
+    within = dd._within_group_pairs(
+        groups, [F.lit(0).cast("bigint").alias("hamming")])
+    cross = dd._expand_rep_pairs(rep_pairs, groups, ["hamming"])
+    return within.unionByName(cross)
+
+
+def _simhash_portable_pairs(docs: DataFrame) -> DataFrame:
+    """The md5-portable pigeonhole pipeline proper (see
+    dd_simhash_portable)."""
     th = docs.select(
         "doc_id",
         F.explode(tx.tokens(F.col("text"))).alias("tok"),

@@ -813,11 +813,40 @@ WHERE shared >= {_WIN_MIN_SHARED}
 @register("dd_winnow", oracle=_WINNOW_ORACLE, headline=True)
 def dd_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.catalog import widen_small_scan
+    from sanctions_data_pipeline_spark.operators import dedup as dd
 
     docs = widen_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    if dd._dup_mass_low(docs, "text"):
+        return _winnow_pairs_from(_winnow_sel(docs))
+    # collapse-first (round 9, the operators/dedup.py pair-family
+    # discipline): identical normalized text -> identical fingerprint
+    # SET and count, so within-group pairs are (shared = nfp, sim = 1.0)
+    # by construction and the shared-fp self-join runs on distinct
+    # texts only — K copies never meet inside a fingerprint bucket
+    # (the x100 duplicate-mass OOM class).
+    groups = dd._text_groups(docs, [], "doc_id", "text")
+    reps = groups.select(F.col("rep").alias("doc_id"),
+                         F.col("rep_text").alias("text"))
+    sel = _winnow_sel(reps).persist()
+    rep_pairs = _winnow_pairs_from(sel)
+    sizes = (sel.groupBy("doc_id").agg(lcount("nfp"))
+             .withColumnRenamed("doc_id", "rep"))
+    within = (groups.join(sizes, "rep")
+              .filter((F.size("members") >= 2)
+                      & (F.col("nfp") >= _WIN_MIN_SHARED))
+              .select(F.explode("members").alias("i"), "members", "nfp")
+              .select("i", F.explode("members").alias("j"), "nfp")
+              .filter(F.col("i") < F.col("j"))
+              .select("i", "j", F.col("nfp").alias("shared"),
+                      F.lit(1.0).alias("sim")))
+    cross = dd._expand_rep_pairs(rep_pairs, groups, ["shared", "sim"])
+    return within.unionByName(cross)
+
+
+def _winnow_sel(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): each doc's distinct winnowed fingerprints."""
     toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
     k, w = _WIN_K, _WIN_W
-
     kg = (toks.filter(F.size("t") >= k)
           .select("doc_id", "t", (F.size("t") - k + 1).alias("n_kg"),
                   F.posexplode(F.expr(
@@ -827,13 +856,16 @@ def dd_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id", "n_kg", (F.col("pos") + 1).alias("pos"),
                   (F.conv(F.substring(F.md5("kgram"), 1, 15), 16, 10)
                    .cast("bigint")).alias("h")))
-
     win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    sel = (kg.select("doc_id", "pos", "n_kg",
-                     F.min("h").over(win).alias("fp"))
-           .filter(F.col("pos") <= F.col("n_kg") - w + 1)
-           .select("doc_id", "fp").distinct())
+    return (kg.select("doc_id", "pos", "n_kg",
+                      F.min("h").over(win).alias("fp"))
+            .filter(F.col("pos") <= F.col("n_kg") - w + 1)
+            .select("doc_id", "fp").distinct())
 
+
+def _winnow_pairs_from(sel: DataFrame) -> DataFrame:
+    """Shared-fingerprint pair counting + min-size similarity (see
+    dd_winnow)."""
     sizes = sel.groupBy("doc_id").agg(lcount("nfp"))
     a = sel.select(F.col("doc_id").alias("i"), "fp")
     b = sel.select(F.col("doc_id").alias("j"), "fp")

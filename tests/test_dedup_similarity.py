@@ -481,3 +481,53 @@ def test_pair_ops_collapse_path_equals_direct(spark, sf_dir):
         multi, 3, "doc_id", "text").collect()}
     assert got == want and got
     multi.unpersist()
+
+
+def test_plan_pair_entries_collapse_equals_direct(spark, sf_dir, tmp_path):
+    """The three SQL-oracled pair ENTRIES that wrap self-joins
+    (dd_winnow, dd_minhash_lsh_portable, dd_simhash_portable) also
+    collapse under duplicate mass (round 9); on a 4x-duplicated corpus
+    their output must equal the direct pipelines on the same input."""
+    import os
+
+    from sanctions_data_pipeline_spark.plans import analytics3 as a3
+    from sanctions_data_pipeline_spark.plans import registry
+    from sanctions_data_pipeline_spark.plans import training_data2 as td2
+
+    base = load_table(spark, sf_dir, "documents")
+    stride = 10 ** len(str(base.agg(F.max("doc_id")).first()[0]))
+    multi = base
+    for k in (1, 2, 3):
+        multi = multi.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(k * stride)))
+    d = str(tmp_path / "sf_dup")
+    os.makedirs(d)
+    multi.write.parquet(os.path.join(d, "documents.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(d, f"{t}.parquet"))
+
+    docs = load_table(spark, d, "documents")
+    assert not dd._dup_mass_low(docs, "text")
+    qs = registry.queries()
+
+    got = {(r.i, r.j, r.shared, r.sim)
+           for r in qs["dd_winnow"](spark, d).collect()}
+    want = {(r.i, r.j, r.shared, r.sim)
+            for r in td2._winnow_pairs_from(td2._winnow_sel(docs)).collect()}
+    assert got == want and got
+
+    nonempty = docs.filter(F.length("text") > 0)
+    got = {(r.i, r.j, r.jac)
+           for r in qs["dd_minhash_lsh_portable"](spark, d).collect()}
+    want = {(r.i, r.j, r.jac)
+            for r in a3._minhash_portable_pairs(nonempty).collect()}
+    assert got == want and got
+
+    got = {(r.i, r.j, r.hamming)
+           for r in qs["dd_simhash_portable"](spark, d).collect()}
+    want = {(r.i, r.j, r.hamming)
+            for r in a3._simhash_portable_pairs(nonempty).collect()}
+    assert got == want and got
