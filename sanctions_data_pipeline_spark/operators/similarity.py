@@ -45,7 +45,58 @@ def cosine_pairs(vecs: DataFrame, block_cols: list[str], threshold: float,
 
     The quadratic term is bounded by the block size by construction; at
     corpus scale compose the block key with an LSH/IVF cell (see
-    sign_lsh_key / assign_cells) to cap it."""
+    sign_lsh_key / assign_cells) to cap it.
+
+    DUPLICATE MASS (round 9, the operators/dedup.py pair-family
+    discipline): K identical vectors inside one block form a K-clique
+    — cos(a, x) is a function of the VECTOR, so identical rows are
+    interchangeable. A CBO probe (count vs approx-distinct vector
+    hash) routes duplicate-heavy inputs through collapse-first: the
+    blocked join runs on one representative per (block, vector) group,
+    within-group cliques are emitted as narrow explodes carrying the
+    rep's self-cosine (the SAME expression tree the direct join would
+    evaluate on two identical rows — bit-identical, including the
+    NaN-excludes-zero-vectors edge), and cross-group pairs expand the
+    rep pair list. Only the unavoidable output stays K²."""
+    st = vecs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.xxhash64(vec_col), rsd=0.05).alias("d")
+    ).first()
+    if (not st["n"]) or st["n"] <= st["d"] * 1.15:
+        return _cosine_pairs_direct(vecs, block_cols, threshold,
+                                    id_col, vec_col)
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+
+    par = vecs.sparkSession.sparkContext.defaultParallelism
+    groups = (vecs
+              .select(*block_cols, F.col(id_col).alias("i"),
+                      F.col(vec_col).alias("__v"))
+              .groupBy(*block_cols, "__v")
+              .agg(F.min("i").alias("rep"),
+                   F.collect_list("i").alias("members"))
+              .repartition(par, "rep")
+              .persist())
+    reps = groups.select(*block_cols, F.col("rep").alias(id_col),
+                         F.col("__v").alias(vec_col))
+    rep_pairs = _cosine_pairs_direct(reps, block_cols, threshold,
+                                     id_col, vec_col)
+    u = as_double(F.col("__v"))
+    selfcos = F.round(dot(u, u) / (F.sqrt(dot(u, u)) * F.sqrt(dot(u, u))), 6)
+    within = (groups
+              .withColumn("__c", selfcos)
+              .filter((F.size("members") >= 2) & (F.col("__c") >= threshold))
+              .select(F.explode("members").alias("i"), "members", "__c")
+              .select("i", F.explode("members").alias("j"), "__c")
+              .filter(F.col("i") < F.col("j"))
+              .select("i", "j", F.col("__c").alias("cos")))
+    cross = dd._expand_rep_pairs(rep_pairs, groups, ["cos"])
+    return within.unionByName(cross)
+
+
+def _cosine_pairs_direct(vecs: DataFrame, block_cols: list[str],
+                         threshold: float, id_col: str,
+                         vec_col: str) -> DataFrame:
+    """The blocked all-pairs join proper (see cosine_pairs)."""
     v = _with_norm(vecs.select(*block_cols, F.col(id_col).alias("i"),
                                as_double(F.col(vec_col)).alias("va")),
                    "va", "na")

@@ -301,6 +301,7 @@ _ORACLE_PRIORITY = (
     "tx_compress_ratio", "dd_cluster", "dd_keep_canonical",
     "dd_ngram_jaccard", "corpus_e2e", "tt_leakage_check",
     "dd_winnow", "dd_minhash_lsh_portable", "dd_simhash_portable",
+    "dd_embed_cosine", "dd_threshold_sweep", "sim_range_search",
     # (d) oldest-evidence backfill (round-1 window) to fill to 50
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q_top_customers_window", "q_priority_pivot",
@@ -309,8 +310,7 @@ _ORACLE_PRIORITY = (
     "q17_small_qty", "q_grouping_sets", "q_percentile", "q_moving_avg",
     "q_argmax", "q_intersect_except", "q_json_props", "q_gap_fill",
     "q_unpivot", "q_stats_moments", "q_upsert_latest", "q13_custdist",
-    "q19_disjunctive", "q21_sole_returner", "q_dq_audit",
-    "q_variant_props", "q_keyset_page",
+    "q19_disjunctive", "q21_sole_returner",
 )
 
 

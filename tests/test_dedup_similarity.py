@@ -531,3 +531,25 @@ def test_plan_pair_entries_collapse_equals_direct(spark, sf_dir, tmp_path):
     want = {(r.i, r.j, r.hamming)
             for r in a3._simhash_portable_pairs(nonempty).collect()}
     assert got == want and got
+
+
+def test_cosine_pairs_collapse_equals_direct(spark, sf_dir):
+    """cosine_pairs' round-9 collapse path (identical vectors are
+    interchangeable) must emit exactly the direct blocked join's
+    output on a duplicate-heavy embedding set — including at
+    threshold=-1.0 (the dd_threshold_sweep all-pairs regime)."""
+    base = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label", "embedding")
+    stride = 10 ** len(str(base.agg(F.max("vec_id")).first()[0]))
+    multi = base
+    for k in (1, 2, 3):
+        multi = multi.unionByName(
+            base.withColumn("vec_id", F.col("vec_id") + F.lit(k * stride)))
+    multi = multi.persist()
+    for thr in (0.4, -1.0):
+        got = {(r.i, r.j, r.cos) for r in
+               sim.cosine_pairs(multi, ["label"], threshold=thr).collect()}
+        want = {(r.i, r.j, r.cos) for r in sim._cosine_pairs_direct(
+            multi, ["label"], thr, "vec_id", "embedding").collect()}
+        assert got == want and got, thr
+    multi.unpersist()
