@@ -136,8 +136,19 @@ def main() -> None:
     order = list(todo)
     reps = 2 if n_runs >= 4 else 1
     passes = max(1, n_runs // reps)
+    # the run count the record reports is what was actually taken:
+    # reps*passes (an odd SPARK_GRAFT_BENCH_RUNS=5 used to silently
+    # run 4 while the JSON claimed 5 — ADVICE round 9)
+    actual_runs = reps * passes
     all_runs: dict[str, list[float]] = {name: [] for name in order}
+    cal_per_pass: list[float] = []
     for p in range(passes):
+        # fixed CPU-bound calibration job at the head of every pass:
+        # identical work each time, so its dispersion across passes IS
+        # the host-noise index the record carries (VERDICT r09 "next
+        # round" item 5 — the driver box shows sustained invisible load
+        # phases; a poisoned pass now identifies itself in the JSON).
+        cal_per_pass.append(round(_calibration_run(spark), 3))
         shift = (p * len(order)) // passes
         for name in order[shift:] + order[:shift]:
             for _ in range(reps):
@@ -158,21 +169,41 @@ def main() -> None:
         sf_out: float | str = float(sf)
     except ValueError:  # scaled tiers like "0.1x3" (tools/scale_up.py)
         sf_out = sf
-    for line in emit_lines(timings, medians, n_runs, sf_out,
+    for line in emit_lines(timings, medians, actual_runs, sf_out,
                            subset=sorted(selected) if selected else None,
-                           load_avg=(load_avgs, load_avgs_after)):
+                           load_avg=(load_avgs, load_avgs_after),
+                           cal_per_pass=cal_per_pass):
         print(line)
+
+
+def _calibration_run(spark) -> float:
+    """One fixed CPU-bound job (hash + shuffle agg over a generated
+    range — no data dependence, no cache reuse across passes beyond
+    codegen). ~0.3-0.6 s on an idle local[32]; its pass-to-pass
+    dispersion measures the HOST, not the queries."""
+    from pyspark.sql import functions as F
+    t0 = time.time()
+    (spark.range(20_000_000)
+     .select(F.xxhash64((F.col("id") * 2654435761) % 1000003).alias("h"))
+     .groupBy((F.col("h") % 256).alias("k"))
+     # shiftright before the sum: raw 64-bit hashes overflow a long
+     # sum under ANSI; the top 32 bits keep the work identical
+     .agg(F.sum(F.shiftright("h", 32)).alias("s"),
+          F.count(F.lit(1)).alias("c"))
+     .write.format("noop").mode("overwrite").save())
+    return time.time() - t0
 
 
 def emit_lines(timings: dict[str, float], medians: dict[str, float],
                n_runs: int, sf_out, subset: list[str] | None = None,
                load_avg: tuple[list[float], list[float]] | None = None,
-               ) -> list[str]:
+               cal_per_pass: list[float] | None = None) -> list[str]:
     """Detail line first (can be arbitrarily long), compact summary
     LAST so the driver's bounded stdout tail always parses it. The
     summary size is independent of the headline-set size. Subset runs
     carry metric "selected_query_total_runtime" and the name list so
-    the official-record metric name can ONLY come from a full run."""
+    the official-record metric name can ONLY come from a full run.
+    ``n_runs`` must be the count of runs actually taken per query."""
     total = round(sum(timings.values()), 3)
     detail_obj = {
         "detail": "per_query",
@@ -197,6 +228,21 @@ def emit_lines(timings: dict[str, float], medians: dict[str, float],
         "likeforlike45_subtotal": round(
             sum(v for k, v in timings.items() if k in LIKE_FOR_LIKE_45), 3),
     }
+    if cal_per_pass:
+        # self-describing noise record: identical calibration work ran
+        # at the head of each pass; noise_pct = spread over the best
+        # pass; noisy_passes = 0-based passes >20% above the best (any
+        # entry here means a host phase straddled that pass and the
+        # per-query MEDIANS cannot be trusted for round-over-round
+        # comparison — the mins still can, one clean pass suffices)
+        best = min(cal_per_pass)
+        summary_obj["cal_per_pass"] = cal_per_pass
+        summary_obj["cal_noise_pct"] = round(
+            (max(cal_per_pass) / best - 1.0) * 100, 1) if best > 0 else None
+        noisy = [i for i, v in enumerate(cal_per_pass)
+                 if best > 0 and v > 1.2 * best]
+        if noisy:
+            summary_obj["noisy_passes"] = noisy
     if subset:
         summary_obj["subset"] = subset
     return [json.dumps(detail_obj), json.dumps(summary_obj)]

@@ -554,7 +554,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     reps = groups.select(F.col("rep").alias(id_col),
                          F.col("rep_text").alias(text_col))
     rep_pairs = _simhash_pairs_direct(reps, max_hamming, id_col, text_col)
-    within = _within_group_pairs(groups, [F.lit(0).alias("hamming")])
+    # null-text docs carry no fingerprint in the direct path (explode
+    # of split(null) emits nothing) — exclude their group (md5(null)
+    # keys them under a single NULL __key) from the clique emission
+    within = _within_group_pairs(groups.filter(F.col("__key").isNotNull()),
+                                 [F.lit(0).alias("hamming")])
     cross = _expand_rep_pairs(rep_pairs, groups, ["hamming"])
     return within.unionByName(cross)
 

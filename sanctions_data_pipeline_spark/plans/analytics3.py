@@ -229,8 +229,12 @@ def dd_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = groups.select(F.col("rep").alias("doc_id"),
                          F.col("rep_text").alias("text"))
     rep_pairs = _simhash_portable_pairs(reps)
+    # zero-token docs carry no fingerprint in the direct path (the
+    # token explode emits nothing) — exclude their groups from the
+    # clique emission, mirroring the minhash twin's guard above
     within = dd._within_group_pairs(
-        groups, [F.lit(0).cast("bigint").alias("hamming")])
+        groups.filter(F.size(tx.tokens(F.col("rep_text"))) > 0),
+        [F.lit(0).cast("bigint").alias("hamming")])
     cross = dd._expand_rep_pairs(rep_pairs, groups, ["hamming"])
     return within.unionByName(cross)
 

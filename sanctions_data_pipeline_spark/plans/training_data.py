@@ -1062,10 +1062,16 @@ def tx_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no SQL twin, so the driver-hashed output carries the exact char
 # count plus two REAL deflate invariants computed in-query —
 # decompress(compress(text)) == text (round-trip identity) and
-# comp_len <= utf8_len + 11 + 5*ceil(utf8_len/65535) (zlib's TRUE
-# stored-block worst case: 5 bytes per 65535-byte block + zlib
-# header/adler trailer; holds for incompressible payloads of ANY
-# size, not just fixture docs) — which the oracle states as literals.
+# comp_len <= compressBound(utf8_len) = utf8_len + (utf8_len>>12)
+# + (utf8_len>>14) + (utf8_len>>25) + 13 (zlib's own published
+# worst case, zlib/compress.c:compressBound). The naive 5-bytes-per-
+# 64KiB-stored-block bound is NOT safe at level 6 / memLevel 8: the
+# deflate symbol buffer (lit_bufsize ≈ 16 KiB) flushes a stored
+# block roughly every 16 KiB of incompressible input, so overhead
+# accrues ~4× faster than the 65535-byte block framing suggests —
+# an incompressible doc of ~20 KiB already exceeds the naive bound.
+# compressBound covers that regime for ANY input size; the oracle
+# states the invariants as literals.
 # A codec regression (corruption, truncation, runaway expansion)
 # flips a boolean and fails the hash; the exact per-doc RATIOS stay
 # pinned by tests/test_training_ext.py over tx_compress_ratio_full.
@@ -1091,8 +1097,10 @@ def tx_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.select(
         "doc_id", F.col("n_chars_calc").cast("bigint").alias("n_chars_calc"),
         "roundtrip_ok",
-        (F.col("comp_len") <= F.col("n_bytes") + F.lit(11)
-         + F.lit(5) * F.ceil(F.col("n_bytes") / F.lit(65535.0)))
+        (F.col("comp_len") <= F.col("n_bytes")
+         + F.shiftright(F.col("n_bytes"), 12)
+         + F.shiftright(F.col("n_bytes"), 14)
+         + F.shiftright(F.col("n_bytes"), 25) + F.lit(13))
         .alias("within_deflate_bound"))
 
 

@@ -3755,7 +3755,10 @@ def tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in tok_fertility_full(spark, sf_dir).collect()}
     schema = ("tokenizer string, n_symbols bigint, fertility double,"
               " bounds_ok boolean")
-    if not full:
+    if not full or not full["whitespace"][0]:
+        # mirror the oracle's WHERE n_words > 0: a corpus with docs
+        # but zero tokens emits no rows (ADVICE round 9 — the n_words
+        # division below must never see 0)
         return spark.createDataFrame([], schema)
     n_words = int(full["whitespace"][0])
     n_ch = int(full["character"][0])          # chars + </w> markers

@@ -483,6 +483,23 @@ def test_pair_ops_collapse_path_equals_direct(spark, sf_dir):
     multi.unpersist()
 
 
+def test_simhash_pairs_collapse_drops_null_text_like_direct(spark):
+    """Null-text docs carry no fingerprint in the direct pipeline
+    (the token explode emits nothing), so the collapsed path must not
+    pair them either — md5(null) groups all null texts under one NULL
+    __key, which used to emit hamming-0 cliques (ADVICE round 9)."""
+    t = "one two three four five six seven eight nine"
+    rows = ([(i, t) for i in range(8)]                # dup mass -> collapse
+            + [(100, None), (101, None), (102, None)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert not dd._dup_mass_low(docs, "text")         # collapsed path
+    got = {(r.i, r.j) for r in dd.simhash_pairs(docs, 3).collect()}
+    want = {(r.i, r.j) for r in
+            dd._simhash_pairs_direct(docs, 3, "doc_id", "text").collect()}
+    assert got == want
+    assert not any(i >= 100 or j >= 100 for i, j in got)
+
+
 def test_plan_pair_entries_collapse_equals_direct(spark, sf_dir, tmp_path):
     """The three SQL-oracled pair ENTRIES that wrap self-joins
     (dd_winnow, dd_minhash_lsh_portable, dd_simhash_portable) also

@@ -405,11 +405,16 @@ def test_bench_summary_line_is_last_and_bounded():
     timings = {f"q_synthetic_{i:03d}": 1.234 for i in range(160)}
     timings.update({k: 0.5 for k in bench.LEGACY_20})
     medians = {k: v + 0.1 for k, v in timings.items()}
-    lines = bench.emit_lines(timings, medians, 3, 0.1)
+    lines = bench.emit_lines(timings, medians, 3, 0.1,
+                             cal_per_pass=[0.4, 0.41, 0.62])
     summary = _json.loads(lines[-1])
     assert summary["metric"] == "headline_query_total_runtime"
     assert summary["unit"] == "sec"
     assert summary["runs_per_query"] == 3
+    # round-10 noise record: calibration dispersion + poisoned-pass flag
+    assert summary["cal_per_pass"] == [0.4, 0.41, 0.62]
+    assert summary["cal_noise_pct"] == 55.0
+    assert summary["noisy_passes"] == [2]
     assert summary["n_queries"] == len(timings)
     assert summary["legacy20_subtotal"] == round(0.5 * 20, 3)
     assert "likeforlike45_subtotal" in summary

@@ -219,6 +219,34 @@ def test_compress_ratio_matches_direct_zlib(spark, sf_dir):
     assert all(r.roundtrip_ok and r.within_deflate_bound for r in reg)
 
 
+def test_deflate_bound_is_level6_safe_for_incompressible_input():
+    """The registered within_deflate_bound predicate must be a TRUE
+    worst case for zlib.compress(level 6). The naive 5-bytes-per-
+    65535-byte-stored-block bound is NOT (deflate's ~16 KiB symbol
+    buffer flushes stored blocks ~4x as often on incompressible
+    input); zlib's own compressBound is. Pin both facts so the
+    predicate can't regress to the naive form."""
+    import hashlib
+    import math
+    import zlib
+
+    def incompressible(n: int) -> bytes:
+        out, seed = bytearray(), b"seed"
+        while len(out) < n:
+            seed = hashlib.sha256(seed).digest()
+            out += seed
+        return bytes(out[:n])
+
+    naive_failed = False
+    for n in (1000, 16384, 20480, 65536, 200000, 1_000_000):
+        comp_len = len(zlib.compress(incompressible(n), 6))
+        registered = n + (n >> 12) + (n >> 14) + (n >> 25) + 13
+        assert comp_len <= registered, (n, comp_len, registered)
+        naive = n + 11 + 5 * math.ceil(n / 65535)
+        naive_failed = naive_failed or comp_len > naive
+    assert naive_failed  # the old bound really is unsafe at >=64 KiB
+
+
 def test_group_fit_matches_driver_lstsq(spark, sf_dir):
     import numpy as np
     from pyspark.sql import functions as FF
