@@ -802,6 +802,42 @@ def test_tx_ngram_novelty_replay_and_laws(spark):
     assert sum(n for _, n in got.values()) == len(first)
 
 
+def test_tx_ngram_novelty_collapse_equals_direct(spark, tmp_path):
+    """Round-10 collapse-first for tx_ngram_novelty: on a
+    duplicate-heavy corpus (CBO selects the collapsed plan) the
+    output must be IDENTICAL to the direct gram-stream pipeline —
+    non-min group members score novelty 0, reps keep the global
+    first-doc map."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sanctions_data_pipeline_spark.operators import dedup as dd
+    from sanctions_data_pipeline_spark.plans import analytics3 as a3
+    from sanctions_data_pipeline_spark.plans import registry
+
+    base = load_table(spark, SF, "documents")
+    stride = 10 ** len(str(base.agg(F.max("doc_id")).first()[0]))
+    multi = base
+    for k in (1, 2, 3):
+        multi = multi.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(k * stride)))
+    d = str(tmp_path / "sf_dup")
+    os.makedirs(d)
+    multi.write.parquet(os.path.join(d, "documents.parquet"))
+
+    docs = load_table(spark, d, "documents").filter(F.length("text") > 0)
+    assert not dd._dup_mass_low(docs, "text")  # collapsed path selected
+    got = {(r.doc_id, r.n_grams, r.n_novel, r.novelty) for r in
+           registry.queries()["tx_ngram_novelty"](spark, d).collect()}
+    want = {(r.doc_id, r.n_grams, r.n_novel, r.novelty) for r in
+            a3._ngram_novelty_direct(docs).collect()}
+    assert got == want and got
+    # every non-original copy is pure repetition: novelty exactly 0
+    copies = {r[0]: r[3] for r in got if r[0] >= stride}
+    assert copies and set(copies.values()) == {0.0}
+
+
 def test_q_bitemporal_asof_replay_and_monotonicity(spark):
     """Python replay of the bitemporal pick; plus the bitemporal law:
     every returned version was VISIBLE (tx_from <= T_tx) and VALID

@@ -443,6 +443,35 @@ def test_ngram_jaccard_components_equals_pairwise_cc(spark, sf_dir):
     assert got == comp
 
 
+def test_components_giant_single_group_stays_narrow(spark):
+    """Round-10 hot-key stress: a 10^6-copy boilerplate text must flow
+    through ngram_jaccard_components as narrow (id, key) rows — the
+    collapsed path must not build a collect_list member array (one
+    ~10^6-element cell on one executor), and the labels must still be
+    the single min-id component."""
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    n = 1_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(t).alias("text"))
+    docs = docs.unionByName(spark.createDataFrame(
+        [(n + 5, "completely different words nothing shared here at all")],
+        "doc_id long, text string"))
+    assert not dd._dup_mass_low(docs, "text")
+    comp = dd.ngram_jaccard_components(docs, [], 0.5, 3)
+    # plan lint: no array-of-MEMBERS aggregation anywhere in this op
+    # (the collect_list that remains is AllPairs' per-document shingle
+    # array, bounded by doc length — not group multiplicity)
+    plan = comp._jdf.queryExecution().toString()
+    assert "members" not in plan
+    agg = comp.agg(F.count(F.lit(1)).alias("n"),
+                   F.countDistinct("cluster_id").alias("nc"),
+                   F.min("cluster_id").alias("mn"),
+                   F.max("cluster_id").alias("mx")).first()
+    # the singleton pairs with nothing -> excluded; the giant group is
+    # one component labeled by its min id
+    assert (agg.n, agg.nc, agg.mn, agg.mx) == (n, 1, 0, 0)
+
+
 def test_pair_ops_collapse_path_equals_direct(spark, sf_dir):
     """Round-9 collapse-first for the PAIR ops (ngram-Jaccard /
     MinHash-LSH / SimHash): on a duplicate-heavy corpus (ratio > the

@@ -77,7 +77,10 @@ def test_sim_maxsim_matches_numpy(spark, sf_dir):
     import numpy as np
 
     rows = load_table(spark, sf_dir, "embeddings").collect()
-    q = [np.array(r.embedding, dtype=np.float64) for r in rows if r.label == 0]
+    # round-10 contract: the query set is BOUNDED (label 0, vec_id <
+    # 200) so only the corpus side scales — mirror it here
+    q = [np.array(r.embedding, dtype=np.float64) for r in rows
+         if r.label == 0 and r.vec_id < 200]
     by_label: dict = {}
     for r in rows:
         if r.label != 0:
