@@ -159,6 +159,32 @@ def _text_groups(docs: DataFrame, block_cols: list[str], id_col: str,
     return g.persist() if persist else g
 
 
+def cap_hot_buckets(rows: DataFrame, keys: list[str],
+                    max_bucket: int) -> tuple[DataFrame, DataFrame]:
+    """The LSH hot-bucket discipline: (kept_rows, quarantine).
+
+    A candidate join fans out depth² inside each bucket; collapse-first
+    folds IDENTICAL texts, but DIFFERENT texts sharing a hot bucket
+    (boilerplate-heavy corpora: one band signature / prefix shingle
+    carried by millions of near-boilerplate pages) still join K-deep ×
+    K-deep. Buckets deeper than ``max_bucket`` are excluded from
+    candidate generation and reported as ``quarantine`` rows
+    (*keys, bucket_depth) — the standard spill-list contract: the
+    caller re-processes quarantined keys with a stronger key (more
+    bands, longer prefixes) or routes them to the components/canonical
+    form. Docs in a hot bucket still pair through their other buckets.
+
+    Scale: the depth agg is a map-side-combinable count on the bucket
+    key the join shuffles on anyway; the exclusion is a left-anti
+    against ONLY the over-cap keys — a tiny list by construction, so
+    AQE broadcasts it and the kept rows never reshuffle."""
+    depth = rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("bucket_depth"))
+    quarantine = depth.filter(F.col("bucket_depth") > max_bucket)
+    kept = rows.join(quarantine.select(*keys), keys, "left_anti")
+    return kept, quarantine
+
+
 def _within_group_pairs(groups: DataFrame, extra: list[Column]) -> DataFrame:
     """All (i < j) pairs inside each group with literal score columns —
     two narrow explodes, no shuffle, no signature work; output-sized by
@@ -188,7 +214,8 @@ def _expand_rep_pairs(rep_pairs: DataFrame, groups: DataFrame,
 def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
                         threshold: float, k: int = 3,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        max_bucket: int | None = None) -> DataFrame:
     """EXACT shingle-Jaccard near-dup pairs via AllPairs prefix filtering
     (Bayardo/Ma/Srikant, WWW'07) — no all-pairs join, no recall loss.
 
@@ -215,10 +242,32 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
     candidate join run on distinct texts, and within-group pairs are
     emitted as narrow explodes with jac = 1.0 exactly (identical
     shingle sets).
+
+    ``max_bucket`` (round 10, default None = the exact registered
+    behavior) caps prefix-bucket width via :func:`cap_hot_buckets` for
+    boilerplate corpora where DIFFERENT texts share a hot prefix
+    shingle; :func:`ngram_jaccard_pairs_quarantined` returns the
+    spilled bucket list alongside the pairs.
     """
+    return ngram_jaccard_pairs_quarantined(
+        docs, block_cols, threshold, k, id_col, text_col, max_bucket)[0]
+
+
+def ngram_jaccard_pairs_quarantined(
+        docs: DataFrame, block_cols: list[str], threshold: float,
+        k: int = 3, id_col: str = "doc_id", text_col: str = "text",
+        max_bucket: int | None = 64,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Capped variant of :func:`ngram_jaccard_pairs` whose OUTPUT
+    CONTRACT is ``(pairs, quarantine)``: quarantine names every
+    over-cap prefix bucket as (*block, ph, bucket_depth) rows. Under
+    duplicate mass the cap governs REPRESENTATIVE bucket depth
+    (collapse-first already folds identical texts).
+    ``max_bucket=None`` degenerates to the exact op, quarantine
+    ``None``."""
     if _dup_mass_low(docs, text_col):
         sets = _shingle_sets(docs, block_cols, k, id_col, text_col)
-        return _allpairs_from_sets(sets, block_cols, threshold)
+        return _allpairs_core(sets, block_cols, threshold, max_bucket)
     groups = (_text_groups(docs, block_cols, id_col, text_col, persist=False)
               .withColumn("shh", shingle_hashes(F.col("rep_text"), k))
               .withColumn("n", F.size("shh"))
@@ -226,13 +275,14 @@ def ngram_jaccard_pairs(docs: DataFrame, block_cols: list[str],
               .persist())
     rep_sets = groups.filter(F.col("n") > 0).select(
         *block_cols, F.col("rep").alias("i"), "shh", "n")
-    rep_pairs = _allpairs_from_sets(rep_sets, block_cols, threshold)
+    rep_pairs, quarantine = _allpairs_core(rep_sets, block_cols, threshold,
+                                           max_bucket)
     # docs with empty shingle sets (< k tokens) pair with nothing —
     # exclude their groups from the within-group cliques too
     within = _within_group_pairs(groups.filter(F.col("n") > 0),
                                  [F.lit(1.0).alias("jac")])
     cross = _expand_rep_pairs(rep_pairs, groups, ["jac"])
-    return within.unionByName(cross)
+    return within.unionByName(cross), quarantine
 
 
 def _shingle_sets(docs: DataFrame, block_cols: list[str], k: int,
@@ -256,8 +306,24 @@ def _shingle_sets(docs: DataFrame, block_cols: list[str], k: int,
 
 
 def _allpairs_from_sets(sets: DataFrame, block_cols: list[str],
-                        threshold: float) -> DataFrame:
-    """AllPairs prefix-filter core over prepared (i, shh, n) sets."""
+                        threshold: float,
+                        max_bucket: int | None = None) -> DataFrame:
+    """AllPairs prefix-filter pairs (see :func:`_allpairs_core`)."""
+    return _allpairs_core(sets, block_cols, threshold, max_bucket)[0]
+
+
+def _allpairs_core(sets: DataFrame, block_cols: list[str],
+                   threshold: float, max_bucket: int | None = None,
+                   ) -> tuple[DataFrame, DataFrame | None]:
+    """AllPairs prefix-filter core over prepared (i, shh, n) sets.
+
+    ``max_bucket`` caps prefix-bucket width (the hot-bucket discipline,
+    :func:`cap_hot_buckets`): a prefix shingle carried by more than
+    ``max_bucket`` documents is excluded from candidate generation and
+    reported in the quarantine (*block, ph, bucket_depth). NOTE this
+    trades the core's exactness for bounded fan-out — a pair whose
+    EVERY shared prefix shingle is hot is missed; quarantined shingles
+    name exactly where to look."""
     ex = sets.select("i", *block_cols, "n", F.explode("shh").alias("h"))
     dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("dfq"))
     ordered = (
@@ -271,6 +337,10 @@ def _allpairs_from_sets(sets: DataFrame, block_cols: list[str],
     pref = ordered.select(
         "i", *block_cols, "n",
         F.explode(F.slice("shh", F.lit(1), plen)).alias("ph"))
+    quarantine = None
+    if max_bucket is not None:
+        pref, quarantine = cap_hot_buckets(
+            pref, [*block_cols, "ph"], max_bucket)
     lhs = pref.select(*block_cols, "ph", "i", F.col("n").alias("n_i"))
     rhs = pref.select(*block_cols, F.col("ph").alias("ph2"),
                       F.col("i").alias("j"), F.col("n").alias("n_j"))
@@ -289,13 +359,14 @@ def _allpairs_from_sets(sets: DataFrame, block_cols: list[str],
     # set is tiny relative to the corpus, so AQE turns both verify
     # joins into broadcasts of `cand`; the shingle sets stay map-side.
     side = sets.select("i", "shh")
-    return (
+    pairs = (
         cand.join(side.withColumnRenamed("shh", "sh_i"), "i")
         .join(side.select(F.col("i").alias("j"), F.col("shh").alias("sh_j")), "j")
         .withColumn("jac", F.round(jaccard(F.col("sh_i"), F.col("sh_j")), 6))
         .filter(F.col("jac") >= threshold)
         .select("i", "j", "jac")
     )
+    return pairs, quarantine
 
 
 def _minhash_wide(docs: DataFrame, n_hashes: int, k: int,
@@ -333,7 +404,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, k: int = 3,
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5, k: int = 3,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      max_bucket: int | None = None) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verification.
 
     rows-per-band r = n_hashes/bands; a pair becomes a candidate when
@@ -352,30 +424,66 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 32, bands: int = 8,
     and cross-group pairs expand the rep pair list. Only the
     unavoidable output stays K². If even the output is too large to
     materialize, consume the components/canonical form instead
-    (ngram_jaccard_components / dd_keep_canonical) or cap band-bucket
-    width into a quarantine list (the standard LSH hot-bucket
-    discipline).
+    (ngram_jaccard_components / dd_keep_canonical).
+
+    ``max_bucket`` (round 10) enforces the LSH hot-bucket discipline
+    collapse-first cannot: DIFFERENT texts sharing a hot band bucket.
+    Band buckets deeper than the cap are excluded from candidate
+    generation (see :func:`cap_hot_buckets`); use
+    :func:`minhash_lsh_pairs_quarantined` to receive the spilled
+    bucket list alongside the pairs. None (default) = uncapped, the
+    registered-oracle behavior.
     """
+    return minhash_lsh_pairs_quarantined(
+        docs, n_hashes, bands, threshold, k, id_col, text_col,
+        max_bucket)[0]
+
+
+def minhash_lsh_pairs_quarantined(
+        docs: DataFrame, n_hashes: int = 32, bands: int = 8,
+        threshold: float = 0.5, k: int = 3,
+        id_col: str = "doc_id", text_col: str = "text",
+        max_bucket: int | None = 64,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Capped variant of :func:`minhash_lsh_pairs` whose OUTPUT
+    CONTRACT is ``(pairs, quarantine)``: pairs as usual (minus
+    candidates whose only shared band bucket was over-cap), and
+    quarantine = (band_id, band_sig, bucket_depth) rows naming every
+    excluded bucket, for reprocessing with a stronger key. Under
+    duplicate mass the collapse probe still applies — the cap then
+    governs REPRESENTATIVE bucket depth (identical texts never re-
+    inflate a bucket), which is the correct boilerplate measure.
+    ``max_bucket=None`` degenerates to the uncapped op with
+    quarantine ``None``."""
     if _dup_mass_low(docs, text_col):
-        return _minhash_lsh_pairs_direct(docs, n_hashes, bands, threshold,
-                                         k, id_col, text_col)
+        return _minhash_lsh_core(docs, n_hashes, bands, threshold,
+                                 k, id_col, text_col, max_bucket)
     groups = _text_groups(docs, [], id_col, text_col)
     reps = groups.select(F.col("rep").alias(id_col),
                          F.col("rep_text").alias(text_col))
-    rep_pairs = _minhash_lsh_pairs_direct(reps, n_hashes, bands, threshold,
-                                          k, id_col, text_col)
+    rep_pairs, quarantine = _minhash_lsh_core(
+        reps, n_hashes, bands, threshold, k, id_col, text_col, max_bucket)
     # docs with no shingles carry no signature and pair with nothing
     within = _within_group_pairs(
         groups.filter(F.size(shingle_hashes(F.col("rep_text"), k)) > 0),
         [F.lit(1.0).alias("jac")])
     cross = _expand_rep_pairs(rep_pairs, groups, ["jac"])
-    return within.unionByName(cross)
+    return within.unionByName(cross), quarantine
 
 
 def _minhash_lsh_pairs_direct(docs: DataFrame, n_hashes: int, bands: int,
                               threshold: float, k: int,
                               id_col: str, text_col: str) -> DataFrame:
-    """The banding pipeline proper (see minhash_lsh_pairs)."""
+    """The banding pipeline proper, uncapped (see minhash_lsh_pairs)."""
+    return _minhash_lsh_core(docs, n_hashes, bands, threshold, k,
+                             id_col, text_col, None)[0]
+
+
+def _minhash_lsh_core(docs: DataFrame, n_hashes: int, bands: int,
+                      threshold: float, k: int, id_col: str, text_col: str,
+                      max_bucket: int | None,
+                      ) -> tuple[DataFrame, DataFrame | None]:
+    """Banding + (optional) hot-bucket cap + candidate join + verify."""
     r = n_hashes // bands
     wide = _minhash_wide(docs, n_hashes, k, id_col, text_col)
     # band sig = one codegen'd xxhash64 over the band's r minhash
@@ -387,6 +495,10 @@ def _minhash_lsh_pairs_direct(docs: DataFrame, n_hashes: int, bands: int,
             for b in range(bands)
         ])).alias("band_id", "band_sig"),
     )
+    quarantine = None
+    if max_bucket is not None:
+        banded, quarantine = cap_hot_buckets(
+            banded, ["band_id", "band_sig"], max_bucket)
     left = banded.select(F.col(id_col).alias("i"), "band_id", "band_sig")
     right = banded.select(F.col(id_col).alias("j"), "band_id", "band_sig")
     cand = (
@@ -408,7 +520,7 @@ def _minhash_lsh_pairs_direct(docs: DataFrame, n_hashes: int, bands: int,
         .filter(F.col("jac") >= threshold)
         .select("i", "j", "jac")
     )
-    return verified
+    return verified, quarantine
 
 
 def _pow2_array(n_bits: int = 64) -> Column:

@@ -122,9 +122,13 @@ def dd_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within.unionByName(cross)
 
 
-def _minhash_portable_pairs(docs: DataFrame) -> DataFrame:
+def _minhash_portable_pairs(docs: DataFrame,
+                            max_bucket: int | None = None) -> DataFrame:
     """The md5-portable banding pipeline proper (see
-    dd_minhash_lsh_portable)."""
+    dd_minhash_lsh_portable). ``max_bucket`` applies the
+    operators/dedup.py hot-bucket cap to the band-bucket join (the
+    registered oracle runs uncapped; capped use returns pairs only —
+    consume dedup.cap_hot_buckets directly for the quarantine)."""
     arr = docs.select("doc_id", tx.tokens(F.col("text")).alias("t")) \
               .filter(F.size("t") >= _MH_K)
     # 3-shingles as strings, hashed to portable 32-bit ids; the
@@ -146,6 +150,9 @@ def _minhash_portable_pairs(docs: DataFrame) -> DataFrame:
             for b in range(_MH_BANDS)
         ])).alias("b", "bsig"),
     )
+    if max_bucket is not None:
+        from sanctions_data_pipeline_spark.operators import dedup as dd
+        banded, _ = dd.cap_hot_buckets(banded, ["b", "bsig"], max_bucket)
     left = banded.select(F.col("doc_id").alias("i"), "b", "bsig")
     right = banded.select(F.col("doc_id").alias("j"), "b", "bsig")
     cand = (left.join(right, ["b", "bsig"])
