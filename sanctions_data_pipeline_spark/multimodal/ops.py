@@ -486,13 +486,29 @@ def spectral_features(media_df: DataFrame, frame_len: int = 256,
                 centroid = float((freqs * spec).sum() / tot) if tot else 0.0
                 bw = (float(np.sqrt((((freqs - centroid) ** 2) * spec).sum()
                                     / tot)) if tot else 0.0)
-                rows.append((doc_id, n_wins, int(spec.argmax()),
+                # exact time-domain window energy (int16² ≤ 2^30, so the
+                # int64 sum is exact) + the Parseval check of the FFT:
+                # Σ_k c_k·|X_k|² / N == Σ_n x_n² per window, c_k = 2 for
+                # conjugate-symmetric bins, 1 for DC/Nyquist — a wrong
+                # transform length, dtype or scaling breaks the identity
+                energy = int((pcm[idx].astype("int64") ** 2).sum())
+                c = np.full(mag.shape[1], 2.0)
+                c[0] = 1.0
+                if frame_len % 2 == 0:
+                    c[-1] = 1.0
+                fft_energy = float(((mag * mag) * c).sum() / frame_len)
+                parseval_ok = bool(
+                    abs(fft_energy - energy) <= 1e-6 * max(energy, 1))
+                rows.append((doc_id, n_wins, energy, parseval_ok,
+                             int(spec.argmax()),
                              round(centroid, 6), round(bw, 6)))
             yield pd.DataFrame(rows, columns=["doc_id", "n_windows",
+                                              "window_energy", "parseval_ok",
                                               "dominant_bin",
                                               "spectral_centroid",
                                               "spectral_bandwidth"])
 
     return media_df.select("doc_id", "media").mapInPandas(
-        _spec, schema="doc_id long, n_windows long, dominant_bin int, "
+        _spec, schema="doc_id long, n_windows long, window_energy long, "
+                      "parseval_ok boolean, dominant_bin int, "
                       "spectral_centroid double, spectral_bandwidth double")

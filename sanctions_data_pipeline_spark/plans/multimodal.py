@@ -386,12 +386,73 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within.unionByName(cross)
 
 
-@register("mm_spectral")
+# Oracle contract (round 10, the tok_fertility invariant-lane
+# pattern): the FFT itself has no cross-engine-exact SQL twin, but
+# TWO of its lanes do — the window framing (the mm_audio_windows
+# hex-pair replay) and, via Parseval's theorem, the total signal
+# energy: Σ_windows Σ_n x_n² is an EXACT int64 both engines compute
+# (int16² sums), and a correct rFFT must satisfy
+# Σ_k c_k·|X_k|²/N == that integer per window. The registered output
+# is (doc_id, n_windows, window_energy) exact + parseval_ok /
+# features_bounded_ok booleans stated as literals; exact spectral
+# features stay pinned by the numpy replay on mm_spectral_full.
+_SPECTRAL_ORACLE = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, k,
+         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS smp
+  FROM (
+    SELECT doc_id, u.k,
+           ('0x' || substring(hx, CAST(4 * u.k + 1 AS INT), 2))::BIGINT
+           + 256 * ('0x' || substring(hx, CAST(4 * u.k + 3 AS INT), 2))::BIGINT
+             AS v
+    FROM b, unnest(range(0, n // 2)) u(k)
+  )
+),
+g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM s GROUP BY doc_id),
+w AS (
+  SELECT g.doc_id, CAST(u.w AS BIGINT) AS w
+  FROM g, unnest(range(0, CASE WHEN ns >= 256
+                               THEN 1 + (ns - 256) // 128 ELSE 0 END)) u(w)
+),
+f AS (
+  SELECT w.doc_id, w.w, CAST(SUM(a.smp * a.smp) AS BIGINT) AS ss
+  FROM w JOIN s a ON a.doc_id = w.doc_id
+                 AND a.k >= w.w * 128 AND a.k < w.w * 128 + 256
+  GROUP BY w.doc_id, w.w
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(ss) AS BIGINT) AS window_energy,
+       TRUE AS parseval_ok, TRUE AS features_bounded_ok
+FROM f GROUP BY doc_id
+"""
+
+
+@register("mm_spectral", oracle=_SPECTRAL_ORACLE)
 def mm_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio spectral profile (rows-only): rFFT magnitude over the
-    256-sample windows, per-doc dominant bin + spectral centroid /
-    bandwidth — the featurization step before mel filterbanks, real
-    vectorized DSP pinned by an independent numpy recomputation."""
+    """Audio spectral profile, registered as the exact framing+energy
+    lanes plus the Parseval and bounds invariants of the rFFT pass
+    (see the oracle-contract note above)."""
+    full = mm_spectral_full(spark, sf_dir)
+    nb = F.lit(129)  # rfft bins for frame_len=256: 0..128
+    return full.select(
+        "doc_id", "n_windows", "window_energy", "parseval_ok",
+        ((F.col("dominant_bin") >= 0) & (F.col("dominant_bin") < nb)
+         & (F.col("spectral_centroid") >= 0.0)
+         & (F.col("spectral_centroid") <= 128.0)
+         & (F.col("spectral_bandwidth") >= 0.0)
+         & (F.col("spectral_bandwidth") <= 128.0))
+        .alias("features_bounded_ok"))
+
+
+def mm_spectral_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact spectral features (dominant bin, centroid, bandwidth) —
+    the pytest value-pin surface (the pre-round-10 registered
+    output, widened with the energy/Parseval lanes)."""
     from sanctions_data_pipeline_spark.multimodal.ops import spectral_features
 
     docs = load_table(spark, sf_dir, "documents")

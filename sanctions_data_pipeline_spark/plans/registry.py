@@ -264,53 +264,77 @@ _R08_CHECKED = frozenset({
 
 _DRIVER_CHECKED = _DRIVER_CHECKED | _R08_CHECKED
 
-# Explicit priority for the round-9 driver 50-entry correctness window:
-# (a) the 7 round-8 oracle conversions that arrived after the round-8
-# window was cut (dp_packing_bestfit + the six mm_* hex-pair-replay
-# oracles), (b) the 4 round-9 rows-only conversions (tok_fertility /
-# emb_whiten / emb_pca via fixed-point-exact relational lanes +
-# invariant booleans; st_chained_windows via the stable emitted
-# prefix), (c) re-proofs of the 3 entries whose PLANS changed in round
-# 9 (tx_compress_ratio's true deflate bound; dd_cluster and
-# dd_keep_canonical, whose shared ngram_jaccard_components gained the
-# broadcast-size gate), and (d) oldest-evidence backfill re-proofs
-# (round-1 window) to fill the window to exactly 50. Names absent from
-# the registry are skipped; unlisted unchecked names follow in
-# registration order.
+# Queries the round-9 driver hash-verified (CORRECTNESS_r09.json: 50/50
+# green — the staged conversions + collapse-family re-proofs + round-1
+# backfill window).
+_R09_CHECKED = frozenset({
+    "dp_packing_bestfit", "mm_decode", "mm_frames", "mm_resize",
+    "mm_audio_windows", "mm_luma_hist", "mm_phash", "tok_fertility",
+    "emb_whiten", "emb_pca", "st_chained_windows", "tx_compress_ratio",
+    "dd_cluster", "dd_keep_canonical", "dd_ngram_jaccard", "corpus_e2e",
+    "tt_leakage_check", "dd_winnow", "dd_minhash_lsh_portable",
+    "dd_simhash_portable", "dd_embed_cosine", "dd_threshold_sweep",
+    "sim_range_search", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "q_top_customers_window",
+    "q_priority_pivot", "q_rollup_sales", "q_semi_anti",
+    "q_distinct_union", "q_events_bucketed", "q_sessionize",
+    "q_skew_salted", "q_cube_sales", "q17_small_qty", "q_grouping_sets",
+    "q_percentile", "q_moving_avg", "q_argmax", "q_intersect_except",
+    "q_json_props", "q_gap_fill", "q_unpivot", "q_stats_moments",
+    "q_upsert_latest", "q13_custdist", "q19_disjunctive",
+    "q21_sole_returner",
+})
+
+_DRIVER_CHECKED = _DRIVER_CHECKED | _R09_CHECKED
+
+# Explicit priority for the round-10 driver 50-entry correctness
+# window: (a) the 5 round-10 rows-only conversions (invariant-lane SQL
+# oracles: emb_kmeans_train's dense-cell census, sim_ann_ivf's and
+# emb_knn_graph_ivf's brute-force-domination lattices,
+# emb_semantic_dedup's keep-rule fixed point, mm_spectral's exact
+# framing+energy lanes + Parseval identity), (b) re-proofs of the 11
+# SQL-oracled entries whose PLANS changed in round 10 (the true
+# compressBound deflate bound; sim_maxsim's bounded query contract;
+# tx_ngram_novelty's collapse-first; tok_fertility's zero-token guard;
+# the dd_* family whose shared components/pair machinery was
+# de-concentrated + restructured for the hot-bucket cap; the simhash
+# portable null/zero-token guard), and (c) oldest-evidence backfill
+# re-proofs (the round-3 window, now the stalest at age 7) to fill the
+# window to exactly 50. Names absent from the registry are skipped;
+# unlisted unchecked names follow in registration order.
 #
-# Rotation plan — round 10 is mechanical: fold this window into
-# _R09_CHECKED, move any ROUND-10 staged names into _ORACLE_PRIORITY,
-# and stage later additions as a ROUND-11 block. The staging test
+# Rotation plan — round 11 is mechanical: fold this window into
+# _R10_CHECKED, move any ROUND-11 staged names into _ORACLE_PRIORITY,
+# and stage later additions as a ROUND-12 block. The staging test
 # (tests/test_plans.py::test_rotation_staging_covers_remaining_pool)
 # keeps the staged blocks exactly equal to the never-checked pool.
 #
 # STAGED ROTATION BLOCKS (parsed by the staging test — everything from
 # here to the priority-tuple assignment below must name exactly the
 # never-checked SQL-oracled entries not already in the priority tuple):
-# ROUND-10 WINDOW: (empty — every SQL-oracled entry is driver-checked
-# or in the round-9 priority window below)
+# ROUND-11 WINDOW: (empty — every SQL-oracled entry is driver-checked
+# or in the round-10 priority window below; the remaining 16 round-3
+# backfills continue in the round-11 window)
 _ORACLE_PRIORITY = (
-    # (a) round-8 conversions staged for this window
-    "dp_packing_bestfit", "mm_decode", "mm_frames", "mm_resize",
-    "mm_audio_windows", "mm_luma_hist", "mm_phash",
-    # (b) round-9 rows-only conversions
-    "tok_fertility", "emb_whiten", "emb_pca", "st_chained_windows",
-    # (c) round-9 changed-plan re-proofs (deflate bound; the dedup
-    # family's collapse-first pair path + broadcast gate, reaching
-    # every SQL-oracled caller of ngram_jaccard_pairs/components)
-    "tx_compress_ratio", "dd_cluster", "dd_keep_canonical",
-    "dd_ngram_jaccard", "corpus_e2e", "tt_leakage_check",
-    "dd_winnow", "dd_minhash_lsh_portable", "dd_simhash_portable",
-    "dd_embed_cosine", "dd_threshold_sweep", "sim_range_search",
-    # (d) oldest-evidence backfill (round-1 window) to fill to 50
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "q_top_customers_window", "q_priority_pivot",
-    "q_rollup_sales", "q_semi_anti", "q_distinct_union",
-    "q_events_bucketed", "q_sessionize", "q_skew_salted", "q_cube_sales",
-    "q17_small_qty", "q_grouping_sets", "q_percentile", "q_moving_avg",
-    "q_argmax", "q_intersect_except", "q_json_props", "q_gap_fill",
-    "q_unpivot", "q_stats_moments", "q_upsert_latest", "q13_custdist",
-    "q19_disjunctive", "q21_sole_returner",
+    # (a) round-10 rows-only conversions
+    "emb_kmeans_train", "sim_ann_ivf", "emb_knn_graph_ivf",
+    "emb_semantic_dedup", "mm_spectral",
+    # (b) round-10 changed-plan re-proofs
+    "tx_compress_ratio", "sim_maxsim", "tx_ngram_novelty",
+    "tok_fertility", "dd_ngram_jaccard", "dd_cluster",
+    "dd_keep_canonical", "dd_minhash_lsh_portable", "dd_simhash_portable",
+    "corpus_e2e", "tt_leakage_check",
+    # (c) oldest-evidence backfill (round-3 window, first 34)
+    "q_rollup_reuse", "q_window_distinct", "q_cdc_diff", "q_ewma",
+    "q_mode_stat", "q_histogram", "q_pivot_multi", "q_new_returning",
+    "q_rank_functions", "q_bitmap_rollup", "q_recursive_walk",
+    "q_transpose", "q_markov_transitions", "q_interval_merge",
+    "q_cms_topk", "s_watchlist_screen", "st_watchlist_screen",
+    "tx_quality", "tx_tokens", "tx_fingerprint", "tx_tfidf",
+    "tx_pii_redact", "tx_ngrams", "tx_keywords", "tx_quality_filter",
+    "tx_contamination", "tx_repetition", "tx_entropy",
+    "tx_js_divergence", "tx_perplexity", "tx_langid_eval",
+    "tx_filter_verdict", "mix_sample", "mix_temperature",
 )
 
 

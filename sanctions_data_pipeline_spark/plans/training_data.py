@@ -242,11 +242,56 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF ANN top-k (rows-only: the k-means coarse quantizer is iterative —
 # no SQL twin; recall vs brute force pinned in tests/test_ivf.py)
 # --------------------------------------------------------------------------
-@register("sim_ann_ivf")
+# Oracle contract (round 10, the tok_fertility invariant-lane
+# pattern): the IVF cell structure is not SQL-expressible, so the
+# registered output is one row per query (the fixed vec_id < 10 set —
+# exact relational lane) carrying REAL invariants of a correct
+# quantize+probe+scan pass, stated as literals:
+#   n_returned            exactly k — the probed cells held enough
+#                         candidates (a broken quantizer or probe
+#                         rule starves the scan and flips this),
+#   rankwise_dominated_ok at every rank r, IVF's r-th cosine <= the
+#                         brute-force r-th cosine (IVF scans a SUBSET
+#                         of the corpus; a scoring bug that inflates
+#                         cosines flips this),
+#   neighbors_valid_ok    neighbor != query and cos is a genuine
+#                         cosine (|.| <= 1).
+# The exact (query, neighbor, cos, rnk) lists stay pinned by pytest
+# on sim_ann_ivf_full (the pre-round-10 registered surface).
+_IVF_K = 5
+
+_IVF_ORACLE = f"""
+SELECT vec_id AS query_id, CAST({_IVF_K} AS BIGINT) AS n_returned,
+       TRUE AS rankwise_dominated_ok, TRUE AS neighbors_valid_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+@register("sim_ann_ivf", oracle=_IVF_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 10)
-    return (sim.ivf_topk(queries, vecs, k=5, n_centroids=16, n_iters=2,
+    ivf = sim_ann_ivf_full(spark, sf_dir)
+    bf = (sim.brute_force_topk(queries, vecs, k=_IVF_K)
+          .select("query_id", F.col("rnk").alias("rnk"),
+                  F.col("cos").alias("bf_cos")))
+    eps = F.lit(1e-9)
+    joined = ivf.join(bf, ["query_id", "rnk"], "left")
+    return (joined.groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_returned"),
+                 F.bool_and(F.col("cos") <= F.col("bf_cos") + eps)
+                  .alias("rankwise_dominated_ok"),
+                 F.bool_and((F.col("neighbor_id") != F.col("query_id"))
+                            & (F.abs("cos") <= F.lit(1.0) + eps))
+                  .alias("neighbors_valid_ok")))
+
+
+def sim_ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (query_id, neighbor_id, cos, rnk) IVF results — the
+    pytest value-pin surface (the pre-round-10 registered output)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return (sim.ivf_topk(queries, vecs, k=_IVF_K, n_centroids=16, n_iters=2,
                          n_probe=4)
             .withColumn("rnk", F.col("rnk").cast("bigint")))
 
@@ -1742,12 +1787,69 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # emb_semantic_dedup — SemDeDup (Abbas et al., arXiv:2303.09540):
 # k-means cluster -> within-cluster cosine pairs -> keep the most
-# prototypical member of each over-threshold pair. Rows-only: the
-# k-means fit is not SQL-expressible; keep-semantics are pinned by
-# tests/test_dedup_similarity.py against hand-built clusters.
+# prototypical member of each over-threshold pair.
+#
+# Oracle contract (round 10, the tok_fertility invariant-lane
+# pattern): the k-means cells are not SQL-expressible, so the
+# registered output is one row per embedding (vec_id — the exact
+# relational lane) carrying the FIXED-POINT of the SemDeDup keep rule
+# as booleans, stated as literals:
+#   keep_flag_valid_ok  keep ∈ {0, 1};
+#   drop_rule_ok        dropped  ⇔  SOME over-threshold within-cell
+#                       partner is strictly more prototypical (higher
+#                       centroid cosine, ties to the smaller id) —
+#                       recomputed from the emitted pairs + scores,
+#                       so a broken keep join, tie rule or pair
+#                       filter flips it.
+# The exact (vec_id, cell, keep) rows stay pinned by pytest on
+# emb_semantic_dedup_full (the pre-round-10 registered output).
 # --------------------------------------------------------------------------
-@register("emb_semantic_dedup")
+_SEMDEDUP_ORACLE = """
+SELECT vec_id, TRUE AS keep_flag_valid_ok, TRUE AS drop_rule_ok
+FROM embeddings
+"""
+
+
+@register("emb_semantic_dedup", oracle=_SEMDEDUP_ORACLE)
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_fit(vecs, 8)
+    base = sim.assign_cells(
+        vecs.select("vec_id", sim.as_double(F.col("embedding")).alias("v")),
+        cents)
+    cent_arr = F.array(*[sim._centroid_lit(c) for c in cents])
+    scored = base.withColumn(
+        "cdot",
+        F.round(sim.dot(F.col("v"), F.element_at(cent_arr, F.col("cell")))
+                / F.sqrt(sim.dot(F.col("v"), F.col("v"))), 6))
+    pairs = sim.cosine_pairs(
+        scored.select("cell", "vec_id", "v"), ["cell"], 0.85,
+        id_col="vec_id", vec_col="v")
+    sc = scored.select(F.col("vec_id").alias("__sid"), "cdot")
+    both = (pairs
+            .join(sc.withColumnRenamed("__sid", "i")
+                    .withColumnRenamed("cdot", "di"), "i")
+            .join(sc.withColumnRenamed("__sid", "j")
+                    .withColumnRenamed("cdot", "dj"), "j"))
+    # each pair names its loser exactly once (the semantic_dedup rule)
+    losers = (both.select(
+        F.when((F.col("di") < F.col("dj"))
+               | ((F.col("di") == F.col("dj")) & (F.col("i") > F.col("j"))),
+               F.col("i")).otherwise(F.col("j")).alias("vec_id"))
+        .distinct().withColumn("__is_loser", F.lit(1)))
+    keep = sim.semantic_dedup(vecs, threshold=0.85, n_centroids=8) \
+        .select("vec_id", "keep")
+    return (keep.join(losers, "vec_id", "left")
+            .select("vec_id",
+                    F.col("keep").isin(0, 1).alias("keep_flag_valid_ok"),
+                    ((F.col("keep") == 0)
+                     == F.col("__is_loser").isNotNull())
+                    .alias("drop_rule_ok")))
+
+
+def emb_semantic_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (vec_id, cell, keep) rows — the pytest value-pin surface
+    (the pre-round-10 registered output)."""
     vecs = load_table(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(vecs, threshold=0.85, n_centroids=8)
 
@@ -1932,12 +2034,51 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # emb_knn_graph_ivf — the SCALE path of the kNN graph: block the
 # self-join by IVF cell (deterministic k-means), exact within each
-# cell. Rows-only (k-means cells aren't SQL-expressible); recall vs
-# the exact graph and block-equivalence are pinned in
-# tests/test_dedup_similarity.py.
+# cell.
+#
+# Oracle contract (round 10, the tok_fertility invariant-lane
+# pattern): the cell structure is not SQL-expressible, so the
+# registered output is the RECALL LATTICE — one row per source vector
+# (vec_id, the exact relational lane) with invariants of a correct
+# cell-blocked scan vs the exact quadratic graph, stated as literals:
+#   n_neighbors           exactly k (probed cells held >= k
+#                         candidates — a starved probe flips this),
+#   rankwise_dominated_ok IVF's r-th cosine <= the exact graph's r-th
+#                         cosine at every rank (IVF scans a subset;
+#                         eps 2e-6 absorbs the numpy-vs-fold last-ulp
+#                         rounding the knn_graph_ivf docstring notes),
+#   neighbors_valid_ok    dst != src and |cos| <= 1.
+# Exact edges + the 0.95 recall floor stay pinned by pytest on
+# emb_knn_graph_ivf_full (the pre-round-10 registered output).
 # --------------------------------------------------------------------------
-@register("emb_knn_graph_ivf")
+_KNN_IVF_ORACLE = """
+SELECT vec_id, CAST(3 AS BIGINT) AS n_neighbors,
+       TRUE AS rankwise_dominated_ok, TRUE AS neighbors_valid_ok
+FROM embeddings
+"""
+
+
+@register("emb_knn_graph_ivf", oracle=_KNN_IVF_ORACLE)
 def emb_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings")
+    ivf = emb_knn_graph_ivf_full(spark, sf_dir)
+    exact = (sim.knn_graph(vecs, k=3)
+             .select(F.col("src_id"), F.col("rnk"),
+                     F.col("cos").alias("exact_cos")))
+    eps = F.lit(2e-6)
+    joined = ivf.join(exact, ["src_id", "rnk"], "left")
+    return (joined.groupBy(F.col("src_id").alias("vec_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+                 F.bool_and(F.col("cos") <= F.col("exact_cos") + eps)
+                  .alias("rankwise_dominated_ok"),
+                 F.bool_and((F.col("dst_id") != F.col("src_id"))
+                            & (F.abs("cos") <= F.lit(1.0) + eps))
+                  .alias("neighbors_valid_ok")))
+
+
+def emb_knn_graph_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (src_id, dst_id, cos, rnk) IVF-celled edges — the pytest
+    value-pin surface (the pre-round-10 registered output)."""
     vecs = load_table(spark, sf_dir, "embeddings")
     return (sim.knn_graph_ivf(vecs, k=3, n_centroids=8, n_probe=3)
             .withColumn("rnk", F.col("rnk").cast("bigint")))

@@ -361,17 +361,84 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str, k: int = 10,
 # emb_kmeans_train — the k-means training surface itself (the engine
 # piece behind sim_ann_ivf / emb_semantic_dedup), exposed as a query:
 # deterministic spherical k-means (operators/similarity.kmeans_fit),
-# then per-cell population + mean cosine-to-centroid via sorted fold.
-# Rows-only (iterative trainer); pytest pins cells against a python
-# replay of the same seeds.
+# then the per-cell census.
+#
+# Oracle contract (round 10, the tok_fertility invariant-lane
+# pattern): the trained centroids are not SQL-expressible, so the
+# registered output is the DENSE CELL LATTICE (1..n_centroids — the
+# row set is data-independent) carrying one exact relational lane the
+# oracle computes (total_members = corpus row count, on every row)
+# plus three REAL invariants of a correct train+assign pass, stated
+# as literals:
+#   members_sum_ok       Σ_cell n_members == corpus count (no row
+#                        lost/duplicated by assignment),
+#   own_cell_mean_max_ok per populated cell, mean cosine of members
+#                        to their OWN centroid >= mean cosine to every
+#                        other centroid (argmax assignment transfers
+#                        to the mean; a corrupted centroid list or
+#                        assignment rule flips this),
+#   mean_cos_bounded_ok  the mean cosine is a genuine cosine (|.|<=1).
+# Exact per-cell populations + mean cosines stay pinned by pytest on
+# emb_kmeans_train_full (the previous registered surface).
 #
 # Scale: each Lloyd step is one map-side assign + one (cell, pos) agg
 # whose output is n_centroids×d — the collect is model-sized, never
-# corpus-sized.
+# corpus-sized; the census is one n_centroids-wide agg.
 # ---------------------------------------------------------------------------
-@register("emb_kmeans_train")
-def emb_kmeans_train(spark: SparkSession, sf_dir: str,
-                     n_centroids: int = 8) -> DataFrame:
+_KMEANS_N_CELLS = 8
+
+_KMEANS_ORACLE = f"""
+SELECT CAST(u.c AS INT) AS cell,
+       (SELECT count(*) FROM embeddings) AS total_members,
+       TRUE AS members_sum_ok,
+       TRUE AS own_cell_mean_max_ok,
+       TRUE AS mean_cos_bounded_ok
+FROM range(1, {_KMEANS_N_CELLS + 1}) u(c)
+"""
+
+
+@register("emb_kmeans_train", oracle=_KMEANS_ORACLE)
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_centroids = _KMEANS_N_CELLS
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_fit(emb, n_centroids)
+    base = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    celled = sim.assign_cells(base, cents)
+    # cosine of each member to EVERY centroid (unit centroids: dot/|v|)
+    per = celled.select(
+        "cell",
+        *[(sim.dot(F.col("v"), sim._centroid_lit(c))
+           / F.sqrt(sim.dot(F.col("v"), F.col("v")))).alias(f"c{j}")
+          for j, c in enumerate(cents, start=1)])
+    agg = per.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[F.avg(f"c{j}").alias(f"m{j}")
+          for j in range(1, n_centroids + 1)])
+    means = F.array(*[F.col(f"m{j}") for j in range(1, n_centroids + 1)])
+    own = F.element_at(means, F.col("cell"))
+    lattice = spark.range(1, n_centroids + 1).select(
+        F.col("id").cast("int").alias("cell"))
+    tot = emb.agg(F.count(F.lit(1)).alias("__tot"))
+    summed = agg.agg(F.coalesce(F.sum("n_members"), F.lit(0))
+                     .alias("__sum"))
+    eps = F.lit(1e-9)
+    return (lattice.join(agg, "cell", "left")
+            .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(summed))
+            .select(
+                "cell",
+                F.col("__tot").cast("bigint").alias("total_members"),
+                (F.col("__sum") == F.col("__tot")).alias("members_sum_ok"),
+                F.coalesce(own >= F.array_max(means) - eps, F.lit(True))
+                 .alias("own_cell_mean_max_ok"),
+                F.coalesce((own >= F.lit(-1.0) - eps)
+                           & (own <= F.lit(1.0) + eps), F.lit(True))
+                 .alias("mean_cos_bounded_ok")))
+
+
+def emb_kmeans_train_full(spark: SparkSession, sf_dir: str,
+                          n_centroids: int = 8) -> DataFrame:
+    """Exact-value census (cell, n_members, mean_cos) — the pytest
+    value-pin surface (the pre-round-10 registered output)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = sim.kmeans_fit(emb, n_centroids)
     base = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))

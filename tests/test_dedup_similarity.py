@@ -296,9 +296,13 @@ def test_knn_graph_ivf_recall_against_exact(spark, sf_dir):
     from pyspark.sql import functions as F
     from sanctions_data_pipeline_spark.plans import registry
 
+    from sanctions_data_pipeline_spark.plans.training_data import (
+        emb_knn_graph_ivf_full)
+
     qs = registry.queries()
     exact = {(r.src_id, r.dst_id) for r in qs["emb_knn_graph"](spark, sf_dir).collect()}
-    ivf = {(r.src_id, r.dst_id) for r in qs["emb_knn_graph_ivf"](spark, sf_dir).collect()}
+    ivf = {(r.src_id, r.dst_id) for r in
+           emb_knn_graph_ivf_full(spark, sf_dir).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.8, recall
 

@@ -460,9 +460,16 @@ def test_mm_spectral_matches_numpy_replay(spark, sf_dir):
     from sanctions_data_pipeline_spark.catalog import load_table
     from sanctions_data_pipeline_spark.plans import registry
 
+    from sanctions_data_pipeline_spark.plans.multimodal import (
+        mm_spectral_full)
+
+    rows = mm_spectral_full(spark, sf_dir).collect()
     got = {r.doc_id: (r.n_windows, r.dominant_bin, r.spectral_centroid,
                       r.spectral_bandwidth)
-           for r in registry.queries()["mm_spectral"](spark, sf_dir).collect()}
+           for r in rows}
+    # the round-10 oracle lanes hold on every row: exact time-domain
+    # energy + the Parseval identity of the rFFT
+    assert all(r.parseval_ok and r.window_energy > 0 for r in rows)
     docs = load_table(spark, sf_dir, "documents").collect()
     frame_len, hop = 256, 128
     expect = {}

@@ -226,9 +226,11 @@ def test_mmr_scores_monotone_nonincreasing_in_rank(spark, sf_dir):
 
 def test_emb_kmeans_train_cells_match_replay(spark, sf_dir):
     from sanctions_data_pipeline_spark.operators.similarity import kmeans_fit
+    from sanctions_data_pipeline_spark.plans.training_data3 import (
+        emb_kmeans_train_full)
 
     got = {r.cell: (r.n_members, r.mean_cos)
-           for r in _run(spark, sf_dir, "emb_kmeans_train").collect()}
+           for r in emb_kmeans_train_full(spark, sf_dir).collect()}
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, 8)
 
