@@ -1566,11 +1566,33 @@ def pr_implicit_als(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the FAISS IndexIVFPQ default), joining the two partial indexes the
 # engine already ships (sim_ann_ivf's coarse cells, sim_ann_pq's ADC
 # codes): per query, only the probed cells' m-byte codes are scored,
-# then exact-cosine re-rank. Rows-only (kmeans + codebooks are
-# iterative trainers); pytest pins recall@k against brute force.
+# then exact-cosine re-rank. The kmeans + codebook trainers have no
+# SQL twin — registered (round 10) as the shared brute-force
+# rank-domination invariant lattice (see sim_ann_ivf / sim_ann_pq);
+# exact result lists + the recall pin stay on sim_ann_ivfpq_full
+# (tests/test_ivf.py).
 # ---------------------------------------------------------------------------
-@register("sim_ann_ivfpq", headline=True)
+_IVFPQ_ORACLE = """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+       TRUE AS rankwise_dominated_ok, TRUE AS neighbors_valid_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+@register("sim_ann_ivfpq", headline=True, oracle=_IVFPQ_ORACLE)
 def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.plans.training_data import (
+        _ann_domination_lattice)
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    bf = sim.brute_force_topk(queries, vecs, k=5)
+    return _ann_domination_lattice(sim_ann_ivfpq_full(spark, sf_dir), bf)
+
+
+def sim_ann_ivfpq_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (query_id, neighbor_id, cos, rnk) IVF+PQ results — the
+    pytest value-pin surface (the pre-round-10 registered output)."""
     vecs = load_table(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 10)
     return (sim.ivfpq_topk(queries, vecs, k=5, n_centroids=16, n_probe=4,

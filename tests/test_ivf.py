@@ -47,8 +47,10 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
 
 def test_pq_topk_recall_and_determinism(spark, sf_dir):
     from sanctions_data_pipeline_spark.plans import registry
+    from sanctions_data_pipeline_spark.plans.training_data import (
+        sim_ann_pq_full)
     q = registry.queries()
-    pq = q["sim_ann_pq"](spark, sf_dir).collect()
+    pq = sim_ann_pq_full(spark, sf_dir).collect()
     bf = q["sim_topk_bruteforce"](spark, sf_dir).collect()
     assert pq, "pq returned nothing"
     got = {}
@@ -66,7 +68,7 @@ def test_pq_topk_recall_and_determinism(spark, sf_dir):
         if (r.query_id, r.neighbor_id) in bf_cos:
             assert abs(r.cos - bf_cos[(r.query_id, r.neighbor_id)]) < 1e-9
     again = {(r.query_id, r.neighbor_id, r.cos, r.rnk)
-             for r in registry.queries()["sim_ann_pq"](spark, sf_dir).collect()}
+             for r in sim_ann_pq_full(spark, sf_dir).collect()}
     assert again == {(r.query_id, r.neighbor_id, r.cos, r.rnk) for r in pq}
 
 
@@ -88,8 +90,10 @@ def test_sim_ann_ivfpq_recall_vs_bruteforce(spark, sf_dir):
     hold the recall@5 band (>= 0.5 on this near-random synthetic
     corpus, where plain IVF/PQ saturate at ~0.65) vs brute force."""
     from sanctions_data_pipeline_spark.plans import registry
+    from sanctions_data_pipeline_spark.plans.training_data3 import (
+        sim_ann_ivfpq_full)
 
-    got = registry.queries()["sim_ann_ivfpq"](spark, sf_dir).collect()
+    got = sim_ann_ivfpq_full(spark, sf_dir).collect()
     exact = registry.queries()["sim_topk_bruteforce"](spark, sf_dir).collect()
     by_q: dict[int, set] = {}
     for r in got:

@@ -64,7 +64,10 @@ def test_whole_stage_codegen_covers_q1(spark, sf_dir):
 
 # Queries whose plans legitimately contain a non-equi broadcast join
 # (top-k similarity intentionally scores query x corpus / query x cell).
+# sim_ann_pq / sim_ann_ivfpq joined in r10: their domination lattices
+# compute the brute-force baseline in-plan.
 _NON_EQUI_OK = {"sim_topk_bruteforce", "sim_ann_lsh", "sim_ann_ivf",
+                "sim_ann_pq", "sim_ann_ivfpq",
                 # binary sign-hash ANN: the same intentional
                 # query x corpus broadcast scoring cross, on 16-byte codes
                 "sim_ann_hamming",
@@ -642,8 +645,8 @@ _ROWS_ONLY_VALUE_PINS = {
     # mm_spectral gained a framing+Parseval invariant-lane SQL oracle
     # in round 10; its exact-value pin stays on mm_spectral_full.
     "pr_implicit_als": ("test_training_ext3.py", "test_pr_implicit_als_matches_numpy_replay"),
-    "sim_ann_ivfpq": ("test_ivf.py", "test_sim_ann_ivfpq_recall_vs_bruteforce"),
-    "sim_ann_pq": ("test_ivf.py", "test_pq_topk_recall_and_determinism"),
+    # sim_ann_pq / sim_ann_ivfpq gained the shared domination-lattice
+    # SQL oracle in round 10; exact-value pins stay on *_full.
     "tok_bpe_encode": ("test_training_ext2.py", "test_tok_bpe_encode_matches_python_replay"),
     "tok_bpe_merges": ("test_training_ext2.py", "test_tok_bpe_merges_matches_python_bpe"),
     "tok_unigram_lm": ("test_training_ext3.py", "test_tok_unigram_lm_matches_python_em_replay"),
