@@ -88,6 +88,10 @@ def main() -> None:
                      F.count(F.lit(1)).alias("c")))
         warm.join(F.broadcast(spark.range(64).withColumnRenamed("id", "k")),
                   "k").write.format("noop").mode("overwrite").save()
+    # warm the calibration plan too (untimed): its first execution pays
+    # codegen/JIT like any other, which otherwise inflates pass 0's
+    # calibration and biases the noise index upward on EVERY run
+    _calibration_run(spark)
     # best-of-N per query (N >= 3): the measurement host shows large
     # invisible noise phases (BENCH_BASELINE.md round-6: 59.5-85.1 s
     # total across 10 identical-code runs, a DIFFERENT slow set each

@@ -760,17 +760,22 @@ def ngram_jaccard_components(docs: DataFrame, block_cols: list[str],
     # "what's wrong" #2). Group rows here carry only scalars (rep id,
     # member count, shingle set of ONE text); members stay narrow
     # (id, key) rows that re-join the group table by key.
-    groups = (docs
-              .select(*block_cols, F.col(id_col).alias("i"),
-                      F.col(text_col).alias("__t"))
-              .groupBy(*block_cols,
-                       F.md5(normalized_text(F.col("__t"))).alias("__key"))
-              .agg(F.min("i").alias("rep"),
-                   F.min_by("__t", "i").alias("rep_text"),
-                   F.count(F.lit(1)).alias("gsz"))
-              .withColumn("shh", shingle_hashes(F.col("rep_text"), k))
+    # ONE normalization+md5 pass over the corpus, persisted narrow
+    # (16-byte key + id); both the group table and the member table
+    # derive from it — no second text scan pays the regex+hash again
+    keyed = (docs
+             .select(*block_cols, F.col(id_col).alias("id"),
+                     F.md5(normalized_text(F.col(text_col))).alias("__key"))
+             .persist())
+    grp = (keyed.groupBy(*block_cols, "__key")
+           .agg(F.min("id").alias("rep"), F.count(F.lit(1)).alias("gsz")))
+    # fetch each rep's text by id (grp is group-count-sized, so AQE
+    # broadcasts it into the scan) and shingle the DISTINCT texts only
+    groups = (grp.join(docs.select(F.col(id_col).alias("rep"),
+                                   F.col(text_col).alias("__t")), "rep")
+              .withColumn("shh", shingle_hashes(F.col("__t"), k))
               .withColumn("n_sh", F.size("shh"))
-              .drop("rep_text")
+              .drop("__t")
               .persist())
     rep_sets = (groups
                 .select(*block_cols, F.col("rep").alias("i"), "shh",
@@ -780,9 +785,7 @@ def ngram_jaccard_components(docs: DataFrame, block_cols: list[str],
         .select("i", "j")
     rep_labels = connected_components(rep_pairs) \
         .select(F.col("id").alias("rep"), "cluster_id")
-    mem = (docs
-           .select(*block_cols, F.col(id_col).alias("id"),
-                   F.md5(normalized_text(F.col(text_col))).alias("__key"))
+    mem = (keyed
            .join(groups.select(*block_cols, "__key", "rep", "gsz", "n_sh"),
                  [*block_cols, "__key"])
            .select("rep", "gsz", "n_sh", "id"))
