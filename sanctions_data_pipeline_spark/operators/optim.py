@@ -67,3 +67,49 @@ def logreg_fit(feats: DataFrame, label_col: str, feature_cols: list[str],
             full[r["pos"]] = r["g"]
         w = w - lr * full / n
     return [float(x) for x in w]
+
+
+def logreg_loss(feats: DataFrame, label_col: str, feature_cols: list[str],
+                w: list[float]) -> float:
+    """Mean binary log-loss of ``w`` (on the :func:`logreg_fit`
+    standardized scale) over the corpus — one moments aggregate (the
+    identical standardization pass) + one mapInPandas partial-sum
+    pass. At w = 0 the loss is exactly ln 2 (the null model), so
+    ``logreg_loss(.., fitted) < ln 2`` is the did-it-learn invariant
+    with no second fit."""
+    import numpy as np
+    import pandas as pd
+
+    d = len(feature_cols)
+    aggs = []
+    for c in feature_cols:
+        aggs += [F.sum(F.col(c).cast("double")).alias(f"s_{c}"),
+                 F.sum((F.col(c).cast("double")) ** 2).alias(f"q_{c}")]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    m = feats.agg(*aggs).collect()[0]
+    n = m["n"]
+    mu = np.array([m[f"s_{c}"] / n for c in feature_cols])
+    sd = np.array([
+        max(np.sqrt(m[f"q_{c}"] / n - (m[f"s_{c}"] / n) ** 2), 1e-12)
+        for c in feature_cols])
+    ww = np.array(w, dtype="float64")
+
+    base = feats.select(
+        F.col(label_col).cast("double").alias("y"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols])
+
+    def partial(batches):
+        s = 0.0
+        for pdf in batches:
+            x = (pdf[feature_cols].to_numpy() - mu) / sd
+            xb = np.hstack([np.ones((len(pdf), 1)), x])
+            y = pdf["y"].to_numpy()
+            z = xb @ ww
+            # -[y ln p + (1-y) ln(1-p)] = log1p(exp(-|z|)) + max(0, z) - y*z
+            s += float(np.sum(np.log1p(np.exp(-np.abs(z)))
+                              + np.maximum(z, 0.0) - y * z))
+        yield pd.DataFrame({"s": [s]})
+
+    tot = (base.mapInPandas(partial, "s double")
+           .agg(F.sum("s")).collect()[0][0])
+    return float(tot) / n

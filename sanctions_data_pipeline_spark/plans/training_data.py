@@ -1494,11 +1494,58 @@ def tt_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partials via mapInPandas, driver update loop — the treeAggregate
 # shape MLlib's optimizers use, with per-iteration traffic of d+1
 # doubles per partition and the corpus never leaving executors.
-# Rows-only: pinned against a driver-side numpy recompute in
-# tests/test_training_ext.py.
+#
+# Oracle contract (round 10, the tok_fertility invariant-lane
+# pattern): the trained weights are float sums whose last ulp depends
+# on partition combine order, so the registered output is the dense
+# (bias, w1, w2) position lattice carrying the exact corpus-count
+# lane plus two REAL training invariants stated as literals:
+#   weight_finite_ok   every coefficient is finite (a diverged lr or
+#                      NaN feature flips this),
+#   loss_below_null_ok the fitted model's mean log-loss is below the
+#                      null model's exact ln 2 by a 1e-3 margin (the
+#                      did-it-learn check — an optimizer that stops
+#                      updating, flips its gradient sign, or breaks
+#                      standardization fails it; the fixture's
+#                      weak-signal margin is ~8.3e-3 at sf0.01, and
+#                      loss is deterministic to ~1e-12).
+# Exact weights stay pinned (driver-recompute + learning assertions)
+# on ml_logreg_full in tests/test_training_ext.py.
 # --------------------------------------------------------------------------
-@register("ml_logreg")
+_LOGREG_ORACLE = """
+SELECT CAST(u.p AS INT) AS pos,
+       (SELECT count(*) FROM documents) AS n_obs,
+       TRUE AS weight_finite_ok, TRUE AS loss_below_null_ok
+FROM range(0, 3) u(p)
+"""
+
+
+@register("ml_logreg", oracle=_LOGREG_ORACLE)
 def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from sanctions_data_pipeline_spark.operators.optim import logreg_loss
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        F.col("n_chars").cast("double").alias("f_chars"),
+        F.size(tx.tokens(F.col("text"))).cast("double").alias("f_tokens"))
+    w = [r.weight for r in
+         ml_logreg_full(spark, sf_dir).orderBy("pos").collect()]
+    loss = logreg_loss(feats, "is_en", ["f_chars", "f_tokens"], w)
+    finite = all(math.isfinite(x) for x in w)
+    learned = loss < math.log(2.0) - 1e-3
+    n_obs = docs.count()
+    return spark.createDataFrame(
+        [(i, n_obs, finite, learned) for i in range(len(w))],
+        "pos int, n_obs bigint, weight_finite_ok boolean, "
+        "loss_below_null_ok boolean")
+
+
+def ml_logreg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (pos, weight) rows — the pytest value-pin surface (the
+    pre-round-10 registered output)."""
     from sanctions_data_pipeline_spark.operators.optim import logreg_fit
 
     docs = load_table(spark, sf_dir, "documents")

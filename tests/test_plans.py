@@ -641,7 +641,9 @@ _ROWS_ONLY_VALUE_PINS = {
     # sim_ann_ivf gained invariant-lane SQL oracles in round 10; their
     # exact-value pins stay on the *_full surfaces (same test files).
     "emb_procrustes_align": ("test_training_ext3.py", "test_emb_procrustes_align_recovers_quantization_geometry"),
-    "ml_logreg": ("test_training_ext.py", "test_logreg_matches_driver_recompute_and_learns"),
+    # ml_logreg gained the loss-below-null invariant-lane SQL oracle
+    # in round 10; exact weights stay pinned on ml_logreg_full via
+    # test_logreg_matches_driver_recompute_and_learns.
     # mm_spectral gained a framing+Parseval invariant-lane SQL oracle
     # in round 10; its exact-value pin stays on mm_spectral_full.
     "pr_implicit_als": ("test_training_ext3.py", "test_pr_implicit_als_matches_numpy_replay"),

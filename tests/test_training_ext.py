@@ -373,6 +373,13 @@ def test_logreg_matches_driver_recompute_and_learns(spark, sf_dir):
     loss = -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).mean()
     base = -np.log(0.5)
     assert loss < base
+    # the distributed loss evaluator (the round-10 oracle lane) agrees
+    # with this numpy recompute and sits below ln 2 by a clear margin
+    from sanctions_data_pipeline_spark.operators.optim import logreg_loss
+    dloss = logreg_loss(feats, "is_en", ["f_chars", "f_tokens"],
+                        [float(v) for v in w])
+    assert abs(dloss - loss) < 1e-9, (dloss, loss)
+    assert dloss < base - 0.01
 
 
 def test_pack_sequences_window_and_conservation_laws(spark, sf_dir):
