@@ -652,7 +652,17 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round is one weighted adjacent-pair count over the (distinct word,
 # count) table, a 1-row argmax collect, and a lazy higher-order-fold
 # re-segmentation (greedy left-to-right merge, exactly BPE's rule).
-# Rows-only: pytest replays the identical algorithm in pure python.
+#
+# Oracle (round 10 — the gr_label_prop unrolled-iteration discipline,
+# and the first TRAINER with a value-exact oracle): the whole
+# algorithm is integer counts + string symbols, so DuckDB replays all
+# R rounds verbatim — each round is a pair-count CTE, a MATERIALIZED
+# 1-row argmax, and the greedy left-to-right fold as a recursive CTE
+# over symbol positions (the merge pair rides the recursion rows;
+# correlated subqueries into the recursion would re-evaluate the
+# upstream chain exponentially — measured: a 0.13 s query becomes a
+# >300 s one). Merge ranks, pairs and counts hash-compare exactly.
+# The pure-python replay stays in tests as the third check.
 #
 # Scale: the iterating table is the DISTINCT vocabulary (~10^7 rows at
 # web scale, not the corpus); per-round shuffle carries (sym_a, sym_b,
@@ -662,7 +672,60 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 5
 
 
-@register("tok_bpe_merges", headline=True)
+def _bpe_round_cte(r: int, carry_w: bool = False) -> str:
+    """CTEs for BPE round r: pair counts over seg{r-1}, the argmax
+    merge, and the greedy re-segmentation fold."""
+    w_sel = "w, " if carry_w else ""
+    w_f = "f.w, " if carry_w else ""
+    return f"""
+pairs{r} AS (
+  SELECT s[i] AS a, s[i+1] AS b, SUM(cnt) AS n
+  FROM seg{r - 1}, unnest(range(1, len(s))) u(i)
+  GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (
+  SELECT a, b, n FROM pairs{r} ORDER BY n DESC, a, b LIMIT 1
+),
+fold{r} AS (
+  SELECT {w_sel}s, cnt, 1 AS i, CAST([] AS VARCHAR[]) AS acc,
+         b.a AS ma, b.b AS mb
+  FROM seg{r - 1}, best{r} b
+  UNION ALL
+  SELECT {w_f}f.s, f.cnt, f.i + 1,
+         CASE WHEN len(f.acc) > 0 AND f.acc[-1] = f.ma AND f.s[f.i] = f.mb
+              THEN list_append(f.acc[1:len(f.acc)-1], f.ma || f.mb)
+              ELSE list_append(f.acc, f.s[f.i]) END,
+         f.ma, f.mb
+  FROM fold{r} f WHERE f.i <= len(f.s)
+),
+seg{r} AS MATERIALIZED (
+  SELECT {w_sel}acc AS s, cnt FROM fold{r} WHERE i = len(s) + 1)
+"""
+
+
+def _bpe_seg_ctes(carry_w: bool = False) -> str:
+    """The shared WITH RECURSIVE body: vocab -> seg0 -> R rounds."""
+    w_sel = "w, " if carry_w else ""
+    return (f"""
+t AS (SELECT unnest({_TOKS}) AS w FROM documents),
+v AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+seg0 AS MATERIALIZED (
+  SELECT {w_sel}list_append(string_split(w, ''), '</w>') AS s, cnt FROM v),
+""" + ",".join(_bpe_round_cte(r, carry_w)
+               for r in range(1, _BPE_ROUNDS + 1)))
+
+
+_BPE_MERGES_ORACLE = ("WITH RECURSIVE " + _bpe_seg_ctes() + """
+SELECT * FROM (
+""" + "  UNION ALL\n".join(
+    f'  SELECT CAST({r} AS INT) AS merge_rank, a AS "left", b AS "right",'
+    f' CAST(n AS BIGINT) AS pair_count FROM best{r}\n'
+    for r in range(1, _BPE_ROUNDS + 1)) + """
+)
+""")
+
+
+@register("tok_bpe_merges", headline=True, oracle=_BPE_MERGES_ORACLE)
 def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
@@ -712,14 +775,36 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merge list in training order (greedy left-to-right, exactly BPE's
 # rule), and each document reports its token-efficiency accounting —
 # the number the tokenizer team actually tracks (symbols/word before
-# vs after merging). Rows-only (depends on the trained merge list);
-# pytest replays train+encode in pure python.
+# vs after merging).
+#
+# Oracle (round 10): because every corpus word IS a vocabulary word,
+# applying the R merges in training order to a word equals that
+# word's round-R training segmentation — so the oracle reuses the
+# tok_bpe_merges replay (with the word carried through the recursion)
+# and joins len(seg_R) back to the per-doc word stream. All-integer
+# accounting + the shared portable FLOOR rounding hash-compare
+# exactly. The python train+encode replay stays in tests.
 #
 # Scale: the merge list is bounded driver state (R rows); application
 # is R chained higher-order folds inside one map-side corpus pass —
 # no shuffle except the per-doc count agg.
 # ---------------------------------------------------------------------------
-@register("tok_bpe_encode")
+_BPE_ENCODE_ORACLE = ("WITH RECURSIVE " + _bpe_seg_ctes(carry_w=True) + f"""
+, enc AS (SELECT w, CAST(len(s) AS BIGINT) AS n_enc FROM seg{_BPE_ROUNDS}),
+dw AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+per AS (
+  SELECT doc_id, CAST(length(dw.w) + 1 AS BIGINT) AS n_raw, e.n_enc
+  FROM dw JOIN enc e USING (w))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_raw) AS BIGINT) AS n_raw_symbols,
+       CAST(sum(n_enc) AS BIGINT) AS n_bpe_symbols,
+       FLOOR(CAST(sum(n_enc) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         / 1000000.0 AS symbols_per_word
+FROM per GROUP BY doc_id
+""")
+
+
+@register("tok_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
 def tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [(r.left, r.right)
               for r in tok_bpe_merges(spark, sf_dir)

@@ -649,8 +649,9 @@ _ROWS_ONLY_VALUE_PINS = {
     "pr_implicit_als": ("test_training_ext3.py", "test_pr_implicit_als_matches_numpy_replay"),
     # sim_ann_pq / sim_ann_ivfpq gained the shared domination-lattice
     # SQL oracle in round 10; exact-value pins stay on *_full.
-    "tok_bpe_encode": ("test_training_ext2.py", "test_tok_bpe_encode_matches_python_replay"),
-    "tok_bpe_merges": ("test_training_ext2.py", "test_tok_bpe_merges_matches_python_bpe"),
+    # tok_bpe_merges / tok_bpe_encode gained value-exact unrolled
+    # recursive-CTE oracles in round 10 (the first trainers with one);
+    # the python replays remain as third checks in test_training_ext2.
     "tok_unigram_lm": ("test_training_ext3.py", "test_tok_unigram_lm_matches_python_em_replay"),
 }
 
