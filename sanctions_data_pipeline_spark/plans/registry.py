@@ -288,14 +288,15 @@ _R09_CHECKED = frozenset({
 _DRIVER_CHECKED = _DRIVER_CHECKED | _R09_CHECKED
 
 # Explicit priority for the round-10 driver 50-entry correctness
-# window: (a) the 10 round-10 rows-only conversions (invariant-lane SQL
+# window: (a) the 11 round-10 rows-only conversions (invariant-lane SQL
 # oracles: emb_kmeans_train's dense-cell census, sim_ann_ivf's and
 # emb_knn_graph_ivf's brute-force-domination lattices,
 # emb_semantic_dedup's keep-rule fixed point, mm_spectral's exact
 # framing+energy lanes + Parseval identity, sim_ann_pq's and
 # sim_ann_ivfpq's shared domination lattice, ml_logreg's
-# loss-below-null lattice, and VALUE-EXACT unrolled recursive-CTE
-# replays for the BPE trainer pair), (b) re-proofs of the 11
+# loss-below-null lattice, emb_isotropy's ABTT-improves lattice,
+# and VALUE-EXACT unrolled recursive-CTE replays for the BPE
+# trainer pair), (b) re-proofs of the 11
 # SQL-oracled entries whose PLANS changed in round 10 (the true
 # compressBound deflate bound; sim_maxsim's bounded query contract;
 # tx_ngram_novelty's collapse-first; tok_fertility's zero-token guard;
@@ -316,19 +317,19 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R09_CHECKED
 # here to the priority-tuple assignment below must name exactly the
 # never-checked SQL-oracled entries not already in the priority tuple):
 # ROUND-11 WINDOW: (empty — every SQL-oracled entry is driver-checked
-# or in the round-10 priority window below; the remaining 21 round-3
+# or in the round-10 priority window below; the remaining 22 round-3
 # backfills continue in the round-11 window)
 _ORACLE_PRIORITY = (
     # (a) round-10 rows-only conversions
     "emb_kmeans_train", "sim_ann_ivf", "emb_knn_graph_ivf",
     "emb_semantic_dedup", "mm_spectral", "sim_ann_pq", "sim_ann_ivfpq",
-    "ml_logreg", "tok_bpe_merges", "tok_bpe_encode",
+    "ml_logreg", "tok_bpe_merges", "tok_bpe_encode", "emb_isotropy",
     # (b) round-10 changed-plan re-proofs
     "tx_compress_ratio", "sim_maxsim", "tx_ngram_novelty",
     "tok_fertility", "dd_ngram_jaccard", "dd_cluster",
     "dd_keep_canonical", "dd_minhash_lsh_portable", "dd_simhash_portable",
     "corpus_e2e", "tt_leakage_check",
-    # (c) oldest-evidence backfill (round-3 window, first 29)
+    # (c) oldest-evidence backfill (round-3 window, first 28)
     "q_rollup_reuse", "q_window_distinct", "q_cdc_diff", "q_ewma",
     "q_mode_stat", "q_histogram", "q_pivot_multi", "q_new_returning",
     "q_rank_functions", "q_bitmap_rollup", "q_recursive_walk",
@@ -337,7 +338,6 @@ _ORACLE_PRIORITY = (
     "tx_quality", "tx_tokens", "tx_fingerprint", "tx_tfidf",
     "tx_pii_redact", "tx_ngrams", "tx_keywords", "tx_quality_filter",
     "tx_contamination", "tx_repetition", "tx_entropy",
-    "tx_js_divergence",
 )
 
 

@@ -3561,7 +3561,21 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fix removes the mean and the top-D principal directions. The op
 # reports the isotropy proxy min|Z|/max|Z| over eigenvector probes
 # before and after the correction (1.0 = perfectly isotropic).
-# Rows-only; pytest replays the chain in numpy.
+#
+# Oracle contract (round 10, the tok_fertility invariant-lane
+# pattern): the eigendecomposition has no SQL twin, so the registered
+# single-row output carries the exact vector-count lane plus the
+# chain's REAL theorems as booleans stated as literals:
+#   abtt_improved_ok  removing the mean + top-D directions must not
+#                     WORSEN the isotropy proxy (the Mu & Viswanath
+#                     claim — a broken projector or eigen-sort flips
+#                     it),
+#   ratios_valid_ok   both proxies are genuine min/max ratios in
+#                     (0, 1],
+#   eig_share_valid_ok the top eigenvalue's share of the trace lies
+#                     in (0, 1].
+# Exact proxy values stay pinned by the numpy replay on
+# emb_isotropy_full.
 #
 # Scale: two gram passes (the emb_pca partition-partial contract) +
 # one map pass applying the bounded d x D projector; partition
@@ -3569,9 +3583,30 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _ISO_TOP_D = 2
 
+_ISO_ORACLE = f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+       CAST({_ISO_TOP_D} AS INT) AS top_d,
+       TRUE AS abtt_improved_ok, TRUE AS ratios_valid_ok,
+       TRUE AS eig_share_valid_ok
+"""
 
-@register("emb_isotropy")
+
+@register("emb_isotropy", oracle=_ISO_ORACLE)
 def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = emb_isotropy_full(spark, sf_dir).collect()[0]
+    rows = [(r.n_vectors, r.top_d,
+             bool(r.isotropy_after >= r.isotropy_before - 1e-6),
+             bool(0.0 < r.isotropy_before <= 1.0
+                  and 0.0 < r.isotropy_after <= 1.0),
+             bool(0.0 < r.top_eig_share <= 1.0))]
+    return spark.createDataFrame(
+        rows, "n_vectors bigint, top_d int, abtt_improved_ok boolean, "
+              "ratios_valid_ok boolean, eig_share_valid_ok boolean")
+
+
+def emb_isotropy_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proxy values — the pytest value-pin surface (the
+    pre-round-10 registered output)."""
     import numpy as np
 
     from sanctions_data_pipeline_spark.operators import pca

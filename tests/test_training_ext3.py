@@ -1541,7 +1541,10 @@ def test_q_holt_forecast_recursion_replay(spark, sf_dir):
 def test_emb_isotropy_abtt_improves_isotropy(spark, sf_dir):
     import numpy as np
 
-    r = _run(spark, sf_dir, "emb_isotropy").collect()[0]
+    from sanctions_data_pipeline_spark.plans.training_data3 import (
+        emb_isotropy_full)
+
+    r = emb_isotropy_full(spark, sf_dir).collect()[0]
     assert 0.0 < r.isotropy_before <= 1.0
     assert 0.0 < r.isotropy_after <= 1.0
     # removing the dominant directions must not WORSEN isotropy
