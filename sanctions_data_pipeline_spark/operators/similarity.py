@@ -196,7 +196,8 @@ def knn_graph(vecs: DataFrame, k: int, block_cols: list[str] | None = None,
 
 def semantic_dedup(vecs: DataFrame, threshold: float, n_centroids: int = 16,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   cents: list[list[float]] | None = None) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): cluster embeddings
     with the deterministic spherical k-means coarse quantizer, find
     within-cluster pairs with cosine >= threshold, and drop the member
@@ -206,8 +207,14 @@ def semantic_dedup(vecs: DataFrame, threshold: float, n_centroids: int = 16,
     Scale shape is identical to IVF indexing: k-means driver state is
     centroids x dim, assignment is map-side, and the quadratic pair
     join is bounded by cell population (grow n_centroids with the
-    corpus to hold cell size constant)."""
-    cents = kmeans_fit(vecs, n_centroids, id_col=id_col, vec_col=vec_col)
+    corpus to hold cell size constant).
+
+    ``cents`` lets a caller that already fitted the quantizer (e.g. a
+    checker recomputing the drop rule from the same cells) thread the
+    centroids in, instead of paying a second fit and leaning on the
+    trainer being bitwise deterministic across invocations."""
+    if cents is None:
+        cents = kmeans_fit(vecs, n_centroids, id_col=id_col, vec_col=vec_col)
     base = assign_cells(
         vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")),
         cents)

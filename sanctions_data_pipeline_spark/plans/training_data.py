@@ -1397,12 +1397,18 @@ def _ann_domination_lattice(ivf: DataFrame, bf: DataFrame) -> DataFrame:
     joined = ivf.join(
         bf.select("query_id", "rnk", F.col("cos").alias("bf_cos")),
         ["query_id", "rnk"], "left")
+    # A missing brute-force rank (null bf_cos from the left join) must
+    # FAIL the invariant, not be skipped: bool_and ignores nulls, so a
+    # starved baseline would silently weaken the check without the
+    # coalesce-to-False.
     return (joined.groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_returned"),
-                 F.bool_and(F.col("cos") <= F.col("bf_cos") + eps)
+                 F.bool_and(F.coalesce(
+                     F.col("cos") <= F.col("bf_cos") + eps, F.lit(False)))
                   .alias("rankwise_dominated_ok"),
-                 F.bool_and((F.col("neighbor_id") != F.col("query_id"))
-                            & (F.abs("cos") <= F.lit(1.0) + eps))
+                 F.bool_and(F.coalesce(
+                     (F.col("neighbor_id") != F.col("query_id"))
+                     & (F.abs("cos") <= F.lit(1.0) + eps), F.lit(False)))
                   .alias("neighbors_valid_ok")))
 
 
@@ -1886,6 +1892,10 @@ FROM embeddings
 @register("emb_semantic_dedup", oracle=_SEMDEDUP_ORACLE)
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
+    # Fit ONCE and thread the centroids into both the checker lanes and
+    # semantic_dedup below: drop_rule_ok must compare keep flags against
+    # the SAME cells, not a second independent fit (and the single fit
+    # halves the op's trainer cost).
     cents = sim.kmeans_fit(vecs, 8)
     base = sim.assign_cells(
         vecs.select("vec_id", sim.as_double(F.col("embedding")).alias("v")),
@@ -1910,8 +1920,8 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                | ((F.col("di") == F.col("dj")) & (F.col("i") > F.col("j"))),
                F.col("i")).otherwise(F.col("j")).alias("vec_id"))
         .distinct().withColumn("__is_loser", F.lit(1)))
-    keep = sim.semantic_dedup(vecs, threshold=0.85, n_centroids=8) \
-        .select("vec_id", "keep")
+    keep = sim.semantic_dedup(vecs, threshold=0.85, n_centroids=8,
+                              cents=cents).select("vec_id", "keep")
     return (keep.join(losers, "vec_id", "left")
             .select("vec_id",
                     F.col("keep").isin(0, 1).alias("keep_flag_valid_ok"),
@@ -2140,12 +2150,16 @@ def emb_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("cos").alias("exact_cos")))
     eps = F.lit(2e-6)
     joined = ivf.join(exact, ["src_id", "rnk"], "left")
+    # coalesce-to-False: a rank missing from the exact baseline (null
+    # exact_cos) must fail the invariant — bool_and skips nulls.
     return (joined.groupBy(F.col("src_id").alias("vec_id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
-                 F.bool_and(F.col("cos") <= F.col("exact_cos") + eps)
+                 F.bool_and(F.coalesce(
+                     F.col("cos") <= F.col("exact_cos") + eps, F.lit(False)))
                   .alias("rankwise_dominated_ok"),
-                 F.bool_and((F.col("dst_id") != F.col("src_id"))
-                            & (F.abs("cos") <= F.lit(1.0) + eps))
+                 F.bool_and(F.coalesce(
+                     (F.col("dst_id") != F.col("src_id"))
+                     & (F.abs("cos") <= F.lit(1.0) + eps), F.lit(False)))
                   .alias("neighbors_valid_ok")))
 
 

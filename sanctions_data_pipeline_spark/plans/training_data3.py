@@ -419,8 +419,14 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     lattice = spark.range(1, n_centroids + 1).select(
         F.col("id").cast("int").alias("cell"))
     tot = emb.agg(F.count(F.lit(1)).alias("__tot"))
-    summed = agg.agg(F.coalesce(F.sum("n_members"), F.lit(0))
-                     .alias("__sum"))
+    # Sum only IN-LATTICE member counts: a hypothetical out-of-range
+    # cell id would keep an unfiltered sum balanced while its row
+    # silently vanished from the 1..n lattice left join — restricting
+    # the sum to the lattice range makes any stray cell show up as
+    # __sum < __tot and flip members_sum_ok.
+    summed = (agg.filter(F.col("cell").between(1, n_centroids))
+              .agg(F.coalesce(F.sum("n_members"), F.lit(0))
+                   .alias("__sum")))
     eps = F.lit(1e-9)
     return (lattice.join(agg, "cell", "left")
             .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(summed))
