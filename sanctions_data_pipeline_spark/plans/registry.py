@@ -287,57 +287,92 @@ _R09_CHECKED = frozenset({
 
 _DRIVER_CHECKED = _DRIVER_CHECKED | _R09_CHECKED
 
-# Explicit priority for the round-10 driver 50-entry correctness
-# window: (a) the 11 round-10 rows-only conversions (invariant-lane SQL
-# oracles: emb_kmeans_train's dense-cell census, sim_ann_ivf's and
-# emb_knn_graph_ivf's brute-force-domination lattices,
-# emb_semantic_dedup's keep-rule fixed point, mm_spectral's exact
-# framing+energy lanes + Parseval identity, sim_ann_pq's and
-# sim_ann_ivfpq's shared domination lattice, ml_logreg's
-# loss-below-null lattice, emb_isotropy's ABTT-improves lattice,
-# and VALUE-EXACT unrolled recursive-CTE replays for the BPE
-# trainer pair), (b) re-proofs of the 11
-# SQL-oracled entries whose PLANS changed in round 10 (the true
-# compressBound deflate bound; sim_maxsim's bounded query contract;
-# tx_ngram_novelty's collapse-first; tok_fertility's zero-token guard;
-# the dd_* family whose shared components/pair machinery was
-# de-concentrated + restructured for the hot-bucket cap; the simhash
-# portable null/zero-token guard), and (c) oldest-evidence backfill
-# re-proofs (the round-3 window, now the stalest at age 7) to fill the
-# window to exactly 50. Names absent from the registry are skipped;
-# unlisted unchecked names follow in registration order.
+# Queries the round-10 driver hash-verified (CORRECTNESS_r10.json:
+# 50/50 green — the 11 round-10 rows-only conversions, 11 changed-plan
+# re-proofs, and 28 round-3 backfills).
+_R10_CHECKED = frozenset({
+    "emb_kmeans_train", "sim_ann_ivf", "emb_knn_graph_ivf",
+    "emb_semantic_dedup", "mm_spectral", "sim_ann_pq", "sim_ann_ivfpq",
+    "ml_logreg", "tok_bpe_merges", "tok_bpe_encode", "emb_isotropy",
+    "tx_compress_ratio", "sim_maxsim", "tx_ngram_novelty", "tok_fertility",
+    "dd_ngram_jaccard", "dd_cluster", "dd_keep_canonical",
+    "dd_minhash_lsh_portable", "dd_simhash_portable", "corpus_e2e",
+    "tt_leakage_check", "q_rollup_reuse", "q_window_distinct", "q_cdc_diff",
+    "q_ewma", "q_mode_stat", "q_histogram", "q_pivot_multi",
+    "q_new_returning", "q_rank_functions", "q_bitmap_rollup",
+    "q_recursive_walk", "q_transpose", "q_markov_transitions",
+    "q_interval_merge", "q_cms_topk", "s_watchlist_screen",
+    "st_watchlist_screen", "tx_quality", "tx_tokens", "tx_fingerprint",
+    "tx_tfidf", "tx_pii_redact", "tx_ngrams", "tx_keywords",
+    "tx_quality_filter", "tx_contamination", "tx_repetition", "tx_entropy",
+})
+
+_DRIVER_CHECKED = _DRIVER_CHECKED | _R10_CHECKED
+
+# Explicit priority for the round-11 driver 50-entry correctness
+# window. The round-10 verdict recomputed evidence age over the
+# CORRECTNESS_r01..r10 union and found the TRUE stalest blocks are the
+# 22 entries with round-1-only evidence and the 36 with round-2-only
+# evidence (the round-3 block this comment previously called stalest
+# is younger) — so this window leads with ALL 22 round-1-age entries
+# plus 17 of the round-2-age block, then (b) the round-11 rows-only
+# conversions (pr_implicit_als's ridge rmse-below-null lattice,
+# emb_procrustes_align's orthogonality/improves lattice,
+# tok_unigram_lm's seed-census + Viterbi-optimality lattice), then
+# (c) re-proofs of the SQL-oracled entries whose plans changed this
+# round (the coalesce-to-False domination lattices, the single-fit
+# SemDeDup checker, emb_kmeans_train's in-lattice member sum, and the
+# dd components keyed-reuse landed post-r10-close in e112fc6).
+# Window arithmetic: 22 + 36 = 58 stale entries exceed one 50-entry
+# window even before conversions/re-proofs, so the remaining 19
+# round-2-age entries are STAGED as the round-12 window below and
+# will carry age 9 for exactly one round.
 #
-# Rotation plan — round 11 is mechanical: fold this window into
-# _R10_CHECKED, move any ROUND-11 staged names into _ORACLE_PRIORITY,
-# and stage later additions as a ROUND-12 block. The staging test
+# Rotation plan — round 12 is mechanical: fold this window into
+# _R11_CHECKED, promote the ROUND-12 staged names into
+# _ORACLE_PRIORITY (plus that round's changed-plan re-proofs and the
+# round-3-age block as filler). The staging test
 # (tests/test_plans.py::test_rotation_staging_covers_remaining_pool)
 # keeps the staged blocks exactly equal to the never-checked pool.
+#
+# ROUND-12 BACKFILL QUEUE (informational, already driver-checked so
+# deliberately ABOVE the staged-blocks sentinel the staging test
+# parses): the remaining 19 round-2-age re-proof backfills —
+# q16_supplier_cnt, q20_top_share_suppliers, q_array_hof, q_funnel,
+# q_lateral_topk, q_null_skew_outer, q_retention, q_scd2, sim_ann_lsh,
+# sim_topk_bruteforce, st_dedup, st_foreach_upsert, st_session,
+# st_sliding, st_stream_static, st_stream_stream, st_tumbling,
+# st_user_state, tx_langid — lead the round-12 window.
 #
 # STAGED ROTATION BLOCKS (parsed by the staging test — everything from
 # here to the priority-tuple assignment below must name exactly the
 # never-checked SQL-oracled entries not already in the priority tuple):
-# ROUND-11 WINDOW: (empty — every SQL-oracled entry is driver-checked
-# or in the round-10 priority window below; the remaining 22 round-3
-# backfills continue in the round-11 window)
+# ROUND-12 WINDOW: (empty — every SQL-oracled entry is driver-checked
+# or in the round-11 priority window below; see the backfill queue
+# above for what leads round 12)
 _ORACLE_PRIORITY = (
-    # (a) round-10 rows-only conversions
-    "emb_kmeans_train", "sim_ann_ivf", "emb_knn_graph_ivf",
-    "emb_semantic_dedup", "mm_spectral", "sim_ann_pq", "sim_ann_ivfpq",
-    "ml_logreg", "tok_bpe_merges", "tok_bpe_encode", "emb_isotropy",
-    # (b) round-10 changed-plan re-proofs
-    "tx_compress_ratio", "sim_maxsim", "tx_ngram_novelty",
-    "tok_fertility", "dd_ngram_jaccard", "dd_cluster",
-    "dd_keep_canonical", "dd_minhash_lsh_portable", "dd_simhash_portable",
-    "corpus_e2e", "tt_leakage_check",
-    # (c) oldest-evidence backfill (round-3 window, first 28)
-    "q_rollup_reuse", "q_window_distinct", "q_cdc_diff", "q_ewma",
-    "q_mode_stat", "q_histogram", "q_pivot_multi", "q_new_returning",
-    "q_rank_functions", "q_bitmap_rollup", "q_recursive_walk",
-    "q_transpose", "q_markov_transitions", "q_interval_merge",
-    "q_cms_topk", "s_watchlist_screen", "st_watchlist_screen",
-    "tx_quality", "tx_tokens", "tx_fingerprint", "tx_tfidf",
-    "tx_pii_redact", "tx_ngrams", "tx_keywords", "tx_quality_filter",
-    "tx_contamination", "tx_repetition", "tx_entropy",
+    # (a) oldest-evidence backfill: all 22 round-1-age entries
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_important_parts", "q12_late_lines", "q14_promo_revenue",
+    "q15_top_supplier", "q18_large_orders", "q22_idle_customers",
+    "q_dq_audit", "q_keyset_page", "q_multi_distinct", "q_nullsafe_join",
+    "q_period_over_period", "q_pivot_native", "q_robust_stats",
+    "q_try_arith", "q_variant_props", "q_window_navigation",
+    # (a cont.) 17 round-2-age entries (the sanctions block + the
+    # asof/dedup stragglers; the other 19 are named in the ROUND-12
+    # comment above)
+    "s_address_clean", "s_clean_fixture", "s_clean_names",
+    "s_date_reformat", "s_details_agg", "s_fuzzy_match", "s_gender_infer",
+    "s_name_variants", "s_neighbor_fill", "s_variant_match",
+    "dd_exact", "dd_span_dedup", "q_asof_join", "q_asof_forward",
+    "q_range_join", "q_range_frame", "cg_asof_pandas",
+    # (b) round-11 rows-only conversions
+    "tok_unigram_lm", "pr_implicit_als", "emb_procrustes_align",
+    # (c) round-11 changed-plan re-proofs
+    "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq", "emb_knn_graph_ivf",
+    "emb_semantic_dedup", "emb_kmeans_train", "dd_cluster",
+    "dd_keep_canonical",
 )
 
 

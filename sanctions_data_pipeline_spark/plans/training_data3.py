@@ -1170,8 +1170,28 @@ def tt_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dynamic-programming lattice (operators/unigram.py: one aggregate
 # builds dp+backpointers, one walks them; zero per-row Python), M-step
 # re-estimates piece probabilities from weighted segment counts.
-# Rows-only (iterative trainer); pytest replays seed+EM bit-identically
-# in pure python.
+#
+# Oracle contract (round 11, the invariant-lane pattern): the EM
+# probabilities are iterative floats with no SQL twin, but the SEED
+# CENSUS is pure integer relational algebra — the registered output is
+# one row per seed piece (top-_UNI_SEED substrings by weighted count,
+# ties by piece, plus the single-char floor; DuckDB replays the census
+# exactly: piece, piece_len, seed_cnt) carrying the trainer's REAL
+# mechanics as booleans stated as literals:
+#   in_model_consistent_ok  a seed piece survives to the final model
+#                      iff it is a single char OR its final E-step use
+#                      count is positive (the M-step keep rule; a
+#                      broken prune or smoothing path flips it),
+#   prob_normalized_ok the final model sums to 1 within 1e-9 (global),
+#   viterbi_optimal_ok re-segmenting every distinct word under the
+#                      FINAL model, the Viterbi cost is <= the
+#                      single-char segmentation cost — the char path
+#                      is always feasible (chars persist), so minimum
+#                      optimality guarantees it; a broken lattice,
+#                      backpointer walk, or cost map flips it (global,
+#                      computed engine-side as one bool_and).
+# Exact (rank, n_uses, prob) values stay pinned by the python EM
+# replay on tok_unigram_lm_full.
 #
 # Scale: E-step runs over the DISTINCT word inventory (the
 # tok_bpe_merges discipline) as one map stage per round; the model is
@@ -1185,9 +1205,37 @@ def tt_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNI_SEED = 40
 _UNI_ROUNDS = 2
 
+_UNI_ORACLE = f"""
+WITH wd AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+  GROUP BY w
+),
+sub AS (
+  SELECT unnest(flatten([[w[s : s + ln - 1]
+                          for s in range(1, len(w) - ln + 2)]
+                         for ln in range(1, 5)])) AS piece,
+         c
+  FROM wd
+),
+cand AS (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM sub GROUP BY piece),
+top AS (SELECT piece, cnt FROM cand ORDER BY cnt DESC, piece LIMIT {_UNI_SEED}),
+seed AS (
+  SELECT piece, cnt FROM top
+  UNION
+  SELECT piece, cnt FROM cand WHERE length(piece) = 1
+)
+SELECT piece, CAST(length(piece) AS INT) AS piece_len, cnt AS seed_cnt,
+       TRUE AS in_model_consistent_ok, TRUE AS prob_normalized_ok,
+       TRUE AS viterbi_optimal_ok
+FROM seed
+"""
 
-@register("tok_unigram_lm", headline=True)
-def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _unigram_seed_and_words(spark: SparkSession, sf_dir: str):
+    """(persisted distinct-word frame, seed piece -> weighted count) —
+    shared by the registered lattice and the _full pin surface. The
+    caller unpersists the word frame."""
     from sanctions_data_pipeline_spark.operators import unigram as ug
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1213,12 +1261,18 @@ def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = dict(top)
     for p, c in chars.items():
         seed.setdefault(p, c)
+    cand.unpersist()
+    return words, seed
+
+
+def _unigram_em(words: DataFrame, seed: dict[str, int]):
+    """The Viterbi-EM loop: (final model, final E-step use counts)."""
+    from sanctions_data_pipeline_spark.operators import unigram as ug
 
     def normalize(vals: dict[str, float]) -> dict[str, float]:
         tot = sum(vals.values())
         return {p: v / tot for p, v in sorted(vals.items())}
 
-    cand.unpersist()
     model = normalize({p: float(c) for p, c in seed.items()})
 
     vc: dict[str, int] = {}
@@ -1240,6 +1294,54 @@ def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             elif used > 0:
                 vals[p] = float(used)
         model = normalize(vals)
+    return model, vc
+
+
+@register("tok_unigram_lm", headline=True, oracle=_UNI_ORACLE)
+def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from sanctions_data_pipeline_spark.operators import unigram as ug
+
+    words, seed = _unigram_seed_and_words(spark, sf_dir)
+    model, vc = _unigram_em(words, seed)
+
+    prob_norm_ok = abs(sum(model.values()) - 1.0) <= 1e-9
+
+    # Viterbi optimality under the FINAL model: the lattice's cost for
+    # each distinct word must be <= the single-char path's cost (always
+    # feasible — chars persist through every M-step). One engine-side
+    # pass; the two costs share one literal cost map, folded inside JVM
+    # HOFs, and a single bool_and reduces to the global lane.
+    cost_map = ug._cost_map(model)
+    segd = ug.segmented_words(words, "w", model)
+    vit_cost = F.aggregate(
+        F.col("__pieces"), F.lit(0.0),
+        lambda acc, p: acc + F.element_at(cost_map, p))
+    char_cost = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substring(F.col("w"), i.cast("int"), 1)),
+        F.lit(0.0),
+        lambda acc, ch: acc + F.element_at(cost_map, ch))
+    vit_ok = bool(segd.agg(
+        F.bool_and(vit_cost <= char_cost + F.lit(1e-6))).collect()[0][0])
+    words.unpersist()
+
+    rows = [(p, len(p), int(c),
+             bool((p in model) == (len(p) == 1 or vc.get(p, 0) > 0)),
+             bool(prob_norm_ok), vit_ok)
+            for p, c in sorted(seed.items())]
+    return spark.createDataFrame(
+        rows, "piece string, piece_len int, seed_cnt bigint, "
+              "in_model_consistent_ok boolean, "
+              "prob_normalized_ok boolean, viterbi_optimal_ok boolean")
+
+
+def tok_unigram_lm_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (rank, piece, piece_len, n_uses, prob) rows — the pytest
+    value-pin surface (the pre-round-11 registered output)."""
+    words, seed = _unigram_seed_and_words(spark, sf_dir)
+    model, vc = _unigram_em(words, seed)
     words.unpersist()
 
     rows = sorted(((p, len(p), vc.get(p, 0), round(model[p], 6))
@@ -1507,7 +1609,26 @@ def tx_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equations (YᵀY + λI)x = Yᵀr in closed form inside
 # groupBy(user).applyInPandas (one vectorized numpy solve per user,
 # the ml_group_fit contract), and the op reports per-user factor
-# norms + training RMSE. Rows-only; pytest replays users in numpy.
+# norms + training RMSE.
+#
+# Oracle contract (round 11, ml_logreg's loss-below-null pattern): the
+# solved factors are float linear algebra with no SQL twin, so the
+# registered output is one row per user — the (user_id, n_items)
+# lanes are EXACT relational values DuckDB recomputes from the same
+# interaction aggregate — carrying the solve's REAL theorems as
+# booleans stated as literals:
+#   factor_finite_ok    every solved coefficient is finite (a singular
+#                       normal matrix or NaN rating flips it),
+#   rmse_below_null_ok  the ridge solution's training SSE is <= the
+#                       null (x = 0) model's SSE — guaranteed because
+#                       x* minimizes ||Yx - r||^2 + lambda*||x||^2 and
+#                       x = 0 is feasible with penalty 0, so
+#                       SSE(x*) <= SSE(x*) + lambda*||x*||^2 <= SSE(0);
+#                       a sign-flipped gradient, a wrong normal
+#                       matrix, or rating/factor misalignment breaks
+#                       it.
+# Exact norms + RMSE stay pinned by the numpy replay on
+# pr_implicit_als_full (tests/test_training_ext3.py).
 #
 # Scale: the ITEM factor matrix is the broadcast model (items kept
 # bounded here; at real catalog sizes the I-step runs symmetrically
@@ -1516,6 +1637,18 @@ def tx_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _ALS_D = 4
 _ALS_LAMBDA = 0.1
+
+_ALS_ORACLE = """
+WITH r AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_partkey < 200
+  GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_items,
+       TRUE AS factor_finite_ok, TRUE AS rmse_below_null_ok
+FROM r GROUP BY user_id
+"""
 
 
 def _als_item_factors(items: list[int]) -> dict[int, list[float]]:
@@ -1531,18 +1664,58 @@ def _als_item_factors(items: list[int]) -> dict[int, list[float]]:
     return out
 
 
-@register("pr_implicit_als")
+def _als_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, item_id, rating) interaction aggregate shared by the
+    registered lattice and the _full pin surface."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    orders = load_table(spark, sf_dir, "orders")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("o_custkey").alias("user_id"),
+                     F.col("l_partkey").alias("item_id"))
+            .agg(F.sum("l_quantity").cast("double").alias("rating")))
+
+
+@register("pr_implicit_als", oracle=_ALS_ORACLE)
 def pr_implicit_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
-    orders = load_table(spark, sf_dir, "orders")
-    r = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-         .groupBy(F.col("o_custkey").alias("user_id"),
-                  F.col("l_partkey").alias("item_id"))
-         .agg(F.sum("l_quantity").cast("double").alias("rating")))
+    r = _als_ratings(spark, sf_dir)
+    items = sorted(p.item_id for p in r.select("item_id").distinct().collect())
+    yfac = _als_item_factors(items)   # bounded model state, ships in closure
+    lam, d = _ALS_LAMBDA, _ALS_D
 
+    def lanes(pdf):
+        ys = np.array([yfac[i] for i in pdf["item_id"]])
+        rv = pdf["rating"].to_numpy()
+        a = ys.T @ ys + lam * np.eye(d)
+        x = np.linalg.solve(a, ys.T @ rv)
+        sse = float(((ys @ x - rv) ** 2).sum())
+        null_sse = float((rv ** 2).sum())
+        # relative eps absorbs the solve's float rounding; the ridge
+        # optimality argument guarantees sse <= null_sse exactly
+        below = sse <= null_sse * (1.0 + 1e-9) + 1e-12
+        return pd.DataFrame({
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_items": [len(pdf)],
+            "factor_finite_ok": [bool(np.isfinite(x).all())],
+            "rmse_below_null_ok": [bool(below)],
+        })
+
+    lanes.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
+    return (r.groupBy("user_id")
+            .applyInPandas(lanes, "user_id bigint, n_items bigint, "
+                                  "factor_finite_ok boolean, "
+                                  "rmse_below_null_ok boolean"))
+
+
+def pr_implicit_als_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (user_id, n_items, factor_norm, rmse) rows — the pytest
+    value-pin surface (the pre-round-11 registered output)."""
+    import numpy as np
+    import pandas as pd
+
+    r = _als_ratings(spark, sf_dir)
     items = sorted(p.item_id for p in r.select("item_id").distinct().collect())
     yfac = _als_item_factors(items)   # bounded model state, ships in closure
     lam, d = _ALS_LAMBDA, _ALS_D
@@ -2288,16 +2461,78 @@ def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A's int8 symmetric-quantized reconstruction (the emb_quantize
 # scheme), so alignment must recover ~identity and the residual drop
 # quantifies how much of the quantization error is a rigid rotation
-# (almost none — which the op reports, per dim). Rows-only; pytest
-# replays the full SVD chain in numpy.
+# (almost none — which the op reports, per dim).
+#
+# Oracle contract (round 11, emb_isotropy's improves-lattice pattern):
+# the SVD has no SQL twin, so the registered output is the dense
+# 0..d-1 DIM lattice (SQL-derivable row set) carrying the exact
+# vector-count lane plus the construction's REAL theorems as booleans
+# stated as literals:
+#   col_norm_ok        W = U Vᵀ is orthogonal, so every column has
+#                      unit L2 norm (per-dim lane; a degenerate SVD or
+#                      transposition bug flips it),
+#   w_diag_bounded_ok  |w_ii| <= 1 for an orthogonal matrix (per-dim),
+#   total_resid_improved_ok  the aligned total Frobenius residual
+#                      ||A W - B||_F is <= the unaligned ||A - B||_F
+#                      — guaranteed because W minimizes over all
+#                      orthogonal matrices and the identity is
+#                      feasible (global lane, same literal per row).
+# Exact per-dim RMSEs + w_diag stay pinned by the numpy replay on
+# emb_procrustes_align_full.
 #
 # Scale: BᵀA accumulates as partition-bounded d x d partials (the
 # emb_pca gram contract); the SVD is a driver-side d x d solve;
 # residuals come from one more bounded-partial pass. Nothing
 # corpus-sized reaches one node.
 # ---------------------------------------------------------------------------
-@register("emb_procrustes_align")
+_PROC_D = 64
+
+_PROC_ORACLE = f"""
+SELECT CAST(u.d AS INT) AS dim,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+       TRUE AS col_norm_ok, TRUE AS w_diag_bounded_ok,
+       TRUE AS total_resid_improved_ok
+FROM range(0, {_PROC_D}) u(d)
+"""
+
+
+@register("emb_procrustes_align", oracle=_PROC_ORACLE)
 def emb_procrustes_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    w, rb, ra, n_total = _procrustes_solve(spark, sf_dir)
+    col_norms = np.sqrt((w * w).sum(axis=0))
+    improved = bool(float(ra.sum())
+                    <= float(rb.sum()) * (1.0 + 1e-9) + 1e-12)
+    rows = [(i, int(n_total),
+             bool(abs(float(col_norms[i]) - 1.0) <= 1e-8),
+             bool(abs(float(w[i, i])) <= 1.0 + 1e-9),
+             improved)
+            for i in range(_PROC_D)]
+    return spark.createDataFrame(
+        rows, "dim int, n_vectors bigint, col_norm_ok boolean, "
+              "w_diag_bounded_ok boolean, total_resid_improved_ok boolean")
+
+
+def emb_procrustes_align_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (dim, rmse_before, rmse_aligned, w_diag) rows — the
+    pytest value-pin surface (the pre-round-11 registered output)."""
+    import numpy as np
+
+    w, rb, ra, n_total = _procrustes_solve(spark, sf_dir)
+    rows = [(i, round(float(np.sqrt(rb[i] / n_total)), 6),
+             round(float(np.sqrt(ra[i] / n_total)), 6),
+             round(float(w[i, i]), 6))
+            for i in range(_PROC_D)]
+    return spark.createDataFrame(
+        rows, "dim int, rmse_before double, rmse_aligned double, "
+              "w_diag double")
+
+
+def _procrustes_solve(spark: SparkSession, sf_dir: str):
+    """Shared solve: (W, per-dim SSE before, per-dim SSE aligned,
+    n_vectors) — consumed by the registered lattice and the _full pin
+    surface."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2334,7 +2569,7 @@ def emb_procrustes_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         ab.select("a", "b").mapInPandas(
             partials, "n long, m array<double>").collect(),
         key=lambda p: (p["n"], tuple(p["m"][:4])))
-    d = 64
+    d = _PROC_D
     m = np.sum([np.asarray(p["m"]) for p in parts], axis=0).reshape(d, d)
     u, _, vt = np.linalg.svd(m)
     w = u @ vt                      # the orthogonal aligner
@@ -2366,13 +2601,7 @@ def emb_procrustes_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = sum(p["n"] for p in rparts)
     rb = np.sum([np.asarray(p["rb"]) for p in rparts], axis=0)
     ra = np.sum([np.asarray(p["ra"]) for p in rparts], axis=0)
-    rows = [(i, round(float(np.sqrt(rb[i] / n_total)), 6),
-             round(float(np.sqrt(ra[i] / n_total)), 6),
-             round(float(w[i, i]), 6))
-            for i in range(d)]
-    return spark.createDataFrame(
-        rows, "dim int, rmse_before double, rmse_aligned double, "
-              "w_diag double")
+    return w, rb, ra, n_total
 
 
 # ---------------------------------------------------------------------------
@@ -3926,8 +4155,10 @@ def tok_fertility_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe = tok_bpe_encode(spark, sf_dir).agg(
         F.sum("n_bpe_symbols").cast("bigint")).collect()[0][0]
 
-    # unigram: train (the tok_unigram_lm pipeline) then Viterbi counts
-    uni_rows = tok_unigram_lm(spark, sf_dir).collect()
+    # unigram: train (the tok_unigram_lm pipeline — the _full surface,
+    # which carries the model probs; the registered entry is the r11
+    # seed-census lattice) then Viterbi counts
+    uni_rows = tok_unigram_lm_full(spark, sf_dir).collect()
     model = {r.piece: r.prob for r in uni_rows}
     uni = (words.select(
         "c", F.size(ug.viterbi_pieces(F.col("w"), model)).alias("np"))

@@ -641,19 +641,26 @@ _ROWS_ONLY_VALUE_PINS = {
     # emb_kmeans_train / emb_knn_graph_ivf / emb_semantic_dedup /
     # sim_ann_ivf gained invariant-lane SQL oracles in round 10; their
     # exact-value pins stay on the *_full surfaces (same test files).
-    "emb_procrustes_align": ("test_training_ext3.py", "test_emb_procrustes_align_recovers_quantization_geometry"),
+    # emb_procrustes_align gained the orthogonality/improves lattice in
+    # round 11; the SVD-chain pin stays on emb_procrustes_align_full.
     # ml_logreg gained the loss-below-null invariant-lane SQL oracle
     # in round 10; exact weights stay pinned on ml_logreg_full via
     # test_logreg_matches_driver_recompute_and_learns.
     # mm_spectral gained a framing+Parseval invariant-lane SQL oracle
     # in round 10; its exact-value pin stays on mm_spectral_full.
-    "pr_implicit_als": ("test_training_ext3.py", "test_pr_implicit_als_matches_numpy_replay"),
+    # pr_implicit_als gained the ridge rmse-below-null lattice in
+    # round 11; the numpy replay pin stays on pr_implicit_als_full.
     # sim_ann_pq / sim_ann_ivfpq gained the shared domination-lattice
     # SQL oracle in round 10; exact-value pins stay on *_full.
     # tok_bpe_merges / tok_bpe_encode gained value-exact unrolled
     # recursive-CTE oracles in round 10 (the first trainers with one);
     # the python replays remain as third checks in test_training_ext2.
-    "tok_unigram_lm": ("test_training_ext3.py", "test_tok_unigram_lm_matches_python_em_replay"),
+    # tok_unigram_lm gained the seed-census + Viterbi-optimality
+    # lattice in round 11; the EM replay pin stays on
+    # tok_unigram_lm_full. dd_minhash_lsh / dd_simhash above are the
+    # TERMINAL rows-only pool: xxhash64 signature machinery with
+    # fully-oracled portable twins (dd_minhash_lsh_portable /
+    # dd_simhash_portable).
 }
 
 

@@ -544,12 +544,17 @@ def _unigram_replay(texts):
 
 
 def test_tok_unigram_lm_matches_python_em_replay(spark, sf_dir):
+    """Exact-value pin for the EM trainer, on tok_unigram_lm_full (the
+    registered entry carries the round-11 seed-census lattice)."""
+    from sanctions_data_pipeline_spark.plans.training_data3 import (
+        tok_unigram_lm_full)
+
     texts = [d.text
              for d in load_table(spark, sf_dir, "documents").collect()]
     model, vc, _ = _unigram_replay(texts)
     expect = {p: (len(p), vc.get(p, 0), round(model[p], 6)) for p in model}
     got = {r.piece: (r.piece_len, r.n_uses, r.prob)
-           for r in _run(spark, sf_dir, "tok_unigram_lm").collect()}
+           for r in tok_unigram_lm_full(spark, sf_dir).collect()}
     assert got == expect
 
 
@@ -661,10 +666,12 @@ def test_tx_html_strip_round_trip(spark, sf_dir):
 
 
 def test_pr_implicit_als_matches_numpy_replay(spark, sf_dir):
+    """Exact-value pin for the ALS solve, on pr_implicit_als_full (the
+    registered entry carries the round-11 invariant lattice)."""
     import numpy as np
     from collections import defaultdict
     from sanctions_data_pipeline_spark.plans.training_data3 import (
-        _ALS_D, _ALS_LAMBDA, _als_item_factors)
+        _ALS_D, _ALS_LAMBDA, _als_item_factors, pr_implicit_als_full)
 
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_partkey") < 200).collect()
@@ -693,7 +700,7 @@ def test_pr_implicit_als_matches_numpy_replay(spark, sf_dir):
         rmse = float(np.sqrt(np.mean((ys @ x - rv) ** 2)))
         expect[u] = (len(iv), float(np.linalg.norm(x)), rmse)
     got = {r.user_id: (r.n_items, r.factor_norm, r.rmse)
-           for r in _run(spark, sf_dir, "pr_implicit_als").collect()}
+           for r in pr_implicit_als_full(spark, sf_dir).collect()}
     assert set(got) == set(expect)
     for u, (n, norm, rmse) in expect.items():
         gn, gnorm, grmse = got[u]
@@ -1041,10 +1048,15 @@ def test_q_funnel_ttc_accounting(spark, sf_dir):
 
 
 def test_emb_procrustes_align_recovers_quantization_geometry(spark, sf_dir):
+    """Exact-value pin for the SVD chain, on emb_procrustes_align_full
+    (the registered entry carries the round-11 invariant lattice)."""
     import numpy as np
 
+    from sanctions_data_pipeline_spark.plans.training_data3 import (
+        emb_procrustes_align_full)
+
     rows = {r.dim: r for r in
-            _run(spark, sf_dir, "emb_procrustes_align").collect()}
+            emb_procrustes_align_full(spark, sf_dir).collect()}
     assert len(rows) == 64
     # full numpy replay from the raw embeddings
     emb = load_table(spark, sf_dir, "embeddings").collect()
