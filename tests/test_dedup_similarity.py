@@ -190,6 +190,31 @@ def test_cluster_transitive_chain(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_cluster_driver_and_distributed_paths_agree(spark):
+    """The round-11 small-graph switch (driver union-find under
+    driver_max_pairs) must be output-identical to the distributed
+    min-label loop on the same edges — including a long chain (worst
+    case for pointer jumping), duplicate edges, self-loops, and
+    reversed orientation."""
+    import random
+
+    from sanctions_data_pipeline_spark.operators.dedup import (
+        connected_components)
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(100, 140)]          # long chain
+    edges += [(200 + rng.randrange(30), 200 + rng.randrange(30))
+              for _ in range(60)]                           # random blob
+    edges += [(7, 7), (300, 301), (301, 300), (300, 301)]   # dup/self
+    pairs = spark.createDataFrame(edges, "i long, j long")
+    small = {(r.id, r.cluster_id)
+             for r in connected_components(pairs).collect()}
+    big = {(r.id, r.cluster_id)
+           for r in connected_components(
+               pairs, driver_max_pairs=0).collect()}
+    assert small == big and small
+
+
 def test_pii_redact_masks_all_digits(spark, sf_dir):
     from sanctions_data_pipeline_spark.plans import registry
     from sanctions_data_pipeline_spark.plans.training_data import (
