@@ -161,7 +161,8 @@ def range_search(queries: DataFrame, corpus: DataFrame, threshold: float,
 
 
 def knn_graph(vecs: DataFrame, k: int, block_cols: list[str] | None = None,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              matmul_max_corpus: int = 200_000) -> DataFrame:
     """k-nearest-neighbor graph over the WHOLE embedding set: each
     node's top-k cosine neighbors (the substrate for graph-based
     semantic clustering and SemDeDup-style pruning). Output
@@ -171,8 +172,28 @@ def knn_graph(vecs: DataFrame, k: int, block_cols: list[str] | None = None,
     scale path: pass an IVF cell or LSH bucket — exact within each
     block, like FAISS IVF with n_probe=1). Without blocks it is the
     exact quadratic baseline — only for corpus sizes where n² pairs
-    fit the cluster, same contract as sim_topk_bruteforce."""
+    fit the cluster, same contract as sim_topk_bruteforce.
+
+    PHYSICAL STRATEGY for the no-blocks case (round 11): when the
+    corpus fits a broadcast (<= ``matmul_max_corpus`` rows), scoring
+    runs as dim-ORDERED numpy accumulation inside Arrow-batched
+    mapInPandas over the src side — each (src, dst) dot accumulates
+    d = 0..D-1 sequentially, the float-op-for-float-op twin of the
+    zip_with fold (and of DuckDB's list_inner_product), so RAW cosines
+    are bit-identical to the crossJoin path and oracle value-hashes
+    are unaffected. The UDF emits each src's candidates down to the
+    k-th raw cosine minus 2e-6 (rounding to 6 dp moves a value < 1e-6,
+    so no candidate outside that margin can enter the rounded top-k —
+    the cut is exact, not heuristic); Spark then applies the SAME
+    round + window rank as the crossJoin path. ~20x over the
+    interpreted per-pair HOF fold (34 s -> ~2 s at sf0.1). Corpora
+    over the bound keep the crossJoin plan (no single-node corpus
+    copy), matching the documented exact-baseline contract."""
     on = block_cols or []
+    if not on:
+        total = vecs.count()
+        if total <= matmul_max_corpus:
+            return _knn_graph_matmul(vecs, k, id_col, vec_col)
     a = _with_norm(vecs.select(*on, F.col(id_col).alias("src_id"),
                                as_double(F.col(vec_col)).alias("va")),
                    "va", "na")
@@ -192,6 +213,77 @@ def knn_graph(vecs: DataFrame, k: int, block_cols: list[str] | None = None,
         .filter(F.col("rnk") <= k)
         .select("src_id", "dst_id", "cos", "rnk")
     )
+
+
+def _knn_graph_matmul(vecs: DataFrame, k: int, id_col: str,
+                      vec_col: str) -> DataFrame:
+    """Broadcast-corpus exact kNN: see :func:`knn_graph`. The corpus
+    (id, vector) ships once per executor; candidate emission is
+    n x (k + margin) rows, so no n² relation ever materializes."""
+    import numpy as np
+
+    rows = (vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+            .collect())
+    corpus_ids = np.array([r[0] for r in rows], dtype="int64")
+    corpus_v = np.array([r.v for r in rows], dtype="float64")
+    d = corpus_v.shape[1]
+
+    def _seq_norm(m: "np.ndarray") -> "np.ndarray":
+        # sqrt of the dim-ORDERED sum of squares — the zip_with fold's
+        # exact float association (acc + x*x, d ascending)
+        s = np.zeros(m.shape[0])
+        for di in range(m.shape[1]):
+            s = s + m[:, di] * m[:, di]
+        return np.sqrt(s)
+
+    corpus_norm = _seq_norm(corpus_v)
+    # ship the corpus ONCE per executor, not once per serialized task
+    bc = vecs.sparkSession.sparkContext.broadcast(
+        (corpus_ids, corpus_v, corpus_norm))
+
+    def score(batches):
+        import pandas as pd
+        corpus_ids, corpus_v, corpus_norm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sids = pdf[id_col].to_numpy(dtype="int64")
+            sv = np.array(pdf["v"].tolist(), dtype="float64")
+            sn = _seq_norm(sv)
+            # dim-ordered accumulation: bit-identical to the fold
+            acc = np.zeros((len(sids), len(corpus_ids)))
+            for di in range(d):
+                acc = acc + np.outer(sv[:, di], corpus_v[:, di])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (sn[:, None] * corpus_norm[None, :])
+            out_s, out_d, out_c = [], [], []
+            for i in range(len(sids)):
+                row = cos[i]
+                mask = corpus_ids != sids[i]
+                cand = row[mask]
+                if not len(cand):
+                    continue
+                # selection value: non-finite sorts FIRST under Spark's
+                # desc (NaN > any double), so treat it as +inf here
+                sel = np.where(np.isfinite(cand), cand, np.inf)
+                kk = min(k, len(cand))
+                kth = np.partition(sel, len(sel) - kk)[len(sel) - kk]
+                keep = sel >= kth - 2e-6
+                ids_m = corpus_ids[mask]
+                out_s.extend([sids[i]] * int(keep.sum()))
+                out_d.extend(ids_m[keep].tolist())
+                out_c.extend(cand[keep].tolist())
+            yield pd.DataFrame({"src_id": pd.Series(out_s, dtype="int64"),
+                                "dst_id": pd.Series(out_d, dtype="int64"),
+                                "cos_raw": pd.Series(out_c, dtype="float64")})
+
+    cand = (vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+            .mapInPandas(score, "src_id long, dst_id long, cos_raw double"))
+    w = W.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("dst_id"))
+    return (cand.withColumn("cos", F.round(F.col("cos_raw"), 6))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("src_id", "dst_id", "cos", "rnk"))
 
 
 def semantic_dedup(vecs: DataFrame, threshold: float, n_centroids: int = 16,

@@ -342,9 +342,9 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R10_CHECKED
 # q_lateral_topk, q_null_skew_outer, q_retention, q_scd2, sim_ann_lsh,
 # sim_topk_bruteforce, st_dedup, st_foreach_upsert, st_session,
 # st_sliding, st_stream_static, st_stream_stream, st_tumbling,
-# st_user_state, tx_langid, plus q_asof_forward and q_range_frame
-# (displaced by the round-11 connected-components re-proofs) — lead
-# the round-12 window.
+# st_user_state, tx_langid, plus q_asof_forward, q_range_frame,
+# q_asof_join, and q_range_join (displaced by the round-11
+# changed-plan re-proofs) — lead the round-12 window.
 #
 # STAGED ROTATION BLOCKS (parsed by the staging test — everything from
 # here to the priority-tuple assignment below must name exactly the
@@ -367,17 +367,19 @@ _ORACLE_PRIORITY = (
     "s_address_clean", "s_clean_fixture", "s_clean_names",
     "s_date_reformat", "s_details_agg", "s_fuzzy_match", "s_gender_infer",
     "s_name_variants", "s_neighbor_fill", "s_variant_match",
-    "dd_exact", "dd_span_dedup", "q_asof_join", "q_range_join",
-    "cg_asof_pandas",
+    "dd_exact", "dd_span_dedup", "cg_asof_pandas",
     # (b) round-11 rows-only conversions
     "tok_unigram_lm", "pr_implicit_als", "emb_procrustes_align",
     # (c) round-11 changed-plan re-proofs: the ADVICE lattice fixes,
-    # and ALL four consumers of connected_components (the small-graph
-    # driver union-find switch changed their plans); q_asof_forward /
-    # q_range_frame moved to the round-12 backfill queue to make room
+    # ALL four consumers of connected_components (the small-graph
+    # driver union-find switch changed their plans), and the three
+    # knn_graph consumers (the broadcast-matmul exact path);
+    # q_asof_forward / q_range_frame / q_asof_join / q_range_join
+    # moved to the round-12 backfill queue to make room
     "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq", "emb_knn_graph_ivf",
     "emb_semantic_dedup", "emb_kmeans_train", "dd_cluster",
     "dd_keep_canonical", "corpus_e2e", "s_alias_graph",
+    "emb_knn_graph", "sim_reciprocal_nn",
 )
 
 

@@ -284,6 +284,24 @@ def test_knn_graph_blocked_equals_full_within_blocks(spark, sf_dir):
     assert blocked == per_block and blocked
 
 
+def test_knn_graph_matmul_path_bit_equals_crossjoin(spark, sf_dir):
+    """The round-11 broadcast-matmul exact path must be BIT-identical
+    (cos included — the dim-ordered numpy accumulation replays the
+    zip_with fold's float association exactly) to the crossJoin+HOF
+    plan, because emb_knn_graph's DuckDB oracle hash-compares the
+    rounded cosines."""
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    new = {(r.src_id, r.dst_id, r.cos, r.rnk)
+           for r in sim.knn_graph(vecs, k=3).collect()}
+    old = {(r.src_id, r.dst_id, r.cos, r.rnk)
+           for r in sim.knn_graph(vecs, k=3, matmul_max_corpus=0).collect()}
+    assert new == old and new
+
+
 def test_semantic_dedup_keeps_prototypical_member(spark):
     """Hand-built clusters: two near-identical vectors -> the one
     closer to its centroid survives; distinct vectors all survive;
