@@ -924,27 +924,28 @@ def connected_components(pairs: DataFrame, src: str = "i", dst: str = "j",
               .groupBy(edges.a.alias("id"))
               .agg(F.min("label").alias("label")))
 
-    # One Spark ACTION per round: materialize the propagated labels and
-    # their checksum together. The pointer-jump self-join reads the
-    # persisted `stepped` twice from cache (persisting first halves the
-    # round cost — otherwise the join+agg subtree runs once per side),
-    # and the jump itself stays LAZY: it is computed inside the next
-    # round's job, so a converged graph never pays for a final jump.
+    # One materialization per round (the eager localCheckpoint), then a
+    # cheap checksum action over its cached partitions. The checkpoint
+    # is LINEAGE TRUNCATION, not just caching: the pointer-jump
+    # self-join references the round table twice, so under plain
+    # persist() the logical plan DOUBLES per round — a diameter-4096
+    # chain (~12 rounds) OOMed an 8 GiB driver merely generating the
+    # plan tree string (round-11 stress). Checkpointed rounds keep the
+    # plan O(1) deep regardless of round count; spent round tables are
+    # released by the ContextCleaner when their frames go out of
+    # scope. The jump itself stays LAZY: it is computed inside the
+    # next round's job, so a converged graph never pays a final jump.
     # Convergence: labels only ever decrease, and sums are non-
     # increasing through step -> jump -> step, so an unchanged stepped-
     # sum across consecutive rounds proves the fixed point.
     prev_sum = None
-    to_release: list[DataFrame] = []
     for _ in range(max_iters):
         # min over self∪neighbors in ONE join+agg (self-loops in edges)
         stepped = (edges.join(labels, edges.b == labels.id)
                    .groupBy(edges.a.alias("id"))
                    .agg(F.min("label").alias("label"))
-                   .persist())
+                   .localCheckpoint())
         cur_sum = stepped.agg(F.sum("label")).collect()[0][0]
-        for df in to_release:
-            df.unpersist()
-        to_release = [labels, stepped]
         if cur_sum == prev_sum:
             labels = stepped
             break

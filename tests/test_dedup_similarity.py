@@ -581,6 +581,28 @@ def test_components_giant_single_group_stays_narrow(spark):
     assert (agg.n, agg.nc, agg.mn, agg.mx) == (n, 1, 0, 0)
 
 
+def test_components_distributed_giant_component_hot_key(spark):
+    """Round-11 adversarial CC stress at duplicate-mass scale: a
+    2x10^6-edge graph ABOVE the driver union-find bound (so the
+    distributed min-label loop runs) with one giant component whose
+    edges ALL touch a single hub node — the worst skew for the
+    per-round (id, label) shuffle; min() is associative, so map-side
+    partial aggregation absorbs the hot key — plus a 4096-node chain
+    (diameter stress for the pointer-jumping rounds). Labels must be
+    exact min-id components and per-round state stays (long, long)."""
+    n_hub = 2_000_000
+    hub = spark.range(1, n_hub + 1).select(
+        F.col("id").alias("i"), F.lit(0).cast("long").alias("j"))
+    base_c = 10_000_000
+    chain = spark.range(base_c, base_c + 4_095).select(
+        F.col("id").alias("i"), (F.col("id") + 1).alias("j"))
+    comp = dd.connected_components(hub.unionByName(chain))
+    got = {(r.cluster_id, r.n) for r in
+           comp.groupBy("cluster_id")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {(0, n_hub + 1), (base_c, 4_096)}
+
+
 def test_pair_ops_collapse_path_equals_direct(spark, sf_dir):
     """Round-9 collapse-first for the PAIR ops (ngram-Jaccard /
     MinHash-LSH / SimHash): on a duplicate-heavy corpus (ratio > the
