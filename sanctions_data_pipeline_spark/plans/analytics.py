@@ -745,8 +745,13 @@ def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.operators import similarity as sim
 
     vecs = load_table(spark, sf_dir, "embeddings")
+    # persist: the reciprocal join references the kNN graph TWICE
+    # (forward + flipped), and Spark does not dedupe common subplans —
+    # unpersisted, the whole quadratic scoring pass ran twice per job
+    # (measured 30 s vs 20 s for one emb_knn_graph at the ×10 tier).
+    # The cached table is n×k narrow rows.
     top = (sim.knn_graph(vecs, k=_RNN_K)
-           .select("src_id", "dst_id", "cos"))
+           .select("src_id", "dst_id", "cos").persist())
     back = top.select(F.col("src_id").alias("dst_id"),
                       F.col("dst_id").alias("src_id"))
     return (top.join(back, ["src_id", "dst_id"])

@@ -2098,20 +2098,12 @@ WHERE len(a.sh) > 0
   AND round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) >= 0.9
 """)
 def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collapse-first under duplicate mass (round 11): K copies of a
+    # text put K entries in every posting list -> K² intersection rows
+    # per shingle; the CBO probe routes duplicate-heavy corpora
+    # through one-representative-per-group (operators/dedup.py)
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "lang",
-        F.explode(dd.shingle_hashes(F.col("text"), 3)).alias("h"))
-    sizes = sh.groupBy(F.col("doc_id").alias("__sd")).agg(lcount("__n"))
-    a = sh.select(F.col("lang"), F.col("doc_id").alias("i"), "h")
-    b = sh.select(F.col("lang"), F.col("doc_id").alias("j"), "h")
-    inter = (a.join(b, ["lang", "h"])
-             .filter(F.col("i") != F.col("j"))
-             .groupBy("i", "j").agg(lcount("__m")))
-    return (inter.join(F.broadcast(sizes), inter.i == sizes.__sd)
-            .select("i", "j",
-                    F.round(F.col("__m") / F.col("__n"), 6).alias("containment"))
-            .filter(F.col("containment") >= 0.9))
+    return dd.containment_pairs(docs, ["lang"], 0.9, 3)
 
 
 # --------------------------------------------------------------------------

@@ -640,6 +640,15 @@ def test_pair_ops_collapse_path_equals_direct(spark, sf_dir):
     want = {(r.i, r.j, r.hamming) for r in dd._simhash_pairs_direct(
         multi, 3, "doc_id", "text").collect()}
     assert got == want and got
+
+    # containment is DIRECTIONAL — the collapse path's member
+    # expansion must keep orientation (round 11)
+    got = {(r.i, r.j, r.containment) for r in
+           dd.containment_pairs(multi, ["lang"], 0.9, 3).collect()}
+    want = {(r.i, r.j, r.containment) for r in dd._containment_core(
+        dd._shingle_sets(multi, ["lang"], 3, "doc_id", "text"),
+        ["lang"], 0.9).collect()}
+    assert got == want and got
     multi.unpersist()
 
 
