@@ -1958,12 +1958,20 @@ WITH x AS (
   SELECT vec_id, label, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
 ),
-cent AS (
-  SELECT label AS clabel, dim,
+cs AS (
+  SELECT label AS clabel, dim, vec_id % 32 AS shard,
          list_aggregate(list_transform(
-           list_sort(list({'i': vec_id, 'v': val})), s -> s.v), 'sum')
-           / count(*) AS c
-  FROM x GROUP BY label, dim
+           list_sort(list({'i': vec_id, 'v': val})), e -> e.v), 'sum')
+           AS part,
+         count(*) AS cnt
+  FROM x GROUP BY label, dim, vec_id % 32
+),
+cent AS (
+  SELECT clabel, dim,
+         list_aggregate(list_transform(
+           list_sort(list({'i': shard, 'v': part})), e -> e.v), 'sum')
+           / sum(cnt) AS c
+  FROM cs GROUP BY clabel, dim
 ),
 d AS (
   SELECT x.vec_id, x.label, cent.clabel,
@@ -1999,10 +2007,24 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda s: s["v"]),
             F.lit(0.0), lambda acc, v: acc + v)
 
-    cent = (x.groupBy(F.col("label").alias("clabel"), "dim")
-            .agg((fold_sorted(F.struct(F.col("vec_id").alias("i"),
-                                       F.col("val").alias("v")))
-                  / F.count(F.lit(1))).alias("c")))
+    # SHARDED two-level deterministic fold (round 11): the one-level
+    # fold collected every (vec_id, val) of a label into ONE
+    # (label, dim) array cell — a 90%-hot-label corpus concentrates
+    # 0.9*n structs in one cell per dim (the collect_list hazard the
+    # r10 CC fix removed elsewhere). Sharding on vec_id % 32 bounds
+    # every cell at n_label/32 and the outer fold at 32 elements while
+    # keeping the float association EXACTLY SQL-replicable: both
+    # engines sum shard s's values in vec_id order, then the 32 shard
+    # partials in shard order.
+    cs = (x.groupBy(F.col("label").alias("clabel"), "dim",
+                    (F.col("vec_id") % 32).alias("shard"))
+          .agg(fold_sorted(F.struct(F.col("vec_id").alias("i"),
+                                    F.col("val").alias("v"))).alias("part"),
+               F.count(F.lit(1)).alias("cnt")))
+    cent = (cs.groupBy("clabel", "dim")
+            .agg((fold_sorted(F.struct(F.col("shard").alias("i"),
+                                       F.col("part").alias("v")))
+                  / F.sum("cnt")).alias("c")))
     d = (x.join(F.broadcast(cent), "dim")
          .groupBy("vec_id", "label", "clabel")
          .agg(fold_sorted(F.struct(
