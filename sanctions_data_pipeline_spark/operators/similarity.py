@@ -93,6 +93,64 @@ def cosine_pairs(vecs: DataFrame, block_cols: list[str], threshold: float,
     return within.unionByName(cross)
 
 
+def cosine_pair_counts(vecs: DataFrame, block_cols: list[str],
+                       threshold: float, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """The :func:`cosine_pairs` multiset WITHOUT enumeration: rows
+    (cos, w) where w is the number of (i < j) pairs sharing that
+    cosine cell. sum(w) over any cos-predicate equals the count of
+    cosine_pairs rows satisfying it — the contract consumers that only
+    AGGREGATE over pairs (threshold sweeps, histograms) should use.
+
+    Under duplicate mass the collapse-first path of cosine_pairs still
+    pays the unavoidable K² OUTPUT expansion (members_i × members_j
+    rows); here the expansion is replaced by arithmetic — cross-group
+    rep pairs carry w = |members_i| * |members_j| and within-group
+    cliques w = k(k-1)/2 — so the result stays rep-pair-sized at any
+    duplicate multiplicity (measured: dd_threshold_sweep at the ×100
+    duplicate-mass tier was 59.5 s of pure pair expansion feeding a
+    count). Dup-light corpora route through the direct join with
+    w = 1 (same CBO probe as cosine_pairs)."""
+    st = vecs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.xxhash64(vec_col), rsd=0.05).alias("d")
+    ).first()
+    if (not st["n"]) or st["n"] <= st["d"] * 1.15:
+        return (_cosine_pairs_direct(vecs, block_cols, threshold,
+                                     id_col, vec_col)
+                .select("cos", F.lit(1).cast("bigint").alias("w")))
+    par = vecs.sparkSession.sparkContext.defaultParallelism
+    groups = (vecs
+              .select(*block_cols, F.col(id_col).alias("i"),
+                      F.col(vec_col).alias("__v"))
+              .groupBy(*block_cols, "__v")
+              .agg(F.min("i").alias("rep"),
+                   F.count(F.lit(1)).alias("k"))
+              .repartition(par, "rep")
+              .persist())
+    reps = groups.select(*block_cols, F.col("rep").alias(id_col),
+                         F.col("__v").alias(vec_col))
+    sizes = groups.select(F.col("rep"), F.col("k"))
+    rep_pairs = _cosine_pairs_direct(reps, block_cols, threshold,
+                                     id_col, vec_col)
+    cross = (rep_pairs
+             .join(F.broadcast(sizes.withColumnRenamed("rep", "i")
+                               .withColumnRenamed("k", "__ki")), "i")
+             .join(F.broadcast(sizes.withColumnRenamed("rep", "j")
+                               .withColumnRenamed("k", "__kj")), "j")
+             .select("cos", (F.col("__ki") * F.col("__kj"))
+                     .cast("bigint").alias("w")))
+    u = as_double(F.col("__v"))
+    selfcos = F.round(dot(u, u) / (F.sqrt(dot(u, u)) * F.sqrt(dot(u, u))), 6)
+    within = (groups
+              .withColumn("__c", selfcos)
+              .filter((F.col("k") >= 2) & (F.col("__c") >= threshold))
+              .select(F.col("__c").alias("cos"),
+                      (F.col("k") * (F.col("k") - 1) / 2)
+                      .cast("bigint").alias("w")))
+    return within.unionByName(cross)
+
+
 def _cosine_pairs_direct(vecs: DataFrame, block_cols: list[str],
                          threshold: float, id_col: str,
                          vec_col: str) -> DataFrame:

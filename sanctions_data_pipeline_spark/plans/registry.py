@@ -343,9 +343,9 @@ _DRIVER_CHECKED = _DRIVER_CHECKED | _R10_CHECKED
 # sim_topk_bruteforce, st_dedup, st_foreach_upsert, st_session,
 # st_sliding, st_stream_static, st_stream_stream, st_tumbling,
 # st_user_state, tx_langid, plus q_asof_forward, q_range_frame,
-# q_asof_join, q_range_join, dd_span_dedup, and cg_asof_pandas
-# (displaced by the round-11 changed-plan re-proofs) — lead the
-# round-12 window.
+# q_asof_join, q_range_join, dd_span_dedup, cg_asof_pandas, and
+# dd_exact (displaced by the round-11 changed-plan re-proofs) — lead
+# the round-12 window.
 #
 # STAGED ROTATION BLOCKS (parsed by the staging test — everything from
 # here to the priority-tuple assignment below must name exactly the
@@ -362,12 +362,11 @@ _ORACLE_PRIORITY = (
     "q_dq_audit", "q_keyset_page", "q_multi_distinct", "q_nullsafe_join",
     "q_period_over_period", "q_pivot_native", "q_robust_stats",
     "q_try_arith", "q_variant_props", "q_window_navigation",
-    # (a cont.) 11 round-2-age entries (the sanctions block + dd_exact;
-    # the other 25 are named in the ROUND-12 comment above)
+    # (a cont.) 10 round-2-age entries (the sanctions block; the
+    # other 26 are named in the ROUND-12 comment above)
     "s_address_clean", "s_clean_fixture", "s_clean_names",
     "s_date_reformat", "s_details_agg", "s_fuzzy_match", "s_gender_infer",
     "s_name_variants", "s_neighbor_fill", "s_variant_match",
-    "dd_exact",
     # (b) round-11 rows-only conversions
     "tok_unigram_lm", "pr_implicit_als", "emb_procrustes_align",
     # (c) round-11 changed-plan re-proofs: the ADVICE lattice fixes,
@@ -383,7 +382,7 @@ _ORACLE_PRIORITY = (
     "emb_semantic_dedup", "emb_kmeans_train", "dd_cluster",
     "dd_keep_canonical", "corpus_e2e", "s_alias_graph",
     "emb_knn_graph", "sim_reciprocal_nn", "dd_containment",
-    "emb_centroid_classify",
+    "emb_centroid_classify", "dd_threshold_sweep",
 )
 
 

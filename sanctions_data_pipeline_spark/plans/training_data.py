@@ -2942,13 +2942,18 @@ SELECT round(thr, 2) AS threshold,
 FROM t, p GROUP BY thr
 """)
 def dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weighted pair counts (round 11): the sweep only AGGREGATES over
+    # pairs, so duplicate-mass cliques contribute arithmetic weights
+    # (k(k-1)/2 / |mi|*|mj|) instead of enumerated rows — the ×100
+    # duplicate-mass tier spent 59.5 s expanding pairs into a count
     vecs = load_table(spark, sf_dir, "embeddings")
-    pairs = sim.cosine_pairs(vecs, ["label"], threshold=-1.0)
+    pairs = sim.cosine_pair_counts(vecs, ["label"], threshold=-1.0)
     thr = spark.createDataFrame([(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)],
                                 "thr double")
     return (pairs.crossJoin(F.broadcast(thr))
             .groupBy(F.round("thr", 2).alias("threshold"))
-            .agg(F.sum(F.when(F.col("cos") >= F.col("thr"), 1).otherwise(0))
+            .agg(F.sum(F.when(F.col("cos") >= F.col("thr"), F.col("w"))
+                       .otherwise(F.lit(0)))
                   .cast("bigint").alias("n_pairs")))
 
 

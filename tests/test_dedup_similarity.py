@@ -738,4 +738,13 @@ def test_cosine_pairs_collapse_equals_direct(spark, sf_dir):
         want = {(r.i, r.j, r.cos) for r in sim._cosine_pairs_direct(
             multi, ["label"], thr, "vec_id", "embedding").collect()}
         assert got == want and got, thr
+        # the weighted multiset (round 11) must aggregate to the same
+        # per-cosine counts WITHOUT enumerating the duplicate cliques
+        wsum = {(r.cos, r.nw) for r in
+                sim.cosine_pair_counts(multi, ["label"], thr)
+                .groupBy("cos").agg(F.sum("w").alias("nw")).collect()}
+        esum = {}
+        for _, _, c in got:
+            esum[c] = esum.get(c, 0) + 1
+        assert wsum == set(esum.items()), thr
     multi.unpersist()
