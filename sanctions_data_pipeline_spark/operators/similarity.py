@@ -246,12 +246,27 @@ def knn_graph(vecs: DataFrame, k: int, block_cols: list[str] | None = None,
     round + window rank as the crossJoin path. ~20x over the
     interpreted per-pair HOF fold (34 s -> ~2 s at sf0.1). Corpora
     over the bound keep the crossJoin plan (no single-node corpus
-    copy), matching the documented exact-baseline contract."""
+    copy), matching the documented exact-baseline contract.
+
+    DUPLICATE MASS (round 11, the pair-family discipline): cos is a
+    function of the VECTOR, so identical rows are interchangeable and
+    a duplicate-heavy corpus (the same CBO probe as cosine_pairs)
+    routes through collapse-first — the quadratic scoring runs on one
+    representative per distinct vector and the graph is reconstructed
+    by an exact rank-preserving expansion (:func:`_knn_graph_collapsed`
+    proves the cut). 456 s -> ~7 s at the ×100 duplicate-mass tier."""
     on = block_cols or []
     if not on:
-        total = vecs.count()
-        if total <= matmul_max_corpus:
-            return _knn_graph_matmul(vecs, k, id_col, vec_col)
+        st = vecs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(F.xxhash64(vec_col), rsd=0.05).alias("d")
+        ).first()
+        if st["n"] and st["n"] > st["d"] * 1.15:
+            return _knn_graph_collapsed(vecs, k, id_col, vec_col,
+                                        matmul_max_corpus)
+        if st["n"] and st["n"] <= matmul_max_corpus:
+            return _finalize_knn(
+                _knn_matmul_cand(vecs, k, id_col, vec_col), k)
     a = _with_norm(vecs.select(*on, F.col(id_col).alias("src_id"),
                                as_double(F.col(vec_col)).alias("va")),
                    "va", "na")
@@ -273,11 +288,116 @@ def knn_graph(vecs: DataFrame, k: int, block_cols: list[str] | None = None,
     )
 
 
-def _knn_graph_matmul(vecs: DataFrame, k: int, id_col: str,
-                      vec_col: str) -> DataFrame:
-    """Broadcast-corpus exact kNN: see :func:`knn_graph`. The corpus
-    (id, vector) ships once per executor; candidate emission is
-    n x (k + margin) rows, so no n² relation ever materializes."""
+def _finalize_knn(cand: DataFrame, k: int) -> DataFrame:
+    """Shared final step over raw candidates (src_id, dst_id, cos_raw):
+    the SAME round + window rank every knn_graph path applies."""
+    w = W.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("dst_id"))
+    return (cand.withColumn("cos", F.round(F.col("cos_raw"), 6))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("src_id", "dst_id", "cos", "rnk"))
+
+
+def _knn_crossjoin_cand(vecs: DataFrame, id_col: str,
+                        vec_col: str) -> DataFrame:
+    """ALL raw pairs (src_id, dst_id, cos_raw), src != dst — the
+    fold-exact candidate producer for corpora past the broadcast
+    bound."""
+    a = _with_norm(vecs.select(F.col(id_col).alias("src_id"),
+                               as_double(F.col(vec_col)).alias("va")),
+                   "va", "na")
+    b = _with_norm(vecs.select(F.col(id_col).alias("dst_id"),
+                               as_double(F.col(vec_col)).alias("vb")),
+                   "vb", "nb")
+    return (a.crossJoin(b)
+            .filter(F.col("src_id") != F.col("dst_id"))
+            .select("src_id", "dst_id",
+                    (dot(F.col("va"), F.col("vb"))
+                     / (F.col("na") * F.col("nb"))).alias("cos_raw")))
+
+
+def _knn_graph_collapsed(vecs: DataFrame, k: int, id_col: str,
+                         vec_col: str, matmul_max_corpus: int) -> DataFrame:
+    """Collapse-first exact kNN under duplicate mass: identical
+    vectors are interchangeable, so score REPRESENTATIVES only and
+    expand — quadratic work on distinct mass, output-linear otherwise.
+
+    EXACTNESS ARGUMENT (every cut proven, no recall loss):
+    1. Rep-level candidates at depth k+1 with the 2e-6 raw margin,
+       PLUS one self row per group (rep, rep, selfcos) — a member's
+       own group is a candidate source for its siblings. A member's
+       final top-k excludes exactly one row (itself), so it is
+       contained in the group's top-(k+1); the (k+1)-th EXPANDED raw
+       cos >= the (k+1)-th rep-level raw cos (expansion only adds
+       copies of existing values), so the rep cut keeps everything
+       within margin of any member's k-th.
+    2. dst-side member expansion of the kept reps, then ONE exact
+       group-level cut at depth k+1 by the FINAL rounded order
+       (round(cos) desc, dst_id asc — a total order, dst_id unique):
+       rounding is monotone and the rep cut guarantees every dropped
+       row rounds strictly below at least k+1 kept rows, so the
+       rounded order over kept rows is complete to depth k+1.
+    3. src-side member expansion of the <= k+1 group rows, self
+       filter, and the shared final rank — n x (k+1) narrow rows, the
+       only term that scales with duplicate multiplicity."""
+    groups = (vecs.select(F.col(id_col).alias("__i"),
+                          F.col(vec_col).alias("__v"))
+              .groupBy("__v")
+              .agg(F.min("__i").alias("rep"),
+                   F.collect_list("__i").alias("members"))
+              .persist())
+    reps = groups.select(F.col("rep").alias(id_col),
+                         F.col("__v").alias(vec_col))
+    if groups.count() <= matmul_max_corpus:
+        cand = _knn_matmul_cand(reps, k + 1, id_col, vec_col)
+    else:
+        cand = _knn_crossjoin_cand(reps, id_col, vec_col)
+    u = as_double(F.col("__v"))
+    selfcos = dot(u, u) / (F.sqrt(dot(u, u)) * F.sqrt(dot(u, u)))
+    cand = cand.unionByName(
+        groups.select(F.col("rep").alias("src_id"),
+                      F.col("rep").alias("dst_id"),
+                      selfcos.alias("cos_raw")))
+    # rep cut: raw margin below the (k+1)-th (NaN ranks FIRST under
+    # desc, matching Spark's ordering; a NaN kth1 keeps everything)
+    wsrc = W.partitionBy("src_id")
+    rn = F.row_number().over(
+        wsrc.orderBy(F.desc("cos_raw"), F.asc("dst_id")))
+    kth1 = F.max(F.when(F.col("__rn") == k + 1, F.col("cos_raw"))).over(wsrc)
+    cand = (cand.withColumn("__rn", rn)
+            .withColumn("__kth1", kth1)
+            .filter(F.col("__kth1").isNull() | F.isnan("__kth1")
+                    | F.isnan("cos_raw")
+                    | (F.col("cos_raw") >= F.col("__kth1") - F.lit(2e-6)))
+            .select("src_id", "dst_id", "cos_raw"))
+    # dst expansion, then the exact rounded-order cut at depth k+1
+    gj = groups.select(F.col("rep").alias("dst_id"),
+                       F.col("members").alias("__mj"))
+    expanded = (cand.join(gj, "dst_id")
+                .select("src_id", F.explode("__mj").alias("dst_id"),
+                        "cos_raw"))
+    grn = F.row_number().over(
+        wsrc.orderBy(F.round(F.col("cos_raw"), 6).desc(),
+                     F.asc("dst_id")))
+    top = (expanded.withColumn("__grn", grn)
+           .filter(F.col("__grn") <= k + 1)
+           .select(F.col("src_id").alias("__rep"), "dst_id", "cos_raw"))
+    # src expansion + self filter + shared final rank
+    gi = groups.select(F.col("rep").alias("__rep"),
+                       F.col("members").alias("__mi"))
+    out = (top.join(gi, "__rep")
+           .select(F.explode("__mi").alias("src_id"), "dst_id", "cos_raw")
+           .filter(F.col("src_id") != F.col("dst_id")))
+    return _finalize_knn(out, k)
+
+
+def _knn_matmul_cand(vecs: DataFrame, k: int, id_col: str,
+                     vec_col: str) -> DataFrame:
+    """Broadcast-corpus exact kNN candidates (src_id, dst_id, cos_raw)
+    down to the k-th raw cosine minus the margin: see
+    :func:`knn_graph`. The corpus (id, vector) ships once per
+    executor; candidate emission is n x (k + margin) rows, so no n²
+    relation ever materializes."""
     import numpy as np
 
     rows = (vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
@@ -303,10 +423,11 @@ def _knn_graph_matmul(vecs: DataFrame, k: int, id_col: str,
         import pandas as pd
         corpus_ids, corpus_v, corpus_norm = bc.value
         n_corpus = len(corpus_ids)
-        # row-block the Arrow batch so the selection matrix stays
-        # ~512 MB regardless of corpus size (a 10k-row batch against a
+        col_of = {int(cid): c for c, cid in enumerate(corpus_ids)}
+        # row-block the Arrow batch so the selection matrices stay
+        # ~256 MB regardless of corpus size (a 10k-row batch against a
         # 150k corpus would otherwise allocate 12 GB)
-        blk = max(1, int(64_000_000 // max(1, n_corpus)))
+        blk = max(1, int(32_000_000 // max(1, n_corpus)))
         for pdf in batches:
             for lo in range(0, len(pdf), blk):
                 chunk = pdf.iloc[lo:lo + blk]
@@ -315,34 +436,36 @@ def _knn_graph_matmul(vecs: DataFrame, k: int, id_col: str,
                 sids = chunk[id_col].to_numpy(dtype="int64")
                 sv = np.array(chunk["v"].tolist(), dtype="float64")
                 sn = _seq_norm(sv)
-                # SELECTION pass: one dgemm. Its float association
-                # differs from the dim-ordered fold by <= ~d*eps*|x||y|
-                # (~1e-13 absolute for d=64), absorbed by widening the
-                # emission margin 1e-9 past the 2e-6 rounding margin —
-                # then the exact fold is recomputed ONLY on the
-                # emitted n*(k+margin) candidates, so the quadratic
-                # stage is a single memory-pass matmul, not 64.
+                # SELECTION pass: one dgemm + whole-matrix masking
+                # (a per-row loop allocated ~6 corpus-length temps per
+                # row — terabyte-scale allocation traffic at a 150k
+                # corpus; measured 459 s -> vectorized). The dgemm's
+                # float association differs from the dim-ordered fold
+                # by <= ~d*eps*|x||y| (~1e-13 absolute for d=64),
+                # absorbed by widening the emission margin 1e-9 past
+                # the 2e-6 rounding margin — the exact fold is then
+                # recomputed ONLY on the emitted n*(k+margin)
+                # candidates.
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = ((sv @ corpus_v.T)
                            / (sn[:, None] * corpus_norm[None, :]))
-                sel_rows, sel_cols = [], []
-                for i in range(len(sids)):
-                    row = cos[i]
-                    mask = corpus_ids != sids[i]
-                    cand = row[mask]
-                    if not len(cand):
-                        continue
-                    # selection value: non-finite sorts FIRST under
-                    # Spark's desc (NaN > any double) -> +inf here
-                    sel = np.where(np.isfinite(cand), cand, np.inf)
-                    kk = min(k, len(cand))
-                    kth = np.partition(sel, len(sel) - kk)[len(sel) - kk]
-                    keep = sel >= kth - 2e-6 - 1e-9
-                    cols = np.flatnonzero(mask)[keep]
-                    sel_rows.extend([i] * len(cols))
-                    sel_cols.extend(cols.tolist())
-                ri = np.array(sel_rows, dtype="int64")
-                ci = np.array(sel_cols, dtype="int64")
+                # non-finite sorts FIRST under Spark's desc
+                # (NaN > any double) -> +inf for selection
+                sel = np.where(np.isfinite(cos), cos, np.inf)
+                self_r, self_c = [], []
+                for i, sid in enumerate(sids):
+                    c = col_of.get(int(sid))
+                    if c is not None:
+                        self_r.append(i)
+                        self_c.append(c)
+                sel[self_r, self_c] = -np.inf      # self never selected
+                if n_corpus <= k + 1:
+                    keep = sel > -np.inf
+                else:
+                    kth = np.partition(sel, n_corpus - k,
+                                       axis=1)[:, n_corpus - k]
+                    keep = sel >= (kth[:, None] - 2e-6 - 1e-9)
+                ri, ci = np.nonzero(keep)
                 # EXACT pass, dim-ordered accumulation over the kept
                 # pairs only — bit-identical to the zip_with fold
                 a, b = sv[ri], corpus_v[ci]
@@ -356,13 +479,8 @@ def _knn_graph_matmul(vecs: DataFrame, k: int, id_col: str,
                     "dst_id": pd.Series(corpus_ids[ci], dtype="int64"),
                     "cos_raw": pd.Series(exact, dtype="float64")})
 
-    cand = (vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    return (vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
             .mapInPandas(score, "src_id long, dst_id long, cos_raw double"))
-    w = W.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("dst_id"))
-    return (cand.withColumn("cos", F.round(F.col("cos_raw"), 6))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("src_id", "dst_id", "cos", "rnk"))
 
 
 def semantic_dedup(vecs: DataFrame, threshold: float, n_centroids: int = 16,

@@ -26,6 +26,16 @@ def get_spark(app_name: str = "sanctions_data_pipeline_spark",
     - shuffle partitions sized to cores in local mode
     """
     cpus = str(cpus or DEFAULT_CPUS)
+    # Single-threaded BLAS in PySpark workers: task-level parallelism
+    # already saturates the cores, and multi-threaded OpenBLAS inside
+    # FORKED python workers is fork-unsafe (25 workers x 32 BLAS
+    # threads crashed the ×100 kNN dgemm — "Python worker exited
+    # unexpectedly"). Workers inherit the JVM's env, which inherits
+    # this process's, so setting it before the JVM launches reaches
+    # every worker; setdefault keeps a user's explicit override.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder
         .master(f"local[{cpus}]")

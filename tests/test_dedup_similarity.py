@@ -302,6 +302,35 @@ def test_knn_graph_matmul_path_bit_equals_crossjoin(spark, sf_dir):
     assert new == old and new
 
 
+def test_knn_graph_collapsed_path_equals_crossjoin(spark, sf_dir):
+    """Round-11 duplicate-mass collapse for the exact kNN graph: on a
+    4x-duplicated corpus (CBO probe selects collapse-first) the graph
+    must be IDENTICAL — cos and rnk included — to the full crossJoin
+    fold. Covers the own-group-sibling candidates (cos 1.0 top ranks),
+    the rep cut, and the rounded-order group cut."""
+    from pyspark.sql import functions as F
+    from sanctions_data_pipeline_spark.catalog import load_table
+    from sanctions_data_pipeline_spark.operators import similarity as sim
+
+    base = (load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 120)
+            .select("vec_id", "embedding"))
+    stride = 10 ** len(str(base.agg(F.max("vec_id")).first()[0]))
+    multi = base
+    for kk in (1, 2, 3):
+        multi = multi.unionByName(
+            base.withColumn("vec_id", F.col("vec_id") + F.lit(kk * stride)))
+    multi = multi.persist()
+    got = {(r.src_id, r.dst_id, r.cos, r.rnk)
+           for r in sim.knn_graph(multi, k=3).collect()}
+    want = {(r.src_id, r.dst_id, r.cos, r.rnk)
+            for r in sim._finalize_knn(
+                sim._knn_crossjoin_cand(multi, "vec_id", "embedding"),
+                3).collect()}
+    assert got == want and got
+    multi.unpersist()
+
+
 def test_semantic_dedup_keeps_prototypical_member(spark):
     """Hand-built clusters: two near-identical vectors -> the one
     closer to its centroid survives; distinct vectors all survive;
