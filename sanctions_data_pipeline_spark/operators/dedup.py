@@ -146,7 +146,12 @@ def _text_groups(docs: DataFrame, block_cols: list[str], id_col: str,
     NOT unpersisted (the cache-aliasing discipline documented at
     ngram_jaccard_components: repeats share one entry, distinct plans
     evict LRU)."""
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # normalize+md5 is the CPU-heavy map side of the group shuffle: a
+    # single-row-group local scan would run it on one core (at 100 TB
+    # the guard never triggers — scans have thousands of splits)
+    docs = widen_small_scan(docs, id_col)
     g = (docs
          .select(*block_cols, F.col(id_col).alias("i"),
                  F.col(text_col).alias("__t"))
@@ -266,7 +271,10 @@ def ngram_jaccard_pairs_quarantined(
     ``max_bucket=None`` degenerates to the exact op, quarantine
     ``None``."""
     if _dup_mass_low(docs, text_col):
-        sets = _shingle_sets(docs, block_cols, k, id_col, text_col)
+        # sets feeds the prefix pipeline AND both verify sides —
+        # persist so the CPU-heavy shingling map stage runs once,
+        # not three times (shared-subtree discipline, see _allpairs_core)
+        sets = _shingle_sets(docs, block_cols, k, id_col, text_col).persist()
         return _allpairs_core(sets, block_cols, threshold, max_bucket)
     groups = (_text_groups(docs, block_cols, id_col, text_col, persist=False)
               .withColumn("shh", shingle_hashes(F.col("rep_text"), k))
@@ -334,9 +342,15 @@ def _allpairs_core(sets: DataFrame, block_cols: list[str],
     )
 
     plen = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+    # pref feeds BOTH sides of the candidate self-join (and, when
+    # capped, the bucket-depth agg + anti join too): Spark does not
+    # dedupe common subplans, so without the persist the whole
+    # shingle -> doc-frequency -> rarity-resort pipeline runs once per
+    # consumer (2-4x). Narrow (~24-byte) keyed rows; same cache-
+    # aliasing discipline as _text_groups.
     pref = ordered.select(
         "i", *block_cols, "n",
-        F.explode(F.slice("shh", F.lit(1), plen)).alias("ph"))
+        F.explode(F.slice("shh", F.lit(1), plen)).alias("ph")).persist()
     quarantine = None
     if max_bucket is not None:
         pref, quarantine = cap_hot_buckets(
@@ -452,6 +466,10 @@ def _minhash_wide(docs: DataFrame, n_hashes: int, k: int,
     interpreted at ~120 us/doc; this runs ~10x faster and scales the
     same way simhash_fingerprints does.)
     """
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
+    # shingling + the explode are the CPU-heavy map stage: parallelize
+    # an under-split local scan (no-op at cluster scale, see catalog)
+    docs = widen_small_scan(docs, id_col)
     ex = docs.select(
         F.col(id_col), F.explode(shingle_hashes(F.col(text_col), k)).alias("hs"),
     )
@@ -557,7 +575,11 @@ def _minhash_lsh_core(docs: DataFrame, n_hashes: int, bands: int,
                       ) -> tuple[DataFrame, DataFrame | None]:
     """Banding + (optional) hot-bucket cap + candidate join + verify."""
     r = n_hashes // bands
-    wide = _minhash_wide(docs, n_hashes, k, id_col, text_col)
+    # banded (below) feeds both sides of the candidate self-join (and
+    # the hot-bucket depth agg + anti join when capped): persist the
+    # signature table so the shingle explode + n_hashes min-aggregates
+    # run once, not 2-4x (shared-subtree discipline, |docs| x 33 longs)
+    wide = _minhash_wide(docs, n_hashes, k, id_col, text_col).persist()
     # band sig = one codegen'd xxhash64 over the band's r minhash
     # columns; the explode ships (band_id, 8-byte sig) rows only
     banded = wide.select(
@@ -583,8 +605,10 @@ def _minhash_lsh_core(docs: DataFrame, n_hashes: int, bands: int,
     # hundred docs, never the whole corpus
     cand_ids = cand.select(F.explode(F.array("i", "j")).alias(id_col)).distinct()
     needed = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # both verify joins read sh — persist so the candidate re-shingle
+    # pass (semi-join + shingle_hashes) runs once, not twice
     sh = needed.select(F.col(id_col),
-                       shingle_hashes(F.col(text_col), k).alias("sh"))
+                       shingle_hashes(F.col(text_col), k).alias("sh")).persist()
     verified = (
         cand.join(sh.withColumnRenamed(id_col, "i").withColumnRenamed("sh", "sh_i"), "i")
         .join(sh.withColumnRenamed(id_col, "j").withColumnRenamed("sh", "sh_j"), "j")
@@ -646,6 +670,10 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     hash-aggregates with map-side partial combine, so the shuffle that
     reaches the wire is ~|docs| x (n_bits+1) longs, not |tokens| rows.
     """
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
+    # normalize+split+explode+hash is the CPU-heavy map stage:
+    # parallelize an under-split local scan (no-op at cluster scale)
+    docs = widen_small_scan(docs, id_col)
     pows = [(1 << b) if b < 63 else -(2 ** 63) for b in range(n_bits)]
     toks = docs.select(
         F.col(id_col),
@@ -750,7 +778,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 def _simhash_pairs_direct(docs: DataFrame, max_hamming: int,
                           id_col: str, text_col: str) -> DataFrame:
     """The pigeonhole-bucket pipeline proper (see simhash_pairs)."""
-    sh = simhash_fingerprints(docs, id_col, text_col)
+    # chunked (below) feeds both sides of the bucket self-join: persist
+    # the fingerprint table so the token explode + 16 packed-lane sums
+    # run once, not twice (shared-subtree discipline, |docs| x 2 longs)
+    sh = simhash_fingerprints(docs, id_col, text_col).persist()
     chunked = sh.select(
         id_col, "sh",
         F.posexplode(F.array(*simhash_chunk_keys(max_hamming)))

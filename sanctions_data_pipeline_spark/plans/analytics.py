@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.catalog import load_table, widen_small_scan
 from sanctions_data_pipeline_spark.plans.helpers import (
     SQL_REVENUE, dval, lcount,
 )
@@ -64,7 +64,10 @@ FROM g
 
 @register("q_lorenz_deciles", headline=True, oracle=_LORENZ_ORACLE)
 def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # the decimal spend map side of the custkey agg is CPU-heavy:
+    # parallelize an under-split local scan (no-op at cluster scale)
+    orders = widen_small_scan(load_table(spark, sf_dir, "orders"),
+                              "o_custkey")
     spend = (orders.groupBy("o_custkey")
              .agg(_spend_x4_col().alias("x4")))
     from sanctions_data_pipeline_spark.plans.helpers import sharded_ntile
@@ -122,7 +125,10 @@ FROM n JOIN nation ON s_nationkey = n_nationkey
 
 @register("q_hhi_concentration", headline=True, oracle=_HHI_ORACLE)
 def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # the decimal revenue map side of the suppkey agg is CPU-heavy:
+    # parallelize an under-split local scan (no-op at cluster scale)
+    li = widen_small_scan(load_table(spark, sf_dir, "lineitem"),
+                          "l_suppkey")
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     rev = dval("l_extendedprice") * (F.lit(1).cast("decimal(8,4)")

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.catalog import load_table, widen_small_scan
 from sanctions_data_pipeline_spark.plans.helpers import lcount, pround6
 from sanctions_data_pipeline_spark.plans.registry import register
 
@@ -1141,18 +1141,29 @@ FROM ranked WHERE rk <= 3
 
 @register("pr_user_recs", headline=True, oracle=_USER_RECS_ORACLE)
 def pr_user_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # li feeds five consumers (both co-occurrence join sides, the
+    # degree agg, the candidate expansion and the owned anti join):
+    # persist the bounded (l_orderkey < 4000) distinct slice so the
+    # scan + distinct shuffle run once, not five times
     li = (load_table(spark, sf_dir, "lineitem")
           .filter(F.col("l_orderkey") < 4000)
           .select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("p")).distinct())
+                  F.col("l_partkey").alias("p")).distinct()
+          .persist())
     a = li.select("o", F.col("p").alias("i"))
     b = li.select("o", F.col("p").alias("j"))
     cooc = (a.join(b, "o").filter(F.col("i") < F.col("j"))
             .groupBy("i", "j").agg(lcount("c"))
             .filter(F.col("c") >= 2))
     deg = li.groupBy("p").agg(lcount("d"))
-    sym = cooc.unionAll(cooc.select(F.col("j").alias("i"),
-                                    F.col("i").alias("j"), "c"))
+    # symmetrize with one map-side explode instead of unionAll of two
+    # copies of the co-occurrence subtree (Spark does not dedupe
+    # common subplans — the union form ran the wedge join twice)
+    sym = (cooc.select(F.explode(F.array(
+        F.struct(F.col("i").alias("i"), F.col("j").alias("j")),
+        F.struct(F.col("j").alias("i"), F.col("i").alias("j"))))
+        .alias("__e"), "c")
+        .select(F.col("__e.i").alias("i"), F.col("__e.j").alias("j"), "c"))
     di = deg.select(F.col("p").alias("i"), F.col("d").alias("di"))
     dj = deg.select(F.col("p").alias("j"), F.col("d").alias("dj"))
     edge = (sym.join(F.broadcast(di), "i").join(F.broadcast(dj), "j")
@@ -2919,14 +2930,23 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = F.floor(F.unix_micros(F.date_trunc("day", "ts"))
                   / F.lit(86400000000)).cast("bigint")
+    # ONE window pass: first/second event day pivot out of the same
+    # ranked frame via a groupBy on the window's own partition key (no
+    # re-shuffle — AQE reuses the user_id partitioning), where the old
+    # shape consumed the window subtree three times (rn=1 side, rn=2
+    # side, horizon agg) and then self-joined the two sides. The
+    # horizon needs no window at all: max(d) over ranked rows 1..n ==
+    # max(d) over raw events.
     e = ev.select(
         "user_id", day.alias("d"),
         F.row_number().over(W.partitionBy("user_id")
                             .orderBy("ts", "event_id")).alias("rn"))
-    f = e.filter(F.col("rn") == 1).select("user_id", F.col("d").alias("fd"))
-    s = e.filter(F.col("rn") == 2).select("user_id", F.col("d").alias("sd"))
-    horizon = e.agg(F.max("d").alias("hmax"))
-    u = (f.join(s, "user_id", "left").crossJoin(F.broadcast(horizon))
+    fs = (e.filter(F.col("rn") <= 2)
+          .groupBy("user_id")
+          .agg(F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("fd"),
+               F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("sd")))
+    horizon = ev.agg(F.max(day).alias("hmax"))
+    u = (fs.crossJoin(F.broadcast(horizon))
          .select(
              F.when(F.col("sd").isNotNull(), F.col("sd") - F.col("fd"))
              .otherwise(F.col("hmax") - F.col("fd")).alias("dur"),

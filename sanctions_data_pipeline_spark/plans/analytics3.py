@@ -2135,9 +2135,13 @@ GROUP BY g.doc_id
 
 @register("tx_ngram_novelty", headline=True, oracle=_NOVELTY_ORACLE)
 def tx_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
     from sanctions_data_pipeline_spark.operators import dedup as dd
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # tokenize + gram explode is the CPU-heavy map stage: parallelize
+    # an under-split local scan (no-op at scale)
+    docs = widen_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id").filter(
         F.length("text") > 0)
     if dd._dup_mass_low(docs, "text"):
         return _ngram_novelty_direct(docs)
@@ -2170,11 +2174,13 @@ def tx_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_novelty_direct(docs: DataFrame) -> DataFrame:
     """The gram-stream pipeline proper (see tx_ngram_novelty)."""
     t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    # g feeds the first-doc agg AND the scoring join: persist so the
+    # tokenize + gram explode + distinct shuffle run once, not twice
     g = (t.filter(F.size("toks") >= 3)
          .select("doc_id", F.explode(F.expr(
              "transform(sequence(1, size(toks) - 2), "
              "i -> concat_ws(' ', slice(toks, i, 3)))")).alias("gram"))
-         .distinct())
+         .distinct().persist())
     first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (g.join(first, "gram")
             .groupBy("doc_id")

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.catalog import load_table, widen_small_scan
 from sanctions_data_pipeline_spark.plans.helpers import (
     SQL_REVENUE, davg, drate, dsum, dval, lcount, sql_davg, sql_dsum, ts_str,
 )
@@ -46,8 +46,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = dval("l_extendedprice") * (F.lit(1).cast("decimal(8,4)") - drate("l_discount"))
     charge = disc_price * (F.lit(1).cast("decimal(8,4)") + drate("l_tax"))
+    # the 8 decimal aggregates are the CPU-heavy map side: parallelize
+    # an under-split local scan AFTER the pushed filter (no-op at
+    # cluster scale — see widen_small_scan)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        widen_small_scan(
+            li.filter(F.col("l_shipdate")
+                      <= F.lit("2000-12-01").cast("timestamp")),
+            "l_orderkey")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(dval("l_quantity"), "sum_qty"),

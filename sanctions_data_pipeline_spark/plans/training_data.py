@@ -1258,8 +1258,11 @@ def dd_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.catalog import widen_small_scan
 
     docs = widen_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    # ex feeds the span-df agg AND the scoring join: persist so the
+    # span-hash explode runs once, not twice
     ex = docs.select(
-        "doc_id", F.explode(dd.span_hashes(F.col("text"), 8)).alias("h"))
+        "doc_id",
+        F.explode(dd.span_hashes(F.col("text"), 8)).alias("h")).persist()
     sdf = ex.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
     dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("bigint")
     return (ex.join(sdf, "h")

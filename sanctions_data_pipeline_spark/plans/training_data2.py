@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.catalog import load_table, widen_small_scan
 from sanctions_data_pipeline_spark.operators import similarity as sim
 from sanctions_data_pipeline_spark.operators import textstats as tx
 from sanctions_data_pipeline_spark.plans.helpers import lcount, pround6
@@ -81,7 +81,9 @@ FROM scored GROUP BY doc_id
 @register("tx_perplexity", oracle=_PPL_ORACLE, headline=True)
 def tx_perplexity(spark: SparkSession, sf_dir: str,
                   vocab_cap: int = _PPL_V) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenization is the CPU-heavy map stage of all three corpus
+    # passes: parallelize an under-split local scan (no-op at scale)
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("t"))
 
     # top-V via orderBy().limit() — a parallel TakeOrdered, NOT a
@@ -727,7 +729,9 @@ SELECT * FROM (
 
 @register("tok_bpe_merges", headline=True, oracle=_BPE_MERGES_ORACLE)
 def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenize+explode is the CPU-heavy map stage of the vocab build:
+    # parallelize an under-split local scan (no-op at scale)
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     words = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
              .groupBy("w").agg(lcount("cnt"))
              .select(F.concat(F.split("w", ""),
@@ -750,6 +754,9 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         a, b, n = best[0].a, best[0].b, int(best[0].n)
         merges.append((rnd + 1, a, b, n))
+        if rnd + 1 == _BPE_ROUNDS:
+            break  # the final round's re-segmentation is never read —
+            # materializing it (fold + persist + count) was pure waste
         ab = a + b
         fold = F.aggregate(
             F.col("s"),
@@ -810,7 +817,9 @@ def tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
               for r in tok_bpe_merges(spark, sf_dir)
               .orderBy("merge_rank").collect()]
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the R chained merge folds run in this map stage: parallelize an
+    # under-split local scan (no-op at scale)
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     word = (docs.select("doc_id",
                         F.explode(tx.tokens(F.col("text"))).alias("w"))
             .select("doc_id",
@@ -907,7 +916,10 @@ def dd_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = widen_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     if dd._dup_mass_low(docs, "text"):
-        return _winnow_pairs_from(_winnow_sel(docs))
+        # sel feeds the size agg AND both sides of the shared-fp join:
+        # persist so the k-gram window + distinct pipeline runs once,
+        # not three times (same discipline as the collapse branch below)
+        return _winnow_pairs_from(_winnow_sel(docs).persist())
     # collapse-first (round 9, the operators/dedup.py pair-family
     # discipline): identical normalized text -> identical fingerprint
     # SET and count, so within-group pairs are (shared = nfp, sim = 1.0)

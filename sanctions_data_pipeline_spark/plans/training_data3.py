@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from sanctions_data_pipeline_spark.catalog import load_table
+from sanctions_data_pipeline_spark.catalog import load_table, widen_small_scan
 from sanctions_data_pipeline_spark.operators import similarity as sim
 from sanctions_data_pipeline_spark.operators import textstats as tx
 from sanctions_data_pipeline_spark.plans.helpers import (
@@ -510,7 +510,11 @@ FROM r GROUP BY doc_id
 
 @register("dd_line_dedup", headline=True, oracle=_LD_ORACLE)
 def dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenize+chunk-hash is the CPU-heavy map stage: parallelize an
+    # under-split local scan (no-op at scale), and persist the chunk
+    # table — it feeds both the first-occurrence agg and the keep join
+    # (Spark does not dedupe common subplans)
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
     n_chunks = F.ceil(F.size("toks") / F.lit(float(_LD_W))).cast("long")
     c = (t.select("doc_id", "toks",
@@ -520,7 +524,8 @@ def dd_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.md5(F.concat_ws(
                      " ", F.slice(F.col("toks"),
                                   (F.col("idx") * _LD_W + 1).cast("int"),
-                                  _LD_W))).alias("ck")))
+                                  _LD_W))).alias("ck"))
+         .persist())
     first = c.groupBy("ck").agg(
         F.min(F.struct(F.col("doc_id"), F.col("idx"))).alias("first"))
     kept = (c.join(first, "ck")
@@ -605,7 +610,9 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded pieces and re-shipping them as a broadcast dim/literals
     keeps the plan at two corpus passes without persisting the
     corpus-sized posting aggregate itself."""
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenization is the CPU-heavy map stage of both corpus passes:
+    # parallelize an under-split local scan (no-op at scale)
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     t = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
 
     def postings(tok_df):
@@ -1238,26 +1245,32 @@ def _unigram_seed_and_words(spark: SparkSession, sf_dir: str):
     caller unpersists the word frame."""
     from sanctions_data_pipeline_spark.operators import unigram as ug
 
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenize+explode is the CPU-heavy map stage of the word census:
+    # parallelize an under-split local scan (no-op at scale)
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     words = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
              .groupBy("w").agg(lcount("c"))
              .persist())
-    words.count()
 
     # candidate substrings, lengths 1..MAX_PIECE_LEN, weighted by word
-    # count (shared generator with the broadcast-join segmentation path)
-    # two collects read this plan (seed top-K + the single-char floor);
-    # persist so the substring explode + count runs once
+    # count (shared generator with the broadcast-join segmentation path).
+    # Seed top-K and the single-char floor ride ONE collect (the union
+    # tags each side), so the substring explode + count + the persisted
+    # words table materialize in a single Spark job instead of three;
+    # persist so the two union branches share one computation of cand.
     cand = (words.select(
         "c", F.explode(ug.substrings_up_to_max(F.col("w"))).alias("piece"))
         .groupBy("piece").agg(F.sum("c").alias("cnt"))
         .persist())
 
-    top = {r.piece: int(r.cnt)
-           for r in cand.orderBy(F.desc("cnt"), F.asc("piece"))
-           .limit(_UNI_SEED).collect()}
-    chars = {r.piece: int(r.cnt)
-             for r in cand.filter(F.length("piece") == 1).collect()}
+    rows = (cand.orderBy(F.desc("cnt"), F.asc("piece")).limit(_UNI_SEED)
+            .select("piece", "cnt", F.lit(True).alias("is_top"))
+            .unionByName(
+                cand.filter(F.length("piece") == 1)
+                .select("piece", "cnt", F.lit(False).alias("is_top")))
+            .collect())
+    top = {r.piece: int(r.cnt) for r in rows if r.is_top}
+    chars = {r.piece: int(r.cnt) for r in rows if not r.is_top}
     seed = dict(top)
     for p, c in chars.items():
         seed.setdefault(p, c)
