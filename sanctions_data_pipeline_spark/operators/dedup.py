@@ -129,7 +129,11 @@ def _dup_mass_low(docs: DataFrame, text_col: str) -> bool:
     """One map-side probe: duplicate ratio <= ~1.15 means collapse-first
     would cost more than it saves (the ngram_jaccard_components CBO
     idiom — decide the plan from a cheap statistic, not a guess)."""
-    st = docs.agg(
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
+    # normalize+md5 over the whole corpus is the probe's map side:
+    # parallelize an under-split local scan (no-op at cluster scale).
+    # count and the HLL distinct-estimate are partition-independent.
+    st = widen_small_scan(docs, text_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(
             F.md5(normalized_text(F.col(text_col))), rsd=0.05).alias("d")

@@ -68,8 +68,12 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelize an under-split local scan (no-op at cluster scale)
     orders = widen_small_scan(load_table(spark, sf_dir, "orders"),
                               "o_custkey")
+    # sharded_ntile's bounds job + per-shard window + carry-in each
+    # re-execute their input lineage (the helper's documented cost
+    # note): persist the bounded per-customer spend so the scan + agg
+    # run once, not three times
     spend = (orders.groupBy("o_custkey")
-             .agg(_spend_x4_col().alias("x4")))
+             .agg(_spend_x4_col().alias("x4")).persist())
     from sanctions_data_pipeline_spark.plans.helpers import sharded_ntile
 
     # sharded NTILE(10) over customer spend — no one-task sort; the

@@ -2005,12 +2005,17 @@ FROM pred WHERE rk = 1 GROUP BY label, predicted
 
 @register("emb_centroid_classify", headline=True, oracle=_CENTROID_CLASSIFY_ORACLE)
 def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # the dim explode is the CPU-heavy map stage and x feeds BOTH the
+    # centroid fold and the distance pass: parallelize an under-split
+    # local scan (no-op at cluster scale) and persist the exploded
+    # frame so it computes once, not twice
+    emb = widen_small_scan(load_table(spark, sf_dir, "embeddings"),
+                           "vec_id")
     x = emb.select(
         "vec_id", "label",
         F.posexplode("embedding").alias("p", "valf")).select(
         "vec_id", "label", (F.col("p") + 1).alias("dim"),
-        F.col("valf").cast("double").alias("val"))
+        F.col("valf").cast("double").alias("val")).persist()
 
     def fold_sorted(struct_col):
         return F.aggregate(

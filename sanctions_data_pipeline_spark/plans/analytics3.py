@@ -129,20 +129,28 @@ def _minhash_portable_pairs(docs: DataFrame,
     operators/dedup.py hot-bucket cap to the band-bucket join (the
     registered oracle runs uncapped; capped use returns pairs only —
     consume dedup.cap_hot_buckets directly for the quarantine)."""
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
+
+    # md5 shingling is the CPU-heavy map stage: parallelize an
+    # under-split local scan (no-op at cluster scale)
+    docs = widen_small_scan(docs, "doc_id")
     arr = docs.select("doc_id", tx.tokens(F.col("text")).alias("t")) \
               .filter(F.size("t") >= _MH_K)
     # 3-shingles as strings, hashed to portable 32-bit ids; the
-    # shingle SET (distinct) feeds both the signatures and the verify
+    # shingle SET (distinct) feeds both the signatures and the verify —
+    # persist so tokenize + md5 + distinct run once, not twice
     sh = arr.select(
         "doc_id",
         F.explode(F.expr(
             "transform(sequence(0, size(t) - 3),"
             " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).alias("s"),
-    ).select("doc_id", _md5_32(F.col("s")).alias("hs")).distinct()
+    ).select("doc_id", _md5_32(F.col("s")).alias("hs")).distinct().persist()
+    # sig feeds both sides of the band-bucket self-join via banded:
+    # persist so the _MH_N md5 min-aggregates run once, not twice
     sig = sh.groupBy("doc_id").agg(*[
         F.min(_md5_32(F.concat_ws(":", F.lit(h), F.col("hs")))).alias(f"m{h}")
         for h in range(_MH_N)
-    ])
+    ]).persist()
     banded = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -158,7 +166,10 @@ def _minhash_portable_pairs(docs: DataFrame,
     cand = (left.join(right, ["b", "bsig"])
             .filter(F.col("i") < F.col("j"))
             .select("i", "j").distinct())
-    sets = sh.groupBy("doc_id").agg(F.collect_set("hs").alias("ls"))
+    # both verify joins read sets — persist so the collect_set shuffle
+    # over the shingle stream runs once, not twice
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("hs").alias("ls")).persist()
     jac = (F.size(F.array_intersect("ls_i", "ls_j")).cast("double")
            / F.size(F.array_union("ls_i", "ls_j")).cast("double"))
     return (
@@ -249,6 +260,11 @@ def dd_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_portable_pairs(docs: DataFrame) -> DataFrame:
     """The md5-portable pigeonhole pipeline proper (see
     dd_simhash_portable)."""
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
+
+    # tokenize + per-token md5 is the CPU-heavy map stage: parallelize
+    # an under-split local scan (no-op at cluster scale)
+    docs = widen_small_scan(docs, "doc_id")
     th = docs.select(
         "doc_id",
         F.explode(tx.tokens(F.col("text"))).alias("tok"),
@@ -265,7 +281,9 @@ def _simhash_portable_pairs(docs: DataFrame) -> DataFrame:
         bit = F.when(F.col(f"c{b}") * 2 > F.col("n"),
                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
-    fps = counts.select("doc_id", fp.alias("fp"))
+    # chunked (below) feeds both sides of the bucket self-join: persist
+    # the fingerprint table so the md5 bit-count aggregation runs once
+    fps = counts.select("doc_id", fp.alias("fp")).persist()
 
     def chunk(k: int):
         mask = (1 << _SH_WIDTHS[k]) - 1
@@ -1542,11 +1560,18 @@ FROM assign WHERE rk = 1 GROUP BY cid
 
 @register("ml_kmeans_step", headline=True, oracle=_KMEANS_STEP_ORACLE)
 def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
+
+    # the dim explode is the CPU-heavy map stage and x feeds BOTH the
+    # seed slice and the distance pass: parallelize an under-split
+    # local scan (no-op at cluster scale) and persist the exploded
+    # frame so it computes once, not twice
+    emb = widen_small_scan(load_table(spark, sf_dir, "embeddings"),
+                           "vec_id")
     x = emb.select(
         "vec_id", F.posexplode("embedding").alias("p", "valf")).select(
         "vec_id", (F.col("p") + 1).alias("dim"),
-        F.col("valf").cast("double").alias("val"))
+        F.col("valf").cast("double").alias("val")).persist()
     seeds = (x.filter(F.col("vec_id") < _KMEANS_STEP_K)
              .select(F.col("vec_id").alias("cid"), "dim",
                      F.col("val").alias("c")))
@@ -1603,7 +1628,9 @@ JOIN sizes sb ON sb.event_type = i.type_b
 @register("q_audience_overlap", oracle=_AUDIENCE_ORACLE)
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # ut feeds the size agg AND both self-join sides: persist so the
+    # distinct shuffle runs once, not three times
+    ut = ev.select("user_id", "event_type").distinct().persist()
     sizes = ut.groupBy("event_type").agg(lcount("n"))
     b = ut.select(F.col("user_id").alias("u2"),
                   F.col("event_type").alias("type_b"))

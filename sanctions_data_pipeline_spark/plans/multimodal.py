@@ -336,17 +336,25 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesces the small shuffle, which would serialize the CPU-heavy
     # codec stage) and keep the group table for the three consumers
     # (rep hashing, within-group pairs, cross-group expansion)
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
     par = spark.sparkContext.defaultParallelism
-    groups = (src.groupBy(F.md5("text").alias("__key"))
+    # md5 of the payload is the group shuffle's map side: parallelize
+    # an under-split local scan (no-op at cluster scale)
+    groups = (widen_small_scan(src, "doc_id")
+              .groupBy(F.md5("text").alias("__key"))
               .agg(F.min("doc_id").alias("rep"),
                    F.min_by("text", "doc_id").alias("rep_text"),
                    F.collect_list("doc_id").alias("members"))
               .repartition(par, "rep")
               .persist())
+    # chunked (below) feeds both sides of the bucket self-join: persist
+    # the hash table so the Arrow codec pass (PNG encode+decode per
+    # distinct payload) runs once, not twice — |groups| x 2 longs
     hashed = (groups
               .select(F.col("rep").alias("doc_id"),
                       F.col("rep_text").alias("text"))
-              .mapInPandas(ahash, "doc_id long, phash long"))
+              .mapInPandas(ahash, "doc_id long, phash long")
+              .persist())
     chunked = hashed.select(
         "doc_id", "phash",
         F.posexplode(F.array(*simhash_chunk_keys(4, col="phash")))
