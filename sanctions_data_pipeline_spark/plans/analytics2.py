@@ -488,17 +488,24 @@ FROM s ORDER BY pmi DESC, w1, w2 LIMIT 100
 def tx_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.operators import textstats as tx
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    t = docs.select(tx.tokens(F.col("text")).alias("toks"))
+    # tokenize once, and persist the shared census tables: uni feeds
+    # three consumers (token total + both unigram join sides) and bi
+    # two (bigram total + the scored join) — Spark does not dedupe
+    # common subplans, so the unpersisted form re-tokenized the corpus
+    # five times. The scan is also widened (serial single-row-group
+    # local split; no-op at cluster scale).
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"),
+                            "doc_id").filter(F.length("text") > 0)
+    t = docs.select(tx.tokens(F.col("text")).alias("toks")).persist()
     uni = (t.select(F.explode("toks").alias("w"))
-           .groupBy("w").agg(lcount("c")))
+           .groupBy("w").agg(lcount("c")).persist())
     n = uni.agg(F.sum("c").cast("bigint").alias("n_tokens"))
     bi = (t.filter(F.size("toks") >= 2)
           .select(F.explode(F.expr(
               "transform(sequence(1, size(toks) - 1),"
               " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).alias("b"))
           .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-          .agg(lcount("c_xy")))
+          .agg(lcount("c_xy")).persist())
     nb = bi.agg(F.sum("c_xy").cast("bigint").alias("n_bigrams"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
@@ -2781,10 +2788,16 @@ FROM r WHERE rk <= 10
 def tx_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.operators import textstats as tx
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # w feeds four consumers (per-source totals, per-word totals, the
+    # grand total and the scored join): persist the bounded census so
+    # the tokenize + explode + groupBy run once, not four times; widen
+    # the under-split local scan (no-op at cluster scale)
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"),
+                            "doc_id").filter(F.length("text") > 0)
     t = docs.select("source", tx.tokens(F.col("text")).alias("toks"))
     w = (t.select("source", F.explode("toks").alias("word"))
-         .groupBy("source", "word").agg(F.count(F.lit(1)).alias("a")))
+         .groupBy("source", "word").agg(F.count(F.lit(1)).alias("a"))
+         .persist())
     tot = w.groupBy("source").agg(F.sum("a").cast("bigint").alias("n_src"))
     gw = w.groupBy("word").agg(F.sum("a").cast("bigint").alias("g"))
     n = w.agg(F.sum("a").cast("bigint").alias("n_all"))
