@@ -438,9 +438,12 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("x4"))
     wr = W.partitionBy("event_type").orderBy("x4", "event_id")
     wn = W.partitionBy("event_type")
+    # r feeds the percentile agg AND the clamp join: persist so the
+    # per-type window sort runs once, not twice
     r = x.select("event_type", "x4",
                  F.row_number().over(wr).alias("rn"),
-                 F.count(F.lit(1)).over(wn).cast("bigint").alias("n"))
+                 F.count(F.lit(1)).over(wn).cast("bigint").alias("n")
+                 ).persist()
     p = r.groupBy("event_type").agg(
         F.max("n").cast("bigint").alias("n_ev"),
         F.min(F.when(F.col("rn") == F.ceil(0.05 * F.col("n")).cast("bigint"),
