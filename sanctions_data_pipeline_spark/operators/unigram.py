@@ -22,6 +22,8 @@ import math
 
 from pyspark.sql import Column, functions as F
 
+from sanctions_data_pipeline_spark.functions.hof import let
+
 _INF = 1.0e9  # cost of an out-of-vocab piece (never chosen if any path exists)
 
 MAX_PIECE_LEN = 4
@@ -78,31 +80,37 @@ def _viterbi_lattice(word: Column, m: Column) -> Column:
                 F.when(cand["cost"] < best["cost"], cand).otherwise(best))
         return F.concat(acc, F.array(best))
 
-    dp = F.aggregate(
+    dp_expr = F.aggregate(
         F.sequence(F.lit(1), n),
         F.array(F.struct(F.lit(0.0).alias("cost"),
                          F.lit(-1).alias("bp"))),
         step)
 
     # backtrace pass: walk bp from position n down to 0, prepending the
-    # piece spelled by each hop; at most n hops, extra iterations no-op
-    def back(st, _):
-        pos = st["pos"]
-        bp = F.element_at(dp, (pos + 1).cast("int"))["bp"]
-        piece = F.substring(word, (bp + 1).cast("int"),
-                            (pos - bp).cast("int"))
-        return (F.when(pos > 0,
-                       F.struct(bp.alias("pos"),
-                                F.concat(F.array(piece),
-                                         st["pieces"]).alias("pieces")))
-                .otherwise(st))
+    # piece spelled by each hop; at most n hops, extra iterations no-op.
+    # The dp table MUST be let-bound (functions/hof.py): the lambda body
+    # below evaluates once per hop, and an inlined dp aggregate would be
+    # recomputed at every hop — an O(n) blowup of the whole lattice
+    # (measured ~2x on the EM loop at sf0.1).
+    def walk(dp):
+        def back(st, _):
+            pos = st["pos"]
+            bp = F.element_at(dp, (pos + 1).cast("int"))["bp"]
+            piece = F.substring(word, (bp + 1).cast("int"),
+                                (pos - bp).cast("int"))
+            return (F.when(pos > 0,
+                           F.struct(bp.alias("pos"),
+                                    F.concat(F.array(piece),
+                                             st["pieces"]).alias("pieces")))
+                    .otherwise(st))
 
-    walked = F.aggregate(
-        F.sequence(F.lit(1), n),
-        F.struct(n.cast("long").alias("pos"),
-                 F.array().cast("array<string>").alias("pieces")),
-        back)
-    return walked["pieces"]
+        return F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.struct(n.cast("long").alias("pos"),
+                     F.array().cast("array<string>").alias("pieces")),
+            back)["pieces"]
+
+    return let(dp_expr, walk)
 
 
 LITERAL_MAP_MAX = 256

@@ -2090,7 +2090,10 @@ def io_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_partkey").cast("bigint").alias("pmax"),
         F.min("l_suppkey").cast("bigint").alias("smin"),
         F.max("l_suppkey").cast("bigint").alias("smax"))
-    g = li.crossJoin(F.broadcast(bounds))
+    # the Morton interleave is the CPU-heavy map side: parallelize an
+    # under-split local scan (no-op at cluster scale)
+    from sanctions_data_pipeline_spark.catalog import widen_small_scan
+    g = widen_small_scan(li, "l_partkey").crossJoin(F.broadcast(bounds))
     px = ((F.col("l_partkey") - F.col("pmin")) * 65535
           / F.greatest(F.col("pmax") - F.col("pmin"), F.lit(1))).cast("bigint")
     py = ((F.col("l_suppkey") - F.col("smin")) * 65535
