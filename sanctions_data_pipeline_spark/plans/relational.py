@@ -48,12 +48,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price * (F.lit(1).cast("decimal(8,4)") + drate("l_tax"))
     # the 8 decimal aggregates are the CPU-heavy map side: parallelize
     # an under-split local scan AFTER the pushed filter (no-op at
-    # cluster scale — see widen_small_scan)
+    # cluster scale — see widen_small_scan). The shuffle keys on
+    # l_extendedprice — a column the aggregate already scans (keying on
+    # l_orderkey would widen ReadSchema by one column, which the
+    # test_q1_scan_prunes_columns lint rejects) with enough distinct
+    # values to spread evenly.
     return (
         widen_small_scan(
             li.filter(F.col("l_shipdate")
                       <= F.lit("2000-12-01").cast("timestamp")),
-            "l_orderkey")
+            "l_extendedprice")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(dval("l_quantity"), "sum_qty"),
