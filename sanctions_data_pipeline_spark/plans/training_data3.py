@@ -623,10 +623,20 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tcached = t.persist()
     df = postings(tcached).groupBy("term").agg(lcount("df"))
-    qrows = [(r.term, int(r.df)) for r in
-             df.orderBy(F.desc("df"), F.asc("term")).limit(_BM25_Q).collect()]
-    n_docs, sum_dl = tcached.agg(
-        F.count(F.lit(1)), F.sum(F.size("toks")).cast("bigint")).collect()[0]
+    # the top-Q term list and the two corpus scalars ride ONE collect
+    # (a tagged union — the tok_unigram_lm seed idiom), so the
+    # tokenize pass + posting agg + scalar agg run in a single Spark
+    # job instead of two
+    rows = (df.orderBy(F.desc("df"), F.asc("term")).limit(_BM25_Q)
+            .select("term", F.col("df").alias("a"),
+                    F.lit(None).cast("bigint").alias("b"))
+            .unionByName(tcached.agg(
+                F.lit(None).cast("string").alias("term"),
+                F.count(F.lit(1)).alias("a"),
+                F.sum(F.size("toks")).cast("bigint").alias("b")))
+            .collect())
+    qrows = [(r.term, int(r.a)) for r in rows if r.term is not None]
+    n_docs, sum_dl = next((r.a, r.b) for r in rows if r.term is None)
     tcached.unpersist()
     tf = postings(t)  # scoring pass: re-derives from the (uncached) scan
     if not n_docs or not qrows:   # empty corpus: no postings, no terms
