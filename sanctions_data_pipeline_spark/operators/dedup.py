@@ -133,10 +133,14 @@ def _dup_mass_low(docs: DataFrame, text_col: str) -> bool:
     # normalize+md5 over the whole corpus is the probe's map side:
     # parallelize an under-split local scan (no-op at cluster scale).
     # count and the HLL distinct-estimate are partition-independent.
+    # no md5 wrapper: the HLL sketch hashes its input internally, so
+    # hashing first was pure per-row overhead (the estimate differs
+    # only within the 5% rsd; the 1.15 threshold is a heuristic far
+    # from both fixture regimes)
     st = widen_small_scan(docs, text_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(
-            F.md5(normalized_text(F.col(text_col))), rsd=0.05).alias("d")
+            normalized_text(F.col(text_col)), rsd=0.05).alias("d")
     ).first()
     return (not st["n"]) or st["n"] <= st["d"] * 1.15
 
