@@ -24,6 +24,7 @@ what the DuckDB oracles compare against.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -213,17 +214,31 @@ def run_available_now(sdf: DataFrame, output_mode: str = "complete",
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     scoped = min(int(prev), 8)
     spark.conf.set("spark.sql.shuffle.partitions", str(scoped))
+    # The checkpoint of a FRESH bounded memory-sink drain is pure
+    # scratch (never resumed — the result lives in the memory table),
+    # but Spark's default temp checkpoint lands on the disk-backed
+    # java tmpdir and every micro-batch fsyncs offsets/commits/state
+    # there. Point it at a RAM-backed dir when one exists (ext4 /tmp
+    # vs tmpfs /dev/shm on the bench box) and delete it after the
+    # drain. SPARK_GRAFT_STREAM_SCRATCH overrides; the file drain (the
+    # x100 path, whose state can be large) keeps the disk tmpdir.
+    scratch_root = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
+    ckpt = os.path.join(scratch_root, "spark_graft_io", "mem_ckpt",
+                        f"{name}_pid{os.getpid()}")
     try:
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
