@@ -2,18 +2,42 @@
 
 Prints TWO JSON lines:
   1. detail:  {"detail": "per_query", "queries": {...min...},
-               "queries_median": {...}}
+               "queries_cold": {...run-1...}, "queries_median": {...}}
   2. summary: {"metric": ..., "value": total_sec, "unit": "sec",
-               "sf": ..., "n_queries": N, "runs_per_query": N,
-               "legacy20_subtotal": sec, "likeforlike45_subtotal": sec}
+               "queries": {...min...}, "sf": ..., "n_queries": N,
+               "runs_per_query": N, "legacy20_subtotal": sec,
+               "likeforlike45_subtotal": sec, "cold_total": sec,
+               "legacy20_cold_subtotal": sec}
 
-The SUMMARY is the LAST line and stays well under 2000 chars: the
-driver records only the tail of stdout, and round 7's single combined
-line outgrew that window (BENCH_r07.json "parsed": null — VERDICT r07
-"what's wrong" item 1). Per-query dicts ride the preceding line for
-human/builder analysis; the gate subtotals (legacy-20 <= 21.5 s on an
-idle box, 45-query like-for-like vs BENCH_r05) are computed here so
-the official record carries them directly.
+The SUMMARY is the LAST line and stays under 2000 chars: the driver
+records only the tail of stdout, and round 7's single combined line
+outgrew that window (BENCH_r07.json "parsed": null — VERDICT r07
+"what's wrong" item 1). Round 12 restored the per-query mins INTO the
+summary (the driver's per-query/scaling comparison reads the one
+parsed JSON line — PERF_r11 per_query was empty without them); at the
+current 51-query set that line is ~1.7k chars, and if the headline set
+ever grows past the window the summary drops the per-query dict rather
+than overflow (the detail line and bench_detail.json keep it). The
+gate subtotals (legacy-20 <= 21.5 s on an idle box, 45-query
+like-for-like vs BENCH_r05) are computed here so the official record
+carries them directly.
+
+Warm-min inflation guard (VERDICT r11 "what's wrong" item 1): run 1 of
+each query pays the full compute INSIDE the timed region (the
+builders' persists are created there), while runs 2-4 can scan cache
+entries aliased by canonicalized plan. The record now carries BOTH
+numbers: "queries" stays the min over all runs (the historical gate
+metric, unchanged semantics) and "queries_cold"/"cold_total"/
+"legacy20_cold_subtotal" carry the run-1 cost — the number that
+survives at 100 TB where nobody re-runs a warm cache. Set
+SPARK_GRAFT_BENCH_CLEARCACHE=1 to additionally spark.catalog
+.clearCache() at the head of every pass (each pass's first rep then
+recomputes every persist; default off to keep the historical
+warm-repeat methodology comparable across rounds).
+
+The full per-query detail (min/cold/median + noise metadata) is also
+written to bench_detail.json next to this file — the judge-readable
+artifact that never depends on the stdout tail window.
 """
 
 from __future__ import annotations
@@ -146,7 +170,14 @@ def main() -> None:
     actual_runs = reps * passes
     all_runs: dict[str, list[float]] = {name: [] for name in order}
     cal_per_pass: list[float] = []
+    clear_cache = os.environ.get("SPARK_GRAFT_BENCH_CLEARCACHE") == "1"
     for p in range(passes):
+        if clear_cache:
+            # every pass starts with an empty cache manager: the first
+            # rep of each query recomputes its persists (cold numbers
+            # per pass); opt-in so the historical warm-repeat gate
+            # numbers stay comparable across rounds
+            spark.catalog.clearCache()
         # fixed CPU-bound calibration job at the head of every pass:
         # identical work each time, so its dispersion across passes IS
         # the host-noise index the record carries (VERDICT r09 "next
@@ -163,8 +194,14 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 all_runs[name].append(time.time() - t0)
     load_avgs_after = [round(v, 2) for v in os.getloadavg()]
+    colds: dict[str, float] = {}
     for name, runs in all_runs.items():
         timings[name] = round(min(runs), 3)
+        # run 1 (cold within this JVM): pays every persist's compute.
+        # Later runs of the same plan can alias those cache entries, so
+        # the min alone conflates "compute the shared subtree once"
+        # (real at 100 TB) with "read it from RAM on repeat" (bench-only)
+        colds[name] = round(runs[0], 3)
         srt = sorted(runs)
         mid = len(srt) // 2
         med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
@@ -173,10 +210,19 @@ def main() -> None:
         sf_out: float | str = float(sf)
     except ValueError:  # scaled tiers like "0.1x3" (tools/scale_up.py)
         sf_out = sf
-    for line in emit_lines(timings, medians, actual_runs, sf_out,
-                           subset=sorted(selected) if selected else None,
-                           load_avg=(load_avgs, load_avgs_after),
-                           cal_per_pass=cal_per_pass):
+    lines = emit_lines(timings, medians, actual_runs, sf_out,
+                       subset=sorted(selected) if selected else None,
+                       load_avg=(load_avgs, load_avgs_after),
+                       cal_per_pass=cal_per_pass, colds=colds)
+    # judge-readable artifact independent of the stdout tail window
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            f.write(lines[0] + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries both lines
+    for line in lines:
         print(line)
 
 
@@ -198,15 +244,24 @@ def _calibration_run(spark) -> float:
     return time.time() - t0
 
 
+SUMMARY_MAX_CHARS = 1950  # driver stdout-tail window is 2000 chars
+
+
 def emit_lines(timings: dict[str, float], medians: dict[str, float],
                n_runs: int, sf_out, subset: list[str] | None = None,
                load_avg: tuple[list[float], list[float]] | None = None,
-               cal_per_pass: list[float] | None = None) -> list[str]:
+               cal_per_pass: list[float] | None = None,
+               colds: dict[str, float] | None = None) -> list[str]:
     """Detail line first (can be arbitrarily long), compact summary
     LAST so the driver's bounded stdout tail always parses it. The
-    summary size is independent of the headline-set size. Subset runs
-    carry metric "selected_query_total_runtime" and the name list so
-    the official-record metric name can ONLY come from a full run.
+    summary CARRIES the per-query mins when they fit the tail window
+    (they do at the 51-query set — the driver's per-query and scaling
+    comparison parses only the one summary line, PERF_r11 per_query
+    was empty without them) and drops them past SUMMARY_MAX_CHARS
+    rather than overflow (the detail line / bench_detail.json always
+    keep the full dicts). Subset runs carry metric
+    "selected_query_total_runtime" and the name list so the
+    official-record metric name can ONLY come from a full run.
     ``n_runs`` must be the count of runs actually taken per query."""
     total = round(sum(timings.values()), 3)
     detail_obj = {
@@ -214,6 +269,10 @@ def emit_lines(timings: dict[str, float], medians: dict[str, float],
         "queries": timings,            # per-query min over runs_per_query
         "queries_median": medians,     # per-query median (noise context)
     }
+    if colds:
+        # per-query run-1 (cold-within-JVM) time: the anti-warm-min
+        # evidence column (VERDICT r11 item 1)
+        detail_obj["queries_cold"] = colds
     if load_avg is not None:
         # 1/5/15-min load before and after: the evidence line for "was
         # the box busy" when a driver record disagrees with the
@@ -232,6 +291,10 @@ def emit_lines(timings: dict[str, float], medians: dict[str, float],
         "likeforlike45_subtotal": round(
             sum(v for k, v in timings.items() if k in LIKE_FOR_LIKE_45), 3),
     }
+    if colds:
+        summary_obj["cold_total"] = round(sum(colds.values()), 3)
+        summary_obj["legacy20_cold_subtotal"] = round(
+            sum(v for k, v in colds.items() if k in LEGACY_20), 3)
     if cal_per_pass:
         # self-describing noise record: identical calibration work ran
         # at the head of each pass; noise_pct = spread over the best
@@ -249,6 +312,13 @@ def emit_lines(timings: dict[str, float], medians: dict[str, float],
             summary_obj["noisy_passes"] = noisy
     if subset:
         summary_obj["subset"] = subset
+    # per-query mins ride the summary when they fit the driver's tail
+    # window; a headline set large enough to overflow falls back to the
+    # pre-round-12 compact shape (never a truncated / unparseable line)
+    with_queries = dict(summary_obj)
+    with_queries["queries"] = timings
+    if len(json.dumps(with_queries)) <= SUMMARY_MAX_CHARS:
+        summary_obj = with_queries
     return [json.dumps(detail_obj), json.dumps(summary_obj)]
 
 

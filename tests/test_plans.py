@@ -402,21 +402,40 @@ def test_survey_registry_sync():
 def test_bench_summary_line_is_last_and_bounded():
     """The driver records only the tail of bench.py's stdout (~2000
     chars); BENCH_r07.json lost its headline ("parsed": null) when the
-    single combined JSON line outgrew that window. Pin the round-8
-    contract: the LAST emitted line is a compact summary that parses,
-    carries the metric + gate subtotals, and stays bounded even if the
-    headline set triples."""
+    single combined JSON line outgrew that window, and PERF_r11 lost
+    its per-query/scaling comparison when the mins moved OFF the
+    summary line. Pin the round-12 contract: the LAST emitted line is
+    a summary that parses, carries the metric + gate subtotals + the
+    per-query mins WHEN they fit the tail window, and falls back to
+    the compact (min-free) shape — never a truncated line — if the
+    headline set outgrows it."""
     import json as _json
 
     import bench
 
-    # 160 synthetic headliners — 3x the current 51-query set
+    # (a) a realistic 51-name set: summary must carry per-query mins
+    # and still fit the driver's 2000-char tail window
+    real = {f"q_real_{i:02d}": 1.234 for i in range(31)}
+    real.update({k: 0.5 for k in bench.LEGACY_20})
+    med = {k: v + 0.1 for k, v in real.items()}
+    cold = {k: v + 0.3 for k, v in real.items()}
+    lines = bench.emit_lines(real, med, 4, 0.1,
+                             cal_per_pass=[0.4, 0.41], colds=cold)
+    summary = _json.loads(lines[-1])
+    assert summary["queries"] == real
+    assert summary["cold_total"] == round(sum(cold.values()), 3)
+    assert summary["legacy20_cold_subtotal"] == round(0.8 * 20, 3)
+    assert len(lines[-1]) <= bench.SUMMARY_MAX_CHARS < 2000
+
+    # (b) 160 synthetic headliners — 3x the current set: the summary
+    # drops the per-query dict rather than overflow the tail window
     timings = {f"q_synthetic_{i:03d}": 1.234 for i in range(160)}
     timings.update({k: 0.5 for k in bench.LEGACY_20})
     medians = {k: v + 0.1 for k, v in timings.items()}
     lines = bench.emit_lines(timings, medians, 3, 0.1,
                              cal_per_pass=[0.4, 0.41, 0.62])
     summary = _json.loads(lines[-1])
+    assert "queries" not in summary
     assert summary["metric"] == "headline_query_total_runtime"
     assert summary["unit"] == "sec"
     assert summary["runs_per_query"] == 3
