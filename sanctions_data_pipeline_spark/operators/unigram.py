@@ -195,8 +195,17 @@ def segmented_words(words_df, word_col: str, model: dict[str, float],
 
 def viterbi_pieces_py(word: str, model: dict[str, float]) -> list[str]:
     """Pure-python replay of :func:`viterbi_pieces` (same tie rule) —
-    the test oracle."""
-    costs = {p: -math.log(v) for p, v in model.items()}
+    the test oracle, and (via :func:`_viterbi_costs_py`) the lattice
+    the Arrow E-step runs per word."""
+    return _viterbi_costs_py(
+        word, {p: -math.log(v) for p, v in model.items()})
+
+
+def _viterbi_costs_py(word: str, costs: dict[str, float]) -> list[str]:
+    """:func:`viterbi_pieces_py` with the -log cost map precomputed
+    (one dict per model, not per word). Bit-identical to the engine
+    lattice: same IEEE double adds in the same order, same
+    strictly-smaller tie rule, same _INF sentinel."""
     n = len(word)
     dp: list[tuple[float, int]] = [(0.0, -1)]
     for i in range(1, n + 1):
@@ -218,3 +227,94 @@ def viterbi_pieces_py(word: str, model: dict[str, float]) -> list[str]:
         pieces.insert(0, word[bp:pos])
         pos = bp
     return pieces
+
+
+def em_piece_counts(words_df, word_col: str, count_col: str,
+                    model: dict[str, float]):
+    """E-step piece-use counts — DataFrame(piece string, n bigint) with
+    n = sum of ``count_col`` over every use of the piece in the
+    min-cost segmentations of ``words_df[word_col]``.
+
+    Optimization-guide §4: the unrolled HOF lattice is a very large
+    expression tree that Catalyst re-analyzes and the JVM interpreter
+    re-evaluates per EM round — at bench scale that fixed cost, not
+    the data, dominated tok_unigram_lm. This path runs the PINNED
+    python replay of the same lattice (:func:`_viterbi_costs_py`, the
+    test oracle for the JVM form — segmentations are bit-identical by
+    the replay contract) inside ``mapInPandas``, with the -log cost
+    map built once per task and the counts partially aggregated per
+    Arrow batch (§2.3: aggregate before the shuffle — each task emits
+    at most |pieces| rows, never the word stream). The model is
+    bounded driver state by the trainer's construction (seed cap +
+    alphabet), so shipping it in the task closure is the same contract
+    as the literal cost map / broadcast join it replaces.
+    """
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql import functions as F
+
+    costs = {p: -math.log(v) for p, v in sorted(model.items())}
+
+    def seg_count(batches):
+        from collections import Counter
+
+        acc: Counter = Counter()
+        for pdf in batches:
+            for w, c in zip(pdf[word_col], pdf[count_col]):
+                ci = int(c)
+                for piece in _viterbi_costs_py(w, costs):
+                    acc[piece] += ci
+        if acc:
+            import pandas as _pd
+            yield _pd.DataFrame({"piece": list(acc.keys()),
+                                 "n": list(acc.values())})
+
+    out = (words_df.select(word_col, count_col)
+           .mapInPandas(seg_count, "piece string, n bigint"))
+    return out.groupBy("piece").agg(F.sum("n").alias("n"))
+
+
+def viterbi_char_margin_ok(words_df, word_col: str,
+                           model: dict[str, float], tol: float = 1e-6):
+    """One-row DataFrame[ok boolean]: AND over all words of
+    (viterbi segmentation cost <= single-char segmentation cost + tol)
+    under ``model`` — the tok_unigram_lm optimality lane, on the same
+    Arrow path as :func:`em_piece_counts`. Cost sums fold left-to-right
+    exactly like the engine HOF aggregate they replace; a word whose
+    piece or char misses the cost map is skipped, mirroring the NULL
+    the JVM sum would produce (bool_and ignores NULLs)."""
+    from pyspark.sql import functions as F
+
+    costs = {p: -math.log(v) for p, v in sorted(model.items())}
+
+    def check(batches):
+        import pandas as _pd
+
+        ok = None
+        for pdf in batches:
+            for w in pdf[word_col]:
+                vit = 0.0
+                valid = True
+                for piece in _viterbi_costs_py(w, costs):
+                    pc = costs.get(piece)
+                    if pc is None:
+                        valid = False
+                        break
+                    vit = vit + pc
+                if valid:
+                    ch = 0.0
+                    for g in w:
+                        gc = costs.get(g)
+                        if gc is None:
+                            valid = False
+                            break
+                        ch = ch + gc
+                if not valid:
+                    continue
+                word_ok = vit <= ch + tol
+                ok = word_ok if ok is None else (ok and word_ok)
+        if ok is not None:
+            yield _pd.DataFrame({"ok": [bool(ok)]})
+
+    part = (words_df.select(word_col)
+            .mapInPandas(check, "ok boolean"))
+    return part.agg(F.bool_and("ok").alias("ok"))

@@ -1300,13 +1300,14 @@ def _unigram_em(words: DataFrame, seed: dict[str, int]):
 
     vc: dict[str, int] = {}
     for _ in range(_UNI_ROUNDS):
-        # segment_words picks the lookup strategy by model size: the
-        # literal map here (tiny trained model), the broadcast
-        # position-substring join past ug.LITERAL_MAP_MAX pieces
-        seg = ug.segment_words(words, "w", model).select("c", "piece")
+        # E-step on the Arrow path (operators/unigram.em_piece_counts):
+        # the pinned python replay of the SAME lattice runs per word
+        # inside mapInPandas with per-batch partial counts — identical
+        # segmentations (the replay is the JVM form's test oracle), no
+        # giant HOF expression tree for Catalyst to re-analyze per
+        # round (guide §4; the round-12 tok_unigram_lm fix)
         vc = {r.piece: int(r.n)
-              for r in seg.groupBy("piece")
-              .agg(F.sum("c").alias("n")).collect()}
+              for r in ug.em_piece_counts(words, "w", "c", model).collect()}
         # M-step: multi-char pieces live only while used; single chars
         # persist with add-one smoothing so every word stays segmentable
         vals = {}
@@ -1322,8 +1323,6 @@ def _unigram_em(words: DataFrame, seed: dict[str, int]):
 
 @register("tok_unigram_lm", headline=True, oracle=_UNI_ORACLE)
 def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from sanctions_data_pipeline_spark.operators import unigram as ug
 
     words, seed = _unigram_seed_and_words(spark, sf_dir)
@@ -1333,21 +1332,13 @@ def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Viterbi optimality under the FINAL model: the lattice's cost for
     # each distinct word must be <= the single-char path's cost (always
-    # feasible — chars persist through every M-step). One engine-side
-    # pass; the two costs share one literal cost map, folded inside JVM
-    # HOFs, and a single bool_and reduces to the global lane.
-    cost_map = ug._cost_map(model)
-    segd = ug.segmented_words(words, "w", model)
-    vit_cost = F.aggregate(
-        F.col("__pieces"), F.lit(0.0),
-        lambda acc, p: acc + F.element_at(cost_map, p))
-    char_cost = F.aggregate(
-        F.transform(F.sequence(F.lit(1), F.length("w")),
-                    lambda i: F.substring(F.col("w"), i.cast("int"), 1)),
-        F.lit(0.0),
-        lambda acc, ch: acc + F.element_at(cost_map, ch))
-    vit_ok = bool(segd.agg(
-        F.bool_and(vit_cost <= char_cost + F.lit(1e-6))).collect()[0][0])
+    # feasible — chars persist through every M-step). One pass on the
+    # same Arrow path as the E-step (operators/unigram
+    # .viterbi_char_margin_ok): both cost sums fold left-to-right over
+    # the identical doubles the JVM HOF form folded, per-batch partial
+    # ANDs reduce engine-side to the global bool_and lane.
+    vit_ok = bool(ug.viterbi_char_margin_ok(words, "w", model)
+                  .collect()[0][0])
     words.unpersist()
 
     rows = [(p, len(p), int(c),

@@ -1735,6 +1735,57 @@ def test_segment_words_join_path_equals_literal_path(spark, sf_dir):
         assert join[w_] == ug.viterbi_pieces_py(w_, model), w_
 
 
+def test_em_piece_counts_arrow_path_equals_jvm_path(spark, sf_dir):
+    """The round-12 E-step switch: em_piece_counts (Arrow-batched
+    python lattice replay + per-batch partial counts) must produce
+    EXACTLY the piece-use census the JVM segment_words explode +
+    groupBy produced, and viterbi_char_margin_ok must agree with the
+    JVM HOF bool_and form it replaced — on real fixture words with a
+    messy model (multi-char pieces, gaps, full char floor)."""
+    from pyspark.sql import functions as F
+
+    from sanctions_data_pipeline_spark.operators import textstats as tx
+    from sanctions_data_pipeline_spark.operators import unigram as ug
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist())
+    sample = [r.w for r in words.limit(200).collect() if r.w]
+    model = {}
+    for w in sample[:60]:
+        for piece in (w[:2], w[-3:]):
+            if piece:
+                model[piece] = model.get(piece, 0) + 1
+        for ch in w:           # char floor: every word stays segmentable
+            model[ch] = model.get(ch, 0) + 1
+    tot = sum(model.values())
+    model = {p: c / tot for p, c in model.items()}
+
+    jvm = {r.piece: int(r.n) for r in
+           ug.segment_words(words, "w", model).select("c", "piece")
+           .groupBy("piece").agg(F.sum("c").alias("n")).collect()}
+    arrow = {r.piece: int(r.n) for r in
+             ug.em_piece_counts(words, "w", "c", model).collect()}
+    assert arrow == jvm and arrow
+
+    # optimality lane: Arrow margin check == the JVM HOF form
+    cost_map = ug._cost_map(model)
+    segd = ug.segmented_words(words, "w", model)
+    vit_cost = F.aggregate(
+        F.col("__pieces"), F.lit(0.0),
+        lambda acc, p: acc + F.element_at(cost_map, p))
+    char_cost = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substring(F.col("w"), i.cast("int"), 1)),
+        F.lit(0.0),
+        lambda acc, ch: acc + F.element_at(cost_map, ch))
+    jvm_ok = segd.agg(
+        F.bool_and(vit_cost <= char_cost + F.lit(1e-6))).collect()[0][0]
+    arrow_ok = ug.viterbi_char_margin_ok(words, "w", model).collect()[0][0]
+    words.unpersist()
+    assert arrow_ok == jvm_ok
+
+
 def test_segment_words_join_path_tolerates_duplicate_words(spark):
     """The broadcast-join path must accept duplicate word rows (the
     literal path always did) — map_from_entries crashed with
