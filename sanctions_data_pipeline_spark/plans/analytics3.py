@@ -2090,10 +2090,13 @@ def io_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_partkey").cast("bigint").alias("pmax"),
         F.min("l_suppkey").cast("bigint").alias("smin"),
         F.max("l_suppkey").cast("bigint").alias("smax"))
-    # the Morton interleave is the CPU-heavy map side: parallelize an
-    # under-split local scan (no-op at cluster scale)
-    from sanctions_data_pipeline_spark.catalog import widen_small_scan
-    g = widen_small_scan(li, "l_partkey").crossJoin(F.broadcast(bounds))
+    # Round-11 widened this map side; round-12 A/B (6 interleaved reps
+    # at sf0.1, both orders) measured the widen SLOWER — min 1.10 s vs
+    # 0.81 s without, and the driver record agreed (r10 0.68 -> r11
+    # 1.01). The Morton interleave is cheap codegen'd bit arithmetic,
+    # so the repartition shuffle costs more than the serial map stage
+    # it parallelizes — reverted (guide §1.2: measure, then keep).
+    g = li.crossJoin(F.broadcast(bounds))
     px = ((F.col("l_partkey") - F.col("pmin")) * 65535
           / F.greatest(F.col("pmax") - F.col("pmin"), F.lit(1))).cast("bigint")
     py = ((F.col("l_suppkey") - F.col("smin")) * 65535
