@@ -110,7 +110,7 @@ def str_prefix_key(col) -> Column:
 
 def sharded_global_window(df, key, order, *, rn=None, sums=(),
                           count_total=None, sum_totals=(), n_shards=32,
-                          nulls="first"):
+                          nulls="first", bounds=None):
     """Global row_number / running sums over a TOTAL order without a
     single-partition sort — the scale-out replacement for
     ``Window.orderBy(...)`` with no partitionBy (which Spark plans as
@@ -151,7 +151,17 @@ def sharded_global_window(df, key, order, *, rn=None, sums=(),
     Cost note: the key-bounds pass is one extra eager job over the
     input lineage (driver state: two doubles). When CHAINING calls
     (q_rfm_segmentation's three NTILEs), persist the shared input
-    first or each bounds job re-executes the upstream plan.
+    first or each bounds job re-executes the upstream plan — and pass
+    ``bounds``: one agg over the input can compute min/max for every
+    chained key, collapsing N bounds jobs into one (round-12; the
+    shard layout only affects parallelism, ranks are reconstructed
+    globally, so any correct bounds give identical output).
+
+    Args (cont.):
+        bounds: optional precomputed ``(min, max)`` of
+            ``key.cast("double")`` over ``df`` (None values allowed —
+            the empty-input degenerate path). When omitted, one
+            eager bounds job computes them here.
     """
     from pyspark.sql import Window as W
 
@@ -160,7 +170,10 @@ def sharded_global_window(df, key, order, *, rn=None, sums=(),
     sums = list(sums)
     sum_totals = list(sum_totals)
     d = df.withColumn("__skey", key.cast("double"))
-    mn, mx = d.agg(F.min("__skey"), F.max("__skey")).first()
+    if bounds is None:
+        mn, mx = d.agg(F.min("__skey"), F.max("__skey")).first()
+    else:
+        mn, mx = bounds
     if mn is None:
         shard = F.lit(0).cast("bigint")
     else:
@@ -214,15 +227,18 @@ def sharded_global_window(df, key, order, *, rn=None, sums=(),
     return out.drop(*drop)
 
 
-def sharded_ntile(df, key, order, k, alias, n_shards=32, nulls="first"):
+def sharded_ntile(df, key, order, k, alias, n_shards=32, nulls="first",
+                  bounds=None):
     """Global NTILE(k) along a total order via :func:`sharded_global_window`
     — SQL NTILE semantics reconstructed from the global row_number and
     count (with n rows: the first n%k tiles get ceil(n/k) rows, the
     rest floor(n/k)), identical to Spark's and DuckDB's NTILE, without
-    the single-partition sort the native fn plans to when unpartitioned."""
+    the single-partition sort the native fn plans to when unpartitioned.
+    ``bounds`` threads precomputed key min/max through (one bounds job
+    per frame when chaining — see sharded_global_window)."""
     out = sharded_global_window(df, key, order, rn="__grn",
                                 count_total="__n", n_shards=n_shards,
-                                nulls=nulls)
+                                nulls=nulls, bounds=bounds)
     q = F.floor(F.col("__n") / k)
     r = F.col("__n") % k
     first_zone = r * (q + 1)

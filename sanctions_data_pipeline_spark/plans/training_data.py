@@ -2031,9 +2031,14 @@ def dp_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     score = F.col("n_chars") / F.size(tx.tokens(F.col("text")))
+    # persist the narrow (doc_id, score) projection (round-12): the
+    # ntile's bounds job and its window/carry branches each re-ran the
+    # tokenize over the full text otherwise — the same discipline as
+    # q_lorenz_deciles' spend persist, 2 tokenize passes -> 1
+    scored = docs.select("doc_id", score.alias("__raw")).persist()
     # sharded NTILE(4): range-shard on the raw score, per-shard rank,
     # broadcast count carry-in — no single-partition corpus sort
-    t = sharded_ntile(docs.select("doc_id", score.alias("__raw")),
+    t = sharded_ntile(scored,
                       F.col("__raw"), [F.asc("__raw"), F.asc("doc_id")],
                       4, "phase")
     return t.select("doc_id", F.round("__raw", 6).alias("score"), "phase")

@@ -3190,12 +3190,23 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same single-bounded-table retention as gr_label_prop's final
     # labels; Spark evicts it LRU under memory pressure.
     o = o.persist()
+    # ONE bounds job for all three axes (round-12): each chained ntile
+    # used to run its own min/max job over the cached frame (3 jobs);
+    # min/max of every key ride a single agg and thread through via
+    # ``bounds``. All three keys are columns of `o` itself, so bounds
+    # computed here are valid for every call in the chain.
+    b = o.agg(*[f(F.col(c).cast("double"))
+                for c in ("last_us", "freq", "monetary")
+                for f in (F.min, F.max)]).first()
     q = sharded_ntile(o, F.col("last_us"),
-                      [F.asc("last_us"), F.asc("o_custkey")], 5, "r")
+                      [F.asc("last_us"), F.asc("o_custkey")], 5, "r",
+                      bounds=(b[0], b[1]))
     q = sharded_ntile(q, F.col("freq"),
-                      [F.asc("freq"), F.asc("o_custkey")], 5, "f")
+                      [F.asc("freq"), F.asc("o_custkey")], 5, "f",
+                      bounds=(b[2], b[3]))
     q = sharded_ntile(q, F.col("monetary"),
-                      [F.asc("monetary"), F.asc("o_custkey")], 5, "m")
+                      [F.asc("monetary"), F.asc("o_custkey")], 5, "m",
+                      bounds=(b[4], b[5]))
     scored = q.select(F.col("o_custkey").alias("custkey"), "freq",
                       "monetary", "r", "f", "m")
     return scored.withColumn(
