@@ -1162,7 +1162,10 @@ def pr_user_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cooc = (a.join(b, "o").filter(F.col("i") < F.col("j"))
             .groupBy("i", "j").agg(lcount("c"))
             .filter(F.col("c") >= 2))
-    deg = li.groupBy("p").agg(lcount("d"))
+    # the di/dj broadcast sides below both consume this agg: persist so
+    # it runs once, not twice (round-12 subtree lint; bounded by the
+    # slice's distinct parts)
+    deg = li.groupBy("p").agg(lcount("d")).persist()
     # symmetrize with one map-side explode instead of unionAll of two
     # copies of the co-occurrence subtree (Spark does not dedupe
     # common subplans — the union form ran the wedge join twice)
@@ -2970,14 +2973,20 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise(F.col("hmax") - F.col("fd")).alias("dur"),
              F.when(F.col("sd").isNotNull(), 1).otherwise(0)
              .alias("observed")))
+    # grid and risk are each consumed by BOTH sides of their
+    # triangular self-joins below; unpersisted, the scan + window +
+    # agg lineage re-ran up to 4x (round-12 subtree lint: one x2
+    # 29-node duplicate). Both frames are bounded — one row per
+    # distinct duration day — so the persists are driver-small state
+    # at any scale.
     grid = u.groupBy(F.col("dur").alias("t")).agg(
         F.sum("observed").cast("bigint").alias("d_events"),
-        lcount("ending"))
+        lcount("ending")).persist()
     g2 = grid.select(F.col("t").alias("t2"), F.col("ending").alias("e2"))
     risk = (grid.join(F.broadcast(g2), F.col("t2") >= F.col("t"))
             .groupBy("t", "d_events")
             .agg(F.sum("e2").cast("bigint").alias("n_risk"))
-            .filter(F.col("d_events") > 0))
+            .filter(F.col("d_events") > 0)).persist()
     r2 = risk.select(F.col("t").alias("t2"),
                      F.col("d_events").alias("d2"),
                      F.col("n_risk").alias("n2"))

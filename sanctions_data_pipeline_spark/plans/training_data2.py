@@ -968,7 +968,10 @@ def _winnow_sel(docs: DataFrame) -> DataFrame:
 def _winnow_pairs_from(sel: DataFrame) -> DataFrame:
     """Shared-fingerprint pair counting + min-size similarity (see
     dd_winnow)."""
-    sizes = sel.groupBy("doc_id").agg(lcount("nfp"))
+    # both broadcast sides below consume this agg: persist so it runs
+    # once, not twice (round-12 subtree lint; narrow (doc_id, nfp)
+    # rows, the corpus-linear-narrow persist class of round 11)
+    sizes = sel.groupBy("doc_id").agg(lcount("nfp")).persist()
     a = sel.select(F.col("doc_id").alias("i"), "fp")
     b = sel.select(F.col("doc_id").alias("j"), "fp")
     cnt = (a.join(b, "fp").filter(F.col("i") < F.col("j"))
