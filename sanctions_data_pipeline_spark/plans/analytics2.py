@@ -1018,15 +1018,19 @@ def gr_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("l_partkey").alias("p")).distinct())
     a = li.select("o", F.col("p").alias("u"))
     b = li.select("o", F.col("p").alias("v"))
+    # e0 fed SIX consumers (three triangle join sides, two degree
+    # union branches, the edge count): persist the narrow edge list so
+    # the distinct + wedge-join pipeline runs once (round-12 subtree
+    # lint), and emit both degree endpoints with one explode instead
+    # of a doubled union subtree.
     e0 = (a.join(b, "o").filter(F.col("u") < F.col("v"))
-          .select("u", "v").distinct())
+          .select("u", "v").distinct().persist())
     e1 = e0.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e0.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e0.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = (e1.join(e2, "b").join(e3, ["a", "c"])
            .agg(lcount("n_triangles")))
-    deg = (e0.select(F.col("u").alias("node"))
-           .unionAll(e0.select(F.col("v").alias("node")))
+    deg = (e0.select(F.explode(F.array("u", "v")).alias("node"))
            .groupBy("node").agg(lcount("d")))
     w = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
@@ -2716,10 +2720,12 @@ def gr_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("l_partkey").alias("p")).distinct())
     a = li.select("o", F.col("p").alias("u"))
     b = li.select("o", F.col("p").alias("v"))
+    # both degree union branches consumed e0: persist the narrow edge
+    # list and emit both endpoints with one explode instead of the
+    # doubled union subtree (round-12 subtree lint)
     e0 = (a.join(b, "o").filter(F.col("u") < F.col("v"))
-          .select("u", "v").distinct())
-    deg = (e0.select(F.col("u").alias("node"))
-           .unionAll(e0.select(F.col("v").alias("node")))
+          .select("u", "v").distinct().persist())
+    deg = (e0.select(F.explode(F.array("u", "v")).alias("node"))
            .groupBy("node").agg(lcount("d")))
     s = deg.agg(
         lcount("n_nodes"),
@@ -4591,11 +4597,15 @@ def gr_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("l_partkey").alias("p")).distinct())
     a = li.select("o", F.col("p").alias("u"))
     b = li.select("o", F.col("p").alias("v"))
+    # e0 fed three consumers (two degree union branches + the edged
+    # join) and deg three more (nk, du, dv): persist both narrow
+    # frames so the wedge pipeline and the degree census run once
+    # (round-12 subtree lint); the degree endpoints emit with one
+    # explode instead of a doubled union subtree.
     e0 = (a.join(b, "o").filter(F.col("u") < F.col("v"))
-          .select("u", "v").distinct())
-    deg = (e0.select(F.col("u").alias("node"))
-           .unionAll(e0.select(F.col("v").alias("node")))
-           .groupBy("node").agg(lcount("d")))
+          .select("u", "v").distinct().persist())
+    deg = (e0.select(F.explode(F.array("u", "v")).alias("node"))
+           .groupBy("node").agg(lcount("d")).persist())
     ks = spark.range(1, 11).select(F.col("id").cast("bigint").alias("k"))
     nk = (F.broadcast(ks).join(deg, deg["d"] > F.col("k"))
           .groupBy("k").agg(lcount("n_k")))
@@ -4918,10 +4928,13 @@ def gr_temporal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
     a = base.select("mo", "o", F.col("p").alias("u"))
     b = base.select("mo", "o", F.col("p").alias("v"))
+    # e0 fed three consumers (two node union branches + the edge
+    # count): persist the narrow per-month edge list so the join +
+    # distinct pipeline runs once, and emit both endpoints with one
+    # explode instead of the doubled union subtree (round-12 lint)
     e0 = (a.join(b, ["mo", "o"]).filter(F.col("u") < F.col("v"))
-          .select("mo", "u", "v").distinct())
-    nodes = (e0.select("mo", F.col("u").alias("node"))
-             .unionAll(e0.select("mo", F.col("v").alias("node")))
+          .select("mo", "u", "v").distinct().persist())
+    nodes = (e0.select("mo", F.explode(F.array("u", "v")).alias("node"))
              .groupBy("mo")
              .agg(F.countDistinct("node").cast("bigint").alias("n_nodes")))
     edges = e0.groupBy("mo").agg(lcount("n_edges"))

@@ -2247,15 +2247,20 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("l_partkey").alias("p")).distinct())
     a = li.select("o", F.col("p").alias("u"))
     b = li.select("o", F.col("p").alias("v"))
+    # e0 feeds THREE join sides (e1/e2/e3) and tri fed three unionAll
+    # branches — unpersisted, the distinct + wedge pipeline re-ran up
+    # to 9x (round-12 subtree lint). Persist the narrow (long, long)
+    # edge list once and emit the three triangle corners with one
+    # map-side explode instead of a tripled union subtree (the
+    # pr_user_recs symmetrize idiom; same rows, order-free pre-groupBy).
     e0 = (a.join(b, "o").filter(F.col("u") < F.col("v"))
-          .select("u", "v").distinct())
+          .select("u", "v").distinct().persist())
     e1 = e0.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e0.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e0.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = (e1.join(e2, "b").join(e3, ["a", "c"]))
-    nodes = (tri.select(F.col("a").alias("node"))
-             .unionAll(tri.select(F.col("b").alias("node")))
-             .unionAll(tri.select(F.col("c").alias("node"))))
+    nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node"))
     return nodes.groupBy("node").agg(lcount("n_triangles"))
 
 

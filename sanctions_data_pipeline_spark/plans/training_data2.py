@@ -119,12 +119,22 @@ def tx_perplexity(spark: SparkSession, sf_dir: str,
                   F.when(F.col("in2"), F.col("w2r"))
                    .otherwise(F.lit("<unk>")).alias("w2")))
 
-    c2 = bg.groupBy("w1", "w2").agg(lcount("c12"))
+    # c2/c1 are bounded by the vocab cap ((V+1)^2 and V+1 rows) — both
+    # broadcast, so scoring is entirely map-side against the corpus scan.
+    # Persist + eagerly materialize c2 (round-12 subtree lint): the two
+    # broadcast exchanges (c2, and c1 derived from c2) otherwise each
+    # re-ran the tokenize + bigram explode + <unk> joins — and they
+    # materialize CONCURRENTLY on the driver, so a lazy cache entry
+    # races and both still compute (the tok_bpe eager-materialization
+    # lesson). One count() pins the bounded census; the query is now
+    # the true 3-pass floor (vocab -> model counts -> scoring) instead
+    # of paying the bigram pipeline 3x. Persisting the corpus-scale bg
+    # itself stays rejected (r11): broadcast-safe c2 is the right size.
+    c2 = bg.groupBy("w1", "w2").agg(lcount("c12")).persist()
+    c2.count()
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = F.lit(len(vocab_list) + 1)  # +1 for <unk>
 
-    # c2/c1 are bounded by the vocab cap ((V+1)^2 and V+1 rows) — both
-    # broadcast, so scoring is entirely map-side against the corpus scan.
     scored = (bg.join(F.broadcast(c2), ["w1", "w2"])
               .join(F.broadcast(c1), "w1")
               .select("doc_id",
@@ -1049,9 +1059,17 @@ def gr_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.col("l_orderkey").alias("o"),
                   (F.col("l_partkey") % 100).alias("p")).distinct())
     b = li.withColumnRenamed("p", "p2")
+    # persist the co-occurrence census (round-12 subtree lint): the
+    # threshold collect below materializes it, then FIVE consumers
+    # (deg, both wedge sides, the anti join, both degree broadcasts'
+    # lineage) re-filter the cached rows instead of re-running the
+    # self-join + groupBy. The previous "ReuseExchange serves them"
+    # note was measured false — the AQE-final physical plan held 20
+    # distinct Exchanges, 10 lineitem scans and ZERO ReusedExchange
+    # (reuse does not fire across differently-projected consumers).
     inst = (li.join(b, "o").filter(F.col("p") != F.col("p2"))
             .groupBy(F.col("p").alias("src"), F.col("p2").alias("dst"))
-            .agg(lcount("c")))
+            .agg(lcount("c"))).persist()
     # Poisson-tail edge threshold from ONE bounded scalar (sum of
     # co-occurrence instances); float math is the same IEEE sequence
     # as the oracle's FLOOR(lam + 2*sqrt(lam)) + 1
@@ -1059,10 +1077,10 @@ def gr_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = total / 9900.0
     thr = int(math.floor(lam + 2 * math.sqrt(lam))) + 1
     e = inst.filter(F.col("c") >= thr).select("src", "dst")
-    # no persist: the four consumers (deg, both wedge sides, anti join)
-    # sit in ONE plan, so ReuseExchange serves them from a single
-    # materialization of e's aggregation exchange
-    deg = e.groupBy(F.col("src").alias("node")).agg(lcount("d"))
+    # both degree broadcasts (da/db) consume this agg: persist the
+    # bounded node-degree table so it aggregates once
+    deg = (e.groupBy(F.col("src").alias("node")).agg(lcount("d"))
+           .persist())
     e1 = e.select(F.col("src").alias("a"), "dst")
     e2 = e.select(F.col("src").alias("b"), "dst")
     wedge = (e1.join(e2, "dst").filter(F.col("a") < F.col("b"))

@@ -2321,10 +2321,13 @@ def gr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 100)
     co = li.select(F.col("l_orderkey").alias("o"),
                    F.col("l_partkey").alias("p")).distinct()
+    # edges feeds three consumers (the degree census + both pair-join
+    # probes): persist the narrow (src, dst) list so the co-occurrence
+    # self-join + distinct runs once (round-12 subtree lint)
     edges = (co.join(co.withColumnRenamed("p", "q"), "o")
              .filter(F.col("p") != F.col("q"))
              .select(F.col("p").alias("src"), F.col("q").alias("dst"))
-             .distinct())
+             .distinct().persist())
     deg = edges.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d"))
     pairs = (edges
