@@ -510,9 +510,13 @@ def semantic_dedup(vecs: DataFrame, threshold: float, n_centroids: int = 16,
     # distance-to-centroid, by cell (dot with unit centroid on unit-ish
     # vectors; higher = more prototypical)
     cent_arr = F.array(*[_centroid_lit(c) for c in cents])
+    # scored feeds four consumers (both cosine_pairs join sides via
+    # pairs, both sc probe joins, and the final keep join): persist so
+    # the assignment + centroid-dot map runs once, not per consumer
+    # (round-12 subtree lint; corpus-linear rows, the r11 persist class)
     scored = base.withColumn(
         "cdot", F.round(dot(F.col("v"), F.element_at(cent_arr, F.col("cell")))
-                        / F.sqrt(dot(F.col("v"), F.col("v"))), 6))
+                        / F.sqrt(dot(F.col("v"), F.col("v"))), 6)).persist()
     pairs = cosine_pairs(scored.select("cell", F.col(id_col), F.col("v")),
                          ["cell"], threshold, id_col=id_col, vec_col="v")
     # a row is dropped if ANY over-threshold partner is more

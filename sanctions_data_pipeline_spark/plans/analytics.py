@@ -1408,10 +1408,13 @@ FROM num CROSS JOIN den
 @register("q_acf", oracle=_ACF_ORACLE)
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # daily feeds three consumers (g, dg, the lag probe b): persist the
+    # bounded day-count census so the events scan + agg runs once
+    # (round-12 subtree lint; one row per calendar day at any scale)
     daily = (ev.groupBy((F.floor(F.unix_micros(F.date_trunc("day", "ts"))
                                  / F.lit(86400000000)).cast("bigint"))
                         .alias("i"))
-             .agg(lcount("x")))
+             .agg(lcount("x"))).persist()
     g = daily.agg(lcount("m"), F.sum("x").cast("bigint").alias("sx"))
     dg = daily.crossJoin(F.broadcast(g))
     mean = F.col("sx").cast("double") / F.col("m").cast("double")

@@ -2474,10 +2474,13 @@ GROUP BY off
 @register("q_event_study", oracle=_EVENT_STUDY_ORACLE)
 def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # daily feeds three consumers (both sides of the Pettitt-style
+    # self-join + the panel probe): persist the bounded day census so
+    # the events scan + agg runs once (round-12 subtree lint)
     daily = (ev.groupBy(F.floor(F.unix_micros(F.date_trunc("day", "ts"))
                                 / F.lit(86400000000)).cast("bigint")
                         .alias("i"))
-             .agg(lcount("x")))
+             .agg(lcount("x"))).persist()
     b = daily.select(F.col("i").alias("i2"), F.col("x").alias("x2"))
     v = (daily.join(b, F.col("i") != F.col("i2"))
          .groupBy("i")
@@ -4703,11 +4706,15 @@ FROM preds GROUP BY model
 @register("q_forecast_backtest", oracle=_BACKTEST_ORACLE)
 def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # daily feeds SEVEN consumers (the cutoff agg, then train x3 —
+    # naive/snaive/mom — and test x3 prediction probes): persist the
+    # bounded (day, dow) census so the events scan + agg runs once
+    # (round-12 subtree lint flagged this builder x4)
     daily = (ev.groupBy(
         F.floor(F.unix_micros(F.date_trunc("day", "ts"))
                 / F.lit(86400000000)).cast("bigint").alias("i"),
         (F.weekday("ts") + 1).cast("bigint").alias("dow"))
-        .agg(lcount("x")))
+        .agg(lcount("x"))).persist()
     b = daily.agg(
         F.min("i").cast("bigint").alias("lo"),
         (F.min("i") + F.floor((F.max("i") + 1 - F.min("i")) * 0.8))

@@ -831,10 +831,13 @@ GROUP BY g.m
 @register("q_ljung_box", oracle=_LJUNG_BOX_ORACLE)
 def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # daily feeds three consumers (g, dg, the lag probe b): persist the
+    # bounded day-count census so the events scan + agg runs once
+    # (round-12 subtree lint; one row per calendar day at any scale)
     daily = (ev.groupBy((F.floor(F.unix_micros(F.date_trunc("day", "ts"))
                                  / F.lit(86400000000)).cast("bigint"))
                         .alias("i"))
-             .agg(lcount("x")))
+             .agg(lcount("x"))).persist()
     g = daily.agg(lcount("m"), F.sum("x").cast("bigint").alias("sx"))
     dg = daily.crossJoin(F.broadcast(g))
     mean = F.col("sx").cast("double") / F.col("m").cast("double")
@@ -1059,27 +1062,37 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = F.floor(F.unix_micros(F.date_trunc("day", "ts"))
                   / F.lit(86400000000)).cast("bigint")
+    # ONE window pass (the q_kaplan_meier round-11 shape): first/second
+    # event day pivot out of the same ranked frame via a groupBy on the
+    # window's own key instead of a three-consumer window + self-join;
+    # the horizon is a plain max over raw events (max over rows 1..n ==
+    # max over ranked rows). min-when over rn<=2 == the rn=1/rn=2 split.
     e = ev.select(
         "user_id", day.alias("d"),
         F.row_number().over(W.partitionBy("user_id")
                             .orderBy("ts", "event_id")).alias("rn"))
-    f = e.filter(F.col("rn") == 1).select("user_id", F.col("d").alias("fd"))
-    s = e.filter(F.col("rn") == 2).select("user_id", F.col("d").alias("sd"))
-    horizon = e.agg(F.max("d").alias("hmax"))
-    u = (f.join(s, "user_id", "left").crossJoin(F.broadcast(horizon))
+    fs = (e.filter(F.col("rn") <= 2)
+          .groupBy("user_id")
+          .agg(F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("fd"),
+               F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("sd")))
+    horizon = ev.agg(F.max(day).alias("hmax"))
+    u = (fs.crossJoin(F.broadcast(horizon))
          .select(
              F.when(F.col("sd").isNotNull(), F.col("sd") - F.col("fd"))
              .otherwise(F.col("hmax") - F.col("fd")).alias("dur"),
              F.when(F.col("sd").isNotNull(), 1).otherwise(0)
              .alias("observed")))
+    # grid/risk each feed both sides of their triangular self-joins
+    # (round-12 subtree lint: one x2 45-node duplicate here) — persist;
+    # both are bounded, one row per distinct duration day.
     grid = u.groupBy(F.col("dur").alias("t")).agg(
         F.sum("observed").cast("bigint").alias("d_events"),
-        lcount("ending"))
+        lcount("ending")).persist()
     g2 = grid.select(F.col("t").alias("t2"), F.col("ending").alias("e2"))
     risk = (grid.join(F.broadcast(g2), F.col("t2") >= F.col("t"))
             .groupBy("t", "d_events")
             .agg(F.sum("e2").cast("bigint").alias("n_risk"))
-            .filter(F.col("d_events") > 0))
+            .filter(F.col("d_events") > 0)).persist()
     r2 = risk.select(F.col("t").alias("tb"), F.col("d_events").alias("db"),
                      F.col("n_risk").alias("nb"))
     fold = F.aggregate(
@@ -2463,21 +2476,27 @@ def _bloom_bits(key_col, tag: str):
 def dd_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
+    # sel / probe / passed each feed 3-4 consumers (bits + truth + fp +
+    # the negative count; pb + the probed/negative counts; truth + fp +
+    # the passed count): persist the narrow key frames so the filters,
+    # distincts and the k-bit membership join run once each
+    # (round-12 subtree lint — one x2 16-node duplicate here)
     sel = (sup.filter(F.col("s_acctbal") > 9000)
-           .select(F.col("s_suppkey").alias("key")).distinct())
+           .select(F.col("s_suppkey").alias("key")).distinct().persist())
     hexpr = ("cast(conv(substring(md5(concat('b', cast(i as string), ':', "
              "cast(key as string))), 1, 8), 16, 10) as bigint) % "
              f"{_BLOOM_M}")
     bits = (sel.select("key", F.explode(F.expr(
         f"sequence(0, {_BLOOM_K - 1})")).alias("i"))
         .selectExpr(f"{hexpr} as bit").distinct())
-    probe = li.select(F.col("l_suppkey").alias("key")).distinct()
+    probe = li.select(F.col("l_suppkey").alias("key")).distinct().persist()
     pb = probe.select("key", F.explode(F.expr(
         f"sequence(0, {_BLOOM_K - 1})")).alias("i")) \
         .selectExpr("key", "i", f"{hexpr} as bit")
     hit = (pb.join(F.broadcast(bits), "bit")
            .groupBy("key").agg(F.countDistinct("i").alias("n_hit")))
-    passed = hit.filter(F.col("n_hit") == _BLOOM_K).select("key")
+    passed = (hit.filter(F.col("n_hit") == _BLOOM_K).select("key")
+              .persist())
     truth = passed.join(sel, "key", "left_semi")
     fp = passed.join(sel, "key", "left_anti")
     n_probed = probe.agg(lcount("n")).withColumnRenamed("n", "n_probed")

@@ -1904,10 +1904,12 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.select("vec_id", sim.as_double(F.col("embedding")).alias("v")),
         cents)
     cent_arr = F.array(*[sim._centroid_lit(c) for c in cents])
+    # the checker's own lattice consumes scored four ways too (pairs +
+    # both di/dj probes): persist, mirroring the semantic_dedup fix
     scored = base.withColumn(
         "cdot",
         F.round(sim.dot(F.col("v"), F.element_at(cent_arr, F.col("cell")))
-                / F.sqrt(sim.dot(F.col("v"), F.col("v"))), 6))
+                / F.sqrt(sim.dot(F.col("v"), F.col("v"))), 6)).persist()
     pairs = sim.cosine_pairs(
         scored.select("cell", "vec_id", "v"), ["cell"], 0.85,
         id_col="vec_id", vec_col="v")
@@ -2472,9 +2474,14 @@ def tx_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
+    # the tokenized corpus feeds the vocab census AND the bucketing
+    # probe, and the bounded bucketed census feeds tot AND dist:
+    # persist both so tokenize runs once and the census twice-consumed
+    # subtree once (round-12 subtree lint; the tx_bigram_pmi r11
+    # tokenized-corpus persist class / a <= 2x(V+1)-row census)
     t = docs.select(
         F.when(F.col("lang") == "en", "p").otherwise("q").alias("side"),
-        F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        F.explode(tx.tokens(F.col("text"))).alias("tok")).persist()
     vocab = (t.groupBy("tok").agg(lcount("__c"))
              .withColumn("__rk", F.row_number().over(
                  W.orderBy(F.desc("__c"), F.asc("tok"))))
@@ -2485,7 +2492,7 @@ def tx_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.when(F.col("__inv").isNotNull(), F.col("tok"))
                          .otherwise(F.concat(F.lit("\x01"), F.lit("OOV")))
                          .alias("term"))
-                .groupBy("side", "term").agg(lcount("c")))
+                .groupBy("side", "term").agg(lcount("c")).persist())
     tot = bucketed.groupBy("side").agg(F.sum("c").alias("n"))
     dist = (bucketed.join(tot, "side")
             .groupBy("term")
