@@ -5024,7 +5024,10 @@ def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / (F.col("b").cast("double") * F.col("c")), 6))
         .alias("stratum_or"),
         (F.col("a").cast("double") * F.col("d") / n).alias("num_t"),
-        (F.col("b").cast("double") * F.col("c") / n).alias("den_t"))
+        (F.col("b").cast("double") * F.col("c") / n).alias("den_t")).persist()
+    # ^ t feeds the pooled fold AND the final probe: persist the
+    # bounded one-row-per-year table so the orders x lineitem join +
+    # stratum agg runs once (round-12 subtree lint)
 
     def fold(val_col):
         return F.aggregate(
@@ -5412,12 +5415,15 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["v"]),
             F.lit(0.0), lambda a, v: a + v)
 
+    # per_n feeds the regression fit AND the final probe: persist the
+    # bounded one-row-per-block-size table so the R/S block pipeline
+    # runs once (round-12 subtree lint)
     per_n = (rs2.filter((F.col("sd") > 0) & (F.col("rng") > 0))
              .groupBy("n")
              .agg(lcount("n_blocks"),
                   (fold_by(F.col("blk"),
                            F.log(F.col("rng") / F.col("sd")))
-                   / F.count(F.lit(1))).alias("mean_ln_rs")))
+                   / F.count(F.lit(1))).alias("mean_ln_rs"))).persist()
     lnn = F.log(F.col("n").cast("double"))
     fit = per_n.agg(
         lcount("k"),
@@ -5890,9 +5896,12 @@ def q_dormancy_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("last_d") + 2 < F.col("next_d")))
           .select((F.col("last_d") + 2).alias("s"),
                   F.col("next_d").alias("t")))
-    pts = (iv.select(F.col("s").alias("d"), F.lit(1).alias("delta"))
-           .unionByName(iv.select(F.col("t").alias("d"),
-                                  F.lit(-1).alias("delta"))))
+    # one map-side explode instead of a doubled union subtree (round-12
+    # subtree lint: both branches re-ran the lead-window pipeline)
+    pts = iv.select(F.explode(F.array(
+        F.struct(F.col("s").alias("d"), F.lit(1).alias("delta")),
+        F.struct(F.col("t").alias("d"), F.lit(-1).alias("delta"))))
+        .alias("__p")).select("__p.d", "__p.delta")
     per_day = pts.groupBy("d").agg(F.sum("delta").alias("dsum"))
     run = per_day.select(
         F.col("d").alias("day_index"),
