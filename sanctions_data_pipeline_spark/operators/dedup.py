@@ -924,8 +924,12 @@ def ngram_jaccard_components(docs: DataFrame, block_cols: list[str],
     # the "previous" table evicts the current run's cache and the final
     # join recomputes the whole pipeline (measured 6 s -> 39 s warm).
     # The same aliasing means repeats do NOT leak; distinct plans leak
-    # one small (id, label)-scale table each, evicted LRU under memory
-    # pressure.
+    # one small (id, label)-scale table each. MEMORY blocks evict LRU
+    # under pressure, but blocks already spilled to disk are only freed
+    # by unpersist — a long-lived session sweeping many DISTINCT inputs
+    # through these operators should call spark.catalog.clearCache()
+    # between input generations to bound disk growth (ADVICE r11; the
+    # bench/driver processes are short-lived, so they never accrete).
     return out
 
 

@@ -179,6 +179,69 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def _shm_usable(min_free_bytes: int = 256 << 20) -> bool:
+    """True when /dev/shm exists with headroom for a drain checkpoint.
+
+    Containers often cap /dev/shm at 64 MB (Docker default) — a
+    stateful drain that worked on the disk tmpdir would die there with
+    ENOSPC mid-micro-batch, so fall back to disk unless the tmpfs has
+    real headroom (checkpoint offsets/commits are tiny; state-store
+    snapshots are not). (ADVICE r11)
+    """
+    try:
+        st = os.statvfs("/dev/shm")
+    except OSError:
+        return False
+    return st.f_bavail * st.f_frsize >= min_free_bytes
+
+
+def _reap_stale_mem_ckpt(scratch_root: str) -> None:
+    """Delete mem_ckpt dirs owned by DEAD pids under scratch_root.
+
+    A hard-killed process never reaches the finally-rmtree, and when
+    scratch_root is tmpfs the orphan holds RAM until reboot — reap on
+    the next drain, mirroring helpers.reap_stale_scratch (which scans
+    only the disk tmpdir root). Safe by construction: a checkpoint
+    whose owning pid is gone can never be resumed (fresh bounded
+    drains, never restarted). (ADVICE r11)
+    """
+    import re
+
+    root = os.path.join(scratch_root, "spark_graft_io", "mem_ckpt")
+    try:
+        entries = list(os.scandir(root))
+    except OSError:
+        return
+    me = os.getpid()
+    pat = re.compile(r"_pid(\d+)$")
+    for d in entries:
+        m = pat.search(d.name)
+        if not (d.is_dir() and m):
+            continue
+        pid = int(m.group(1))
+        if pid == me:
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(d.path, ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists, owned by someone else — live
+        # else: live pid — leave its checkpoint alone
+
+
+def _mem_ckpt_path(scratch_root: str, name: str) -> str:
+    """Fresh checkpoint dir for one drain: uuid even when a table_name
+    was supplied — two concurrent same-pid drains of the same table
+    must not share a checkpoint (the first finisher's rmtree would
+    delete the live query's checkpoint mid-run); _pid stays LAST so
+    the stale-dir reaper's _pid<digits>$ pattern matches. (ADVICE r11)
+    """
+    return os.path.join(
+        scratch_root, "spark_graft_io", "mem_ckpt",
+        f"{name}_{uuid.uuid4().hex[:8]}_pid{os.getpid()}")
+
+
 def run_available_now(sdf: DataFrame, output_mode: str = "complete",
                       table_name: str | None = None) -> DataFrame:
     """Drain a bounded stream and return the result as a DataFrame
@@ -223,9 +286,9 @@ def run_available_now(sdf: DataFrame, output_mode: str = "complete",
     # drain. SPARK_GRAFT_STREAM_SCRATCH overrides; the file drain (the
     # x100 path, whose state can be large) keeps the disk tmpdir.
     scratch_root = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH") or (
-        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir())
-    ckpt = os.path.join(scratch_root, "spark_graft_io", "mem_ckpt",
-                        f"{name}_pid{os.getpid()}")
+        "/dev/shm" if _shm_usable() else tempfile.gettempdir())
+    _reap_stale_mem_ckpt(scratch_root)
+    ckpt = _mem_ckpt_path(scratch_root, name)
     try:
         q = (
             sdf.writeStream.format("memory")

@@ -526,3 +526,47 @@ def test_left_outer_join_millisecond_boundaries(spark, tmp_path):
         spark, str(tmp_path)).collect()
     emitted = {r.click_id for r in out if r.purchase_id is None}
     assert emitted == {3}  # only the click a full ms inside the cutoff
+
+
+def test_stale_mem_ckpt_reaper_removes_only_dead_pid_dirs(tmp_path):
+    """Orphaned tmpfs checkpoints from hard-killed processes are reaped
+    on the next drain; live-pid and own-pid dirs are untouched (ADVICE
+    r11 — tmpfs orphans hold RAM until reboot otherwise)."""
+    import sanctions_data_pipeline_spark.streaming.ops as sops
+
+    root = tmp_path / "spark_graft_io" / "mem_ckpt"
+    root.mkdir(parents=True)
+    # a pid beyond pid_max cannot exist -> dead
+    dead = root / "st_abc_deadbeef_pid99999999"
+    mine = root / f"st_def_cafebabe_pid{os.getpid()}"
+    nopid = root / "not_a_checkpoint"
+    for d in (dead, mine, nopid):
+        d.mkdir()
+    sops._reap_stale_mem_ckpt(str(tmp_path))
+    assert not dead.exists()
+    assert mine.exists() and nopid.exists()
+
+
+def test_mem_ckpt_paths_are_unique_per_call_even_with_table_name():
+    """Two concurrent same-pid drains of the same named table must not
+    share a checkpoint (the first finisher's cleanup would delete the
+    live query's checkpoint mid-run — ADVICE r11), and the pid stays
+    LAST so the reaper's _pid<digits>$ pattern still matches."""
+    import re
+    import sanctions_data_pipeline_spark.streaming.ops as sops
+
+    paths = {sops._mem_ckpt_path("scratch", "st_fixed_name")
+             for _ in range(2)}
+    assert len(paths) == 2
+    for p in paths:
+        assert re.search(r"_pid\d+$", p)
+
+
+def test_shm_usable_respects_free_space_floor():
+    """_shm_usable is False when the tmpfs lacks headroom (64 MB Docker
+    default /dev/shm would ENOSPC a stateful drain — ADVICE r11)."""
+    import sanctions_data_pipeline_spark.streaming.ops as sops
+
+    assert isinstance(sops._shm_usable(), bool)
+    # an absurd floor can never be satisfied -> disk fallback
+    assert sops._shm_usable(min_free_bytes=1 << 60) is False
