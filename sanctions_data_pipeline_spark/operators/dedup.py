@@ -1092,9 +1092,13 @@ def dup_regions(docs: DataFrame, k: int = 8, min_tokens: int = 10,
 
     from sanctions_data_pipeline_spark.catalog import widen_small_scan
 
+    # ex feeds the df census AND the dup join: persist the narrow
+    # (doc, pos, fingerprint) rows so the CPU-heavy span-hash explode
+    # runs once — the dd_span_dedup discipline (round-12 subtree lint)
     ex = widen_small_scan(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(span_hashes(F.col(text_col), k)).alias("pos", "h"))
+        F.posexplode(span_hashes(F.col(text_col), k)).alias("pos", "h")
+    ).persist()
     dup_spans = (ex.groupBy("h")
                  .agg(F.count_distinct("doc_id").alias("df"))
                  .filter(F.col("df") >= 2)

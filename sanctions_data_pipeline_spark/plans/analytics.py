@@ -588,23 +588,30 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
 
-    def audit(fk: str, child: DataFrame, key: str,
-              parent: DataFrame, pkey: str) -> DataFrame:
+    # one count-star per CHILD table, shared across its audits — the
+    # lineitem count ran once per FK (3x) before (round-12 subtree
+    # lint; the anti-joins stay separate: each prunes to its own key)
+    li_n = li.agg(lcount("n_child")).persist()
+    orders_n = orders.agg(lcount("n_child"))
+
+    def audit(fk: str, child: DataFrame, key: str, parent: DataFrame,
+              pkey: str, n_child: DataFrame) -> DataFrame:
         orphans = child.join(parent.select(pkey).distinct(),
                              child[key] == F.col(pkey), "left_anti")
-        return (child.agg(lcount("n_child"))
+        return (n_child
                 .crossJoin(orphans.agg(lcount("n_orphans")))
                 .select(F.lit(fk).alias("fk"), "n_child", "n_orphans"))
 
     parts = [
         audit("lineitem.l_orderkey->orders", li, "l_orderkey",
-              orders, "o_orderkey"),
+              orders, "o_orderkey", li_n),
         audit("lineitem.l_partkey->part", li, "l_partkey",
-              load_table(spark, sf_dir, "part"), "p_partkey"),
+              load_table(spark, sf_dir, "part"), "p_partkey", li_n),
         audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
-              load_table(spark, sf_dir, "supplier"), "s_suppkey"),
+              load_table(spark, sf_dir, "supplier"), "s_suppkey", li_n),
         audit("orders.o_custkey->customer", orders, "o_custkey",
-              load_table(spark, sf_dir, "customer"), "c_custkey"),
+              load_table(spark, sf_dir, "customer"), "c_custkey",
+              orders_n),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -1182,11 +1189,15 @@ def dd_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(
             "transform(sequence(0, size(t) - 3),"
             " i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).alias("s"),
-    ).select("doc_id", md5_32(F.col("s")).alias("hs")).distinct()
+    ).select("doc_id", md5_32(F.col("s")).alias("hs")).distinct().persist()
+    # sh feeds the signature agg AND the exact-set agg; sig feeds the
+    # banding AND two probe-join sides; sets feeds two join sides —
+    # persist all three so the shingle pipeline runs once instead of
+    # up to 7x (round-12 subtree lint; the dd_minhash_lsh discipline)
     sig = sh.groupBy("doc_id").agg(*[
         F.min(md5_32(F.concat_ws(":", F.lit(h), F.col("hs")))).alias(f"m{h}")
         for h in range(_MHE_N)
-    ])
+    ]).persist()
     banded = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -1200,7 +1211,7 @@ def dd_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ["b", "bsig"])
             .filter(F.col("i") < F.col("j"))
             .select("i", "j").distinct())
-    sets = sh.groupBy("doc_id").agg(F.collect_set("hs").alias("ls"))
+    sets = sh.groupBy("doc_id").agg(F.collect_set("hs").alias("ls")).persist()
     jac = F.round(
         F.size(F.array_intersect("ls_i", "ls_j")).cast("double")
         / F.size(F.array_union("ls_i", "ls_j")).cast("double"), 6)
@@ -1337,8 +1348,11 @@ FROM s CROSS JOIN m CROSS JOIN ties
 @register("q_mann_kendall", oracle=_MK_ORACLE)
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # daily feeds both self-join sides, the series count AND the tie
+    # census (4 consumers): persist the bounded one-row-per-day census
+    # so the orders scan + agg runs once (round-12 subtree lint)
     daily = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
-             .agg(lcount("x")))
+             .agg(lcount("x"))).persist()
     b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
     s = (daily.join(b, F.col("d") < F.col("d2"))
          .agg(F.sum(F.when(F.col("x2") > F.col("x"), 1)

@@ -1620,8 +1620,12 @@ def s_alias_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components)
     from sanctions_data_pipeline_spark.plans.registry import REGISTRY
 
+    # variants feeds both self-join sides AND the member roster (3
+    # consumers of the variant-key pipeline); members feeds the size
+    # census AND the final join — persist both narrow keyed frames
+    # (round-12 subtree lint)
     variants = REGISTRY["s_name_variants"].build(spark, sf_dir) \
-        .select("entity_id", "variant_key").distinct()
+        .select("entity_id", "variant_key").distinct().persist()
     a = variants.select(F.col("variant_key"), F.col("entity_id").alias("i"))
     b = variants.select(F.col("variant_key"), F.col("entity_id").alias("j"))
     pairs = (a.join(b, "variant_key").filter(F.col("i") < F.col("j"))
@@ -1629,7 +1633,8 @@ def s_alias_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(pairs)
     members = variants.select(F.col("entity_id").alias("id")).distinct() \
         .join(cc, "id", "left") \
-        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+        .select("id", F.coalesce("cluster_id", F.col("id"))
+                .alias("cluster_id")).persist()
     sizes = members.groupBy("cluster_id").agg(lcount("cluster_size"))
     return (members.join(sizes, "cluster_id")
             .select(F.col("id").alias("entity_id"), "cluster_id",
@@ -1857,10 +1862,13 @@ WHERE rk IN (CAST(ceil(n / 2.0) AS BIGINT), CAST(ceil((n + 1) / 2.0) AS BIGINT))
 @register("q_theil_sen", oracle=_THEIL_SEN_ORACLE)
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # daily feeds both sides of the slope-pair self-join: persist the
+    # bounded one-row-per-day census so the events scan + agg runs
+    # once (round-12 subtree lint)
     daily = (ev.groupBy(F.floor(F.unix_micros(F.date_trunc("day", "ts"))
                                 / F.lit(86400000000)).cast("bigint")
                         .alias("i"))
-             .agg(lcount("x")))
+             .agg(lcount("x"))).persist()
     b = daily.select(F.col("i").alias("i2"), F.col("x").alias("x2"))
     p = (daily.join(b, F.col("i2") > F.col("i"))
          .select(F.round((F.col("x2") - F.col("x")).cast("double")
@@ -3216,10 +3224,13 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(F.date_trunc("day", "ts")).cast("bigint").alias("dow"))
         .agg(lcount("x")))
     w = W.orderBy("i").rowsBetween(-3, 3)
+    # tr feeds the per-dow seasonal agg AND the component join: persist
+    # the bounded one-row-per-day frame so the events scan + agg +
+    # trend window runs once (round-12 subtree lint)
     tr = daily.select(
         "i", "dow", "x",
         (F.sum("x").over(w).cast("double")
-         / F.count("x").over(w).cast("double")).alias("trend"))
+         / F.count("x").over(w).cast("double")).alias("trend")).persist()
 
     def fold_i(val_expr):
         return F.aggregate(
@@ -3406,14 +3417,19 @@ def tok_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("source", tx.tokens(F.col("text")).alias("toks"))
     w = (t.select("source", F.explode("toks").alias("word"))
          .groupBy("source", "word").agg(lcount("c")))
+    # v feeds both self-join sides AND the vocab-size census (3
+    # consumers): persist the bounded top-K-per-source vocab so the
+    # tokenize + census + rank window runs once (round-12 subtree lint)
     v = (w.withColumn("rk", F.row_number().over(
         W.partitionBy("source").orderBy(F.desc("c"), "word")))
-        .filter(F.col("rk") <= _VOCAB_K2).select("source", "word"))
+        .filter(F.col("rk") <= _VOCAB_K2)
+        .select("source", "word")).persist()
     a = v.select(F.col("source").alias("src_a"), "word")
     b = v.select(F.col("source").alias("src_b"), "word")
     p = (a.join(b, "word").filter(F.col("src_a") < F.col("src_b"))
          .groupBy("src_a", "src_b").agg(lcount("n_shared")))
-    sz = v.groupBy("source").agg(lcount("k"))
+    # sz feeds both broadcast sides — persist the tiny per-source census
+    sz = v.groupBy("source").agg(lcount("k")).persist()
     sa = sz.select(F.col("source").alias("src_a"), F.col("k").alias("ka"))
     sb = sz.select(F.col("source").alias("src_b"), F.col("k").alias("kb"))
     j = p.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
@@ -3998,11 +4014,16 @@ GROUP BY sa.label, sa.n, sa.si
 @register("emb_davies_bouldin", oracle=_DB_ORACLE)
 def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # x feeds the centroid fold AND the distance join; cent feeds the
+    # distance join AND both centroid-pair sides; s feeds both scatter
+    # sides — persist the shared frames so each pipeline stage runs
+    # once (round-12 subtree lint; the emb_centroid_classify
+    # dim-explode discipline)
     x = emb.select(
         "vec_id", "label",
         F.posexplode("embedding").alias("p", "valf")).select(
         "vec_id", "label", (F.col("p") + 1).alias("dim"),
-        F.col("valf").cast("double").alias("val"))
+        F.col("valf").cast("double").alias("val")).persist()
 
     def fold(key_col, val_expr):
         return F.aggregate(
@@ -4013,7 +4034,7 @@ def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cent = (x.groupBy("label", "dim")
             .agg((fold(F.col("vec_id"), F.col("val"))
-                  / F.count(F.lit(1))).alias("c")))
+                  / F.count(F.lit(1))).alias("c"))).persist()
     dist = (x.join(F.broadcast(cent), ["label", "dim"])
             .groupBy("vec_id", "label")
             .agg(F.sqrt(fold(F.col("dim"),
@@ -4021,7 +4042,7 @@ def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
                              * (F.col("val") - F.col("c")))).alias("d")))
     s = dist.groupBy("label").agg(
         (fold(F.col("vec_id"), F.col("d")) / F.count(F.lit(1))).alias("si"),
-        lcount("n"))
+        lcount("n")).persist()
     ca = cent.select(F.col("label").alias("la"), "dim", F.col("c").alias("cva"))
     cb = cent.select(F.col("label").alias("lb"), "dim", F.col("c").alias("cvb"))
     cd = (ca.join(cb, "dim").filter(F.col("la") != F.col("lb"))
@@ -4835,10 +4856,13 @@ def q_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("i"))
              .agg(lcount("x")))
     wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # grid feeds the m probe AND the resample join: persist the bounded
+    # ranked day series so the events scan + agg + rank window runs
+    # once (round-12 subtree lint)
     grid = daily.select(
         "x", F.row_number().over(W.orderBy("i")).alias("rk"),
-        F.count(F.lit(1)).over(wall).cast("bigint").alias("m"))
-    m_row = grid.agg(F.max("m").cast("int").alias("m"))
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("m")).persist()
+    m_row = grid.agg(F.max("m").cast("int").alias("m")).persist()
     bs = spark.range(1, _BOOTSTRAP_B + 1).select(
         F.col("id").cast("bigint").alias("b"))
     js = (F.broadcast(m_row).crossJoin(spark.range(1, 10_000).select(
@@ -5275,10 +5299,13 @@ def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("v4"))
     spend = o.groupBy("half", "o_custkey").agg(
         F.sum("v4").cast("bigint").alias("s4"))
+    # seg feeds both half-filters of the migration join: persist the
+    # narrow per-customer segment table so the orders scan + spend agg
+    # + ntile window runs once (round-12 subtree lint)
     seg = spend.select(
         "half", "o_custkey",
         F.ntile(4).over(W.partitionBy("half").orderBy("s4", "o_custkey"))
-        .cast("bigint").alias("segment"))
+        .cast("bigint").alias("segment")).persist()
     a = seg.filter(F.col("half") == 1).select(
         F.col("o_custkey").alias("custkey"), F.col("segment").alias("s1"))
     c = seg.filter(F.col("half") == 2).select(

@@ -488,11 +488,13 @@ FROM scored GROUP BY entity_id, alias_idx
 @register("s_name_idf_score", oracle=_NAME_IDF_ORACLE)
 def s_name_idf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     al = fx.spark_df(spark, "aliases")
+    # toks feeds the df census AND the scored join: persist the narrow
+    # distinct token rows so the explode runs once (round-12 lint)
     toks = al.select(
         "entity_id", "alias_idx",
         F.explode(F.split(F.trim(F.regexp_replace(
             F.lower("whole_name"), r"\s+", " ")), " ")).alias("tok"),
-    ).distinct()
+    ).distinct().persist()
     n_al = al.count()  # bounded driver scalar: fixture corpus size
     dfq = toks.groupBy("tok").agg(lcount("df"))
     scored = toks.join(F.broadcast(dfq), "tok").select(
@@ -1179,8 +1181,10 @@ GROUP BY min_count, n
 @register("tok_mincount_sweep", oracle=_MINCOUNT_ORACLE)
 def tok_mincount_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # cnt feeds the total-token agg AND the threshold sweep: persist
+    # the vocab-scale census so tokenization runs once (round-12 lint)
     cnt = (docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
-           .groupBy("tok").agg(lcount("c")))
+           .groupBy("tok").agg(lcount("c"))).persist()
     tot = cnt.agg(F.sum("c").cast("bigint").alias("n"))
     thr = spark.createDataFrame([(t,) for t in _MINCOUNT_THRESHOLDS],
                                 "min_count bigint")
@@ -1230,8 +1234,11 @@ FROM s CROSS JOIN m CROSS JOIN tx
 @register("q_kendall_tau", oracle=_KENDALL_ORACLE)
 def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # daily feeds both self-join sides, the series count AND the tie
+    # census (4 consumers) — persist the bounded per-day census, the
+    # q_mann_kendall discipline (round-12 subtree lint)
     daily = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
-             .agg(lcount("x")))
+             .agg(lcount("x"))).persist()
     b = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
     s = (daily.join(b, F.col("d") < F.col("d2"))
          .agg(F.sum(F.when(F.col("x2") > F.col("x"), 1)
@@ -1293,7 +1300,10 @@ def q_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(lcount("q"))
                  .select(F.substring("o_orderpriority", 1, 1)
                          .cast("bigint").alias("p"), "q"))
-    cells = per_order.groupBy("p", "q").agg(lcount("n"))
+    # cells feeds both sides of the concordance cross: persist the
+    # tiny cell grid so the orders x lineitem join + agg runs once
+    # (round-12 subtree lint)
+    cells = per_order.groupBy("p", "q").agg(lcount("n")).persist()
     b = cells.select(F.col("p").alias("p2"), F.col("q").alias("q2"),
                      F.col("n").alias("n2"))
     conc = (((F.col("p") < F.col("p2")) & (F.col("q") < F.col("q2")))
@@ -1644,7 +1654,9 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ut feeds the size agg AND both self-join sides: persist so the
     # distinct shuffle runs once, not three times
     ut = ev.select("user_id", "event_type").distinct().persist()
-    sizes = ut.groupBy("event_type").agg(lcount("n"))
+    # sizes feeds both broadcast sides: persist the tiny per-type
+    # census so its agg over ut runs once (round-12 subtree lint)
+    sizes = ut.groupBy("event_type").agg(lcount("n")).persist()
     b = ut.select(F.col("user_id").alias("u2"),
                   F.col("event_type").alias("type_b"))
     inter = (ut.join(b, (ut.user_id == b.u2)
@@ -2638,14 +2650,21 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev4 = (F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 4)
             * 10000).cast("bigint")
 
-    def rollup(df):
-        return df.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+    def rollup(df, *extra_keys):
+        return df.groupBy(F.col("o_orderpriority").alias("pri"),
+                          *extra_keys).agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             rev4.alias("rev4"))
 
-    base = rollup(o.filter(F.col("o_orderdate") < F.col("d")))
-    delta = rollup(o.filter(F.col("o_orderdate") == F.col("d")))
-    merged = (base.unionAll(delta).groupBy("pri")
+    # ONE pass for base + delta (round-12 subtree lint: the two
+    # filtered rollups each re-ran the orders x max-date cross): group
+    # by the is-delta flag instead — the per-(pri, flag) rows ARE the
+    # base/delta rollup rows (rev4 rounds after the within-group sum
+    # either way), and the merge re-aggregates them identically to the
+    # previous unionAll.
+    both = rollup(o, (F.col("o_orderdate") == F.col("d"))
+                  .alias("__is_delta"))
+    merged = (both.groupBy("pri")
               .agg(F.sum("n").cast("bigint").alias("n_merged"),
                    F.sum("rev4").cast("bigint").alias("rev4_merged")))
     full_r = rollup(orders).select(
@@ -2842,7 +2861,10 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphans = (li.join(orders, li.l_orderkey == orders.o_orderkey,
                        "left_anti")
                .agg(F.count(F.lit(1)).cast("bigint").alias("orphans")))
-    w = wide.crossJoin(orphans)
+    # w feeds one select PER CHECK (6 consumers — each re-ran both
+    # lineitem scans): persist the one-row metrics frame (round-12
+    # subtree lint)
+    w = wide.crossJoin(orphans).persist()
     checks = [
         ("row_count_positive", F.col("n_rows"), F.col("n_rows") > 0),
         ("quantity_in_1_50", F.col("qty_out"), F.col("qty_out") == 0),

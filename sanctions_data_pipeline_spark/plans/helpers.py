@@ -169,7 +169,14 @@ def sharded_global_window(df, key, order, *, rn=None, sums=(),
     null_shard = 0 if nulls == "first" else n_shards - 1
     sums = list(sums)
     sum_totals = list(sum_totals)
-    d = df.withColumn("__skey", key.cast("double"))
+    # d feeds the per-shard window pass AND the carry census (and,
+    # without precomputed bounds, the eager bounds job too): persist so
+    # the caller's upstream lineage computes ONCE — chained calls
+    # (q_rfm's three ntiles) otherwise recompute each predecessor per
+    # consumer. The bounds job doubles as the cache materializer.
+    # Same never-unpersist cache-aliasing discipline as _text_groups
+    # (the returned plan references the cache lazily; repeats alias).
+    d = df.withColumn("__skey", key.cast("double")).persist()
     if bounds is None:
         mn, mx = d.agg(F.min("__skey"), F.max("__skey")).first()
     else:
@@ -267,10 +274,12 @@ def sharded_lateness_hours(ev):
         return ev.select(F.lit(0).cast("bigint").alias("late_hours")).limit(0)
     n_shards = 32
     width = max(1, (int(mx) - int(mn)) // n_shards + 1)
+    # e feeds the per-shard window AND the carry census: persist the
+    # 3-long rows so the events scan runs once (round-12 subtree lint)
     e = ev.select(
         "event_id", F.unix_micros("ts").alias("us"),
         ((F.col("event_id") - F.lit(int(mn))) / F.lit(width))
-        .cast("bigint").alias("shard"))
+        .cast("bigint").alias("shard")).persist()
     local = e.withColumn(
         "local_hwm",
         F.max("us").over(

@@ -205,10 +205,13 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
+    # cn/sn each feed the intersect AND the except branch: persist the
+    # single-column join projections so each scan + broadcast join runs
+    # once (round-12 subtree lint)
     cn = (cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-          .select("n_name"))
+          .select("n_name")).persist()
     sn = (supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-          .select("n_name"))
+          .select("n_name")).persist()
     both = cn.intersect(sn).select("n_name", F.lit("both").alias("kind"))
     cust_only = (cn.distinct().exceptAll(sn.distinct())
                  .select("n_name", F.lit("customers_only").alias("kind")))
@@ -657,9 +660,13 @@ GROUP BY m.med
 def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     med = cust.agg(F.expr("percentile(c_acctbal, 0.5)").alias("med"))
+    # dev feeds the MAD percentile AND the outlier count: persist the
+    # narrow 3-double frame so the scan + median cross-join runs once
+    # (round-12 subtree lint)
     dev = (cust.crossJoin(F.broadcast(med))
            .select("c_acctbal", "med",
-                   F.abs(F.col("c_acctbal") - F.col("med")).alias("adev")))
+                   F.abs(F.col("c_acctbal") - F.col("med")).alias("adev"))
+           ).persist()
     mad = (dev.groupBy("med")
            .agg(F.expr("percentile(adev, 0.5)").alias("mad")))
     return (dev.join(F.broadcast(mad), "med")

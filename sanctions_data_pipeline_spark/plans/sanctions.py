@@ -123,7 +123,11 @@ LEFT JOIN gdict ON {g.sql_first_name("n.full_name")} = gd_name
 def s_gender_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     al = fx.spark_df(spark, "aliases")
     lat = al.filter(nm.is_latin_name(F.col("whole_name")))
-    sel = lat.groupBy("entity_id").agg(F.min("alias_idx").alias("sel_idx"))
+    # sel feeds the name-selection join AND the gender-attr window
+    # join: persist the narrow (entity_id, sel_idx) frame so the
+    # latin-filter + min agg runs once (round-12 subtree lint)
+    sel = (lat.groupBy("entity_id")
+           .agg(F.min("alias_idx").alias("sel_idx"))).persist()
     named = (
         sel.join(lat.select("entity_id", "alias_idx", "whole_name"),
                  (lat.entity_id == sel.entity_id) & (lat.alias_idx == sel.sel_idx))

@@ -153,12 +153,15 @@ SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
+    # v and c each feed the next funnel stage's join AND a final count:
+    # persist the narrow user-keyed stage frames so each stage's
+    # events scan + agg runs once (round-12 subtree lint)
     v = (ev.filter(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min(us).alias("t_view")))
+         .groupBy("user_id").agg(F.min(us).alias("t_view"))).persist()
     c = (ev.filter(F.col("event_type") == "click").alias("e")
          .join(v, "user_id")
          .filter(us > F.col("t_view"))
-         .groupBy("user_id").agg(F.min(us).alias("t_click")))
+         .groupBy("user_id").agg(F.min(us).alias("t_click"))).persist()
     p = (ev.filter(F.col("event_type") == "purchase").alias("e")
          .join(c, "user_id")
          .filter(us > F.col("t_click"))

@@ -188,9 +188,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_3", "NATION_8", "NATION_12", "NATION_13"))
     sup_f = (sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
              .select("s_suppkey"))
+    # pv feeds the grand-total agg AND the final threshold probe:
+    # persist the narrow per-part census so the lineitem x supplier
+    # join+agg runs once (round-12 subtree lint)
     pv = (li.join(F.broadcast(sup_f), li.l_suppkey == sup_f.s_suppkey)
           .groupBy("l_partkey")
-          .agg(_scaled_bigint(F.sum(dval("l_extendedprice"))).alias("value_s")))
+          .agg(_scaled_bigint(F.sum(dval("l_extendedprice")))
+               .alias("value_s"))).persist()
     total = pv.agg(F.sum("value_s").alias("total_s"), lcount("n_parts"))
     # cross-multiply as decimal(38,0): value_s is already ×10^4, so the
     # int64 product overflows near 10^19 (≈ the 100 TB lineitem total);

@@ -313,7 +313,10 @@ def tx_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(tx.tokens(F.col("text"))).alias("term"),
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the doc-frequency census AND the final join: persist so
+    # the tokenize + explode + per-doc agg runs once (round-12 lint)
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"))).persist()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = docs.agg(F.count(F.lit(1)).alias("nd"))
     return (
@@ -1073,7 +1076,10 @@ def tx_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = (docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term"))
             .filter(F.col("term") != ""))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # same shape as tx_tfidf: tf feeds the df census AND the scored
+    # join — persist so tokenization runs once (round-12 lint)
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"))).persist()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = docs.agg(F.count(F.lit(1)).alias("nd"))
     scored = (tf.join(df_, "term")
@@ -2599,9 +2605,12 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
+    # t feeds the class-count census, the vocab count AND the contrib
+    # join (3 consumers): persist so the tokenize + per-doc-token agg
+    # runs once (round-12 subtree lint)
     t = (docs.select("doc_id", "lang",
                      F.explode(tx.tokens(F.col("text"))).alias("tok"))
-         .groupBy("doc_id", "lang", "tok").agg(lcount("m")))
+         .groupBy("doc_id", "lang", "tok").agg(lcount("m"))).persist()
     classes = docs.select(F.col("lang").alias("c")).distinct()
     ct = (t.groupBy(F.col("lang").alias("c"), "tok")
           .agg(F.sum("m").cast("bigint").alias("cnt")))
@@ -2801,16 +2810,19 @@ FROM (SELECT cooc.i, cooc.j, cooc.c FROM cooc) cooc
 JOIN deg di ON di.p = cooc.i JOIN deg dj ON dj.p = cooc.j
 """)
 def pr_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # li feeds both self-join sides AND the degree census (3
+    # consumers); deg feeds both broadcast sides — persist the bounded
+    # distinct slice and the degree table (round-12 subtree lint)
     li = (load_table(spark, sf_dir, "lineitem")
           .filter(F.col("l_orderkey") < 4000)
           .select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("p")).distinct())
+                  F.col("l_partkey").alias("p")).distinct()).persist()
     a = li.select("o", F.col("p").alias("i"))
     b = li.select("o", F.col("p").alias("j"))
     cooc = (a.join(b, "o").filter(F.col("i") < F.col("j"))
             .groupBy("i", "j").agg(lcount("c"))
             .filter(F.col("c") >= 2))
-    deg = li.groupBy(F.col("p")).agg(lcount("d"))
+    deg = li.groupBy(F.col("p")).agg(lcount("d")).persist()
     di = deg.select(F.col("p").alias("i"), F.col("d").alias("__di"))
     dj = deg.select(F.col("p").alias("j"), F.col("d").alias("__dj"))
     return (cooc.join(F.broadcast(di), "i").join(F.broadcast(dj), "j")

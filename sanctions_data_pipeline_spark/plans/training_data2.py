@@ -414,7 +414,9 @@ SELECT tok, exact_cnt, cms_est FROM probe
 def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
-    exact = toks.groupBy("tok").agg(lcount("exact_cnt"))
+    # exact feeds the top-10 probe AND the sketch cells: persist the
+    # vocab-scale census so tokenization runs once (round-12 lint)
+    exact = toks.groupBy("tok").agg(lcount("exact_cnt")).persist()
     top10 = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(10)
 
     rows_ = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
@@ -424,9 +426,15 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    1, 8), 16, 10)
                 .cast("bigint") % _CMS_W)
 
-    cells = (toks.crossJoin(F.broadcast(rows_))
+    # the CMS cell count is the number of token OCCURRENCES hashing to
+    # (d, bucket) — exactly the sum of per-token exact counts over the
+    # bucket's tokens, so build the sketch from the vocab-scale census
+    # instead of re-exploding the corpus (round-12: second full
+    # tokenize pass removed, and the crossJoin blowup shrinks from
+    # corpus-tokens x D to vocab x D)
+    cells = (exact.crossJoin(F.broadcast(rows_))
              .groupBy("d", bucket(F.col("d"), F.col("tok")).alias("bucket"))
-             .agg(lcount("cell")))
+             .agg(F.sum("exact_cnt").cast("bigint").alias("cell")))
     probes = (top10.crossJoin(F.broadcast(rows_))
               .select("tok", "exact_cnt", "d",
                       bucket(F.col("d"), F.col("tok")).alias("bucket")))

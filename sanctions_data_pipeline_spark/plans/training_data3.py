@@ -2846,7 +2846,9 @@ def tx_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sharded_global_window)
 
     # sharded prefix-sums along doc_id (range-shard + broadcast
-    # carry-in) — the growth curve no longer needs a one-task sort
+    # carry-in) — the growth curve no longer needs a one-task sort;
+    # the helper persists its input internally, so the two tokenize
+    # pipelines behind the join run once (round-12 subtree lint)
     curve = sharded_global_window(
         n_tok.join(f2, "doc_id", "left")
         .select("doc_id", "n",
