@@ -309,52 +309,11 @@ _R10_CHECKED = frozenset({
 
 _DRIVER_CHECKED = _DRIVER_CHECKED | _R10_CHECKED
 
-# Explicit priority for the round-11 driver 50-entry correctness
-# window. The round-10 verdict recomputed evidence age over the
-# CORRECTNESS_r01..r10 union and found the TRUE stalest blocks are the
-# 22 entries with round-1-only evidence and the 36 with round-2-only
-# evidence (the round-3 block this comment previously called stalest
-# is younger) — so this window leads with ALL 22 round-1-age entries
-# plus 17 of the round-2-age block, then (b) the round-11 rows-only
-# conversions (pr_implicit_als's ridge rmse-below-null lattice,
-# emb_procrustes_align's orthogonality/improves lattice,
-# tok_unigram_lm's seed-census + Viterbi-optimality lattice), then
-# (c) re-proofs of the SQL-oracled entries whose plans changed this
-# round (the coalesce-to-False domination lattices, the single-fit
-# SemDeDup checker, emb_kmeans_train's in-lattice member sum, and the
-# dd components keyed-reuse landed post-r10-close in e112fc6).
-# Window arithmetic: 22 + 36 = 58 stale entries exceed one 50-entry
-# window even before conversions/re-proofs, so the remaining 19
-# round-2-age entries are STAGED as the round-12 window below and
-# will carry age 9 for exactly one round.
-#
-# Rotation plan — round 12 is mechanical: fold this window into
-# _R11_CHECKED, promote the ROUND-12 staged names into
-# _ORACLE_PRIORITY (plus that round's changed-plan re-proofs and the
-# round-3-age block as filler). The staging test
-# (tests/test_plans.py::test_rotation_staging_covers_remaining_pool)
-# keeps the staged blocks exactly equal to the never-checked pool.
-#
-# ROUND-12 BACKFILL QUEUE (informational, already driver-checked so
-# deliberately ABOVE the staged-blocks sentinel the staging test
-# parses): the remaining 19 round-2-age re-proof backfills —
-# q16_supplier_cnt, q20_top_share_suppliers, q_array_hof, q_funnel,
-# q_lateral_topk, q_null_skew_outer, q_retention, q_scd2, sim_ann_lsh,
-# sim_topk_bruteforce, st_dedup, st_foreach_upsert, st_session,
-# st_sliding, st_stream_static, st_stream_stream, st_tumbling,
-# st_user_state, tx_langid, plus q_asof_forward, q_range_frame,
-# q_asof_join, q_range_join, dd_span_dedup, cg_asof_pandas, and
-# dd_exact (displaced by the round-11 changed-plan re-proofs) — lead
-# the round-12 window.
-#
-# STAGED ROTATION BLOCKS (parsed by the staging test — everything from
-# here to the priority-tuple assignment below must name exactly the
-# never-checked SQL-oracled entries not already in the priority tuple):
-# ROUND-12 WINDOW: (empty — every SQL-oracled entry is driver-checked
-# or in the round-11 priority window below; see the backfill queue
-# above for what leads round 12)
-_ORACLE_PRIORITY = (
-    # (a) oldest-evidence backfill: all 22 round-1-age entries
+# Queries the round-11 driver hash-verified (CORRECTNESS_r11.json:
+# 50/50 green — all 22 round-1-age backfills, the 10 round-2-age
+# sanctions entries, the round-11 rows-only conversions and the
+# round-11 changed-plan re-proofs).
+_R11_CHECKED = frozenset({
     "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
     "q11_important_parts", "q12_late_lines", "q14_promo_revenue",
@@ -362,27 +321,67 @@ _ORACLE_PRIORITY = (
     "q_dq_audit", "q_keyset_page", "q_multi_distinct", "q_nullsafe_join",
     "q_period_over_period", "q_pivot_native", "q_robust_stats",
     "q_try_arith", "q_variant_props", "q_window_navigation",
-    # (a cont.) 10 round-2-age entries (the sanctions block; the
-    # other 26 are named in the ROUND-12 comment above)
     "s_address_clean", "s_clean_fixture", "s_clean_names",
     "s_date_reformat", "s_details_agg", "s_fuzzy_match", "s_gender_infer",
     "s_name_variants", "s_neighbor_fill", "s_variant_match",
-    # (b) round-11 rows-only conversions
     "tok_unigram_lm", "pr_implicit_als", "emb_procrustes_align",
-    # (c) round-11 changed-plan re-proofs: the ADVICE lattice fixes,
-    # ALL four consumers of connected_components (the small-graph
-    # driver union-find switch + the per-round localCheckpoint changed
-    # their plans), the two knn_graph consumers (the broadcast-matmul
-    # exact path), dd_containment (collapse-first), and
-    # emb_centroid_classify (the sharded two-level centroid fold);
-    # q_asof_forward / q_range_frame / q_asof_join / q_range_join /
-    # dd_span_dedup / cg_asof_pandas moved to the round-12 backfill
-    # queue to make room
     "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq", "emb_knn_graph_ivf",
     "emb_semantic_dedup", "emb_kmeans_train", "dd_cluster",
     "dd_keep_canonical", "corpus_e2e", "s_alias_graph",
     "emb_knn_graph", "sim_reciprocal_nn", "dd_containment",
     "emb_centroid_classify", "dd_threshold_sweep",
+})
+
+_DRIVER_CHECKED = _DRIVER_CHECKED | _R11_CHECKED
+
+# Explicit priority for the round-12 driver 50-entry correctness
+# window. Round 12 is the second OPTIMIZATION round: ~70 builders'
+# plans changed (shared-subtree persists, single-pass rewrites, the
+# Arrow EM path, the sharded-window helper persist that touches all 16
+# call sites), so changed-plan re-proofs displace the age-based
+# backfill queue this round (VERDICT r11 next-round item 3 names the
+# round-11-touched-but-unwindowed set explicitly). Ordering within the
+# window: (a) structural rewrites whose SEMANTICS were re-derived
+# (q_kaplan_meier's one-window pivot, q_chi_square/q_cramers_v's
+# census-derived marginals, q_cms_topk's census-built sketch,
+# q_incremental_mv's is-delta regroup, q_nelson_aalen's kaplan-pattern
+# rewrite, the BM25/unigram collect merges, the bounds-threaded ntile
+# chains), then (b) the round-11/12 persist-family re-proofs. The 26
+# age-based backfills (q16_supplier_cnt, q20_top_share_suppliers,
+# q_array_hof, q_lateral_topk, q_null_skew_outer, q_retention, q_scd2,
+# sim_ann_lsh, sim_topk_bruteforce, the st_* block, tx_langid,
+# q_asof_forward, q_range_frame, q_asof_join, q_range_join,
+# cg_asof_pandas, dd_exact) defer to round 13 — q_funnel and
+# dd_span_dedup from that queue DO ride this window (both are also
+# round-12 changed-plan).
+#
+# STAGED ROTATION BLOCKS (parsed by the staging test — everything from
+# here to the priority-tuple assignment below must name exactly the
+# never-checked SQL-oracled entries not already in the priority tuple):
+# ROUND-13 WINDOW: (empty — every SQL-oracled entry is driver-checked
+# or in the round-12 priority window below; the deferred age-based
+# backfill queue above leads round 13)
+_ORACLE_PRIORITY = (
+    # (a) structural rewrites — semantics re-derived this round or
+    # round 11, highest re-proof value
+    "q_kaplan_meier", "q_chi_square", "q_cramers_v", "q_cms_topk",
+    "q_incremental_mv", "dq_referential", "q_dormancy_timeline",
+    "pr_user_recs", "q_nelson_aalen", "gr_triangle_count", "tx_bm25",
+    "sim_rrf_fusion", "tok_bpe_merges", "tok_bpe_encode",
+    "tok_unigram_lm", "gr_link_predict", "q_rfm_segmentation",
+    "dp_curriculum", "q_levene_test", "q_mantel_haenszel",
+    "q_hurst_exponent", "tx_perplexity", "io_zorder_clustering",
+    "q1_pricing_summary",
+    # (b) round-11/12 persist-family re-proofs (same results, changed
+    # plans: shared subtrees now computed once behind InMemoryRelation)
+    "tx_bigram_pmi", "tx_keyness", "dd_ngram_jaccard", "dd_winnow",
+    "dd_span_dedup", "dd_line_dedup", "dd_minhash_lsh_portable",
+    "dd_simhash_portable", "mm_phash", "q_winsorize", "tx_ngram_novelty",
+    "q_lorenz_deciles", "q_hhi_concentration", "q_mann_kendall",
+    "q_kendall_tau", "emb_davies_bouldin", "dd_minhash_est_error",
+    "dq_expectations", "tx_tfidf", "tx_keywords", "tok_vocab_overlap",
+    "ml_naive_bayes", "q_funnel", "tx_heaps_fit", "dd_dup_regions",
+    "s_gender_infer",
 )
 
 
