@@ -129,15 +129,18 @@ def _dup_mass_low(docs: DataFrame, text_col: str) -> bool:
     """One map-side probe: duplicate ratio <= ~1.15 means collapse-first
     would cost more than it saves (the ngram_jaccard_components CBO
     idiom — decide the plan from a cheap statistic, not a guess)."""
-    from sanctions_data_pipeline_spark.catalog import widen_small_scan
-    # normalize+md5 over the whole corpus is the probe's map side:
-    # parallelize an under-split local scan (no-op at cluster scale).
-    # count and the HLL distinct-estimate are partition-independent.
+    # NO widen here (round-12 A/B: plain 0.27 s vs widened 0.45 s min,
+    # every rep faster — the probe's map side is one cheap normalize +
+    # HLL update per row, so shuffling full text to parallelize it
+    # costs more than it saves, the io_zorder finding; widen stays in
+    # the SIGNATURE pipelines whose per-row map work is heavy). Count
+    # and the HLL distinct-estimate are partition-independent, so the
+    # routing decision is identical either way.
     # no md5 wrapper: the HLL sketch hashes its input internally, so
     # hashing first was pure per-row overhead (the estimate differs
     # only within the 5% rsd; the 1.15 threshold is a heuristic far
     # from both fixture regimes)
-    st = widen_small_scan(docs, text_col).agg(
+    st = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(
             normalized_text(F.col(text_col)), rsd=0.05).alias("d")
