@@ -273,6 +273,57 @@ def em_piece_counts(words_df, word_col: str, count_col: str,
     return out.groupBy("piece").agg(F.sum("n").alias("n"))
 
 
+def em_piece_counts_py(rows, model: dict[str, float]) -> dict[str, int]:
+    """Driver-side replay of :func:`em_piece_counts` over collected
+    ``(word, count)`` rows — the small-inventory switch (round 12, the
+    dd_cluster size-gate idiom). Identical counts by construction:
+    same lattice (:func:`_viterbi_costs_py`), and the counts are
+    integer adds, which are order-free — the Arrow path's per-batch
+    partials sum to exactly this."""
+    from collections import Counter
+
+    costs = {p: -math.log(v) for p, v in sorted(model.items())}
+    acc: Counter = Counter()
+    for w, c in rows:
+        ci = int(c)
+        for piece in _viterbi_costs_py(w, costs):
+            acc[piece] += ci
+    return dict(acc)
+
+
+def viterbi_char_margin_ok_py(words, model: dict[str, float],
+                              tol: float = 1e-6):
+    """Driver-side replay of :func:`viterbi_char_margin_ok` over a
+    collected word list: same per-word left-to-right double folds,
+    same skip rule for words with any missing cost, same AND reduce
+    (AND is order-free, so batch partials vs one pass agree); returns
+    None when no word was valid, mirroring bool_and over no rows."""
+    costs = {p: -math.log(v) for p, v in sorted(model.items())}
+    ok = None
+    for w in words:
+        vit = 0.0
+        valid = True
+        for piece in _viterbi_costs_py(w, costs):
+            pc = costs.get(piece)
+            if pc is None:
+                valid = False
+                break
+            vit = vit + pc
+        if valid:
+            ch = 0.0
+            for g in w:
+                gc = costs.get(g)
+                if gc is None:
+                    valid = False
+                    break
+                ch = ch + gc
+        if not valid:
+            continue
+        word_ok = vit <= ch + tol
+        ok = word_ok if ok is None else (ok and word_ok)
+    return ok
+
+
 def viterbi_char_margin_ok(words_df, word_col: str,
                            model: dict[str, float], tol: float = 1e-6):
     """One-row DataFrame[ok boolean]: AND over all words of

@@ -745,6 +745,51 @@ SELECT * FROM (
 """)
 
 
+# SMALL-VOCAB SWITCH for the BPE trainers (round 12; the dd_cluster /
+# connected_components CBO idiom — decide the plan from a cheap
+# statistic). The distributed merge loop pays ~2 fixed-cost Spark jobs
+# per round (pair-count argmax + eager re-segmentation) no matter how
+# tiny the vocabulary; a vocab that fits the driver comfortably
+# (<= 100k rows of short symbol arrays, the same ~100k bound as the
+# union-find edge gate) trains all R rounds in one collect + pure
+# python — EXACTLY the replay tests/test_training_ext2.py already pins
+# the distributed loop against, so both paths are output-identical by
+# the same pin. A web-scale vocabulary (~10^7 distinct words) routes
+# to the unchanged distributed loop by construction.
+_BPE_DRIVER_MAX_VOCAB = 100_000
+
+
+def _bpe_train_py(rows, rounds: int):
+    """Pure-python BPE trainer over [(symbols tuple, count)] rows —
+    the pinned-replay algorithm verbatim. Returns (merges, final_segs)
+    where merges = [(rank, a, b, count)] and final_segs maps each
+    INPUT row index to its round-R segmentation (greedy left-to-right
+    merge per round, ties broken by (count desc, a, b) exactly like
+    the distributed argmax)."""
+    segs = [list(s) for s, _ in rows]
+    cnts = [c for _, c in rows]
+    merges = []
+    for rnd in range(rounds):
+        pc: dict = {}
+        for s, c in zip(segs, cnts):
+            for x, y in zip(s, s[1:]):
+                pc[(x, y)] = pc.get((x, y), 0) + c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd + 1, a, b, int(n)))
+        ab = a + b
+        for i, s in enumerate(segs):
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = ab
+                else:
+                    out.append(x)
+            segs[i] = out
+    return merges, segs
+
+
 @register("tok_bpe_merges", headline=True, oracle=_BPE_MERGES_ORACLE)
 def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+explode is the CPU-heavy map stage of the vocab build:
@@ -756,7 +801,15 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.array(F.lit("</w>"))).alias("s"),
                      "cnt")
              .persist())
-    words.count()
+    n_vocab = words.count()
+
+    if n_vocab <= _BPE_DRIVER_MAX_VOCAB:
+        rows = [(tuple(r.s), int(r.cnt)) for r in words.collect()]
+        words.unpersist()
+        merges, _ = _bpe_train_py(rows, _BPE_ROUNDS)
+        return spark.createDataFrame(
+            merges,
+            "merge_rank int, left string, right string, pair_count bigint")
 
     merges = []
     for rnd in range(_BPE_ROUNDS):
@@ -831,38 +884,62 @@ FROM per GROUP BY doc_id
 
 @register("tok_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
 def tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges = [(r.left, r.right)
-              for r in tok_bpe_merges(spark, sf_dir)
-              .orderBy("merge_rank").collect()]
-
-    # the R chained merge folds run in this map stage: parallelize an
-    # under-split local scan (no-op at scale)
+    # Round 12: encode at VOCABULARY level, not per occurrence. A
+    # corpus word's encoding depends only on the word, so the merge
+    # application runs once per DISTINCT word and joins back onto the
+    # per-doc word stream (the oracle's own shape — it joins
+    # len(seg_R) to the word stream too). Before, the R chained
+    # interpreted higher-order folds ran per word OCCURRENCE — the
+    # unigram-EM interpreted-HOF trap, paid corpus-times instead of
+    # vocab-times. AQE broadcasts the bounded enc table; the vocab
+    # census shuffle carries partially-aggregated (w) rows only.
     docs = widen_small_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    word = (docs.select("doc_id",
-                        F.explode(tx.tokens(F.col("text"))).alias("w"))
-            .select("doc_id",
-                    F.concat(F.split("w", ""),
-                             F.array(F.lit("</w>"))).alias("s")))
-    def apply_merge(a: str, b: str):
-        # closure factory: PySpark requires the HOF lambda to take
-        # exactly (acc, x) — defaults would inflate the arity check
-        ab = a + b
+    word = docs.select("doc_id",
+                       F.explode(tx.tokens(F.col("text"))).alias("w"))
+    vocab = (word.groupBy("w").agg(lcount("cnt"))
+             .select("w",
+                     F.concat(F.split("w", ""),
+                              F.array(F.lit("</w>"))).alias("s"),
+                     "cnt")
+             .persist())
+    n_vocab = vocab.count()
 
-        def step(acc, x):
-            return F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                         F.array(F.lit(ab)))
-            ).otherwise(F.concat(acc, F.array(x)))
-        return step
+    if n_vocab <= _BPE_DRIVER_MAX_VOCAB:
+        # small-vocab switch: train + encode in one collect (the
+        # pinned python replay verbatim; see _BPE_DRIVER_MAX_VOCAB)
+        rows = vocab.collect()
+        vocab.unpersist()
+        _, segs = _bpe_train_py(
+            [(tuple(r.s), int(r.cnt)) for r in rows], _BPE_ROUNDS)
+        enc = spark.createDataFrame(
+            [(r.w, len(r.s), len(seg)) for r, seg in zip(rows, segs)],
+            "w string, n_raw int, n_enc int")
+    else:
+        merges = [(r.left, r.right)
+                  for r in tok_bpe_merges(spark, sf_dir)
+                  .orderBy("merge_rank").collect()]
 
-    col = F.col("s")
-    for a, b in merges:
-        col = F.aggregate(col, F.array().cast("array<string>"),
-                          apply_merge(a, b))
-    per_word = word.select(
-        "doc_id", F.size("s").alias("n_raw"), F.size(col).alias("n_enc"))
+        def apply_merge(a: str, b: str):
+            # closure factory: PySpark requires the HOF lambda to take
+            # exactly (acc, x) — defaults would inflate the arity check
+            ab = a + b
+
+            def step(acc, x):
+                return F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                             F.array(F.lit(ab)))
+                ).otherwise(F.concat(acc, F.array(x)))
+            return step
+
+        col = F.col("s")
+        for a, b in merges:
+            col = F.aggregate(col, F.array().cast("array<string>"),
+                              apply_merge(a, b))
+        enc = vocab.select("w", F.size("s").alias("n_raw"),
+                           F.size(col).alias("n_enc"))
+    per_word = word.join(enc, "w").select("doc_id", "n_raw", "n_enc")
     return (per_word.groupBy("doc_id")
             .agg(lcount("n_words"),
                  F.sum("n_raw").cast("bigint").alias("n_raw_symbols"),

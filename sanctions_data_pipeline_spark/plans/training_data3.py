@@ -1288,8 +1288,20 @@ def _unigram_seed_and_words(spark: SparkSession, sf_dir: str):
     return words, seed
 
 
-def _unigram_em(words: DataFrame, seed: dict[str, int]):
-    """The Viterbi-EM loop: (final model, final E-step use counts)."""
+# SMALL-INVENTORY SWITCH for the unigram trainer (round 12; the
+# dd_cluster / BPE size-gate idiom): a distinct-word inventory that
+# fits the driver comfortably runs the whole EM + optimality check off
+# ONE collect with the SAME pinned python lattice the Arrow path runs
+# per batch — identical counts/booleans by construction (integer adds
+# and AND are order-free; the double folds are per-word). A web-scale
+# inventory routes to the Arrow path by construction.
+_UNI_DRIVER_MAX_WORDS = 100_000
+
+
+def _unigram_em(words: DataFrame, seed: dict[str, int], rows=None):
+    """The Viterbi-EM loop: (final model, final E-step use counts).
+    ``rows`` = collected (word, count) pairs for the small-inventory
+    driver path; None = the distributed Arrow path."""
     from sanctions_data_pipeline_spark.operators import unigram as ug
 
     def normalize(vals: dict[str, float]) -> dict[str, float]:
@@ -1305,9 +1317,15 @@ def _unigram_em(words: DataFrame, seed: dict[str, int]):
         # inside mapInPandas with per-batch partial counts — identical
         # segmentations (the replay is the JVM form's test oracle), no
         # giant HOF expression tree for Catalyst to re-analyze per
-        # round (guide §4; the round-12 tok_unigram_lm fix)
-        vc = {r.piece: int(r.n)
-              for r in ug.em_piece_counts(words, "w", "c", model).collect()}
+        # round (guide §4; the round-12 tok_unigram_lm fix) — or, when
+        # the inventory fit one collect, the same replay driver-side
+        # (zero Spark jobs per round)
+        if rows is not None:
+            vc = ug.em_piece_counts_py(rows, model)
+        else:
+            vc = {r.piece: int(r.n)
+                  for r in ug.em_piece_counts(words, "w", "c",
+                                              model).collect()}
         # M-step: multi-char pieces live only while used; single chars
         # persist with add-one smoothing so every word stays segmentable
         vals = {}
@@ -1326,7 +1344,9 @@ def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sanctions_data_pipeline_spark.operators import unigram as ug
 
     words, seed = _unigram_seed_and_words(spark, sf_dir)
-    model, vc = _unigram_em(words, seed)
+    rows = ([(r.w, int(r.c)) for r in words.collect()]
+            if words.count() <= _UNI_DRIVER_MAX_WORDS else None)
+    model, vc = _unigram_em(words, seed, rows)
 
     prob_norm_ok = abs(sum(model.values()) - 1.0) <= 1e-9
 
@@ -1336,9 +1356,14 @@ def tok_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same Arrow path as the E-step (operators/unigram
     # .viterbi_char_margin_ok): both cost sums fold left-to-right over
     # the identical doubles the JVM HOF form folded, per-batch partial
-    # ANDs reduce engine-side to the global bool_and lane.
-    vit_ok = bool(ug.viterbi_char_margin_ok(words, "w", model)
-                  .collect()[0][0])
+    # ANDs reduce engine-side to the global bool_and lane — or the
+    # same fold driver-side on the small-inventory path.
+    if rows is not None:
+        vit_ok = bool(ug.viterbi_char_margin_ok_py(
+            [w for w, _ in rows], model))
+    else:
+        vit_ok = bool(ug.viterbi_char_margin_ok(words, "w", model)
+                      .collect()[0][0])
     words.unpersist()
 
     rows = [(p, len(p), int(c),
@@ -1355,7 +1380,9 @@ def tok_unigram_lm_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (rank, piece, piece_len, n_uses, prob) rows — the pytest
     value-pin surface (the pre-round-11 registered output)."""
     words, seed = _unigram_seed_and_words(spark, sf_dir)
-    model, vc = _unigram_em(words, seed)
+    rows = ([(r.w, int(r.c)) for r in words.collect()]
+            if words.count() <= _UNI_DRIVER_MAX_WORDS else None)
+    model, vc = _unigram_em(words, seed, rows)
     words.unpersist()
 
     rows = sorted(((p, len(p), vc.get(p, 0), round(model[p], 6))

@@ -521,3 +521,22 @@ def test_dd_dup_stats_reconciles_with_dd_exact(spark, sf_dir):
     # corpus-wide uniques can only be <= sum of per-source uniques
     corpus_unique = _run(spark, sf_dir, "dd_exact").count()
     assert corpus_unique <= total_unique
+
+
+def test_bpe_small_vocab_switch_matches_distributed_loop(
+        spark, sf_dir, monkeypatch):
+    """The round-12 small-vocab driver switch must be output-identical
+    to the distributed merge loop on BOTH trainers (the dd_cluster
+    both-paths pin): force the distributed path by zeroing the gate
+    and compare against the driver path."""
+    import sanctions_data_pipeline_spark.plans.training_data2 as td2
+
+    def rows(name):
+        df = registry.queries()[name](spark, sf_dir)
+        return sorted(tuple(r) for r in df.collect())
+
+    fast_m, fast_e = rows("tok_bpe_merges"), rows("tok_bpe_encode")
+    monkeypatch.setattr(td2, "_BPE_DRIVER_MAX_VOCAB", 0)
+    slow_m, slow_e = rows("tok_bpe_merges"), rows("tok_bpe_encode")
+    assert fast_m == slow_m
+    assert fast_e == slow_e

@@ -1805,3 +1805,24 @@ def test_segment_words_join_path_tolerates_duplicate_words(spark):
     # two banana rows -> two segmentations' worth of pieces
     assert len(by_word["banana"]) == 2 * len(
         ug.viterbi_pieces_py("banana", model))
+
+
+def test_unigram_small_inventory_switch_matches_arrow_path(
+        spark, sf_dir, monkeypatch):
+    """The round-12 small-inventory driver switch must be
+    output-identical to the Arrow mapInPandas path on both the
+    registered lattice and the _full pin surface (the dd_cluster /
+    BPE both-paths pin): force the Arrow path by zeroing the gate."""
+    import sanctions_data_pipeline_spark.plans.training_data3 as td3
+    from sanctions_data_pipeline_spark.plans import registry
+
+    def rows(fn):
+        return sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+
+    fast = rows(registry.queries()["tok_unigram_lm"])
+    fast_full = rows(td3.tok_unigram_lm_full)
+    monkeypatch.setattr(td3, "_UNI_DRIVER_MAX_WORDS", 0)
+    slow = rows(registry.queries()["tok_unigram_lm"])
+    slow_full = rows(td3.tok_unigram_lm_full)
+    assert fast == slow
+    assert fast_full == slow_full
