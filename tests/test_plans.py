@@ -705,3 +705,42 @@ def test_rows_only_entries_have_registered_value_pins():
             srcs[fname] = open(path).read()
         assert re.search(rf"^def {re.escape(test_fn)}\b", srcs[fname],
                          re.M), f"{op}: {fname} has no {test_fn}"
+
+
+def test_subtree_lint_expectation_is_curated(spark, sf_dir):
+    """Pin the duplicated-heavy-subtree lint (tools/lint_subtrees.py)
+    on a representative slice: the round-12 persist/rewrite fixes must
+    stay flag-FREE, and the documented leave-alones must stay exactly
+    the known flags (emb_semantic_dedup's checker lane recomputes by
+    design; q_acf/q_ljung_box re-run a one-row agg over a cached
+    frame; q_forecast_backtest's duplicates sit over a cached bounded
+    census). A new flag on the fixed set means a shared heavy subtree
+    lost its persist; a vanished flag on the leave-alones means their
+    documented rationale is stale."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "lint_subtrees", os.path.join(root, "tools", "lint_subtrees.py"))
+    lint = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lint)
+
+    must_be_clean = [
+        "q_kaplan_meier", "q_chi_square", "q_cms_topk", "dq_expectations",
+        "dd_minhash_est_error", "q_rfm_segmentation", "tx_tfidf",
+        "q_mann_kendall", "tok_vocab_overlap", "q_funnel",
+    ]
+    leave_alones = {"emb_semantic_dedup", "q_acf", "q_ljung_box",
+                    "q_forecast_backtest"}
+    qs = queries()
+    for name in must_be_clean:
+        df = qs[name](spark, sf_dir)
+        assert lint.lint_plan(df) == [], f"{name} regressed: lost a persist"
+        spark.catalog.clearCache()
+    for name in sorted(leave_alones):
+        df = qs[name](spark, sf_dir)
+        assert lint.lint_plan(df), (
+            f"{name}: documented leave-alone no longer flags — "
+            "update the rationale in OPTIMIZATION_r12.md")
+        spark.catalog.clearCache()
